@@ -1,0 +1,145 @@
+"""Event-table queries: time bucketing, sessionization, JSON extraction,
+pivot.  The reference has no streaming (SURVEY §2.4) — scheduled
+incremental loads are its substitute — so these run as batch here and
+have Structured Streaming twins in ``sayn_spark.streaming``.
+
+Timestamps are compared as exact integer microseconds (Spark
+``unix_micros`` vs DuckDB ``epoch_us``) to avoid float/ns-resolution
+mismatches between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sayn_spark.functions.registry import T, register
+from sayn_spark.functions.relational import dec, dsum
+
+
+@register(
+    "q_events_hourly",
+    oracle="""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-bucket aggregation (batch twin of a windowed stream agg)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(dec("value"), "total_value"))
+    )
+
+
+@register(
+    "q_events_sessionize",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, event_id, ts_us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts_us) AS start_us, MAX(ts_us) - MIN(ts_us) AS dur_us
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via window functions.
+
+    The classic stateful-streaming op expressed as a batch plan: lag ->
+    flag -> running sum -> per-session agg.  One shuffle on user_id; at
+    100 TB the same shape holds (sessions never cross users, so the
+    window partitioning is the natural data partitioning).  Streaming
+    twin: ``streaming.sessionize_stream`` (session_window).
+    """
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    marked = e.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.when(
+            (ts_us - F.lag(ts_us).over(w) > 1800 * 1000 * 1000)
+            | F.lag(ts_us).over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(w2))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+    )
+
+
+@register(
+    "q_events_json_props",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       event_type, COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: JSON string column -> typed extraction.
+
+    Maps the reference's dict->JSON type rule (database/__init__.py:432).
+    """
+    e = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select((k % 10).alias("k_mod"), "event_type")
+        .groupBy("k_mod", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_events_daily_pivot",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'view') AS view,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'error') AS error
+FROM events GROUP BY 1
+""",
+)
+def q_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: event counts per day x type (explicit value list so
+    the plan is a single-pass conditional agg, no extra distinct job)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+    )

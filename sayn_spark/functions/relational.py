@@ -1,0 +1,688 @@
+"""Relational surface queries — the SQL surface sayn delegates to the
+warehouse (SURVEY §2.4): joins of every type, hash/sort aggregates,
+windows, rollup, set ops, semi/anti joins, top-k.  Implemented with the
+DataFrame API so Catalyst picks physical strategies (broadcast for the
+tiny dims, sort-merge/shuffled-hash for the fact-fact joins; AQE
+rewrites at runtime).
+
+Determinism vs the DuckDB oracle: double SUMs are order-dependent, so
+every money aggregate casts to an exact DECIMAL *before* summing, then
+rounds and casts to DOUBLE at the end — both engines then produce
+bit-identical values regardless of partitioning.  Averages divide the
+exact decimal sum (as double) by the count, in doubles, which is a
+single deterministic IEEE op.  Top-k queries always carry a unique
+tie-break key in the ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sayn_spark.functions.registry import T, register
+
+
+def dec(col, prec: int = 12, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def dsum(expr, alias: str, round_to: int = 2):
+    """Exact decimal sum -> rounded double (cross-engine deterministic)."""
+    return F.round(F.sum(expr), round_to).cast("double").alias(alias)
+
+
+def davg(expr, alias: str, round_to: int = 6):
+    """avg = double(exact decimal sum) / count, rounded: deterministic."""
+    return F.round(F.sum(expr).cast("double") / F.count(F.lit(1)), round_to).alias(alias)
+
+
+# discount/tax factors as exact decimals: (1 - l_discount) is a 2-dp value
+def one_minus(col):
+    return (F.lit(1) - F.col(col)).cast("decimal(4,2)")
+
+
+def one_plus(col):
+    return (F.lit(1) + F.col(col)).cast("decimal(4,2)")
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy group-agg with map-side partial agg.
+
+    Ref surface: GROUP BY / SUM / AVG / COUNT (SURVEY §2.4).  At 100 TB
+    this is a single scan + partial agg + tiny shuffle (4 groups).
+    """
+    l = T(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * one_minus("l_discount")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(dec("l_quantity"), "sum_qty"),
+            dsum(dec("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(disc_price * one_plus("l_tax"), "sum_charge"),
+            davg(dec("l_quantity"), "avg_qty"),
+            davg(dec("l_extendedprice"), "avg_price"),
+            davg(dec("l_discount", 4, 2), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+       CAST(o.o_orderdate AS DATE) AS orderdate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> top-k.
+
+    customer is broadcast (small side); orders⋈lineitem shuffles on the
+    order key.  Deterministic top-k via (revenue DESC, o_orderkey).
+    """
+    c = T(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    l = T(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(dec("l_extendedprice") * one_minus("l_discount"), "revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q05_region_revenue",
+    oracle="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; all dims broadcast, one fact shuffle."""
+    r = T(spark, sf_dir, "region")
+    n = T(spark, sf_dir, "nation")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dsum(dec("l_extendedprice") * one_minus("l_discount"), "revenue"))
+    )
+
+
+@register(
+    "q06_revenue_forecast",
+    oracle="""
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+agg; all predicates push to parquet."""
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            dsum(dec("l_extendedprice") * dec("l_discount", 4, 2), "revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q07_nation_volume",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       YEAR(l.l_shipdate) AS l_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS volume
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE sn.n_name <> cn.n_name AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY sn.n_name, cn.n_name, YEAR(l.l_shipdate)
+""",
+)
+def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: same dim joined twice under different roles."""
+    l = T(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+    o = T(spark, sf_dir, "orders")
+    s = T(spark, sf_dir, "supplier")
+    c = T(spark, sf_dir, "customer")
+    sn = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(dec("l_extendedprice") * one_minus("l_discount"), "volume"))
+    )
+
+
+@register(
+    "q09_product_profit",
+    oracle="""
+SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS amount
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, YEAR(o.o_orderdate)
+""",
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: LIKE-filtered dim drives fact join."""
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders")
+    n = T(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(dec("l_extendedprice") * one_minus("l_discount"), "amount"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+       CAST(ROUND(MAX(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS acctbal,
+       n.n_name AS nation
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue ranking, deterministic top-20."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = T(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            dsum(dec("l_extendedprice") * one_minus("l_discount"), "revenue"),
+            F.round(F.max(dec("c_acctbal")), 2).cast("double").alias("acctbal"),
+        )
+        .select("c_custkey", "c_name", "revenue", "acctbal", "nation")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT JOIN with join-time predicate + double agg.
+
+    Exercises null-producing outer join semantics (COUNT over nulls).
+    """
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT ROUND(
+         100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+             THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))
+             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE),
+       6) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1997-07-01'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (CASE inside SUM)."""
+    l = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    p = T(spark, sf_dir, "part")
+    disc_price = dec("l_extendedprice") * one_minus("l_discount")
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(disc_price).cast("double"), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size IN (1, 5, 9, 13) AND p.p_brand <> 'BrandA'
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) with IN-list + inequality filters."""
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").where(
+        F.col("p_size").isin(1, 5, 9, 13) & (F.col("p_brand") != "BrandA")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS orderdate,
+       CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS totalprice,
+       CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 140
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered semi join back onto the fact."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .where(F.col("q") > 140)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(dec("l_quantity"), "sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.round(dec("o_totalprice"), 2).cast("double").alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q19_bracketed_revenue",
+    oracle="""
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'BrandA' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'BrandB' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'BrandC' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brackets across join."""
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "BrandA") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "BrandB") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "BrandC") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
+    )
+    return j.where(cond).agg(
+        dsum(dec("l_extendedprice") * one_minus("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+SELECT SUBSTR(c.c_name, 1, 9) AS name_prefix, COUNT(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                     FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY SUBSTR(c.c_name, 1, 9)
+""",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery threshold + anti join.
+
+    The scalar average is computed as one tiny agg and crossed in
+    (broadcast), the anti join is broadcast too — no wide shuffle.
+    """
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg((F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .groupBy(F.substring("c_name", 1, 9).alias("name_prefix"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(dec("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
+@register(
+    "q_window_top_customers",
+    oracle="""
+SELECT nation, c_custkey, revenue, rk FROM (
+  SELECT n.n_name AS nation, c.c_custkey,
+         CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name
+                            ORDER BY ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) DESC, c.c_custkey) AS rk
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY n.n_name, c.c_custkey
+) WHERE rk <= 3
+""",
+)
+def q_window_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function surface: ROW_NUMBER over partitioned agg, top-N per group."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    o = T(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(F.round(F.sum(dec("o_totalprice")), 2).alias("revenue_dec"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.desc("revenue_dec"), F.col("c_custkey"))
+    return (
+        per_cust.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("nation", "c_custkey", F.col("revenue_dec").cast("double").alias("revenue"), "rk")
+    )
+
+
+@register(
+    "q_window_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend
+FROM orders
+WHERE o_custkey < 100
+""",
+)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame surface: cumulative sum with explicit ROWS frame."""
+    o = T(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(dec("o_totalprice")).over(w), 2).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "q_rollup_orders",
+    oracle="""
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+""",
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: ROLLUP with subtotal rows."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(dec("o_totalprice"), "total"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@register(
+    "q_union_case_order_flow",
+    oracle="""
+SELECT o_orderkey, side, CASE WHEN o_totalprice > 200000 THEN 'big'
+                              WHEN o_totalprice > 50000 THEN 'mid'
+                              ELSE 'small' END AS bucket
+FROM (
+  SELECT o_orderkey, o_totalprice, 'open' AS side FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'done' AS side FROM orders WHERE o_orderstatus = 'F'
+) t
+""",
+)
+def q_union_case_order_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + CASE surface (the reference's f_fighter_results shape,
+    scaffolding/data/init_project/sql/f_fighter_results.sql)."""
+    o = T(spark, sf_dir, "orders")
+    open_ = o.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_totalprice", F.lit("open").alias("side")
+    )
+    done = o.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice", F.lit("done").alias("side")
+    )
+    u = open_.unionByName(done)
+    bucket = (
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+    )
+    return u.select("o_orderkey", "side", bucket.alias("bucket"))
+
+
+@register(
+    "q_set_ops_customers",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+""",
+)
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: INTERSECT / EXCEPT with distinct semantics."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    open_cust = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
+    big_cust = o.where(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("c_custkey"))
+    return building.intersect(open_cust).exceptAll(big_cust.distinct())
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+SELECT c_custkey,
+       UPPER(c_name) AS upper_name,
+       LENGTH(c_name) AS name_len,
+       c_name || '/' || c_mktsegment AS tagged,
+       SUBSTR(c_name, 10, 5) AS name_mid,
+       REPLACE(c_name, '#', '-') AS dashed,
+       TRIM(c_mktsegment) AS seg
+FROM customer WHERE c_custkey <= 50
+""",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface (||, UPPER, LENGTH, SUBSTR, REPLACE, TRIM)."""
+    c = T(spark, sf_dir, "customer").where(F.col("c_custkey") <= 50)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("tagged"),
+        F.substring("c_name", 10, 5).alias("name_mid"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("dashed"),
+        F.trim(F.col("c_mktsegment")).alias("seg"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       YEAR(o_orderdate) AS y,
+       MONTH(o_orderdate) AS m,
+       DAYOFMONTH(o_orderdate) AS d,
+       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+       DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start
+FROM orders WHERE o_orderkey <= 100
+""",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date-function surface (extract, trunc, interval arith, diff)."""
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )

@@ -1,0 +1,56 @@
+"""Materialisation plans: the engine's own relational logic.
+
+The reference materialises with generated DDL strings
+(`database/__init__.py:747-846`, `database/templates/merge_tables.sql:1-12`):
+
+    DELETE FROM dst WHERE EXISTS (SELECT * FROM src WHERE src.key = dst.key);
+    INSERT INTO dst SELECT * FROM src;
+
+Here the same semantics are a DataFrame plan: anti-join out the
+replaced keys, union the new batch.  On a cluster the anti join
+broadcasts when the incremental batch is small (the common case — a
+day's delta vs years of history), so the merge costs one scan of dst
+and no wide shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_dataframes(
+    dst: DataFrame, src: DataFrame, delete_key: str | Sequence[str]
+) -> DataFrame:
+    """Delete-insert merge (ref: merge_tables.sql:1-12).
+
+    Rows in ``dst`` whose ``delete_key`` appears in ``src`` are dropped;
+    all of ``src`` is appended.  NULL delete keys in src do not match
+    any dst row (SQL EXISTS semantics: NULL = NULL is not true), so dst
+    rows with NULL keys survive unless src also carries them — matched
+    by the reference's correlated-EXISTS equality.
+    """
+    keys = [delete_key] if isinstance(delete_key, str) else list(delete_key)
+    src_keys = src.select(*keys).distinct()
+    kept = dst.join(F.broadcast(src_keys), on=keys, how="left_anti")
+    return kept.unionByName(src.select(*dst.columns))
+
+
+def incremental_filter(
+    df: DataFrame, incremental_key: str, last_max, include_null: bool = True
+) -> DataFrame:
+    """Incremental extraction predicate (ref: tasks/copy.py:668-675):
+    ``inc_key >= max(dst.inc_key) OR inc_key IS NULL``.
+
+    The NULL arm is part of the reference contract — rows with NULL
+    incremental keys are *always* reloaded.  The predicate is a plain
+    comparison so it pushes down to parquet/JDBC scans.
+    """
+    if last_max is None:
+        return df
+    cond: Column = F.col(incremental_key) >= F.lit(last_max)
+    if include_null:
+        cond = cond | F.col(incremental_key).isNull()
+    return df.where(cond)

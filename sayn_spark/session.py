@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for the engine.
+
+The reference (sayn) holds one SQLAlchemy engine per connection
+(`database/__init__.py:101-142`); here there is exactly one "warehouse":
+a SparkSession + its catalog.  Conf choices are scale-first:
+
+- AQE on (runtime coalesce, skew-join splitting) so the same plan works
+  at sf0.001 and at 100 TB without hand-tuning partition counts.
+- shuffle.partitions sized from env (local test default 32; a real
+  cluster would set this to 2-3x total cores, and AQE coalesces down).
+- Arrow on: every pandas_udf / applyInPandas hop is Arrow-batched.
+- UTC session timezone: deterministic timestamp semantics vs the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.filterPushdown": "true",
+    # testdata events.parquet uses TIMESTAMP(NANOS); read as long + convert
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
+    "spark.driver.extraJavaOptions": "-Djava.net.preferIPv4Stack=true",
+}
+
+
+def get_spark(
+    app_name: str = "sayn-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver runs us on
+    local[32]); on a real cluster ``master`` comes from spark-submit and
+    this function only applies the conf.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    ncpu = master[master.find("[") + 1 : -1] if "[" in master else ""
+    if ncpu.isdigit():
+        conf["spark.sql.shuffle.partitions"] = ncpu
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
