@@ -14,3 +14,4 @@ from sayn_spark.functions import engine_queries  # noqa: F401,E402
 from sayn_spark.functions import dedup  # noqa: F401,E402
 from sayn_spark.functions import similarity  # noqa: F401,E402
 from sayn_spark.functions import text  # noqa: F401,E402
+from sayn_spark.functions import multimodal  # noqa: F401,E402

@@ -1,1 +1,335 @@
-"""Placeholder — filled in this round."""
+"""Deduplication operators for training-data pipelines:
+
+- exact (hash groupBy)
+- n-gram Jaccard (shingle self-join)
+- MinHash + LSH (shingle -> minhash signature -> band bucket join)
+- SimHash (token-hash bit voting -> Hamming pairs)
+- embedding cosine near-dup
+
+The documents table has no duplicates at test scale, so each query
+builds a corpus = documents UNION a synthesised duplicate/near-duplicate
+copy (doc_id + 100000) — the operator must then find exactly those
+planted pairs (plus any natural ones).  All hashing is md5-based so
+Spark and the DuckDB oracle compute identical signatures.
+
+Scale design: exact dedup and MinHash-LSH are linear-ish (groupBy /
+band-bucket join); the all-pairs verifiers (n-gram join, SimHash
+Hamming, cosine) are the *verification* stage you run only on LSH
+candidates at 100 TB — here they also run standalone so the oracle can
+check them independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sayn_spark.functions.registry import T, register
+
+_TOKENS = "filter(split(lower(text), ' '), x -> x != '')"
+# distinct word-3-gram shingles; guard size<3 (Spark's sequence(1,0) DESCENDS)
+_SHINGLES = (
+    f"array_distinct(if(size({_TOKENS}) >= 3, "
+    f"transform(sequence(1, size({_TOKENS}) - 2), "
+    f"i -> concat_ws(' ', element_at({_TOKENS}, i), element_at({_TOKENS}, i+1), element_at({_TOKENS}, i+2))), "
+    f"cast(array() as array<string>)))"
+)
+
+_SQL_TOKENS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_SQL_SHINGLES = (
+    f"list_distinct(CASE WHEN len({_SQL_TOKENS}) >= 3 THEN "
+    f"list_transform(generate_series(1, len({_SQL_TOKENS}) - 2), "
+    f"i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i+1] || ' ' || {_SQL_TOKENS}[i+2]) "
+    f"ELSE []::VARCHAR[] END)"
+)
+
+
+def _doc_corpus(spark: SparkSession, sf_dir: str, mutate: str | None) -> DataFrame:
+    """documents ∪ copy with doc_id+100000; ``mutate`` appends a suffix
+    to the copy's text (None = exact duplicate)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.concat(F.col("text"), F.lit(mutate)) if mutate else F.col("text")).alias("text"),
+    )
+    return d.unionByName(copy)
+
+
+_SQL_CORPUS_EXACT = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents
+)"""
+
+_SQL_CORPUS_NEAR = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
+)"""
+
+
+@register(
+    "q_dedup_exact",
+    oracle=f"""
+WITH {_SQL_CORPUS_EXACT}
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM corpus GROUP BY md5(text)
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the lowest doc_id.
+
+    One shuffle on the content hash; at 100 TB hash first (md5/xxhash)
+    so the shuffle key is 16 bytes, not the document.
+    """
+    corpus = _doc_corpus(spark, sf_dir, mutate=None)
+    return (
+        corpus.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SQL_CORPUS_NEAR},
+shingled AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM corpus),
+sizes AS (SELECT doc_id, len(sh) AS n FROM shingled),
+exploded AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: word-3-gram shingles, self-join on shingle,
+    Jaccard >= 0.8.
+
+    The shingle inverted-index join is the quadratic verifier — at
+    100 TB you gate it behind MinHash-LSH candidates (next query); the
+    join itself shuffles on the shingle string (skew-prone: stopword
+    shingles → salting or frequency cap in production).
+    """
+    corpus = _doc_corpus(spark, sf_dir, mutate=" zz qq")
+    shingled = corpus.select("doc_id", F.expr(_SHINGLES).alias("sh"))
+    sizes = shingled.select("doc_id", F.size("sh").alias("n"))
+    exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jacc = F.col("common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
+    return (
+        pairs.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .where(jacc >= 0.8)
+        .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+_N_HASHES = 16
+_BAND_ROWS = 4  # 4 bands x 4 rows
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SQL_CORPUS_NEAR},
+shingled AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM corpus),
+exploded AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+hashed AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+  FROM exploded, (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {_BAND_ROWS} AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+  FROM hashed GROUP BY doc_id, seed // {_BAND_ROWS}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+FROM candidates
+JOIN shingled sa ON sa.doc_id = id_a
+JOIN shingled sb ON sb.doc_id = id_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+""",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: 16 md5-minhashes, 4 bands x 4 rows,
+    band-bucket join for candidates, exact-Jaccard verification.
+
+    This is the scale path: candidate generation is a groupBy on
+    (band, band_sig) — linear shuffle, no all-pairs work; only
+    candidates pay the exact verification.  Minhash uses lexicographic
+    MIN over md5 hex strings so both engines agree bit-for-bit.
+    """
+    corpus = _doc_corpus(spark, sf_dir, mutate=" zz qq")
+    shingled = corpus.select("doc_id", F.expr(_SHINGLES).alias("sh"))
+    exploded = shingled.select(
+        "doc_id", F.explode("sh").alias("s"), F.explode(F.expr(f"sequence(0, {_N_HASHES - 1})")).alias("seed")
+    )
+    hashed = exploded.groupBy("doc_id", "seed").agg(
+        F.min(F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("s")))).alias("mh")
+    )
+    bands = (
+        hashed.withColumn("band", F.expr(f"seed div {_BAND_ROWS}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x.mh),
+                    "|",
+                )
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    common = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    jacc = common.cast("double") / (F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - common)
+    return (
+        candidates.join(shingled.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(shingled.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .where(jacc >= 0.5)
+        .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+WITH {_SQL_CORPUS_NEAR},
+toks AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_TOKENS}) AS tok FROM corpus
+),
+th AS (
+  SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(generate_series(0, 31)) AS b)
+  GROUP BY doc_id, b
+),
+sim AS (
+  SELECT doc_id, SUM(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signature from per-token md5 bit voting,
+    pairs within Hamming distance 6.
+
+    Signature build is linear (explode tokens x 32 bits -> groupBy).
+    The all-pairs Hamming check is the demo verifier; at scale you
+    bucket by signature bands (split the 32 bits into 4 bytes, join on
+    any equal byte) exactly like MinHash-LSH.
+    """
+    corpus = _doc_corpus(spark, sf_dir, mutate=" zz qq")
+    toks = corpus.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok")).distinct()
+    th = toks.select(
+        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h")
+    )
+    bits = (
+        th.select("doc_id", "h", F.explode(F.expr("sequence(0, 31)")).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias("s")
+        )
+    )
+    sim = bits.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("cast(1 as bigint) << b")).otherwise(F.lit(0))).alias(
+            "simhash"
+        )
+    )
+    a = sim.alias("a")
+    b = sim.alias("b")
+    hamming = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(hamming <= 6)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"), hamming.alias("hamming"))
+    )
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> x::DOUBLE) FROM embeddings
+),
+normed AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM corpus
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos
+FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.99
+""",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine >= 0.99 (planted
+    exact copies must all surface with cos = 1.0).
+
+    Dot products fold left-to-right in DOUBLE in both engines, so the
+    rounded values agree exactly.  At 100 TB the all-pairs join is
+    replaced by the LSH/IVF bucketing in similarity.py — this is the
+    in-bucket verifier.
+    """
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("cast(embedding as array<double>)").alias("e")
+    )
+    corpus = emb.unionByName(emb.select((F.col("vec_id") + 100000).alias("vec_id"), "e"))
+    normed = corpus.select(
+        "vec_id", "e", F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm")
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    cos = F.round(
+        F.expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.99)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), cos.alias("cos"))
+    )

@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: image/audio/video as opaque BINARY
+columns with typed metadata, processed via Arrow-batched mapInPandas.
+
+The real decoders (PIL/ffmpeg/soundfile) are not in this container, so
+the decode step is STUBBED: ``decode=deterministic`` computes fake but
+deterministic metadata from the bytes (so the Spark-side plumbing —
+schema, batching, UDF signature — is fully real and oracle-testable);
+``decode=real`` raises NotImplementedError at the exact point a
+production deployment would plug in the codec.
+
+Scale design: mapInPandas streams Arrow batches through Python with no
+driver collect; payload columns stay opaque until the last stage, so
+Catalyst prunes them away from every query that only needs metadata.
+Partitioning: repartition by a content-hash prefix before decode to
+spread hot shards.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sayn_spark.functions.registry import T, register
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+    ]
+)
+
+
+def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a BINARY payload column (utf-8 bytes of the text column —
+    the testdata has no real media, so bytes stand in for image data)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8").cast(BinaryType()))
+
+
+def decode_image_metadata(df: DataFrame, decode: str = "deterministic") -> DataFrame:
+    """Arrow-batched decode: BINARY payload -> typed image metadata.
+
+    ``decode='real'`` is the production hook (PIL.Image.open over
+    io.BytesIO per row) — unavailable here, raises NotImplementedError.
+    ``decode='deterministic'`` derives metadata purely from the bytes:
+      width = n_bytes % 640, height = (n_bytes * 7) % 480, channels = 3
+    so results are oracle-checkable.
+    """
+    if decode == "real":
+        raise NotImplementedError(
+            "real image decode requires PIL/libjpeg, not present in this container; "
+            "plug PIL.Image.open into _decode_batch and drop the stub"
+        )
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "content_md5": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                    "width": n_bytes % 640,
+                    "height": (n_bytes * 7) % 480,
+                    "channels": 3,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_decode_batch, IMAGE_META_SCHEMA)
+
+
+@register(
+    "q_multimodal_image_meta",
+    oracle="""
+SELECT doc_id,
+       n_chars AS n_bytes,
+       md5(text) AS content_md5,
+       n_chars % 640 AS width,
+       (n_chars * 7) % 480 AS height,
+       3 AS channels
+FROM documents
+""",
+)
+def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: text -> utf-8 payload -> mapInPandas
+    'decode' -> typed metadata.  The oracle recomputes the deterministic
+    stub in SQL (n_chars == utf-8 byte length for this ascii corpus), so
+    the whole Arrow round-trip is value-checked.
+    """
+    d = T(spark, sf_dir, "documents")
+    return decode_image_metadata(with_payload(d))
+
+
+@register("q_multimodal_frame_sample", oracle=None)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing (rows-only check): treat each
+    payload as a 'video' whose frame count = n_bytes div 100; emit one
+    row per sampled frame (every 10th), with deterministic frame hashes.
+    Demonstrates 1->N mapInPandas expansion with a stable schema."""
+    d = with_payload(T(spark, sf_dir, "documents"))
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("frame_md5", StringType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // 100
+                for idx in range(0, n_frames, 10):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_md5"].append(
+                        hashlib.md5(bytes(payload) + idx.to_bytes(4, "little")).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "payload").mapInPandas(_sample, schema)

@@ -1,1 +1,234 @@
-"""Placeholder — filled in this round."""
+"""Similarity search over the embedding column (array<float>, 64-dim):
+
+- brute-force cosine top-k (the correctness baseline)
+- random-hyperplane LSH bucketing (the scale path: candidates come from
+  one bucket, not all pairs)
+- IVF-style coarse quantizer: per-label centroids + nearest-centroid
+  assignment
+
+Everything is pure column expressions over arrays (zip_with/aggregate
+fold in DOUBLE), JVM-side.  LSH hyperplanes are generated from an
+integer LCG so both engines derive bit-identical planes with no RNG.
+
+Scale design: brute-force is O(Q x N) — fine for small Q; LSH turns the
+candidate set into one bucket (expected N / 2^planes); IVF probes the
+nearest centroid's inverted list.  At 100 TB both reduce a cross join
+to a bucketed shuffle join on a short key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sayn_spark.functions.registry import T, register
+
+_N_PLANES = 8
+
+# deterministic pseudo-random hyperplane component, c(j, i) in [-1, 1]:
+# LCG over the flat index, integer-exact in both engines
+_PLANE_SPARK = (
+    "transform(sequence(0, 63), i -> "
+    "(((cast(1103515245 as bigint) * (j * 64 + i) + 12345) % 2147483648) % 2001 - 1000) / 1000.0)"
+)
+_PLANE_SQL = (
+    "list_transform(generate_series(0, 63), i -> "
+    "(((1103515245::BIGINT * (j * 64 + i) + 12345) % 2147483648) % 2001 - 1000) / 1000.0)"
+)
+
+_BUCKET_SPARK = (
+    f"array_join(transform(sequence(0, {_N_PLANES - 1}), j -> "
+    f"case when aggregate(zip_with(e, {_PLANE_SPARK}, (x, y) -> x * y), 0D, (acc, v) -> acc + v) > 0 "
+    f"then '1' else '0' end), '')"
+)
+_BUCKET_SQL = (
+    f"array_to_string(list_transform(generate_series(0, {_N_PLANES - 1}), j -> "
+    f"CASE WHEN list_aggregate(list_transform(list_zip(e, {_PLANE_SQL}), p -> p[1] * p[2]), 'sum') > 0 "
+    f"THEN '1' ELSE '0' END), '')"
+)
+
+_SQL_EMB = "emb AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings)"
+_SQL_NORMED = "normed AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)"
+
+
+def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("cast(embedding as array<double>)").alias("e"),
+    ).withColumn("nrm", F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")))
+
+
+@register(
+    "q_ann_bruteforce_topk",
+    oracle=f"""
+WITH {_SQL_EMB}, {_SQL_NORMED},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
+  FROM normed q JOIN normed c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cos, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+)
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors — the ANN baseline.
+
+    Cosines are rounded BEFORE ranking so cross-engine ordering is
+    identical; neighbor_id breaks remaining ties.
+    """
+    n = _normed(spark, sf_dir)
+    q = n.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = n.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qn") * F.col("nrm")),
+        6,
+    )
+    scored = (
+        q.join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+
+
+@register(
+    "q_ann_lsh_buckets",
+    oracle=f"""
+WITH {_SQL_EMB}
+SELECT {_BUCKET_SQL} AS bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+FROM emb GROUP BY 1
+""",
+)
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing: 8 sign bits -> bucket id.
+
+    The bucket histogram is the partition layout an ANN index would
+    shuffle by; at 100 TB each bucket is a co-located partition and
+    search touches one (or a few probed) buckets.
+    """
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("cast(embedding as array<double>)").alias("e")
+    )
+    return (
+        emb.select("vec_id", F.expr(_BUCKET_SPARK).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@register(
+    "q_ann_lsh_topk",
+    oracle=f"""
+WITH {_SQL_EMB}, {_SQL_NORMED},
+bucketed AS (SELECT vec_id, e, nrm, {_BUCKET_SQL} AS bucket FROM normed),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
+  FROM bucketed q JOIN bucketed c
+    ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cos, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 3
+""",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates restricted to the query's bucket,
+    then exact cosine top-3 — the two-stage search shape used at scale
+    (bucket join replaces the cross join of the brute-force baseline).
+    """
+    n = _normed(spark, sf_dir).withColumn("bucket", F.expr(_BUCKET_SPARK))
+    q = n.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    c = n.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm", "bucket")
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qn") * F.col("nrm")),
+        6,
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+
+
+@register(
+    "q_ivf_centroids",
+    oracle=f"""
+WITH {_SQL_EMB},
+comp AS (
+  SELECT label, i, e[i] AS x FROM emb, (SELECT unnest(generate_series(1, 64)) AS i)
+),
+cent AS (
+  SELECT label, i,
+         ROUND(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 8) AS c
+  FROM comp GROUP BY label, i
+),
+cent_arr AS (
+  SELECT label AS c_label, list(c ORDER BY i) AS ce FROM cent GROUP BY label
+),
+dists AS (
+  SELECT v.vec_id, v.label, c.c_label,
+         ROUND(list_aggregate(list_transform(list_zip(v.e, c.ce),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8) AS d2
+  FROM emb v, cent_arr c
+),
+assigned AS (
+  SELECT vec_id, label, c_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+  FROM dists
+)
+SELECT label AS true_label, c_label AS assigned_label, COUNT(*) AS n
+FROM assigned WHERE rk = 1 GROUP BY label, c_label
+""",
+)
+def q_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: per-label centroids (exact decimal mean per
+    dimension), then nearest-centroid assignment -> confusion counts.
+
+    Centroid means sum in DECIMAL so partition order doesn't change the
+    result; distances fold in DOUBLE and are rounded before the argmin.
+    At scale this is k-means step 0: centroids broadcast, one pass.
+    """
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr("cast(embedding as array<double>)").alias("e")
+    )
+    comp = emb.select("label", F.posexplode("e").alias("pos", "x"))
+    cent = comp.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1)), 8
+        ).alias("c")
+    )
+    cent_arr = cent.groupBy(F.col("label").alias("c_label")).agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").alias("ce")
+    )
+    d2 = F.round(
+        F.expr("aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"),
+        8,
+    )
+    dists = emb.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "label", "c_label", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    return (
+        dists.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .groupBy(F.col("label").alias("true_label"), F.col("c_label").alias("assigned_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,1 +1,211 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis operators for training-data pipelines: token stats,
+quality scoring, language ID, fingerprinting, BPE-ish tokenization.
+
+All scoring is pure column expressions (JVM-side, whole-stage codegen)
+— no Python UDFs in the hot path.  Cross-engine determinism: integer
+arithmetic everywhere possible; double ratios are single IEEE divisions
+of exact integers, rounded.
+
+Scale note: every query here is embarrassingly parallel over documents
+(no shuffle except final aggregates), so the same plan holds at 100 TB
+with partition-local work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sayn_spark.functions.registry import T, register
+
+# tokens = non-empty whitespace-split lowercase words (same in DuckDB oracle)
+_TOKENS = "filter(split(lower(text), ' '), x -> x != '')"
+
+STOPWORDS = ("the", "a", "of", "and", "is")
+
+
+@register(
+    "q_text_token_stats",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tokens
+  FROM documents
+)
+SELECT doc_id,
+       len(tokens) AS n_tokens,
+       len(list_distinct(tokens)) AS n_distinct_tokens,
+       list_aggregate(list_transform(tokens, x -> len(x)), 'sum') AS total_token_chars,
+       n_chars
+FROM tok
+""",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenizer + distinct + char totals."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(f"size({_TOKENS})").alias("n_tokens"),
+        F.expr(f"size(array_distinct({_TOKENS}))").alias("n_distinct_tokens"),
+        F.expr(f"aggregate({_TOKENS}, 0, (a, x) -> a + length(x))").alias("total_token_chars"),
+        "n_chars",
+    )
+
+
+_SW_SQL = "('" + "','".join(STOPWORDS) + "')"
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tokens,
+         len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       len(tokens) AS n_tokens,
+       ROUND(CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens), 6) AS distinct_ratio,
+       ROUND(CAST(len(list_filter(tokens, x -> x IN {_SW_SQL})) AS DOUBLE) / len(tokens), 6) AS stopword_ratio,
+       ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       ROUND(0.4 * (CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens))
+           + 0.3 * (1.0 - CAST(len(list_filter(tokens, x -> x IN {_SW_SQL})) AS DOUBLE) / len(tokens))
+           + 0.3 * LEAST(1.0, len(tokens) / 100.0), 6) AS quality_score
+FROM tok
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: lexical diversity, stopword & punctuation
+    ratios combined into one deterministic score."""
+    d = T(spark, sf_dir, "documents")
+    sw = "('" + "','".join(STOPWORDS) + "')"
+    n_tokens = F.expr(f"size({_TOKENS})")
+    n_distinct = F.expr(f"size(array_distinct({_TOKENS}))")
+    n_stop = F.expr(f"size(filter({_TOKENS}, x -> x in {sw}))")
+    n_punct = F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", ""))
+    distinct_ratio = n_distinct.cast("double") / n_tokens
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(n_punct.cast("double") / F.col("n_chars"), 6).alias("punct_ratio"),
+        F.round(
+            0.4 * distinct_ratio
+            + 0.3 * (F.lit(1.0) - stop_ratio)
+            + 0.3 * F.least(F.lit(1.0), n_tokens / F.lit(100.0)),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+_MARKERS = {
+    "en": ("the", "is", "and"),
+    "es": ("el", "la", "los"),
+    "fr": ("le", "les", "et"),
+    "de": ("der", "die", "und"),
+}
+
+
+@register(
+    "q_text_langid",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tokens,
+         regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, has_cjk,
+         len(list_filter(tokens, x -> x IN ('the','is','and'))) AS c_en,
+         len(list_filter(tokens, x -> x IN ('el','la','los'))) AS c_es,
+         len(list_filter(tokens, x -> x IN ('le','les','et'))) AS c_fr,
+         len(list_filter(tokens, x -> x IN ('der','die','und'))) AS c_de
+  FROM tok
+)
+SELECT doc_id, lang AS declared_lang, c_en, c_es, c_fr, c_de,
+       CASE WHEN has_cjk THEN 'zh'
+            WHEN c_en >= GREATEST(c_es, c_fr, c_de) THEN 'en'
+            WHEN c_es >= GREATEST(c_fr, c_de) THEN 'es'
+            WHEN c_fr >= c_de THEN 'fr'
+            ELSE 'de' END AS predicted_lang
+FROM scored
+""",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/marker-word language ID heuristic (en/es/fr/de + CJK->zh).
+
+    Deterministic tie-break order en > es > fr > de; the declared lang
+    column rides along for accuracy eval downstream.
+    """
+    d = T(spark, sf_dir, "documents")
+    counts = {
+        lang: F.expr(
+            f"size(filter({_TOKENS}, x -> x in ('" + "','".join(words) + "')))"
+        ).alias(f"c_{lang}")
+        for lang, words in _MARKERS.items()
+    }
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        F.col("text").rlike("[\\u4e00-\\u9fff]").alias("has_cjk"),
+        *counts.values(),
+    )
+    pred = (
+        F.when(F.col("has_cjk"), "zh")
+        .when(F.col("c_en") >= F.greatest("c_es", "c_fr", "c_de"), "en")
+        .when(F.col("c_es") >= F.greatest("c_fr", "c_de"), "es")
+        .when(F.col("c_fr") >= F.col("c_de"), "fr")
+        .otherwise("de")
+    )
+    return scored.select(
+        "doc_id", "declared_lang", "c_en", "c_es", "c_fr", "c_de", pred.alias("predicted_lang")
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM fp GROUP BY fingerprint
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-collision fingerprint (normalise -> distinct -> sort -> md5):
+    docs with the same word *set* collide regardless of word order."""
+    d = T(spark, sf_dir, "documents")
+    fp = F.md5(F.expr(f"concat_ws(' ', array_sort(array_distinct({_TOKENS})))"))
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+@register(
+    "q_text_bpe_tokens",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS n_bpe_distinct
+FROM documents
+""",
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenizer (letter runs / digit runs / single symbols)
+    — the pre-tokenization pass of GPT-style BPE vocabularies."""
+    d = T(spark, sf_dir, "documents")
+    # build via function API, not F.expr — SQL string literals would eat \s
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_bpe_distinct"),
+    )
