@@ -1,0 +1,23 @@
+"""Source loader: registers the testdata parquet tables as temp views
+(the reference scaffold's python logs-loader analog,
+scaffolding/data/init_project/python/load_data.py)."""
+
+from sayn_spark.operators import task
+from sayn_spark.sources import load_tables
+
+
+@task(
+    name="load_sources",
+    outputs=[
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+    ],
+)
+def load_sources(context, spark, sf_dir):
+    load_tables(spark, sf_dir, register=True)

@@ -1,0 +1,105 @@
+"""CLI (ref: cli.py:12-79, 253-289): run / compile / test with
+-t/-x task queries, --full-load, --start-dt/--end-dt, --profile,
+--with-tests, --fail-fast.
+
+    python -m sayn_spark.cli run -p examples/star_project -t +f_rankings
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import click
+
+from sayn_spark.core.app import App
+from sayn_spark.operators.base import RunArguments, TaskStatus
+
+
+def _common(f):
+    for deco in reversed(
+        [
+            click.option("--project-dir", "-p", default=".", help="project directory"),
+            click.option("--tasks", "-t", multiple=True, help="include task query"),
+            click.option("--exclude", "-x", multiple=True, help="exclude task query"),
+            click.option("--profile", default=None),
+            click.option("--full-load", is_flag=True, default=False),
+            click.option("--start-dt", default=None),
+            click.option("--end-dt", default=None),
+            click.option("--fail-fast", is_flag=True, default=False),
+        ]
+    ):
+        f = deco(f)
+    return f
+
+
+def _build_app(command, project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, with_tests=False):
+    args = RunArguments(
+        command=command,
+        full_load=full_load,
+        start_dt=dt.date.fromisoformat(start_dt) if start_dt else None,
+        end_dt=dt.date.fromisoformat(end_dt) if end_dt else None,
+        with_tests=with_tests,
+        fail_fast=fail_fast,
+        include=list(tasks),
+        exclude=list(exclude),
+    )
+    try:
+        return App(project_dir, profile=profile, run_arguments=args)
+    except (ValueError, FileNotFoundError) as e:
+        raise click.ClickException(str(e)) from e
+
+
+def _run_and_finish(app, method: str) -> None:
+    from sayn_spark.plans.dag import DagError
+    from sayn_spark.plans.task_query import TaskQueryError
+
+    try:
+        statuses = getattr(app, method)()
+    except (TaskQueryError, DagError) as e:
+        raise click.ClickException(str(e)) from e
+    _finish(statuses)
+
+
+def _finish(statuses: dict[str, TaskStatus]) -> None:
+    failed = [n for n, s in statuses.items() if s == TaskStatus.FAILED]
+    click.echo(
+        f"done: {sum(s == TaskStatus.SUCCESS for s in statuses.values())} ok, "
+        f"{len(failed)} failed, "
+        f"{sum(s == TaskStatus.SKIPPED for s in statuses.values())} skipped"
+    )
+    if failed:
+        raise SystemExit(1)
+
+
+@click.group()
+def cli() -> None:
+    """sayn-spark: PySpark-native analytics engine."""
+
+
+@cli.command()
+@_common
+@click.option("--with-tests", is_flag=True, default=False)
+def run(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, with_tests):
+    """Execute selected tasks."""
+    app = _build_app("run", project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, with_tests)
+    _run_and_finish(app, "run")
+
+
+@cli.command()
+@_common
+def compile(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast):
+    """Compile selected tasks to compile/<group>/<task>.sql."""
+    app = _build_app("compile", project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast)
+    _run_and_finish(app, "compile")
+
+
+@cli.command()
+@_common
+def test(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast):
+    """Run data-quality tests for selected tasks."""
+    app = _build_app("test", project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast)
+    _run_and_finish(app, "test")
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,252 @@
+"""App: config -> task graph -> setup -> run/compile/test
+(ref: core/app.py:126-654).
+
+Improvement over the reference's single-threaded loop
+(`core/app.py:619`): independent DAG levels execute on a thread pool
+over the shared SparkSession (Spark's scheduler is thread-safe), so
+independent branches submit Spark jobs concurrently.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Any, Optional
+
+from pyspark.sql import SparkSession
+
+from sayn_spark.core.compiler import Compiler
+from sayn_spark.core.database import SparkDatabase
+from sayn_spark.core.objects import DbObjectCompiler
+from sayn_spark.core.settings import (
+    Project,
+    Settings,
+    apply_env_overrides,
+    load_project,
+    load_settings,
+    load_task_groups,
+)
+from sayn_spark.operators import TASK_TYPES, RunArguments, Task, TaskContext, TaskStatus
+from sayn_spark.operators.python import DECORATED_TASKS
+from sayn_spark.plans.dag import ready_sets, topological_sort, validate_dag
+from sayn_spark.plans.task_query import get_query
+from sayn_spark.plans.dag import query_dag
+
+
+def _merge_preset(config: dict, presets: dict[str, dict], seen: tuple = ()) -> dict:
+    """Preset inheritance, cycle-checked (ref: core/project.py:101-205)."""
+    preset_name = config.get("preset")
+    if not preset_name:
+        return config
+    if preset_name in seen:
+        raise ValueError(f"preset cycle: {' -> '.join(seen + (preset_name,))}")
+    if preset_name not in presets:
+        raise ValueError(f"unknown preset {preset_name!r}")
+    base = _merge_preset(dict(presets[preset_name]), presets, seen + (preset_name,))
+    merged = {**base, **{k: v for k, v in config.items() if k != "preset"}}
+    return merged
+
+
+class App:
+    def __init__(
+        self,
+        project_dir: str | Path,
+        spark: Optional[SparkSession] = None,
+        profile: Optional[str] = None,
+        run_arguments: Optional[RunArguments] = None,
+        parameters: Optional[dict[str, Any]] = None,
+    ) -> None:
+        self.project_dir = Path(project_dir)
+        self.run_arguments = run_arguments or RunArguments()
+        self.project: Project = load_project(self.project_dir)
+        self.settings: Settings = load_settings(self.project_dir)
+        prof = apply_env_overrides(self.settings.profile(profile))
+
+        # parameter precedence: project < profile < explicit
+        # (ref: core/settings.py:286-320)
+        self.parameters = {
+            **self.project.parameters,
+            **prof.parameters,
+            **(parameters or {}),
+        }
+        # prod = project defaults (ref: utils/compiler.py:31-45)
+        self.compiler = Compiler(
+            parameters=self.parameters,
+            prod_parameters=self.project.parameters,
+            full_load=self.run_arguments.full_load,
+            start_dt=self.run_arguments.start_dt,
+            end_dt=self.run_arguments.end_dt,
+        )
+        self.obj_compiler = DbObjectCompiler(
+            default_db=self.project.default_db,
+            connections=[self.project.default_db, *self.settings.credentials.keys()],
+            stringify=prof.stringify,
+            prod_stringify={},
+            from_prod=prof.from_prod,
+        )
+        if spark is None:
+            from sayn_spark.session import get_spark
+
+            # standalone (CLI) runs persist the catalog across processes
+            spark = get_spark(
+                app_name=f"sayn-spark:{self.project_dir.name}", hive_metastore=True
+            )
+        self.spark = spark
+        self.db = SparkDatabase(spark, name=self.project.default_db)
+        self.connections: dict[str, Any] = {
+            name: {"type": cred.type, **cred.options}
+            for name, cred in self.settings.credentials.items()
+        }
+        self.tasks: dict[str, Task] = {}
+        self._configure_tasks()
+
+    # -- task graph construction (ref: core/app.py:347-446) -------------
+
+    def _task_configs(self) -> dict[str, dict]:
+        out: dict[str, dict] = {}
+        groups = load_task_groups(self.project_dir)
+        for group, tasks in groups.items():
+            for name, cfg in tasks.items():
+                cfg = dict(cfg or {})
+                cfg["group"] = group
+                out[name] = _merge_preset(cfg, self.project.presets)
+        # autogroups: one sql task per file (ref: core/project.py:281-328)
+        for group, cfg in self.project.autogroups.items():
+            pattern = cfg.get("file_name", f"{group}/*.sql")
+            folder = self.project_dir / "sql"
+            base = folder if folder.is_dir() else self.project_dir
+            for f in sorted(base.glob(pattern)):
+                tcfg = {k: v for k, v in cfg.items() if k != "file_name"}
+                tcfg["file_name"] = str(f.relative_to(base))
+                tcfg["group"] = group
+                out[f.stem] = _merge_preset(tcfg, self.project.presets)
+        # decorated python tasks registered by the project's python module
+        self._load_python_module()
+        for name, spec in DECORATED_TASKS.items():
+            out.setdefault(name, {"type": "python_decorator", "group": "python"})
+        return out
+
+    def _load_python_module(self) -> None:
+        """Import python/ so @task registrations run
+        (ref: utils/python_loader.py:15-37)."""
+        pydir = self.project_dir / "python"
+        if pydir.is_dir():
+            sys.path.insert(0, str(self.project_dir))
+            try:
+                import importlib
+
+                for f in sorted(pydir.glob("*.py")):
+                    if f.stem != "__init__":
+                        importlib.import_module(f"python.{f.stem}")
+            finally:
+                sys.path.pop(0)
+
+    def _configure_tasks(self) -> None:
+        context = TaskContext(
+            spark=self.spark,
+            db=self.db,
+            compiler=self.compiler,
+            obj_compiler=self.obj_compiler,
+            run_arguments=self.run_arguments,
+            parameters=self.parameters,
+            connections=self.connections,
+            project_dir=self.project_dir,
+        )
+        for name, cfg in self._task_configs().items():
+            ttype = cfg.get("type", "dummy")
+            if ttype not in TASK_TYPES:
+                raise ValueError(f"task {name!r}: unknown type {ttype!r}")
+            self.tasks[name] = TASK_TYPES[ttype](name, cfg, context)
+        for t in self.tasks.values():
+            t.config()
+
+        # implicit edges: producer of a src object becomes a parent
+        # (ref: core/app.py:419-432, tasks/task_wrapper.py:409-436)
+        producers = {
+            obj: task.name for task in self.tasks.values() for obj in task.outputs
+        }
+        for t in self.tasks.values():
+            for obj in t.sources:
+                producer = producers.get(obj)
+                if producer and producer != t.name and producer not in t.parents:
+                    t.parents.append(producer)
+
+        self.dag = {name: list(t.parents) for name, t in self.tasks.items()}
+        validate_dag(self.dag)
+
+    # -- selection (ref: utils/task_query.py + utils/dag.py:103-142) ----
+
+    def select_tasks(self) -> list[str]:
+        meta = {n: {"group": t.group, "tags": t.tags} for n, t in self.tasks.items()}
+        include, exclude = get_query(
+            meta, self.run_arguments.include, self.run_arguments.exclude
+        )
+        selected = query_dag(self.dag, include, exclude)
+        return [n for n in topological_sort(self.dag) if n in selected]
+
+    # -- execution (ref: core/app.py:611-654) ----------------------------
+
+    def run(self, parallel: bool = True) -> dict[str, TaskStatus]:
+        return self._execute("run", parallel=parallel)
+
+    def compile(self) -> dict[str, TaskStatus]:
+        return self._execute("compile", parallel=False)
+
+    def test(self) -> dict[str, TaskStatus]:
+        return self._execute("test", parallel=True)
+
+    def _execute(self, command: str, parallel: bool = True) -> dict[str, TaskStatus]:
+        selected = set(self.select_tasks())
+        sub_dag = {n: [p for p in self.dag[n] if p in selected] for n in selected}
+        failed: set[str] = set()
+        skipped: set[str] = set()
+        interrupted = False
+
+        def run_one(name: str) -> None:
+            nonlocal interrupted
+            task = self.tasks[name]
+            # skip propagation (ref: tasks/task_wrapper.py:269-300)
+            bad_parents = [
+                p
+                for p in self.dag[name]
+                if p in selected
+                and (p in skipped or (p in failed and self.tasks[p].on_fail != "no_skip"))
+            ]
+            if interrupted or bad_parents:
+                task.status = TaskStatus.SKIPPED
+                skipped.add(name)
+                _log(f"SKIP   {name}")
+                return
+            task.status = TaskStatus.EXECUTING
+            t0 = time.perf_counter()
+            try:
+                task.setup()
+                getattr(task, command)()
+                if command == "run" and self.run_arguments.with_tests:
+                    task.test()  # ref: tasks/task_wrapper.py:383-394
+                task.status = TaskStatus.SUCCESS
+                _log(f"OK     {name} ({time.perf_counter() - t0:.2f}s)")
+            except Exception as e:  # noqa: BLE001 — task errors are data
+                task.status = TaskStatus.FAILED
+                task.error = str(e)
+                failed.add(name)
+                _log(f"FAIL   {name}: {e}")
+                if self.run_arguments.fail_fast:
+                    interrupted = True
+
+        levels = ready_sets(sub_dag)
+        order = topological_sort(sub_dag)
+        if parallel and len(sub_dag) > 1:
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                for level in levels:
+                    list(pool.map(run_one, [n for n in order if n in set(level)]))
+        else:
+            for name in order:
+                run_one(name)
+        return {n: self.tasks[n].status for n in sub_dag}
+
+
+def _log(msg: str) -> None:
+    print(f"[sayn-spark] {msg}", flush=True)

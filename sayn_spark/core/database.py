@@ -1,0 +1,231 @@
+"""SparkDatabase: the single "warehouse" of the engine.
+
+The reference talks to N warehouses over SQLAlchemy with per-dialect
+feature flags (`database/__init__.py:101-176`); here there is exactly
+one dialect — Spark SQL — so the feature-flag axis collapses
+(SURVEY §2.2).  All DDL/DML paths the reference implements as SQL
+string templates become catalog operations + DataFrame writes:
+
+- replace_table   -> CREATE TABLE AS via saveAsTable(overwrite) or the
+                     tmp+rename swap (kept for parity; ref
+                     database/__init__.py:747-787)
+- replace_view    -> CREATE OR REPLACE VIEW (ref :789-817)
+- merge_tables    -> anti-join+union plan written to a staging table,
+                     then swap (ref :678-699 + merge_tables.sql:1-12)
+- load_data       -> spark.createDataFrame().write (ref :513-587)
+- introspection   -> spark.catalog (ref :190-237)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sayn_spark.plans.materialise import merge_dataframes
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a multi-statement SQL script on ';' outside quotes/comments
+    (the reference ships whole scripts to the warehouse; Spark needs one
+    statement per spark.sql call)."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    quote: Optional[str] = None
+    i, n = 0, len(script)
+    while i < n:
+        ch = script[i]
+        if quote:
+            buf.append(ch)
+            if ch == quote and (i == 0 or script[i - 1] != "\\"):
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+            buf.append(ch)
+        elif ch == "-" and script[i : i + 2] == "--":
+            j = script.find("\n", i)
+            j = n if j < 0 else j
+            buf.append(script[i:j])
+            i = j - 1
+        elif ch == ";":
+            stmts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    stmts.append("".join(buf))
+    return [s.strip() for s in stmts if s.strip()]
+
+
+class SparkDatabase:
+    def __init__(self, spark: SparkSession, name: str = "spark") -> None:
+        self.spark = spark
+        self.name = name
+
+    # -- execution (ref: database/__init__.py:441-448) ------------------
+
+    def execute(self, script: str) -> Optional[DataFrame]:
+        """Run a (possibly multi-statement) SQL script; returns the last
+        statement's DataFrame."""
+        result = None
+        for stmt in split_statements(script):
+            result = self.spark.sql(stmt)
+        return result
+
+    def read_data(self, query: str) -> list[dict]:
+        """SELECT -> list of dicts (ref: database/__init__.py:450-467).
+        Driver-side by design — only for small control-plane reads."""
+        return [row.asDict() for row in self.spark.sql(query).collect()]
+
+    def read_data_stream(self, query: str) -> Iterable[dict]:
+        """Iterator variant (ref: :469-489) via toLocalIterator."""
+        for row in self.spark.sql(query).toLocalIterator():
+            yield row.asDict()
+
+    # -- introspection (ref: database/__init__.py:190-237) --------------
+
+    def table_exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(name)
+
+    def object_type(self, name: str) -> Optional[str]:
+        """'table' | 'view' | None (ref maps INFORMATION_SCHEMA types,
+        database/__init__.py:231-237)."""
+        if not self.spark.catalog.tableExists(name):
+            return None
+        parts = name.split(".")
+        db = ".".join(parts[:-1]) if len(parts) > 1 else None
+        for t in self.spark.catalog.listTables(db):
+            if t.name == parts[-1]:
+                return "view" if t.tableType in ("VIEW", "TEMPORARY") else "table"
+        return "table"
+
+    def _ensure_database(self, name: str) -> None:
+        parts = name.split(".")
+        if len(parts) > 1:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {'.'.join(parts[:-1])}")
+
+    # -- DDL primitives --------------------------------------------------
+
+    def drop_object(self, name: str) -> None:
+        """DROP TABLE/VIEW IF EXISTS, whichever it is (ref create_table
+        template drops conflicting objects, create_table.sql:1-20)."""
+        kind = self.object_type(name)
+        if kind == "view":
+            self.spark.sql(f"DROP VIEW IF EXISTS {name}")
+        elif kind == "table":
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def create_table(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: Optional[Sequence[str]] = None,
+        bucket_by: Optional[tuple[int, Sequence[str]]] = None,
+        sort_by: Optional[Sequence[str]] = None,
+    ) -> None:
+        """Materialise a DataFrame as a managed table.  partition/bucket/
+        sort map the reference's per-warehouse DDL extensions (BigQuery
+        partition/cluster `database/bigquery.py:23-77`, Redshift
+        dist/sort `database/redshift.py:19-94`) onto Spark's writer.
+        """
+        self._ensure_database(name)
+        if mode == "overwrite":
+            # saveAsTable(overwrite) can't replace a VIEW; clear it first
+            if self.object_type(name) == "view":
+                self.drop_object(name)
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if bucket_by:
+            n, cols = bucket_by
+            writer = writer.bucketBy(n, *cols)
+            if sort_by:
+                writer = writer.sortBy(*sort_by)
+        writer.saveAsTable(name)
+
+    def move_table(self, src: str, dst: str) -> None:
+        """DROP dst; RENAME src->dst (ref: database/__init__.py:701-743)."""
+        self.drop_object(dst)
+        self.spark.sql(f"ALTER TABLE {src} RENAME TO {dst}")
+
+    def replace_table(
+        self,
+        name: str,
+        df: DataFrame,
+        tmp_swap: bool = False,
+        tmp_name: Optional[str] = None,
+        **writer_opts: Any,
+    ) -> None:
+        """Full rebuild (ref: database/__init__.py:747-787).
+
+        Spark's overwrite is job-atomic, so the reference's mandatory
+        tmp+swap is optional here (kept for parity / strict atomicity
+        with concurrent readers of the same session catalog).
+        """
+        if tmp_swap:
+            tmp = tmp_name or _tmp_name(name)
+            self.drop_object(tmp)
+            self.create_table(tmp, df, mode="overwrite", **writer_opts)
+            self.move_table(tmp, name)
+        else:
+            self.create_table(name, df, mode="overwrite", **writer_opts)
+
+    def replace_view(self, name: str, select: str) -> None:
+        """ref: database/__init__.py:789-817 + create_view.sql:1-18."""
+        if self.object_type(name) == "table":
+            self.drop_object(name)
+        self._ensure_database(name)
+        self.spark.sql(f"CREATE OR REPLACE VIEW {name} AS {select}")
+
+    def merge_tables(self, src_name: str, dst_name: str, delete_key: str | Sequence[str]) -> None:
+        """Incremental merge: delete-on-key + insert-all + drop staging
+        (ref: database/__init__.py:678-699, merge_tables.sql:1-12).
+
+        Plan: anti-join+union written to a staging table, then swapped
+        in via rename (a table can't be overwritten from a plan that
+        reads it).  With a Delta-backed catalog this whole method
+        becomes one MERGE INTO statement.
+        """
+        src = self.spark.table(src_name)
+        dst = self.spark.table(dst_name)
+        merged = merge_dataframes(dst, src, delete_key)
+        staging = _tmp_name(dst_name, "_sayn_merge")
+        self.drop_object(staging)
+        self.create_table(staging, merged, mode="overwrite")
+        self.move_table(staging, dst_name)
+        self.drop_object(src_name)
+
+    # -- data loading (ref: database/__init__.py:513-587) ---------------
+
+    def load_data(
+        self,
+        table: str,
+        data: Sequence[dict],
+        schema: Optional[Any] = None,
+        replace: bool = False,
+    ) -> int:
+        """Python rows -> table.  The reference batches INSERTs of
+        max_batch_rows=50000 (`database/__init__.py:129`); Spark's
+        distributed write makes batching moot — one createDataFrame,
+        one write."""
+        df = self.spark.createDataFrame(data, schema=schema)
+        mode = "overwrite" if replace or not self.table_exists(table) else "append"
+        self.create_table(table, df, mode=mode)
+        return len(data)
+
+    def get_max_value(self, table: str, column: str):
+        """MAX(inc_key) for incremental loads (ref: tasks/copy.py:634-637)."""
+        if not self.table_exists(table):
+            return None
+        row = self.spark.table(table).agg(F.max(column).alias("m")).collect()[0]
+        return row["m"]
+
+
+def _tmp_name(name: str, suffix: str = "") -> str:
+    """tmp table next to the destination (ref sayn_tmp_ prefix,
+    tasks/autosql.py:184-210)."""
+    parts = name.split(".")
+    parts[-1] = f"sayn_tmp_{parts[-1]}{suffix}"
+    return ".".join(parts)

@@ -1,0 +1,22 @@
+from sayn_spark.operators.base import RunArguments, Task, TaskContext, TaskStatus  # noqa: F401
+from sayn_spark.operators.copy import CopyTask  # noqa: F401
+from sayn_spark.operators.python import (  # noqa: F401
+    ClassPythonTask,
+    DecoratedPythonTask,
+    DummyTask,
+    PythonTask,
+    task,
+)
+from sayn_spark.operators.sql import AutoSqlTask, SqlTask  # noqa: F401
+from sayn_spark.operators.test import TestTask  # noqa: F401
+
+# task-type registry (ref: core/app.py:34-40)
+TASK_TYPES = {
+    "dummy": DummyTask,
+    "sql": SqlTask,
+    "autosql": AutoSqlTask,
+    "copy": CopyTask,
+    "test": TestTask,
+    "python": ClassPythonTask,
+    "python_decorator": DecoratedPythonTask,
+}

@@ -1,0 +1,156 @@
+"""Copy task: distributed load from a named source into the catalog
+(ref: tasks/copy.py:69-290,345-541).
+
+The reference streams rows source->Python->target in 50k batches; here
+the copy is one distributed read -> (optional incremental filter) ->
+write/merge.  Modes (ref mode calc tasks/copy.py:245-252):
+
+- full:   whole table, overwrite (tmp+swap parity option)
+- inc:    rows with inc_key >= MAX(dst.inc_key) OR NULL, merged on
+          delete_key (ref :634-637, :668-675)
+- append: incremental filter, append-only, audit column
+          _sayn_load_ts = current_timestamp (ref :458-461, :486-494)
+
+``max_merge_rows`` chunks the incremental merge in bounded, resumable
+passes capped at 100 iterations (ref :350-363).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sayn_spark.core.database import _tmp_name
+from sayn_spark.operators.base import Task, TaskStatus
+from sayn_spark.plans.materialise import incremental_filter
+from sayn_spark.sources.registry import read_source
+
+LOAD_TS_COL = "_sayn_load_ts"
+MAX_MERGE_ITERATIONS = 100  # ref: tasks/copy.py:359-362
+
+
+class CopyTask(Task):
+    def config(self) -> None:
+        c = self.config_dict
+        self.source_cfg = self.compile_property(c.get("source"))
+        if not self.source_cfg:
+            raise ValueError(f"copy task {self.name!r} needs source")
+        dest = self.compile_property(c.get("destination"))
+        if not dest:
+            raise ValueError(f"copy task {self.name!r} needs destination")
+        if isinstance(dest, dict):
+            parts = [dest.get("database") or dest.get("db"), dest.get("schema"), dest["table"]]
+            dest = ".".join(p for p in parts if p)
+        self.destination = self.context.obj_compiler.from_string(dest)
+        self.outputs.add(self.destination)
+        self.dst_value = self.context.obj_compiler.out_value(self.destination)
+
+        self.incremental_key: Optional[str] = c.get("incremental_key")
+        self.delete_key: Optional[str] = c.get("delete_key")
+        self.append: bool = bool(c.get("append", False))
+        self.max_merge_rows: Optional[int] = c.get("max_merge_rows")
+        self.columns: list[dict] = list(c.get("columns", []))
+        # validation (ref: tasks/copy.py:85-109)
+        if self.append and self.delete_key:
+            raise ValueError(f"copy task {self.name!r}: append excludes delete_key")
+        if not self.append and (self.incremental_key is None) != (self.delete_key is None):
+            raise ValueError(
+                f"copy task {self.name!r}: incremental_key and delete_key go together"
+            )
+        if self.max_merge_rows and not (self.incremental_key and self.delete_key):
+            raise ValueError(f"copy task {self.name!r}: max_merge_rows requires incremental")
+        self.status = TaskStatus.READY
+
+    # -- helpers ---------------------------------------------------------
+
+    def _read_source(self) -> DataFrame:
+        cfg = self.source_cfg
+        if isinstance(cfg, str):  # shorthand: a catalog table or named connection table
+            if ":" in cfg:
+                conn_name, table = cfg.split(":", 1)
+                conn = self.context.connections[conn_name]
+                return read_source(self.context.spark, {**conn, "table": table})
+            return self.context.spark.table(self.src(cfg))
+        if "connection" in cfg:
+            conn = dict(self.context.connections[cfg["connection"]])
+            conn.update({k: v for k, v in cfg.items() if k != "connection"})
+            return read_source(self.context.spark, conn)
+        if "table" in cfg and "type" not in cfg:
+            return self.context.spark.table(self.src(cfg["table"]))
+        return read_source(self.context.spark, cfg)
+
+    def _select_columns(self, df: DataFrame) -> DataFrame:
+        """Declared-DDL projection with dst_name renames
+        (ref: tasks/copy.py:559-624)."""
+        if not self.columns:
+            return df
+        cols = []
+        for c in self.columns:
+            col = F.col(c["name"])
+            if c.get("type"):
+                col = col.cast(c["type"])
+            cols.append(col.alias(c.get("dst_name", c["name"])))
+        return df.select(*cols)
+
+    @property
+    def _mode(self) -> str:
+        # ref: tasks/copy.py:245-252
+        if self.incremental_key is None or self.context.run_arguments.full_load:
+            return "full"
+        return "append" if self.append else "inc"
+
+    # -- execution -------------------------------------------------------
+
+    def run(self) -> None:
+        db = self.context.db
+        src_df = self._select_columns(self._read_source())
+        mode = self._mode
+
+        if mode == "full":
+            if self.append:
+                src_df = src_df.withColumn(LOAD_TS_COL, F.current_timestamp())
+            db.replace_table(self.dst_value, src_df)
+            return
+
+        last_max = db.get_max_value(self.dst_value, self.incremental_key)
+        batch = incremental_filter(src_df, self.incremental_key, last_max)
+
+        if mode == "append":
+            batch = batch.withColumn(LOAD_TS_COL, F.current_timestamp())
+            if db.table_exists(self.dst_value):
+                db.create_table(self.dst_value, batch, mode="append")
+            else:
+                db.create_table(self.dst_value, batch, mode="overwrite")
+            return
+
+        # mode == "inc": load tmp (chunked if requested) + merge
+        if not db.table_exists(self.dst_value):
+            db.replace_table(self.dst_value, batch)
+            return
+        iterations = 0
+        while iterations < MAX_MERGE_ITERATIONS:
+            chunk = batch
+            if self.max_merge_rows:
+                chunk = batch.orderBy(F.col(self.incremental_key).asc_nulls_first()).limit(
+                    self.max_merge_rows
+                )
+            tmp = _tmp_name(self.dst_value)
+            db.drop_object(tmp)
+            db.create_table(tmp, chunk)
+            n = self.context.spark.table(tmp).count()
+            db.merge_tables(tmp, self.dst_value, self.delete_key)
+            iterations += 1
+            if not self.max_merge_rows or n < self.max_merge_rows:
+                break
+            # next chunk: re-derive the watermark from the merged dst
+            last_max = db.get_max_value(self.dst_value, self.incremental_key)
+            batch = incremental_filter(
+                src_df, self.incremental_key, last_max, include_null=False
+            )
+
+    def compile(self) -> None:
+        self.write_compilation_output(
+            f"-- copy {self.source_cfg!r} -> {self.dst_value} mode={self._mode}\n"
+        )

@@ -1,0 +1,156 @@
+"""Python tasks: class-based and decorator-based
+(ref: tasks/python.py:15-29, 91-114, 231-246).
+
+Class form: subclass PythonTask, override config/setup/run/compile/test.
+Decorator form::
+
+    @task(outputs=["logs_table"], parents=["other"], tags=["etl"])
+    def my_task(context, spark, warehouse, my_param):
+        ...
+
+Function parameters are injected **by name** (ref: python.py:91-114):
+``context`` -> the task object, ``spark`` -> SparkSession, a connection
+name -> that connection, anything else -> task parameter value.
+"""
+
+from __future__ import annotations
+
+import importlib
+import inspect
+from typing import Any, Callable, Optional
+
+from sayn_spark.operators.base import Task, TaskStatus
+
+
+class PythonTask(Task):
+    """User-facing base class (ref: tasks/python.py:15-29).
+
+    Convenience API mirrors the reference PythonTask: self.spark,
+    self.default_db (SparkDatabase with load_data/read_data/execute),
+    self.parameters, self.src()/self.out().
+    """
+
+    @property
+    def spark(self):
+        return self.context.spark
+
+    @property
+    def default_db(self):
+        return self.context.db
+
+    @property
+    def parameters(self) -> dict[str, Any]:
+        return {**self.context.parameters, **self.task_parameters}
+
+    def config(self) -> None:
+        self.status = TaskStatus.READY
+
+
+# registry for decorated tasks, filled when the project's python module
+# is imported (ref: utils/python_loader.py:15-37)
+DECORATED_TASKS: dict[str, dict[str, Any]] = {}
+
+
+def task(
+    func: Optional[Callable] = None,
+    *,
+    name: Optional[str] = None,
+    sources: Optional[list[str]] = None,
+    outputs: Optional[list[str]] = None,
+    parents: Optional[list[str]] = None,
+    tags: Optional[list[str]] = None,
+    on_fail: Optional[str] = None,
+) -> Callable:
+    """@task decorator (ref: tasks/python.py:231-246)."""
+
+    def wrap(f: Callable) -> Callable:
+        DECORATED_TASKS[name or f.__name__] = {
+            "func": f,
+            "sources": sources or [],
+            "outputs": outputs or [],
+            "parents": parents or [],
+            "tags": tags or [],
+            "on_fail": on_fail,
+        }
+        return f
+
+    return wrap(func) if func is not None else wrap
+
+
+class DecoratedPythonTask(PythonTask):
+    """Adapter running a @task-decorated function."""
+
+    def config(self) -> None:
+        spec = self.config_dict.get("_decorated") or DECORATED_TASKS[self.name]
+        self.func = spec["func"]
+        self.parents = list({*self.parents, *spec["parents"]})
+        self.tags = list({*self.tags, *spec["tags"]})
+        if spec.get("on_fail"):
+            self.on_fail = spec["on_fail"]
+        for s in spec["sources"]:
+            self.src(s)
+        for o in spec["outputs"]:
+            self.out(o)
+        self.status = TaskStatus.READY
+
+    def run(self) -> None:
+        kwargs: dict[str, Any] = {}
+        for pname in inspect.signature(self.func).parameters:
+            if pname == "context":
+                kwargs[pname] = self
+            elif pname == "spark":
+                kwargs[pname] = self.context.spark
+            elif pname in self.context.connections:
+                kwargs[pname] = self.context.connections[pname]
+            elif pname == self.context.db.name or pname == "warehouse":
+                kwargs[pname] = self.context.db
+            elif pname in self.parameters:
+                kwargs[pname] = self.parameters[pname]
+            else:
+                raise ValueError(
+                    f"python task {self.name!r}: cannot inject parameter {pname!r}"
+                )
+        result = self.func(**kwargs)
+        if result is not None and hasattr(result, "write") and self.outputs:
+            # returning a DataFrame with one declared output materialises it
+            dst = self.context.obj_compiler.out_value(next(iter(self.outputs)))
+            self.context.db.replace_table(dst, result)
+
+
+class ClassPythonTask(Task):
+    """`class: module.Class` form (ref: core/app.py:332-345)."""
+
+    def config(self) -> None:
+        path = self.config_dict["class"]
+        module_name, cls_name = path.rsplit(".", 1)
+        module = importlib.import_module(module_name)
+        cls = getattr(module, cls_name)
+        if not issubclass(cls, PythonTask):
+            raise TypeError(f"{path} is not a PythonTask subclass")
+        self.impl = cls(self.name, self.config_dict, self.context)
+        self.impl.config()
+        self.parents = self.impl.parents
+        self.tags = self.impl.tags
+        self.sources = self.impl.sources
+        self.outputs = self.impl.outputs
+        self.on_fail = self.impl.on_fail
+        self.status = TaskStatus.READY
+
+    def setup(self) -> None:
+        self.impl.setup()
+
+    def run(self) -> None:
+        self.impl.run()
+
+    def compile(self) -> None:
+        self.impl.compile()
+
+    def test(self) -> None:
+        self.impl.test()
+
+
+class DummyTask(Task):
+    """No-op grouping node (ref: tasks/dummy.py:4-19)."""
+
+    def config(self) -> None:
+        self.status = TaskStatus.READY

@@ -40,12 +40,19 @@ def get_spark(
     app_name: str = "sayn-spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive_metastore: bool = False,
 ) -> SparkSession:
     """Build (or reuse) the engine session.
 
     ``SPARK_GRAFT_CPUS`` controls local parallelism (driver runs us on
     local[32]); on a real cluster ``master`` comes from spark-submit and
     this function only applies the conf.
+
+    ``hive_metastore=True`` persists catalog metadata (derby in cwd) so
+    tables survive across CLI invocations — required for incremental
+    materialisations to find their previous state in a new process (the
+    engine's equivalent of the reference's always-persistent warehouse).
+    The default in-memory catalog is right for tests and driver runs.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -59,4 +66,6 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
+    if hive_metastore or os.environ.get("SAYN_SPARK_HIVE") == "1":
+        builder = builder.enableHiveSupport()
     return builder.getOrCreate()

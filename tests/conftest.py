@@ -9,10 +9,14 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     from sayn_spark.session import get_spark
 
-    s = get_spark("sayn-spark-tests")
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    s = get_spark(
+        "sayn-spark-tests",
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
     s.stop()
