@@ -1,0 +1,112 @@
+"""Structured Streaming equivalents of the engine's incremental loads.
+
+The reference has NO streaming (SURVEY §2.4): scheduled incremental
+batch loads (`incremental_key` + `start_dt`/`end_dt`) are its
+substitute.  These streams are the Spark-native upgrade of that
+pattern — same logical results as the batch queries in
+functions/events.py, but continuous:
+
+- hourly_aggregate_stream  <-> q_events_hourly  (watermark + window agg)
+- sessionize_stream        <-> q_events_sessionize (session_window)
+- stream_copy              <-> copy task append mode (file stream ->
+                               audit column -> append sink)
+
+All run with trigger(availableNow=True) in tests: process everything
+pending, then stop — deterministic, and exactly how a scheduled
+micro-batch deployment would run at 100 TB (each micro-batch is
+checkpointed; reprocessing resumes from the last offset).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sayn_spark.operators.copy import LOAD_TS_COL
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, schema: Optional[str] = None
+) -> DataFrame:
+    """File-source stream over an events directory (parquet).
+
+    At scale this is the landing zone pattern: upstream writers drop
+    parquet files; maxFilesPerTrigger bounds each micro-batch.
+    """
+    reader = spark.readStream.format("parquet").option("maxFilesPerTrigger", 16)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        # streams need an explicit schema; borrow it from a batch read
+        reader = reader.schema(spark.read.parquet(path).schema)
+    df = reader.load(path)
+    if dict(df.dtypes).get("ts") == "bigint":  # nanos-as-long testdata
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def hourly_aggregate_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window counts/sums with late-data watermark —
+    the streaming twin of q_events_hourly.  State is bounded: windows
+    older than the watermark are finalised and evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessions via session_window — the stateful-streaming
+    twin of q_events_sessionize (same 30-min inactivity semantics)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            (F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start"))).alias("window_us"),
+            "n_events",
+        )
+    )
+
+
+def stream_copy(
+    events: DataFrame,
+    dst_path: str,
+    checkpoint: str,
+    add_load_ts: bool = True,
+):
+    """Streaming append copy: the copy task's ``append`` mode as a
+    continuous pipeline (audit column + exactly-once file sink).
+
+    Returns the StreamingQuery (caller awaits/stops).  The checkpoint
+    replaces the batch engine's MAX(incremental_key) watermark — offsets
+    are tracked per source file, so reruns never double-load (stronger
+    than the reference's >= merge which must re-scan the boundary).
+    """
+    out = events
+    if add_load_ts:
+        out = out.withColumn(LOAD_TS_COL, F.current_timestamp())
+    return (
+        out.writeStream.format("parquet")
+        .option("path", dst_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
