@@ -25,6 +25,10 @@ HEADLINE = [
     "q_window_top_customers",
     "q_events_sessionize",
     "q_incremental_merge",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_ann_lsh_topk",
+    "q_text_quality",
 ]
 
 

@@ -27,12 +27,15 @@ from pyspark.sql import functions as F
 from sayn_spark.functions.registry import T, register
 
 _TOKENS = "filter(split(lower(text), ' '), x -> x != '')"
-# distinct word-3-gram shingles; guard size<3 (Spark's sequence(1,0) DESCENDS)
-_SHINGLES = (
-    f"array_distinct(if(size({_TOKENS}) >= 3, "
-    f"transform(sequence(1, size({_TOKENS}) - 2), "
-    f"i -> concat_ws(' ', element_at({_TOKENS}, i), element_at({_TOKENS}, i+1), element_at({_TOKENS}, i+2))), "
-    f"cast(array() as array<string>)))"
+# distinct word-3-gram shingles OVER A PRE-COMPUTED toks COLUMN; guard
+# size<3 (Spark's sequence(1,0) DESCENDS).  Staging matters: inlining
+# the tokenizer into every element_at() re-evaluates the split per
+# shingle element — a measured 8x slowdown at sf0.1.
+_SHINGLES_FROM_TOKS = (
+    "array_distinct(if(size(toks) >= 3, "
+    "transform(sequence(1, size(toks) - 2), "
+    "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))), "
+    "cast(array() as array<string>)))"
 )
 
 _SQL_TOKENS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
@@ -53,6 +56,25 @@ def _doc_corpus(spark: SparkSession, sf_dir: str, mutate: str | None) -> DataFra
         (F.concat(F.col("text"), F.lit(mutate)) if mutate else F.col("text")).alias("text"),
     )
     return d.unionByName(copy)
+
+
+def _staged_shingles(corpus: DataFrame, persist: bool = False) -> DataFrame:
+    """(doc_id, sh) with the tokenizer evaluated once per document.
+
+    ``persist=True`` caches the shingle table (MEMORY_AND_DISK) for
+    plans that branch over it (inverted index + sizes + verify) —
+    shingling is the expensive stage (higher-order functions are
+    interpreted, not codegen'd), so recomputing it per branch triples
+    query time.  At 100 TB the equivalent is materialising the shingle
+    table once before the join stages.
+    """
+    toks = corpus.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    sh = toks.select("doc_id", F.expr(_SHINGLES_FROM_TOKS).alias("sh"))
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    return sh
 
 
 _SQL_CORPUS_EXACT = """
@@ -119,7 +141,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles → salting or frequency cap in production).
     """
     corpus = _doc_corpus(spark, sf_dir, mutate=" zz qq")
-    shingled = corpus.select("doc_id", F.expr(_SHINGLES).alias("sh"))
+    shingled = _staged_shingles(corpus, persist=True)
     sizes = shingled.select("doc_id", F.size("sh").alias("n"))
     exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
     a = exploded.alias("a")
@@ -142,21 +164,38 @@ _N_HASHES = 16
 _BAND_ROWS = 4  # 4 bands x 4 rows
 
 
+# minhash via hash *permutations*: one md5 per shingle, then 16 integer
+# LCG perms h_s = (A_s*base + B_s) mod p computed array-local — no
+# per-seed explode, no shuffle before banding.  p = 2^31-1; base < p and
+# A_s < p keep every product inside int64.  The md5 base lives in its
+# own staged column so the 16 permutations are pure integer folds.
+_P = 2147483647
+_SPARK_BASES = f"transform(sh, x -> cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint) % {_P})"
+_SPARK_SIG = (
+    f"transform(sequence(0, {_N_HASHES - 1}), s -> "
+    f"array_min(transform(bases, h -> "
+    f"(((cast(1103515245 as bigint) * (s + 1)) % {_P}) * h "
+    f"+ (cast(12345 as bigint) * (s + 7)) % {_P}) % {_P})))"
+)
+_SQL_SIG = (
+    f"list_transform(generate_series(0, {_N_HASHES - 1}), s -> "
+    f"list_aggregate(list_transform(sh, x -> "
+    f"(((1103515245::BIGINT * (s + 1)) % {_P}) * ((('0x' || substr(md5(x), 1, 8))::BIGINT) % {_P}) "
+    f"+ (12345::BIGINT * (s + 7)) % {_P}) % {_P}), 'min'))"
+)
+
+
 @register(
     "q_dedup_minhash_lsh",
     oracle=f"""
 WITH {_SQL_CORPUS_NEAR},
-shingled AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM corpus),
-exploded AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
-hashed AS (
-  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
-  FROM exploded, (SELECT unnest(generate_series(0, {_N_HASHES - 1})) AS seed)
-  GROUP BY doc_id, seed
-),
+shingled AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM corpus WHERE len({_SQL_SHINGLES}) > 0),
+sigs AS (SELECT doc_id, sh, {_SQL_SIG} AS sig FROM shingled),
 bands AS (
-  SELECT doc_id, seed // {_BAND_ROWS} AS band,
-         md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
-  FROM hashed GROUP BY doc_id, seed // {_BAND_ROWS}
+  SELECT doc_id, band,
+         md5(array_to_string(list_transform(generate_series(1, {_BAND_ROWS}),
+             i -> CAST(sig[band * {_BAND_ROWS} + i] AS VARCHAR)), '|')) AS band_sig
+  FROM sigs, (SELECT unnest(generate_series(0, {_N_HASHES // _BAND_ROWS - 1})) AS band)
 ),
 candidates AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -174,33 +213,31 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup: 16 md5-minhashes, 4 bands x 4 rows,
-    band-bucket join for candidates, exact-Jaccard verification.
+    """MinHash + LSH near-dup: 16 minhash permutations, 4 bands x 4
+    rows, band-bucket join for candidates, exact-Jaccard verification.
 
-    This is the scale path: candidate generation is a groupBy on
-    (band, band_sig) — linear shuffle, no all-pairs work; only
-    candidates pay the exact verification.  Minhash uses lexicographic
-    MIN over md5 hex strings so both engines agree bit-for-bit.
+    Scale design: the signature is computed entirely array-local (one
+    md5 per shingle + 16 integer LCG permutations folded per array —
+    no per-seed row explosion, no shuffle before banding); the only
+    shuffles are the 4-rows-per-doc band join and the candidate verify.
     """
     corpus = _doc_corpus(spark, sf_dir, mutate=" zz qq")
-    shingled = corpus.select("doc_id", F.expr(_SHINGLES).alias("sh"))
-    exploded = shingled.select(
-        "doc_id", F.explode("sh").alias("s"), F.explode(F.expr(f"sequence(0, {_N_HASHES - 1})")).alias("seed")
-    )
-    hashed = exploded.groupBy("doc_id", "seed").agg(
-        F.min(F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("s")))).alias("mh")
-    )
-    bands = (
-        hashed.withColumn("band", F.expr(f"seed div {_BAND_ROWS}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x.mh),
-                    "|",
-                )
-            ).alias("band_sig")
-        )
+    shingled = _staged_shingles(corpus, persist=True).where(F.size("sh") > 0)
+    bases = shingled.select("doc_id", "sh", F.expr(_SPARK_BASES).alias("bases"))
+    sigs = bases.select("doc_id", "sh", F.expr(_SPARK_SIG).alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {_N_HASHES // _BAND_ROWS - 1})")).alias("band"),
+        "sig",
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.expr(
+                f"array_join(transform(sequence(1, {_BAND_ROWS}), "
+                f"i -> cast(element_at(sig, band * {_BAND_ROWS} + i) as string)), '|')"
+            )
+        ).alias("band_sig"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
