@@ -686,3 +686,174 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_epoch_start"
         ),
     )
+
+
+@register(
+    "q_exists_correlated",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderstatus
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+""",
+)
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — the reference's merge template
+    shape (merge_tables.sql:2-5) as a user query; planned as left-semi
+    + left-anti joins (no correlated re-execution)."""
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    big = l.where(F.col("l_quantity") >= 49).select(F.col("l_orderkey").alias("o_orderkey"))
+    returned = l.where(F.col("l_returnflag") == "R").select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        o.join(big, "o_orderkey", "left_semi")
+        .join(returned, "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+@register(
+    "q_in_subquery",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_nationkey IN (
+  SELECT n_nationkey FROM nation
+  WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name LIKE 'A%')
+)
+""",
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN subqueries -> chained semi joins (broadcast both dims)."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").where(F.col("r_name").like("A%"))
+    nk = (
+        n.join(F.broadcast(r.select("r_regionkey")), n.n_regionkey == F.col("r_regionkey"), "left_semi")
+        .select(F.col("n_nationkey").alias("c_nationkey"))
+    )
+    return c.join(F.broadcast(nk), "c_nationkey", "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_array_agg_orders",
+    oracle="""
+SELECT o_custkey,
+       array_to_string(list(o_orderstatus ORDER BY o_orderkey), ',') AS status_seq,
+       len(list(o_orderstatus ORDER BY o_orderkey)) AS n
+FROM orders WHERE o_custkey < 100
+GROUP BY o_custkey
+""",
+)
+def q_array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface: ordered collect -> join to string.
+    Ordering inside the agg is pinned by o_orderkey so both engines
+    produce identical sequences."""
+    o = T(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("o_orderkey", "o_orderstatus"))),
+        lambda x: x.o_orderstatus,
+    )
+    return o.groupBy("o_custkey").agg(
+        F.array_join(seq, ",").alias("status_seq"), F.size(seq).alias("n")
+    )
+
+
+@register(
+    "q_null_handling",
+    oracle="""
+SELECT o_orderkey,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_resolved,
+       CASE WHEN NULLIF(o_orderstatus, 'P') IS NULL THEN 1 ELSE 0 END AS was_pending,
+       IFNULL(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'NONE') AS prio
+FROM orders WHERE o_orderkey <= 500
+""",
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-function surface: NULLIF / COALESCE / IFNULL / IS NULL CASE."""
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    nz = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        F.coalesce(nz, F.lit("PENDING")).alias("status_resolved"),
+        F.when(nz.isNull(), 1).otherwise(0).alias("was_pending"),
+        F.ifnull(
+            F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")), F.lit("NONE")
+        ).alias("prio"),
+    )
+
+
+_CTE_SQL = """
+WITH cust_rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY o_custkey
+), seg_stats AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(ROUND(SUM(r.rev), 2) AS DOUBLE) AS seg_rev,
+         COUNT(*) AS n_cust
+  FROM cust_rev r JOIN customer c ON c.c_custkey = r.o_custkey
+  GROUP BY c.c_mktsegment
+)
+SELECT seg, seg_rev, n_cust,
+       ROUND(seg_rev / n_cust, 4) AS rev_per_cust
+FROM seg_stats
+"""
+
+
+@register("q_cte_chain", oracle=_CTE_SQL)
+def q_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level WITH chain via spark.sql — the raw SQL surface the
+    engine's sql tasks execute (identical text runs on both engines)."""
+    from sayn_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir, tables=("orders", "customer"), register=True)
+    return spark.sql(_CTE_SQL)
+
+
+@register(
+    "q_lateral_token_freq",
+    oracle="""
+SELECT tok, COUNT(*) AS freq FROM (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents
+) GROUP BY tok
+ORDER BY freq DESC, tok
+LIMIT 20
+""",
+)
+def q_lateral_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode surface: token frequency top-20 (explode ->
+    groupBy with map-side partial agg; deterministic tiebreak)."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.expr("filter(split(lower(text), ' '), x -> x != '')")).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "q_regex_funcs",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       regexp_matches(p_name, 'g[ei]') AS has_ge,
+       len(regexp_extract_all(p_name, '[a-z]+')) AS n_words
+FROM part WHERE p_partkey <= 200
+""",
+)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: extract / replace / match / extract_all."""
+    p = T(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("g[ei]").alias("has_ge"),
+        F.size(F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), 0)).alias("n_words"),
+    )

@@ -30,6 +30,8 @@ class SqlTask(Task):
         self.file_name = c.get("file_name")
         if not self.file_name:
             raise ValueError(f"sql task {self.name!r} needs file_name")
+        # task properties are Jinja too (ref: task_wrapper.py:175-196)
+        self.file_name = self.compile_property(self.file_name)
         self.materialisation = c.get("materialisation", "script")
         self.delete_key: Optional[str] = c.get("delete_key")
         self.columns: list[dict] = list(c.get("columns", []))

@@ -18,6 +18,7 @@ class TestTask(Task):
         self.file_name = c.get("file_name")
         if not self.file_name:
             raise ValueError(f"test task {self.name!r} needs file_name")
+        self.file_name = self.compile_property(self.file_name)
         sql_path = self.context.project_dir / "sql" / self.file_name
         if not sql_path.exists():
             sql_path = self.context.project_dir / self.file_name

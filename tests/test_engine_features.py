@@ -1,0 +1,197 @@
+"""Engine feature tests: autogroups, presets, post_hook, on_fail
+no_skip, class-based python tasks, jinja'd task properties."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+
+from sayn_spark.core.app import App, _merge_preset
+from sayn_spark.operators import RunArguments, TaskStatus
+
+
+def make_project(tmp_path, project_yaml, tasks_yaml=None, sql=None, python=None):
+    proj = tmp_path / "proj"
+    (proj / "tasks").mkdir(parents=True)
+    (proj / "sql").mkdir()
+    (proj / "project.yaml").write_text(textwrap.dedent(project_yaml))
+    if tasks_yaml:
+        (proj / "tasks" / "g.yaml").write_text(textwrap.dedent(tasks_yaml))
+    for name, content in (sql or {}).items():
+        path = proj / "sql" / name
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(textwrap.dedent(content))
+    for name, content in (python or {}).items():
+        (proj / "python").mkdir(exist_ok=True)
+        (proj / "python" / name).write_text(textwrap.dedent(content))
+    return proj
+
+
+def test_autogroups_expand_sql_folder(spark, tmp_path):
+    """ref: core/project.py:281-328 — one task per globbed file,
+    {{ task.name }} available in the SQL."""
+    proj = make_project(
+        tmp_path,
+        """
+        default_db: spark
+        autogroups:
+          marts:
+            type: sql
+            materialisation: table
+            file_name: "marts/*.sql"
+        """,
+        sql={
+            "marts/mart_a.sql": "SELECT '{{ task.name }}' AS tname, 1 AS v",
+            "marts/mart_b.sql": "SELECT '{{ task.name }}' AS tname, 2 AS v",
+        },
+    )
+    app = App(proj, spark=spark, run_arguments=RunArguments(command="run"))
+    statuses = app.run()
+    assert statuses == {"mart_a": TaskStatus.SUCCESS, "mart_b": TaskStatus.SUCCESS}
+    assert [tuple(r) for r in spark.table("mart_a").collect()] == [("mart_a", 1)]
+    assert app.tasks["mart_a"].group == "marts"
+
+
+def test_preset_inheritance_and_cycle():
+    presets = {"base": {"type": "sql", "materialisation": "table"}, "child": {"preset": "base", "materialisation": "view"}}
+    merged = _merge_preset({"preset": "child", "file_name": "f.sql"}, presets)
+    assert merged["type"] == "sql" and merged["materialisation"] == "view"
+    with pytest.raises(ValueError, match="preset cycle"):
+        _merge_preset({"preset": "a"}, {"a": {"preset": "b"}, "b": {"preset": "a"}})
+
+
+def test_post_hook_runs_after_materialisation(spark, tmp_path):
+    """ref: database/__init__.py:299-318."""
+    proj = make_project(
+        tmp_path,
+        "default_db: spark\n",
+        """
+        tasks:
+          hooked:
+            type: sql
+            materialisation: table
+            file_name: h.sql
+            destination: hooked_t
+            post_hook:
+              - sql: "CREATE OR REPLACE VIEW hooked_view AS SELECT v * 10 AS v10 FROM hooked_t"
+        """,
+        sql={"h.sql": "SELECT 4 AS v"},
+    )
+    app = App(proj, spark=spark, run_arguments=RunArguments(command="run"))
+    assert app.run()["hooked"] == TaskStatus.SUCCESS
+    assert [tuple(r) for r in spark.table("hooked_view").collect()] == [(40,)]
+
+
+def test_on_fail_no_skip_lets_children_run(spark, tmp_path):
+    """ref: tasks/task_wrapper.py:269-300 — no_skip parents don't
+    propagate failure to children."""
+    proj = make_project(
+        tmp_path,
+        "default_db: spark\n",
+        """
+        tasks:
+          boom: {type: sql, materialisation: table, file_name: boom.sql,
+                 destination: boom_t, on_fail: no_skip}
+          child: {type: sql, materialisation: table, file_name: ok.sql,
+                  destination: ns_child_t, parents: [boom]}
+        """,
+        sql={"boom.sql": "SELECT * FROM missing_table_abc", "ok.sql": "SELECT 1 AS x"},
+    )
+    app = App(proj, spark=spark, run_arguments=RunArguments(command="run"))
+    statuses = app.run(parallel=False)
+    assert statuses["boom"] == TaskStatus.FAILED
+    assert statuses["child"] == TaskStatus.SUCCESS
+
+
+def test_class_python_task_and_parameters(spark, tmp_path):
+    proj = make_project(
+        tmp_path,
+        """
+        default_db: spark
+        parameters:
+          n_rows: 3
+        """,
+        """
+        tasks:
+          gen:
+            type: python
+            class: python.gen.GenTask
+            parameters:
+              table_name: gen_out
+        """,
+        python={
+            "gen.py": """
+            from sayn_spark.operators import PythonTask
+
+            class GenTask(PythonTask):
+                def config(self):
+                    self.out(self.task_parameters["table_name"])
+                    super().config()
+
+                def run(self):
+                    n = self.parameters["n_rows"]
+                    self.default_db.load_data(
+                        self.task_parameters["table_name"],
+                        [{"i": i} for i in range(n)],
+                        schema="i long",
+                        replace=True,
+                    )
+            """,
+        },
+    )
+    app = App(proj, spark=spark, run_arguments=RunArguments(command="run"))
+    assert app.run()["gen"] == TaskStatus.SUCCESS
+    assert spark.table("gen_out").count() == 3
+
+
+def test_jinja_in_task_properties(spark, tmp_path):
+    """file_name and destination are Jinja-compiled with parameters."""
+    proj = make_project(
+        tmp_path,
+        """
+        default_db: spark
+        parameters:
+          model_file: param_model
+          env_name: devx
+        """,
+        """
+        tasks:
+          pm:
+            type: sql
+            materialisation: table
+            file_name: "{{ model_file }}.sql"
+            destination: "{{ env_name }}_pm_out"
+        """,
+        sql={"param_model.sql": "SELECT 7 AS v"},
+    )
+    app = App(proj, spark=spark, run_arguments=RunArguments(command="run"))
+    assert app.run()["pm"] == TaskStatus.SUCCESS
+    assert spark.table("devx_pm_out").count() == 1
+
+
+def test_stringify_profile_rewrites_names(spark, tmp_path):
+    """dev prefix via settings profile (ref: database/objects.py:98-119)."""
+    proj = make_project(
+        tmp_path,
+        "default_db: spark\n",
+        """
+        tasks:
+          st: {type: sql, materialisation: table, file_name: s.sql, destination: st_out}
+        """,
+        sql={"s.sql": "SELECT 5 AS v"},
+    )
+    (proj / "settings.yaml").write_text(
+        textwrap.dedent(
+            """
+            default_profile: dev
+            profiles:
+              dev:
+                stringify:
+                  table_prefix: udev
+            """
+        )
+    )
+    app = App(proj, spark=spark, run_arguments=RunArguments(command="run"))
+    assert app.run()["st"] == TaskStatus.SUCCESS
+    assert spark.table("udev_st_out").count() == 1
