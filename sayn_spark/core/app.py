@@ -123,25 +123,43 @@ class App:
                 tcfg["group"] = group
                 out[f.stem] = _merge_preset(tcfg, self.project.presets)
         # decorated python tasks registered by the project's python module
-        self._load_python_module()
-        for name, spec in DECORATED_TASKS.items():
-            out.setdefault(name, {"type": "python_decorator", "group": "python"})
+        for name, spec in self._load_python_module().items():
+            out.setdefault(
+                name, {"type": "python_decorator", "group": "python", "_decorated": spec}
+            )
         return out
 
-    def _load_python_module(self) -> None:
-        """Import python/ so @task registrations run
-        (ref: utils/python_loader.py:15-37)."""
-        pydir = self.project_dir / "python"
-        if pydir.is_dir():
-            sys.path.insert(0, str(self.project_dir))
-            try:
-                import importlib
+    def _load_python_module(self) -> dict:
+        """Execute python/*.py so @task registrations run, scoped to THIS
+        project (ref: utils/python_loader.py:15-37).
 
-                for f in sorted(pydir.glob("*.py")):
-                    if f.stem != "__init__":
-                        importlib.import_module(f"python.{f.stem}")
-            finally:
-                sys.path.pop(0)
+        Registrations are captured and the global registry restored, and
+        modules load under a project-unique name — otherwise a second App
+        in the same process would inherit another project's tasks (or
+        miss its own because sys.modules cached the first project's
+        python/ package).
+        """
+        pydir = self.project_dir / "python"
+        if not pydir.is_dir():
+            return {}
+        import importlib.util
+
+        prev = dict(DECORATED_TASKS)
+        DECORATED_TASKS.clear()
+        sys.path.insert(0, str(self.project_dir))
+        try:
+            ns = f"_sayn_proj_{abs(hash(str(self.project_dir.resolve())))}"
+            for f in sorted(pydir.glob("*.py")):
+                if f.stem == "__init__":
+                    continue
+                spec = importlib.util.spec_from_file_location(f"{ns}_{f.stem}", f)
+                mod = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(mod)
+            return dict(DECORATED_TASKS)
+        finally:
+            DECORATED_TASKS.clear()
+            DECORATED_TASKS.update(prev)
+            sys.path.pop(0)
 
     def _configure_tasks(self) -> None:
         context = TaskContext(

@@ -123,7 +123,21 @@ class ClassPythonTask(Task):
     def config(self) -> None:
         path = self.config_dict["class"]
         module_name, cls_name = path.rsplit(".", 1)
-        module = importlib.import_module(module_name)
+        if module_name.startswith("python."):
+            # load from THIS project's python/ dir under a unique name so
+            # two projects with the same module names never collide in
+            # sys.modules (ref loads a per-project package:
+            # utils/python_loader.py:15-37)
+            import importlib.util
+
+            rel = module_name.split(".")[1:]
+            file = self.context.project_dir / "python" / ("/".join(rel) + ".py")
+            ns = f"_sayn_proj_{abs(hash(str(self.context.project_dir.resolve())))}"
+            spec = importlib.util.spec_from_file_location(f"{ns}_{'_'.join(rel)}", file)
+            module = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(module)
+        else:
+            module = importlib.import_module(module_name)
         cls = getattr(module, cls_name)
         if not issubclass(cls, PythonTask):
             raise TypeError(f"{path} is not a PythonTask subclass")
