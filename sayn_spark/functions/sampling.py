@@ -1,0 +1,104 @@
+"""Deterministic sampling + sketch-estimation operators for
+training-data pipelines.
+
+Sampling uses content hashes, not RNG: a row is in the sample iff
+md5(key) mod N == 0 — reproducible across engines, runs, and cluster
+sizes (the property that matters when you re-materialise a 100 TB
+sample and need the same rows back).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sayn_spark.functions.dedup import (
+    _N_HASHES,
+    _SPARK_BASES,
+    _SPARK_SIG,
+    _SQL_SIG,
+    _SQL_SHINGLES,
+    _doc_corpus,
+    _staged_shingles,
+)
+from sayn_spark.functions.registry import T, register
+
+# deterministic 1-in-5 bucket from the doc_id's md5
+_SPARK_BUCKET = "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 5"
+_SQL_BUCKET = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 5"
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER ({_SQL_BUCKET} = 0) AS n_sampled,
+       ROUND(CAST(COUNT(*) FILTER ({_SQL_BUCKET} = 0) AS DOUBLE) / COUNT(*), 6) AS rate
+FROM documents
+GROUP BY lang
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: ~20% of documents per language
+    stratum, membership decided by content hash (no RNG, no state).
+
+    At 100 TB this is a pure map-side filter — no shuffle, no
+    sampleBy() RNG whose results change with partitioning.
+    """
+    d = T(spark, sf_dir, "documents")
+    in_sample = F.expr(_SPARK_BUCKET) == 0
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(in_sample.cast("long")).alias("n_sampled"),
+        F.round(F.sum(in_sample.cast("long")).cast("double") / F.count(F.lit(1)), 6).alias(
+            "rate"
+        ),
+    )
+
+
+@register(
+    "q_minhash_jaccard_estimate",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
+),
+shingled AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM corpus WHERE len({_SQL_SHINGLES}) > 0),
+sigs AS (SELECT doc_id, sh, {_SQL_SIG} AS sig FROM shingled)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_filter(list_zip(a.sig, b.sig), p -> p[1] = p[2])) AS DOUBLE)
+             / {_N_HASHES}, 4) AS jaccard_est,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard_true
+FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 100000
+""",
+)
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch math check: MinHash signature agreement estimates Jaccard
+    (E[matches/16] = J).  Computed for the planted near-dup pairs so
+    estimate and truth sit side by side.
+    """
+    corpus = _doc_corpus(spark, sf_dir, mutate=" zz qq")
+    shingled = _staged_shingles(corpus).where(F.size("sh") > 0)
+    sigs = (
+        shingled.select("doc_id", "sh", F.expr(_SPARK_BASES).alias("bases"))
+        .select("doc_id", "sh", F.expr(_SPARK_SIG).alias("sig"))
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    est = F.round(
+        F.expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), m -> m))").cast("double")
+        / _N_HASHES,
+        4,
+    )
+    common = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    true_j = F.round(
+        common.cast("double") / (F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - common), 6
+    )
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 100000).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        est.alias("jaccard_est"),
+        true_j.alias("jaccard_true"),
+    )
