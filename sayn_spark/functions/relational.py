@@ -857,3 +857,116 @@ def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").rlike("g[ei]").alias("has_ge"),
         F.size(F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), 0)).alias("n_words"),
     )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + GROUPING() ids (beyond rollup/cube)."""
+    o = T(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+               COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q_window_suite",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       LAG(o_orderkey) OVER w AS prev_order,
+       LEAD(o_orderkey) OVER w AS next_order,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       NTILE(4) OVER w AS quartile,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function suite: lag/lead/first_value/ntile/rank/dense_rank
+    over one deterministic ordering."""
+    o = T(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first_value("o_orderkey").over(w).alias("first_order"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "q_conditional_distinct",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(DISTINCT CASE WHEN o_orderstatus = 'O' THEN o_custkey END) AS open_customers,
+       COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS done_customers,
+       COUNT(DISTINCT o_custkey) AS all_customers
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple conditional COUNT(DISTINCT)s in one agg (expand-based plan)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))
+            ).alias("open_customers"),
+            F.count_distinct(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+            ).alias("done_customers"),
+            F.count_distinct(F.col("o_custkey")).alias("all_customers"),
+        )
+    )
+
+
+@register(
+    "q_approx_distinct_sanity",
+    oracle="""
+SELECT COUNT(DISTINCT o_custkey) AS exact_cnt,
+       CASE WHEN ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+                 <= 0.10 * COUNT(DISTINCT o_custkey)
+            THEN 1 ELSE 0 END AS approx_within_10pct
+FROM orders
+""",
+)
+def q_approx_distinct_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch sanity: each engine's own approx_count_distinct must
+    land within 10% of the exact count — the sketches differ, the
+    CONTRACT (bounded error) is what's compared.  Spark runs a tighter
+    rsd (1%) than the default, which was measured outside 5% here."""
+    o = T(spark, sf_dir, "orders")
+    exact = F.count_distinct(F.col("o_custkey"))
+    approx = F.approx_count_distinct("o_custkey", rsd=0.01)
+    return o.agg(
+        exact.alias("exact_cnt"),
+        F.when(F.abs(approx - exact) <= 0.10 * exact, 1).otherwise(0).alias("approx_within_10pct"),
+    )
