@@ -970,3 +970,227 @@ def q_approx_distinct_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.alias("exact_cnt"),
         F.when(F.abs(approx - exact) <= 0.10 * exact, 1).otherwise(0).alias("approx_within_10pct"),
     )
+
+
+@register(
+    "q04_priority_count",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-07-01' AND o.o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+""",
+)
+def q04_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a cross-table comparison inside the
+    subquery (late-shipping orders) -> semi join with join condition."""
+    o = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q08_market_share",
+    oracle="""
+WITH all_nations AS (
+  SELECT YEAR(o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2)) AS volume,
+         n.n_name AS nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+)
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN nation = 'CHINA' THEN volume ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM all_nations GROUP BY o_year
+""",
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share = conditional/total ratio."""
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    from sayn_spark.functions.relational import dec, one_minus
+
+    vol = dec("l_extendedprice") * one_minus("l_discount")
+    china = F.when(F.col("n_name") == "CHINA", vol).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(china).cast("double") / F.sum(vol).cast("double"), 6).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+@register(
+    "q11_value_concentration",
+    oracle="""
+WITH supp_value AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS v
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, CAST(ROUND(v, 2) AS DOUBLE) AS value
+FROM supp_value
+WHERE CAST(v AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) / 1000 FROM supp_value)
+""",
+)
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a scalar fraction of the total
+    (same agg reused: one pass + tiny broadcast threshold)."""
+    l = T(spark, sf_dir, "lineitem")
+    supp = l.groupBy("l_suppkey").agg(F.sum(dec("l_extendedprice")).alias("v"))
+    thresh = supp.agg((F.sum("v").cast("double") / 1000).alias("t"))
+    return (
+        supp.crossJoin(F.broadcast(thresh))
+        .where(F.col("v").cast("double") > F.col("t"))
+        .select("l_suppkey", F.round("v", 2).cast("double").alias("value"))
+    )
+
+
+@register(
+    "q12_shipmode_classes",
+    oracle="""
+SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1998-01-01' AND l.l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY l.l_linestatus
+""",
+)
+def q12_shipmode_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority-class conditional counts per group."""
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(ROUND(r.total_rev, 2) AS DOUBLE) AS total_rev
+FROM supplier s JOIN revenue r ON r.supplier_no = s.s_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax via scalar MAX subquery over a derived
+    aggregate (exact decimal, so ties are honest ties in both engines)."""
+    l = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = T(spark, sf_dir, "supplier")
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(dec("l_extendedprice") * one_minus("l_discount")).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).cast("double").alias("total_rev"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH part_avg AS (
+  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'BrandA' AND l.l_quantity < 0.2 * a.avg_qty
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average threshold -> join
+    against the pre-aggregated averages (no correlated re-execution)."""
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").where(F.col("p_brand") == "BrandA")
+    avg_q = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_q, l.l_partkey == F.col("pk"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.round(F.sum(dec("l_extendedprice")), 2).cast("double") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+SELECT c_mktsegment,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       CAST(ROUND(MIN(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS min_price,
+       CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS max_price
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark percentile ==
+    DuckDB quantile_cont: linear interpolation on sorted values)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.min(dec("o_totalprice")), 2).cast("double").alias("min_price"),
+            F.round(F.max(dec("o_totalprice")), 2).cast("double").alias("max_price"),
+        )
+    )

@@ -1,3 +1,7 @@
+from sayn_spark.streaming.stateful import (  # noqa: F401
+    dedup_stream,
+    running_user_totals,
+)
 from sayn_spark.streaming.streams import (  # noqa: F401
     hourly_aggregate_stream,
     read_events_stream,

@@ -77,3 +77,54 @@ def test_stream_copy_appends_with_audit_column(spark, events_dir, tmp_path):
     q2 = stream_copy(read_events_stream(spark, events_dir), dst, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(dst).count() == T(spark, SF, "events").count()
+
+
+def test_stateful_running_totals(spark, events_dir):
+    """applyInPandasWithState totals must equal the batch groupBy."""
+    from sayn_spark.streaming.stateful import running_user_totals
+    from pyspark.sql import functions as F
+
+    stream = running_user_totals(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("totals_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: last row per user is the final state
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in spark.table("totals_out").collect()
+    }
+    batch = (
+        T(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("tv"),
+        )
+    )
+    want = {r.user_id: (r.n, round(r.tv, 2)) for r in batch.collect()}
+    assert got == want
+
+
+def test_dedup_stream_drops_duplicate_keys(spark, events_dir, tmp_path):
+    from sayn_spark.streaming.stateful import dedup_stream
+
+    # duplicate the source file => every event_id appears twice
+    import shutil
+
+    shutil.copy(f"{events_dir}/events.parquet", f"{events_dir}/events_copy.parquet")
+    stream = dedup_stream(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_unique = T(spark, SF, "events").select("event_id").distinct().count()
+    assert spark.table("dedup_out").count() == n_unique
