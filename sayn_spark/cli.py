@@ -101,5 +101,21 @@ def test(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail
     _run_and_finish(app, "test")
 
 
+@cli.command()
+@click.argument("project_name")
+def init(project_name):
+    """Scaffold a new project (ref: sayn init,
+    scaffolding/data/init_project)."""
+    import shutil
+    from pathlib import Path
+
+    template = Path(__file__).parent.parent / "examples" / "star_project"
+    dst = Path(project_name)
+    if dst.exists():
+        raise click.ClickException(f"{project_name!r} already exists")
+    shutil.copytree(template, dst)
+    click.echo(f"created {project_name}/ — run: sayn-spark run -p {project_name}")
+
+
 if __name__ == "__main__":
     cli()

@@ -143,3 +143,33 @@ def q_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["click", "view", "purchase", "signup", "error"])
     )
+
+
+@register(
+    "q_events_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_day,
+       DATEDIFF('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS active_users
+FROM events e JOIN firsts f ON f.user_id = e.user_id
+GROUP BY 1, 2
+""",
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each subsequent active day — the standard product-analytics
+    rollup (two aggregations, one self-join on user_id; at 100 TB both
+    shuffles share the user_id partitioning)."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(firsts, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
