@@ -173,3 +173,41 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "q_events_anomalies",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_v,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_sq
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - s.mean_v) / sqrt(s.mean_sq - s.mean_v * s.mean_v), 4) AS zscore
+FROM events e JOIN stats s ON s.event_type = e.event_type
+WHERE ABS((e.value - s.mean_v) / sqrt(s.mean_sq - s.mean_v * s.mean_v)) > 3
+""",
+)
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type (|z| > 3).
+
+    Moments accumulate in exact DECIMAL (order-independent), the
+    mean/variance/z arithmetic is then identical double ops in both
+    engines.  One agg + one broadcast join — fully linear at scale.
+    """
+    e = T(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(12,2)")
+    stats = e.groupBy("event_type").agg(
+        (F.sum(dv).cast("double") / F.count(F.lit(1))).alias("mean_v"),
+        (F.sum(dv * dv).cast("double") / F.count(F.lit(1))).alias("mean_sq"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.sqrt(
+        F.col("mean_sq") - F.col("mean_v") * F.col("mean_v")
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3)
+        .select("event_id", "event_type", F.round(z, 4).alias("zscore"))
+    )

@@ -1,0 +1,84 @@
+"""Physical-plan assertions: the scale properties that make these
+queries survive a 100x data increase are pinned here so regressions
+fail loudly —
+
+- predicate pushdown reaches the parquet scan (PushedFilters)
+- column pruning reaches the scan (ReadSchema)
+- dimension joins broadcast (no wide shuffle for small sides)
+- aggregations are partial (map-side combine before the exchange)
+- the incremental-merge anti join broadcasts the delta's keys
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sayn_spark.functions import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(spark, df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q01_pushdown_and_pruning(spark):
+    df = REGISTRY["q01_pricing_summary"].fn(spark, SF)
+    plan = plan_of(spark, df)
+    assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: untouched columns never leave the scan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+
+
+def test_q05_broadcasts_all_dims(spark):
+    df = REGISTRY["q05_region_revenue"].fn(spark, SF)
+    plan = plan_of(spark, df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_q01_partial_aggregation(spark):
+    df = REGISTRY["q01_pricing_summary"].fn(spark, SF)
+    plan = plan_of(spark, df)
+    # partial + final HashAggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_incremental_filter_pushes_to_scan(spark):
+    from pyspark.sql import functions as F
+
+    from sayn_spark.plans.materialise import incremental_filter
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    filtered = incremental_filter(df, "o_orderkey", 1000, include_null=False)
+    plan = plan_of(spark, filtered.select("o_orderkey"))
+    assert "GreaterThanOrEqual(o_orderkey,1000)" in plan
+
+
+def test_merge_broadcasts_delta_keys(spark):
+    from sayn_spark.plans.materialise import merge_dataframes
+
+    dst = spark.read.parquet(f"{SF}/orders.parquet")
+    src = dst.limit(100)
+    merged = merge_dataframes(dst, src, "o_orderkey")
+    plan = plan_of(spark, merged)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_multimodal_prunes_payload_for_meta_queries(spark):
+    """Opaque payload columns must not be read by metadata-only queries."""
+    from pyspark.sql import functions as F
+
+    from sayn_spark.functions.multimodal import with_payload
+
+    d = with_payload(spark.read.parquet(f"{SF}/documents.parquet"))
+    meta_only = d.select("doc_id", "n_chars").where(F.col("n_chars") > 100)
+    read_schema = [
+        ln for ln in plan_of(spark, meta_only).splitlines() if "ReadSchema" in ln
+    ][0]
+    assert "text" not in read_schema  # payload source column pruned away
