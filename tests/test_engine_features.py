@@ -195,3 +195,53 @@ def test_stringify_profile_rewrites_names(spark, tmp_path):
     app = App(proj, spark=spark, run_arguments=RunArguments(command="run"))
     assert app.run()["st"] == TaskStatus.SUCCESS
     assert spark.table("udev_st_out").count() == 1
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    """The full training-data pipeline as engine tasks: ingest ->
+    quality -> dedup components -> canonical corpus, with data tests."""
+    import shutil
+    from pathlib import Path
+
+    src = Path(__file__).parent.parent / "examples" / "corpus_pipeline"
+    proj = tmp_path / "corpus_pipeline"
+    shutil.copytree(src, proj)
+    from sayn_spark.core.app import App
+
+    app = App(
+        proj,
+        spark=spark,
+        run_arguments=RunArguments(command="run", with_tests=True),
+    )
+    # src()-derived edges wire the python + sql tasks together
+    assert "ingest_documents" in app.dag["doc_quality"]
+    assert set(app.dag["corpus_final"]) >= {"doc_quality", "dedup_candidates"}
+    statuses = app.run()
+    assert all(s == TaskStatus.SUCCESS for s in statuses.values()), statuses
+    final = spark.table("corpus_final")
+    n = final.count()
+    assert 0 < n < spark.table("documents").count()
+    # canonical docs only: doc_id == its own component
+    comp = spark.table("dup_components")
+    joined = final.join(comp, final.doc_id == comp.node)
+    assert joined.where("component != node").count() == 0
+
+
+def test_env_parameter_override(spark, tmp_path, monkeypatch):
+    """SAYN_PARAMETER_* env vars override project parameters
+    (ref: core/settings.py:14-26)."""
+    proj = make_project(
+        tmp_path,
+        "default_db: spark\nparameters:\n  val: 1\n",
+        """
+        tasks:
+          envp: {type: sql, materialisation: table, file_name: e.sql, destination: envp_out}
+        """,
+        sql={"e.sql": "SELECT {{ val }} AS v"},
+    )
+    monkeypatch.setenv("SAYN_PARAMETER_VAL", "42")
+    from sayn_spark.core.app import App
+
+    app = App(proj, spark=spark, run_arguments=RunArguments(command="run"))
+    assert app.run()["envp"] == TaskStatus.SUCCESS
+    assert [r.v for r in spark.table("envp_out").collect()] == [42]
