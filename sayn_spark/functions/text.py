@@ -209,3 +209,74 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_bpe_distinct"),
     )
+
+
+@register(
+    "q_feature_hashing",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tokens
+  FROM documents
+), bucketed AS (
+  SELECT doc_id, (('0x' || substr(md5(t), 1, 8))::BIGINT) % 64 AS bucket
+  FROM (SELECT doc_id, unnest(tokens) AS t FROM tok)
+), vec AS (
+  SELECT doc_id, bucket, COUNT(*) AS cnt FROM bucketed GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+       SUM(cnt * cnt) AS l2_sq,
+       MAX(cnt) AS max_bucket_count,
+       COUNT(*) AS n_nonzero_buckets
+FROM vec GROUP BY doc_id
+""",
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) TF vectors: tokens -> md5 mod 64
+    buckets -> count vector; reported as exact integer vector stats.
+    The cheap embedding when you can't run a model over 100 TB."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("t"))
+    bucketed = toks.select(
+        "doc_id",
+        (F.expr("cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint)") % 64).alias("bucket"),
+    )
+    vec = bucketed.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    return vec.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("l2_sq"),
+        F.max("cnt").alias("max_bucket_count"),
+        F.count(F.lit(1)).alias("n_nonzero_buckets"),
+    )
+
+
+@register(
+    "q_regression_tokens_vs_chars",
+    oracle="""
+WITH tok AS (
+  SELECT lang, n_chars,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n,
+       ROUND((COUNT(*) * CAST(SUM(n_chars * n_tokens) AS DOUBLE) - CAST(SUM(n_chars) AS DOUBLE) * SUM(n_tokens))
+           / (COUNT(*) * CAST(SUM(n_chars * n_chars) AS DOUBLE) - CAST(SUM(n_chars) AS DOUBLE) * SUM(n_chars)), 8) AS slope
+FROM tok GROUP BY lang
+""",
+)
+def q_regression_tokens_vs_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise OLS slope (tokens ~ chars) from exact integer moment
+    sums — distributed regression without any ML library; the moments
+    are one partial-aggregated pass."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", "n_chars", F.expr(f"size({_TOKENS})").alias("n_tokens")
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("n_chars")
+    sy = F.sum("n_tokens")
+    sxy = F.sum(F.col("n_chars") * F.col("n_tokens"))
+    sxx = F.sum(F.col("n_chars") * F.col("n_chars"))
+    slope = (n * sxy.cast("double") - sx.cast("double") * sy) / (
+        n * sxx.cast("double") - sx.cast("double") * sx
+    )
+    return tok.groupBy("lang").agg(n.alias("n"), F.round(slope, 8).alias("slope"))
