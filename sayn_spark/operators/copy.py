@@ -40,12 +40,20 @@ class CopyTask(Task):
         dest = self.compile_property(c.get("destination"))
         if not dest:
             raise ValueError(f"copy task {self.name!r} needs destination")
-        if isinstance(dest, dict):
-            parts = [dest.get("database") or dest.get("db"), dest.get("schema"), dest["table"]]
-            dest = ".".join(p for p in parts if p)
-        self.destination = self.context.obj_compiler.from_string(dest)
-        self.outputs.add(self.destination)
-        self.dst_value = self.context.obj_compiler.out_value(self.destination)
+        self.sink_cfg = None
+        if isinstance(dest, dict) and ("path" in dest or dest.get("type") == "jdbc"):
+            # file/JDBC sink destination (beyond-reference: distributed
+            # export; the reference only writes warehouse tables)
+            self.sink_cfg = dest
+            self.destination = None
+            self.dst_value = dest.get("path") or dest.get("table")
+        else:
+            if isinstance(dest, dict):
+                parts = [dest.get("database") or dest.get("db"), dest.get("schema"), dest["table"]]
+                dest = ".".join(p for p in parts if p)
+            self.destination = self.context.obj_compiler.from_string(dest)
+            self.outputs.add(self.destination)
+            self.dst_value = self.context.obj_compiler.out_value(self.destination)
 
         self.incremental_key: Optional[str] = c.get("incremental_key")
         self.delete_key: Optional[str] = c.get("delete_key")
@@ -108,6 +116,10 @@ class CopyTask(Task):
         src_df = self._select_columns(self._read_source())
         mode = self._mode
 
+        if self.sink_cfg is not None:
+            self._run_sink(src_df, mode)
+            return
+
         if mode == "full":
             if self.append:
                 src_df = src_df.withColumn(LOAD_TS_COL, F.current_timestamp())
@@ -149,6 +161,39 @@ class CopyTask(Task):
             batch = incremental_filter(
                 src_df, self.incremental_key, last_max, include_null=False
             )
+
+    def _run_sink(self, src_df: DataFrame, mode: str) -> None:
+        """File/JDBC sink path: full overwrite or incremental append.
+
+        Delete-key merges need a transactional table (catalog/Delta) —
+        refused here rather than silently rewritten.
+        """
+        from sayn_spark.sources.registry import write_sink
+
+        if mode == "inc":
+            raise ValueError(
+                f"copy task {self.name!r}: delete_key merge requires a catalog "
+                "table destination (file sinks are append-only)"
+            )
+        if mode == "append":
+            import os
+
+            last_max = None
+            path = self.sink_cfg.get("path")
+            if path and os.path.exists(path):
+                kind = self.sink_cfg.get("type", "parquet")
+                reader = self.context.spark.read.format(kind)
+                if kind == "csv":
+                    reader = reader.option("header", "true").option("inferSchema", "true")
+                existing = reader.load(path)
+                last_max = existing.agg(F.max(self.incremental_key)).collect()[0][0]
+            batch = incremental_filter(src_df, self.incremental_key, last_max)
+            batch = batch.withColumn(LOAD_TS_COL, F.current_timestamp())
+            write_sink(batch, self.sink_cfg, mode="append")
+        else:
+            if self.append:
+                src_df = src_df.withColumn(LOAD_TS_COL, F.current_timestamp())
+            write_sink(src_df, self.sink_cfg, mode="overwrite")
 
     def compile(self) -> None:
         self.write_compilation_output(

@@ -52,6 +52,41 @@ def load_tables(
     return out
 
 
+def write_sink(df: DataFrame, conf: dict, mode: str = "overwrite") -> None:
+    """Write a DataFrame to a configured sink:
+
+    - {"type": "parquet"|"csv"|"json", "path": ..., "partition_by": [...],
+       **options}
+    - {"type": "table", "name": catalog_table}
+    - {"type": "jdbc", "url": ..., "table": ...}
+
+    Partitioned parquet directories are the 100 TB-friendly sink: each
+    partition value is a prunable directory, writers are fully parallel.
+    """
+    kind = conf.get("type", "parquet")
+    if kind == "table":
+        df.write.mode(mode).saveAsTable(conf["name"])
+        return
+    if kind == "jdbc":
+        writer = df.write.format("jdbc").option("url", conf["url"]).option(
+            "dbtable", conf["table"]
+        )
+        for key in ("user", "password"):
+            if key in conf:
+                writer = writer.option(key, str(conf[key]))
+        writer.mode(mode).save()
+        return
+    writer = df.write.format(kind).mode(mode)
+    if conf.get("partition_by"):
+        writer = writer.partitionBy(*conf["partition_by"])
+    for k, v in conf.items():
+        if k not in ("type", "path", "partition_by"):
+            writer = writer.option(k, v)
+    if kind == "csv" and "header" not in conf:
+        writer = writer.option("header", "true")
+    writer.save(conf["path"])
+
+
 def read_source(spark: SparkSession, conf: dict) -> DataFrame:
     """Read a configured source. ``conf`` mirrors a sayn connection entry:
 

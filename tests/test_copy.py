@@ -157,3 +157,50 @@ def test_validation_errors(ctx):
             },
             ctx,
         ).config()
+
+
+def test_copy_to_parquet_sink_partitioned(ctx, spark, tmp_path):
+    """copy with a partitioned parquet sink destination (distributed
+    export; partition dirs are prunable at read time)."""
+    seed(ctx.db, "snk_src", [
+        {"id": 1, "updated_at": 1, "name": "a"},
+        {"id": 2, "updated_at": 1, "name": "b"},
+        {"id": 3, "updated_at": 2, "name": "a"},
+    ])
+    out = str(tmp_path / "export")
+    run_copy(ctx, "snk", {
+        "source": {"table": "snk_src"},
+        "destination": {"type": "parquet", "path": out, "partition_by": ["name"]},
+    })
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    import os
+    assert sorted(d for d in os.listdir(out) if d.startswith("name=")) == ["name=a", "name=b"]
+
+
+def test_copy_append_to_csv_sink(ctx, spark, tmp_path):
+    seed(ctx.db, "csv_src", [{"id": 1, "updated_at": 1, "name": "x"}])
+    out = str(tmp_path / "csv_out")
+    cfg = {
+        "source": {"table": "csv_src"},
+        "destination": {"type": "csv", "path": out},
+        "incremental_key": "updated_at",
+        "append": True,
+    }
+    run_copy(ctx, "csvs", cfg)
+    run_copy(ctx, "csvs", cfg)  # >= max reloads the boundary row, appends
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 2
+    assert "_sayn_load_ts" in back.columns
+
+
+def test_copy_inc_to_file_sink_is_refused(ctx, tmp_path):
+    with pytest.raises(ValueError, match="file sinks are append-only"):
+        t = CopyTask("bad_sink", {
+            "source": {"table": "snk_src"},
+            "destination": {"type": "parquet", "path": str(tmp_path / "x")},
+            "incremental_key": "updated_at",
+            "delete_key": "id",
+        }, ctx)
+        t.config()
+        t.run()
