@@ -211,3 +211,49 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(z) > 3)
         .select("event_id", "event_type", F.round(z, 4).alias("zscore"))
     )
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_signup) AS did_signup,
+       COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS signup_then_click,
+       COUNT(CASE WHEN t_purchase > t_click AND t_click > t_signup THEN 1 END) AS full_funnel
+FROM stages
+""",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: signup -> click -> purchase, each stage
+    counted only when it happens AFTER the previous one (first-touch
+    timestamps compared as exact integer microseconds).  One groupBy
+    per user — the canonical conversion query."""
+    e = T(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+
+    def first_ts(etype):
+        return F.min(F.when(F.col("event_type") == etype, us))
+
+    stages = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("did_signup"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1)).alias("signup_then_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click")) & (F.col("t_click") > F.col("t_signup")),
+                1,
+            )
+        ).alias("full_funnel"),
+    )

@@ -136,3 +136,47 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return d.select("doc_id", "payload").mapInPandas(_sample, schema)
+
+
+@register(
+    "q_multimodal_features",
+    oracle="""
+SELECT doc_id, dim,
+       (('0x' || substr(md5(md5(text) || '|' || CAST(dim AS VARCHAR)), 1, 8))::BIGINT % 1000)
+           / 1000.0 AS feature
+FROM documents, (SELECT unnest(generate_series(0, 7)) AS dim)
+WHERE doc_id < 100
+""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas: an
+    8-dim deterministic 'embedding' derived from the content hash (the
+    stub for a real image/audio encoder — same Arrow plumbing, schema
+    and batch shape; swap the hash for a model forward pass).
+    """
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
+    d = with_payload(T(spark, sf_dir, "documents").where(F.col("doc_id") < 100))
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("dim", LongType()),
+            StructField("feature", DoubleType()),
+        ]
+    )
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "dim": [], "feature": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                content = hashlib.md5(bytes(payload)).hexdigest()
+                for dim in range(8):
+                    h = hashlib.md5(f"{content}|{dim}".encode()).hexdigest()
+                    rows["doc_id"].append(doc_id)
+                    rows["dim"].append(dim)
+                    rows["feature"].append((int(h[:8], 16) % 1000) / 1000.0)
+            yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "payload").mapInPandas(_featurize, schema)

@@ -1194,3 +1194,51 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(dec("o_totalprice")), 2).cast("double").alias("max_price"),
         )
     )
+
+
+@register(
+    "q02_min_cost_supplier",
+    oracle="""
+WITH part_costs AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         MIN(CAST(l.l_extendedprice AS DECIMAL(12,2)) / CAST(l.l_quantity AS DECIMAL(12,2))) AS unit_cost
+  FROM lineitem l GROUP BY l.l_partkey, l.l_suppkey
+), ranked AS (
+  SELECT l_partkey, l_suppkey, unit_cost,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY unit_cost, l_suppkey) AS rk
+  FROM part_costs
+)
+SELECT p.p_partkey, p.p_name, s.s_name,
+       CAST(ROUND(r.unit_cost, 4) AS DOUBLE) AS unit_cost
+FROM ranked r
+JOIN part p ON p.p_partkey = r.l_partkey
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rk = 1 AND p.p_partkey <= 200
+""",
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table): cheapest supplier
+    per part via argmin window over per-pair unit costs.
+
+    Decimal division keeps unit_cost exact-comparable; ties break on
+    s_suppkey so the argmin is deterministic cross-engine.
+    """
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    s = T(spark, sf_dir, "supplier")
+    costs = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(dec("l_extendedprice") / dec("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    return (
+        costs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("unit_cost", 4).cast("double").alias("unit_cost"),
+        )
+    )

@@ -280,3 +280,36 @@ def q_regression_tokens_vs_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         n * sxx.cast("double") - sx.cast("double") * sx
     )
     return tok.groupBy("lang").agg(n.alias("n"), F.round(slope, 8).alias("slope"))
+
+
+@register(
+    "q_text_winnowing",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(lower(text)) - 7),
+                        i -> md5(substr(lower(text), i, 8))) AS g
+  FROM documents WHERE len(text) >= 8
+)
+SELECT doc_id,
+       len(list_distinct(g)) AS n_distinct_grams,
+       list_aggregate(g, 'min') AS min_gram_hash
+FROM grams
+""",
+)
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (MOSS/winnowing style): hashes
+    of every 8-char window; the distinct-gram count + global min hash
+    summarise the document for copy detection.  Pure column expressions
+    — each document is fingerprinted partition-locally."""
+    d = T(spark, sf_dir, "documents").where(F.length("text") >= 8)
+    lowered = d.select("doc_id", F.lower("text").alias("lt"))
+    grams = lowered.select(
+        "doc_id",
+        F.expr("transform(sequence(1, length(lt) - 7), i -> md5(substr(lt, i, 8)))").alias("g"),
+    )
+    return grams.select(
+        "doc_id",
+        F.size(F.array_distinct("g")).alias("n_distinct_grams"),
+        F.array_min("g").alias("min_gram_hash"),
+    )
