@@ -257,3 +257,72 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("full_funnel"),
     )
+
+
+@register(
+    "q_events_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) FILTER (event_type = 'click') AS click,
+         COUNT(*) FILTER (event_type = 'purchase') AS purchase
+  FROM events GROUP BY 1
+)
+SELECT day, etype, n FROM (
+  SELECT day, 'click' AS etype, click AS n FROM wide
+  UNION ALL
+  SELECT day, 'purchase', purchase FROM wide
+) WHERE n > 0
+""",
+)
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT surface: wide daily counts melted back to long via
+    stack() — the melt direction of q_events_daily_pivot."""
+    e = T(spark, sf_dir, "events")
+    wide = (
+        e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return wide.select(
+        "day", F.expr("stack(2, 'click', click, 'purchase', purchase) AS (etype, n)")
+    ).where(F.col("n") > 0)
+
+
+@register(
+    "q_calendar_spine",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0,
+         CAST(MAX(date_trunc('day', ts)) AS DATE) AS d1
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+), daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+)
+SELECT s.day, COALESCE(d.n, 0) AS n_signups
+FROM spine s LEFT JOIN daily d ON d.day = s.day
+""",
+)
+def q_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar spine joined to sparse facts — zero-filled
+    daily series (sequence() + explode; the gap-free reporting pattern)."""
+    e = T(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("d0"),
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    daily = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_signups")
+    )

@@ -180,3 +180,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return d.select("doc_id", "payload").mapInPandas(_featurize, schema)
+
+
+def resize_images(df: DataFrame, width: int, height: int, decode: str = "deterministic") -> DataFrame:
+    """Resize stub: production would decode+resample per row (PIL) inside
+    the same Arrow batching; here the deterministic path re-emits the
+    payload with updated metadata so the 1:1 mapInPandas shape is real."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real resize requires PIL; plug Image.open(...).resize((w,h)) into _resize"
+        )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_resize, schema)

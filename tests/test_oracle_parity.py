@@ -19,3 +19,20 @@ def test_query_matches_oracle(spark, name):
         # rows-only queries must at least produce a stable schema and run
         df = q.fn(spark, SF_CORRECT)
         assert df.columns
+
+
+def test_multimodal_resize_stub(spark):
+    """resize plumbing: 1:1 mapInPandas with payload passthrough; real
+    codec path raises at the documented hook."""
+    import pytest
+
+    from sayn_spark.functions.multimodal import resize_images, with_payload
+    from sayn_spark.functions.registry import T
+
+    d = with_payload(T(spark, SF_CORRECT, "documents").limit(20))
+    out = resize_images(d, 224, 224)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r.width == 224 and r.height == 224 and r.payload for r in rows)
+    with pytest.raises(NotImplementedError):
+        resize_images(d, 224, 224, decode="real")
