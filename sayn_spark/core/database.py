@@ -124,17 +124,39 @@ class SparkDatabase:
         partition_by: Optional[Sequence[str]] = None,
         bucket_by: Optional[tuple[int, Sequence[str]]] = None,
         sort_by: Optional[Sequence[str]] = None,
+        merge_schema: bool = False,
     ) -> None:
         """Materialise a DataFrame as a managed table.  partition/bucket/
         sort map the reference's per-warehouse DDL extensions (BigQuery
         partition/cluster `database/bigquery.py:23-77`, Redshift
         dist/sort `database/redshift.py:19-94`) onto Spark's writer.
+        ``merge_schema`` lets appends add new columns (the reference's
+        CANNOT CHANGE SCHEMA flag inverted: Spark CAN, when asked).
         """
         self._ensure_database(name)
         if mode == "overwrite":
             # saveAsTable(overwrite) can't replace a VIEW; clear it first
             if self.object_type(name) == "view":
                 self.drop_object(name)
+        if mode == "append" and merge_schema and self.table_exists(name):
+            # evolve the catalog schema: ADD COLUMNS for new fields, then
+            # realign the batch to the widened schema (missing -> NULL)
+            existing_names = {f.name for f in self.spark.table(name).schema.fields}
+            new_fields = [f for f in df.schema.fields if f.name not in existing_names]
+            if new_fields:
+                cols_ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in new_fields
+                )
+                self.spark.sql(f"ALTER TABLE {name} ADD COLUMNS ({cols_ddl})")
+            target = self.spark.table(name).schema
+            df = df.select(
+                *[
+                    (F.col(f.name) if f.name in df.columns else F.lit(None))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in target.fields
+                ]
+            )
         writer = df.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)

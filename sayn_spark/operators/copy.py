@@ -132,7 +132,12 @@ class CopyTask(Task):
         if mode == "append":
             batch = batch.withColumn(LOAD_TS_COL, F.current_timestamp())
             if db.table_exists(self.dst_value):
-                db.create_table(self.dst_value, batch, mode="append")
+                db.create_table(
+                    self.dst_value,
+                    batch,
+                    mode="append",
+                    merge_schema=bool(self.config_dict.get("schema_evolution")),
+                )
             else:
                 db.create_table(self.dst_value, batch, mode="overwrite")
             return

@@ -204,3 +204,32 @@ def test_copy_inc_to_file_sink_is_refused(ctx, tmp_path):
         }, ctx)
         t.config()
         t.run()
+
+
+def test_append_schema_evolution(ctx, spark):
+    """schema_evolution: appends may add new columns (mergeSchema)."""
+    db = ctx.db
+    seed(db, "se_src1", [{"id": 1, "updated_at": 1, "name": "a"}])
+    db.drop_object("se_dst")
+    cfg = {
+        "source": {"table": "se_src1"},
+        "destination": "se_dst",
+        "incremental_key": "updated_at",
+        "append": True,
+        "schema_evolution": True,
+    }
+    run_copy(ctx, "se", cfg)
+    # source gains a column; append must widen the destination
+    db.load_data(
+        "se_src2",
+        [{"id": 2, "updated_at": 2, "name": "b", "extra": "new"}],
+        schema="id long, updated_at long, name string, extra string",
+        replace=True,
+    )
+    cfg2 = dict(cfg, source={"table": "se_src2"})
+    run_copy(ctx, "se", cfg2)
+    out = spark.table("se_dst")
+    assert "extra" in out.columns
+    assert out.count() == 2
+    vals = {r.id: r.extra for r in out.collect()}
+    assert vals[2] == "new" and vals[1] is None
