@@ -17,3 +17,4 @@ from sayn_spark.functions import text  # noqa: F401,E402
 from sayn_spark.functions import multimodal  # noqa: F401,E402
 from sayn_spark.functions import sampling  # noqa: F401,E402
 from sayn_spark.functions import components  # noqa: F401,E402
+from sayn_spark.functions import content_filter  # noqa: F401,E402

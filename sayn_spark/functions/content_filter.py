@@ -1,0 +1,271 @@
+"""Content-filtering operators for training-data curation: PII
+detection/redaction, repetition signals, cross-source contamination,
+frequency-rank scoring.
+
+The synthetic corpus contains no real PII, so the PII queries plant
+deterministic emails/phones into a known subset (doc_id % 10 == 0) —
+the operator must find exactly those (and the redaction round-trip
+must remove them).  All regex/count logic is JVM column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sayn_spark.functions.registry import T, register
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+1-[0-9]{3}-[0-9]{4}"
+
+# planted PII: every 10th doc gets an email + phone appended
+_SPARK_PII_CORPUS = (
+    "CASE WHEN doc_id % 10 = 0 THEN text || ' contact user" +
+    "' || cast(doc_id as string) || '@example.com or +1-555-0100' ELSE text END"
+)
+_SQL_PII_CORPUS = (
+    "CASE WHEN doc_id % 10 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com or +1-555-0100' ELSE text END"
+)
+
+
+@register(
+    "q_pii_scan",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id, {_SQL_PII_CORPUS} AS text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+       len(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_len
+FROM corpus
+WHERE len(regexp_extract_all(text, '{_EMAIL_RE}')) > 0
+   OR len(regexp_extract_all(text, '{_PHONE_RE}')) > 0
+""",
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: regex scan for emails/phones, length
+    after redaction.  Must surface exactly the planted doc_id % 10 == 0
+    subset.  Pure map-side work — scales linearly."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPARK_PII_CORPUS).alias("text")
+    )
+    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_emails.alias("n_emails"),
+            n_phones.alias("n_phones"),
+            F.length(redacted).alias("redacted_len"),
+        )
+        .where((F.col("n_emails") > 0) | (F.col("n_phones") > 0))
+    )
+
+
+@register(
+    "q_repetition_signals",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_filter(list_transform(generate_series(1, len(t) - 1),
+                                      i -> t[i] = t[i+1]), x -> x)) AS n_immediate_repeats,
+       ROUND(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS repetition_ratio
+FROM tok WHERE len(t) >= 2
+""",
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals: immediate token repeats + overall
+    repetition ratio (1 - distinct/total) — the cheap degenerate-text
+    detectors run before expensive dedup."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("t")
+    ).where(F.expr("size(t) >= 2"))
+    return toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.expr(
+            "size(filter(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
+            "(a, b) -> a = b), x -> x))"
+        ).alias("n_immediate_repeats"),
+        F.round(
+            F.lit(1.0) - F.expr("size(array_distinct(t))").cast("double") / F.size("t"), 6
+        ).alias("repetition_ratio"),
+    )
+
+
+@register(
+    "q_contamination",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' ')) AS fingerprint
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, 'heldout',
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' '))
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT fingerprint,
+       COUNT(DISTINCT source) AS n_sources,
+       MIN(doc_id) AS example_doc
+FROM fp
+GROUP BY fingerprint
+HAVING COUNT(DISTINCT source) > 1
+""",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination: identical content fingerprints that
+    appear in more than one source (a planted 'heldout' split shares
+    every 7th doc — train/test leakage detection at corpus scale)."""
+    d = T(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.expr(
+            "concat_ws(' ', array_sort(array_distinct(filter(split(lower(text), ' '), x -> x != ''))))"
+        )
+    )
+    base = d.select("doc_id", "source", fp.alias("fingerprint"))
+    heldout = (
+        d.where(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.lit("heldout").alias("source"),
+            fp.alias("fingerprint"),
+        )
+    )
+    return (
+        base.unionByName(heldout)
+        .groupBy("fingerprint")
+        .agg(
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .where(F.col("n_sources") > 1)
+    )
+
+
+@register(
+    "q_token_rank_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rank
+  FROM toks GROUP BY tok
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       SUM(v.rank) AS rank_sum,
+       ROUND(CAST(SUM(v.rank) AS DOUBLE) / COUNT(*), 6) AS avg_rank
+FROM toks t JOIN vocab v ON v.tok = t.tok
+GROUP BY t.doc_id
+""",
+)
+def q_token_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-rank scoring (perplexity proxy without a model): build
+    the corpus vocabulary ranked by frequency, score each document by
+    its tokens' average rank.  Vocab is tiny -> broadcast join; the
+    scoring pass is linear."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.expr("filter(split(lower(text), ' '), x -> x != '')")).alias("tok")
+    )
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .select("tok", "rank")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("rank").alias("rank_sum"),
+            F.round(F.sum("rank").cast("double") / F.count(F.lit(1)), 6).alias("avg_rank"),
+        )
+    )
+
+
+@register(
+    "q_weighted_mixture",
+    oracle="""
+WITH rated AS (
+  SELECT doc_id, source,
+         (1 + (('0x' || substr(md5(source), 1, 4))::BIGINT % 5)) / 10.0 AS rate,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000) AS bucket
+  FROM documents
+)
+SELECT source,
+       ROUND(MAX(rate), 1) AS target_rate,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (bucket < rate * 1000) AS n_sampled
+FROM rated GROUP BY source
+""",
+)
+def q_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture construction: each source gets a deterministic
+    sampling rate (derived from its name hash — stand-in for configured
+    mixture weights) and rows are kept by content-hash bucket.  The
+    standard way a 100 TB pretraining mix is drawn reproducibly."""
+    d = T(spark, sf_dir, "documents")
+    rate = (1 + F.expr("cast(conv(substr(md5(source), 1, 4), 16, 10) as bigint)") % 5) / 10.0
+    bucket = F.expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)") % 1000
+    rated = d.select("doc_id", "source", rate.alias("rate"), bucket.alias("bucket"))
+    return rated.groupBy("source").agg(
+        F.round(F.max("rate"), 1).alias("target_rate"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((F.col("bucket") < F.col("rate") * 1000).cast("long")).alias("n_sampled"),
+    )
+
+
+@register(
+    "q_sequence_packing",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         (SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2048 AS bin_id
+  FROM tok
+)
+SELECT bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+FROM packed GROUP BY bin_id
+""",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: contiguous greedy fill of 2048-
+    token context windows via a running token cumsum (bin = floor of
+    the pre-document cumulative sum / window).  Exact integer window
+    math — identical packing on any cluster size.
+
+    At 100 TB the single global ordering becomes per-shard ordering
+    (pack within partition) — same expression with a partitionBy."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.expr("size(filter(split(lower(text), ' '), x -> x != ''))").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = tok.select(
+        "doc_id",
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("bigint").alias("bin_id"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
+    )
