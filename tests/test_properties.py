@@ -1,0 +1,70 @@
+"""Property-based semantics tests (hypothesis): the incremental-merge
+and incremental-filter plans must match a pure-Python model of the
+reference semantics (merge_tables.sql:1-12, tasks/copy.py:668-675) on
+arbitrary small inputs — including NULL keys and empty sides."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sayn_spark.plans.materialise import incremental_filter, merge_dataframes
+
+
+def nsort(tuples):
+    """Sort tuples that may contain None (None sorts first)."""
+    return sorted(tuples, key=lambda t: tuple((v is None, 0 if v is None else v) for v in t))
+
+ROWS = st.lists(
+    st.fixed_dictionaries(
+        {
+            "id": st.integers(min_value=0, max_value=9),
+            "val": st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        }
+    ),
+    max_size=8,
+)
+
+SCHEMA = "id long, val long"
+
+
+def model_merge(dst: list[dict], src: list[dict], key: str) -> list[tuple]:
+    """Reference semantics: DELETE dst WHERE EXISTS src with equal key
+    (NULL never equals), then INSERT all of src."""
+    src_keys = {r[key] for r in src if r[key] is not None}
+    kept = [r for r in dst if r[key] not in src_keys]
+    return nsort((r["id"], r["val"]) for r in kept + src)
+
+
+def model_filter(rows: list[dict], key: str, last_max) -> list[tuple]:
+    """inc_key >= last_max OR inc_key IS NULL."""
+    out = [r for r in rows if r[key] is None or (last_max is None or r[key] >= last_max)]
+    return nsort((r["id"], r["val"]) for r in out)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(dst=ROWS, src=ROWS)
+def test_merge_matches_model(spark, dst, src):
+    dst_df = spark.createDataFrame(dst, schema=SCHEMA)
+    src_df = spark.createDataFrame(src, schema=SCHEMA)
+    got = nsort(tuple(r) for r in merge_dataframes(dst_df, src_df, "id").collect())
+    assert got == model_merge(dst, src, "id")
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=ROWS, last_max=st.one_of(st.none(), st.integers(min_value=-6, max_value=6)))
+def test_incremental_filter_matches_model(spark, rows, last_max):
+    df = spark.createDataFrame(rows, schema=SCHEMA)
+    got = nsort(tuple(r) for r in incremental_filter(df, "val", last_max).collect())
+    assert got == model_filter(rows, "val", last_max)
+
+
+def test_components_edge_cases(spark):
+    from sayn_spark.functions.components import connected_components
+
+    # path graph 0-1-2-3-4 (diameter > 1 iteration) + disjoint pair + isolated self-loop
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], schema="src long, dst long"
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 20: 20}
