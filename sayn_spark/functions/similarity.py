@@ -232,3 +232,101 @@ def q_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("label").alias("true_label"), F.col("c_label").alias("assigned_label"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_SQL_CENTROIDS = """
+comp AS (
+  SELECT label, i, e[i] AS x FROM emb, (SELECT unnest(generate_series(1, 64)) AS i)
+),
+cent AS (
+  SELECT label, i,
+         ROUND(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 8) AS c
+  FROM comp GROUP BY label, i
+),
+cent_arr AS (
+  SELECT label AS c_label, list(c ORDER BY i) AS ce FROM cent GROUP BY label
+)"""
+
+
+def _centroid_arrays(emb: DataFrame) -> DataFrame:
+    """(c_label, ce: array<double>) — decimal-exact per-dimension means."""
+    comp = emb.select("label", F.posexplode("e").alias("pos", "x"))
+    cent = comp.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1)), 8
+        ).alias("c")
+    )
+    return cent.groupBy(F.col("label").alias("c_label")).agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").alias("ce")
+    )
+
+
+@register(
+    "q_ivf_search",
+    oracle=f"""
+WITH {_SQL_EMB}, {_SQL_NORMED}, {_SQL_CENTROIDS},
+assigned AS (
+  SELECT vec_id, c_label, ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_aggregate(list_transform(list_zip(n.e, c.ce),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8), c_label) AS rk
+  FROM normed n, cent_arr c
+),
+cells AS (SELECT vec_id, c_label AS cell FROM assigned WHERE rk = 1),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qn.e, cn.e) / (qn.nrm * cn.nrm), 6) AS cos
+  FROM cells q
+  JOIN cells c ON c.cell = q.cell AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+  JOIN normed qn ON qn.vec_id = q.vec_id
+  JOIN normed cn ON cn.vec_id = c.vec_id
+)
+SELECT query_id, neighbor_id, cos, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 3
+""",
+)
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search (the probe path, completing q_ivf_centroids): assign
+    every vector to its nearest centroid cell, then answer queries by
+    exact top-3 cosine WITHIN the query's cell only.
+
+    At 100 TB: centroids broadcast, cells = shuffle partitioning, each
+    query touches 1/k of the data (nprobe=1 here; more probes = union
+    of cells).
+    """
+    n = _normed(spark, sf_dir)
+    cent = _centroid_arrays(n.select("label", "e"))
+    d2 = F.round(
+        F.expr("aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"),
+        8,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    cells = (
+        n.crossJoin(F.broadcast(cent))
+        .select("vec_id", "c_label", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") == 1)
+        .select("vec_id", F.col("c_label").alias("cell"))
+    )
+    q = (
+        cells.where(F.col("vec_id") < 10)
+        .join(n, "vec_id")
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn"), "cell")
+    )
+    c = cells.join(n, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), "e", "nrm", "cell"
+    )
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qn") * F.col("nrm")),
+        6,
+    )
+    scored = (
+        q.join(c, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
