@@ -168,9 +168,15 @@ class SparkDatabase:
         writer.saveAsTable(name)
 
     def move_table(self, src: str, dst: str) -> None:
-        """DROP dst; RENAME src->dst (ref: database/__init__.py:701-743)."""
+        """DROP dst; RENAME src->dst (ref: database/__init__.py:701-743).
+
+        refreshTable afterwards: sessions that read dst before the swap
+        hold a cached file listing pointing at dropped files (observed
+        as FAILED_READ_FILE on the next read without it).
+        """
         self.drop_object(dst)
         self.spark.sql(f"ALTER TABLE {src} RENAME TO {dst}")
+        self.spark.catalog.refreshTable(dst)
 
     def replace_table(
         self,

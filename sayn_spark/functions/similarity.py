@@ -146,7 +146,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact cosine top-3 — the two-stage search shape used at scale
     (bucket join replaces the cross join of the brute-force baseline).
     """
-    n = _normed(spark, sf_dir).withColumn("bucket", F.expr(_BUCKET_SPARK))
+    from pyspark.storagelevel import StorageLevel
+
+    # bucket signs are interpreted HOF work (8 planes x 64 dims per
+    # vector); persist so the query/candidate branches share one pass
+    n = (
+        _normed(spark, sf_dir)
+        .withColumn("bucket", F.expr(_BUCKET_SPARK))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     q = n.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),

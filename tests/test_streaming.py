@@ -128,3 +128,48 @@ def test_dedup_stream_drops_duplicate_keys(spark, events_dir, tmp_path):
     q.awaitTermination(120)
     n_unique = T(spark, SF, "events").select("event_id").distinct().count()
     assert spark.table("dedup_out").count() == n_unique
+
+
+def test_stream_merge_into_replaces_keys(spark, tmp_path):
+    """foreachBatch incremental materialisation: micro-batches merge on
+    the delete key exactly like the batch engine."""
+    import pyspark.sql.functions as F
+
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.streaming.materialise import stream_merge_into
+
+    db = SparkDatabase(spark)
+    db.drop_object("sm_dst")
+    src_dir = tmp_path / "sm_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "sm_ckpt")
+    schema = "id long, v string"
+
+    def land(rows, name):
+        # file streams list flat files: write to a staging dir, then move
+        # the part file into the landing dir
+        import glob as g
+        import shutil as sh
+
+        staging = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.parquet(str(staging))
+        part = g.glob(str(staging / "part-*.parquet"))[0]
+        sh.move(part, str(src_dir / f"{name}.parquet"))
+
+    # batch 1: initial rows
+    land([(1, "a"), (2, "b")], "f1")
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    q = stream_merge_into(stream, "sm_dst", "id", ckpt)
+    q.awaitTermination(120)
+    assert sorted(tuple(r) for r in spark.table("sm_dst").collect()) == [(1, "a"), (2, "b")]
+
+    # batch 2: update id=2, insert id=3 -> merge must replace and add
+    land([(2, "b2"), (3, "c")], "f2")
+    stream2 = spark.readStream.schema(schema).parquet(str(src_dir))
+    q2 = stream_merge_into(stream2, "sm_dst", "id", ckpt)
+    q2.awaitTermination(120)
+    assert sorted(tuple(r) for r in spark.table("sm_dst").collect()) == [
+        (1, "a"),
+        (2, "b2"),
+        (3, "c"),
+    ]
