@@ -326,3 +326,62 @@ def q_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(daily, "day", "left").select(
         "day", F.coalesce("n", F.lit(0)).alias("n_signups")
     )
+
+
+@register(
+    "q_events_sliding_window",
+    oracle="""
+WITH buckets AS (
+  SELECT w0 + s.off AS win_start, e.event_type
+  FROM (SELECT (epoch_us(ts) // 1000000 // 900) * 900 AS w0, event_type FROM events) e,
+       (SELECT unnest([0, -900, -1800]) AS off) s
+)
+SELECT win_start, event_type, COUNT(*) AS n
+FROM buckets GROUP BY win_start, event_type
+""",
+)
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (45-min length, 15-min slide) expressed as an
+    explode over the 3 windows each event belongs to — the batch
+    equivalent of F.window(ts, '45 minutes', '15 minutes'), written as
+    integer epoch arithmetic so both engines agree exactly."""
+    e = T(spark, sf_dir, "events")
+    w0 = (F.unix_micros("ts") / 1000000 / 900).cast("long") * 900
+    return (
+        e.select(w0.alias("w0"), "event_type")
+        .select(
+            F.explode(F.expr("array(0L, -900L, -1800L)")).alias("off"), "w0", "event_type"
+        )
+        .groupBy((F.col("w0") + F.col("off")).alias("win_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_events_first_touch",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+  FROM events
+)
+SELECT event_type AS first_event_type,
+       COUNT(*) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS first_touch_value
+FROM ranked WHERE rk = 1 GROUP BY event_type
+""",
+)
+def q_events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each user's earliest event credited
+    (argmin via row_number, deterministic event_id tiebreak)."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .groupBy(F.col("event_type").alias("first_event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            dsum(dec("value"), "first_touch_value"),
+        )
+    )

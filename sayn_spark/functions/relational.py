@@ -1242,3 +1242,31 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("unit_cost", 4).cast("double").alias("unit_cost"),
         )
     )
+
+
+@register(
+    "q_cube_orders",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(CAST(YEAR(o_orderdate) AS VARCHAR), 'ALL') AS year,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE(o_orderstatus, YEAR(o_orderdate))
+""",
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE surface: all grouping combinations incl. both subtotals."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderstatus", F.year("o_orderdate").alias("yr"), "o_totalprice"
+    )
+    return (
+        o.cube("o_orderstatus", "yr")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(dec("o_totalprice"), "total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("year"),
+            "n",
+            "total",
+        )
+    )

@@ -82,3 +82,21 @@ def test_multimodal_prunes_payload_for_meta_queries(spark):
         ln for ln in plan_of(spark, meta_only).splitlines() if "ReadSchema" in ln
     ][0]
     assert "text" not in read_schema  # payload source column pruned away
+
+
+def test_partitioned_table_prunes_partitions(spark):
+    """Filters on the partition column must prune at the metadata level
+    (PartitionFilters in the scan, not a data filter)."""
+    from pyspark.sql import functions as F
+
+    from sayn_spark.core.database import SparkDatabase
+
+    db = SparkDatabase(spark)
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("bucket")
+    )
+    db.create_table("pp_t", df, partition_by=["bucket"])
+    plan = plan_of(spark, spark.table("pp_t").where(F.col("bucket") == "2"))
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # count confirms pruned correctness
+    assert spark.table("pp_t").where("bucket = '2'").count() == 250
