@@ -338,3 +338,59 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+
+
+@register(
+    "q_embedding_quantization",
+    oracle=f"""
+WITH {_SQL_EMB},
+comp AS (
+  SELECT vec_id, i, e[i] AS x FROM emb, (SELECT unnest(generate_series(1, 64)) AS i)
+),
+dim_range AS (
+  SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM comp GROUP BY i
+),
+quant AS (
+  SELECT c.vec_id, c.i,
+         CASE WHEN r.hi = r.lo THEN 0
+              ELSE CAST(ROUND((c.x - r.lo) / (r.hi - r.lo) * 255) AS BIGINT) END AS q,
+         c.x, r.lo, r.hi
+  FROM comp c JOIN dim_range r ON r.i = c.i
+),
+err AS (
+  SELECT vec_id,
+         MAX(ABS(x - (lo + q * (hi - lo) / 255))) AS max_err
+  FROM quant GROUP BY vec_id
+)
+SELECT COUNT(*) AS n_vectors,
+       SUM(CASE WHEN ROUND(max_err, 6) <= 0.02 THEN 1 ELSE 0 END) AS n_within_tolerance,
+       ROUND(MAX(max_err), 6) AS worst_err
+FROM err
+""",
+)
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding column: per-dimension
+    min/max ranges -> 0..255 codes -> reconstruction error bounds.
+
+    The memory-reduction step before ANN at 100 TB (4 bytes -> 1 byte
+    per dim).  Error metrics use MAX (order-independent) so the check
+    is exact; per-dim ranges are global min/max aggregates.
+    """
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("cast(embedding as array<double>)").alias("e")
+    )
+    comp = emb.select("vec_id", F.posexplode("e").alias("i", "x"))
+    rng = comp.groupBy("i").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    q = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.round((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255).cast("bigint")
+    )
+    quant = comp.join(F.broadcast(rng), "i").select(
+        "vec_id", "x", "lo", "hi", q.alias("q")
+    )
+    recon = F.col("lo") + F.col("q") * (F.col("hi") - F.col("lo")) / 255
+    err = quant.groupBy("vec_id").agg(F.max(F.abs(F.col("x") - recon)).alias("max_err"))
+    return err.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.when(F.round("max_err", 6) <= 0.02, 1).otherwise(0)).alias("n_within_tolerance"),
+        F.round(F.max("max_err"), 6).alias("worst_err"),
+    )

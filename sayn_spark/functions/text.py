@@ -313,3 +313,78 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("g")).alias("n_distinct_grams"),
         F.array_min("g").alias("min_gram_hash"),
     )
+
+
+_BM25_TERMS = ("data", "spark", "query")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "q_bm25_search",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM tok
+),
+tf AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+  WHERE t IN ('data', 'spark', 'query')
+  GROUP BY doc_id, t
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * len(tok.toks) / s.avgdl))) AS score
+  FROM tf
+  JOIN df ON df.term = tf.term
+  JOIN tok ON tok.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS bm25 FROM scored
+ORDER BY score DESC, doc_id LIMIT 20
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval for the query ('data', 'spark', 'query'):
+    classic lexical search as two aggregations + a broadcast of the
+    tiny per-term stats.  The lexical half of hybrid search next to the
+    ANN queries; at 100 TB this is the inverted-index scoring pass.
+    """
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size("toks")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = list(_BM25_TERMS)
+    tf = (
+        tok.select("doc_id", F.explode("toks").alias("t"))
+        .where(F.col("t").isin(terms))
+        .groupBy("doc_id", F.col("t").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = tok.select("doc_id", F.size("toks").alias("dl"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1) / denom
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
