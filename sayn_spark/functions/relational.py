@@ -1245,6 +1245,146 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q20_excess_suppliers",
+    oracle="""
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+), part_total AS (
+  SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_regionkey = 0
+  AND EXISTS (
+    SELECT 1 FROM shipped sh
+    JOIN part_total pt ON pt.l_partkey = sh.l_partkey
+    JOIN part p ON p.p_partkey = sh.l_partkey
+    WHERE sh.l_suppkey = s.s_suppkey
+      AND p.p_size >= 25
+      AND CAST(sh.qty AS DOUBLE) > 0.5 * CAST(pt.total_qty AS DOUBLE)
+  )
+ORDER BY s_suppkey
+""",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp, availqty := shipped qty):
+    suppliers in one region holding >50% of a large part's shipped
+    volume — nested agg-derived threshold feeding a semi join.
+
+    Ref surface: nested IN/EXISTS subqueries over aggregates (SURVEY
+    §2.4).  Scale shape: one lineitem scan with a pushed-down date
+    filter -> partial agg on (part, supp); the per-part total reuses the
+    same agg (groupBy of the first, no second scan); supplier/nation/
+    part are broadcast.  The semi join keys on s_suppkey so the big
+    side never re-shuffles for the dim probe.
+    """
+    l = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").where(F.col("n_regionkey") == 0)
+    p = T(spark, sf_dir, "part").where(F.col("p_size") >= 25)
+    shipped = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).alias("qty")
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    excess = (
+        shipped.join(part_total, shipped.l_partkey == F.col("pk"))
+        .join(F.broadcast(p), shipped.l_partkey == p.p_partkey, "left_semi")
+        .where(F.col("qty").cast("double") > 0.5 * F.col("total_qty").cast("double"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  GROUP BY l.l_orderkey, l.l_suppkey
+), all_supps AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem GROUP BY l_orderkey, l_suppkey
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late t
+JOIN supplier s ON s.s_suppkey = t.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM all_supps a
+    WHERE a.l_orderkey = t.l_orderkey AND a.l_suppkey <> t.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l2
+    WHERE l2.l_orderkey = t.l_orderkey AND l2.l_suppkey <> t.l_suppkey
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: late := shipped >90 days after order
+    date, no receipt/commit dates in the schema): the only late
+    supplier on a multi-supplier finalized order.
+
+    Ref surface: EXISTS + NOT EXISTS correlated self-joins (SURVEY
+    §2.4).  Spark plan: both subqueries become semi/anti joins keyed on
+    l_orderkey with the suppkey inequality in the join condition — no
+    correlated re-execution; the `late` set is derived once and reused
+    for both the driving side and the anti side.
+    """
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = T(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    all_supps = l.groupBy(
+        F.col("l_orderkey").alias("a_ok"), F.col("l_suppkey").alias("a_sk")
+    ).agg(F.count(F.lit(1)).alias("_n")).select("a_ok", "a_sk")
+    late2 = late.select(
+        F.col("l_orderkey").alias("b_ok"), F.col("l_suppkey").alias("b_sk")
+    )
+    return (
+        late.join(
+            all_supps,
+            (F.col("a_ok") == late.l_orderkey) & (F.col("a_sk") != late.l_suppkey),
+            "left_semi",
+        )
+        .join(
+            late2,
+            (F.col("b_ok") == late.l_orderkey) & (F.col("b_sk") != late.l_suppkey),
+            "left_anti",
+        )
+        .join(F.broadcast(s), s.s_suppkey == late.l_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
     "q_cube_orders",
     oracle="""
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
