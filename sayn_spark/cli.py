@@ -26,13 +26,19 @@ def _common(f):
             click.option("--start-dt", default=None),
             click.option("--end-dt", default=None),
             click.option("--fail-fast", is_flag=True, default=False),
+            click.option(
+                "--upstream-prod",
+                is_flag=True,
+                default=False,
+                help="read unselected upstream sources from prod names",
+            ),
         ]
     ):
         f = deco(f)
     return f
 
 
-def _build_app(command, project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, with_tests=False):
+def _build_app(command, project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, with_tests=False):
     args = RunArguments(
         command=command,
         full_load=full_load,
@@ -40,6 +46,7 @@ def _build_app(command, project_dir, tasks, exclude, profile, full_load, start_d
         end_dt=dt.date.fromisoformat(end_dt) if end_dt else None,
         with_tests=with_tests,
         fail_fast=fail_fast,
+        upstream_prod=upstream_prod,
         include=list(tasks),
         exclude=list(exclude),
     )
@@ -79,25 +86,25 @@ def cli() -> None:
 @cli.command()
 @_common
 @click.option("--with-tests", is_flag=True, default=False)
-def run(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, with_tests):
+def run(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, with_tests):
     """Execute selected tasks."""
-    app = _build_app("run", project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, with_tests)
+    app = _build_app("run", project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, with_tests)
     _run_and_finish(app, "run")
 
 
 @cli.command()
 @_common
-def compile(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast):
+def compile(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod):
     """Compile selected tasks to compile/<group>/<task>.sql."""
-    app = _build_app("compile", project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast)
+    app = _build_app("compile", project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod)
     _run_and_finish(app, "compile")
 
 
 @cli.command()
 @_common
-def test(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast):
+def test(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod):
     """Run data-quality tests for selected tasks."""
-    app = _build_app("test", project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast)
+    app = _build_app("test", project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod)
     _run_and_finish(app, "test")
 
 

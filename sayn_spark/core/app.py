@@ -79,11 +79,14 @@ class App:
             start_dt=self.run_arguments.start_dt,
             end_dt=self.run_arguments.end_dt,
         )
+        # prod rules = default profile's stringify (dev profiles layer
+        # their own on top; ref: database/objects.py:69-96)
+        prod_prof = self.settings.profile(None)
         self.obj_compiler = DbObjectCompiler(
             default_db=self.project.default_db,
             connections=[self.project.default_db, *self.settings.credentials.keys()],
             stringify=prof.stringify,
-            prod_stringify={},
+            prod_stringify=prod_prof.stringify,
             from_prod=prof.from_prod,
         )
         if spark is None:
@@ -218,6 +221,16 @@ class App:
     def _execute(self, command: str, parallel: bool = True) -> dict[str, TaskStatus]:
         selected = set(self.select_tasks())
         sub_dag = {n: [p for p in self.dag[n] if p in selected] for n in selected}
+
+        # upstream-prod: sources of selected tasks that no selected task
+        # produces are read from their prod names; affected tasks pick
+        # this up via the setup-time recompile (ref: core/app.py:503-511)
+        if self.run_arguments.upstream_prod:
+            exec_sources = {o for n in selected for o in self.tasks[n].sources}
+            exec_outputs = {o for n in selected for o in self.tasks[n].outputs}
+            self.obj_compiler.sources_from_prod = exec_sources - exec_outputs
+        else:
+            self.obj_compiler.sources_from_prod = set()
         failed: set[str] = set()
         skipped: set[str] = set()
         interrupted = False

@@ -38,6 +38,9 @@ class RunArguments:
     end_dt: Optional[Any] = None
     with_tests: bool = False
     fail_fast: bool = False
+    # read unselected upstream sources from their prod names
+    # (ref: core/app.py:503-511, tasks/task_wrapper.py:324-331)
+    upstream_prod: bool = False
     include: list[str] = field(default_factory=list)
     exclude: list[str] = field(default_factory=list)
 

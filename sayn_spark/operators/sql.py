@@ -86,6 +86,13 @@ class SqlTask(Task):
             self.dst_value = None
         self.status = TaskStatus.READY
 
+    def setup(self) -> None:
+        """Recompile the SELECT at setup time (ref: tasks/sql.py:349-351
+        "recompile regardless"): by now the app has computed
+        ``sources_from_prod``, so ``src()`` values resolve to prod names
+        for upstream-prod runs."""
+        self.compiled = self.task_compiler.compile(self.raw_sql)
+
     # -- execution -------------------------------------------------------
 
     def _select_df(self):

@@ -245,3 +245,64 @@ def test_env_parameter_override(spark, tmp_path, monkeypatch):
     app = App(proj, spark=spark, run_arguments=RunArguments(command="run"))
     assert app.run()["envp"] == TaskStatus.SUCCESS
     assert [r.v for r in spark.table("envp_out").collect()] == [42]
+
+
+def test_upstream_prod_reads_prod_names(spark, tmp_path):
+    """--upstream-prod: sources not produced by any selected task are
+    read from their prod (default-profile stringify) names; outputs
+    keep the dev names (ref: core/app.py:503-511, tasks/sql.py:349-351
+    setup recompile, task_wrapper.py:324-331)."""
+    proj = make_project(
+        tmp_path,
+        "default_db: spark\n",
+        """
+        tasks:
+          base: {type: sql, materialisation: table, file_name: base.sql, destination: base}
+          child: {type: sql, materialisation: table, file_name: child.sql, destination: child}
+        """,
+        sql={
+            "base.sql": "SELECT 'dev' AS env",
+            "child.sql": "SELECT env FROM {{ src('base') }}",
+        },
+    )
+    (proj / "settings.yaml").write_text(
+        textwrap.dedent(
+            """
+            default_profile: prod
+            profiles:
+              prod: {}
+              dev:
+                stringify:
+                  table_prefix: updev
+            """
+        )
+    )
+    # simulate an existing prod table
+    spark.sql("DROP TABLE IF EXISTS base")
+    spark.createDataFrame([("prod",)], "env string").write.saveAsTable("base")
+
+    # selecting only child with --upstream-prod: reads prod `base`
+    app = App(
+        proj,
+        spark=spark,
+        profile="dev",
+        run_arguments=RunArguments(command="run", include=["child"], upstream_prod=True),
+    )
+    assert app.run()["child"] == TaskStatus.SUCCESS
+    assert [r.env for r in spark.table("updev_child").collect()] == ["prod"]
+
+    # without the flag the same selection targets the dev name (absent)
+    spark.sql("DROP TABLE IF EXISTS updev_child")
+    app2 = App(
+        proj,
+        spark=spark,
+        profile="dev",
+        run_arguments=RunArguments(command="run", include=["child"]),
+    )
+    assert app2.run()["child"] == TaskStatus.FAILED  # updev_base missing
+
+    # running the whole dag (dev profile, no flag) stays dev-to-dev
+    app3 = App(proj, spark=spark, profile="dev", run_arguments=RunArguments(command="run"))
+    statuses = app3.run()
+    assert all(s == TaskStatus.SUCCESS for s in statuses.values()), statuses
+    assert [r.env for r in spark.table("updev_child").collect()] == ["dev"]
