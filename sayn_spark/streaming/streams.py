@@ -85,6 +85,59 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str
     )
 
 
+def attribution_join_stream(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    clicks by the same user in the preceding attribution window.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides, so Spark's symmetric hash join keeps only
+    ``watermark + window`` of state per side — bounded memory at any
+    scale.  This is the streaming twin of a batch range join
+    (purchases ⋈ clicks ON same user AND click within [t-window, t]).
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            p_user = c_user
+            AND click_ts <= purchase_ts
+            AND click_ts >= purchase_ts - INTERVAL {attribution_window}
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 def stream_copy(
     events: DataFrame,
     dst_path: str,

@@ -173,3 +173,39 @@ def test_stream_merge_into_replaces_keys(spark, tmp_path):
         (2, "b2"),
         (3, "c"),
     ]
+
+
+def test_attribution_join_stream_matches_batch(spark, events_dir):
+    """Stream-stream interval join must equal the batch range join."""
+    from pyspark.sql import functions as F
+
+    from sayn_spark.streaming import attribution_join_stream
+
+    stream = attribution_join_stream(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.click_id) for r in spark.table("attr_out").collect()
+    }
+
+    ev = T(spark, SF, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    want = {
+        (r.pid, r.cid)
+        for r in purchases.join(
+            clicks,
+            F.expr("pu = cu AND cts <= pts AND cts >= pts - INTERVAL 1 HOUR"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
