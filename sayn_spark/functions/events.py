@@ -385,3 +385,66 @@ def q_events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(dec("value"), "first_touch_value"),
         )
     )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+  SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_id,
+       epoch_us(p.ts) AS purchase_us,
+       c.click_id,
+       epoch_us(c.ts) AS click_us
+FROM purchases p ASOF JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click by the
+    same user at-or-before it — an operator Spark lacks natively.
+
+    Scale design: NOT a per-key join + argmax (that shuffles the full
+    pair cross-product).  Both sides are tagged and unioned, then ONE
+    shuffle on user_id feeds a sorted window where
+    ``last(click_id, ignorenulls)`` carries the most recent click
+    forward onto each purchase row — linear state, no pair blowup,
+    identical to how a 100 TB as-of backfill should run.  Clicks are
+    pre-deduped to one per (user, ts) (max event_id) so ties are
+    deterministic in both engines.
+    """
+    e = T(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.lit(None).cast("long").alias("purchase_id"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # clicks sort before purchases at equal ts => the <= is inclusive
+    tagged = clicks.unionByName(purchases).withColumn(
+        "kind", F.when(F.col("purchase_id").isNull(), 0).otherwise(1)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("last_click_ts", F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w))
+        .where((F.col("kind") == 1) & F.col("last_click_id").isNotNull())
+        .select(
+            "user_id",
+            "purchase_id",
+            F.unix_micros("ts").alias("purchase_us"),
+            F.col("last_click_id").alias("click_id"),
+            F.unix_micros("last_click_ts").alias("click_us"),
+        )
+    )

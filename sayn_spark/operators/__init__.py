@@ -4,6 +4,7 @@ from sayn_spark.operators.python import (  # noqa: F401
     ClassPythonTask,
     DecoratedPythonTask,
     DummyTask,
+    ModulePythonTask,
     PythonTask,
     task,
 )
@@ -18,5 +19,6 @@ TASK_TYPES = {
     "copy": CopyTask,
     "test": TestTask,
     "python": ClassPythonTask,
+    "python_module": ModulePythonTask,
     "python_decorator": DecoratedPythonTask,
 }

@@ -120,7 +120,7 @@ class DecoratedPythonTask(PythonTask):
 class ClassPythonTask(Task):
     """`class: module.Class` form (ref: core/app.py:332-345)."""
 
-    def config(self) -> None:
+    def _resolve_class(self) -> type:
         path = self.config_dict["class"]
         module_name, cls_name = path.rsplit(".", 1)
         if module_name.startswith("python."):
@@ -138,9 +138,12 @@ class ClassPythonTask(Task):
             spec.loader.exec_module(module)
         else:
             module = importlib.import_module(module_name)
-        cls = getattr(module, cls_name)
+        return getattr(module, cls_name)
+
+    def config(self) -> None:
+        cls = self._resolve_class()
         if not issubclass(cls, PythonTask):
-            raise TypeError(f"{path} is not a PythonTask subclass")
+            raise TypeError(f"{cls!r} is not a PythonTask subclass")
         self.impl = cls(self.name, self.config_dict, self.context)
         self.impl.config()
         self.parents = self.impl.parents
@@ -161,6 +164,15 @@ class ClassPythonTask(Task):
 
     def test(self) -> None:
         self.impl.test()
+
+
+class ModulePythonTask(ClassPythonTask):
+    """`type: python_module` — the config carries the task class object
+    itself under ``task_class`` (ref: core/app.py:333-334, the
+    programmatic registration path behind the @task decorator)."""
+
+    def _resolve_class(self) -> type:
+        return self.config_dict["task_class"]
 
 
 class DummyTask(Task):

@@ -306,3 +306,35 @@ def test_upstream_prod_reads_prod_names(spark, tmp_path):
     statuses = app3.run()
     assert all(s == TaskStatus.SUCCESS for s in statuses.values()), statuses
     assert [r.env for r in spark.table("updev_child").collect()] == ["dev"]
+
+
+def test_python_module_task_class_object(spark, tmp_path):
+    """type: python_module carries the task class object directly in the
+    config (ref: core/app.py:333-334)."""
+    from sayn_spark.core.app import App
+    from sayn_spark.operators.python import PythonTask
+
+    class Emit(PythonTask):
+        def run(self):
+            self.default_db.load_data(
+                "pm_module_out", [{"v": 7}], schema="v long", replace=True
+            )
+
+    proj = make_project(tmp_path, "default_db: spark\n")
+    app = App(proj, spark=spark, run_arguments=RunArguments(command="run"))
+    from sayn_spark.operators import TASK_TYPES, TaskContext
+
+    ctx = TaskContext(
+        spark=spark,
+        db=app.db,
+        compiler=app.compiler,
+        obj_compiler=app.obj_compiler,
+        run_arguments=app.run_arguments,
+        parameters={},
+        connections={},
+        project_dir=proj,
+    )
+    t = TASK_TYPES["python_module"]("emit", {"task_class": Emit}, ctx)
+    t.config()
+    t.run()
+    assert [r.v for r in spark.table("pm_module_out").collect()] == [7]
