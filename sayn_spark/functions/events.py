@@ -448,3 +448,62 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("last_click_ts").alias("click_us"),
         )
     )
+
+
+@register(
+    "q_range_join",
+    oracle="""
+SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id,
+       epoch_us(e.ts) - epoch_us(p.ts) AS lag_us
+FROM events p JOIN events e
+  ON e.user_id = p.user_id
+ AND p.event_type = 'purchase' AND e.event_type = 'error'
+ AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 2 HOUR
+""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: errors within 2 hours after each
+    purchase by the same user.
+
+    Scale design: a naive theta-join on (user, t in [start, end))
+    degenerates to a per-user cross product.  Instead both sides are
+    bucketed on fixed 2-hour epoch buckets — an interval of length <=
+    bucket width spans at most 2 buckets, so the purchase side explodes
+    into <= 2 rows and the join becomes an EQUI-join on (user_id,
+    bucket) with a residual range filter.  Join fan-out is bounded by
+    bucket population, never by interval span; each point lives in
+    exactly one bucket so no post-join dedup is needed.  This is the
+    standard Spark rewrite for what Databricks' range-join hints do.
+    """
+    H = 2 * 3600 * 1000 * 1000  # bucket = interval width, microseconds
+    e = T(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("pus"),
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("eus"),
+    )
+    pb = purchases.withColumn(
+        "bucket",
+        F.explode(F.expr(f"sequence(pus div {H}, (pus + {H} - 1) div {H})")),
+    )
+    eb = errors.withColumn("bucket", F.expr(f"eus div {H}"))
+    return (
+        pb.join(
+            eb,
+            (F.col("user_id") == F.col("e_user"))
+            & (pb.bucket == eb.bucket)
+            & (F.col("eus") >= F.col("pus"))
+            & (F.col("eus") < F.col("pus") + H),
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "error_id",
+            (F.col("eus") - F.col("pus")).alias("lag_us"),
+        )
+    )
