@@ -106,12 +106,28 @@ def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_metadata(with_payload(d))
 
 
-@register("q_multimodal_frame_sample", oracle=None)
+@register(
+    "q_multimodal_frame_sample",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) // 100 AS n_frames, md5(text) AS ph
+  FROM documents
+)
+SELECT doc_id,
+       unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx,
+       md5(ph || '|' || CAST(unnest(generate_series(0, n_frames - 1, 10)) AS VARCHAR))
+           AS frame_md5
+FROM d
+WHERE n_frames > 0
+""",
+)
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-style frame sampling plumbing (rows-only check): treat each
-    payload as a 'video' whose frame count = n_bytes div 100; emit one
-    row per sampled frame (every 10th), with deterministic frame hashes.
-    Demonstrates 1->N mapInPandas expansion with a stable schema."""
+    """Video-style frame sampling: treat each payload as a 'video' whose
+    frame count = n_bytes div 100; emit one row per sampled frame (every
+    10th), with deterministic frame hashes md5(md5(payload)|frame_idx) —
+    string-keyed so the DuckDB oracle can recompute them (DuckDB md5
+    takes VARCHAR only).  Demonstrates 1->N mapInPandas expansion with a
+    stable schema."""
     d = with_payload(T(spark, sf_dir, "documents"))
 
     schema = StructType(
@@ -127,11 +143,12 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {"doc_id": [], "frame_idx": [], "frame_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 n_frames = len(payload) // 100
+                payload_hash = hashlib.md5(bytes(payload)).hexdigest()
                 for idx in range(0, n_frames, 10):
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(idx)
                     rows["frame_md5"].append(
-                        hashlib.md5(bytes(payload) + idx.to_bytes(4, "little")).hexdigest()
+                        hashlib.md5(f"{payload_hash}|{idx}".encode()).hexdigest()
                     )
             yield pd.DataFrame(rows)
 
