@@ -973,6 +973,51 @@ def q_approx_distinct_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_approx_quantile_sanity",
+    oracle="""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         quantile_cont(l_extendedprice, [0.5, 0.95, 0.99]) AS ex,
+         approx_quantile(l_extendedprice, [0.5, 0.95, 0.99]) AS ap
+  FROM lineitem
+)
+SELECT n,
+       CASE WHEN ABS(ap[1] - ex[1]) <= 0.01 * ex[1] THEN 1 ELSE 0 END AS p50_within_1pct,
+       CASE WHEN ABS(ap[2] - ex[2]) <= 0.01 * ex[2] THEN 1 ELSE 0 END AS p95_within_1pct,
+       CASE WHEN ABS(ap[3] - ex[3]) <= 0.01 * ex[3] THEN 1 ELSE 0 END AS p99_within_1pct
+FROM s
+""",
+)
+def q_approx_quantile_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch sanity (same contract pattern as the HLL query):
+    each engine's own approximate quantile (Spark GK percentile_approx,
+    DuckDB t-digest) must land within 1% of its own exact interpolated
+    percentile.  The raw doubles never cross engines — interpolation
+    order differs — only the bounded-error CONTRACT is compared.
+
+    Scale design: percentile_approx is a mergeable sketch (partial
+    per-partition summaries merged on the driver side of the agg), so
+    the exact sort-based percentile it is checked against here is the
+    thing you *drop* at 100 TB; accuracy=10000 bounds rank error at
+    N/10000 regardless of data size.
+    """
+    l = T(spark, sf_dir, "lineitem")
+    agg = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))").alias("ex"),
+        F.expr("percentile_approx(l_extendedprice, array(0.5D, 0.95D, 0.99D), 10000)").alias(
+            "ap"
+        ),
+    )
+    flag = lambda i, name: F.when(  # noqa: E731
+        F.abs(F.expr(f"ap[{i}] - ex[{i}]")) <= 0.01 * F.expr(f"ex[{i}]"), 1
+    ).otherwise(0).alias(name)
+    return agg.select(
+        "n", flag(0, "p50_within_1pct"), flag(1, "p95_within_1pct"), flag(2, "p99_within_1pct")
+    )
+
+
+@register(
     "q04_priority_count",
     oracle="""
 SELECT o.o_orderpriority, COUNT(*) AS order_count
