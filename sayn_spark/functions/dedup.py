@@ -296,6 +296,76 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PASSAGE_W = 10  # tokens per passage window
+
+
+@register(
+    "q_dedup_passages",
+    oracle=f"""
+WITH {_SQL_CORPUS_EXACT},
+tok AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM corpus),
+passages AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - {_PASSAGE_W - 1}),
+                i -> md5(array_to_string(toks[i:i + {_PASSAGE_W - 1}], ' ')))) AS h
+  FROM tok WHERE len(toks) >= {_PASSAGE_W}
+),
+dup AS (SELECT h FROM passages GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT p.doc_id, COUNT(*) AS n_passages, COUNT(d.h) AS n_dup_passages,
+       ROUND(CAST(COUNT(d.h) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+FROM passages p LEFT JOIN dup d ON p.h = d.h
+GROUP BY p.doc_id
+""",
+)
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (passage) dedup: hash every {W}-token window,
+    find hashes shared by 2+ documents, report each document's
+    duplicated-passage fraction — the RefinedWeb/'Deduplicating
+    Training Data' op that *removes duplicated spans* rather than
+    whole near-duplicate documents.  The planted exact copies drive
+    dup_frac to 1.0 for both members of each pair.
+
+    Scale design: rows are (doc_id, passage_hash) — 16-byte keys, one
+    shuffle to build the global dup set (HAVING over hash), one
+    broadcast-able join back.  At 100 TB you winnow (keep only
+    per-window minimum hashes) to cut rows ~W-fold before the shuffle;
+    the full-stride version here keeps the oracle exact.
+    """
+    corpus = _doc_corpus(spark, sf_dir, mutate=None)
+    toks = corpus.select("doc_id", F.expr(_TOKENS).alias("toks")).where(
+        F.size("toks") >= _PASSAGE_W
+    )
+    passages = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_PASSAGE_W - 1}), "
+                f"i -> md5(array_join(slice(toks, i, {_PASSAGE_W}), ' ')))"
+            )
+        ).alias("h"),
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    passages = passages.persist(StorageLevel.MEMORY_AND_DISK)
+    dup = (
+        passages.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    return (
+        passages.join(dup.withColumn("is_dup", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.count("is_dup").alias("n_dup_passages"),
+            F.round(
+                F.count("is_dup").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
 @register(
     "q_dedup_simhash",
     oracle=f"""
