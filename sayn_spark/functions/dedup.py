@@ -475,3 +475,50 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= 0.99)
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), cos.alias("cos"))
     )
+
+
+@register(
+    "q_dedup_normalized",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, '  ' || UPPER(text) || ' !!' FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+              ' +', ' ', 'g')) AS ntext
+  FROM corpus
+)
+SELECT md5(ntext) AS norm_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM norm GROUP BY md5(ntext)
+""",
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization dedup ("fuzzy-exact"): lowercase, strip punctuation,
+    collapse whitespace, then hash-groupBy — catches near-copies that
+    differ only in casing/punctuation/spacing, which exact dedup misses.
+
+    The planted copies ('  ' + UPPER(text) + ' !!') normalise back to
+    the original text, so every group must have n_copies >= 2.
+
+    Same scale shape as q_dedup_exact (one shuffle on a 16-byte md5 of
+    the *normalised* text); the normalisation itself is JVM-side regex,
+    fully codegen'd, no Python.  Reference has no dedup operators — this
+    is pipeline scope beyond SURVEY §2.
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("  "), F.upper("text"), F.lit(" !!")).alias("text"),
+        )
+    )
+    ntext = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    return (
+        corpus.select("doc_id", ntext.alias("ntext"))
+        .groupBy(F.md5("ntext").alias("norm_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )

@@ -394,3 +394,86 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.round("max_err", 6) <= 0.02, 1).otherwise(0)).alias("n_within_tolerance"),
         F.round(F.max("max_err"), 6).alias("worst_err"),
     )
+
+
+@register(
+    "q_kmeans_refine",
+    oracle=f"""
+WITH {_SQL_EMB}, {_SQL_CENTROIDS},
+assigned AS (
+  SELECT vec_id, c_label, ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_aggregate(list_transform(list_zip(v.e, c.ce),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8), c_label) AS rk
+  FROM emb v, cent_arr c
+),
+cells AS (SELECT vec_id, c_label AS cell FROM assigned WHERE rk = 1),
+comp1 AS (
+  SELECT cell, i, e[i] AS x
+  FROM emb JOIN cells USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i)
+),
+cent1 AS (
+  SELECT cell, i,
+         ROUND(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 8) AS c1
+  FROM comp1 GROUP BY cell, i
+),
+cent1_arr AS (SELECT cell, list(c1 ORDER BY i) AS ce1 FROM cent1 GROUP BY cell),
+members AS (SELECT cell, COUNT(*) AS n_members FROM cells GROUP BY cell)
+SELECT m.cell AS cluster, m.n_members,
+       ROUND(sqrt(ROUND(list_aggregate(list_transform(list_zip(n1.ce1, c0.ce),
+             p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8)), 6) AS shift
+FROM members m
+JOIN cent1_arr n1 ON n1.cell = m.cell
+JOIN cent_arr c0 ON c0.c_label = m.cell
+""",
+)
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embeddings: seed centroids
+    = per-label means (step 0), assign every vector to its nearest
+    centroid, recompute centroids from the assignment, and report per
+    cluster the member count and how far the centroid moved.
+
+    Determinism contract: centroid means sum in DECIMAL and round to 8
+    before use; squared distances fold left-to-right over the dimension
+    array (zip_with/aggregate = list_zip/list_aggregate) and round
+    before argmin/sqrt.  At 100 TB each iteration is one broadcast
+    (k x 64 doubles) + one shuffle (groupBy cluster,dim) — the classic
+    scalable k-means loop; further iterations repeat this block.
+    """
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr("cast(embedding as array<double>)").alias("e")
+    )
+    cent0 = _centroid_arrays(emb.select("label", "e"))
+    d2 = F.round(
+        F.expr("aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"),
+        8,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    cells = (
+        emb.crossJoin(F.broadcast(cent0))
+        .select("vec_id", "c_label", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") == 1)
+        .select("vec_id", F.col("c_label").alias("cell"))
+    )
+    assigned = emb.join(cells, "vec_id").select(F.col("cell").alias("label"), "e")
+    cent1 = _centroid_arrays(assigned).select(
+        F.col("c_label").alias("cell"), F.col("ce").alias("ce1")
+    )
+    members = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    shift = F.round(
+        F.sqrt(
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(ce1, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+                ),
+                8,
+            )
+        ),
+        6,
+    )
+    return (
+        members.join(cent1, "cell")
+        .join(cent0, F.col("cell") == F.col("c_label"))
+        .select(F.col("cell").alias("cluster"), "n_members", shift.alias("shift"))
+    )
