@@ -507,3 +507,151 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("eus") - F.col("pus")).alias("lag_us"),
         )
     )
+
+
+@register(
+    "q_events_changepoints",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+              OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), segs AS (
+  SELECT user_id, event_type, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM marked
+), collapsed AS (
+  SELECT user_id, seg_id, MIN(event_type) AS event_type,
+         MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
+  FROM segs GROUP BY user_id, seg_id
+)
+SELECT user_id, seg_id, event_type, valid_from_us,
+       LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY seg_id) AS valid_to_us,
+       n_events
+FROM collapsed
+""",
+)
+def q_events_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change capture (SCD-2 shape): collapse each user's event stream
+    into maximal runs of the same event_type, emitting validity
+    intervals [valid_from, valid_to) — the open current segment has
+    valid_to NULL.
+
+    This is the dimension-history build the reference's users do in
+    warehouse SQL (SAYN delegates it, `database/__init__.py:441-448`);
+    lag -> flag -> running-sum -> collapse -> lead is the canonical
+    window plan.  One shuffle on user_id, reused by every window; at
+    100 TB the run-length collapse happens partition-local after it.
+    """
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_us.alias("ts_us"),
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    segs = marked.withColumn("seg_id", F.sum("is_new").over(w2))
+    collapsed = segs.groupBy("user_id", "seg_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts_us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w3 = Window.partitionBy("user_id").orderBy("seg_id")
+    return collapsed.select(
+        "user_id",
+        "seg_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w3).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+@register(
+    "q_events_gap_fill",
+    oracle="""
+WITH anchors AS (
+  SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events WHERE user_id < 50
+), hourly AS (
+  SELECT user_id, hour_us, value FROM anchors WHERE rk = 1
+), bounds AS (
+  SELECT user_id, MIN(hour_us) AS lo, MAX(hour_us) AS hi FROM hourly GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS hour_us FROM bounds
+), joined AS (
+  SELECT s.user_id, s.hour_us, h.value,
+         CASE WHEN h.value IS NULL THEN 1 ELSE 0 END AS is_gap
+  FROM spine s LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hour_us = s.hour_us
+)
+SELECT user_id, hour_us,
+       ROUND(LAST_VALUE(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled_value,
+       is_gap
+FROM joined
+""",
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: build an hourly calendar spine per user
+    and forward-fill the last observed event value across missing hours.
+
+    Anchor per hour = value of the hour's last event (ts desc,
+    event_id desc — fully deterministic).  The spine is generated
+    per-user with sequence() (no driver loop), the fill is
+    last(ignorenulls) over an ordered window — at 100 TB both stay
+    partition-local after the one shuffle on user_id.
+    """
+    H = 3600 * 1000 * 1000
+    e = T(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    hour_us = (F.unix_micros(F.col("ts")) / H).cast("bigint") * H
+    w_rk = Window.partitionBy("user_id", "hour_us").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly = (
+        e.select("user_id", hour_us.alias("hour_us"), "value", "ts", "event_id")
+        .withColumn("rk", F.row_number().over(w_rk))
+        .where(F.col("rk") == 1)
+        .select("user_id", "hour_us", "value")
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi"))
+        .select("user_id", F.explode(F.expr(f"sequence(lo, hi, {H})")).alias("hour_us"))
+    )
+    joined = spine.join(hourly, ["user_id", "hour_us"], "left").select(
+        "user_id",
+        "hour_us",
+        "value",
+        F.when(F.col("value").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour_us",
+        F.round(F.last("value", ignorenulls=True).over(w_fill), 2).alias("filled_value"),
+        "is_gap",
+    )

@@ -1455,3 +1455,86 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+@register(
+    "q_join_matrix",
+    oracle="""
+SELECT
+  (SELECT COUNT(*) FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey) AS n_inner,
+  (SELECT COUNT(*) FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey) AS n_left,
+  (SELECT COUNT(*) FROM customer c FULL OUTER JOIN orders o ON o.o_custkey = c.c_custkey) AS n_full,
+  (SELECT COUNT(*) FROM customer c WHERE EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_semi,
+  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_anti
+""",
+)
+def q_join_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-type semantics matrix: inner / left-outer / full-outer /
+    left-semi / left-anti row counts over the same key, in one row.
+
+    Pins the full join surface the reference delegates to the warehouse
+    (SURVEY §2.4) — every type is a separate Catalyst join selection
+    (broadcast for semi/anti on the small side, sort-merge for the
+    full outer, which cannot broadcast).
+    """
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").select("o_custkey")
+    cond = F.col("o_custkey") == F.col("c_custkey")
+    counts = [
+        c.join(o, cond, how).count()
+        for how in ("inner", "left", "full", "semi", "anti")
+    ]
+    return spark.createDataFrame(
+        [tuple(counts)], "n_inner long, n_left long, n_full long, n_semi long, n_anti long"
+    )
+
+
+@register(
+    "q_rolling_range_window",
+    oracle="""
+WITH days AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders WHERE o_custkey < 100
+)
+SELECT o_custkey, o_orderkey, day_no,
+       COUNT(*) OVER w AS n_orders_30d,
+       CAST(ROUND(SUM(price) OVER w, 2) AS DOUBLE) AS revenue_30d
+FROM days
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day window per customer via RANGE framing (value-based,
+    not row-based): each order sees the count and decimal-exact revenue
+    of the trailing 30 calendar days.
+
+    RANGE frames are the time-series rolling-metric workhorse; ordering
+    by an integer day number keeps the frame arithmetic exact in both
+    engines.  One shuffle on o_custkey; frames are partition-local.
+    """
+    o = T(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    days = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_no"),
+        dec("o_totalprice").alias("price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return days.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_no",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.round(F.sum("price").over(w), 2).cast("double").alias("revenue_30d"),
+    )

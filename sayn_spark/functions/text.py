@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sayn_spark.functions.registry import T, register
 
@@ -387,4 +388,92 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
         .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
+
+
+# count-min sketch geometry: 4 hash rows x 512 buckets.  Bucket hash is
+# md5-based so both engines agree bit-for-bit.
+_CMS_D = 4
+_CMS_W = 512
+
+
+@register(
+    "q_text_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+  FROM documents
+),
+exact AS (SELECT token, COUNT(*) AS exact_cnt FROM toks GROUP BY token),
+counters AS (
+  SELECT j, ('0x' || substr(md5(j || ':' || token), 1, 8))::BIGINT % {_CMS_W} AS bucket,
+         COUNT(*) AS c
+  FROM toks, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT token, exact_cnt,
+         ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, token) AS rk
+  FROM exact
+),
+est AS (
+  SELECT t.token, t.exact_cnt, t.rk, MIN(c.c) AS cms_est
+  FROM top t
+  JOIN counters c
+    ON c.bucket = ('0x' || substr(md5(c.j || ':' || t.token), 1, 8))::BIGINT % {_CMS_W}
+  WHERE t.rk <= 20
+  GROUP BY t.token, t.exact_cnt, t.rk
+)
+SELECT token, rk, exact_cnt, cms_est, cms_est - exact_cnt AS overcount FROM est
+""",
+)
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch: hash every token into
+    4 x 512 counters, estimate each top-20 token's count as
+    the MIN over its 4 buckets, and report the (always >= 0)
+    overcount vs the exact answer.
+
+    The sketch is the 100 TB pattern: the counter table is a fixed
+    4*512-row aggregate (one map-side-combined shuffle of
+    16-byte keys) regardless of corpus size, and it is mergeable across
+    partitions/days by cell-wise addition — the exact GROUP BY it is
+    checked against shuffles every distinct token.  md5-derived bucket
+    hashes keep both engines bit-identical.
+    """
+    toks = (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(_TOKENS)).alias("token"))
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    bucket = F.expr(
+        f"cast(conv(substr(md5(concat(j, ':', token)), 1, 8), 16, 10) as bigint) % {_CMS_W}"
+    )
+    counters = (
+        toks.select("token", F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("j"))
+        .select("j", bucket.alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        exact.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("exact_cnt"), "token"))
+        )
+        .where(F.col("rk") <= 20)
+        .select("token", "exact_cnt", "rk")
+    )
+    probes = top.select(
+        "token", "exact_cnt", "rk",
+        F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("j"),
+    ).select("token", "exact_cnt", "rk", "j", bucket.alias("bucket"))
+    return (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("token", "exact_cnt", "rk")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "token", "rk", "exact_cnt", "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
     )

@@ -233,3 +233,23 @@ def test_append_schema_evolution(ctx, spark):
     assert out.count() == 2
     vals = {r.id: r.extra for r in out.collect()}
     assert vals[2] == "new" and vals[1] is None
+
+
+def test_copy_to_orc_sink_roundtrip(ctx, spark, tmp_path):
+    """ORC sink + source: the registry passes any Spark format string
+    through, so columnar ORC export/import works like parquet (splittable,
+    predicate-pushed at read)."""
+    from sayn_spark.sources.registry import read_source
+
+    seed(ctx.db, "orc_src", [
+        {"id": 1, "updated_at": 1, "name": "a"},
+        {"id": 2, "updated_at": 2, "name": "b"},
+    ])
+    out = str(tmp_path / "orc_out")
+    run_copy(ctx, "orc", {
+        "source": {"table": "orc_src"},
+        "destination": {"type": "orc", "path": out},
+    })
+    back = read_source(spark, {"type": "orc", "path": out})
+    assert sorted(r["name"] for r in back.collect()) == ["a", "b"]
+    assert [f for f in __import__("os").listdir(out) if f.endswith(".orc") or f.startswith("part-")]

@@ -100,3 +100,22 @@ def test_partitioned_table_prunes_partitions(spark):
     assert "PartitionFilters" in plan and "bucket" in plan
     # count confirms pruned correctness
     assert spark.table("pp_t").where("bucket = '2'").count() == 250
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    """The Lloyd-iteration assignment join must broadcast the k x 64
+    centroid table — a shuffle there would move the full vector corpus
+    per iteration at 100 TB."""
+    df = REGISTRY["q_kmeans_refine"].fn(spark, SF)
+    plan = plan_of(spark, df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cms_counter_table_is_broadcast(spark):
+    """The count-min counter table (4x512 rows, fixed size regardless of
+    corpus) must broadcast into the probe join, and the token count must
+    partial-aggregate before its exchange."""
+    df = REGISTRY["q_text_heavy_hitters"].fn(spark, SF)
+    plan = plan_of(spark, df)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
