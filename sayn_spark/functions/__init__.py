@@ -18,3 +18,4 @@ from sayn_spark.functions import multimodal  # noqa: F401,E402
 from sayn_spark.functions import sampling  # noqa: F401,E402
 from sayn_spark.functions import components  # noqa: F401,E402
 from sayn_spark.functions import content_filter  # noqa: F401,E402
+from sayn_spark.functions import scale  # noqa: F401,E402

@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sayn_spark.functions.registry import T, register
 
@@ -521,4 +522,83 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.select("doc_id", ntext.alias("ntext"))
         .groupBy(F.md5("ntext").alias("norm_hash"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "q_dedup_incremental_corpus",
+    oracle="""
+WITH old_corpus AS (
+  SELECT doc_id, source, md5(lower(trim(text))) AS fp
+  FROM documents WHERE doc_id % 10 < 8
+),
+batch AS (
+  SELECT doc_id, source, md5(lower(trim(text))) AS fp
+  FROM documents WHERE doc_id % 10 >= 8
+  UNION ALL
+  SELECT doc_id + 200000, source, md5(lower(trim(text)))
+  FROM documents WHERE doc_id % 10 < 8 AND doc_id % 37 = 0
+),
+old_fps AS (SELECT DISTINCT fp FROM old_corpus),
+marked AS (
+  SELECT b.doc_id, b.source, b.fp,
+         CASE WHEN o.fp IS NOT NULL THEN 1 ELSE 0 END AS dup_corpus,
+         ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rk
+  FROM batch b LEFT JOIN old_fps o ON o.fp = b.fp
+)
+SELECT source,
+       COUNT(*) AS n_batch,
+       SUM(dup_corpus) AS n_dup_corpus,
+       SUM(CASE WHEN dup_corpus = 0 AND rk > 1 THEN 1 ELSE 0 END) AS n_dup_within,
+       SUM(CASE WHEN dup_corpus = 0 AND rk = 1 THEN 1 ELSE 0 END) AS n_kept
+FROM marked GROUP BY source
+""",
+)
+def q_dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: dedupe a NEW ingestion batch against an
+    EXISTING corpus by content fingerprint, plus within-batch dedup —
+    the shape every recurring training-data ingest runs (yesterday's
+    corpus is already deduped; only the delta is checked).
+
+    Old corpus = doc_id%10 < 8; batch = the remaining docs plus planted
+    re-crawls of old docs (doc_id%37==0, re-keyed +200000) that must be
+    caught as corpus duplicates.  Per source: batch size, dropped-vs-
+    corpus, dropped-within-batch, kept.
+
+    Scale: the corpus side is projected to DISTINCT 16-byte md5
+    fingerprints before the join — at 100 TB that is the only state the
+    dedup needs (a fingerprint store), not the corpus text; the join
+    shuffles fingerprints, never documents, and the within-batch
+    row_number windows over the (small) delta only.  Reference has no
+    dedup operators — pipeline scope beyond SURVEY §2.
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    old = d.where(F.col("doc_id") % 10 < 8)
+    old_fps = old.select(fp.alias("fp")).distinct()
+    batch = (
+        d.where(F.col("doc_id") % 10 >= 8)
+        .select("doc_id", "source", fp.alias("fp"))
+        .unionByName(
+            old.where(F.col("doc_id") % 37 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "source", fp.alias("fp")
+            )
+        )
+    )
+    marked = batch.join(
+        old_fps.withColumn("dup_corpus", F.lit(1)), "fp", "left"
+    ).withColumn(
+        "dup_corpus", F.coalesce("dup_corpus", F.lit(0))
+    ).withColumn(
+        "rk", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum("dup_corpus").alias("n_dup_corpus"),
+        F.sum(((F.col("dup_corpus") == 0) & (F.col("rk") > 1)).cast("long")).alias(
+            "n_dup_within"
+        ),
+        F.sum(((F.col("dup_corpus") == 0) & (F.col("rk") == 1)).cast("long")).alias(
+            "n_kept"
+        ),
     )

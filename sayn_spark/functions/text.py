@@ -477,3 +477,63 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
         )
     )
+
+
+@register(
+    "q_text_zipf_slope",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+  FROM documents
+),
+freqs AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+top AS (
+  SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk
+  FROM freqs ORDER BY cnt DESC, token LIMIT 500
+),
+pts AS (SELECT ln(rk) AS x, ln(cnt) AS y FROM top)
+SELECT COUNT(*) AS n_points,
+       ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+           / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 4) AS zipf_slope,
+       (SELECT MIN(token) FROM top WHERE rk = 1) AS top_token,
+       (SELECT cnt FROM top WHERE rk = 1) AS top_count
+FROM pts
+""",
+)
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: OLS slope of ln(freq) ~ ln(rank) over
+    the top-500 tokens — the standard sanity check that a crawled
+    corpus has natural-language token statistics (slope near -1)
+    rather than boilerplate/spam (flat or cliffed).
+
+    Scale: token counts partial-aggregate map-side; the top-500 is a
+    per-partition top-k (TakeOrderedAndProject via orderBy+limit), NOT
+    a global sort of the vocabulary — at 100 TB the vocab table never
+    concentrates on one partition.  The regression itself runs over
+    500 rows.  Slope rounded to 4dp: ln() is the one transcendental
+    both engines evaluate per-row before order-dependent summation.
+    """
+    toks = T(spark, sf_dir, "documents").select(
+        F.explode(F.expr(_TOKENS)).alias("token")
+    )
+    freqs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = freqs.orderBy(F.desc("cnt"), "token").limit(500)
+    pts = top.select(
+        "token",
+        "cnt",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), "token")).alias("rk"),
+    )
+    pts = pts.select(
+        "token", "cnt", "rk", F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return pts.agg(
+        n.alias("n_points"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.min(F.when(F.col("rk") == 1, F.col("token"))).alias("top_token"),
+        F.max(F.when(F.col("rk") == 1, F.col("cnt"))).alias("top_count"),
+    )

@@ -119,3 +119,34 @@ def test_cms_counter_table_is_broadcast(spark):
     plan = plan_of(spark, df)
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_zipf_topk_avoids_global_sort(spark):
+    """The top-500 vocabulary cut must be a per-partition top-k
+    (TakeOrderedAndProject), never a full sort of the distinct-token
+    table onto one partition."""
+    df = REGISTRY["q_text_zipf_slope"].fn(spark, SF)
+    plan = plan_of(spark, df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sorted_write_uses_range_partitioning(spark):
+    """Globally-sorted output must come from range partitioning + local
+    sorts — a single-partition global Sort would serialise 100 TB
+    through one task."""
+    df = REGISTRY["q_sorted_write_invariant"].fn(spark, SF)
+    plan = plan_of(spark, df)
+    assert "rangepartitioning(price_cents" in plan
+    assert plan.count("Sort [price_cents") >= 1
+
+
+def test_incremental_corpus_dedup_joins_fingerprints_only(spark):
+    """The corpus side of the incremental dedup join must carry only the
+    16-byte fingerprint (text is hashed before the exchange, and the
+    within-batch window runs on the delta after the join)."""
+    df = REGISTRY["q_dedup_incremental_corpus"].fn(spark, SF)
+    opt = optimized_of(spark, df)
+    # the distinct fingerprint projection sits below the join
+    assert "Aggregate [fp" in opt
+    plan = plan_of(spark, df)
+    assert "HashAggregate" in plan
