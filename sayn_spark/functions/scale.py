@@ -130,3 +130,117 @@ def q_sorted_write_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_boundary_overlaps"),
     )
     return overlaps
+
+
+@register(
+    "q_skew_salted_join",
+    oracle="""
+SELECT c.c_mktsegment AS mktsegment,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS value_cents
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment
+""",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe fact-dim join via explicit salting: the events fact
+    is scattered uniformly over 16 salt values and the customer dim is
+    replicated 16x, so a bot user holding 10% of all events spreads
+    over 16 reducers instead of melting one.  Result is provably equal
+    to the plain inner join (tests/test_skew.py pins that; the oracle
+    checks it here end-to-end).
+
+    At 100 TB this is the fallback when AQE skew-join can't help (e.g.
+    the dim side is too big to broadcast but small enough to replicate
+    16x); value sums are integer cents — exact under any reduction
+    order.  Reference delegates joins entirely (SURVEY §2.4).
+    """
+    from sayn_spark.plans.skew import salted_join
+
+    e = T(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(e, c, "user_id", how="inner", salt=16)
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("value_cents"),
+    )
+
+
+_PROFILE_COLS = ("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "q_profile_columns",
+    oracle="""
+WITH src AS (
+  SELECT o_custkey, o_orderstatus, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_totalprice
+  FROM orders
+)
+SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT o_custkey) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_val, CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+FROM src
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*),
+       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+FROM src
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*),
+       SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority), MAX(o_orderpriority)
+FROM src
+UNION ALL
+SELECT 'o_totalprice', COUNT(*),
+       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_totalprice),
+       CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+FROM src
+""",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-column data profiling: per column, row count,
+    null count, exact distinct count, and canonical-string min/max —
+    the profiling report a data-quality layer runs before accepting a
+    load (the generated-tests side of SURVEY §2.1's standard tests,
+    turned into a summary instead of a pass/fail).
+
+    One aggregate computes all columns' stats together (Catalyst
+    expands the multi-distinct into one Expand + two-phase aggregate —
+    a fixed number of shuffles regardless of column count, vs one scan
+    per column if profiled naively); the single stats row is then
+    unpivoted driver-side via stack().  Doubles are canonicalised to
+    integer cents before profiling so min/max strings are
+    engine-independent.
+    """
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_totalprice"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    stats = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in _PROFILE_COLS
+    )
+    return stats.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "as (col_name, n_nulls, n_distinct, min_val, max_val)",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")

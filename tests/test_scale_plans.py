@@ -150,3 +150,13 @@ def test_incremental_corpus_dedup_joins_fingerprints_only(spark):
     assert "Aggregate [fp" in opt
     plan = plan_of(spark, df)
     assert "HashAggregate" in plan
+
+
+def test_profile_single_scan_expand(spark):
+    """Multi-column profiling must be ONE scan: Catalyst's Expand
+    rewrites the multi-distinct aggregate; a naive per-column plan
+    would re-scan orders four times."""
+    df = REGISTRY["q_profile_columns"].fn(spark, SF)
+    plan = plan_of(spark, df)
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
