@@ -655,3 +655,48 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("value", ignorenulls=True).over(w_fill), 2).alias("filled_value"),
         "is_gap",
     )
+
+
+@register(
+    "q_hll_sketch_rollup",
+    oracle="""
+SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       COUNT(DISTINCT user_id) AS exact_users,
+       1 AS union_within_5pct
+FROM events
+""",
+)
+def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: build one DataSketches HLL per DAY of
+    events (the shape you'd persist as a binary column in a daily
+    rollup table), then hll_union_agg the daily sketches into an
+    overall distinct-user estimate — without ever re-touching raw
+    events.  The estimate must land within 5% of the exact distinct
+    count (computed independently); only that CONTRACT plus exact
+    values cross engines.
+
+    This is the 100 TB incremental pattern the sanity checks
+    (q_approx_distinct_sanity) don't cover: day N's load aggregates
+    only day N, and any date-range distinct count is a cheap union of
+    tiny sketches — no growing shuffle, no re-scan.  The reference's
+    substitute is a full GROUP BY re-run per load (SURVEY §2.1
+    autosql incremental).
+    """
+    e = T(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    daily = e.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = e.agg(F.count_distinct("user_id").alias("exact_users"))
+    return merged.join(F.broadcast(exact)).select(
+        "n_days",
+        "exact_users",
+        F.when(
+            F.abs(F.col("est") - F.col("exact_users")) <= 0.05 * F.col("exact_users"), 1
+        )
+        .otherwise(0)
+        .alias("union_within_5pct"),
+    )
