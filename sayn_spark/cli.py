@@ -32,13 +32,20 @@ def _common(f):
                 default=False,
                 help="read unselected upstream sources from prod names",
             ),
+            click.option(
+                "--jobs",
+                "-j",
+                type=int,
+                default=8,
+                help="concurrent tasks per DAG level (1 = reference's sequential loop)",
+            ),
         ]
     ):
         f = deco(f)
     return f
 
 
-def _build_app(command, project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, with_tests=False):
+def _build_app(command, project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, with_tests=False, jobs=8):
     args = RunArguments(
         command=command,
         full_load=full_load,
@@ -49,6 +56,7 @@ def _build_app(command, project_dir, tasks, exclude, profile, full_load, start_d
         upstream_prod=upstream_prod,
         include=list(tasks),
         exclude=list(exclude),
+        jobs=jobs,
     )
     try:
         return App(project_dir, profile=profile, run_arguments=args)
@@ -86,26 +94,66 @@ def cli() -> None:
 @cli.command()
 @_common
 @click.option("--with-tests", is_flag=True, default=False)
-def run(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, with_tests):
+def run(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, jobs, with_tests):
     """Execute selected tasks."""
-    app = _build_app("run", project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, with_tests)
+    app = _build_app("run", project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, with_tests, jobs)
     _run_and_finish(app, "run")
 
 
 @cli.command()
 @_common
-def compile(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod):
+def compile(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, jobs):
     """Compile selected tasks to compile/<group>/<task>.sql."""
-    app = _build_app("compile", project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod)
+    app = _build_app("compile", project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, jobs=jobs)
     _run_and_finish(app, "compile")
 
 
 @cli.command()
 @_common
-def test(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod):
+def test(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, jobs):
     """Run data-quality tests for selected tasks."""
-    app = _build_app("test", project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod)
+    app = _build_app("test", project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, jobs=jobs)
     _run_and_finish(app, "test")
+
+
+@cli.command()
+@_common
+def dag(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, jobs):
+    """Write the task DAG as Graphviz DOT (+ PNG when graphviz is
+    installed) and print the concurrent execution levels (ref:
+    `sayn dag-image`, cli.py:328-341 / utils/graphviz.py:4-34 — same
+    node/edge drawing, DOT text instead of a hard graphviz
+    dependency)."""
+    from pathlib import Path
+
+    from sayn_spark.plans.dag import ready_sets
+
+    app = _build_app("compile", project_dir, tasks, exclude, profile, full_load,
+                     start_dt, end_dt, fail_fast, upstream_prod)
+    lines = ["digraph sayn_spark {", '  graph [splines=ortho, nodesep="0.8"];',
+             "  node [style=rounded, shape=box];"]
+    for name in app.dag:
+        lines.append(f'  "{name}";')
+    for name, parents in app.dag.items():
+        for p in parents:
+            lines.append(f'  "{p}" -> "{name}";')
+    lines.append("}")
+    out_dir = Path(project_dir) / "images"
+    out_dir.mkdir(exist_ok=True)
+    dot_path = out_dir / "dag.dot"
+    dot_path.write_text("\n".join(lines) + "\n")
+    click.echo(f"wrote {dot_path}")
+    try:
+        import graphviz  # type: ignore
+
+        graphviz.Source(dot_path.read_text()).render(
+            str(out_dir / "dag"), format="png", cleanup=True
+        )
+        click.echo(f"wrote {out_dir / 'dag.png'}")
+    except ImportError:
+        click.echo("graphviz not installed — DOT only")
+    for i, level in enumerate(ready_sets(app.dag)):
+        click.echo(f"level {i}: {' '.join(sorted(level))}")
 
 
 @cli.command()

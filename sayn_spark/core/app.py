@@ -269,8 +269,9 @@ class App:
 
         levels = ready_sets(sub_dag)
         order = topological_sort(sub_dag)
-        if parallel and len(sub_dag) > 1:
-            with ThreadPoolExecutor(max_workers=8) as pool:
+        n_jobs = max(1, getattr(self.run_arguments, "jobs", 8))
+        if parallel and n_jobs > 1 and len(sub_dag) > 1:
+            with ThreadPoolExecutor(max_workers=n_jobs) as pool:
                 for level in levels:
                     list(pool.map(run_one, [n for n in order if n in set(level)]))
         else:

@@ -1538,3 +1538,121 @@ def q_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_orders_30d"),
         F.round(F.sum("price").over(w), 2).cast("double").alias("revenue_30d"),
     )
+
+
+@register(
+    "q_scalar_subqueries",
+    oracle="""
+SELECT c.c_custkey,
+       (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+       CASE WHEN CAST(c.c_acctbal AS DECIMAL(12,2)) >
+                 (SELECT AVG(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer)
+            THEN 1 ELSE 0 END AS above_avg_bal
+FROM customer c
+WHERE c.c_custkey < 200
+""",
+)
+def q_scalar_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery surface: an UNCORRELATED scalar (global average
+    balance, computed once and broadcast as a literal-like input) and a
+    CORRELATED scalar in the projection (per-customer order count,
+    which Catalyst de-correlates into a left outer aggregate join).
+
+    SAYN users write exactly this SQL against the warehouse (SURVEY
+    §2.4); balances compare in DECIMAL so the above-average flag has no
+    float boundary.  Plan shape at 100 TB: one broadcast of a 1-row
+    subquery result + one aggregate-then-join on o_custkey — Catalyst's
+    rewrite, not a per-row re-execution.
+    """
+    T(spark, sf_dir, "customer").createOrReplaceTempView("customer_ss")
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders_ss")
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               (SELECT COUNT(*) FROM orders_ss o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               CASE WHEN CAST(c.c_acctbal AS DECIMAL(12,2)) >
+                         (SELECT AVG(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer_ss)
+                    THEN 1 ELSE 0 END AS above_avg_bal
+        FROM customer_ss c
+        WHERE c.c_custkey < 200
+        """
+    )
+
+
+@register(
+    "q_set_ops_all",
+    oracle="""
+WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+     op AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT o_custkey, COUNT(*) AS n FROM (
+  SELECT o_custkey FROM hi INTERSECT ALL SELECT o_custkey FROM op
+) GROUP BY o_custkey
+UNION ALL
+SELECT -1 - o_custkey AS o_custkey, COUNT(*) AS n FROM (
+  SELECT o_custkey FROM hi EXCEPT ALL SELECT o_custkey FROM op
+) GROUP BY o_custkey
+""",
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops: INTERSECT ALL keeps min(multiplicity),
+    EXCEPT ALL subtracts multiplicities — distinct from the
+    distinct-set variants in q_set_ops_customers, and a different
+    Catalyst plan (a multiplicity-counting aggregate + generate rather
+    than a plain semi/anti join).  EXCEPT ALL keys are sign-flipped so
+    both result sets union into one output without column games.
+    """
+    o = T(spark, sf_dir, "orders")
+    hi = o.where(F.col("o_totalprice") > 150000).select("o_custkey")
+    op = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    inter = (
+        hi.intersectAll(op)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exc = (
+        hi.exceptAll(op)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select((F.lit(-1) - F.col("o_custkey")).alias("o_custkey"), "n")
+    )
+    return inter.unionByName(exc)
+
+
+@register(
+    "q_lateral_topk_per_key",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.price
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey < 100
+""",
+)
+def q_lateral_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated table subquery: each customer's top-2 orders
+    by price — the per-key-top-k idiom written as SQL users write it
+    (DuckDB/Postgres LATERAL, Spark 3.2+ LATERAL), distinct from the
+    window row_number formulation already pinned elsewhere.
+
+    Catalyst de-correlates the LATERAL into a join + per-key limit
+    (DomainJoin rewrite) — no per-customer re-execution; unique
+    tie-break (o_orderkey) keeps the top-2 deterministic across
+    engines.
+    """
+    T(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.price
+        FROM customer_lat c,
+        LATERAL (
+          SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+          FROM orders_lat o WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey < 100
+        """
+    )

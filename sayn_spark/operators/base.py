@@ -43,6 +43,9 @@ class RunArguments:
     upstream_prod: bool = False
     include: list[str] = field(default_factory=list)
     exclude: list[str] = field(default_factory=list)
+    # concurrent tasks per DAG level (the reference is fixed at 1,
+    # core/app.py:619; >1 submits independent Spark jobs in parallel)
+    jobs: int = 8
 
 
 @dataclass

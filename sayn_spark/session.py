@@ -19,6 +19,11 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS = {
+    # local-mode driver hosts all executor threads: the JVM default (1g)
+    # OOMs iterative queries (localCheckpoint) beyond sf0.01.  Only
+    # effective when this process creates the JVM — spark-submit owns it
+    # on a real cluster.
+    "spark.driver.memory": "16g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -338,3 +338,21 @@ def test_python_module_task_class_object(spark, tmp_path):
     t.config()
     t.run()
     assert [r.v for r in spark.table("pm_module_out").collect()] == [7]
+
+
+def test_cli_dag_writes_dot_and_levels(tmp_path, monkeypatch):
+    """`sayn-spark dag` writes Graphviz DOT with every task node/edge
+    and prints the concurrent execution levels."""
+    import shutil
+
+    from click.testing import CliRunner
+
+    from sayn_spark.cli import cli
+
+    proj = tmp_path / "proj"
+    shutil.copytree("examples/star_project", proj)
+    res = CliRunner().invoke(cli, ["dag", "-p", str(proj)])
+    assert res.exit_code == 0, res.output
+    dot = (proj / "images" / "dag.dot").read_text()
+    assert '"f_battles" -> "f_fighter_results";' in dot or "->" in dot
+    assert "level 0:" in res.output
