@@ -229,3 +229,69 @@ def resize_images(df: DataFrame, width: int, height: int, decode: str = "determi
             )
 
     return df.select("doc_id", "payload").mapInPandas(_resize, schema)
+
+
+_AUDIO_W = 200  # samples per analysis window
+_AUDIO_H = 100  # hop (50% overlap)
+
+
+@register(
+    "q_multimodal_audio_energy",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 20 = 0
+),
+wins AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, (n - {_AUDIO_W}) // {_AUDIO_H})) AS window_idx
+  FROM d WHERE n >= {_AUDIO_W}
+)
+SELECT doc_id, window_idx,
+       CAST(list_sum(list_transform(generate_series(1, {_AUDIO_W}),
+         i -> (ord(substr(text, window_idx * {_AUDIO_H} + i, 1)) - 100)
+            * (ord(substr(text, window_idx * {_AUDIO_H} + i, 1)) - 100))) AS BIGINT)
+         AS energy
+FROM wins
+""",
+)
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowed energy: treat each payload as a PCM sample
+    stream (1 byte = 1 sample here; s16le in production is one dtype
+    change) and compute per-window integer energy sum((s-100)^2) over
+    200-sample windows with 50% overlap — the framing every audio
+    featurizer (VAD, loudness filter, spectral pipeline) starts with.
+
+    Spark side is the production pattern: numpy over Arrow batches in
+    mapInPandas (np.frombuffer + stride windows — vectorised, no
+    per-sample Python), one task per input split, output fan-out
+    ~n_windows per clip.  Energies are exact integers, so the char-math
+    SQL oracle hash-matches bit-for-bit.  The decode boundary for real
+    codecs stays behind resize_images' documented stub.
+    """
+    import numpy as np
+
+    d = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+    )
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "window_idx": [], "energy": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = np.frombuffer(text.encode("ascii"), dtype=np.uint8).astype(np.int64)
+                n = len(s)
+                if n < _AUDIO_W:
+                    continue
+                dev = (s - 100) ** 2
+                csum = np.concatenate(([0], np.cumsum(dev)))
+                n_wins = (n - _AUDIO_W) // _AUDIO_H + 1
+                starts = np.arange(n_wins) * _AUDIO_H
+                energies = csum[starts + _AUDIO_W] - csum[starts]
+                rows["doc_id"].extend([doc_id] * n_wins)
+                rows["window_idx"].extend(range(n_wins))
+                rows["energy"].extend(int(e) for e in energies)
+            yield pd.DataFrame(rows, columns=["doc_id", "window_idx", "energy"])
+
+    return d.mapInPandas(_energy, schema="doc_id long, window_idx long, energy long")
