@@ -477,3 +477,63 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cent0, F.col("cell") == F.col("c_label"))
         .select(F.col("cell").alias("cluster"), "n_members", shift.alias("shift"))
     )
+
+
+_GRAM_D = 8  # leading sub-block of the 64-dim Gram matrix that crosses engines
+
+
+@register(
+    "q_embedding_gram",
+    oracle=f"""
+WITH q AS (
+  SELECT list_transform(embedding[1:{_GRAM_D}],
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT i, j, CAST(SUM(qv[i + 1] * qv[j + 1]) AS BIGINT) AS gram
+FROM q,
+     (SELECT unnest(generate_series(0, {_GRAM_D - 1})) AS i),
+     (SELECT unnest(generate_series(0, {_GRAM_D - 1})) AS j)
+WHERE i <= j
+GROUP BY i, j
+""",
+)
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X'X — the one-pass building block of
+    distributed PCA, ridge regression and linear probes over an
+    embedding corpus: each partition accumulates a local d x d partial
+    with one numpy matmul, and only those tiny matrices shuffle
+    (d^2 cells per partition, independent of row count — at 100 TB the
+    reduction is d^2 * n_partitions values, never the vectors).
+
+    Embeddings are quantised to integer 1e-4 steps via the
+    deterministic floor(x * 10000 + 0.5) (float->double widening and
+    one double multiply are IEEE-identical in both engines), so the
+    Gram sums are exact integers; the upper-triangle {_GRAM_D}x{_GRAM_D}
+    block crosses engines.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    emb = T(spark, sf_dir, "embeddings").select("embedding")
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        G = np.zeros((_GRAM_D, _GRAM_D), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            M = np.stack(pdf["embedding"].to_numpy())[:, :_GRAM_D].astype(np.float64)
+            Q = np.floor(M * 10000 + 0.5).astype(np.int64)
+            G += Q.T @ Q
+        if seen:
+            i, j = np.triu_indices(_GRAM_D)
+            yield pd.DataFrame({"i": i.astype("int32"), "j": j.astype("int32"), "g": G[i, j]})
+
+    return (
+        emb.mapInPandas(_partial, schema="i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("gram"))
+    )

@@ -160,3 +160,16 @@ def test_profile_single_scan_expand(spark):
     plan = plan_of(spark, df)
     assert plan.count("FileScan parquet") == 1
     assert "Expand" in plan
+
+
+def test_no_query_builds_a_cartesian_product(spark):
+    """Global plan hygiene: no registered query may plan a
+    CartesianProduct — an unconstrained cross join is never survivable
+    at 100 TB.  (Broadcast nested-loop joins of one-row bounds frames
+    are fine and not matched.)"""
+    offenders = []
+    for name in sorted(REGISTRY):
+        df = REGISTRY[name].fn(spark, SF)
+        if "CartesianProduct" in plan_of(spark, df):
+            offenders.append(name)
+    assert not offenders, offenders
