@@ -20,10 +20,11 @@ from pyspark.sql import SparkSession
 
 _DEFAULTS = {
     # local-mode driver hosts all executor threads: the JVM default (1g)
-    # OOMs iterative queries (localCheckpoint) beyond sf0.01.  Only
-    # effective when this process creates the JVM — spark-submit owns it
-    # on a real cluster.
-    "spark.driver.memory": "16g",
+    # OOMs iterative queries (localCheckpoint) beyond sf0.01.  4g clears
+    # every registry query at sf0.1; 16g was measured ~20% slower on
+    # bench (GC ergonomics scale with heap).  Only effective when this
+    # process creates the JVM — spark-submit owns it on a real cluster.
+    "spark.driver.memory": "4g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
