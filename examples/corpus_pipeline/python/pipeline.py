@@ -40,3 +40,14 @@ def dedup_candidates(context, spark):
     self_edges = docs.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
     comp = connected_components(edges.unionByName(self_edges))
     context.default_db.replace_table("dup_components", comp)
+
+
+@task(name="compact_corpus", parents=["corpus_final", "test_corpus_no_dups"])
+def compact_corpus(context, spark):
+    """Post-load maintenance: rewrite the corpus table at its target
+    file count (plans/maintenance.py) — the step a recurring ingest
+    schedules after each merge so small files never accumulate."""
+    from sayn_spark.plans.maintenance import compact_table
+
+    n_files = compact_table(spark, "corpus_final")
+    print(f"[compact_corpus] corpus_final -> {n_files} file(s)")

@@ -173,3 +173,27 @@ def test_no_query_builds_a_cartesian_product(spark):
         if "CartesianProduct" in plan_of(spark, df):
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_results_invariant_to_shuffle_partitioning(spark):
+    """The determinism contract's core claim: results are identical
+    under a different (hostile, prime) shuffle-partition count.  Covers
+    one decimal aggregate, one top-k, one double-producing query and
+    one Python-boundary query."""
+    from tests.oracle import compare_query
+
+    names = [
+        "q01_pricing_summary",
+        "q_window_top_customers",
+        "q_regression_tokens_vs_chars",
+        "q_embedding_gram",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        for name in names:
+            q = REGISTRY[name]
+            ok, msg = compare_query(spark, name, q.fn, q.oracle, SF)
+            assert ok, f"{name} under 7 shuffle partitions: {msg}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
