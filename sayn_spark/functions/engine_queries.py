@@ -120,3 +120,163 @@ def q_standard_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert cust is not None and orders is not None
     return cust.unionByName(orders)
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+oh AS (SELECT o_orderkey,
+              md5(coalesce(CAST(o_orderstatus AS VARCHAR), ' ')
+                  || coalesce(CAST(o_totalprice AS VARCHAR), ' ')) AS h FROM old),
+nh AS (SELECT o_orderkey,
+              md5(coalesce(CAST(o_orderstatus AS VARCHAR), ' ')
+                  || coalesce(CAST(o_totalprice AS VARCHAR), ' ')) AS h FROM new),
+diff AS (
+  SELECT COALESCE(oh.o_orderkey, nh.o_orderkey) AS o_orderkey,
+         CASE WHEN oh.h IS NULL THEN 'added'
+              WHEN nh.h IS NULL THEN 'removed'
+              WHEN oh.h <> nh.h THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM oh FULL OUTER JOIN nh ON oh.o_orderkey = nh.o_orderkey
+)
+SELECT change_type, COUNT(*) AS n, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM diff GROUP BY change_type
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (plans/snapshot.py): classify today's orders vs
+    yesterday's as added/removed/changed/unchanged by key, comparing
+    payload through one md5 per side.  The synthetic 'today' removes
+    every 97th key, flips status on every 89th, and appends re-keyed
+    copies of every 101st — the diff must count exactly those.
+
+    The double-as-string hash input is safe here because both engines
+    read the identical parquet doubles and canonical-format them the
+    same way for these values; production diffs should hash decimal/
+    string forms (snapshot_diff takes any column set).
+    """
+    from sayn_spark.plans.snapshot import snapshot_diff
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = (
+        o.where(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 89 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    diff = snapshot_diff(o, new, keys=["o_orderkey"])
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@register(
+    "q_scd2_history",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp FROM orders
+),
+new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END AS st,
+         o_totalprice AS tp
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+oh AS (SELECT k, st, tp,
+              md5(coalesce(CAST(st AS VARCHAR), ' ')
+                  || coalesce(CAST(tp AS VARCHAR), ' ')) AS h FROM old),
+nh AS (SELECT k, st, tp,
+              md5(coalesce(CAST(st AS VARCHAR), ' ')
+                  || coalesce(CAST(tp AS VARCHAR), ' ')) AS h FROM new),
+j AS (
+  SELECT oh.k AS ok, nh.k AS nk, oh.h AS o_h, nh.h AS n_h,
+         nh.st AS nst, nh.tp AS ntp
+  FROM oh FULL OUTER JOIN nh ON oh.k = nh.k
+),
+hist AS (
+  SELECT ok AS k, '2026-01-01' AS valid_from,
+         CASE WHEN n_h IS NULL OR n_h <> o_h THEN '2026-03-01' END AS valid_to
+  FROM j WHERE o_h IS NOT NULL
+  UNION ALL
+  SELECT COALESCE(nk, ok), '2026-03-01', NULL
+  FROM j WHERE n_h IS NOT NULL AND (o_h IS NULL OR o_h <> n_h)
+)
+SELECT valid_from, COALESCE(valid_to, 'open') AS valid_to,
+       COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
+FROM hist GROUP BY valid_from, COALESCE(valid_to, 'open')
+""",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history fold (plans/snapshot.py:snapshot_apply): start from a
+    history where every order is one open version (valid_from 2026-01-01),
+    apply the same synthetic 'today' snapshot as q_snapshot_diff at
+    2026-03-01, then count history rows per (valid_from, valid_to) cell:
+    unchanged stay open at 01-01, changed/removed close at 03-01, and
+    changed/added keys open new 03-01 versions.
+
+    The payload hash is only ever compared within one engine (Spark vs
+    Spark, DuckDB vs DuckDB), so double-to-string canonicalisation
+    differences between engines cannot flip a classification.
+    """
+    from sayn_spark.plans.snapshot import snapshot_apply
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    history = o.select(
+        "k", "st", "tp",
+        F.lit("2026-01-01").alias("_valid_from"),
+        F.lit(None).cast("string").alias("_valid_to"),
+    )
+    snap = (
+        o.where(F.col("k") % 97 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 89 == 0, F.lit("X")).otherwise(F.col("st")).alias("st"),
+            "tp",
+        )
+        .unionByName(
+            o.where(F.col("k") % 101 == 0).select(
+                (F.col("k") + 10000000).alias("k"), "st", "tp"
+            )
+        )
+    )
+    hist = snapshot_apply(history, snap, keys=["k"], snapshot_ts="2026-03-01")
+    return hist.groupBy(
+        F.col("_valid_from").alias("valid_from"),
+        F.coalesce(F.col("_valid_to"), F.lit("open")).alias("valid_to"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )

@@ -356,3 +356,55 @@ def test_cli_dag_writes_dot_and_levels(tmp_path, monkeypatch):
     dot = (proj / "images" / "dag.dot").read_text()
     assert '"f_battles" -> "f_fighter_results";' in dot or "->" in dot
     assert "level 0:" in res.output
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    """snapshot_diff: added/removed/changed/unchanged classification,
+    null-safe payload hashing (None vs value counts as changed)."""
+    from sayn_spark.plans.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "now-set"), (5, "e")], "k int, v string"
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",
+        4: "removed",
+        5: "added",
+    }
+
+
+def test_snapshot_apply_builds_scd2_history(spark):
+    """snapshot_apply: changed rows close + reopen, removed keys close,
+    added keys open, closed history passes through untouched."""
+    from sayn_spark.plans.snapshot import snapshot_apply
+
+    history = spark.createDataFrame(
+        [
+            # closed old version of k=1 (must pass through untouched)
+            (1, "a0", "2026-01-01", "2026-02-01"),
+            (1, "a1", "2026-02-01", None),   # current, unchanged in snapshot
+            (2, "b", "2026-01-01", None),    # current, changed in snapshot
+            (3, "c", "2026-01-01", None),    # current, removed in snapshot
+        ],
+        "k int, v string, _valid_from string, _valid_to string",
+    )
+    snap = spark.createDataFrame(
+        [(1, "a1"), (2, "B"), (4, "d")], "k int, v string"
+    )
+    out = snapshot_apply(history, snap, ["k"], "2026-03-01").collect()
+    rows = {(r.k, r.v, r._valid_from, r._valid_to) for r in out}
+    assert rows == {
+        (1, "a0", "2026-01-01", "2026-02-01"),
+        (1, "a1", "2026-02-01", None),
+        (2, "b", "2026-01-01", "2026-03-01"),
+        (2, "B", "2026-03-01", None),
+        (3, "c", "2026-01-01", "2026-03-01"),
+        (4, "d", "2026-03-01", None),
+    }
+    assert len(out) == 6
