@@ -244,3 +244,158 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) "
         "as (col_name, n_nulls, n_distinct, min_val, max_val)",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+_BLOOM_BITS = 1 << 16  # 65536 bits -> 1024 longs; fpp ~1% at ~6k keys
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_SEEDS = (1, 2, 3)
+
+
+def bloom_bitmap(keys: DataFrame, key: str) -> DataFrame:
+    """Single-row DataFrame holding a bloom filter (array<bigint> bitmap)
+    over ``keys[key]``: k=3 murmur3 positions per key, bit_or-folded into
+    64-bit words.  Build cost is one shuffle of (word, mask) pairs —
+    at most _BLOOM_WORDS rows — regardless of key count."""
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.hash(F.col(key), F.lit(s)), F.lit(_BLOOM_BITS))
+                    for s in _BLOOM_SEEDS
+                ]
+            )
+        ).alias("pos")
+    ).distinct()
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), pos % 64)").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("mp")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {_BLOOM_WORDS - 1}), "
+            "i -> coalesce(element_at(mp, i), cast(0 as bigint)))"
+        ).alias("bloom")
+    )
+
+
+def bloom_might_contain(key_col: str) -> "F.Column":
+    """Predicate: all k bloom bits set for ``key_col`` (column ``bloom``
+    must be in scope from a broadcast of bloom_bitmap's row)."""
+    seeds = ", ".join(str(s) for s in _BLOOM_SEEDS)
+    return F.expr(
+        f"forall(transform(array({seeds}), "
+        f"s -> pmod(hash({key_col}, s), {_BLOOM_BITS})), "
+        "p -> (element_at(bloom, cast(p div 64 as int) + 1) "
+        "& shiftleft(cast(1 as bigint), cast(p % 64 as int))) != 0)"
+    )
+
+
+@register(
+    "q_bloom_prefilter_join",
+    oracle="""
+SELECT l.l_returnflag, COUNT(*) AS n,
+       SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS price_cents
+FROM lineitem l
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey
+    AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+)
+GROUP BY l.l_returnflag
+""",
+)
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join: revenue of lineitems belonging to
+    urgent finished orders.  The order-key set is folded into a 64 KiB
+    bloom bitmap (one row, broadcast); the fact scan drops non-matching
+    rows BEFORE the join, and the exact semi join then removes bloom
+    false positives — so the result is provably bloom-invariant and the
+    oracle is the plain EXISTS semi join.
+
+    This is Spark's runtime row-level filtering (enabled by default,
+    spark.sql.optimizer.runtime.bloomFilter.enabled) made explicit as a
+    reusable operator: at 100 TB you persist the bitmap once and prune
+    MANY downstream fact scans (cross-job pruning the optimizer cannot
+    see), shrinking each shuffle by the selectivity of the key set.
+    Reference delegates joins entirely (SURVEY §2.4).
+    """
+    o = T(spark, sf_dir, "orders")
+    keys = o.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    ).select("o_orderkey")
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+    )
+    pref = li.join(F.broadcast(bloom_bitmap(keys, "o_orderkey"))).where(
+        bloom_might_contain("l_orderkey")
+    )
+    exact = pref.join(
+        F.broadcast(keys),
+        pref["l_orderkey"] == keys["o_orderkey"],
+        "left_semi",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_cents").alias("price_cents"),
+    )
+
+
+_CHECKSUM_MOD = 1_000_000_007
+
+
+@register(
+    "q_table_checksum",
+    oracle="""
+WITH h AS (
+  SELECT l_returnflag,
+         ('0x' || substr(md5(
+             CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+             || '|' || l_returnflag || '|' || l_linestatus || '|'
+             || CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+         ), 1, 15))::BIGINT AS rh
+  FROM lineitem
+)
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(rh % 1000000007) AS BIGINT) AS sum_mod,
+       bit_xor(rh) AS xor_h
+FROM h GROUP BY l_returnflag
+""",
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint: per-row md5 over a canonical
+    '|'-joined string form (ints, strings, integer cents — no raw
+    doubles), folded per group with two independent combiners: bit_xor
+    (overflow-free at any scale) and a modular sum (catches the
+    paired-duplicate rows xor cancels).  Equal fingerprints <=> equal
+    multisets of rows, regardless of partitioning, task order, or
+    engine — the cross-cluster anti-entropy check you run after a
+    100 TB copy/merge instead of comparing rows (SURVEY §5's
+    order-insensitive validate_table, done distributively).
+    """
+    li = T(spark, sf_dir, "lineitem")
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+    )
+    rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        li.select("l_returnflag", rh.alias("rh"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("rh") % _CHECKSUM_MOD).alias("sum_mod"),
+            F.expr("bit_xor(rh)").alias("xor_h"),
+        )
+    )

@@ -197,3 +197,64 @@ def test_results_invariant_to_shuffle_partitioning(spark):
             assert ok, f"{name} under 7 shuffle partitions: {msg}"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_bloom_prefilter_no_false_negatives_and_prunes(spark):
+    """bloom_might_contain must pass every true key (no false negatives)
+    and drop a meaningful share of non-matching fact rows."""
+    from pyspark.sql import functions as F
+
+    from sayn_spark.functions.registry import T
+    from sayn_spark.functions.scale import bloom_bitmap, bloom_might_contain
+
+    keys = (
+        T(spark, SF, "orders")
+        .where((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F"))
+        .select("o_orderkey")
+    )
+    li = T(spark, SF, "lineitem").select("l_orderkey")
+    pref = li.join(F.broadcast(bloom_bitmap(keys, "o_orderkey"))).where(
+        bloom_might_contain("l_orderkey")
+    )
+    total = li.count()
+    prefiltered = pref.count()
+    exact = li.join(
+        F.broadcast(keys), li["l_orderkey"] == keys["o_orderkey"], "left_semi"
+    ).count()
+    assert exact <= prefiltered  # bloom never loses a true match
+    assert prefiltered < total * 0.5  # and actually prunes the scan
+    # false-positive rate within an order of magnitude of the design fpp
+    assert (prefiltered - exact) <= max(100, int(0.1 * total))
+
+
+def test_table_checksum_invariant_to_partitioning(spark):
+    """The checksum is a commutative fold: any repartitioning of the
+    input must produce identical (n, sum_mod, xor_h) per group."""
+    rows = lambda df: {tuple(r) for r in df.collect()}
+    from pyspark.sql import functions as F
+
+    from sayn_spark.functions.registry import T
+    base = rows(REGISTRY["q_table_checksum"].fn(spark, SF))
+
+    li = T(spark, SF, "lineitem")
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+    )
+    rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    for nparts in (3, 17):
+        redone = rows(
+            li.repartition(nparts)
+            .select("l_returnflag", rh.alias("rh"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("rh") % 1_000_000_007).alias("sum_mod"),
+                F.expr("bit_xor(rh)").alias("xor_h"),
+            )
+        )
+        assert redone == base
