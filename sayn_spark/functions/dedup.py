@@ -602,3 +602,72 @@ def q_dedup_incremental_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept"
         ),
     )
+
+
+@register(
+    "q_dedup_prefix_filter",
+    oracle=f"""
+WITH {_SQL_CORPUS_NEAR},
+shingled AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM corpus),
+sizes AS (SELECT doc_id, len(sh) AS n FROM shingled),
+exploded AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
+""",
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (PPJoin family): exact
+    Jaccard >= 0.8 pairs — same output and oracle as
+    q_dedup_ngram_jaccard — but the inverted index holds only each
+    document's |x| - ceil(0.8|x|) + 1 RAREST shingles (canonical order:
+    ascending document frequency, then shingle).  If two sets have
+    Jaccard >= t their rare-token prefixes must share a token, so the
+    candidate join sees ~a fifth of the postings at t=0.8, and the
+    stopword-shingle skew of the full index disappears by construction
+    (hot shingles are, by definition, never in a rare-first prefix).
+    Candidates are verified with the exact intersection, so the filter
+    only has to be a no-false-negative superset.
+
+    ceil(0.8 n) is computed as (4n+4) div 5 in integer arithmetic —
+    float ceil(0.8*n) rounds the wrong way at multiples of 5.
+    """
+    from pyspark.sql import Window
+
+    corpus = _doc_corpus(spark, sf_dir, mutate=" zz qq")
+    shingled = _staged_shingles(corpus, persist=True).where(F.size("sh") > 0)
+    sizes = shingled.select("doc_id", F.size("sh").alias("n"))
+    exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
+    freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = exploded.join(freq, "s").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
+    )
+    prefix = (
+        ranked.join(sizes, "doc_id")
+        .where(F.col("rn") <= F.expr("n - ((4 * n + 4) div 5) + 1"))
+        .select("doc_id", "s")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    common = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    jacc = common.cast("double") / (F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - common)
+    return (
+        cand.join(shingled.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(shingled.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .where(jacc >= 0.8)
+        .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
+    )

@@ -258,3 +258,34 @@ def test_table_checksum_invariant_to_partitioning(spark):
             )
         )
         assert redone == base
+
+
+def test_prefix_filter_prunes_postings_and_matches_full_join(spark):
+    """The rare-token prefix index must carry far fewer postings than
+    the full inverted index, and yield identical verified pairs."""
+    from pyspark.sql import functions as F
+
+    full = {
+        tuple(r)
+        for r in REGISTRY["q_dedup_ngram_jaccard"].fn(spark, SF).collect()
+    }
+    pref = {
+        tuple(r)
+        for r in REGISTRY["q_dedup_prefix_filter"].fn(spark, SF).collect()
+    }
+    assert pref == full
+    assert len(pref) > 0
+
+    from sayn_spark.functions.dedup import _doc_corpus, _staged_shingles
+
+    shingled = _staged_shingles(
+        _doc_corpus(spark, SF, mutate=" zz qq")
+    ).where(F.size("sh") > 0)
+    n_postings = shingled.select(F.explode("sh")).count()
+    n_prefix = (
+        shingled.select(F.size("sh").alias("n"))
+        .select(F.expr("sum(n - ((4 * n + 4) div 5) + 1)").alias("p"))
+        .collect()[0]["p"]
+    )
+    # at t=0.8 the prefix keeps ~1/5 of each posting list (+1)
+    assert n_prefix < 0.3 * n_postings
