@@ -269,3 +269,162 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
     )
+
+
+@register(
+    "q_token_budget_mix",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+lang_stats AS (
+  SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS lang_tokens FROM tok GROUP BY lang
+),
+globals AS (
+  SELECT SUM(lang_tokens) AS tot, COUNT(*) AS n_langs FROM lang_stats
+),
+rated AS (
+  SELECT ls.lang, ls.n_docs, ls.lang_tokens,
+         LEAST(1000, ((g.tot // 2) * 1000) // (g.n_langs * ls.lang_tokens)) AS keep_per_mille
+  FROM lang_stats ls CROSS JOIN globals g
+)
+SELECT r.lang, r.n_docs, r.lang_tokens, r.keep_per_mille,
+       COUNT(*) FILTER (
+         (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT) % 1000
+           < r.keep_per_mille
+       ) AS n_kept,
+       COALESCE(SUM(t.n_tokens) FILTER (
+         (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT) % 1000
+           < r.keep_per_mille
+       ), 0) AS tokens_kept
+FROM rated r JOIN tok t ON t.lang = r.lang
+GROUP BY r.lang, r.n_docs, r.lang_tokens, r.keep_per_mille
+""",
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-solving mixture rebalance: downsample each language so the
+    corpus fits a global token budget (here: half the corpus) split
+    uniformly across languages — the two-pass \"solve rates from stats,
+    then apply\" shape of real pretraining-mix construction.  Pass 1
+    aggregates per-language token counts (tiny result, broadcast);
+    pass 2 filters by content-hash per-mille bucket against the solved
+    rate.  All rate math is integer (per-mille, div) so both engines
+    agree exactly; rates cap at 1000 (never upsample).
+
+    At 100 TB pass 1 is a cheap scan-aggregate and pass 2 is a
+    map-side filter — no shuffle touches the documents themselves.
+    """
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.expr("size(filter(split(lower(text), ' '), x -> x != ''))").alias("n_tokens"),
+    )
+    lang_stats = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("lang_tokens")
+    )
+    globals_ = lang_stats.agg(
+        F.sum("lang_tokens").alias("tot"), F.count(F.lit(1)).alias("n_langs")
+    )
+    rated = lang_stats.join(F.broadcast(globals_)).select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        F.expr("least(1000, ((tot div 2) * 1000) div (n_langs * lang_tokens))").alias(
+            "keep_per_mille"
+        ),
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 1000"
+    )
+    kept = F.col("bucket") < F.col("keep_per_mille")
+    return (
+        tok.select("doc_id", "lang", "n_tokens", bucket.alias("bucket"))
+        .join(F.broadcast(rated), "lang")
+        .groupBy("lang", "n_docs", "lang_tokens", "keep_per_mille")
+        .agg(
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0)).alias(
+                "tokens_kept"
+            ),
+        )
+    )
+
+
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 24
+_CHUNK_MOD = 1_000_000_007
+
+
+@register(
+    "q_doc_chunking",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sized AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) >= 1),
+chunks AS (
+  SELECT doc_id, n,
+         LEAST({_CHUNK_LEN}, n - s + 1) AS clen,
+         ('0x' || substr(md5(array_to_string(
+             list_slice(toks, s, s + {_CHUNK_LEN} - 1), ' ')), 1, 15))::BIGINT
+           % {_CHUNK_MOD} AS chash
+  FROM sized, UNNEST(generate_series(1, n, {_CHUNK_STRIDE})) AS u(s)
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_chunks, SUM(clen) AS doc_chunk_tokens,
+         SUM(chash) AS doc_chash
+  FROM chunks GROUP BY doc_id
+)
+SELECT n_chunks, COUNT(*) AS n_docs,
+       SUM(doc_chunk_tokens) AS sum_chunk_tokens,
+       SUM(doc_chash) AS chunk_checksum
+FROM per_doc GROUP BY n_chunks
+""",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (the complement of q_sequence_packing):
+    split each document into {_CHUNK_LEN}-token windows with stride
+    {_CHUNK_STRIDE} (8-token overlap), the standard long-document
+    treatment before training/embedding.  Chunk starts come from an
+    array-local sequence() explode — each document expands
+    independently, so at 100 TB this is pure map-side flatMap with no
+    shuffle until the final histogram; per-chunk md5 checksums (summed
+    mod p) pin that both engines produced byte-identical chunk text.
+    """
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("toks")
+    ).where(F.size("toks") >= 1)
+    ch = tok.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.col("toks"),
+        F.explode(F.expr(f"sequence(1, size(toks), {_CHUNK_STRIDE})")).alias("s"),
+    ).select(
+        "doc_id",
+        F.least(F.lit(_CHUNK_LEN), F.col("n") - F.col("s") + 1).alias("clen"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.expr(f"array_join(slice(toks, s, {_CHUNK_LEN}), ' ')")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CHUNK_MOD
+        ).alias("chash"),
+    )
+    per_doc = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("clen").alias("doc_chunk_tokens"),
+        F.sum("chash").alias("doc_chash"),
+    )
+    return per_doc.groupBy("n_chunks").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_chunk_tokens").alias("sum_chunk_tokens"),
+        F.sum("doc_chash").alias("chunk_checksum"),
+    )

@@ -102,3 +102,44 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("jaccard_est"),
         true_j.alias("jaccard_true"),
     )
+
+
+_N_SHARDS = 8
+
+
+@register(
+    "q_epoch_shuffle",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM documents
+)
+SELECT hv % {_N_SHARDS} AS shard, COUNT(*) AS n_docs,
+       MIN(hv) AS min_hv, MAX(hv) AS max_hv,
+       SUM(doc_id) AS id_sum, arg_min(doc_id, hv) AS first_doc
+FROM h GROUP BY hv % {_N_SHARDS}
+""",
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + sharding: every document gets a
+    pseudo-random-but-reproducible position hv = md5(seed|doc_id); shard
+    = hv mod {_N_SHARDS}, within-shard read order = ascending hv.  The
+    same seed always yields the same global permutation on any cluster
+    size — how a 100 TB training corpus is re-shuffled per epoch without
+    RNG state (write with repartition(shard) + sortWithinPartitions(hv);
+    here we return per-shard counts, hash range, id checksum, and the
+    first document in read order to pin the permutation).
+    """
+    d = T(spark, sf_dir, "documents")
+    hv = F.expr(
+        "cast(conv(substr(md5(concat('42|', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+    )
+    h = d.select("doc_id", hv.alias("hv"))
+    return h.groupBy((F.col("hv") % _N_SHARDS).alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("hv").alias("min_hv"),
+        F.max("hv").alias("max_hv"),
+        F.sum("doc_id").alias("id_sum"),
+        F.expr("min_by(doc_id, hv)").alias("first_doc"),
+    )
