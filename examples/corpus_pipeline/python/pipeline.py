@@ -51,3 +51,54 @@ def compact_corpus(context, spark):
 
     n_files = compact_table(spark, "corpus_final")
     print(f"[compact_corpus] corpus_final -> {n_files} file(s)")
+
+
+@task(name="corpus_history", sources=["corpus_final"], outputs=["corpus_history"])
+def corpus_history(context, spark):
+    """SCD-2 history of the canonical corpus (plans/snapshot.py): fold a
+    synthetic day-2 snapshot (every 7th doc dropped, every 5th doc's
+    quality halved) into a valid_from/valid_to history — the audit
+    table a recurring curation run maintains so any past corpus state
+    can be reconstructed."""
+    from sayn_spark.plans.snapshot import snapshot_apply
+
+    cur = spark.table("corpus_final")
+    day1 = cur.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "quality_score",
+        F.lit("2026-01-01").alias("_valid_from"),
+        F.lit(None).cast("string").alias("_valid_to"),
+    )
+    snap = cur.where(F.col("doc_id") % 7 != 0).withColumn(
+        "quality_score",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.round(F.col("quality_score") / 2, 6)
+        ).otherwise(F.col("quality_score")),
+    )
+    hist = snapshot_apply(day1, snap, keys=["doc_id"], snapshot_ts="2026-01-02")
+    context.default_db.replace_table("corpus_history", hist)
+
+
+@task(name="corpus_checksum", sources=["corpus_final"], outputs=["corpus_checksum"])
+def corpus_checksum(context, spark):
+    """Anti-entropy fingerprint of the final corpus (same fold as
+    q_table_checksum): bit_xor + modular sum of per-row md5 — recompute
+    after any re-materialisation/copy and compare one tiny row instead
+    of diffing tables."""
+    cur = spark.table("corpus_final")
+    canon = F.concat_ws(
+        "|",
+        *[
+            F.col(c).cast("string")
+            for c in ("doc_id", "lang", "n_tokens", "quality_score")
+        ],
+    )
+    rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    fp = cur.select(rh.alias("rh")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(rh)").alias("xor_h"),
+        F.sum(F.col("rh") % 1000000007).alias("sum_mod"),
+    )
+    context.default_db.replace_table("corpus_checksum", fp)
