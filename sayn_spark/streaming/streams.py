@@ -85,6 +85,42 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str
     )
 
 
+def dynamic_session_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Session windows with a per-event inactivity gap: a purchase holds
+    its session open 60 minutes, any other event 30 — the dynamic-gap
+    form of session_window (gap is a Column, evaluated per row), which
+    is how engagement sessions are usually defined (high-intent events
+    extend the session).
+
+    State stays bounded exactly as with a fixed gap: the watermark
+    closes any session whose (last event + its gap) has passed, so at
+    100 TB/day state is still O(active users x watermark horizon).
+    Invariants vs fixed gaps (pinned in tests/test_streaming.py):
+    every event lands in exactly one session, and the session count is
+    between the 60-minute-fixed and 30-minute-fixed counts.
+    """
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            (F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start"))).alias(
+                "window_us"
+            ),
+            "n_events",
+            "n_purchases",
+        )
+    )
+
+
 def attribution_join_stream(
     events: DataFrame,
     attribution_window: str = "1 hour",

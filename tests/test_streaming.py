@@ -209,3 +209,31 @@ def test_attribution_join_stream_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_dynamic_session_stream_bounds(spark, events_dir):
+    """Dynamic-gap sessions: every event in exactly one session, and the
+    session count sits between the 60-min-fixed (gaps never shorter)
+    and 30-min-fixed (gaps never longer) session counts."""
+    from sayn_spark.streaming import dynamic_session_stream
+
+    dyn = run_to_memory(
+        spark, dynamic_session_stream(read_events_stream(spark, events_dir)), "dyn_sessions"
+    )
+    n_events_in = T(spark, SF, "events").count()
+    assert sum(r.n_events for r in dyn.collect()) == n_events_in
+
+    fixed30 = run_to_memory(
+        spark,
+        sessionize_stream(read_events_stream(spark, events_dir), gap="30 minutes"),
+        "fixed30_sessions",
+    )
+    fixed60 = run_to_memory(
+        spark,
+        sessionize_stream(read_events_stream(spark, events_dir), gap="60 minutes"),
+        "fixed60_sessions",
+    )
+    assert fixed60.count() <= dyn.count() <= fixed30.count()
+    # purchase tally is conserved too
+    n_purch = T(spark, SF, "events").where("event_type = 'purchase'").count()
+    assert sum(r.n_purchases for r in dyn.collect()) == n_purch
