@@ -19,3 +19,4 @@ from sayn_spark.functions import sampling  # noqa: F401,E402
 from sayn_spark.functions import components  # noqa: F401,E402
 from sayn_spark.functions import content_filter  # noqa: F401,E402
 from sayn_spark.functions import scale  # noqa: F401,E402
+from sayn_spark.functions import linkage  # noqa: F401,E402
