@@ -280,3 +280,58 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_key"),
         F.max("k").alias("max_key"),
     )
+
+
+@register(
+    "q_referential_integrity",
+    oracle="""
+SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_bad
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders->customer', COUNT(*)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer_childless', COUNT(*)
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the missing member of the standard
+    test family (reference generates unique/not_null/allowed_values,
+    database/__init__.py:239-288; FK orphans are what its users
+    hand-write as custom test tasks).  Each check is an anti join on
+    the key column alone (column pruning keeps the scan narrow; the
+    dim side broadcasts when small), counting child rows whose parent
+    is missing plus parents with no children.
+
+    At 100 TB each anti join shuffles only (key) pairs — or none at
+    all when the parent key set broadcasts; this is the cheap nightly
+    gate before publishing a warehouse layer.
+    """
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+
+    def check(name: str, child: DataFrame, parent: DataFrame, cond) -> DataFrame:
+        return (
+            child.join(F.broadcast(parent), cond, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_bad"))
+            .select(F.lit(name).alias("fk"), "n_bad")
+        )
+
+    li_orders = check(
+        "lineitem->orders", li, o.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    orders_cust = check(
+        "orders->customer", o.select("o_custkey"), c,
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    cust_childless = check(
+        "customer_childless", c, o.select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    return li_orders.unionByName(orders_cust).unionByName(cust_childless)
