@@ -289,3 +289,13 @@ def test_prefix_filter_prunes_postings_and_matches_full_join(spark):
     )
     # at t=0.8 the prefix keeps ~1/5 of each posting list (+1)
     assert n_prefix < 0.3 * n_postings
+
+
+def test_referential_integrity_uses_broadcast_anti_joins(spark):
+    """All three RI checks must run as broadcast anti joins on pruned
+    key columns — no sort-merge shuffle, no wide scans."""
+    df = REGISTRY["q_referential_integrity"].fn(spark, SF)
+    plan = plan_of(spark, df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
