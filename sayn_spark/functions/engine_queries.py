@@ -335,3 +335,80 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey") == F.col("o_custkey"),
     )
     return li_orders.unionByName(orders_cust).unionByName(cust_childless)
+
+
+@register(
+    "q_scd2_asof_read",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp FROM orders
+),
+new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END AS st,
+         o_totalprice AS tp
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+both_reads AS (
+  SELECT '2026-01-15' AS asof_date, k, st FROM old
+  UNION ALL
+  SELECT '2026-03-15', k, st FROM new
+)
+SELECT asof_date, st AS orderstatus, COUNT(*) AS n,
+       SUM(k % 1000000007) AS key_checksum
+FROM both_reads GROUP BY asof_date, st
+""",
+)
+def q_scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD-2 history (plans/snapshot.py:
+    snapshot_as_of): build the same history as q_scd2_history, then
+    reconstruct the table as of 2026-01-15 (must equal yesterday's
+    orders exactly) and as of 2026-03-15 (must equal today's snapshot),
+    proving the history losslessly encodes both states.  The oracle
+    computes both expected states directly from the base table — it
+    never sees the history, so any corruption in the fold or the as-of
+    filter shows up as a mismatch.
+
+    The as-of read is a pure filter (no join); the checksum is the
+    modular key sum so value equality, not just counts, is pinned.
+    """
+    from sayn_spark.plans.snapshot import snapshot_apply, snapshot_as_of
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    history = o.select(
+        "k", "st", "tp",
+        F.lit("2026-01-01").alias("_valid_from"),
+        F.lit(None).cast("string").alias("_valid_to"),
+    )
+    snap = (
+        o.where(F.col("k") % 97 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 89 == 0, F.lit("X")).otherwise(F.col("st")).alias("st"),
+            "tp",
+        )
+        .unionByName(
+            o.where(F.col("k") % 101 == 0).select(
+                (F.col("k") + 10000000).alias("k"), "st", "tp"
+            )
+        )
+    )
+    hist = snapshot_apply(history, snap, keys=["k"], snapshot_ts="2026-03-01")
+    reads = snapshot_as_of(hist, "2026-01-15").select(
+        F.lit("2026-01-15").alias("asof_date"), "k", "st"
+    ).unionByName(
+        snapshot_as_of(hist, "2026-03-15").select(
+            F.lit("2026-03-15").alias("asof_date"), "k", "st"
+        )
+    )
+    return reads.groupBy("asof_date", F.col("st").alias("orderstatus")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("k") % 1000000007).alias("key_checksum"),
+    )

@@ -140,3 +140,21 @@ def snapshot_apply(
         .unionByName(from_current.select(*cols))
         .unionByName(opened.select(*cols))
     )
+
+
+def snapshot_as_of(history: DataFrame, asof) -> DataFrame:
+    """Point-in-time read of an SCD-2 history: rows whose validity
+    interval covers ``asof`` (``_valid_from <= asof < _valid_to``, open
+    versions extend to infinity) — reconstructs the table exactly as it
+    stood at any past snapshot boundary.
+
+    A pure filter: no join, no shuffle; with the history partitioned or
+    z-ordered on ``_valid_from`` the scan prunes to the files whose
+    interval can cover ``asof``.
+    """
+    ts = F.lit(asof) if not isinstance(asof, F.Column) else asof
+    ts = ts.cast(history.schema[VALID_FROM].dataType)
+    return history.where(
+        (F.col(VALID_FROM) <= ts)
+        & (F.col(VALID_TO).isNull() | (F.col(VALID_TO) > ts))
+    ).drop(VALID_FROM, VALID_TO)
