@@ -112,6 +112,14 @@ class App:
         groups = load_task_groups(self.project_dir)
         for group, tasks in groups.items():
             for name, cfg in tasks.items():
+                if name in out:
+                    # silent overwrite would drop the earlier definition
+                    # from the DAG (ref raises duplicate_task:
+                    # core/project.py:232,270,311)
+                    raise ValueError(
+                        f"duplicate task name '{name}': defined in group "
+                        f"'{out[name]['group']}' and again in '{group}'"
+                    )
                 cfg = dict(cfg or {})
                 cfg["group"] = group
                 out[name] = _merge_preset(cfg, self.project.presets)
@@ -121,6 +129,12 @@ class App:
             folder = self.project_dir / "sql"
             base = folder if folder.is_dir() else self.project_dir
             for f in sorted(base.glob(pattern)):
+                if f.stem in out:
+                    raise ValueError(
+                        f"duplicate task name '{f.stem}': autogroup '{group}' "
+                        f"file {f.name} collides with a task in group "
+                        f"'{out[f.stem]['group']}'"
+                    )
                 tcfg = {k: v for k, v in cfg.items() if k != "file_name"}
                 tcfg["file_name"] = str(f.relative_to(base))
                 tcfg["group"] = group

@@ -48,6 +48,11 @@ def split_statements(script: str) -> list[str]:
             j = n if j < 0 else j
             buf.append(script[i:j])
             i = j - 1
+        elif ch == "/" and script[i : i + 2] == "/*":
+            j = script.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            buf.append(script[i:j])
+            i = j - 1
         elif ch == ";":
             stmts.append("".join(buf))
             buf = []

@@ -167,7 +167,7 @@ WITH toks AS (
 )
 SELECT t.doc_id,
        COUNT(*) AS n_tokens,
-       SUM(v.rank) AS rank_sum,
+       CAST(SUM(v.rank) AS BIGINT) AS rank_sum,
        ROUND(CAST(SUM(v.rank) AS DOUBLE) / COUNT(*), 6) AS avg_rank
 FROM toks t JOIN vocab v ON v.tok = t.tok
 GROUP BY t.doc_id
@@ -241,10 +241,10 @@ WITH tok AS (
 ), packed AS (
   SELECT doc_id, n_tokens,
          SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-         (SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2048 AS bin_id
+         CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2048 AS BIGINT) AS bin_id
   FROM tok
 )
-SELECT bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+SELECT bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
 FROM packed GROUP BY bin_id
 """,
 )
@@ -280,14 +280,14 @@ WITH tok AS (
   FROM documents
 ),
 lang_stats AS (
-  SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS lang_tokens FROM tok GROUP BY lang
+  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens FROM tok GROUP BY lang
 ),
 globals AS (
   SELECT SUM(lang_tokens) AS tot, COUNT(*) AS n_langs FROM lang_stats
 ),
 rated AS (
   SELECT ls.lang, ls.n_docs, ls.lang_tokens,
-         LEAST(1000, ((g.tot // 2) * 1000) // (g.n_langs * ls.lang_tokens)) AS keep_per_mille
+         CAST(LEAST(1000, ((g.tot // 2) * 1000) // (g.n_langs * ls.lang_tokens)) AS BIGINT) AS keep_per_mille
   FROM lang_stats ls CROSS JOIN globals g
 )
 SELECT r.lang, r.n_docs, r.lang_tokens, r.keep_per_mille,
@@ -298,7 +298,7 @@ SELECT r.lang, r.n_docs, r.lang_tokens, r.keep_per_mille,
        COALESCE(SUM(t.n_tokens) FILTER (
          (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT) % 1000
            < r.keep_per_mille
-       ), 0) AS tokens_kept
+       ), 0)::BIGINT AS tokens_kept
 FROM rated r JOIN tok t ON t.lang = r.lang
 GROUP BY r.lang, r.n_docs, r.lang_tokens, r.keep_per_mille
 """,
@@ -380,8 +380,8 @@ per_doc AS (
   FROM chunks GROUP BY doc_id
 )
 SELECT n_chunks, COUNT(*) AS n_docs,
-       SUM(doc_chunk_tokens) AS sum_chunk_tokens,
-       SUM(doc_chash) AS chunk_checksum
+       CAST(SUM(doc_chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+       CAST(SUM(doc_chash) AS BIGINT) AS chunk_checksum
 FROM per_doc GROUP BY n_chunks
 """,
 )

@@ -548,9 +548,9 @@ marked AS (
 )
 SELECT source,
        COUNT(*) AS n_batch,
-       SUM(dup_corpus) AS n_dup_corpus,
-       SUM(CASE WHEN dup_corpus = 0 AND rk > 1 THEN 1 ELSE 0 END) AS n_dup_within,
-       SUM(CASE WHEN dup_corpus = 0 AND rk = 1 THEN 1 ELSE 0 END) AS n_kept
+       CAST(SUM(dup_corpus) AS BIGINT) AS n_dup_corpus,
+       CAST(SUM(CASE WHEN dup_corpus = 0 AND rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_within,
+       CAST(SUM(CASE WHEN dup_corpus = 0 AND rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM marked GROUP BY source
 """,
 )

@@ -358,7 +358,7 @@ both_reads AS (
   SELECT '2026-03-15', k, st FROM new
 )
 SELECT asof_date, st AS orderstatus, COUNT(*) AS n,
-       SUM(k % 1000000007) AS key_checksum
+       CAST(SUM(k % 1000000007) AS BIGINT) AS key_checksum
 FROM both_reads GROUP BY asof_date, st
 """,
 )

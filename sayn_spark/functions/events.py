@@ -52,12 +52,13 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT user_id, event_id, ts_us,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM marked
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
-       MIN(ts_us) AS start_us, MAX(ts_us) - MIN(ts_us) AS dur_us
+SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(ts_us) AS BIGINT) AS start_us,
+       CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS dur_us
 FROM sessions GROUP BY user_id, session_id
 """,
 )
@@ -520,8 +521,8 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), segs AS (
   SELECT user_id, event_type, ts_us,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg_id
   FROM marked
 ), collapsed AS (
   SELECT user_id, seg_id, MIN(event_type) AS event_type,

@@ -47,7 +47,7 @@ scored AS (
     ON a.c_nationkey = b.c_nationkey
    AND substr(a.c_name, 15, 3) = substr(b.c_name, 15, 3)
 )
-SELECT score, COUNT(*) AS n_pairs, SUM(exact_name) AS n_exact_name,
+SELECT score, COUNT(*) AS n_pairs, CAST(SUM(exact_name) AS BIGINT) AS n_exact_name,
        MIN(id_a) AS min_id_a, MAX(id_a) AS max_id_a
 FROM scored WHERE score >= 5
 GROUP BY score

@@ -30,16 +30,24 @@ def register(name: str, oracle: str | None = None):
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (lazy parquet scan; Catalyst prunes/pushes).
 
-    events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects; read it as int64 ns (legacy conf) and floor to microsecond
-    timestamps — a pure column expression, no driver materialisation.
+    events.parquet has shipped with two physical ``ts`` encodings across
+    testdata generations: TIMESTAMP(NANOS) (Spark reads it as int64 ns
+    under the legacy conf) and plain timestamp[us] without UTC
+    adjustment (Spark 4 reads it as TIMESTAMP_NTZ, which ``unix_micros``
+    and streaming time ops reject).  Normalise both to a session-tz
+    TIMESTAMP — with the engine's fixed UTC session timezone this is the
+    same wall-clock instant DuckDB's ``epoch_us`` sees, and it is a pure
+    column expression (no driver materialisation, pushdown unaffected).
     """
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1118,8 +1118,8 @@ def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_classes",
     oracle="""
 SELECT l.l_linestatus,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1998-01-01' AND l.l_shipdate < TIMESTAMP '1999-01-01'
 GROUP BY l.l_linestatus
@@ -1624,7 +1624,7 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c.c_custkey, t.o_orderkey, t.price
 FROM customer c,
 LATERAL (
-  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  SELECT o_orderkey, CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS price
   FROM orders o WHERE o.o_custkey = c.c_custkey
   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
 ) t
@@ -1649,7 +1649,7 @@ def q_lateral_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.c_custkey, t.o_orderkey, t.price
         FROM customer_lat c,
         LATERAL (
-          SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+          SELECT o_orderkey, CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS price
           FROM orders_lat o WHERE o.o_custkey = c.c_custkey
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
         ) t

@@ -117,7 +117,7 @@ WITH h AS (
 )
 SELECT hv % {_N_SHARDS} AS shard, COUNT(*) AS n_docs,
        MIN(hv) AS min_hv, MAX(hv) AS max_hv,
-       SUM(doc_id) AS id_sum, arg_min(doc_id, hv) AS first_doc
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum, arg_min(doc_id, hv) AS first_doc
 FROM h GROUP BY hv % {_N_SHARDS}
 """,
 )

@@ -137,7 +137,7 @@ def q_sorted_write_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_mktsegment AS mktsegment,
        COUNT(*) AS n_events,
-       SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events e
 JOIN customer c ON c.c_custkey = e.user_id
 GROUP BY c.c_mktsegment
@@ -184,23 +184,23 @@ WITH src AS (
   FROM orders
 )
 SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
-       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT o_custkey) AS n_distinct,
        CAST(MIN(o_custkey) AS VARCHAR) AS min_val, CAST(MAX(o_custkey) AS VARCHAR) AS max_val
 FROM src
 UNION ALL
 SELECT 'o_orderstatus', COUNT(*),
-       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
 FROM src
 UNION ALL
 SELECT 'o_orderpriority', COUNT(*),
-       SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority), MAX(o_orderpriority)
 FROM src
 UNION ALL
 SELECT 'o_totalprice', COUNT(*),
-       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_totalprice),
        CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
 FROM src
@@ -300,7 +300,7 @@ def bloom_might_contain(key_col: str) -> "F.Column":
     "q_bloom_prefilter_join",
     oracle="""
 SELECT l.l_returnflag, COUNT(*) AS n,
-       SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS price_cents
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
 FROM lineitem l
 WHERE EXISTS (
   SELECT 1 FROM orders o

@@ -363,7 +363,7 @@ err AS (
   FROM quant GROUP BY vec_id
 )
 SELECT COUNT(*) AS n_vectors,
-       SUM(CASE WHEN ROUND(max_err, 6) <= 0.02 THEN 1 ELSE 0 END) AS n_within_tolerance,
+       CAST(SUM(CASE WHEN ROUND(max_err, 6) <= 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_tolerance,
        ROUND(MAX(max_err), 6) AS worst_err
 FROM err
 """,

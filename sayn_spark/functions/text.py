@@ -36,7 +36,7 @@ WITH tok AS (
 SELECT doc_id,
        len(tokens) AS n_tokens,
        len(list_distinct(tokens)) AS n_distinct_tokens,
-       list_aggregate(list_transform(tokens, x -> len(x)), 'sum') AS total_token_chars,
+       CAST(list_aggregate(list_transform(tokens, x -> len(x)), 'sum') AS BIGINT) AS total_token_chars,
        n_chars
 FROM tok
 """,
@@ -225,7 +225,7 @@ WITH tok AS (
   SELECT doc_id, bucket, COUNT(*) AS cnt FROM bucketed GROUP BY doc_id, bucket
 )
 SELECT doc_id,
-       SUM(cnt * cnt) AS l2_sq,
+       CAST(SUM(cnt * cnt) AS BIGINT) AS l2_sq,
        MAX(cnt) AS max_bucket_count,
        COUNT(*) AS n_nonzero_buckets
 FROM vec GROUP BY doc_id

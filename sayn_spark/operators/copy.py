@@ -147,6 +147,7 @@ class CopyTask(Task):
             db.replace_table(self.dst_value, batch)
             return
         iterations = 0
+        n = 0
         while iterations < MAX_MERGE_ITERATIONS:
             chunk = batch
             if self.max_merge_rows:
@@ -165,6 +166,25 @@ class CopyTask(Task):
             last_max = db.get_max_value(self.dst_value, self.incremental_key)
             batch = incremental_filter(
                 src_df, self.incremental_key, last_max, include_null=False
+            )
+        else:
+            # loop exhausted the cap with a full chunk still pending —
+            # the reference's silent `for _ in range(100)` (tasks/
+            # copy.py:359-362) would report SUCCESS on an incomplete
+            # load; surface it.  A chunk of exactly max_merge_rows can
+            # also mean >max_merge_rows rows share one incremental_key
+            # value, which this chunking can never drain.
+            import logging
+
+            logging.getLogger("sayn_spark").warning(
+                "copy task %r: merge iteration cap (%d) reached with a full "
+                "chunk (%d rows) still pending — load may be incomplete "
+                "(possible hot incremental_key value exceeding "
+                "max_merge_rows=%s)",
+                self.name,
+                MAX_MERGE_ITERATIONS,
+                n,
+                self.max_merge_rows,
             )
 
     def _run_sink(self, src_df: DataFrame, mode: str) -> None:

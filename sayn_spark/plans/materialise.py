@@ -31,10 +31,17 @@ def merge_dataframes(
     any dst row (SQL EXISTS semantics: NULL = NULL is not true), so dst
     rows with NULL keys survive unless src also carries them — matched
     by the reference's correlated-EXISTS equality.
+
+    No explicit broadcast hint: the common small-delta case broadcasts
+    anyway via AQE's runtime size check (the distinct key set is tiny),
+    while a huge first-backfill delta — where a forced broadcast would
+    OOM executors — falls back to a shuffled anti join.  AQE sees the
+    *actual* post-aggregation size, which beats any static guess we
+    could make here.
     """
     keys = [delete_key] if isinstance(delete_key, str) else list(delete_key)
     src_keys = src.select(*keys).distinct()
-    kept = dst.join(F.broadcast(src_keys), on=keys, how="left_anti")
+    kept = dst.join(src_keys, on=keys, how="left_anti")
     return kept.unionByName(src.select(*dst.columns))
 
 

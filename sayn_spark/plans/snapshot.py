@@ -20,6 +20,25 @@ from pyspark.sql import functions as F
 
 CHANGE_COL = "change_type"
 
+# Field separator / NULL sentinel for payload fingerprints.  A plain
+# concat_ws("") makes distinct payloads collide — ('ab','c') vs
+# ('a','bc') — and a ' ' NULL sentinel collides with real spaces, which
+# would silently classify changed rows as 'unchanged'.  \x1f (unit
+# separator) and \x00 cannot appear in the string form of typical
+# payloads, and to_json would cost more for the same guarantee.
+_FP_SEP = "\x1f"
+_FP_NULL = "\x00"
+
+
+def _payload_fingerprint(cols: Sequence[str]) -> F.Column:
+    """md5 over separator-joined, null-sentinelled string forms of ``cols``."""
+    return F.md5(
+        F.concat_ws(
+            _FP_SEP,
+            *[F.coalesce(F.col(c).cast("string"), F.lit(_FP_NULL)) for c in cols],
+        )
+    )
+
 
 def snapshot_diff(
     old: DataFrame,
@@ -40,13 +59,7 @@ def snapshot_diff(
         compare_cols = [c for c in shared if c not in set(keys)]
 
     def hashed(df: DataFrame, alias: str) -> DataFrame:
-        h = F.md5(
-            F.concat_ws(
-                "",
-                *[F.coalesce(F.col(c).cast("string"), F.lit(" ")) for c in compare_cols],
-            )
-        )
-        return df.select(*keys, h.alias(alias))
+        return df.select(*keys, _payload_fingerprint(compare_cols).alias(alias))
 
     o = hashed(old, "_old_h")
     n = hashed(new, "_new_h")
@@ -71,6 +84,7 @@ def snapshot_apply(
     keys: Sequence[str],
     snapshot_ts,
     compare_cols: Optional[Sequence[str]] = None,
+    validate_keys: bool = True,
 ) -> DataFrame:
     """SCD-2 history upsert (dbt-snapshot semantics): fold a new full
     snapshot into a history table carrying ``_valid_from``/``_valid_to``
@@ -81,6 +95,15 @@ def snapshot_apply(
     inserted; keys absent from the snapshot are closed (soft delete);
     new keys open a first version.  Closed history rows always pass
     through untouched.
+
+    Contract: ``keys`` must be unique within ``snapshot`` (and within
+    the open slice of ``history``) — duplicates would fan out through
+    the full-outer join, emitting duplicated closed rows and multiple
+    simultaneous open versions.  With ``validate_keys`` (default) the
+    snapshot side is checked up front (one cheap key-count aggregate)
+    and a ``ValueError`` names offending keys; pass ``False`` only when
+    the caller has already guaranteed uniqueness and wants to skip the
+    extra job.
 
     Scale shape: the only join is current-history x snapshot on the
     natural key — both sides reduced to (key, payload-hash) plus the
@@ -97,21 +120,31 @@ def snapshot_apply(
         compare_cols = [c for c in shared if c not in set(keys) | {VALID_FROM, VALID_TO}]
     payload = list(compare_cols)
 
+    if validate_keys:
+        dupes = (
+            snapshot.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+            .limit(5)
+            .collect()
+        )
+        if dupes:
+            sample = [tuple(r[k] for k in keys) for r in dupes]
+            raise ValueError(
+                f"snapshot_apply: snapshot has duplicate keys on {keys}; "
+                f"sample: {sample}"
+            )
+
     closed = history.where(F.col(VALID_TO).isNotNull())
     current = history.where(F.col(VALID_TO).isNull())
 
-    def hcol(df: DataFrame) -> F.Column:
-        return F.md5(
-            F.concat_ws(
-                "", *[F.coalesce(F.col(c).cast("string"), F.lit(" ")) for c in payload]
-            )
-        )
-
-    cur = current.select(*keys, *payload, VALID_FROM, hcol(current).alias("_cur_h"))
+    cur = current.select(
+        *keys, *payload, VALID_FROM, _payload_fingerprint(payload).alias("_cur_h")
+    )
     snap = snapshot.select(
         *keys,
         *[F.col(c).alias(f"_snap_{c}") for c in payload],
-        hcol(snapshot).alias("_snap_h"),
+        _payload_fingerprint(payload).alias("_snap_h"),
     )
     j = cur.join(snap, keys, "full_outer")
 

@@ -42,8 +42,11 @@ def read_events_stream(
         # streams need an explicit schema; borrow it from a batch read
         reader = reader.schema(spark.read.parquet(path).schema)
     df = reader.load(path)
-    if dict(df.dtypes).get("ts") == "bigint":  # nanos-as-long testdata
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # nanos-as-long testdata
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":  # timestamp[us] testdata (UTC session tz)
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
