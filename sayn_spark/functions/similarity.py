@@ -37,11 +37,22 @@ _PLANE_SQL = (
     "(((1103515245::BIGINT * (j * 64 + i) + 12345) % 2147483648) % 2001 - 1000) / 1000.0)"
 )
 
-_BUCKET_SPARK = (
-    f"array_join(transform(sequence(0, {_N_PLANES - 1}), j -> "
-    f"case when aggregate(zip_with(e, {_PLANE_SPARK}, (x, y) -> x * y), 0D, (acc, v) -> acc + v) > 0 "
-    f"then '1' else '0' end), '')"
-)
+def bucket_expr(first_plane: int = 0, n_planes: int = _N_PLANES) -> str:
+    """Spark SQL expression: sign-bit bucket string over hyperplanes
+    ``first_plane .. first_plane + n_planes - 1`` applied to column
+    ``e`` (array<double>).  Different ``first_plane`` offsets yield
+    independent LSH tables (dedup.py gates its cosine verifier on two
+    of them); the planes are the deterministic LCG family above, so the
+    DuckDB oracle can reproduce any table bit-for-bit."""
+    last = first_plane + n_planes - 1
+    return (
+        f"array_join(transform(sequence({first_plane}, {last}), j -> "
+        f"case when aggregate(zip_with(e, {_PLANE_SPARK}, (x, y) -> x * y), 0D, (acc, v) -> acc + v) > 0 "
+        f"then '1' else '0' end), '')"
+    )
+
+
+_BUCKET_SPARK = bucket_expr(0, _N_PLANES)
 _BUCKET_SQL = (
     f"array_to_string(list_transform(generate_series(0, {_N_PLANES - 1}), j -> "
     f"CASE WHEN list_aggregate(list_transform(list_zip(e, {_PLANE_SQL}), p -> p[1] * p[2]), 'sum') > 0 "

@@ -162,17 +162,52 @@ def test_profile_single_scan_expand(spark):
     assert "Expand" in plan
 
 
-def test_no_query_builds_a_cartesian_product(spark):
+# Queries allowed to plan a BroadcastNestedLoopJoin: every entry joins
+# against a BOUNDED broadcast frame — a scalar-subquery threshold (one
+# row), a fixed 10-vector query set, a k-row centroid/sketch frame —
+# never a data-sized side.  Anything NOT listed here that plans a BNLJ
+# fails the hygiene test below (this is what caught the all-pairs
+# SimHash/cosine verifiers removed in round 3).
+_BNLJ_BOUNDED_FRAME_OK = {
+    "q11_value_concentration",   # scalar subquery: group value threshold (1 row)
+    "q22_idle_customers",        # scalar subquery: avg acctbal (1 row)
+    "q_ann_bruteforce_topk",     # documented baseline: 10 fixed query vectors
+    "q_bloom_prefilter_join",    # 1-row bloom-filter aggregate broadcast
+    "q_bm25_search",             # fixed small query-term frame
+    "q_hll_sketch_rollup",       # 1-row global sketch joined for ratios
+    "q_ivf_centroids",           # k-row centroid frame (k = label count)
+    "q_ivf_search",              # k-row centroid frame
+    "q_kmeans_refine",           # k-row centroid frame
+    "q_token_budget_mix",        # 1-row corpus-total frame
+}
+
+
+def test_no_query_builds_a_cartesian_product_or_allpairs_bnlj(spark):
     """Global plan hygiene: no registered query may plan a
-    CartesianProduct — an unconstrained cross join is never survivable
-    at 100 TB.  (Broadcast nested-loop joins of one-row bounds frames
-    are fine and not matched.)"""
-    offenders = []
+    CartesianProduct, and only queries joining bounded broadcast frames
+    (whitelist above) may plan a BroadcastNestedLoopJoin — an
+    unconstrained non-equi join over two data-sized sides is never
+    survivable at 100 TB."""
+    cartesian, bnlj = [], []
     for name in sorted(REGISTRY):
         df = REGISTRY[name].fn(spark, SF)
-        if "CartesianProduct" in plan_of(spark, df):
-            offenders.append(name)
-    assert not offenders, offenders
+        plan = plan_of(spark, df)
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_BOUNDED_FRAME_OK:
+            bnlj.append(name)
+    assert not cartesian, f"CartesianProduct: {cartesian}"
+    assert not bnlj, f"non-whitelisted BroadcastNestedLoopJoin: {bnlj}"
+
+
+def test_banded_dedup_plans_are_equi_joins(spark):
+    """The round-3 rewrite pins: banded SimHash and LSH-gated cosine
+    must plan NO nested-loop join at all — candidates come from
+    shuffle equi-joins on (band, bval) / bucket strings."""
+    for name in ("q_dedup_simhash", "q_dedup_embedding_cosine"):
+        plan = plan_of(spark, REGISTRY[name].fn(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
 
 
 def test_results_invariant_to_shuffle_partitioning(spark):
