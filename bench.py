@@ -1,16 +1,21 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "trials": N}.
 
-Each query is executed with a count()-style action that forces full
-evaluation without driver-side collect of big results.
+Each query is executed with a noop-sink write that forces full
+evaluation without driver-side collect of big results.  Every query
+runs $SPARK_GRAFT_TRIALS times (default 3) and the reported number is
+the MEDIAN — single-trial timings on a shared box swing +/-30%, which
+made round-over-round regressions unattributable.  ``value`` is the
+sum of medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -24,9 +29,15 @@ HEADLINE = [
     "q18_large_orders",
     "q_window_top_customers",
     "q_events_sessionize",
+    "q_events_retention",
     "q_incremental_merge",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_passages",
+    "q_dedup_simhash",
+    "q_dedup_embedding_cosine",
+    "q_record_linkage",
     "q_ann_lsh_topk",
     "q_text_quality",
 ]
@@ -34,6 +45,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
     from sayn_spark.functions import REGISTRY
     from sayn_spark.session import get_spark
 
@@ -49,13 +61,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = REGISTRY[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # queries persist intermediates; drop them so later timings
-        # aren't skewed by another query's cached memory
-        spark.catalog.clearCache()
+        samples = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            df = REGISTRY[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+            # queries persist intermediates; drop them between trials so
+            # every trial (and every later query) starts cold
+            spark.catalog.clearCache()
+        timings[name] = round(statistics.median(samples), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -66,6 +81,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "trials": trials,
             }
         )
     )

@@ -141,9 +141,18 @@ class App:
                 out[f.stem] = _merge_preset(tcfg, self.project.presets)
         # decorated python tasks registered by the project's python module
         for name, spec in self._load_python_module().items():
-            out.setdefault(
-                name, {"type": "python_decorator", "group": "python", "_decorated": spec}
-            )
+            if name in out:
+                # same duplicate-task class as the YAML/autogroup paths
+                # above — a setdefault here silently dropped the
+                # decorated task
+                raise ValueError(
+                    f"duplicate task name '{name}': @task in the python "
+                    f"module collides with a task in group "
+                    f"'{out[name]['group']}'"
+                )
+            out[name] = {
+                "type": "python_decorator", "group": "python", "_decorated": spec
+            }
         return out
 
     def _load_python_module(self) -> dict:

@@ -49,8 +49,21 @@ def split_statements(script: str) -> list[str]:
             buf.append(script[i:j])
             i = j - 1
         elif ch == "/" and script[i : i + 2] == "/*":
-            j = script.find("*/", i + 2)
-            j = n if j < 0 else j + 2
+            # Spark SQL supports NESTED bracketed comments (SPARK-28880),
+            # so scan with a depth counter — closing at the first '*/'
+            # would let a ';' in the tail of an outer comment split the
+            # statement mid-comment
+            depth = 1
+            j = i + 2
+            while j < n and depth:
+                if script[j : j + 2] == "/*":
+                    depth += 1
+                    j += 2
+                elif script[j : j + 2] == "*/":
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
             buf.append(script[i:j])
             i = j - 1
         elif ch == ";":

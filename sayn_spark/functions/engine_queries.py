@@ -271,7 +271,13 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    hist = snapshot_apply(history, snap, keys=["k"], snapshot_ts="2026-03-01")
+    hist = snapshot_apply(
+        history, snap, keys=["k"], snapshot_ts="2026-03-01",
+        # keys are unique by construction (k and k+10000000 branches are
+        # disjoint); skip the eager duplicate-key collect so building the
+        # DataFrame stays lazy and bench timings measure only the fold
+        validate_keys=False,
+    )
     return hist.groupBy(
         F.col("_valid_from").alias("valid_from"),
         F.coalesce(F.col("_valid_to"), F.lit("open")).alias("valid_to"),
@@ -400,7 +406,13 @@ def q_scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    hist = snapshot_apply(history, snap, keys=["k"], snapshot_ts="2026-03-01")
+    hist = snapshot_apply(
+        history, snap, keys=["k"], snapshot_ts="2026-03-01",
+        # keys are unique by construction (k and k+10000000 branches are
+        # disjoint); skip the eager duplicate-key collect so building the
+        # DataFrame stays lazy and bench timings measure only the fold
+        validate_keys=False,
+    )
     reads = snapshot_as_of(hist, "2026-01-15").select(
         F.lit("2026-01-15").alias("asof_date"), "k", "st"
     ).unionByName(

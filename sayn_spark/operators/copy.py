@@ -177,9 +177,10 @@ class CopyTask(Task):
             import logging
 
             logging.getLogger("sayn_spark").warning(
-                "copy task %r: merge iteration cap (%d) reached with a full "
-                "chunk (%d rows) still pending — load may be incomplete "
-                "(possible hot incremental_key value exceeding "
+                "copy task %r: merge iteration cap (%d) reached; the last "
+                "merged chunk was full (%d rows), so an unknown number of "
+                "remaining source rows were NOT loaded — load may be "
+                "incomplete (possible hot incremental_key value exceeding "
                 "max_merge_rows=%s)",
                 self.name,
                 MAX_MERGE_ITERATIONS,

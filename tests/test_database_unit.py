@@ -26,6 +26,20 @@ def test_split_statements_empty_and_trailing():
     assert split_statements("SELECT 1;") == ["SELECT 1"]
 
 
+def test_split_statements_nested_block_comments():
+    # Spark SQL nests bracketed comments (SPARK-28880): the ';' inside
+    # the tail of the OUTER comment must not split the statement
+    script = "SELECT /* outer /* inner */ still; commented */ 1; SELECT 2"
+    stmts = split_statements(script)
+    assert len(stmts) == 2
+    assert stmts[0].endswith("1")
+    assert stmts[1] == "SELECT 2"
+    # unterminated comment swallows the rest rather than mis-splitting
+    assert split_statements("SELECT /* /* */ 1; SELECT 2") == [
+        "SELECT /* /* */ 1; SELECT 2"
+    ]
+
+
 def test_read_data_and_stream(spark):
     db = SparkDatabase(spark)
     db.load_data("rd_t", [{"a": 1}, {"a": 2}], schema="a long", replace=True)

@@ -193,6 +193,27 @@ def test_example_project_end_to_end(spark, tmp_path):
     assert "{{" not in compiled and "customer" in compiled
 
 
+def test_decorated_task_name_collision_raises(spark, tmp_path):
+    """A @task whose name collides with a YAML task must raise like the
+    YAML/autogroup duplicate paths do — setdefault used to drop the
+    decorated task silently."""
+    import pytest
+
+    proj = tmp_path / "dup"
+    (proj / "tasks").mkdir(parents=True)
+    (proj / "python").mkdir()
+    (proj / "project.yaml").write_text("default_db: spark\n")
+    (proj / "tasks" / "g.yaml").write_text("tasks:\n  clash: {type: dummy}\n")
+    (proj / "python" / "t.py").write_text(
+        "from sayn_spark.operators import task\n"
+        "@task(name='clash')\n"
+        "def clash(context):\n"
+        "    pass\n"
+    )
+    with pytest.raises(ValueError, match="duplicate task name 'clash'"):
+        App(proj, spark=spark, run_arguments=RunArguments(command="run"))
+
+
 def test_skip_propagation_and_fail_fast(spark, tmp_path):
     proj = tmp_path / "p"
     (proj / "tasks").mkdir(parents=True)
