@@ -57,9 +57,23 @@ class App:
         profile: Optional[str] = None,
         run_arguments: Optional[RunArguments] = None,
         parameters: Optional[dict[str, Any]] = None,
+        tracker=None,
     ) -> None:
         self.project_dir = Path(project_dir)
         self.run_arguments = run_arguments or RunArguments()
+        if tracker is None:
+            # default logging mirrors the reference (cli.py:82-106):
+            # console lines + a JSON-lines debug log under logs/
+            from sayn_spark.logs import ConsoleLogger, EventTracker, FileLogger
+
+            tracker = EventTracker(
+                loggers=[
+                    ConsoleLogger(),
+                    FileLogger(self.project_dir / "logs" / "sayn_spark.log"),
+                ],
+                project_name=self.project_dir.name,
+            )
+        self.tracker = tracker
         self.project: Project = load_project(self.project_dir)
         self.settings: Settings = load_settings(self.project_dir)
         prof = apply_env_overrides(self.settings.profile(profile))
@@ -258,9 +272,16 @@ class App:
         skipped: set[str] = set()
         interrupted = False
 
+        levels = ready_sets(sub_dag)
+        order = topological_sort(sub_dag)
+        self.tracker.set_tasks(order)
+        self.tracker.start_stage(command, total_tasks=len(order))
+
         def run_one(name: str) -> None:
             nonlocal interrupted
             task = self.tasks[name]
+            tracker = self.tracker.get_task_tracker(name)
+            task.tracker = tracker  # python tasks log through this
             # skip propagation (ref: tasks/task_wrapper.py:269-300)
             bad_parents = [
                 p
@@ -271,27 +292,33 @@ class App:
             if interrupted or bad_parents:
                 task.status = TaskStatus.SKIPPED
                 skipped.add(name)
-                _log(f"SKIP   {name}")
+                tracker.skip_task(
+                    reason="interrupted" if interrupted else f"parents: {bad_parents}"
+                )
                 return
             task.status = TaskStatus.EXECUTING
+            tracker.start_task()
             t0 = time.perf_counter()
             try:
+                tracker.start_step("setup")
                 task.setup()
+                tracker.start_step(command)
                 getattr(task, command)()
                 if command == "run" and self.run_arguments.with_tests:
+                    tracker.start_step("test")
                     task.test()  # ref: tasks/task_wrapper.py:383-394
                 task.status = TaskStatus.SUCCESS
-                _log(f"OK     {name} ({time.perf_counter() - t0:.2f}s)")
+                tracker.finish_task("success", time.perf_counter() - t0)
             except Exception as e:  # noqa: BLE001 — task errors are data
                 task.status = TaskStatus.FAILED
                 task.error = str(e)
                 failed.add(name)
-                _log(f"FAIL   {name}: {e}")
+                tracker.finish_task(
+                    "failed", time.perf_counter() - t0, error=str(e)
+                )
                 if self.run_arguments.fail_fast:
                     interrupted = True
 
-        levels = ready_sets(sub_dag)
-        order = topological_sort(sub_dag)
         n_jobs = max(1, getattr(self.run_arguments, "jobs", 8))
         if parallel and n_jobs > 1 and len(sub_dag) > 1:
             with ThreadPoolExecutor(max_workers=n_jobs) as pool:
@@ -300,8 +327,9 @@ class App:
         else:
             for name in order:
                 run_one(name)
-        return {n: self.tasks[n].status for n in sub_dag}
-
-
-def _log(msg: str) -> None:
-    print(f"[sayn-spark] {msg}", flush=True)
+        statuses = {n: self.tasks[n].status for n in sub_dag}
+        n_ok = sum(s == TaskStatus.SUCCESS for s in statuses.values())
+        self.tracker.finish_current_stage(
+            summary=f"{n_ok} ok, {len(failed)} failed, {len(skipped)} skipped "
+        )
+        return statuses

@@ -60,6 +60,16 @@ class TaskContext:
     project_dir: Path
 
 
+class _NullTracker:
+    """Absorbs tracker calls when no EventTracker is attached."""
+
+    def __getattr__(self, name: str):
+        return lambda *a, **k: None
+
+
+_NULL_TRACKER = _NullTracker()
+
+
 class Task:
     """One DAG node.  Subclasses implement setup/run/compile/test."""
 
@@ -74,6 +84,9 @@ class Task:
         self.context = context
         self.status = TaskStatus.NOT_CONFIGURED
         self.error: Optional[str] = None
+        # per-task event tracker, set by App right before execution; the
+        # default no-op keeps tasks constructed outside App working
+        self.tracker = _NULL_TRACKER
         self.sources: set[DbObject] = set()
         self.outputs: set[DbObject] = set()
         # in-file config() overrides (ref: tasks/sql.py:279-347)

@@ -42,6 +42,30 @@ class PythonTask(Task):
     def parameters(self) -> dict[str, Any]:
         return {**self.context.parameters, **self.task_parameters}
 
+    # logging convenience, delegating to the per-task event tracker
+    # (ref: tasks/task.py debug/info/warning/error -> tracker)
+    def debug(self, message: str, **details: Any) -> None:
+        self.tracker.debug(message, **details)
+
+    def info(self, message: str, **details: Any) -> None:
+        self.tracker.info(message, **details)
+
+    def warning(self, message: str, **details: Any) -> None:
+        self.tracker.warning(message, **details)
+
+    def error(self, message: str, **details: Any) -> None:
+        self.tracker.error(message, **details)
+
+    # step bookkeeping passthrough (ref: tasks/task.py set_run_steps)
+    def set_run_steps(self, steps: list[str]) -> None:
+        self.tracker.set_run_steps(steps)
+
+    def start_step(self, step: str) -> None:
+        self.tracker.start_step(step)
+
+    def finish_current_step(self) -> None:
+        self.tracker.finish_current_step()
+
     def config(self) -> None:
         self.status = TaskStatus.READY
 
@@ -98,6 +122,10 @@ class DecoratedPythonTask(PythonTask):
         for pname in inspect.signature(self.func).parameters:
             if pname == "context":
                 kwargs[pname] = self
+            elif pname == "tracker":
+                # ref tasks exposed self.debug/info via the tracker
+                # (task_event_tracker.py:78-90); decorator form injects it
+                kwargs[pname] = self.tracker
             elif pname == "spark":
                 kwargs[pname] = self.context.spark
             elif pname in self.context.connections:
