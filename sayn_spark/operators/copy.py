@@ -59,7 +59,11 @@ class CopyTask(Task):
         self.delete_key: Optional[str] = c.get("delete_key")
         self.append: bool = bool(c.get("append", False))
         self.max_merge_rows: Optional[int] = c.get("max_merge_rows")
-        self.columns: list[dict] = list(c.get("columns", []))
+        from sayn_spark.core.ddl import validate_columns
+
+        self.columns: list[dict] = validate_columns(
+            list(c.get("columns", [])), self.name
+        )
         # validation (ref: tasks/copy.py:85-109)
         if self.append and self.delete_key:
             raise ValueError(f"copy task {self.name!r}: append excludes delete_key")
@@ -92,15 +96,9 @@ class CopyTask(Task):
     def _select_columns(self, df: DataFrame) -> DataFrame:
         """Declared-DDL projection with dst_name renames
         (ref: tasks/copy.py:559-624)."""
-        if not self.columns:
-            return df
-        cols = []
-        for c in self.columns:
-            col = F.col(c["name"])
-            if c.get("type"):
-                col = col.cast(c["type"])
-            cols.append(col.alias(c.get("dst_name", c["name"])))
-        return df.select(*cols)
+        from sayn_spark.core.ddl import project_columns
+
+        return project_columns(df, self.columns, self.name)
 
     @property
     def _mode(self) -> str:

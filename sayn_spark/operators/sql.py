@@ -58,6 +58,12 @@ class SqlTask(Task):
             self.parents = list(ov.get("parents", self.parents))
             self.on_fail = ov.get("on_fail", self.on_fail)
 
+        # strict column-spec validation at config time
+        # (ref: database/__init__.py:20-98 pydantic DDL models)
+        from sayn_spark.core.ddl import validate_columns
+
+        self.columns = validate_columns(self.columns, self.name)
+
         if self.materialisation not in _MATERIALISATIONS:
             raise ValueError(
                 f"task {self.name!r}: invalid materialisation {self.materialisation!r}"
@@ -96,7 +102,36 @@ class SqlTask(Task):
     # -- execution -------------------------------------------------------
 
     def _select_df(self):
-        return self.context.spark.sql(self.compiled)
+        """The task's SELECT with the declared-column projection applied
+        (rename via dst_name, cast via type) — reference parity for DDL
+        columns on autosql (database/__init__.py:75-98); the extra
+        select is folded into the plan by Catalyst, so declared columns
+        double as column pruning."""
+        from sayn_spark.core.ddl import transform_columns
+
+        return transform_columns(
+            self.context.spark.sql(self.compiled), self.columns, self.name
+        )
+
+    def _view_sql(self) -> str:
+        """Views keep the SQL-string path (CREATE OR REPLACE VIEW), so
+        the in-place rename/cast wraps the SELECT textually; the output
+        column list comes from analyzing the SELECT (no execution)."""
+        if not any(c.get("type") or c.get("dst_name") for c in self.columns):
+            return self.compiled
+        from sayn_spark.core.ddl import _check_declared_exist
+
+        analyzed = self.context.spark.sql(self.compiled)
+        _check_declared_exist(analyzed, self.columns, self.name)
+        by_name = {c["name"]: c for c in self.columns}
+        parts = []
+        for name in analyzed.columns:
+            c = by_name.get(name)
+            expr = f"`{name}`"
+            if c and c.get("type"):
+                expr = f"CAST({expr} AS {c['type']})"
+            parts.append(f"{expr} AS `{(c or {}).get('dst_name') or name}`")
+        return f"SELECT {', '.join(parts)} FROM (\n{self.compiled}\n)"
 
     def _writer_opts(self) -> dict:
         opts: dict[str, Any] = {}
@@ -115,7 +150,7 @@ class SqlTask(Task):
         if self.materialisation == "script":
             db.execute(self.compiled)
         elif self.materialisation == "view":
-            db.replace_view(self.dst_value, self.compiled)
+            db.replace_view(self.dst_value, self._view_sql())
         elif self.materialisation == "table":
             db.replace_table(
                 self.dst_value,
@@ -145,7 +180,11 @@ class SqlTask(Task):
         (ref: database/__init__.py:239-288)."""
         if not self.columns or self.dst_value is None:
             return
-        plan = standard_tests_plan(self.context.spark.table(self.dst_value), self.columns)
+        from sayn_spark.core.ddl import tests_spec
+
+        plan = standard_tests_plan(
+            self.context.spark.table(self.dst_value), tests_spec(self.columns)
+        )
         if plan is None:
             return
         failures = plan.limit(5).collect()  # LIMIT 5 cap: ref tasks/test.py:95-97

@@ -193,6 +193,80 @@ def test_example_project_end_to_end(spark, tmp_path):
     assert "{{" not in compiled and "customer" in compiled
 
 
+def test_sql_task_column_spec_rename_cast_and_validation(ctx, spark, tmp_path):
+    """Declared columns on sql/autosql: dst_name renames and type casts
+    are applied in place (reference stores them as DDL metadata,
+    database/__init__.py:20-37; applying them is the engine's job here),
+    undeclared columns pass through, and malformed specs / missing
+    columns are rejected loudly — the reference's pydantic
+    Extra.forbid behavior (tests/test_task_autosql.py ddl cases)."""
+    db = ctx.db
+    db.load_data(
+        "colsrc",
+        [{"id": 1, "amount": "2.50", "note": "a"}, {"id": 2, "amount": "3.25", "note": "b"}],
+        schema="id long, amount string, note string",
+        replace=True,
+    )
+    (tmp_path / "c.sql").write_text("SELECT * FROM colsrc")
+
+    def mk(name, columns, materialisation="table"):
+        return SqlTask(
+            name,
+            {
+                "file_name": "c.sql",
+                "materialisation": materialisation,
+                "destination": name,
+                "columns": columns,
+            },
+            ctx,
+        )
+
+    t = mk(
+        "col_out",
+        [
+            {"name": "id", "dst_name": "pk", "tests": ["unique", "not_null"]},
+            {"name": "amount", "type": "decimal(10,2)"},
+        ],
+    )
+    t.config()
+    t.run()
+    got = spark.table("col_out")
+    # rename + cast applied, undeclared column preserved in position
+    assert got.columns == ["pk", "amount", "note"]
+    assert dict(got.dtypes)["amount"] == "decimal(10,2)"
+    t.test()  # standard tests address the RENAMED column
+
+    # view materialisation applies the same transformation textually
+    tv = mk(
+        "col_view",
+        [{"name": "id", "dst_name": "pk", "type": "string"}],
+        materialisation="view",
+    )
+    tv.config()
+    tv.run()
+    gv = spark.table("col_view")
+    assert gv.columns == ["pk", "amount", "note"]
+    assert dict(gv.dtypes)["pk"] == "string"
+
+    # malformed specs are rejected at config time
+    for bad in (
+        [{"name": "id", "typo_key": 1}],
+        [{"name": "id"}, {"name": "id"}],
+        [{"name": "id", "tests": ["uniq"]}],
+        [{"name": "id", "tests": [{"allowed_values": []}]}],
+        [{"no_name": "x"}],
+    ):
+        tb = mk("bad_out", bad)
+        with pytest.raises(ValueError):
+            tb.config()
+
+    # declared column missing from the SELECT fails loudly at run time
+    tm = mk("miss_out", [{"name": "nope", "dst_name": "x"}])
+    tm.config()
+    with pytest.raises(ValueError, match="declared columns \\['nope'\\]"):
+        tm.run()
+
+
 def test_decorated_task_name_collision_raises(spark, tmp_path):
     """A @task whose name collides with a YAML task must raise like the
     YAML/autogroup duplicate paths do — setdefault used to drop the
