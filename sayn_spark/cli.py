@@ -159,16 +159,21 @@ def dag(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_
 @cli.command()
 @click.argument("project_name")
 def init(project_name):
-    """Scaffold a new project (ref: sayn init,
-    scaffolding/data/init_project)."""
+    """Scaffold a new runnable project (ref: sayn init,
+    scaffolding/init_project.py:6-28): tutorial tasks + settings.yaml
+    with a dev/prod profile example + README + .gitignore."""
     import shutil
     from pathlib import Path
 
-    template = Path(__file__).parent.parent / "examples" / "star_project"
+    template = Path(__file__).parent / "scaffolding" / "init_project"
     dst = Path(project_name)
     if dst.exists():
         raise click.ClickException(f"{project_name!r} already exists")
-    shutil.copytree(template, dst)
+    shutil.copytree(template, dst, ignore=shutil.ignore_patterns("__pycache__"))
+    # the scaffold ships neutral names so the repo's own ignore rules
+    # don't eat them; rename into place (ref renames sample_settings.yaml)
+    (dst / "sample_settings.yaml").rename(dst / "settings.yaml")
+    (dst / "gitignore").rename(dst / ".gitignore")
     click.echo(f"created {project_name}/ — run: sayn-spark run -p {project_name}")
 
 

@@ -358,6 +358,41 @@ def test_cli_dag_writes_dot_and_levels(tmp_path, monkeypatch):
     assert "level 0:" in res.output
 
 
+def test_cli_init_scaffolds_runnable_project(spark, tmp_path, monkeypatch):
+    """`sayn-spark init x` writes a complete project — settings.yaml
+    with a dev-prefix profile, README, .gitignore, tasks/sql/python —
+    and `run` on it succeeds out of the box with dev-prefixed outputs
+    (ref: scaffolding/init_project.py:6-28 + scaffolding/data/
+    init_project contents)."""
+    from click.testing import CliRunner
+
+    from sayn_spark.cli import cli
+    from sayn_spark.core.app import App
+    from sayn_spark.operators.base import RunArguments, TaskStatus
+
+    monkeypatch.chdir(tmp_path)
+    res = CliRunner().invoke(cli, ["init", "fresh_proj"])
+    assert res.exit_code == 0, res.output
+    proj = tmp_path / "fresh_proj"
+    assert (proj / "settings.yaml").exists()
+    assert (proj / ".gitignore").exists()
+    assert (proj / "README.md").exists()
+    assert "settings.yaml" in (proj / ".gitignore").read_text()
+    assert "profiles" in (proj / "settings.yaml").read_text()
+    # second init on the same name refuses
+    res2 = CliRunner().invoke(cli, ["init", "fresh_proj"])
+    assert res2.exit_code != 0
+
+    # the scaffolded project runs end-to-end on the session fixture;
+    # the dev profile's table_prefix rewrites outputs AND the loader's
+    # registered sources
+    app = App(proj, spark=spark, run_arguments=RunArguments(command="run"))
+    statuses = app.run()
+    assert all(s == TaskStatus.SUCCESS for s in statuses.values()), statuses
+    assert spark.table("dev_f_rankings").count() > 0
+    assert app.db.object_type("dev_f_rankings") == "view"
+
+
 def test_snapshot_diff_classifies_all_change_types(spark):
     """snapshot_diff: added/removed/changed/unchanged classification,
     null-safe payload hashing (None vs value counts as changed)."""
