@@ -67,6 +67,34 @@ def _doc_corpus(spark: SparkSession, sf_dir: str, mutate: str | None) -> DataFra
     return d.unionByName(copy)
 
 
+def _fan_out(df: DataFrame, spark: SparkSession, sf_dir: str, table: str = "documents") -> DataFrame:
+    """Repartition to cluster width ONLY when the source file is too
+    small to split into enough input partitions.
+
+    The interpreted-HOF projections downstream (shingling, SimHash
+    votes, hyperplane buckets) are compute-bound map work, but a narrow
+    chain inherits the scan's partition count — 2 splits at sf0.1, so
+    the build would run 2-wide on a 32-core box (measured 8x on the
+    SimHash vote fold).  At 100 TB the opposite holds: splits >> cores
+    and an unconditional repartition would be a pure extra full-text
+    shuffle, which an earlier round measured and rejected.  The guard
+    is a driver-side file-size estimate (bytes / maxPartitionBytes):
+    zero Spark planning cost, correct on both ends of the scale.
+    """
+    import os
+
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+    except OSError:
+        return df
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    max_bytes = int(str(raw).lower().rstrip("b")) or 1
+    width = spark.sparkContext.defaultParallelism
+    if size // max_bytes >= width:
+        return df  # the scan already splits wide enough
+    return df.repartition(width)
+
+
 def _staged_shingles(corpus: DataFrame, persist: bool = False) -> DataFrame:
     """(doc_id, sh) with the tokenizer evaluated once per document.
 
@@ -149,7 +177,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     join itself shuffles on the shingle string (skew-prone: stopword
     shingles → salting or frequency cap in production).
     """
-    corpus = _doc_corpus(spark, sf_dir, mutate=" zz qq")
+    corpus = _fan_out(_doc_corpus(spark, sf_dir, mutate=" zz qq"), spark, sf_dir)
     shingled = _staged_shingles(corpus, persist=True)
     sizes = shingled.select("doc_id", F.size("sh").alias("n"))
     exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
@@ -254,7 +282,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-seed row explosion, no shuffle before banding); the only
     shuffles are the 4-rows-per-doc band join and the candidate verify.
     """
-    corpus = _doc_corpus(spark, sf_dir, mutate=" zz qq")
+    corpus = _fan_out(_doc_corpus(spark, sf_dir, mutate=" zz qq"), spark, sf_dir)
     shingled = _staged_shingles(corpus, persist=True).where(F.size("sh") > 0)
     bases = shingled.select("doc_id", "sh", F.expr(_SPARK_BASES).alias("bases"))
     sigs = bases.select("doc_id", _sig_udf()(F.col("bases")).alias("sig"))
@@ -334,7 +362,7 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-window minimum hashes) to cut rows ~W-fold before the shuffle;
     the full-stride version here keeps the oracle exact.
     """
-    corpus = _doc_corpus(spark, sf_dir, mutate=None)
+    corpus = _fan_out(_doc_corpus(spark, sf_dir, mutate=None), spark, sf_dir)
     toks = corpus.select("doc_id", F.expr(_TOKENS).alias("toks")).where(
         F.size("toks") >= _PASSAGE_W
     )
@@ -388,9 +416,7 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2-wide on a 32-core box (measured 66s/task; 32-wide it's ~4s
     # total).  One round-robin shuffle of raw text is the price of
     # full-width parallelism for everything downstream.
-    corpus = _doc_corpus(spark, sf_dir, mutate=" zz qq").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    corpus = _fan_out(_doc_corpus(spark, sf_dir, mutate=" zz qq"), spark, sf_dir)
     toks_arr = corpus.select("doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks"))
     hs = toks_arr.select(
         "doc_id",
@@ -529,15 +555,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cosine_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ exact copy (vec_id + 100000), with norm.
 
-    Repartitioned to full width before the norm/bucket projections —
-    the downstream hyperplane HOFs (16 planes x 64 dims, interpreted)
-    would otherwise run at the parquet file's partition count.
+    Fanned out to full width (guarded, see _fan_out) before the
+    norm/bucket projections — the downstream hyperplane HOFs (16 planes
+    x 64 dims, interpreted) would otherwise run at the parquet file's
+    partition count.
     """
     emb = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("cast(embedding as array<double>)").alias("e")
     )
     corpus = emb.unionByName(emb.select((F.col("vec_id") + 100000).alias("vec_id"), "e"))
-    return corpus.repartition(spark.sparkContext.defaultParallelism).select(
+    return _fan_out(corpus, spark, sf_dir, table="embeddings").select(
         "vec_id", "e", F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm")
     )
 
@@ -806,7 +833,7 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    corpus = _doc_corpus(spark, sf_dir, mutate=" zz qq")
+    corpus = _fan_out(_doc_corpus(spark, sf_dir, mutate=" zz qq"), spark, sf_dir)
     shingled = _staged_shingles(corpus, persist=True).where(F.size("sh") > 0)
     sizes = shingled.select("doc_id", F.size("sh").alias("n"))
     exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
