@@ -118,6 +118,16 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     have size >= 3 (original + both mutations) plus any natural merges.
     """
     corpus = _near_dup_corpus(spark, sf_dir)
+    comp = connected_components(_jaccard_edges(corpus))
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"), F.min("node").alias("keep_id")
+    )
+
+
+def _jaccard_edges(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(src, dst) word-3-gram Jaccard >= threshold edges over the
+    corpus — the verified near-dup graph (inverted-index equi-join on
+    the shingle, exact Jaccard on co-occurring pairs only)."""
     shingled = _staged_shingles(corpus, persist=True)
     sizes = shingled.select("doc_id", F.size("sh").alias("n"))
     exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
@@ -129,13 +139,95 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("common"))
     )
     jacc = F.col("common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
-    edges = (
+    return (
         pairs.join(sizes.alias("sa"), F.col("src") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("dst") == F.col("sb.doc_id"))
-        .where(jacc >= 0.5)
+        .where(jacc >= threshold)
         .select("src", "dst")
     )
-    comp = connected_components(edges)
-    return comp.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size"), F.min("node").alias("keep_id")
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE {_SQL_CORPUS3}, {_SQL_EDGES},
+sym AS (
+  SELECT src, dst FROM edges
+  UNION SELECT dst, src FROM edges
+  UNION SELECT src, src FROM edges
+  UNION SELECT dst, dst FROM edges
+),
+reach(a, b) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+),
+comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+members AS (
+  SELECT c.doc_id AS node, COALESCE(cm.component, c.doc_id) AS component
+  FROM corpus c LEFT JOIN comp cm ON cm.node = c.doc_id
+),
+q AS (
+  SELECT doc_id,
+         ROUND(0.4 * (CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens))
+             + 0.3 * (1.0 - CAST(len(list_filter(tokens, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(tokens))
+             + 0.3 * LEAST(1.0, len(tokens) / 100.0), 6) AS quality
+  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tokens
+        FROM corpus)
+),
+ranked AS (
+  SELECT m.component, m.node, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY m.component ORDER BY q.quality DESC, m.node) AS rk
+  FROM members m JOIN q ON q.doc_id = m.node
+)
+SELECT component, COUNT(*) AS cluster_size,
+       MAX(CASE WHEN rk = 1 THEN node END) AS keep_id,
+       MAX(CASE WHEN rk = 1 THEN quality END) AS keep_quality
+FROM ranked GROUP BY component
+""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the last stage of a real dedup
+    pipeline: near-dup clusters (Jaccard edges -> connected components,
+    singletons included), then keep the HIGHEST-QUALITY member of each
+    cluster (deterministic quality score from text.py's formula; ties
+    break on doc_id) instead of the naive min-id.
+
+    Scale shape: edges and components as in q_dedup_components; the
+    selection adds one broadcast-able membership join and one window
+    over (component) — rows are (component, doc_id, quality), never
+    documents.  Everything downstream of the shingle join is key-sized.
+    """
+    from sayn_spark.functions.dedup import _TOKENS, _fan_out
+    from sayn_spark.functions.text import STOPWORDS
+    from pyspark.sql.window import Window
+
+    corpus = _fan_out(_near_dup_corpus(spark, sf_dir), spark, sf_dir)
+    comp = connected_components(_jaccard_edges(corpus))
+    members = (
+        corpus.select("doc_id")
+        .join(comp, corpus["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
+    )
+    sw = "('" + "','".join(STOPWORDS) + "')"
+    n_tokens = F.expr(f"size({_TOKENS})")
+    distinct_ratio = F.expr(f"size(array_distinct({_TOKENS}))").cast("double") / n_tokens
+    stop_ratio = F.expr(f"size(filter({_TOKENS}, x -> x in {sw}))").cast("double") / n_tokens
+    quality = corpus.select(
+        "doc_id",
+        F.round(
+            0.4 * distinct_ratio
+            + 0.3 * (F.lit(1.0) - stop_ratio)
+            + 0.3 * F.least(F.lit(1.0), n_tokens / F.lit(100.0)),
+            6,
+        ).alias("quality"),
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), "doc_id")
+    ranked = members.join(quality, "doc_id").withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keep_id"),
+        F.max(F.when(F.col("rk") == 1, F.col("quality"))).alias("keep_quality"),
     )
