@@ -29,8 +29,14 @@ from sayn_spark.functions.registry import T, register
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """(src, dst) undirected edges -> (node, component) with component =
     min node id reachable.  Deterministic."""
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # sym drives EVERY iteration's join — without materialisation the
+    # whole upstream edge pipeline (shingle + inverted-index join) would
+    # re-execute per iteration (measured 5x the query cost at sf0.1).
+    # localCheckpoint truncates lineage AND caches the partitions.
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint()
     )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
@@ -117,7 +123,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each cluster keeps its minimum doc_id as canonical — components must
     have size >= 3 (original + both mutations) plus any natural merges.
     """
-    corpus = _near_dup_corpus(spark, sf_dir)
+    from sayn_spark.functions.dedup import _fan_out
+
+    corpus = _fan_out(_near_dup_corpus(spark, sf_dir), spark, sf_dir)
     comp = connected_components(_jaccard_edges(corpus))
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"), F.min("node").alias("keep_id")

@@ -79,11 +79,18 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (E[matches/16] = J).  Computed for the planted near-dup pairs so
     estimate and truth sit side by side.
     """
-    corpus = _doc_corpus(spark, sf_dir, mutate=" zz qq")
+    from pyspark.storagelevel import StorageLevel
+
+    from sayn_spark.functions.dedup import _fan_out
+
+    corpus = _fan_out(_doc_corpus(spark, sf_dir, mutate=" zz qq"), spark, sf_dir)
     shingled = _staged_shingles(corpus).where(F.size("sh") > 0)
     sigs = (
         shingled.select("doc_id", "sh", F.expr(_SPARK_BASES).alias("bases"))
         .select("doc_id", "sh", F.expr(_SPARK_SIG).alias("sig"))
+        # both join sides read this — persist or the signature pipeline
+        # (shingle + 16 minhash perms) runs twice
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sigs.alias("a")
     b = sigs.alias("b")
