@@ -37,6 +37,8 @@ HEADLINE = [
     "q_dedup_passages",
     "q_dedup_simhash",
     "q_dedup_embedding_cosine",
+    "q_dedup_editdistance",
+    "q_dedup_components",
     "q_record_linkage",
     "q_ann_lsh_topk",
     "q_text_quality",
