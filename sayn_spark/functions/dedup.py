@@ -538,17 +538,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bval"
     )
     hamming = F.expr(_SIMHASH_HAMMING)
-    # hamming is a pure function of the pair, so filtering BEFORE the
-    # band-multiplicity distinct is equivalent — and shrinks the
-    # distinct's input from every band collision (54M rows at sf0.1,
-    # carrying two 8-int signature arrays each) to just the qualifying
-    # pairs (x at-most-8 band dups), a measured 17s -> sub-second win
+    # first-shared-band dedup: a pair sharing k bands surfaces from k
+    # join rows; keeping only the row whose band IS the pair's first
+    # matching band yields each pair exactly once — so no distinct (and
+    # no multi-10M-row dedup shuffle) is needed at all.  The CASE chain
+    # is literal-index array access, fully codegen'd.
+    first_shared = (
+        "case "
+        + " ".join(f"when sig_a[{k}] = sig_b[{k}] then {k}" for k in range(8))
+        + " end"
+    )
     return (
         a.join(b, ["band", "bval"])
         .where(F.col("id_a") < F.col("id_b"))
+        .where(F.expr(f"band = ({first_shared})"))
         .where(hamming <= 6)
         .select("id_a", "id_b", hamming.alias("hamming"))
-        .distinct()
     )
 
 
