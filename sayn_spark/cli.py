@@ -119,11 +119,11 @@ def test(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail
 @cli.command()
 @_common
 def dag(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, jobs):
-    """Write the task DAG as Graphviz DOT (+ PNG when graphviz is
-    installed) and print the concurrent execution levels (ref:
-    `sayn dag-image`, cli.py:328-341 / utils/graphviz.py:4-34 — same
-    node/edge drawing, DOT text instead of a hard graphviz
-    dependency)."""
+    """Write the task DAG as Graphviz DOT + a dependency-free layered
+    SVG (+ PNG when graphviz is installed) and print the concurrent
+    execution levels (ref: `sayn dag-image`, cli.py:328-341 /
+    utils/graphviz.py:4-34 — same node/edge drawing, without the hard
+    graphviz dependency)."""
     from pathlib import Path
 
     from sayn_spark.plans.dag import ready_sets
@@ -143,6 +143,12 @@ def dag(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_
     dot_path = out_dir / "dag.dot"
     dot_path.write_text("\n".join(lines) + "\n")
     click.echo(f"wrote {dot_path}")
+    # always-available image: dependency-free layered SVG
+    from sayn_spark.plans.dag_svg import dag_to_svg
+
+    svg_path = out_dir / "dag.svg"
+    svg_path.write_text(dag_to_svg(app.dag))
+    click.echo(f"wrote {svg_path}")
     try:
         import graphviz  # type: ignore
 
@@ -151,7 +157,7 @@ def dag(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_
         )
         click.echo(f"wrote {out_dir / 'dag.png'}")
     except ImportError:
-        click.echo("graphviz not installed — DOT only")
+        pass  # PNG is optional; the SVG above always renders
     for i, level in enumerate(ready_sets(app.dag)):
         click.echo(f"level {i}: {' '.join(sorted(level))}")
 

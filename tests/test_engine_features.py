@@ -356,6 +356,11 @@ def test_cli_dag_writes_dot_and_levels(tmp_path, monkeypatch):
     dot = (proj / "images" / "dag.dot").read_text()
     assert '"f_battles" -> "f_fighter_results";' in dot or "->" in dot
     assert "level 0:" in res.output
+    # the dependency-free SVG renders every task box and at least one edge
+    svg = (proj / "images" / "dag.svg").read_text()
+    assert svg.startswith("<svg")
+    assert "dim_customer" in svg and "f_rankings" in svg
+    assert "<path" in svg and "<rect" in svg
 
 
 def test_cli_init_scaffolds_runnable_project(spark, tmp_path, monkeypatch):
