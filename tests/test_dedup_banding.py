@@ -56,6 +56,30 @@ def test_lsh_gated_cosine_equals_allpairs(spark):
     assert len(got) > 0
 
 
+def test_fan_out_guard_scales_with_source_size(spark):
+    """_fan_out repartitions ONLY when the source file is too small to
+    split into enough input partitions: tiny local files get full-width
+    parallelism; a source whose estimated split count already covers the
+    cluster width is passed through untouched (no extra shuffle)."""
+    from sayn_spark.functions.dedup import _doc_corpus, _fan_out
+
+    width = spark.sparkContext.defaultParallelism
+    corpus = _doc_corpus(spark, SF, mutate=None)
+    # tiny file (KBs) vs 128MB default maxPartitionBytes -> repartition
+    out = _fan_out(corpus, spark, SF)
+    assert out.rdd.getNumPartitions() == width
+
+    # pretend partitions are 1KB: the same file now "splits" into far
+    # more input partitions than cores -> passthrough, no Exchange
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        out2 = _fan_out(corpus, spark, SF)
+        assert out2 is corpus
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
 def test_cosine_threshold_pairs_are_exact_copies(spark):
     """Documents the recall precondition: every >= 0.99 pair in the
     test corpus is a bit-identical copy (so deterministic LSH bucket
