@@ -187,6 +187,83 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
 
 
+# flip bit i (0-based) of an 8-char '0'/'1' bucket string — shared by the
+# Spark and DuckDB sides of the multiprobe query below
+_FLIP_SPARK = (
+    "transform(sequence(0, 7), i -> concat(substring(bucket, 1, i), "
+    "if(substring(bucket, i + 1, 1) = '1', '0', '1'), substring(bucket, i + 2, 7)))"
+)
+_FLIP_SQL = (
+    "list_transform(generate_series(0, 7), i -> substr(bucket, 1, i) || "
+    "(CASE WHEN substr(bucket, i + 1, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, i + 2, 7))"
+)
+
+
+@register(
+    "q_ann_multiprobe_topk",
+    oracle=f"""
+WITH {_SQL_EMB}, {_SQL_NORMED},
+bucketed AS (SELECT vec_id, e, nrm, {_BUCKET_SQL} AS bucket FROM normed),
+probes AS (
+  SELECT vec_id, e, nrm, unnest(list_prepend(bucket, {_FLIP_SQL})) AS probe
+  FROM bucketed WHERE vec_id < 10
+),
+scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(p.e, c.e) / (p.nrm * c.nrm), 6) AS cos
+  FROM probes p JOIN bucketed c ON c.bucket = p.probe AND c.vec_id <> p.vec_id
+)
+SELECT query_id, neighbor_id, cos, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 3
+""",
+)
+def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH ANN: each query searches its own bucket PLUS the 8
+    buckets at Hamming distance 1 in sign-bit space (flip one plane's
+    bit), then exact cosine top-3 over the enlarged candidate set.
+
+    This is the standard recall lever at scale: probing L=9 buckets
+    multiplies expected candidates by ~9/2^planes of the corpus while
+    recovering neighbors that landed just across one hyperplane — no
+    extra index, no extra tables.  The plan stays one equi-join
+    (probe = bucket); each (query, neighbor) pair matches at most one
+    probe (a vector lives in exactly one bucket), so no dedup is
+    needed.  Compare with q_ann_lsh_topk (L=1) and the brute-force
+    baseline for the recall/cost trade.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    n = (
+        _normed(spark, sf_dir)
+        .withColumn("bucket", F.expr(_BUCKET_SPARK))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    q = (
+        n.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            F.explode(F.expr(f"array_prepend({_FLIP_SPARK}, bucket)")).alias("bucket"),
+        )
+    )
+    c = n.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm", "bucket")
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qn") * F.col("nrm")),
+        6,
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+
+
 @register(
     "q_ivf_centroids",
     oracle=f"""
