@@ -428,3 +428,68 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_chunk_tokens").alias("sum_chunk_tokens"),
         F.sum("doc_chash").alias("chunk_checksum"),
     )
+
+
+# document quality score — the exact expression from functions/text.py's
+# q_text_quality (kept textually in sync; both rounded to 6 so the two
+# engines share one value space)
+_Q_TOKENS = "filter(split(lower(text), ' '), x -> x != '')"
+_Q_SQL_TOKENS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_Q_SW = "('the','a','of','and','is')"
+_QUALITY_SPARK = (
+    f"round(0.4 * (cast(size(array_distinct({_Q_TOKENS})) as double) / size({_Q_TOKENS}))"
+    f" + 0.3 * (1.0 - cast(size(filter({_Q_TOKENS}, x -> x in {_Q_SW})) as double) / size({_Q_TOKENS}))"
+    f" + 0.3 * least(1.0, size({_Q_TOKENS}) / 100.0), 6)"
+)
+_QUALITY_SQL = (
+    f"ROUND(0.4 * (CAST(len(list_distinct({_Q_SQL_TOKENS})) AS DOUBLE) / len({_Q_SQL_TOKENS}))"
+    f" + 0.3 * (1.0 - CAST(len(list_filter({_Q_SQL_TOKENS}, x -> x IN {_Q_SW})) AS DOUBLE) / len({_Q_SQL_TOKENS}))"
+    f" + 0.3 * LEAST(1.0, len({_Q_SQL_TOKENS}) / 100.0), 6)"
+)
+
+
+@register(
+    "q_quality_adaptive_filter",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM documents
+),
+thresholds AS (
+  SELECT source, ROUND(quantile_cont(quality, 0.5), 6) AS median_quality
+  FROM scored GROUP BY source
+)
+SELECT s.source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN s.quality >= t.median_quality THEN 1 ELSE 0 END) AS n_kept,
+       ROUND(CAST(SUM(CASE WHEN s.quality >= t.median_quality THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS keep_rate,
+       t.median_quality
+FROM scored s JOIN thresholds t ON t.source = s.source
+GROUP BY s.source, t.median_quality
+""",
+)
+def q_quality_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-source quality filtering — each source keeps only
+    documents at or above its OWN quality median, instead of one global
+    threshold that over-prunes weak sources and under-prunes strong
+    ones (the per-dump calibration step of web-corpus curation).
+
+    Scale shape: one pass to score (JVM expressions), one exact
+    interpolated percentile per source (Spark ``percentile`` == DuckDB
+    ``quantile_cont``), and a broadcast of the tiny per-source
+    threshold table back onto the scored stream — documents shuffle
+    once, on source, for the percentile.  At 100 TB you swap the exact
+    percentile for ``percentile_approx`` and nothing else changes.
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = d.select("doc_id", "source", F.expr(_QUALITY_SPARK).alias("quality"))
+    thresholds = scored.groupBy("source").agg(
+        F.round(F.expr("percentile(quality, 0.5)"), 6).alias("median_quality")
+    )
+    joined = scored.join(F.broadcast(thresholds), "source")
+    kept = F.when(F.col("quality") >= F.col("median_quality"), 1).otherwise(0)
+    return joined.groupBy("source", "median_quality").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
+        F.round(F.sum(kept).cast("double") / F.count(F.lit(1)), 6).alias("keep_rate"),
+    ).select("source", "n_docs", "n_kept", "keep_rate", "median_quality")
