@@ -48,7 +48,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
-    from sayn_spark.functions import REGISTRY
+    from sayn_spark.functions import REGISTRY, release_persisted
     from sayn_spark.session import get_spark
 
     spark = get_spark("sayn-spark-bench")
@@ -71,6 +71,7 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
             # queries persist intermediates; drop them between trials so
             # every trial (and every later query) starts cold
+            release_persisted()
             spark.catalog.clearCache()
         timings[name] = round(statistics.median(samples), 3)
 

@@ -27,7 +27,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     out_path = sys.argv[1] if len(sys.argv) > 1 else "PARITY_LOCAL.json"
 
-    from sayn_spark.functions import REGISTRY
+    from sayn_spark.functions import REGISTRY, release_persisted
     from sayn_spark.session import get_spark
     from tests.oracle import compare_query
 
@@ -51,6 +51,7 @@ def main() -> None:
             "sec": round(time.perf_counter() - t0, 3),
         }
         n_ok += ok
+        release_persisted()
         spark.catalog.clearCache()
     total_sec = round(time.perf_counter() - t_start, 1)
 

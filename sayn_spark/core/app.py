@@ -246,6 +246,23 @@ class App:
 
     # -- execution (ref: core/app.py:611-654) ----------------------------
 
+    def close(self) -> None:
+        """Release run resources: the default FileLogger's handle (a
+        fresh App otherwise leaks one fd per construction — schedulers
+        and notebooks build many) and any cached query intermediates."""
+        from sayn_spark.functions.registry import release_persisted
+
+        release_persisted()
+        close = getattr(self.tracker, "close", None)
+        if close is not None:
+            close()
+
+    def __enter__(self) -> "App":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     def run(self, parallel: bool = True) -> dict[str, TaskStatus]:
         return self._execute("run", parallel=parallel)
 
@@ -328,6 +345,13 @@ class App:
             for name in order:
                 run_one(name)
         statuses = {n: self.tasks[n].status for n in sub_dag}
+        # query builders persist intermediates they cannot release
+        # themselves (they return lazily); drop them once the stage's
+        # actions are done so repeated App runs in one session don't
+        # accumulate cached partitions
+        from sayn_spark.functions.registry import release_persisted
+
+        release_persisted()
         n_ok = sum(s == TaskStatus.SUCCESS for s in statuses.values())
         self.tracker.finish_current_stage(
             summary=f"{n_ok} ok, {len(failed)} failed, {len(skipped)} skipped "

@@ -5,7 +5,13 @@ exposes them to the driver.  Each entry pairs a Spark DataFrame
 implementation with (where SQL-expressible) a DuckDB oracle string.
 """
 
-from sayn_spark.functions.registry import REGISTRY, Query, register  # noqa: F401
+from sayn_spark.functions.registry import (  # noqa: F401
+    REGISTRY,
+    Query,
+    persist_tracked,
+    register,
+    release_persisted,
+)
 
 # import for registration side effects
 from sayn_spark.functions import relational  # noqa: F401,E402

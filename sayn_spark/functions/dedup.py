@@ -23,13 +23,16 @@ tests/test_dedup_banding.py checks the banded plans against.
 
 from __future__ import annotations
 
+import os
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sayn_spark.functions.registry import T, register
+from sayn_spark.functions.registry import T, persist_tracked, register
 
 _TOKENS = "filter(split(lower(text), ' '), x -> x != '')"
 # distinct word-3-gram shingles OVER A PRE-COMPUTED toks COLUMN; guard
@@ -80,19 +83,58 @@ def _fan_out(df: DataFrame, spark: SparkSession, sf_dir: str, table: str = "docu
     shuffle, which an earlier round measured and rejected.  The guard
     is a driver-side file-size estimate (bytes / maxPartitionBytes):
     zero Spark planning cost, correct on both ends of the scale.
-    """
-    import os
 
-    try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
-    except OSError:
+    The size estimate sums part files when the dataset is a directory
+    (the usual shape for anything a Spark job wrote), and the
+    maxPartitionBytes parse accepts Spark's unit-suffixed byte strings
+    ("128m", "64mb", "1g") with a safe fallback to the 128 MiB default.
+    """
+    size = _dataset_bytes(os.path.join(sf_dir, f"{table}.parquet"))
+    if size is None:
         return df
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    max_bytes = int(str(raw).lower().rstrip("b")) or 1
+    max_bytes = _parse_byte_string(raw)
     width = spark.sparkContext.defaultParallelism
     if size // max_bytes >= width:
         return df  # the scan already splits wide enough
     return df.repartition(width)
+
+
+def _parse_byte_string(raw, default: int = 134217728) -> int:
+    """Spark byte-string → bytes ("128m" → 134217728); ``default`` on
+    anything unparseable so a config oddity can never fail a plan."""
+    units = {"": 1, "b": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    try:
+        s = str(raw).strip().lower()
+        m = re.fullmatch(r"(\d+)\s*([a-z]*)", s)
+        if not m:
+            return default
+        n, unit = int(m.group(1)), m.group(2).rstrip("b")
+        if unit not in units:
+            return default
+        return max(1, n * units[unit])
+    except Exception:
+        return default
+
+
+def _dataset_bytes(path: str):
+    """Total data bytes at ``path``: the file size, or the sum of the
+    part files when the dataset is a directory (a single getsize on a
+    directory returns the dentry size — a few KiB — which would force
+    the fan-out shuffle on exactly the large multi-file datasets the
+    guard exists to protect)."""
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for name in files:
+                    if name.startswith((".", "_")):
+                        continue  # _SUCCESS, .crc sidecars
+                    total += os.path.getsize(os.path.join(root, name))
+            return total
+        return os.path.getsize(path)
+    except OSError:
+        return None
 
 
 def _staged_shingles(corpus: DataFrame, persist: bool = False) -> DataFrame:
@@ -108,9 +150,7 @@ def _staged_shingles(corpus: DataFrame, persist: bool = False) -> DataFrame:
     toks = corpus.select("doc_id", F.expr(_TOKENS).alias("toks"))
     sh = toks.select("doc_id", F.expr(_SHINGLES_FROM_TOKS).alias("sh"))
     if persist:
-        from pyspark.storagelevel import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = persist_tracked(sh)
     return sh
 
 
@@ -302,9 +342,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the candidate self-join reads bands twice; without this persist
     # each side recomputes the whole signature pipeline
-    from pyspark.storagelevel import StorageLevel
-
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    bands = persist_tracked(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -375,9 +413,7 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    from pyspark.storagelevel import StorageLevel
-
-    passages = passages.persist(StorageLevel.MEMORY_AND_DISK)
+    passages = persist_tracked(passages)
     dup = (
         passages.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -417,7 +453,14 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total).  One round-robin shuffle of raw text is the price of
     # full-width parallelism for everything downstream.
     corpus = _fan_out(_doc_corpus(spark, sf_dir, mutate=" zz qq"), spark, sf_dir)
-    toks_arr = corpus.select("doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks"))
+    # drop zero-token documents (empty/whitespace-only text) BEFORE the
+    # vote fold: they'd otherwise carry an all-zero signature, collide
+    # with each other in every band, and emit O(n_empty^2) hamming-0
+    # candidates — while the DuckDB oracle's unnest drops them entirely.
+    # Mirrors the size(sh) > 0 guard on the MinHash path.
+    toks_arr = corpus.select(
+        "doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks")
+    ).where(F.expr("size(toks) > 0"))
     hs = toks_arr.select(
         "doc_id",
         F.expr(
@@ -525,9 +568,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate dedup is a groupBy on (id_a, id_b) — linear in candidate
     count.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    sig = _simhash_signatures(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = persist_tracked(_simhash_signatures(spark, sf_dir))
     bands = sig.select(
         "doc_id", "sig", F.posexplode("sig").alias("band", "bval")
     )
@@ -634,15 +675,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     or probe neighboring buckets for tighter recall; the plan stays
     equi-joins on the bucket string — no nested-loop join anywhere.
     """
-    from pyspark.storagelevel import StorageLevel
-
     from sayn_spark.functions.similarity import bucket_expr
 
-    normed = (
+    normed = persist_tracked(
         _cosine_corpus(spark, sf_dir)
         .withColumn("b0", F.expr(bucket_expr(0, 8)))
         .withColumn("b1", F.expr(bucket_expr(8, 8)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ids = normed.select("vec_id", "b0", "b1")
 

@@ -18,6 +18,36 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# DataFrames persisted by query builders, awaiting release.  Query
+# functions return lazily, so they cannot unpersist their own
+# intermediates — the terminal action happens in the caller.  Builders
+# persist via persist_tracked(); runners (bench, parity sweep, App)
+# call release_persisted() after the action so long-lived sessions
+# don't accumulate cached partitions across queries.
+_PERSISTED: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame, level=None) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + bookkeeping for release_persisted()."""
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(level or StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked intermediate; returns the count released."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):

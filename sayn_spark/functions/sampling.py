@@ -21,7 +21,7 @@ from sayn_spark.functions.dedup import (
     _doc_corpus,
     _staged_shingles,
 )
-from sayn_spark.functions.registry import T, register
+from sayn_spark.functions.registry import T, persist_tracked, register
 
 # deterministic 1-in-5 bucket from the doc_id's md5
 _SPARK_BUCKET = "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 5"
@@ -79,8 +79,6 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (E[matches/16] = J).  Computed for the planted near-dup pairs so
     estimate and truth sit side by side.
     """
-    from pyspark.storagelevel import StorageLevel
-
     from sayn_spark.functions.dedup import _fan_out
 
     corpus = _fan_out(_doc_corpus(spark, sf_dir, mutate=" zz qq"), spark, sf_dir)
@@ -88,10 +86,10 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = (
         shingled.select("doc_id", "sh", F.expr(_SPARK_BASES).alias("bases"))
         .select("doc_id", "sh", F.expr(_SPARK_SIG).alias("sig"))
-        # both join sides read this — persist or the signature pipeline
-        # (shingle + 16 minhash perms) runs twice
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # both join sides read this — persist or the signature pipeline
+    # (shingle + 16 minhash perms) runs twice
+    sigs = persist_tracked(sigs)
     a = sigs.alias("a")
     b = sigs.alias("b")
     est = F.round(

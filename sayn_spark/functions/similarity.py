@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sayn_spark.functions.registry import T, register
+from sayn_spark.functions.registry import T, persist_tracked, register
 
 _N_PLANES = 8
 
@@ -52,12 +52,20 @@ def bucket_expr(first_plane: int = 0, n_planes: int = _N_PLANES) -> str:
     )
 
 
+def bucket_sql(first_plane: int = 0, n_planes: int = _N_PLANES) -> str:
+    """DuckDB twin of :func:`bucket_expr` — same LCG plane family, same
+    sign-bit bucket string, so an oracle can restate any Spark-side LSH
+    gating exactly."""
+    last = first_plane + n_planes - 1
+    return (
+        f"array_to_string(list_transform(generate_series({first_plane}, {last}), j -> "
+        f"CASE WHEN list_aggregate(list_transform(list_zip(e, {_PLANE_SQL}), p -> p[1] * p[2]), 'sum') > 0 "
+        f"THEN '1' ELSE '0' END), '')"
+    )
+
+
 _BUCKET_SPARK = bucket_expr(0, _N_PLANES)
-_BUCKET_SQL = (
-    f"array_to_string(list_transform(generate_series(0, {_N_PLANES - 1}), j -> "
-    f"CASE WHEN list_aggregate(list_transform(list_zip(e, {_PLANE_SQL}), p -> p[1] * p[2]), 'sum') > 0 "
-    f"THEN '1' ELSE '0' END), '')"
-)
+_BUCKET_SQL = bucket_sql(0, _N_PLANES)
 
 _SQL_EMB = "emb AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings)"
 _SQL_NORMED = "normed AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)"
@@ -157,14 +165,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact cosine top-3 — the two-stage search shape used at scale
     (bucket join replaces the cross join of the brute-force baseline).
     """
-    from pyspark.storagelevel import StorageLevel
-
     # bucket signs are interpreted HOF work (8 planes x 64 dims per
     # vector); persist so the query/candidate branches share one pass
-    n = (
-        _normed(spark, sf_dir)
-        .withColumn("bucket", F.expr(_BUCKET_SPARK))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    n = persist_tracked(
+        _normed(spark, sf_dir).withColumn("bucket", F.expr(_BUCKET_SPARK))
     )
     q = n.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -233,12 +237,8 @@ def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed.  Compare with q_ann_lsh_topk (L=1) and the brute-force
     baseline for the recall/cost trade.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    n = (
-        _normed(spark, sf_dir)
-        .withColumn("bucket", F.expr(_BUCKET_SPARK))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    n = persist_tracked(
+        _normed(spark, sf_dir).withColumn("bucket", F.expr(_BUCKET_SPARK))
     )
     q = (
         n.where(F.col("vec_id") < 10)

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sayn_spark.functions.registry import T, register
+from sayn_spark.functions.registry import T, persist_tracked, register
 
 # tokens = non-empty whitespace-split lowercase words (same in DuckDB oracle)
 _TOKENS = "filter(split(lower(text), ' '), x -> x != '')"
@@ -444,9 +444,7 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "documents")
         .select(F.explode(F.expr(_TOKENS)).alias("token"))
     )
-    from pyspark.storagelevel import StorageLevel
-
-    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    toks = persist_tracked(toks)
     exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
     bucket = F.expr(
         f"cast(conv(substr(md5(concat(j, ':', token)), 1, 8), 16, 10) as bigint) % {_CMS_W}"

@@ -38,6 +38,13 @@ class EventTracker:
     def register_logger(self, logger) -> None:
         self.loggers.append(logger)
 
+    def close(self) -> None:
+        """Close every logger that holds resources (file handles)."""
+        for logger in self.loggers:
+            close = getattr(logger, "close", None)
+            if close is not None:
+                close()
+
     def remove_logger(self, logger_type: type) -> None:
         self.loggers = [l for l in self.loggers if not isinstance(l, logger_type)]
 

@@ -26,6 +26,9 @@ class Logger:
     def report_event(self, **event: Any) -> None:
         raise NotImplementedError
 
+    def close(self) -> None:
+        """Release any resources (file handles); default is a no-op."""
+
 
 def _fmt_duration(seconds: Optional[float]) -> str:
     if seconds is None:
@@ -97,6 +100,7 @@ class FileLogger(Logger):
     def __init__(self, path, stream: Optional[TextIO] = None) -> None:
         self.path = path
         self._stream = stream
+        self._owns_stream = stream is None
         if stream is None:
             from pathlib import Path
 
@@ -105,9 +109,24 @@ class FileLogger(Logger):
             self._stream = open(p, "a", encoding="utf-8")
 
     def report_event(self, **event: Any) -> None:
+        if self._stream is None:
+            return  # closed — drop late events rather than raise
         event["ts"] = event["ts"].isoformat() if event.get("ts") else None
         self._stream.write(json.dumps(event, default=str) + "\n")
         self._stream.flush()
+
+    def close(self) -> None:
+        # only close a stream this logger opened; injected streams
+        # (tests passing StringIO) belong to the caller
+        if self._owns_stream and self._stream is not None:
+            self._stream.close()
+        self._stream = None
+
+    def __enter__(self) -> "FileLogger":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 class CollectingLogger(Logger):
