@@ -433,19 +433,28 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sig) where sig = array of 8 byte-valued bands of a
-    64-bit SimHash (per-token md5 bit voting).
+def _simhash_signatures(
+    spark: SparkSession, sf_dir: str, n_bands: int = 8
+) -> DataFrame:
+    """(doc_id, sig) where sig = array of ``n_bands`` int-valued bands
+    of a 64-bit SimHash (per-token md5 bit voting); band width is
+    64 / n_bands bits (8 bands of 8 bits, or 4 bands of 16 bits, ...).
 
     The 64-bit value is never packed into one BIGINT: both engines keep
-    it as 8 small ints (band k = bits 8k..8k+7), which sidesteps
+    it as small ints (band k = bits w*k .. w*k+w-1), which sidesteps
     signed-shift overflow at bit 63 and makes the LSH band key directly
-    available.  Build is ARRAY-LOCAL (same trick as the MinHash
-    signatures): hash array -> vote fold -> band pack, all inside one
-    narrow projection with zero shuffle — 4.7x faster at sf0.1 than the
-    measured explode(tokens x 64 bits) + double-groupBy alternative,
-    which pushed 64x|tokens| rows through two exchanges.
+    available.  Band WIDTH is the selectivity knob of the
+    Manku/Charikar multi-index: 8-bit bands cap the win at ~256x per
+    band, 16-bit bands at ~65536x — see ``simhash_pairs``.  Build is
+    ARRAY-LOCAL (same trick as the MinHash signatures): hash array ->
+    vote fold -> band pack, all inside one narrow projection with zero
+    shuffle — 4.7x faster at sf0.1 than the measured
+    explode(tokens x 64 bits) + double-groupBy alternative, which
+    pushed 64x|tokens| rows through two exchanges.
     """
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    w = 64 // n_bands
     # repartition BEFORE the hash/vote projections: the chain below is
     # narrow, so without this it inherits the parquet file's partition
     # count (2 at sf0.1) and the expensive interpreted-HOF build runs
@@ -479,36 +488,128 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select(
         "doc_id",
         F.expr(
-            "transform(sequence(0, 7), k -> cast(aggregate(sequence(0, 7), 0, "
-            "(acc, j) -> acc + if(element_at(v, k * 8 + j + 1) > 0, shiftleft(1, j), 0)) as int))"
+            f"transform(sequence(0, {n_bands - 1}), k -> "
+            f"cast(aggregate(sequence(0, {w - 1}), 0, "
+            f"(acc, j) -> acc + if(element_at(v, k * {w} + j + 1) > 0, "
+            f"shiftleft(1, j), 0)) as int))"
         ).alias("sig"),
     )
 
 
-# hamming distance over the 8 band bytes, written as 8 literal-index
-# terms rather than a zip_with/aggregate HOF: higher-order functions are
-# INTERPRETED per row while GetArrayItem/bit_count stay inside
-# whole-stage codegen — on the 54M-row candidate stream at sf0.1 the HOF
-# form measured 127s vs ~4s for this expansion
-_SIMHASH_HAMMING = (
-    "cast("
-    + " + ".join(f"bit_count(sig_a[{k}] ^ sig_b[{k}])" for k in range(8))
-    + " as int)"
-)
+def _simhash_hamming(n_bands: int = 8) -> str:
+    """Hamming distance over the band ints, written as ``n_bands``
+    literal-index terms rather than a zip_with/aggregate HOF:
+    higher-order functions are INTERPRETED per row while
+    GetArrayItem/bit_count stay inside whole-stage codegen — on the
+    54M-row candidate stream at sf0.1 the HOF form measured 127s vs ~4s
+    for this expansion."""
+    return (
+        "cast("
+        + " + ".join(f"bit_count(sig_a[{k}] ^ sig_b[{k}])" for k in range(n_bands))
+        + " as int)"
+    )
 
 
-def _simhash_allpairs(sig: DataFrame) -> DataFrame:
+_SIMHASH_HAMMING = _simhash_hamming(8)
+
+
+def _simhash_allpairs(sig: DataFrame, n_bands: int = 8, radius: int = 6) -> DataFrame:
     """All-pairs Hamming verifier over SimHash signatures — NOT
     registered as a standalone query (O(n^2) nested-loop join is never
     survivable at 100 TB); kept as the ground-truth helper that
-    tests/test_dedup_banding.py checks the banded plan against.
+    tests/test_dedup_banding.py checks the banded plans against.
     """
     a = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    hamming = F.expr(_SIMHASH_HAMMING)
+    hamming = F.expr(_simhash_hamming(n_bands))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(hamming <= 6)
+        .where(hamming <= radius)
+        .select("id_a", "id_b", hamming.alias("hamming"))
+    )
+
+
+def _simhash_candidates(sig: DataFrame, n_bands: int, radius: int) -> DataFrame:
+    """Candidate pairs via the Manku/Charikar permute-and-probe index:
+    each document is keyed on every size-``m`` COMBINATION of its bands
+    (m = n_bands - radius, capped at 3 to bound row expansion — any
+    smaller m also preserves recall, it just widens the buckets), and
+    candidates are an equi-join on (combo_index, packed_key).
+
+    Recall is EXACT by pigeonhole for ANY data: ``radius`` flipped bits
+    corrupt at most ``radius`` bands, so every qualifying pair has at
+    least ``n_bands - radius`` intact bands and therefore at least one
+    fully-shared m-combo.  Selectivity: the packed key carries
+    m * (64/n_bands) bits — 16 bits for both registered shapes (8x8-bit
+    bands probed in pairs at radius 6; 4x16-bit bands probed singly at
+    radius 3), a 256x tighter bucket than the byte-band single-key plan
+    this replaces, which is what keeps the candidate stream sub-
+    quadratic on web-scale corpora where n >> 256 buckets.
+
+    Each pair is emitted EXACTLY ONCE: only the join row whose combo is
+    the pair's first fully-shared combo survives (codegen'd literal-
+    index CASE chain), so no distinct / dedup shuffle is needed.
+    """
+    import itertools
+
+    w = 64 // n_bands
+    m = n_bands - radius
+    if m < 1:
+        raise ValueError(
+            f"radius {radius} needs more than {n_bands} bands for exact recall"
+        )
+    m = min(m, 3)
+    combos = list(itertools.combinations(range(n_bands), m))
+    probe = (
+        "explode(array("
+        + ", ".join(
+            f"named_struct('ci', {ci}, 'k', cast("
+            + " + ".join(
+                f"shiftleft(cast(sig[{c}] as bigint), {w * pos})"
+                for pos, c in enumerate(combo)
+            )
+            + " as bigint))"
+            for ci, combo in enumerate(combos)
+        )
+        + "))"
+    )
+    keyed = sig.select("doc_id", "sig", F.expr(probe).alias("p")).select(
+        "doc_id", "sig", F.col("p.ci").alias("ci"), F.col("p.k").alias("k")
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "ci", "k"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "ci", "k"
+    )
+    first_shared = (
+        "case "
+        + " ".join(
+            "when "
+            + " and ".join(f"sig_a[{c}] = sig_b[{c}]" for c in combo)
+            + f" then {ci}"
+            for ci, combo in enumerate(combos)
+        )
+        + " end"
+    )
+    return (
+        a.join(b, ["ci", "k"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.expr(f"ci = ({first_shared})"))
+    )
+
+
+def simhash_pairs(
+    spark: SparkSession, sf_dir: str, n_bands: int = 8, radius: int = 6
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming ``radius``, banded with
+    ``n_bands`` bands (width 64/n_bands bits) and probed on band combos
+    — see ``_simhash_candidates`` for the exact-recall argument."""
+    sig = persist_tracked(_simhash_signatures(spark, sf_dir, n_bands))
+    hamming = F.expr(_simhash_hamming(n_bands))
+    return (
+        _simhash_candidates(sig, n_bands, radius)
+        .where(hamming <= radius)
         .select("id_a", "id_b", hamming.alias("hamming"))
     )
 
@@ -549,53 +650,79 @@ WHERE CAST(list_aggregate(list_transform(list_zip(a.sig, b.sig),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature (8 byte-bands) from per-token
-    md5 bit voting; pairs within Hamming distance 6, found via banded
-    LSH — candidates are pairs sharing AT LEAST ONE of the 8 bands,
-    then the exact Hamming filter runs on candidates only.
+    md5 bit voting; pairs within Hamming distance 6, found via the
+    Manku/Charikar permute-and-probe index — candidates are pairs
+    sharing at least one PAIR of bands (C(8,2)=28 combos, 16-bit packed
+    keys), then the exact Hamming filter runs on candidates only.
 
-    Recall is EXACT by pigeonhole: 6 flipped bits touch at most 6 of
-    the 8 bands, so every qualifying pair shares >= 2 untouched bands
-    and is guaranteed to surface from the band equi-join.  The plan is
-    shuffle-joins on (band, bval) — no nested-loop join anywhere (the
-    oracle, which runs only in DuckDB at toy scale, states the
+    Recall is EXACT by pigeonhole for ANY data: 6 flipped bits touch at
+    most 6 of the 8 bands, so every qualifying pair shares >= 2
+    untouched bands — i.e. at least one fully-intact band PAIR — and is
+    guaranteed to surface from the combo equi-join.  The plan is
+    shuffle-joins on (combo, 16-bit key) — no nested-loop join anywhere
+    (the oracle, which runs only in DuckDB at toy scale, states the
     all-pairs semantics directly).
 
-    100 TB notes: this is the Manku/Charikar multi-index shape (split
-    the fingerprint into r+2 blocks, probe on block equality).  8-bit
-    band values cap the selectivity win at ~256x per band; for web-scale
-    corpora you widen bands (16-bit blocks guarantee radius <= 3) or
-    permute-and-probe combinations of blocks for larger radii.  The
-    candidate dedup is a groupBy on (id_a, id_b) — linear in candidate
-    count.
+    100 TB notes: the 16-bit combo key gives ~65536 distinct values per
+    combo index vs ~256 for the single-byte-band key it replaces — the
+    candidate stream stays sub-quadratic on corpora where n >> 256
+    (asserted across scale factors in tests/test_dedup_banding.py).
+    The probe emits 28 rows/doc instead of 8; each row is
+    (combo, key, sig) — a few dozen bytes — so the extra shuffle volume
+    is trivially repaid by the ~256x tighter buckets.  Radius/width are
+    parameters (``simhash_pairs``): q_dedup_simhash_wide runs the
+    4x16-bit-band shape for radius 3.
     """
-    sig = persist_tracked(_simhash_signatures(spark, sf_dir))
-    bands = sig.select(
-        "doc_id", "sig", F.posexplode("sig").alias("band", "bval")
-    )
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bval"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bval"
-    )
-    hamming = F.expr(_SIMHASH_HAMMING)
-    # first-shared-band dedup: a pair sharing k bands surfaces from k
-    # join rows; keeping only the row whose band IS the pair's first
-    # matching band yields each pair exactly once — so no distinct (and
-    # no multi-10M-row dedup shuffle) is needed at all.  The CASE chain
-    # is literal-index array access, fully codegen'd.
-    first_shared = (
-        "case "
-        + " ".join(f"when sig_a[{k}] = sig_b[{k}] then {k}" for k in range(8))
-        + " end"
-    )
-    return (
-        a.join(b, ["band", "bval"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.expr(f"band = ({first_shared})"))
-        .where(hamming <= 6)
-        .select("id_a", "id_b", hamming.alias("hamming"))
-    )
+    return simhash_pairs(spark, sf_dir, n_bands=8, radius=6)
+
+
+@register(
+    "q_dedup_simhash_wide",
+    oracle=f"""
+WITH {_SQL_CORPUS_NEAR},
+toks AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_TOKENS}) AS tok FROM corpus
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_hi,
+                 ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (CASE WHEN j < 32 THEN (h_lo >> j) & 1
+                             ELSE (h_hi >> (j - 32)) & 1 END) = 1
+             THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS j)
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // 16 AS band,
+         SUM(CASE WHEN s > 0 THEN 1 << (j % 16) ELSE 0 END)::INT AS bval
+  FROM bits GROUP BY doc_id, j // 16
+),
+sig AS (SELECT doc_id, list(bval ORDER BY band) AS sig FROM bands GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(list_aggregate(list_transform(list_zip(a.sig, b.sig),
+            p -> bit_count(xor(p[1], p[2]))), 'sum') AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE CAST(list_aggregate(list_transform(list_zip(a.sig, b.sig),
+      p -> bit_count(xor(p[1], p[2]))), 'sum') AS INT) <= 3
+""",
+)
+def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-band SimHash near-dup: the same 64-bit per-token-md5-voting
+    signature split into 4 SIXTEEN-bit bands, pairs within Hamming
+    distance 3 via single-band probing — the tight-radius shape of the
+    Manku/Charikar index (3 flips corrupt at most 3 of 4 bands, so one
+    band is always intact: exact recall by pigeonhole).
+
+    This is the selectivity end of the band-width knob: one 16-bit key
+    per band (65536 distinct values) and only 4 probe rows per doc.
+    q_dedup_simhash covers the larger radius (6) by probing band PAIRS
+    of the 8x8-bit split — same 16-bit effective key, 28 probes.
+    """
+    return simhash_pairs(spark, sf_dir, n_bands=4, radius=3)
 
 
 def _cosine_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
