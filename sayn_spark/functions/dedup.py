@@ -786,20 +786,26 @@ WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.99
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine >= 0.99, candidates
-    gated on random-hyperplane LSH buckets (similarity.bucket_expr),
-    exact cosine computed on candidates only.
+    gated on random-hyperplane LSH buckets (similarity.bucket_expr) with
+    ONE-PLANE MULTIPROBE, exact cosine computed on candidates only.
 
     Two independent 8-plane tables (planes 0-7 and 8-15 of the shared
-    deterministic LCG family): a pair is a candidate if it collides in
-    EITHER table.  cos >= 0.99 means angle <= 8.1 degrees, so a single
-    8-plane table already collides with p >= (1 - theta/pi)^8 ~ 0.83;
-    two tables push the miss rate below 3% for the worst in-threshold
-    pair — and bit-identical vectors (every planted duplicate, and every
-    >= 0.99 pair in the test corpora — verified: all such pairs are
-    exact copies) collide in every table deterministically, so the
-    oracle (which states the exact all-pairs semantics, run only in
-    DuckDB at toy scale) matches bit-for-bit.  At 100 TB you add tables
-    or probe neighboring buckets for tighter recall; the plan stays
+    deterministic LCG family); within each table the left side probes
+    its own bucket PLUS all 8 one-bit-flipped buckets (the
+    q_ann_multiprobe_topk lever), so a pair is a candidate if its two
+    home buckets are within Hamming distance 1 in EITHER table — a
+    STRUCTURAL guarantee, not a data-dependent one: a qualifying pair
+    is missed only if >= 2 of 8 planes separate it in BOTH tables.
+    cos >= 0.99 means angle theta <= 8.1 degrees and a plane separates
+    the pair with p <= theta/pi ~ 0.026, so the per-table miss is
+    <= C(8,2) p^2 ~ 1.9% and the two-table miss <= 3.5e-4 for the WORST
+    in-threshold pair (vs ~3% for the un-probed two-table gate this
+    replaces); bit-identical vectors (every planted duplicate, and every
+    >= 0.99 pair in the test corpora — verified in
+    tests/test_dedup_banding.py) collide deterministically, so the
+    oracle (exact all-pairs semantics, run only in DuckDB at toy scale)
+    matches bit-for-bit.  At 100 TB you add planes per table (keeping
+    probe radius 1) as n grows to hold bucket sizes; the plan stays
     equi-joins on the bucket string — no nested-loop join anywhere.
     """
     from sayn_spark.functions.similarity import bucket_expr
@@ -812,7 +818,18 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = normed.select("vec_id", "b0", "b1")
 
     def table_pairs(col: str) -> DataFrame:
-        a = ids.select(F.col("vec_id").alias("id_a"), F.col(col).alias("bk"))
+        # left side probes home + 8 flipped buckets; right side sits in
+        # its home bucket only — (a, b) collides iff hamming(home_a,
+        # home_b) <= 1, symmetric even though only one side probes
+        flips = (
+            f"transform(sequence(0, 7), i -> concat(substring({col}, 1, i), "
+            f"if(substring({col}, i + 1, 1) = '1', '0', '1'), "
+            f"substring({col}, i + 2, 7)))"
+        )
+        a = ids.select(
+            F.col("vec_id").alias("id_a"),
+            F.explode(F.expr(f"array_prepend({flips}, {col})")).alias("bk"),
+        )
         b = ids.select(F.col("vec_id").alias("id_b"), F.col(col).alias("bk"))
         return a.join(b, "bk").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
 

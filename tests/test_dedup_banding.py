@@ -12,9 +12,10 @@ band keys, exact verify on candidates only).  Recall arguments:
   for ANY data, at either band width.
 - Cosine: bit-identical vectors collide in every hyperplane table, and
   the qualifying pairs in the test corpora are all exact copies
-  (asserted below), so LSH gating loses nothing here; the two-table
-  union keeps the worst-case miss rate < 3% for barely-in-threshold
-  pairs on adversarial data.
+  (asserted below), so LSH gating loses nothing here; one-plane
+  multiprobe makes bucket-Hamming <= 1 collisions structural in both
+  tables, holding the worst-case miss rate <= 3.5e-4 for
+  barely-in-threshold pairs on adversarial data.
 
 These tests run the demoted all-pairs helpers (kept exactly for this
 purpose) against the registered banded queries at sf0.001.
