@@ -22,10 +22,8 @@ def test_query_matches_oracle(spark, name):
 
 
 def test_multimodal_resize_stub(spark):
-    """resize plumbing: 1:1 mapInPandas with payload passthrough; real
-    codec path raises at the documented hook."""
-    import pytest
-
+    """resize plumbing: 1:1 mapInPandas with payload passthrough
+    (deterministic path, no container format required)."""
     from sayn_spark.functions.multimodal import resize_images, with_payload
     from sayn_spark.functions.registry import T
 
@@ -34,5 +32,3 @@ def test_multimodal_resize_stub(spark):
     rows = out.collect()
     assert len(rows) == 20
     assert all(r.width == 224 and r.height == 224 and r.payload for r in rows)
-    with pytest.raises(NotImplementedError):
-        resize_images(d, 224, 224, decode="real")
