@@ -308,6 +308,73 @@ def test_upstream_prod_reads_prod_names(spark, tmp_path):
     assert [r.env for r in spark.table("updev_child").collect()] == ["dev"]
 
 
+def test_upstream_prod_double_compile_exactness(spark, tmp_path):
+    """The double-compile contract, asserted on the compiled SQL TEXT
+    (ref: tasks/task_wrapper.py:324-331 + tasks/sql.py:349-351):
+
+    - config-compile happens at App construction, before the run
+      selection is known, so an upstream ``src()`` renders its DEV name;
+    - setup-compile happens inside run(), after ``sources_from_prod`` is
+      computed, and must FLIP the same ``src()`` to the prod name while
+      everything else in the SQL stays byte-identical;
+    - the compiler's prod environment uses project-default parameter
+      values, not the dev profile's overrides (ref: utils/compiler.py:
+      31-45 separate prod_env globals).
+    """
+    proj = make_project(
+        tmp_path,
+        "default_db: spark\nparameters:\n  who: prod_val\n",
+        """
+        tasks:
+          base: {type: sql, materialisation: table, file_name: base.sql, destination: base}
+          child: {type: sql, materialisation: table, file_name: child.sql, destination: child}
+        """,
+        sql={
+            "base.sql": "SELECT 'dev' AS env",
+            "child.sql": "SELECT env, '{{ who }}' AS who FROM {{ src('base') }}",
+        },
+    )
+    (proj / "settings.yaml").write_text(
+        textwrap.dedent(
+            """
+            default_profile: prod
+            profiles:
+              prod: {}
+              dev:
+                parameters:
+                  who: dev_val
+                stringify:
+                  table_prefix: dc
+            """
+        )
+    )
+    spark.sql("DROP TABLE IF EXISTS base")
+    spark.createDataFrame([("prod",)], "env string").write.saveAsTable("base")
+
+    app = App(
+        proj,
+        spark=spark,
+        profile="dev",
+        run_arguments=RunArguments(command="run", include=["child"], upstream_prod=True),
+    )
+    child = app.tasks["child"]
+    config_sql = child.compiled
+    # config-compile: upstream still renders the dev name (selection not
+    # yet known), dev parameter values apply
+    assert "dc_base" in config_sql and "dev_val" in config_sql
+
+    assert app.run()["child"] == TaskStatus.SUCCESS
+    setup_sql = child.compiled
+    # setup-compile flipped ONLY the upstream name to prod
+    assert "dc_base" not in setup_sql and "FROM base" in setup_sql
+    assert setup_sql == config_sql.replace("dc_base", "base")
+    assert [tuple(r) for r in spark.table("dc_child").collect()] == [("prod", "dev_val")]
+
+    # prod parameter env: project defaults, not the profile override
+    assert app.compiler.compile("{{ who }}") == "dev_val"
+    assert app.compiler.compile("{{ who }}", use_prod_parameters=True) == "prod_val"
+
+
 def test_python_module_task_class_object(spark, tmp_path):
     """type: python_module carries the task class object directly in the
     config (ref: core/app.py:333-334)."""
