@@ -76,10 +76,30 @@ def split_statements(script: str) -> list[str]:
     return [s.strip() for s in stmts if s.strip()]
 
 
+def delta_enabled(spark: SparkSession) -> bool:
+    """Capability probe: delta-spark importable AND the session built
+    with the Delta SQL extension (MERGE INTO etc. parse only then)."""
+    from sayn_spark.session import delta_installed
+
+    if not delta_installed():
+        return False
+    try:
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+    except Exception:
+        return False
+    return "DeltaSparkSessionExtension" in ext
+
+
 class SparkDatabase:
-    def __init__(self, spark: SparkSession, name: str = "spark") -> None:
+    def __init__(
+        self, spark: SparkSession, name: str = "spark", use_delta: Optional[bool] = None
+    ) -> None:
         self.spark = spark
         self.name = name
+        # Delta upgrades (probe once per database object): managed tables
+        # written as Delta, merge_tables -> MERGE INTO, replace_table ->
+        # single ACID overwrite.  Explicit use_delta overrides the probe.
+        self.use_delta = delta_enabled(spark) if use_delta is None else use_delta
 
     # -- execution (ref: database/__init__.py:441-448) ------------------
 
@@ -176,6 +196,10 @@ class SparkDatabase:
                 ]
             )
         writer = df.write.mode(mode)
+        if self.use_delta and not bucket_by:
+            # Delta doesn't support bucketBy; bucketed tables stay on the
+            # session default (parquet) — everything else goes ACID
+            writer = writer.format("delta")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         if bucket_by:
@@ -208,7 +232,10 @@ class SparkDatabase:
 
         Spark's overwrite is job-atomic, so the reference's mandatory
         tmp+swap is optional here (kept for parity / strict atomicity
-        with concurrent readers of the same session catalog).
+        with concurrent readers of the same session catalog).  On a
+        Delta catalog the direct path is a transactional REPLACE —
+        readers of the previous version are never broken, so tmp_swap
+        adds nothing there.
         """
         if tmp_swap:
             tmp = tmp_name or _tmp_name(name)
@@ -225,15 +252,47 @@ class SparkDatabase:
         self._ensure_database(name)
         self.spark.sql(f"CREATE OR REPLACE VIEW {name} AS {select}")
 
+    def _table_provider(self, name: str) -> Optional[str]:
+        """'delta' | 'parquet' | ... from DESCRIBE EXTENDED."""
+        try:
+            rows = self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        except Exception:
+            return None
+        for r in rows:
+            if r.col_name == "Provider":
+                return (r.data_type or "").strip().lower()
+        return None
+
     def merge_tables(self, src_name: str, dst_name: str, delete_key: str | Sequence[str]) -> None:
         """Incremental merge: delete-on-key + insert-all + drop staging
         (ref: database/__init__.py:678-699, merge_tables.sql:1-12).
 
-        Plan: anti-join+union written to a staging table, then swapped
-        in via rename (a table can't be overwritten from a plan that
-        reads it).  With a Delta-backed catalog this whole method
-        becomes one MERGE INTO statement.
+        Delta destination: the reference template's two statements run
+        natively and ACID — MERGE INTO ... WHEN MATCHED THEN DELETE on
+        the distinct src keys (plain ``=`` so NULL src keys match
+        nothing, the reference's EXISTS semantics), then INSERT all of
+        src.  No table rewrite: Delta touches only the files holding
+        matched keys.
+
+        Parquet fallback: anti-join+union written to a staging table,
+        then swapped in via rename (a table can't be overwritten from a
+        plan that reads it).
         """
+        if self.use_delta and self._table_provider(dst_name) == "delta":
+            keys = [delete_key] if isinstance(delete_key, str) else list(delete_key)
+            on = " AND ".join(f"d.{k} = s.{k}" for k in keys)
+            key_list = ", ".join(keys)
+            self.spark.sql(
+                f"MERGE INTO {dst_name} AS d "
+                f"USING (SELECT DISTINCT {key_list} FROM {src_name}) AS s "
+                f"ON {on} WHEN MATCHED THEN DELETE"
+            )
+            cols = ", ".join(self.spark.table(dst_name).columns)
+            self.spark.sql(
+                f"INSERT INTO {dst_name} ({cols}) SELECT {cols} FROM {src_name}"
+            )
+            self.drop_object(src_name)
+            return
         src = self.spark.table(src_name)
         dst = self.spark.table(dst_name)
         merged = merge_dataframes(dst, src, delete_key)

@@ -14,9 +14,20 @@ a SparkSession + its catalog.  Conf choices are scale-first:
 
 from __future__ import annotations
 
+import importlib.util
 import os
 
 from pyspark.sql import SparkSession
+
+
+def delta_installed() -> bool:
+    """True when the delta-spark package is importable.  The engine is
+    Delta-ready behind this capability probe: when the package is
+    present, ``get_spark`` wires the Delta SQL extension + catalog and
+    ``SparkDatabase`` upgrades merge_tables to MERGE INTO and
+    replace_table to an ACID overwrite; when absent (this sandbox),
+    every plan falls back to the parquet/rename implementations."""
+    return importlib.util.find_spec("delta") is not None
 
 _DEFAULTS = {
     # local-mode driver hosts all executor threads: the JVM default (1g)
@@ -68,6 +79,14 @@ def get_spark(
     ncpu = master[master.find("[") + 1 : -1] if "[" in master else ""
     if ncpu.isdigit():
         conf["spark.sql.shuffle.partitions"] = ncpu
+    if delta_installed():
+        conf.setdefault(
+            "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+        )
+        conf.setdefault(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
