@@ -455,11 +455,9 @@ def _simhash_signatures(
     if 64 % n_bands != 0:
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
     w = 64 // n_bands
-    # repartition BEFORE the hash/vote projections: the chain below is
-    # narrow, so without this it inherits the parquet file's partition
-    # count (2 at sf0.1) and the expensive interpreted-HOF build runs
-    # 2-wide on a 32-core box (measured 66s/task; 32-wide it's ~4s
-    # total).  One round-robin shuffle of raw text is the price of
+    # repartition BEFORE the hash projections so the build runs
+    # cluster-wide instead of at the parquet file's split count (2 at
+    # sf0.1).  One round-robin shuffle of raw text is the price of
     # full-width parallelism for everything downstream.
     corpus = _fan_out(_doc_corpus(spark, sf_dir, mutate=" zz qq"), spark, sf_dir)
     # drop zero-token documents (empty/whitespace-only text) BEFORE the
@@ -470,30 +468,52 @@ def _simhash_signatures(
     toks_arr = corpus.select(
         "doc_id", F.expr(f"array_distinct({_TOKENS})").alias("toks")
     ).where(F.expr("size(toks) > 0"))
+    # md5 per token stays JVM-side; the 64-bit vote fold moves to a
+    # vectorized Arrow pandas_udf (same blessed pattern as the MinHash
+    # _sig_udf): the interpreted aggregate/zip_with HOF chain evaluated
+    # 64 lambda calls per token per doc and measured 13s at sf0.1 where
+    # the numpy broadcast fold takes ~2s, bit-identically (asserted in
+    # tests/test_dedup_banding.py against the oracle-matched output).
     hs = toks_arr.select(
         "doc_id",
         F.expr(
-            "transform(toks, t -> named_struct("
-            "'hi', cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint), "
-            "'lo', cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint)))"
-        ).alias("hs"),
-    )
-    votes = hs.select(
-        "doc_id",
+            "transform(toks, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+        ).alias("hi"),
         F.expr(
-            "aggregate(hs, array_repeat(0, 64), (acc, h) -> zip_with(acc, sequence(0, 63), "
-            "(a, j) -> a + if(if(j < 32, (h.lo >> j) & 1, (h.hi >> (j - 32)) & 1) = 1, 1, -1)))"
-        ).alias("v"),
+            "transform(toks, t -> cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint))"
+        ).alias("lo"),
     )
-    return votes.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, {n_bands - 1}), k -> "
-            f"cast(aggregate(sequence(0, {w - 1}), 0, "
-            f"(acc, j) -> acc + if(element_at(v, k * {w} + j + 1) > 0, "
-            f"shiftleft(1, j), 0)) as int))"
-        ).alias("sig"),
-    )
+    return hs.select("doc_id", _simhash_sig_udf(n_bands)(F.col("hi"), F.col("lo")).alias("sig"))
+
+
+def _simhash_sig_udf(n_bands: int):
+    """Arrow-vectorized SimHash vote fold: per-token (hi, lo) 32-bit
+    hash halves -> 64 bit columns -> +/-1 vote sum -> majority bits ->
+    ``n_bands`` packed band ints.  Bit j of the signature is element
+    j+1 of the vote vector (bits 0-31 from lo, 32-63 from hi), band k
+    packs bits [k*w, k*w+w) with in-band weight 2^j — identical layout
+    to the DuckDB oracle's char-level recomputation."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    w = 64 // n_bands
+    j32 = np.arange(32, dtype=np.int64)
+    weights = 1 << np.arange(w, dtype=np.int64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def sig(hi: pd.Series, lo: pd.Series) -> pd.Series:
+        def one(h, l):
+            h = np.asarray(h, dtype=np.int64)
+            l = np.asarray(l, dtype=np.int64)
+            votes = np.concatenate(
+                [(l[:, None] >> j32) & 1, (h[:, None] >> j32) & 1], axis=1
+            )
+            bit = ((2 * votes - 1).sum(axis=0) > 0).astype(np.int64)
+            return (bit.reshape(n_bands, w) * weights).sum(axis=1).astype(np.int32)
+
+        return pd.Series([one(h, l) for h, l in zip(hi, lo)])
+
+    return sig
 
 
 def _simhash_hamming(n_bands: int = 8) -> str:
@@ -546,9 +566,14 @@ def _simhash_candidates(sig: DataFrame, n_bands: int, radius: int) -> DataFrame:
     this replaces, which is what keeps the candidate stream sub-
     quadratic on web-scale corpora where n >> 256 buckets.
 
-    Each pair is emitted EXACTLY ONCE: only the join row whose combo is
-    the pair's first fully-shared combo survives (codegen'd literal-
-    index CASE chain), so no distinct / dedup shuffle is needed.
+    Plan shape: the probe join carries ONLY (doc_id, ci, k) — on a
+    clustered corpus the joined stream is tens of millions of 3-int
+    rows, and widening it with signature arrays + a per-row
+    first-shared-combo CASE chain measured 8x slower than this form.
+    Duplicate emissions (a pair sharing several combos) are collapsed
+    by a distinct whose hash aggregate combines map-side, so the
+    dedup exchange moves only unique pairs; signatures re-attach to
+    the deduped candidates via two narrow joins against ``sig``.
     """
     import itertools
 
@@ -573,29 +598,21 @@ def _simhash_candidates(sig: DataFrame, n_bands: int, radius: int) -> DataFrame:
         )
         + "))"
     )
-    keyed = sig.select("doc_id", "sig", F.expr(probe).alias("p")).select(
-        "doc_id", "sig", F.col("p.ci").alias("ci"), F.col("p.k").alias("k")
+    keyed = sig.select("doc_id", F.expr(probe).alias("p")).select(
+        "doc_id", F.col("p.ci").alias("ci"), F.col("p.k").alias("k")
     )
-    a = keyed.select(
-        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "ci", "k"
-    )
-    b = keyed.select(
-        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "ci", "k"
-    )
-    first_shared = (
-        "case "
-        + " ".join(
-            "when "
-            + " and ".join(f"sig_a[{c}] = sig_b[{c}]" for c in combo)
-            + f" then {ci}"
-            for ci, combo in enumerate(combos)
-        )
-        + " end"
-    )
-    return (
+    a = keyed.select(F.col("doc_id").alias("id_a"), "ci", "k")
+    b = keyed.select(F.col("doc_id").alias("id_b"), "ci", "k")
+    pairs = (
         a.join(b, ["ci", "k"])
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.expr(f"ci = ({first_shared})"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs.join(
+        sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(
+        sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
     )
 
 
@@ -667,10 +684,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     combo index vs ~256 for the single-byte-band key it replaces — the
     candidate stream stays sub-quadratic on corpora where n >> 256
     (asserted across scale factors in tests/test_dedup_banding.py).
-    The probe emits 28 rows/doc instead of 8; each row is
-    (combo, key, sig) — a few dozen bytes — so the extra shuffle volume
-    is trivially repaid by the ~256x tighter buckets.  Radius/width are
-    parameters (``simhash_pairs``): q_dedup_simhash_wide runs the
+    The probe emits 28 rows/doc instead of 8, but each row is only
+    (combo, key, doc_id) — three ints — and the map-side-combined
+    distinct collapses duplicate pair emissions before any wide data
+    moves; signatures attach to deduped candidates only.  Radius/width
+    are parameters (``simhash_pairs``): q_dedup_simhash_wide runs the
     4x16-bit-band shape for radius 3.
     """
     return simhash_pairs(spark, sf_dir, n_bands=8, radius=6)
