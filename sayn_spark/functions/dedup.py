@@ -807,42 +807,50 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated on random-hyperplane LSH buckets (similarity.bucket_expr) with
     ONE-PLANE MULTIPROBE, exact cosine computed on candidates only.
 
-    Two independent 8-plane tables (planes 0-7 and 8-15 of the shared
+    Two independent TEN-plane tables (planes 0-9 and 10-19 of the shared
     deterministic LCG family); within each table the left side probes
-    its own bucket PLUS all 8 one-bit-flipped buckets (the
+    its own bucket PLUS all 10 one-bit-flipped buckets (the
     q_ann_multiprobe_topk lever), so a pair is a candidate if its two
     home buckets are within Hamming distance 1 in EITHER table — a
     STRUCTURAL guarantee, not a data-dependent one: a qualifying pair
-    is missed only if >= 2 of 8 planes separate it in BOTH tables.
-    cos >= 0.99 means angle theta <= 8.1 degrees and a plane separates
-    the pair with p <= theta/pi ~ 0.026, so the per-table miss is
-    <= C(8,2) p^2 ~ 1.9% and the two-table miss <= 3.5e-4 for the WORST
-    in-threshold pair (vs ~3% for the un-probed two-table gate this
-    replaces); bit-identical vectors (every planted duplicate, and every
-    >= 0.99 pair in the test corpora — verified in
-    tests/test_dedup_banding.py) collide deterministically, so the
-    oracle (exact all-pairs semantics, run only in DuckDB at toy scale)
-    matches bit-for-bit.  At 100 TB you add planes per table (keeping
-    probe radius 1) as n grows to hold bucket sizes; the plan stays
-    equi-joins on the bucket string — no nested-loop join anywhere.
+    is missed only if >= 2 of 10 planes separate it in BOTH tables.
+    cos >= 0.99 means angle theta <= arccos(0.99) = 0.1415 rad and a
+    plane separates the pair with p = theta/pi <= 0.045, so the
+    per-table miss is <= C(10,2) p^2 ~ 9.1% and the two-table miss
+    <= 8.3e-3 for the WORST in-threshold pair (pairs nearer than the
+    threshold miss quadratically less; the un-probed two-table 8-plane
+    gate this replaces had a ~10% worst-case miss).  Bit-identical
+    vectors (every planted duplicate, and every >= 0.99 pair in the
+    test corpora — verified in tests/test_dedup_banding.py) collide
+    deterministically, so the oracle (exact all-pairs semantics, run
+    only in DuckDB at toy scale) matches bit-for-bit.
+
+    100 TB notes: 10 planes/table keeps the candidate stream at
+    ~(1 + 10)/2^10 ~ 1.1% of all pairs per table (measured 3.3x fewer
+    candidates than 8 planes at sf0.1 for the same probe radius); as n
+    grows you add planes per table (keeping probe radius 1) to hold
+    bucket sizes — the plan stays equi-joins on the bucket string, no
+    nested-loop join anywhere.
     """
     from sayn_spark.functions.similarity import bucket_expr
 
+    n_planes = 10
     normed = persist_tracked(
         _cosine_corpus(spark, sf_dir)
-        .withColumn("b0", F.expr(bucket_expr(0, 8)))
-        .withColumn("b1", F.expr(bucket_expr(8, 8)))
+        .withColumn("b0", F.expr(bucket_expr(0, n_planes)))
+        .withColumn("b1", F.expr(bucket_expr(n_planes, n_planes)))
     )
     ids = normed.select("vec_id", "b0", "b1")
 
     def table_pairs(col: str) -> DataFrame:
-        # left side probes home + 8 flipped buckets; right side sits in
-        # its home bucket only — (a, b) collides iff hamming(home_a,
-        # home_b) <= 1, symmetric even though only one side probes
+        # left side probes home + n one-bit-flipped buckets; right side
+        # sits in its home bucket only — (a, b) collides iff
+        # hamming(home_a, home_b) <= 1, symmetric even though only one
+        # side probes
         flips = (
-            f"transform(sequence(0, 7), i -> concat(substring({col}, 1, i), "
+            f"transform(sequence(0, {n_planes - 1}), i -> concat(substring({col}, 1, i), "
             f"if(substring({col}, i + 1, 1) = '1', '0', '1'), "
-            f"substring({col}, i + 2, 7)))"
+            f"substring({col}, i + 2, {n_planes - 1})))"
         )
         a = ids.select(
             F.col("vec_id").alias("id_a"),
