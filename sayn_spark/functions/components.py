@@ -48,36 +48,46 @@ def connected_components(
     # whole upstream edge pipeline (shingle + inverted-index join) would
     # re-execute per iteration (measured 5x the query cost at sf0.1).
     # localCheckpoint truncates lineage AND caches the partitions.
-    # checkpoint the raw edge list FIRST: every frame below (nodes, sym,
-    # labels) derives from it, and each union arm would otherwise re-run
-    # the whole upstream pipeline once per reference.
+    # checkpoint the raw edge list FIRST: everything below derives from
+    # it, and each union arm would otherwise re-run the whole upstream
+    # pipeline once per reference.
     fwd = edges.select("src", "dst").localCheckpoint()
-    nodes = (
-        fwd.select(F.col("src").alias("node"))
-        .unionByName(fwd.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
+    # sym needs NO distinct and NO separate node set: duplicate edges
+    # are harmless under the min aggregate, and self-loops come from
+    # two more narrow projections of fwd — so the checkpoint
+    # materialises four map-side unions, zero shuffles.  (The earlier
+    # shape paid a distinct + checkpoint for the node list; on the
+    # tiny-after-verify edge frame that was pure scheduling overhead,
+    # and at scale the distinct was an extra full shuffle.)
     sym = (
         fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .unionByName(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+        .unionByName(fwd.select("src", F.col("src").alias("dst")))
+        .unionByName(fwd.select(F.col("dst").alias("src"), F.col("dst").alias("dst")))
         .localCheckpoint()
     )
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    # the initial labelling (label = node) makes the first propagation
+    # step exactly min(dst) over in-neighbours — so FUSE init with
+    # iteration 1: one groupBy replaces the node-distinct, the label
+    # init checkpoint, and a full join iteration.
+    labels = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("label"))
+        .localCheckpoint()
+    )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    iterations = 0
-    for _ in range(max_iter):
-        iterations += 1
-        labels = (
+    iterations = 1
+    for _ in range(max_iter - 1):
+        new = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("label"))
             .localCheckpoint()  # truncate lineage per iteration
         )
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = new.agg(F.sum("label")).collect()[0][0]
+        iterations += 1  # count every executed pass, incl. the confirming one
         if new_sum == prev_sum:
             break
-        prev_sum = new_sum
+        labels, prev_sum = new, new_sum
     if _iterations is not None:
         _iterations.append(iterations)
     return labels.select("node", F.col("label").alias("component"))
