@@ -93,6 +93,105 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def star_components(
+    edges: DataFrame, max_rounds: int = 30, _rounds: list | None = None
+) -> DataFrame:
+    """(src, dst) undirected edges -> (node, component), component =
+    min node id reachable — same contract as ``connected_components``,
+    via the alternating LARGE-STAR / SMALL-STAR algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Why a second algorithm: min-label propagation needs GRAPH-DIAMETER
+    iterations — fine for near-dup clusters (diameter 2-3), quadratic
+    pain on chain-shaped graphs.  Star contraction converges in
+    O(log^2 n) rounds on ANY topology (a 256-node path takes ~8 rounds
+    vs 255 propagation steps), each round two groupBy/join shuffles
+    over the current edge set, whose SIZE SHRINKS as trees flatten into
+    stars — the right shape for billion-edge graphs of unknown
+    diameter.  ``connected_components`` stays the default for the
+    near-dup queries because verified-duplicate graphs have tiny
+    diameters and label propagation does one shuffle per round, not
+    four.
+
+    Both phases emit only (bigger, smaller) edges:
+
+    - large-star(u): connect every neighbour v > u to
+      m(u) = min(neighbours(u) + [u]) — runs on the symmetrised set.
+    - small-star(u): key every edge on its LARGER endpoint; connect u
+      and its smaller neighbours to their collective minimum.
+
+    The fixpoint is a star forest (every node points at its component
+    minimum); a full round that changes nothing is the termination
+    signal (checked with a count + order-insensitive xxhash checksum —
+    no driver-side edge materialisation).  Nodes only ever seen as
+    self-loops (or fully contracted) are re-attached as singleton
+    components from the node set captured up front.
+    """
+    fwd = (
+        edges.select("src", "dst").where(F.col("src") != F.col("dst")).localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _summary(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: summing raw 64-bit hashes overflows
+            # BIGINT under ANSI arithmetic
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    e = fwd
+    prev = _summary(e)
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star: symmetrise, group on u, attach m(u), keep v > u
+        sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = sym.groupBy("src").agg(
+            F.least(F.col("src"), F.min("dst")).alias("m")
+        )
+        e = (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star: key on the larger endpoint, connect it and all
+        # smaller neighbours to their collective min
+        dire = e.select(
+            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+        )
+        mins = dire.groupBy("a").agg(F.min("b").alias("m"))
+        e = (
+            dire.join(mins, "a")
+            .select(F.col("b").alias("src"), F.col("m").alias("dst"))
+            .unionByName(mins.select(F.col("a").alias("src"), F.col("m").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = _summary(e)
+        if cur == prev:
+            break
+        prev = cur
+    if _rounds is not None:
+        _rounds.append(rounds)
+    # star edges are (member, center); centers + contracted singletons
+    # re-attach from the captured node set
+    members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    return members.unionByName(
+        nodes.join(members, "node", "left_anti").select(
+            "node", F.col("node").alias("component")
+        )
+    )
+
+
 def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + two mutated copies -> components of size >= 3."""
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
@@ -154,6 +253,45 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _fan_out(_near_dup_corpus(spark, sf_dir), spark, sf_dir)
     comp = connected_components(_jaccard_edges(corpus))
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"), F.min("node").alias("keep_id")
+    )
+
+
+@register(
+    "q_dedup_components_star",
+    oracle=f"""
+WITH RECURSIVE {_SQL_CORPUS3}, {_SQL_EDGES},
+sym AS (
+  SELECT src, dst FROM edges
+  UNION SELECT dst, src FROM edges
+  UNION SELECT src, src FROM edges
+  UNION SELECT dst, dst FROM edges
+),
+reach(a, b) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+),
+comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
+SELECT component, COUNT(*) AS cluster_size, MIN(node) AS keep_id
+FROM comp GROUP BY component
+""",
+)
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as q_dedup_components (identical oracle), computed
+    with the large-star/small-star contraction instead of label
+    propagation — the variant to reach for when the duplicate graph's
+    diameter is unknown (chains of pairwise-similar crawl snapshots),
+    where propagation's diameter-many rounds lose to contraction's
+    O(log^2 n).  Registered separately so BOTH algorithms carry oracle
+    evidence; equivalence on adversarial topologies is asserted in
+    tests/test_properties.py.
+    """
+    from sayn_spark.functions.dedup import _fan_out
+
+    corpus = _fan_out(_near_dup_corpus(spark, sf_dir), spark, sf_dir)
+    comp = star_components(_jaccard_edges(corpus))
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"), F.min("node").alias("keep_id")
     )

@@ -97,3 +97,72 @@ def test_components_iteration_count_is_diameter_bound(spark):
     }
     assert got == {1: 1, 101: 1, 201: 1, 2: 2, 102: 2, 202: 2}
     assert iters == [2]
+
+
+def _cc_model(pairs):
+    """Union-find ground truth: node -> min reachable node."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min so the root IS the component id
+            lo, hi = min(ru, rv), max(ru, rv)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_star_components_match_union_find(spark, pairs):
+    from sayn_spark.functions.components import star_components
+
+    edges = spark.createDataFrame(pairs, schema="src long, dst long")
+    got = {r.node: r.component for r in star_components(edges).collect()}
+    assert got == _cc_model(pairs)
+
+
+def test_star_components_log_rounds_on_path(spark):
+    """A 200-node path is the adversarial topology for label
+    propagation (needs 199 diameter steps — more than the default
+    max_iter); star contraction must solve it in O(log^2 n) rounds.
+    The generous bound still fails hard if contraction ever degrades
+    to per-hop progress."""
+    from sayn_spark.functions.components import star_components
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], schema="src long, dst long"
+    )
+    rounds: list[int] = []
+    got = {r.node: r.component for r in star_components(edges, _rounds=rounds).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds[0] <= 12, f"expected O(log^2 n) rounds, took {rounds[0]}"
+
+
+def test_star_components_edge_cases(spark):
+    from sayn_spark.functions.components import star_components
+
+    # path + disjoint pair + isolated self-loop (same graph the
+    # label-propagation edge-case test pins)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], schema="src long, dst long"
+    )
+    got = {r.node: r.component for r in star_components(edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 20: 20}
