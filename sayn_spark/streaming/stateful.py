@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StructField,
@@ -79,3 +80,85 @@ def dedup_stream(events: DataFrame, key: str = "event_id", ttl_minutes: int = 60
     within the watermark window — the streaming twin of q_dedup_exact
     (built-in dropDuplicates carries the state; TTL bounds it)."""
     return events.withWatermark("ts", f"{ttl_minutes} minutes").dropDuplicates([key])
+
+
+TTL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("closed", BooleanType()),
+    ]
+)
+
+TTL_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ms", LongType()),
+    ]
+)
+
+
+def ttl_user_totals(events: DataFrame, ttl_minutes: int = 30) -> DataFrame:
+    """Per-user running totals with EVENT-TIME TTL EVICTION: a user
+    idle past ``ttl_minutes`` (by watermark) emits one final
+    ``closed=true`` row and its state is REMOVED — if the user returns
+    later, counting restarts from zero.
+
+    This is the unbounded-key-space discipline ``running_user_totals``
+    lacks: at 100 TB of events the active-user state stays bounded by
+    the TTL horizon instead of growing with the all-time user count.
+    Timeouts fire via ``GroupStateTimeout.EventTimeTimeout`` against
+    the stream's watermark, so eviction is deterministic in event time
+    (replaying the same files yields the same closed rows), not wall
+    clock.  Eviction is asserted end-to-end (state actually removed,
+    counters restart) in tests/test_streaming.py.
+    """
+    ttl_ms = ttl_minutes * 60 * 1000
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total, _last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "closed": [True],
+                }
+            )
+            return
+        n, total, last_ms = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].mul(100).round().sum()) / 100.0
+            last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
+        state.update((n, total, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "closed": [False],
+            }
+        )
+
+    return (
+        events.select("user_id", "value", "ts")
+        .withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TTL_OUTPUT_SCHEMA,
+            stateStructType=TTL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -237,3 +237,64 @@ def test_dynamic_session_stream_bounds(spark, events_dir):
     # purchase tally is conserved too
     n_purch = T(spark, SF, "events").where("event_type = 'purchase'").count()
     assert sum(r.n_purchases for r in dyn.collect()) == n_purch
+
+
+def test_ttl_state_eviction_and_restart(spark, tmp_path):
+    """TTL stress for applyInPandasWithState: users idle past the
+    event-time TTL are EVICTED (one closed=true row, state removed),
+    and a returning user restarts from zero — proving the state store
+    does not grow with the all-time key count.  Driven as four
+    availableNow runs over one checkpoint so the watermark/state
+    survive restarts exactly as they would across scheduled jobs."""
+    import datetime as dt
+
+    from sayn_spark.streaming.stateful import ttl_user_totals
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write_wave(name, rows):
+        spark.createDataFrame(
+            rows, schema="user_id long, value double, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    collected = []
+
+    def run_wave():
+        stream = spark.readStream.schema(
+            "user_id long, value double, ts timestamp"
+        ).option("recursiveFileLookup", "true").parquet(str(src))
+        q = (
+            ttl_user_totals(stream, ttl_minutes=30)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # wave 1: users 1 and 2 active at t0
+    write_wave("w1", [(1, 1.0, t0), (1, 2.0, t0 + dt.timedelta(minutes=1)), (2, 5.0, t0)])
+    run_wave()
+    # wave 2: unrelated user far in the future -> watermark jumps past
+    # the TTL horizon of users 1/2 (eviction fires NEXT batch: timeouts
+    # compare against the watermark persisted at the previous batch end)
+    write_wave("w2", [(99, 1.0, t0 + dt.timedelta(hours=3))])
+    run_wave()
+    # wave 3: another future event -> users 1 and 2 time out now
+    write_wave("w3", [(99, 1.0, t0 + dt.timedelta(hours=3, minutes=1))])
+    run_wave()
+    # wave 4: user 1 RETURNS after eviction -> fresh state
+    write_wave("w4", [(1, 7.0, t0 + dt.timedelta(hours=3, minutes=2))])
+    run_wave()
+
+    closed = {r.user_id: r for r in collected if r.closed}
+    assert set(closed) == {1, 2}, f"expected users 1,2 evicted, got {sorted(closed)}"
+    assert (closed[1].n_events, closed[1].total_value) == (2, 3.0)
+    assert (closed[2].n_events, closed[2].total_value) == (1, 5.0)
+    # the post-eviction row for user 1 restarts from zero
+    reborn = [r for r in collected if r.user_id == 1 and not r.closed][-1]
+    assert (reborn.n_events, reborn.total_value) == (1, 7.0)
