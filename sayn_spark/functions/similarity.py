@@ -429,6 +429,145 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_pq_adc_topk",
+    oracle=f"""
+WITH {_SQL_EMB}, {_SQL_NORMED},
+subs AS (
+  SELECT vec_id, s, e[(s*8+1):(s*8+8)] AS sub
+  FROM normed, (SELECT unnest(generate_series(0, 7)) AS s)
+),
+cb AS (SELECT s, vec_id AS c, sub AS cw FROM subs WHERE vec_id < 16),
+enc_d AS (
+  SELECT v.vec_id, v.s, cb.c,
+         ROUND(list_aggregate(list_transform(list_zip(v.sub, cb.cw),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8) AS d2
+  FROM subs v JOIN cb ON cb.s = v.s
+),
+codes AS (
+  SELECT vec_id, s, c FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rk
+    FROM enc_d
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.s, cb.c,
+         CAST(ROUND(list_aggregate(list_transform(list_zip(q.sub, cb.cw),
+              p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8) AS DECIMAL(20,8)) AS d2
+  FROM subs q JOIN cb ON cb.s = q.s WHERE q.vec_id < 10
+),
+adc AS (
+  SELECT l.query_id, n.vec_id AS neighbor_id, SUM(l.d2) AS ad2
+  FROM codes n JOIN lut l ON l.s = n.s AND l.c = n.c
+  WHERE n.vec_id <> l.query_id
+  GROUP BY l.query_id, n.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ad2, neighbor_id) AS rk
+    FROM adc
+  ) WHERE rk <= 20
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_dot_product(qn.e, cn.e) / (qn.nrm * cn.nrm), 6) AS cos
+  FROM cand
+  JOIN normed qn ON qn.vec_id = cand.query_id
+  JOIN normed cn ON cn.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+)
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC, Jegou et al., PAMI'11): 64-dim vectors split into 8 8-dim
+    subspaces, each encoded as its nearest of 16 codewords -> vectors
+    compress to 8 small codes; a query scans CODES (one 8-term lookup
+    sum per vector), shortlists the top-20 by approximate distance,
+    and re-ranks only the shortlist with exact cosine.
+
+    Determinism: the codebook is the 16 smallest vec_ids' subvectors
+    (data-derived, reproducible in SQL — real PQ trains it with
+    k-means, which is q_kmeans_refine's territory); per-subspace
+    distances round to 8dp before the argmin/tie-break, and ADC sums
+    in DECIMAL so accumulation order can't reorder the shortlist
+    across engines.
+
+    100 TB notes: codes are ~97% smaller than raw vectors — the full
+    scan moves 8 small ints/vector instead of 64 doubles; the codebook
+    and per-query LUTs (16 x 8 entries each) broadcast; exact vectors
+    are fetched ONLY for the per-query shortlist (a semi-join on
+    vec_id).  This composes with IVF cells (q_ivf_search) for the
+    classic IVF-PQ index: probe a cell, ADC-scan its codes, re-rank.
+    """
+    n = persist_tracked(_normed(spark, sf_dir))
+    subs = n.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(sequence(0, 7), s -> slice(e, s * 8 + 1, 8))")
+        ).alias("s", "sub"),
+    )
+    cb = subs.where(F.col("vec_id") < 16).select(
+        "s", F.col("vec_id").alias("c"), F.col("sub").alias("cw")
+    )
+    sub_d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        ),
+        8,
+    )
+    enc_d = subs.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "c", sub_d2.alias("d2")
+    )
+    # min(struct(d2, c)) = argmin with the (d2, c) tie-break, no window
+    codes = (
+        enc_d.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "c")).alias("m"))
+        .select("vec_id", "s", F.col("m.c").alias("c"))
+    )
+    lut = (
+        subs.where(F.col("vec_id") < 10)
+        .join(F.broadcast(cb), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "c",
+            sub_d2.cast("decimal(20,8)").alias("d2"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "c"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("ad2"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("ad2", "neighbor_id")
+    cand = (
+        adc.withColumn("rk", F.row_number().over(w_adc))
+        .where(F.col("rk") <= 20)
+        .select("query_id", "neighbor_id")
+    )
+    qn = n.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    cn = n.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qn") * F.col("nrm")),
+        6,
+    )
+    scored = (
+        cand.join(qn, "query_id")
+        .join(cn, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+
+
+@register(
     "q_embedding_quantization",
     oracle=f"""
 WITH {_SQL_EMB},
