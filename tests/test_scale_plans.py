@@ -334,3 +334,37 @@ def test_referential_integrity_uses_broadcast_anti_joins(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_adc_broadcasts_codebook_and_luts(spark):
+    """q_ann_pq_adc_topk's scale contract: the 128-row codebook and the
+    per-query lookup tables join by BROADCAST (the code scan never
+    shuffles on the join key), so the only wide exchanges left are the
+    per-vector aggregations."""
+    df = REGISTRY["q_ann_pq_adc_topk"].fn(spark, SF)
+    plan = plan_of(spark, df)
+    assert plan.count("BroadcastHashJoin") >= 3  # cb x2 (encode, lut) + adc lut
+    from sayn_spark.functions.registry import release_persisted
+
+    release_persisted()
+    spark.catalog.clearCache()
+
+
+def test_star_components_rounds_shrink_edges(spark):
+    """Star contraction must not inflate the edge set: after each
+    round the (deduplicated) edge list is at most the symmetrised
+    input size, and the fixpoint is a star forest — every surviving
+    edge points directly at its component minimum."""
+    from pyspark.sql import functions as F
+
+    from sayn_spark.functions.components import star_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)] + [(100, 101), (101, 102)],
+        schema="src long, dst long",
+    )
+    comp = star_components(edges)
+    # star forest: component id == min node of each cluster
+    rows = comp.collect()
+    assert {r.component for r in rows} == {0, 100}
+    assert all(r.component <= r.node for r in rows)
