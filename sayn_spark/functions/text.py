@@ -535,3 +535,78 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rk") == 1, F.col("token"))).alias("top_token"),
         F.max(F.when(F.col("rk") == 1, F.col("cnt"))).alias("top_count"),
     )
+
+
+@register(
+    "q_text_unigram_surprisal",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+  FROM documents
+),
+freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT COUNT(*) AS total FROM tok),
+nll AS (
+  SELECT t, CAST(ROUND(-LN(CAST(c AS DOUBLE) / total), 8) AS DECIMAL(20,8)) AS nll
+  FROM freq, tot
+),
+doc AS (
+  SELECT doc_id, COUNT(*) AS n_toks, SUM(nll) AS s
+  FROM tok JOIN nll USING (t) GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, n_toks, ROUND(CAST(s AS DOUBLE) / n_toks, 6) AS avg_nll FROM doc
+)
+SELECT doc_id, n_toks, avg_nll, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY avg_nll DESC, doc_id) AS rk FROM scored
+) WHERE rk <= 50
+""",
+)
+def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring — the self-trained stand-in for the
+    CCNet/KenLM perplexity filter: train token frequencies on the
+    corpus itself, score each document by its mean negative log
+    probability, surface the 50 most surprising documents (gibberish,
+    boilerplate-free outliers, wrong-language text score high; typical
+    prose scores low).
+
+    Determinism: per-token -ln(c/total) rounds to 8dp and accumulates
+    in DECIMAL, so the per-doc sum is independent of row order in both
+    engines; the mean rounds to 6dp before ranking and doc_id breaks
+    ties.
+
+    Scale: the LM "state" is the vocabulary-sized (token, count) table
+    — the token join is the single wide operation, the per-doc
+    aggregate combines map-side, and the top-50 is a per-partition
+    TakeOrderedAndProject, never a global sort.  Swapping the
+    self-trained frequencies for a reference-corpus table turns this
+    into the standard quality-filter shape without changing the plan.
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("t"))
+    toks = persist_tracked(toks)
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    nll = freq.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.round(-F.log(F.col("c").cast("double") / F.col("total")), 8)
+        .cast("decimal(20,8)")
+        .alias("nll"),
+    )
+    doc = (
+        toks.join(nll, "t")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_toks"), F.sum("nll").alias("s"))
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(F.col("s").cast("double") / F.col("n_toks"), 6).alias("avg_nll"),
+        )
+    )
+    top = doc.orderBy(F.desc("avg_nll"), "doc_id").limit(50)
+    return top.select(
+        "doc_id",
+        "n_toks",
+        "avg_nll",
+        F.row_number().over(Window.orderBy(F.desc("avg_nll"), "doc_id")).alias("rk"),
+    )

@@ -178,6 +178,7 @@ _BNLJ_BOUNDED_FRAME_OK = {
     "q_ivf_centroids",           # k-row centroid frame (k = label count)
     "q_ivf_search",              # k-row centroid frame
     "q_kmeans_refine",           # k-row centroid frame
+    "q_text_unigram_surprisal",  # 1-row total-token-count frame
     "q_token_budget_mix",        # 1-row corpus-total frame
 }
 
