@@ -428,10 +428,10 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
 
 
-@register(
-    "q_ann_pq_adc_topk",
-    oracle=f"""
-WITH {_SQL_EMB}, {_SQL_NORMED},
+# PQ building blocks shared by q_ann_pq_adc_topk and q_ann_ivfpq_topk:
+# 8 subspaces x 8 dims, 16 codewords/subspace from the 16 smallest
+# vec_ids, distances rounded to 8dp before argmin, LUT entries DECIMAL
+_SQL_PQ = """
 subs AS (
   SELECT vec_id, s, e[(s*8+1):(s*8+8)] AS sub
   FROM normed, (SELECT unnest(generate_series(0, 7)) AS s)
@@ -454,7 +454,51 @@ lut AS (
          CAST(ROUND(list_aggregate(list_transform(list_zip(q.sub, cb.cw),
               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8) AS DECIMAL(20,8)) AS d2
   FROM subs q JOIN cb ON cb.s = q.s WHERE q.vec_id < 10
-),
+)"""
+
+
+def _pq_frames(n: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(codes, lut) for the shared PQ design over normed vectors ``n``
+    — the DataFrame twin of ``_SQL_PQ``."""
+    subs = n.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(sequence(0, 7), s -> slice(e, s * 8 + 1, 8))")
+        ).alias("s", "sub"),
+    )
+    cb = subs.where(F.col("vec_id") < 16).select(
+        "s", F.col("vec_id").alias("c"), F.col("sub").alias("cw")
+    )
+    sub_d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        ),
+        8,
+    )
+    enc_d = subs.join(F.broadcast(cb), "s").select("vec_id", "s", "c", sub_d2.alias("d2"))
+    # min(struct(d2, c)) = argmin with the (d2, c) tie-break, no window
+    codes = (
+        enc_d.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "c")).alias("m"))
+        .select("vec_id", "s", F.col("m.c").alias("c"))
+    )
+    lut = (
+        subs.where(F.col("vec_id") < 10)
+        .join(F.broadcast(cb), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "c",
+            sub_d2.cast("decimal(20,8)").alias("d2"),
+        )
+    )
+    return codes, lut
+
+
+@register(
+    "q_ann_pq_adc_topk",
+    oracle=f"""
+WITH {_SQL_EMB}, {_SQL_NORMED}, {_SQL_PQ},
 adc AS (
   SELECT l.query_id, n.vec_id AS neighbor_id, SUM(l.d2) AS ad2
   FROM codes n JOIN lut l ON l.s = n.s AND l.c = n.c
@@ -503,45 +547,133 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic IVF-PQ index: probe a cell, ADC-scan its codes, re-rank.
     """
     n = persist_tracked(_normed(spark, sf_dir))
-    subs = n.select(
-        "vec_id",
-        F.posexplode(
-            F.expr("transform(sequence(0, 7), s -> slice(e, s * 8 + 1, 8))")
-        ).alias("s", "sub"),
-    )
-    cb = subs.where(F.col("vec_id") < 16).select(
-        "s", F.col("vec_id").alias("c"), F.col("sub").alias("cw")
-    )
-    sub_d2 = F.round(
-        F.expr(
-            "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
-        ),
-        8,
-    )
-    enc_d = subs.join(F.broadcast(cb), "s").select(
-        "vec_id", "s", "c", sub_d2.alias("d2")
-    )
-    # min(struct(d2, c)) = argmin with the (d2, c) tie-break, no window
-    codes = (
-        enc_d.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d2", "c")).alias("m"))
-        .select("vec_id", "s", F.col("m.c").alias("c"))
-    )
-    lut = (
-        subs.where(F.col("vec_id") < 10)
-        .join(F.broadcast(cb), "s")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "s",
-            "c",
-            sub_d2.cast("decimal(20,8)").alias("d2"),
-        )
-    )
+    codes, lut = _pq_frames(n)
     adc = (
         codes.join(F.broadcast(lut), ["s", "c"])
         .where(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d2").alias("ad2"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("ad2", "neighbor_id")
+    cand = (
+        adc.withColumn("rk", F.row_number().over(w_adc))
+        .where(F.col("rk") <= 20)
+        .select("query_id", "neighbor_id")
+    )
+    qn = n.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    cn = n.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qn") * F.col("nrm")),
+        6,
+    )
+    scored = (
+        cand.join(qn, "query_id")
+        .join(cn, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+
+
+@register(
+    "q_ann_ivfpq_topk",
+    oracle=f"""
+WITH {_SQL_EMB}, {_SQL_NORMED}, {_SQL_CENTROIDS}, {_SQL_PQ},
+assigned AS (
+  SELECT vec_id, c_label, ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_aggregate(list_transform(list_zip(n.e, c.ce),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8), c_label) AS rk
+  FROM normed n, cent_arr c
+),
+cells AS (SELECT vec_id, c_label AS cell FROM assigned WHERE rk = 1),
+adc AS (
+  SELECT l.query_id, n.vec_id AS neighbor_id, SUM(l.d2) AS ad2
+  FROM codes n
+  JOIN cells cn ON cn.vec_id = n.vec_id
+  JOIN lut l ON l.s = n.s AND l.c = n.c
+  JOIN cells qc ON qc.vec_id = l.query_id AND qc.cell = cn.cell
+  WHERE n.vec_id <> l.query_id
+  GROUP BY l.query_id, n.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ad2, neighbor_id) AS rk
+    FROM adc
+  ) WHERE rk <= 20
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_dot_product(qn.e, cn.e) / (qn.nrm * cn.nrm), 6) AS cos
+  FROM cand
+  JOIN normed qn ON qn.vec_id = cand.query_id
+  JOIN normed cn ON cn.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ index in one plan: coarse-quantize every vector
+    to its nearest centroid cell (IVF, as q_ivf_search), ADC-scan only
+    the CODES of the query's own cell (PQ, as q_ann_pq_adc_topk),
+    shortlist top-20 per query, re-rank the shortlist with exact
+    cosine — the textbook billion-scale ANN serving shape (Jegou et
+    al.; FAISS IVF,PQ).
+
+    100 TB notes: cells bound the scan to ~1/k of the corpus per query
+    (nprobe=1; more probes union cells), and within the cell only
+    8-code rows move — centroids, codebook, and per-query LUTs all
+    broadcast, so the single wide operation is the per-(query,
+    neighbor) ADC aggregate over the probed cell.
+    """
+    n = persist_tracked(_normed(spark, sf_dir))
+    cent = _centroid_arrays(n.select("label", "e"))
+    d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        ),
+        8,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    cells = (
+        n.crossJoin(F.broadcast(cent))
+        .select("vec_id", "c_label", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") == 1)
+        .select("vec_id", F.col("c_label").alias("cell"))
+    )
+    cells = persist_tracked(cells)
+    codes, lut = _pq_frames(n)
+    qcells = cells.select(F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell"))
+    # rename the LUT's join keys so the three-way condition stays
+    # unambiguous against the codes side
+    lut_in_cell = (
+        lut.join(F.broadcast(qcells.where(F.col("query_id") < 10)), "query_id")
+        .select(
+            "query_id",
+            F.col("s").alias("ls"),
+            F.col("c").alias("lc"),
+            F.col("d2").alias("ld2"),
+            "qcell",
+        )
+    )
+    adc = (
+        codes.join(cells, "vec_id")
+        .join(
+            F.broadcast(lut_in_cell),
+            (F.col("s") == F.col("ls"))
+            & (F.col("c") == F.col("lc"))
+            & (F.col("cell") == F.col("qcell")),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld2").alias("ad2"))
     )
     w_adc = Window.partitionBy("query_id").orderBy("ad2", "neighbor_id")
     cand = (
