@@ -1130,3 +1130,129 @@ def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
     )
+
+
+@register(
+    "q_dedup_semantic",
+    oracle="""
+WITH emb AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, e FROM emb
+  UNION ALL SELECT vec_id + 100000, e FROM emb
+),
+normed AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM corpus),
+comp AS (
+  SELECT label, i, e[i] AS x FROM emb, (SELECT unnest(generate_series(1, 64)) AS i)
+),
+cent AS (
+  SELECT label, i,
+         ROUND(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 8) AS c
+  FROM comp GROUP BY label, i
+),
+cent_arr AS (
+  SELECT label AS c_label, list(c ORDER BY i) AS ce FROM cent GROUP BY label
+),
+assigned AS (
+  SELECT vec_id, c_label, ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_aggregate(list_transform(list_zip(n.e, c.ce),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8), c_label) AS rk
+  FROM normed n, cent_arr c
+),
+cells AS (SELECT vec_id, c_label AS cell FROM assigned WHERE rk = 1),
+pairs AS (
+  SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+  FROM cells ca
+  JOIN cells cb ON cb.cell = ca.cell AND ca.vec_id < cb.vec_id
+  JOIN normed a ON a.vec_id = ca.vec_id
+  JOIN normed b ON b.vec_id = cb.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.99
+),
+dropped AS (SELECT DISTINCT id_b FROM pairs)
+SELECT cell,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM cells LEFT JOIN dropped d ON d.id_b = cells.vec_id
+GROUP BY cell
+""",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023):
+    cluster embeddings with a coarse quantizer, then find cos >= 0.99
+    pairs ONLY WITHIN each cluster and drop every vector that has a
+    qualifying neighbor with a smaller id — per-cluster kept/dropped
+    counts.
+
+    The clustering here is the deterministic label-centroid quantizer
+    (same as q_ivf_search) so the oracle can replay it exactly; real
+    deployments swap in trained k-means without changing the plan.
+    Bit-identical planted copies land in their original's cell, so
+    every copy is dropped by construction.
+
+    100 TB notes: this is the published SemDeDup scaling argument
+    realised as a Spark plan — pairwise cosine runs per-cell (an
+    equi-join on the cell key), never across the corpus; centroids
+    broadcast; the drop rule is a within-cell anti-join shape (DISTINCT
+    dup targets, LEFT JOIN), so nothing quadratic leaves a cell.  Cell
+    sizes are the knob: more centroids = smaller cells = less in-cell
+    pairwise work.
+    """
+    from sayn_spark.functions.similarity import _centroid_arrays
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr("cast(embedding as array<double>)").alias("e")
+    )
+    corpus = emb.select("vec_id", "e").unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "e")
+    )
+    normed = persist_tracked(
+        corpus.select(
+            "vec_id",
+            "e",
+            F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm"),
+        )
+    )
+    cent = _centroid_arrays(emb.select("label", "e"))
+    d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        ),
+        8,
+    )
+    # min(struct(d2, c_label)) = nearest centroid with the (d2, label)
+    # tie-break — no per-vector window needed
+    cells = persist_tracked(
+        normed.crossJoin(F.broadcast(cent))
+        .select("vec_id", F.struct(d2.alias("d2"), F.col("c_label").alias("cl")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", F.col("m.cl").alias("cell"))
+    )
+    sided = cells.join(normed, "vec_id")
+    a = sided.select(
+        F.col("vec_id").alias("id_a"), "cell", F.col("e").alias("e_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = sided.select(
+        F.col("vec_id").alias("id_b"), "cell", F.col("e").alias("e_b"), F.col("nrm").alias("nrm_b")
+    )
+    cos = F.expr(_COSINE_PAIR)
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= 0.99)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        cells.join(dropped, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("is_dropped").alias("n_dropped"),
+            F.sum(F.when(F.col("is_dropped").isNull(), 1).otherwise(0)).alias("n_kept"),
+        )
+    )

@@ -176,6 +176,7 @@ _BNLJ_BOUNDED_FRAME_OK = {
     "q_bm25_search",             # fixed small query-term frame
     "q_hll_sketch_rollup",       # 1-row global sketch joined for ratios
     "q_ann_ivfpq_topk",          # k-row centroid frame (IVF cell assignment)
+    "q_dedup_semantic",          # k-row centroid frame (SemDeDup clustering)
     "q_ivf_centroids",           # k-row centroid frame (k = label count)
     "q_ivf_search",              # k-row centroid frame
     "q_kmeans_refine",           # k-row centroid frame
