@@ -53,7 +53,7 @@ _DRIVER_PREFIX = [
     "q_scd2_asof_read",
     # deduplication family
     "q_dedup_exact",
-    "q_dedup_normalized",
+    "q_dedup_semantic",
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
     "q_dedup_passages",
@@ -68,11 +68,11 @@ _DRIVER_PREFIX = [
     # similarity / embeddings
     "q_ann_lsh_topk",
     "q_ann_multiprobe_topk",
-    "q_ivf_search",
+    "q_ann_ivfpq_topk",
     "q_embedding_quantization",
     "q_kmeans_refine",
     # text analysis
-    "q_text_token_stats",
+    "q_text_unigram_surprisal",
     "q_text_quality",
     "q_text_langid",
     "q_text_bpe_tokens",

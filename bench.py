@@ -50,9 +50,12 @@ HEADLINE = [
     "q_dedup_embedding_cosine",
     "q_dedup_editdistance",
     "q_dedup_components",
+    "q_dedup_semantic",
     "q_record_linkage",
     "q_ann_lsh_topk",
+    "q_ann_ivfpq_topk",
     "q_text_quality",
+    "q_text_unigram_surprisal",
 ]
 
 
