@@ -832,13 +832,20 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket sizes — the plan stays equi-joins on the bucket string, no
     nested-loop join anywhere.
     """
+    return cosine_gated_pairs(_cosine_corpus(spark, sf_dir))
+
+
+def cosine_gated_pairs(normed: DataFrame, n_planes: int = 10) -> DataFrame:
+    """The multiprobed two-table LSH gate + exact verify over any
+    (vec_id, e, nrm) frame — q_dedup_embedding_cosine's engine, exposed
+    so tests can drive it over adversarial corpora (perturbed near-dups
+    that are NOT bit-identical: tests/test_dedup_banding.py)."""
     from sayn_spark.functions.similarity import bucket_expr
 
-    n_planes = 10
     normed = persist_tracked(
-        _cosine_corpus(spark, sf_dir)
-        .withColumn("b0", F.expr(bucket_expr(0, n_planes)))
-        .withColumn("b1", F.expr(bucket_expr(n_planes, n_planes)))
+        normed.withColumn("b0", F.expr(bucket_expr(0, n_planes))).withColumn(
+            "b1", F.expr(bucket_expr(n_planes, n_planes))
+        )
     )
     ids = normed.select("vec_id", "b0", "b1")
 

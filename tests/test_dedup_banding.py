@@ -11,11 +11,13 @@ band keys, exact verify on candidates only).  Recall arguments:
   radius 3) leaves >= 1 intact band.  Recall is exact by construction,
   for ANY data, at either band width.
 - Cosine: bit-identical vectors collide in every hyperplane table, and
-  the qualifying pairs in the test corpora are all exact copies
-  (asserted below), so LSH gating loses nothing here; one-plane
+  the qualifying pairs in the registered corpus are all exact copies
+  (asserted below), so LSH gating loses nothing there; one-plane
   multiprobe makes bucket-Hamming <= 1 collisions structural in both
-  tables, holding the worst-case miss rate <= 3.5e-4 for
-  barely-in-threshold pairs on adversarial data.
+  tables, holding the worst-case miss <= C(10,2)p^2 per table
+  (~8.3e-3 combined at p = arccos(0.99)/pi) for barely-in-threshold
+  pairs — and the perturbed-corpus test below drives the gate over
+  planted near-dups that are NOT bit-identical.
 
 These tests run the demoted all-pairs helpers (kept exactly for this
 purpose) against the registered banded queries at sf0.001.
@@ -165,3 +167,46 @@ def test_cosine_threshold_pairs_are_exact_copies(spark):
     )
     n_diff = joined.where(F.col("ea") != F.col("eb")).count()
     assert n_diff == 0
+
+
+def test_multiprobed_cosine_recall_on_perturbed_near_dups(spark):
+    """The round-3 gate only ever saw bit-identical duplicates (the
+    test above pins that precondition).  This drives the SAME gate over
+    a corpus whose planted near-duplicates are PERTURBED — dimension 0
+    scaled by 1.02, so the pair is not bit-identical but its cosine
+    stays >= 0.99 — and requires the gated plan to still equal
+    all-pairs exactly.  Deterministic: fixed data, fixed LCG planes —
+    a perturbed vector lands in a flipped-by-<=1-bit bucket unless >= 2
+    of 10 planes separate the pair in both tables, which this corpus'
+    tiny rotation angles make (verifiably) impossible."""
+    from sayn_spark.functions.dedup import cosine_gated_pairs
+
+    from sayn_spark.functions.registry import T, release_persisted
+
+    emb = T(spark, SF, "embeddings").select(
+        "vec_id", F.expr("cast(embedding as array<double>)").alias("e")
+    )
+    perturbed = emb.select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.expr(
+            "transform(e, (x, i) -> if(i = 0, x * cast(1.02 as double), x))"
+        ).alias("e"),
+    )
+    corpus = emb.unionByName(perturbed)
+    normed = corpus.select(
+        "vec_id",
+        "e",
+        F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm"),
+    )
+    try:
+        got = _rows(cosine_gated_pairs(normed), ["id_a", "id_b", "cos"])
+        want = _rows(_cosine_allpairs(normed), ["id_a", "id_b", "cos"])
+        assert got == want
+        # the planted pairs must be genuinely non-identical AND in
+        # threshold, or this test proves nothing
+        planted = [t for t in want if t[1] == t[0] + 500000]
+        assert len(planted) > 0
+        n = normed.count() // 2
+        assert len(planted) >= n * 0.9, (len(planted), n)
+    finally:
+        release_persisted()
