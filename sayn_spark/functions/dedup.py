@@ -1274,3 +1274,74 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("is_dropped").isNull(), 1).otherwise(0)).alias("n_kept"),
         )
     )
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(({_SQL_TOKENS})[1:greatest(3, len({_SQL_TOKENS}) // 2)], ' ')
+  FROM documents
+),
+shingled AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM corpus),
+sizes AS (SELECT doc_id, len(sh) AS n FROM shingled WHERE len(sh) > 0),
+exploded AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(common AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / least(sa.n, sb.n) >= 0.9
+""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap-coefficient) dedup: pairs where the SMALLER
+    document's shingles are >= 90% contained in the other's — the
+    asymmetric near-dup class Jaccard structurally misses.  The planted
+    corpus appends each document's FIRST-HALF SNIPPET: snippet-vs-
+    original has Jaccard ~0.5 (invisible to q_dedup_ngram_jaccard's
+    0.8 gate) but containment exactly 1.0, the quoted-excerpt /
+    boilerplate-wrapper / chunk-of-a-crawl shape every training-data
+    pipeline needs to catch.
+
+    Scale design: identical inverted-index equi-join shape as the
+    Jaccard query (shuffle on the shingle, count per pair, sizes ride
+    along); only the verify formula changes (common / min(n)).  At
+    100 TB the candidate gate is containment-aware LSH — partition
+    MinHash sketches by set size a la LSH Ensemble (Zhu et al.,
+    VLDB'16) — since plain MinHash-LSH recalls by Jaccard and would
+    drop exactly the asymmetric pairs this query exists to find.
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    snippet = F.expr(
+        f"array_join(slice({_TOKENS}, 1, greatest(3, (size({_TOKENS}) div 2))), ' ')"
+    )
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), snippet.alias("text"))
+    )
+    corpus = _fan_out(corpus, spark, sf_dir)
+    shingled = _staged_shingles(corpus, persist=True)
+    sizes = shingled.where(F.size("sh") > 0).select("doc_id", F.size("sh").alias("n"))
+    exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cont = F.col("common").cast("double") / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        pairs.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .where(cont >= 0.9)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
