@@ -1345,3 +1345,137 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cont >= 0.9)
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
     )
+
+
+def _mh_sig_frame(corpus: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig) MinHash signatures for a corpus — the only state
+    the incremental near-dup store keeps (never shingles or text)."""
+    corpus = _fan_out(corpus, spark, sf_dir)
+    shingled = _staged_shingles(corpus, persist=True).where(F.size("sh") > 0)
+    bases = shingled.select("doc_id", F.expr(_SPARK_BASES).alias("bases"))
+    return bases.select("doc_id", _sig_udf()(F.col("bases")).alias("sig"))
+
+
+def _mh_band_frame(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) LSH band keys from signatures."""
+    return sigs.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {_N_HASHES // _BAND_ROWS - 1})")).alias("band"),
+        "sig",
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.expr(
+                f"array_join(transform(sequence(1, {_BAND_ROWS}), "
+                f"i -> cast(element_at(sig, band * {_BAND_ROWS} + i) as string)), '|')"
+            )
+        ).alias("band_sig"),
+    )
+
+
+_SQL_MH_BANDS = f"""(
+  SELECT doc_id, band,
+         md5(array_to_string(list_transform(generate_series(1, {_BAND_ROWS}),
+             i -> CAST(sig[band * {_BAND_ROWS} + i] AS VARCHAR)), '|')) AS band_sig
+  FROM {{src}}, (SELECT unnest(generate_series(0, {_N_HASHES // _BAND_ROWS - 1})) AS band)
+)"""
+
+
+@register(
+    "q_dedup_incremental_minhash",
+    oracle=f"""
+WITH old_corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8
+),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+  UNION ALL
+  SELECT doc_id + 300000, text || ' zz'
+  FROM documents WHERE doc_id % 10 < 8 AND doc_id % 37 = 0
+),
+old_sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM old_corpus WHERE len({_SQL_SHINGLES}) > 0),
+new_sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM batch WHERE len({_SQL_SHINGLES}) > 0),
+old_sigs AS (SELECT doc_id, {_SQL_SIG} AS sig FROM old_sh),
+new_sigs AS (SELECT doc_id, {_SQL_SIG} AS sig FROM new_sh),
+old_bands AS {_SQL_MH_BANDS.format(src='old_sigs')},
+new_bands AS {_SQL_MH_BANDS.format(src='new_sigs')},
+candidates AS (
+  SELECT DISTINCT n.doc_id AS batch_id, o.doc_id AS corpus_id
+  FROM new_bands n JOIN old_bands o
+    ON n.band = o.band AND n.band_sig = o.band_sig
+)
+SELECT batch_id, corpus_id,
+       ROUND(CAST(len(list_filter(list_zip(ns.sig, os.sig), p -> p[1] = p[2])) AS DOUBLE)
+             / {_N_HASHES}, 6) AS est_jaccard
+FROM candidates
+JOIN new_sigs ns ON ns.doc_id = batch_id
+JOIN old_sigs os ON os.doc_id = corpus_id
+WHERE CAST(len(list_filter(list_zip(ns.sig, os.sig), p -> p[1] = p[2])) AS DOUBLE)
+      / {_N_HASHES} >= 0.5
+""",
+)
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: dedupe a new ingestion batch against an
+    existing corpus using ONLY a stored MinHash signature index — the
+    recurring-crawl twin of q_dedup_incremental_corpus (which catches
+    exact re-crawls by fingerprint; this catches mutated ones).
+
+    Old corpus = doc_id%10 < 8; batch = the rest plus planted NEAR
+    re-crawls (' zz'-suffixed, re-keyed +300000) that no exact
+    fingerprint can catch.  Candidates come from the batch's band keys
+    probing the stored band index; the verify is the SIGNATURE-
+    ESTIMATED Jaccard (matching minhash fraction >= 0.5) — crucially
+    it needs only the two signatures, so the persistent state is
+    16 ints per document, never shingles or text.
+
+    100 TB notes: the index is (doc_id, sig) + its band keys — a few
+    hundred bytes per corpus document, partitioned by band_sig; each
+    ingest shuffles only the BATCH's band rows against it (the corpus
+    side is static and pre-bucketed), and the estimate join moves
+    signatures for candidates only.  Index maintenance is an append of
+    the kept batch's rows.
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    old_corpus = d.where(F.col("doc_id") % 10 < 8)
+    batch = (
+        d.where(F.col("doc_id") % 10 >= 8)
+        .unionByName(
+            old_corpus.where(F.col("doc_id") % 37 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat("text", F.lit(" zz")).alias("text"),
+            )
+        )
+    )
+    old_sigs = persist_tracked(_mh_sig_frame(old_corpus, spark, sf_dir))
+    new_sigs = persist_tracked(_mh_sig_frame(batch, spark, sf_dir))
+    candidates = (
+        _mh_band_frame(new_sigs)
+        .select(F.col("doc_id").alias("batch_id"), "band", "band_sig")
+        .join(
+            _mh_band_frame(old_sigs).select(
+                F.col("doc_id").alias("corpus_id"), "band", "band_sig"
+            ),
+            ["band", "band_sig"],
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    est = F.round(
+        F.expr(
+            f"size(filter(zip_with(sig_n, sig_o, (x, y) -> x = y), b -> b)) / cast({_N_HASHES} as double)"
+        ),
+        6,
+    )
+    return (
+        candidates.join(
+            new_sigs.select(F.col("doc_id").alias("batch_id"), F.col("sig").alias("sig_n")),
+            "batch_id",
+        )
+        .join(
+            old_sigs.select(F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_o")),
+            "corpus_id",
+        )
+        .where(est >= 0.5)
+        .select("batch_id", "corpus_id", est.alias("est_jaccard"))
+    )
