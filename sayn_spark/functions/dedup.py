@@ -326,23 +326,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = _staged_shingles(corpus, persist=True).where(F.size("sh") > 0)
     bases = shingled.select("doc_id", "sh", F.expr(_SPARK_BASES).alias("bases"))
     sigs = bases.select("doc_id", _sig_udf()(F.col("bases")).alias("sig"))
-    bands = sigs.select(
-        "doc_id",
-        F.explode(F.expr(f"sequence(0, {_N_HASHES // _BAND_ROWS - 1})")).alias("band"),
-        "sig",
-    ).select(
-        "doc_id",
-        "band",
-        F.md5(
-            F.expr(
-                f"array_join(transform(sequence(1, {_BAND_ROWS}), "
-                f"i -> cast(element_at(sig, band * {_BAND_ROWS} + i) as string)), '|')"
-            )
-        ).alias("band_sig"),
-    )
     # the candidate self-join reads bands twice; without this persist
     # each side recomputes the whole signature pipeline
-    bands = persist_tracked(bands)
+    bands = persist_tracked(_mh_band_frame(sigs))
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -1449,6 +1435,14 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old_sigs = persist_tracked(_mh_sig_frame(old_corpus, spark, sf_dir))
     new_sigs = persist_tracked(_mh_sig_frame(batch, spark, sf_dir))
+    return incremental_minhash_matches(new_sigs, old_sigs)
+
+
+def incremental_minhash_matches(new_sigs: DataFrame, old_sigs: DataFrame) -> DataFrame:
+    """(batch_id, corpus_id, est_jaccard >= 0.5) matches of a batch's
+    signatures against a stored signature index — the probe half of
+    the incremental near-dup store, reusable across ingests (the
+    index-append lifecycle is exercised in tests/test_properties.py)."""
     candidates = (
         _mh_band_frame(new_sigs)
         .select(F.col("doc_id").alias("batch_id"), "band", "band_sig")

@@ -166,3 +166,50 @@ def test_star_components_edge_cases(spark):
     )
     got = {r.node: r.component for r in star_components(edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 20: 20}
+
+
+def test_incremental_minhash_index_append_lifecycle(spark):
+    """The incremental near-dup store across TWO ingests: batch 1's
+    near-dup of a corpus doc is caught by the signature index, batch
+    1's kept (novel) docs are APPENDED to the index as signatures
+    only, and batch 2's near-dup of that batch-1 doc is then caught by
+    the grown index — no shingles or text ever persisted."""
+    from sayn_spark.functions.dedup import (
+        _mh_sig_frame,
+        incremental_minhash_matches,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def corpus(rows):
+        return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm fire and the birds sing in the tall trees "
+        "outside the old wooden house by the river"
+    )
+    novel1 = (
+        "completely different content about distributed query engines "
+        "processing enormous datasets with columnar storage vectorized "
+        "execution adaptive optimization and shuffle free joins at scale"
+    )
+    index = _mh_sig_frame(corpus([(1, base)]), spark, sf).localCheckpoint()
+
+    # ingest 1: a near-dup of doc 1 plus a novel doc
+    batch1 = corpus([(101, base + " zz"), (102, novel1)])
+    sigs1 = _mh_sig_frame(batch1, spark, sf).localCheckpoint()
+    m1 = {(r.batch_id, r.corpus_id) for r in incremental_minhash_matches(sigs1, index).collect()}
+    assert m1 == {(101, 1)}
+
+    # append ONLY the kept (unmatched) signatures to the index
+    kept1 = sigs1.where(~sigs1.doc_id.isin([b for b, _ in m1]))
+    index = index.unionByName(kept1).localCheckpoint()
+
+    # ingest 2: a near-dup of the batch-1 novel doc -> caught by the
+    # grown index; an unrelated doc -> passes
+    batch2 = corpus([(201, novel1 + " qq"), (202, base.upper().replace("THE", "a"))])
+    sigs2 = _mh_sig_frame(batch2, spark, sf).localCheckpoint()
+    m2 = {(r.batch_id, r.corpus_id) for r in incremental_minhash_matches(sigs2, index).collect()}
+    assert (201, 102) in m2
+    assert not any(b == 202 for b, _ in m2)
