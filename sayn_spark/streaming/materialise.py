@@ -12,6 +12,7 @@ is idempotent on the delete key, so replayed batches converge.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from sayn_spark.core.database import SparkDatabase
 
@@ -53,6 +54,67 @@ def stream_merge_into(
 
     return (
         source.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_dedup_ingest(
+    source: DataFrame,
+    index_table: str,
+    matches_table: str,
+    checkpoint: str,
+    sf_dir: str,
+):
+    """Continuous near-dup ingest: each micro-batch of (doc_id, text)
+    is probed against the persistent MinHash SIGNATURE index
+    (functions/dedup.py:incremental_minhash_matches), matches land in
+    ``matches_table``, and only the novel documents' signatures append
+    to ``index_table`` — the streaming twin of
+    q_dedup_incremental_minhash.
+
+    State discipline at 100 TB: the index stores 16 ints per corpus
+    document (never shingles or text), each trigger shuffles only the
+    batch's band rows against it, and growth is an append of the kept
+    batch.  Within-batch duplicates ride through to the NEXT trigger
+    (the second copy matches the first's appended signature) — the
+    standard trade for keeping each batch's work one probe + one
+    append.  Checkpointing makes input processing exactly-once; the
+    probe/append pair is idempotent per batch because replayed batches
+    re-derive identical signatures and the anti-join drops re-seen ids.
+    """
+    outer_session = source.sparkSession
+
+    def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from sayn_spark.functions.dedup import (
+            _mh_sig_frame,
+            incremental_minhash_matches,
+        )
+
+        spark = batch_df.sparkSession
+        db = SparkDatabase(spark)
+        if batch_df.isEmpty():
+            return
+        sigs = _mh_sig_frame(
+            batch_df.select("doc_id", "text"), spark, sf_dir
+        ).localCheckpoint()
+        if db.table_exists(index_table):
+            index = spark.table(index_table)
+            matches = incremental_minhash_matches(sigs, index).localCheckpoint()
+            db.create_table(matches_table, matches, mode="append")
+            kept = sigs.join(
+                matches.select(F.col("batch_id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            )
+            db.create_table(index_table, kept, mode="append")
+        else:
+            db.create_table(index_table, sigs, mode="overwrite")
+        outer_session.catalog.refreshTable(index_table)
+
+    return (
+        source.writeStream.foreachBatch(_ingest_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -298,3 +298,51 @@ def test_ttl_state_eviction_and_restart(spark, tmp_path):
     # the post-eviction row for user 1 restarts from zero
     reborn = [r for r in collected if r.user_id == 1 and not r.closed][-1]
     assert (reborn.n_events, reborn.total_value) == (1, 7.0)
+
+
+def test_stream_dedup_ingest_probes_and_grows_index(spark, tmp_path):
+    """Streaming near-dup ingest over the persistent signature index:
+    wave 1 seeds the index, wave 2's near-dup of a wave-1 doc is
+    caught and only novel signatures append, wave 3's near-dup of a
+    wave-2 NOVEL doc is caught by the grown index — the dedup store
+    works across restarts with signatures as its only state."""
+    from sayn_spark.streaming.materialise import stream_dedup_ingest
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    idx, mt = "stream_mh_index", "stream_mh_matches"
+    for t in (idx, mt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm fire and the birds sing in the tall trees"
+    )
+    novel = (
+        "completely different content about distributed query engines "
+        "processing enormous datasets with columnar storage vectorized "
+        "execution adaptive optimization and shuffle free joins"
+    )
+
+    def run_wave(name, rows):
+        spark.createDataFrame(rows, schema="doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = stream_dedup_ingest(stream, idx, mt, ckpt, SF)
+        q.awaitTermination(120)
+
+    run_wave("w1", [(1, base)])
+    run_wave("w2", [(101, base + " zz"), (102, novel)])
+    run_wave("w3", [(201, novel + " qq")])
+
+    matches = {(r.batch_id, r.corpus_id) for r in spark.table(mt).collect()}
+    assert matches == {(101, 1), (201, 102)}
+    # index holds signatures for exactly the novel docs, nothing else
+    assert {r.doc_id for r in spark.table(idx).collect()} == {1, 102}
+    assert spark.table(idx).columns == ["doc_id", "sig"]
+    for t in (idx, mt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
