@@ -26,6 +26,65 @@ from sayn_spark.functions.dedup import (
 from sayn_spark.functions.registry import T, register
 
 
+class ComponentsNotConverged(RuntimeError):
+    """An iterative components pass exhausted its budget without
+    reaching a fixpoint — the labels in hand may be WRONG (a chain
+    longer than the budget keeps distinct labels).  Raised instead of
+    returning silently; ``components()`` catches it to fall over to
+    star contraction."""
+
+
+def _label_prop(sym: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
+    """Min-label propagation over a checkpointed symmetrised+self-looped
+    edge frame -> (labels, iterations, converged)."""
+    # the initial labelling (label = node) makes the first propagation
+    # step exactly min(dst) over in-neighbours — so FUSE init with
+    # iteration 1: one groupBy replaces the node-distinct, the label
+    # init checkpoint, and a full join iteration.
+    labels = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    iterations = 1
+    converged = False
+    for _ in range(max_iter - 1):
+        new = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()  # truncate lineage per iteration
+        )
+        new_sum = new.agg(F.sum("label")).collect()[0][0]
+        iterations += 1  # count every executed pass, incl. the confirming one
+        if new_sum == prev_sum:
+            converged = True
+            break
+        labels, prev_sum = new, new_sum
+    return labels, iterations, converged
+
+
+def _symmetrise(edges: DataFrame) -> DataFrame:
+    """Checkpoint the raw edge list, then build the symmetrised +
+    self-looped frame every propagation iteration joins against.
+
+    The checkpoint matters twice: without materialisation the whole
+    upstream edge pipeline (shingle + inverted-index join) would
+    re-execute per iteration (measured 5x the query cost at sf0.1), and
+    each union arm below would re-run it once per reference.  sym needs
+    NO distinct and NO separate node set: duplicate edges are harmless
+    under the min aggregate, and self-loops come from two more narrow
+    projections of fwd — four map-side unions, zero shuffles."""
+    fwd = edges.select("src", "dst").localCheckpoint()
+    return (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .unionByName(fwd.select("src", F.col("src").alias("dst")))
+        .unionByName(fwd.select(F.col("dst").alias("src"), F.col("dst").alias("dst")))
+        .localCheckpoint()
+    )
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 20, _iterations: list | None = None
 ) -> DataFrame:
@@ -40,57 +99,55 @@ def connected_components(
     the global sum of labels strictly decreases until the fixpoint and
     is read with a scalar agg off the just-checkpointed frame.
 
+    Raises ComponentsNotConverged when max_iter passes don't reach the
+    fixpoint — the partial labels would be silently wrong on graphs of
+    diameter > max_iter.  Callers that can't bound the diameter should
+    use ``components()`` (auto fall-over to star contraction) instead.
+
     ``_iterations``, if given, receives the executed iteration count
     (test hook — the planted-mutation graphs must converge in
     diameter+1 steps, not drift toward max_iter).
     """
-    # sym drives EVERY iteration's join — without materialisation the
-    # whole upstream edge pipeline (shingle + inverted-index join) would
-    # re-execute per iteration (measured 5x the query cost at sf0.1).
-    # localCheckpoint truncates lineage AND caches the partitions.
-    # checkpoint the raw edge list FIRST: everything below derives from
-    # it, and each union arm would otherwise re-run the whole upstream
-    # pipeline once per reference.
-    fwd = edges.select("src", "dst").localCheckpoint()
-    # sym needs NO distinct and NO separate node set: duplicate edges
-    # are harmless under the min aggregate, and self-loops come from
-    # two more narrow projections of fwd — so the checkpoint
-    # materialises four map-side unions, zero shuffles.  (The earlier
-    # shape paid a distinct + checkpoint for the node list; on the
-    # tiny-after-verify edge frame that was pure scheduling overhead,
-    # and at scale the distinct was an extra full shuffle.)
-    sym = (
-        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .unionByName(fwd.select("src", F.col("src").alias("dst")))
-        .unionByName(fwd.select(F.col("dst").alias("src"), F.col("dst").alias("dst")))
-        .localCheckpoint()
-    )
-    # the initial labelling (label = node) makes the first propagation
-    # step exactly min(dst) over in-neighbours — so FUSE init with
-    # iteration 1: one groupBy replaces the node-distinct, the label
-    # init checkpoint, and a full join iteration.
-    labels = (
-        sym.groupBy(F.col("src").alias("node"))
-        .agg(F.min("dst").alias("label"))
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    iterations = 1
-    for _ in range(max_iter - 1):
-        new = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()  # truncate lineage per iteration
+    labels, iterations, converged = _label_prop(_symmetrise(edges), max_iter)
+    if not converged:
+        raise ComponentsNotConverged(
+            f"label propagation did not reach a fixpoint in {max_iter} passes; "
+            "the graph's diameter exceeds the budget — use components() "
+            "(star-contraction fall-over) or raise max_iter"
         )
-        new_sum = new.agg(F.sum("label")).collect()[0][0]
-        iterations += 1  # count every executed pass, incl. the confirming one
-        if new_sum == prev_sum:
-            break
-        labels, prev_sum = new, new_sum
     if _iterations is not None:
         _iterations.append(iterations)
     return labels.select("node", F.col("label").alias("component"))
+
+
+def components(
+    edges: DataFrame,
+    label_budget: int = 4,
+    max_rounds: int = 30,
+    _method: list | None = None,
+) -> DataFrame:
+    """Auto-selecting connected components: run min-label propagation
+    with a small iteration budget (near-dup graphs — star-shaped
+    clusters of a document and its mutations — converge in 2-3 passes
+    at ONE shuffle each), and fall over to large-star/small-star
+    contraction (O(log^2 n) rounds on ANY topology, ~4 shuffles each)
+    when the budget is exhausted without a fixpoint.
+
+    This bounds the worst case: an unknown-diameter graph (chains of
+    pairwise-similar crawl snapshots) costs at most ``label_budget``
+    wasted propagation shuffles before the contraction path takes over,
+    instead of diameter-many shuffles or a silently-wrong answer.
+    ``_method``, if given, receives "label_prop" or "star" (test hook).
+    """
+    fwd = edges.select("src", "dst").localCheckpoint()
+    labels, _, converged = _label_prop(_symmetrise(fwd), label_budget)
+    if converged:
+        if _method is not None:
+            _method.append("label_prop")
+        return labels.select("node", F.col("label").alias("component"))
+    if _method is not None:
+        _method.append("star")
+    return star_components(fwd, max_rounds=max_rounds)
 
 
 def star_components(
@@ -149,6 +206,7 @@ def star_components(
     e = fwd
     prev = _summary(e)
     rounds = 0
+    fixpoint = False
     for _ in range(max_rounds):
         rounds += 1
         # large-star: symmetrise, group on u, attach m(u), keep v > u
@@ -161,6 +219,10 @@ def star_components(
             .where(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .distinct()
+            # the small-star phase reads this frame TWICE (mins agg +
+            # join); without materialisation the large-star
+            # symmetrise/join/distinct recomputes for each reference
+            .localCheckpoint()
         )
         # small-star: key on the larger endpoint, connect it and all
         # smaller neighbours to their collective min
@@ -178,8 +240,18 @@ def star_components(
         )
         cur = _summary(e)
         if cur == prev:
+            fixpoint = True
             break
         prev = cur
+    if not fixpoint:
+        # exhausting max_rounds without a stable edge set means the
+        # star forest may not be fully contracted — the components
+        # below would be WRONG with no signal.  O(log^2 n) convergence
+        # makes this unreachable below ~2^sqrt(30) nodes; hitting it
+        # means a bug or an absurdly small max_rounds.
+        raise ComponentsNotConverged(
+            f"star contraction did not reach a fixpoint in {max_rounds} rounds"
+        )
     if _rounds is not None:
         _rounds.append(rounds)
     # star edges are (member, center); centers + contracted singletons
@@ -248,11 +320,16 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus two planted mutation generations, then connected components.
     Each cluster keeps its minimum doc_id as canonical — components must
     have size >= 3 (original + both mutations) plus any natural merges.
+
+    Goes through the auto-selecting ``components()``: the planted
+    graphs are star-shaped (diameter 2) so label propagation converges
+    inside the budget, but a pathological corpus (chained crawl
+    snapshots) falls over to star contraction instead of failing.
     """
     from sayn_spark.functions.dedup import _fan_out
 
     corpus = _fan_out(_near_dup_corpus(spark, sf_dir), spark, sf_dir)
-    comp = connected_components(_jaccard_edges(corpus))
+    comp = components(_jaccard_edges(corpus))
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"), F.min("node").alias("keep_id")
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sayn_spark.core.database import SparkDatabase
+from sayn_spark.core.database import SparkDatabase, _tmp_name
 
 
 def stream_merge_into(
@@ -60,6 +60,85 @@ def stream_merge_into(
     )
 
 
+def dedup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_table: str,
+    matches_table: str,
+    sf_dir: str,
+) -> None:
+    """One trigger of the near-dup ingest — exposed at module level so
+    failure-replay (foreachBatch is at-least-once) can be exercised
+    directly in tests by calling it twice with the same ``batch_id``.
+
+    Idempotency contract, stated precisely:
+
+    - The index probe EXCLUDES index rows whose doc_id is in the batch,
+      so a replayed batch whose signatures already landed cannot
+      self-match with est_jaccard=1.0.
+    - Match rows are stamped with ``ingest_id`` (the micro-batch id)
+      and written delete-before-append on that key (merge_tables), so a
+      replayed trigger replaces its own rows instead of duplicating
+      them.  Signatures are deterministic, so the replacement is
+      byte-identical.
+    - The index append anti-joins the already-indexed doc_ids, so a
+      replayed batch's signatures are not appended twice.
+
+    Within-batch near-dups are caught by a self-probe (batch signatures
+    vs themselves, keeping ``batch_id > corpus_id`` so each pair is
+    reported once, larger id as the duplicate); only docs that matched
+    neither the index nor an earlier in-batch doc append to the index.
+    """
+    from sayn_spark.functions.dedup import (
+        _mh_sig_frame,
+        incremental_minhash_matches,
+    )
+
+    spark = batch_df.sparkSession
+    db = SparkDatabase(spark)
+    if batch_df.isEmpty():
+        return
+    sigs = _mh_sig_frame(
+        batch_df.select("doc_id", "text"), spark, sf_dir
+    ).localCheckpoint()
+    batch_ids = sigs.select("doc_id")
+    # self-probe: larger id matches smaller, each pair reported once
+    matches = incremental_minhash_matches(sigs, sigs).where(
+        F.col("batch_id") > F.col("corpus_id")
+    )
+    index_exists = db.table_exists(index_table)
+    if index_exists:
+        # replay guard: rows this very batch appended in a failed prior
+        # attempt must not self-match
+        probe_index = spark.table(index_table).join(batch_ids, "doc_id", "left_anti")
+        matches = matches.unionByName(incremental_minhash_matches(sigs, probe_index))
+    matches = matches.withColumn(
+        "ingest_id", F.lit(batch_id).cast("long")
+    ).localCheckpoint()
+    if not matches.isEmpty():
+        if db.table_exists(matches_table):
+            staging = _tmp_name(matches_table, f"_stream_{batch_id}")
+            db.drop_object(staging)
+            db.create_table(staging, matches, mode="overwrite")
+            # delete-before-append on the trigger id: replay replaces,
+            # never duplicates (Delta destinations take the MERGE path)
+            db.merge_tables(staging, matches_table, "ingest_id")
+        else:
+            db.create_table(matches_table, matches, mode="overwrite")
+    kept = sigs.join(
+        matches.select(F.col("batch_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    if index_exists:
+        kept = kept.join(
+            spark.table(index_table).select("doc_id"), "doc_id", "left_anti"
+        )
+        db.create_table(index_table, kept, mode="append")
+    else:
+        db.create_table(index_table, kept, mode="overwrite")
+
+
 def stream_dedup_ingest(
     source: DataFrame,
     index_table: str,
@@ -70,47 +149,23 @@ def stream_dedup_ingest(
     """Continuous near-dup ingest: each micro-batch of (doc_id, text)
     is probed against the persistent MinHash SIGNATURE index
     (functions/dedup.py:incremental_minhash_matches), matches land in
-    ``matches_table``, and only the novel documents' signatures append
-    to ``index_table`` — the streaming twin of
-    q_dedup_incremental_minhash.
+    ``matches_table`` (stamped with the trigger id, replay-idempotent),
+    and only the novel documents' signatures append to ``index_table``
+    — the streaming twin of q_dedup_incremental_minhash.  Per-batch
+    semantics and the full idempotency contract: dedup_ingest_batch.
 
     State discipline at 100 TB: the index stores 16 ints per corpus
     document (never shingles or text), each trigger shuffles only the
     batch's band rows against it, and growth is an append of the kept
-    batch.  Within-batch duplicates ride through to the NEXT trigger
-    (the second copy matches the first's appended signature) — the
-    standard trade for keeping each batch's work one probe + one
-    append.  Checkpointing makes input processing exactly-once; the
-    probe/append pair is idempotent per batch because replayed batches
-    re-derive identical signatures and the anti-join drops re-seen ids.
+    batch.  The matches merge rewrites the parquet matches table per
+    trigger — fine for a match stream that is a tiny fraction of the
+    corpus; point matches_table at a Delta destination and the same
+    call becomes a keyed MERGE touching only that trigger's files.
     """
     outer_session = source.sparkSession
 
     def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from sayn_spark.functions.dedup import (
-            _mh_sig_frame,
-            incremental_minhash_matches,
-        )
-
-        spark = batch_df.sparkSession
-        db = SparkDatabase(spark)
-        if batch_df.isEmpty():
-            return
-        sigs = _mh_sig_frame(
-            batch_df.select("doc_id", "text"), spark, sf_dir
-        ).localCheckpoint()
-        if db.table_exists(index_table):
-            index = spark.table(index_table)
-            matches = incremental_minhash_matches(sigs, index).localCheckpoint()
-            db.create_table(matches_table, matches, mode="append")
-            kept = sigs.join(
-                matches.select(F.col("batch_id").alias("doc_id")).distinct(),
-                "doc_id",
-                "left_anti",
-            )
-            db.create_table(index_table, kept, mode="append")
-        else:
-            db.create_table(index_table, sigs, mode="overwrite")
+        dedup_ingest_batch(batch_df, batch_id, index_table, matches_table, sf_dir)
         outer_session.catalog.refreshTable(index_table)
 
     return (

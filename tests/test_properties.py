@@ -213,3 +213,47 @@ def test_incremental_minhash_index_append_lifecycle(spark):
     m2 = {(r.batch_id, r.corpus_id) for r in incremental_minhash_matches(sigs2, index).collect()}
     assert (201, 102) in m2
     assert not any(b == 202 for b, _ in m2)
+
+
+def test_components_auto_select_falls_over_on_path(spark):
+    """components(): a 40-node path exhausts the 4-pass label budget
+    and must fall over to star contraction, still producing the exact
+    union-find answer; a star-shaped graph stays on label propagation."""
+    from sayn_spark.functions.components import components
+
+    n = 40
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], schema="src long, dst long"
+    )
+    method: list[str] = []
+    got = {r.node: r.component for r in components(path, _method=method).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert method == ["star"]
+
+    star = spark.createDataFrame(
+        [(1, 101), (1, 201), (2, 102)], schema="src long, dst long"
+    )
+    method = []
+    got = {r.node: r.component for r in components(star, _method=method).collect()}
+    assert got == {1: 1, 101: 1, 201: 1, 2: 2, 102: 2}
+    assert method == ["label_prop"]
+
+
+def test_components_nonconvergence_raises(spark):
+    """Budget exhaustion without a fixpoint must raise, never return
+    silently-wrong labels (ADVICE r4): both algorithms."""
+    import pytest
+
+    from sayn_spark.functions.components import (
+        ComponentsNotConverged,
+        connected_components,
+        star_components,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], schema="src long, dst long"
+    )
+    with pytest.raises(ComponentsNotConverged):
+        connected_components(path, max_iter=4)
+    with pytest.raises(ComponentsNotConverged):
+        star_components(path, max_rounds=2)

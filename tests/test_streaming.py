@@ -346,3 +346,71 @@ def test_stream_dedup_ingest_probes_and_grows_index(spark, tmp_path):
     assert spark.table(idx).columns == ["doc_id", "sig"]
     for t in (idx, mt):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dedup_ingest_within_batch_and_replay(spark):
+    """The two foreachBatch hazards, exercised at the batch level:
+
+    1. WITHIN-batch near-dups are caught by the self-probe (pair
+       reported once, larger id as the duplicate) and the duplicate's
+       signature never enters the index.
+    2. Replaying a trigger (foreachBatch is at-least-once) leaves both
+       tables byte-identical: the probe excludes the batch's own ids
+       from the index (no est_jaccard=1.0 self-matches), the matches
+       write is delete-before-append on the trigger id, and the index
+       append anti-joins already-indexed ids.
+    """
+    from sayn_spark.streaming.materialise import dedup_ingest_batch
+
+    idx, mt = "replay_mh_index", "replay_mh_matches"
+    for t in (idx, mt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm fire and the birds sing in the tall trees"
+    )
+    novel = (
+        "completely different content about distributed query engines "
+        "processing enormous datasets with columnar storage vectorized "
+        "execution adaptive optimization and shuffle free joins"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+    # trigger 0: seed corpus with an in-batch near-dup pair
+    b0 = batch([(1, base), (2, base + " zz"), (3, novel)])
+    dedup_ingest_batch(b0, 0, idx, mt, SF)
+    assert {(r.batch_id, r.corpus_id) for r in spark.table(mt).collect()} == {(2, 1)}
+    assert {r.doc_id for r in spark.table(idx).collect()} == {1, 3}
+
+    third = (
+        "apples oranges pears grapes melons berries plums cherries "
+        "peaches apricots figs dates mangos papayas guavas lychees "
+        "kiwis bananas pineapples coconuts pomegranates nectarines"
+    )
+    # trigger 1: an index near-dup AND an in-batch near-dup pair
+    b1 = batch([(11, novel + " qq"), (12, third), (13, third + " zz")])
+    dedup_ingest_batch(b1, 1, idx, mt, SF)
+    expect_t1 = {(11, 3), (13, 12)}
+    assert {
+        (r.batch_id, r.corpus_id) for r in spark.table(mt).where("ingest_id = 1").collect()
+    } == expect_t1
+    idx_after = {r.doc_id for r in spark.table(idx).collect()}
+    assert idx_after == {1, 3, 12}
+
+    # replay trigger 1 (simulates failure between writes and restart):
+    # both tables must be unchanged — no self-matches, no duplicates
+    dedup_ingest_batch(b1, 1, idx, mt, SF)
+    all_matches = [
+        (r.ingest_id, r.batch_id, r.corpus_id) for r in spark.table(mt).collect()
+    ]
+    assert sorted(all_matches) == sorted(
+        [(0, 2, 1)] + [(1, a, b) for a, b in expect_t1]
+    )
+    idx_rows = spark.table(idx).collect()
+    assert {r.doc_id for r in idx_rows} == {1, 3, 12}
+    assert len(idx_rows) == 3  # no duplicated signature rows
+    for t in (idx, mt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
