@@ -515,3 +515,26 @@ def test_snapshot_apply_builds_scd2_history(spark):
         (4, "d", "2026-03-01", None),
     }
     assert len(out) == 6
+
+
+def test_driver_ordering_is_stale_evidence_first(spark):
+    """__spark_entry__ emits its query dict with the least-recently
+    driver-verified names first (after the pinned sentinels), derived
+    from the CORRECTNESS_r*.json artifacts — external sweeps that
+    sample a prefix therefore rotate their evidence automatically."""
+    import __spark_entry__ as E
+
+    names = E._ordered_names()
+    from sayn_spark.functions import REGISTRY
+
+    assert set(names) == set(REGISTRY)
+    assert len(names) == len(REGISTRY)
+    assert names[: len(E._SENTINELS)] == E._SENTINELS
+    hist = E._driver_history()
+    tail = names[len(E._SENTINELS) :]
+    keys = [(hist.get(n, 0), n) for n in tail]
+    assert keys == sorted(keys)
+    # queries()/oracle_sql() must agree with the ordering and each other
+    qs = E.queries()
+    assert list(qs) == names
+    assert set(E.oracle_sql()) <= set(qs)
