@@ -5,7 +5,7 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed with a noop-sink write that forces full
 evaluation without driver-side collect of big results.  Every query
-runs $SPARK_GRAFT_TRIALS + 1 times (default 3 + 1) and two medians are
+runs $SPARK_GRAFT_TRIALS + 1 times (default 5 + 1) and two medians are
 reported — single-trial timings on a shared box swing +/-30%, which
 made round-over-round regressions unattributable:
 
@@ -50,6 +50,7 @@ HEADLINE = [
     "q_dedup_embedding_cosine",
     "q_dedup_editdistance",
     "q_dedup_components",
+    "q_dedup_containment_gated",
     "q_dedup_semantic",
     "q_record_linkage",
     "q_ann_lsh_topk",
@@ -61,7 +62,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
+    trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "5")))
     from sayn_spark.functions import REGISTRY, release_persisted
     from sayn_spark.session import get_spark
 
@@ -77,6 +78,7 @@ def main() -> None:
 
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in names:
         samples = []
         for _ in range(trials + 1):
@@ -89,7 +91,11 @@ def main() -> None:
             release_persisted()
             spark.catalog.clearCache()
         cold[name] = round(statistics.median(samples[:trials]), 3)
-        warm[name] = round(statistics.median(samples[1:]), 3)
+        w = samples[1:]
+        warm[name] = round(statistics.median(w), 3)
+        # warm min..max range: how trustworthy is this query's median on
+        # this box?  sub-1.5s queries historically swing +/-20-40%
+        spread[name] = round(max(w) - min(w), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -99,6 +105,7 @@ def main() -> None:
                 "value": round(sum(warm.values()), 3),
                 "unit": "sec",
                 "queries": warm,
+                "queries_spread": spread,
                 "queries_cold": cold,
                 "value_cold": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
