@@ -1640,18 +1640,30 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_matches(new_sigs, old_sigs)
 
 
-def incremental_minhash_matches(new_sigs: DataFrame, old_sigs: DataFrame) -> DataFrame:
-    """(batch_id, corpus_id, est_jaccard >= 0.5) matches of a batch's
-    signatures against a stored signature index — the probe half of
-    the incremental near-dup store, reusable across ingests (the
-    index-append lifecycle is exercised in tests/test_properties.py)."""
+def incremental_minhash_matches(
+    new_sigs: DataFrame,
+    old_sigs: DataFrame,
+    threshold: float = 0.5,
+    old_bands: DataFrame | None = None,
+) -> DataFrame:
+    """(batch_id, corpus_id, est_jaccard >= threshold) matches of a
+    batch's signatures against a stored signature index — the probe
+    half of the incremental near-dup store, reusable across ingests
+    (the index-append lifecycle is exercised in tests/test_properties.py).
+
+    ``old_bands``, if given, is a pre-materialised (doc_id, band,
+    band_sig) frame for the corpus side — the dedup task stores it as
+    a band_sig-bucketed catalog table so each ingest skips recomputing
+    the corpus band keys AND the corpus side of the candidate join
+    arrives pre-bucketed (only the batch's band rows shuffle).
+    """
+    if old_bands is None:
+        old_bands = _mh_band_frame(old_sigs)
     candidates = (
         _mh_band_frame(new_sigs)
         .select(F.col("doc_id").alias("batch_id"), "band", "band_sig")
         .join(
-            _mh_band_frame(old_sigs).select(
-                F.col("doc_id").alias("corpus_id"), "band", "band_sig"
-            ),
+            old_bands.select(F.col("doc_id").alias("corpus_id"), "band", "band_sig"),
             ["band", "band_sig"],
         )
         .select("batch_id", "corpus_id")
@@ -1672,6 +1684,6 @@ def incremental_minhash_matches(new_sigs: DataFrame, old_sigs: DataFrame) -> Dat
             old_sigs.select(F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_o")),
             "corpus_id",
         )
-        .where(est >= 0.5)
+        .where(est >= F.lit(float(threshold)))
         .select("batch_id", "corpus_id", est.alias("est_jaccard"))
     )

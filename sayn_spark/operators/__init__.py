@@ -1,5 +1,6 @@
 from sayn_spark.operators.base import RunArguments, Task, TaskContext, TaskStatus  # noqa: F401
 from sayn_spark.operators.copy import CopyTask  # noqa: F401
+from sayn_spark.operators.dedup import DedupTask  # noqa: F401
 from sayn_spark.operators.python import (  # noqa: F401
     ClassPythonTask,
     DecoratedPythonTask,
@@ -17,6 +18,7 @@ TASK_TYPES = {
     "sql": SqlTask,
     "autosql": AutoSqlTask,
     "copy": CopyTask,
+    "dedup": DedupTask,
     "test": TestTask,
     "python": ClassPythonTask,
     "python_module": ModulePythonTask,

@@ -1,0 +1,280 @@
+"""Dedup task: the blessed dedup shapes as a YAML-native task type —
+the way autosql wraps a SELECT (ref: tasks/autosql.py:43-69
+config-validation pattern), this wraps the functions/dedup.py
+operators so a pipeline declares deduplication instead of hand-writing
+a python task:
+
+    tasks:
+      dedup_corpus:
+        type: dedup
+        source: documents
+        destination: corpus_deduped
+        method: minhash          # exact | minhash | jaccard
+        threshold: 0.8
+        keep: best               # min | best
+        score_column: quality
+
+    tasks:
+      ingest_dedup:
+        type: dedup
+        mode: incremental        # maintain a signature index across runs
+        source: documents
+        index_table: corpus_sig_index
+        matches_table: corpus_dup_matches
+        destination: corpus_clean   # optional: kept docs append here
+
+Full mode: duplicate pairs by the chosen method -> connected
+components (auto-selecting label-prop/star-contraction) -> one
+canonical doc per cluster -> destination = source minus the dropped
+docs (full rebuild via replace_table, like autosql ``table``).
+
+Incremental mode (method minhash): the recurring-crawl shape.  The
+CURRENT source rows not yet in the signature index form the batch;
+they are probed against the stored index (signatures only — 16 ints
+per corpus doc), matches land in ``matches_table`` stamped with a
+monotonically increasing ingest id, novel signatures append to
+``index_table``, and the band keys append to a band_sig-BUCKETED
+``{index_table}_bands`` catalog table so the corpus side of every
+future probe is pre-bucketed and never recomputed.  Re-running with an
+unchanged source is a no-op (batch empties), which makes scheduled
+reruns safe.  The per-batch engine is shared with the streaming ingest
+(streaming/materialise.py:dedup_ingest_batch) — one code path for both
+arrival modes.
+
+Methods:
+- exact:   md5(text) hash groups — one shuffle of 16-byte keys.
+- minhash: MinHash-LSH candidates, signature-estimated Jaccard >=
+           threshold (the q_dedup_minhash_lsh family).
+- jaccard: exact word-3-gram Jaccard >= threshold over the inverted
+           index (the q_dedup_ngram_jaccard shape; use minhash at
+           scale).
+
+keep: ``min`` keeps the lowest id per cluster; ``best`` keeps the
+highest ``score_column`` (ties -> lowest id) — the keep-best canonical
+selection from functions/components.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sayn_spark.operators.base import Task, TaskStatus
+
+_METHODS = ("exact", "minhash", "jaccard")
+
+
+class DedupTask(Task):
+    def config(self) -> None:
+        c = self.config_dict
+        self.source = self.compile_property(c.get("source"))
+        if not self.source:
+            raise ValueError(f"dedup task {self.name!r} needs source")
+        self.mode = c.get("mode", "full")
+        if self.mode not in ("full", "incremental"):
+            raise ValueError(f"dedup task {self.name!r}: mode must be full|incremental")
+        self.method = c.get("method", "minhash")
+        if self.method not in _METHODS:
+            raise ValueError(
+                f"dedup task {self.name!r}: method must be one of {_METHODS}"
+            )
+        self.id_column = c.get("id_column", "doc_id")
+        self.text_column = c.get("text_column", "text")
+        self.threshold = float(c.get("threshold", 0.8))
+        if not (0.0 < self.threshold <= 1.0):
+            raise ValueError(f"dedup task {self.name!r}: threshold must be in (0, 1]")
+        self.keep = c.get("keep", "min")
+        if self.keep not in ("min", "best"):
+            raise ValueError(f"dedup task {self.name!r}: keep must be min|best")
+        self.score_column: Optional[str] = c.get("score_column")
+        if self.keep == "best" and not self.score_column:
+            raise ValueError(f"dedup task {self.name!r}: keep=best needs score_column")
+
+        dest = self.compile_property(c.get("destination"))
+        self.index_table = self.compile_property(c.get("index_table"))
+        self.matches_table = self.compile_property(c.get("matches_table"))
+        if self.mode == "full":
+            if not dest:
+                raise ValueError(f"dedup task {self.name!r} needs destination")
+            if self.index_table or self.matches_table:
+                raise ValueError(
+                    f"dedup task {self.name!r}: index/matches tables are "
+                    "incremental-mode config"
+                )
+        else:
+            if self.method != "minhash":
+                raise ValueError(
+                    f"dedup task {self.name!r}: incremental mode requires "
+                    "method=minhash (the signature index IS the state)"
+                )
+            if not (self.index_table and self.matches_table):
+                raise ValueError(
+                    f"dedup task {self.name!r}: incremental mode needs "
+                    "index_table and matches_table"
+                )
+
+        self.src_obj = self.context.obj_compiler.from_string(self.source)
+        self.sources.add(self.src_obj)
+        self.src_value = self.context.obj_compiler.src_value(self.src_obj)
+        self.destination = None
+        self.dst_value = None
+        if dest:
+            self.destination = self.context.obj_compiler.from_string(dest)
+            self.outputs.add(self.destination)
+            self.dst_value = self.context.obj_compiler.out_value(self.destination)
+        self.status = TaskStatus.READY
+
+    # -- helpers ---------------------------------------------------------
+
+    def _docs(self) -> DataFrame:
+        df = self.context.spark.table(self.src_value)
+        for col in (self.id_column, self.text_column):
+            if col not in df.columns:
+                raise ValueError(
+                    f"dedup task {self.name!r}: column {col!r} not in {self.src_value}"
+                )
+        return df
+
+    def _standard(self, df: DataFrame) -> DataFrame:
+        """(doc_id, text) view of the source for the engine functions."""
+        return df.select(
+            F.col(self.id_column).alias("doc_id"),
+            F.col(self.text_column).alias("text"),
+        )
+
+    def _sf_dir(self) -> str:
+        # fan-out sizing hint; absent parameter degrades to no repartition
+        return str(self.context.parameters.get("sf_dir", ""))
+
+    def _duplicate_edges(self, docs: DataFrame) -> DataFrame:
+        """(src, dst) verified duplicate pairs by the configured method."""
+        spark = self.context.spark
+        if self.method == "jaccard":
+            from sayn_spark.functions.components import _jaccard_edges
+
+            return _jaccard_edges(self._standard(docs), threshold=self.threshold)
+        from sayn_spark.functions.dedup import (
+            _mh_sig_frame,
+            incremental_minhash_matches,
+        )
+        from sayn_spark.functions.registry import persist_tracked
+
+        sigs = persist_tracked(
+            _mh_sig_frame(self._standard(docs), spark, self._sf_dir())
+        )
+        return (
+            incremental_minhash_matches(sigs, sigs, self.threshold)
+            .where(F.col("batch_id") > F.col("corpus_id"))
+            .select(F.col("batch_id").alias("src"), F.col("corpus_id").alias("dst"))
+        )
+
+    def _dropped(self, docs: DataFrame) -> DataFrame:
+        """doc ids to drop: cluster members minus each cluster's keeper."""
+        if self.method == "exact":
+            # hash groups need no component stage: one shuffle, keep the
+            # best/min per md5 group
+            groups = docs.select(
+                F.col(self.id_column).alias("node"),
+                F.md5(F.col(self.text_column)).alias("component"),
+                *(
+                    [F.col(self.score_column).alias("score")]
+                    if self.keep == "best"
+                    else []
+                ),
+            )
+        else:
+            from sayn_spark.functions.components import components
+
+            comp = components(self._duplicate_edges(docs))
+            groups = comp
+            if self.keep == "best":
+                groups = comp.join(
+                    docs.select(
+                        F.col(self.id_column).alias("node"),
+                        F.col(self.score_column).alias("score"),
+                    ),
+                    "node",
+                )
+        if self.keep == "best":
+            rank = F.row_number().over(
+                Window.partitionBy("component").orderBy(F.desc("score"), F.asc("node"))
+            )
+            return (
+                groups.withColumn("rn", rank)
+                .where(F.col("rn") > 1)
+                .select(F.col("node").alias(self.id_column))
+            )
+        keepers = groups.groupBy("component").agg(F.min("node").alias("keep"))
+        return (
+            groups.join(keepers, "component")
+            .where(F.col("node") != F.col("keep"))
+            .select(F.col("node").alias(self.id_column))
+        )
+
+    # -- execution -------------------------------------------------------
+
+    def run(self) -> None:
+        if self.mode == "incremental":
+            self._run_incremental()
+            return
+        docs = self._docs()
+        dropped = self._dropped(docs)
+        kept = docs.join(dropped, self.id_column, "left_anti")
+        self.context.db.replace_table(self.dst_value, kept)
+        from sayn_spark.functions.registry import release_persisted
+
+        release_persisted()
+
+    def _run_incremental(self) -> None:
+        from sayn_spark.streaming.materialise import dedup_ingest_batch
+
+        spark = self.context.spark
+        db = self.context.db
+        docs = self._docs()
+        batch = self._standard(docs)
+        # processed = indexed (kept) UNION previously-matched (dropped):
+        # both must leave the batch, or every rerun re-probes the
+        # already-reported duplicates forever
+        if db.table_exists(self.index_table):
+            batch = batch.join(
+                spark.table(self.index_table).select("doc_id"), "doc_id", "left_anti"
+            )
+        ingest_id = 0
+        if db.table_exists(self.matches_table):
+            prev_matches = spark.table(self.matches_table)
+            batch = batch.join(
+                prev_matches.select(F.col("batch_id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            )
+            prev = prev_matches.agg(F.max("ingest_id").alias("m")).collect()[0]["m"]
+            ingest_id = int(prev) + 1 if prev is not None else 0
+        batch = batch.localCheckpoint()  # read by probe + destination append
+        dedup_ingest_batch(
+            batch,
+            ingest_id,
+            self.index_table,
+            self.matches_table,
+            self._sf_dir(),
+            threshold=self.threshold,
+            band_table=f"{self.index_table}_bands",
+        )
+        if self.dst_value is not None and not batch.isEmpty():
+            # the corpus table grows by the batch's non-duplicate docs
+            matched = (
+                spark.table(self.matches_table)
+                .where(F.col("ingest_id") == ingest_id)
+                .select(F.col("batch_id").alias(self.id_column))
+                .distinct()
+            )
+            novel = docs.join(
+                batch.select(F.col("doc_id").alias(self.id_column)), self.id_column
+            ).join(matched, self.id_column, "left_anti")
+            mode = "append" if db.table_exists(self.dst_value) else "overwrite"
+            db.create_table(self.dst_value, novel, mode=mode)
+
+    def compile(self) -> None:  # parity with sql tasks: nothing to render
+        return None

@@ -60,12 +60,17 @@ def stream_merge_into(
     )
 
 
+_BAND_BUCKETS = 32  # bucket count for the persisted band index
+
+
 def dedup_ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
     index_table: str,
     matches_table: str,
     sf_dir: str,
+    threshold: float = 0.5,
+    band_table: str | None = None,
 ) -> None:
     """One trigger of the near-dup ingest — exposed at module level so
     failure-replay (foreachBatch is at-least-once) can be exercised
@@ -88,8 +93,17 @@ def dedup_ingest_batch(
     vs themselves, keeping ``batch_id > corpus_id`` so each pair is
     reported once, larger id as the duplicate); only docs that matched
     neither the index nor an earlier in-batch doc append to the index.
+
+    ``band_table``, if given, names a band_sig-bucketed catalog table
+    of the corpus band keys (doc_id, band, band_sig) that this function
+    maintains alongside the signature index: the probe reads it instead
+    of re-deriving band keys from every stored signature, so per-ingest
+    work is one pass over the BATCH plus a pre-bucketed join — the
+    corpus side never recomputes or reshuffles.  The batch task layer
+    (operators/dedup.py) passes it; the streaming twin may too.
     """
     from sayn_spark.functions.dedup import (
+        _mh_band_frame,
         _mh_sig_frame,
         incremental_minhash_matches,
     )
@@ -103,7 +117,7 @@ def dedup_ingest_batch(
     ).localCheckpoint()
     batch_ids = sigs.select("doc_id")
     # self-probe: larger id matches smaller, each pair reported once
-    matches = incremental_minhash_matches(sigs, sigs).where(
+    matches = incremental_minhash_matches(sigs, sigs, threshold).where(
         F.col("batch_id") > F.col("corpus_id")
     )
     index_exists = db.table_exists(index_table)
@@ -111,7 +125,12 @@ def dedup_ingest_batch(
         # replay guard: rows this very batch appended in a failed prior
         # attempt must not self-match
         probe_index = spark.table(index_table).join(batch_ids, "doc_id", "left_anti")
-        matches = matches.unionByName(incremental_minhash_matches(sigs, probe_index))
+        old_bands = None
+        if band_table is not None and db.table_exists(band_table):
+            old_bands = spark.table(band_table).join(batch_ids, "doc_id", "left_anti")
+        matches = matches.unionByName(
+            incremental_minhash_matches(sigs, probe_index, threshold, old_bands)
+        )
     matches = matches.withColumn(
         "ingest_id", F.lit(batch_id).cast("long")
     ).localCheckpoint()
@@ -133,10 +152,29 @@ def dedup_ingest_batch(
     if index_exists:
         kept = kept.join(
             spark.table(index_table).select("doc_id"), "doc_id", "left_anti"
-        )
+        ).localCheckpoint()  # read twice below (index + band appends)
         db.create_table(index_table, kept, mode="append")
     else:
+        kept = kept.localCheckpoint()
         db.create_table(index_table, kept, mode="overwrite")
+    if band_table is not None:
+        if db.table_exists(band_table):
+            db.create_table(
+                band_table,
+                _mh_band_frame(kept),
+                mode="append",
+                bucket_by=(_BAND_BUCKETS, ["band_sig"]),
+            )
+        else:
+            # first creation (or backfill over a pre-existing signature
+            # index): the index table already includes this batch's
+            # kept rows, so one derivation covers everything
+            db.create_table(
+                band_table,
+                _mh_band_frame(spark.table(index_table)),
+                mode="overwrite",
+                bucket_by=(_BAND_BUCKETS, ["band_sig"]),
+            )
 
 
 def stream_dedup_ingest(

@@ -1,0 +1,294 @@
+"""Lifecycle tests for the YAML-native dedup task type
+(operators/dedup.py): full-mode output must hash-match an independent
+DuckDB-oracle + union-find model, and incremental mode must maintain
+the signature/band index across runs with stable match results.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sayn_spark.core.compiler import Compiler
+from sayn_spark.core.database import SparkDatabase
+from sayn_spark.core.objects import DbObjectCompiler
+from sayn_spark.operators import RunArguments, TaskContext
+from sayn_spark.operators.dedup import DedupTask
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def ctx(spark, tmp_path):
+    return TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={"sf_dir": SF},
+        connections={},
+        project_dir=tmp_path,
+    )
+
+
+def _task(ctx, name, cfg):
+    t = DedupTask(name, cfg, ctx)
+    t.config()
+    t.run()
+    return t
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = min(ru, rv), max(ru, rv)
+            parent[hi] = lo
+    return parent
+
+
+def _oracle_minhash_pairs(con, threshold):
+    """DuckDB replica of the engine's minhash probe (same shingles,
+    same LCG permutations, same bands) over view ``corpus``."""
+    from sayn_spark.functions.dedup import (
+        _N_HASHES,
+        _SQL_MH_BANDS,
+        _SQL_SHINGLES,
+        _SQL_SIG,
+    )
+
+    sql = f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh FROM corpus WHERE len({_SQL_SHINGLES}) > 0
+),
+sigs AS (SELECT doc_id, {_SQL_SIG} AS sig FROM sh),
+bands AS {_SQL_MH_BANDS.format(src="sigs")},
+candidates AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id > b.doc_id
+)
+SELECT id_a, id_b FROM candidates
+JOIN sigs sa ON sa.doc_id = id_a
+JOIN sigs sb ON sb.doc_id = id_b
+WHERE CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) AS DOUBLE)
+      / {_N_HASHES} >= {threshold}
+"""
+    return [(a, b) for a, b in con.execute(sql).fetchall()]
+
+
+def test_dedup_task_full_exact(ctx, spark):
+    """Exact dedup through the task layer: keeps one min-id doc per
+    identical-text group — checked against a DuckDB hash-group oracle."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    ctx.db.replace_table("dd_exact_src", corpus)
+    _task(
+        ctx,
+        "dd_exact",
+        {"source": "dd_exact_src", "destination": "dd_exact_out", "method": "exact"},
+    )
+    got = {r.doc_id for r in spark.table("dd_exact_out").collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = {
+        r[0]
+        for r in con.execute(
+            """
+            WITH corpus AS (
+              SELECT doc_id, text FROM d
+              UNION ALL SELECT doc_id + 100000, text FROM d)
+            SELECT MIN(doc_id) FROM corpus GROUP BY md5(text)
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_dedup_task_full_minhash_matches_oracle(ctx, spark):
+    """Full-mode minhash dedup end-to-end: the task's kept set must
+    equal DuckDB-oracle pairs -> union-find -> min-per-cluster — the
+    registered-query oracle mechanism applied to the task layer."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zz qq")).alias("text"),
+        )
+    )
+    ctx.db.replace_table("dd_mh_src", corpus)
+    _task(
+        ctx,
+        "dd_mh",
+        {
+            "source": "dd_mh_src",
+            "destination": "dd_mh_out",
+            "method": "minhash",
+            "threshold": 0.5,
+        },
+    )
+    got = {r.doc_id for r in spark.table("dd_mh_out").collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW corpus AS SELECT doc_id, text FROM d "
+        "UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM d"
+    )
+    pairs = _oracle_minhash_pairs(con, 0.5)
+    parent = _union_find(pairs)
+    all_ids = {r[0] for r in con.execute("SELECT doc_id FROM corpus").fetchall()}
+    roots = {}
+    for n in parent:
+        x = n
+        while parent[x] != x:
+            x = parent[x]
+        roots.setdefault(x, set()).add(n)
+    dropped = {n for members in roots.values() for n in members} - set(roots)
+    assert got == all_ids - dropped
+    assert len(dropped) > 0  # the planted mutations actually deduped
+
+
+def test_dedup_task_keep_best(ctx, spark):
+    """keep=best retains the highest-score doc per cluster (ties ->
+    lowest id), not the lowest id."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta", 0.2),
+        (2, "alpha beta gamma delta epsilon zeta eta theta", 0.9),
+        (3, "alpha beta gamma delta epsilon zeta eta theta", 0.9),
+        (4, "completely different text about storage engines and joins", 0.1),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, quality double")
+    ctx.db.replace_table("dd_best_src", df)
+    _task(
+        ctx,
+        "dd_best",
+        {
+            "source": "dd_best_src",
+            "destination": "dd_best_out",
+            "method": "exact",
+            "keep": "best",
+            "score_column": "quality",
+        },
+    )
+    got = {r.doc_id for r in spark.table("dd_best_out").collect()}
+    assert got == {2, 4}
+
+
+def test_dedup_task_config_validation(ctx):
+    bad = [
+        {},  # no source
+        {"source": "t"},  # full mode without destination
+        {"source": "t", "destination": "o", "method": "nope"},
+        {"source": "t", "destination": "o", "keep": "best"},  # no score_column
+        {"source": "t", "mode": "incremental"},  # no index/matches
+        {
+            "source": "t",
+            "mode": "incremental",
+            "index_table": "i",
+            "matches_table": "m",
+            "method": "jaccard",  # incremental requires minhash
+        },
+        {"source": "t", "destination": "o", "threshold": 1.5},
+    ]
+    for cfg in bad:
+        t = DedupTask("bad", cfg, ctx)
+        with pytest.raises(ValueError):
+            t.config()
+
+
+def test_dedup_task_incremental_lifecycle(ctx, spark):
+    """Two-run (plus rerun) lifecycle of the catalog-managed signature
+    index: run 1 seeds index + bucketed band table, run 2 processes
+    only the NEW source rows, reports the planted near-dups against the
+    stored index, and grows both tables by exactly the novel docs;
+    run 3 with an unchanged source is a no-op."""
+    for t in (
+        "dd_inc_src",
+        "dd_inc_index",
+        "dd_inc_index_bands",
+        "dd_inc_matches",
+        "dd_inc_out",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    cfg = {
+        "source": "dd_inc_src",
+        "mode": "incremental",
+        "method": "minhash",
+        "threshold": 0.5,
+        "index_table": "dd_inc_index",
+        "matches_table": "dd_inc_matches",
+        "destination": "dd_inc_out",
+    }
+
+    # run 1: 80% of the corpus
+    wave1 = docs.where(F.col("doc_id") % 10 < 8)
+    ctx.db.replace_table("dd_inc_src", wave1)
+    _task(ctx, "dd_inc", cfg)
+    n1 = wave1.count()
+    idx1 = spark.table("dd_inc_index").count()
+    out1 = spark.table("dd_inc_out").count()
+    assert idx1 + spark.table("dd_inc_matches").count() >= n1  # all docs accounted
+    assert spark.table("dd_inc_index_bands").count() == idx1 * 4  # 4 bands/doc
+
+    # run 2: source grows by the remaining 20% plus planted near-dups
+    # of wave-1 docs — only the NEW rows form the batch
+    wave2_new = docs.where(F.col("doc_id") % 10 >= 8).unionByName(
+        wave1.where(F.col("doc_id") % 37 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat("text", F.lit(" zz")).alias("text"),
+        )
+    )
+    ctx.db.replace_table("dd_inc_src", wave1.unionByName(wave2_new))
+    _task(ctx, "dd_inc", cfg)
+    matches2 = spark.table("dd_inc_matches").where("ingest_id = 1")
+    planted = {
+        r.doc_id + 300000
+        for r in wave1.where(F.col("doc_id") % 37 == 0).collect()
+    }
+    caught = {r.batch_id for r in matches2.collect()}
+    assert planted <= caught  # every planted near-dup found vs the stored index
+    idx2 = spark.table("dd_inc_index").count()
+    assert idx2 > idx1  # index grew by the novel docs
+    assert spark.table("dd_inc_index_bands").count() == idx2 * 4
+    # index ids and destination ids stay disjoint from the matched dups
+    assert (
+        spark.table("dd_inc_index")
+        .join(matches2.select(F.col("batch_id").alias("doc_id")), "doc_id")
+        .count()
+        == 0
+    )
+    out2 = spark.table("dd_inc_out").count()
+    assert out2 > out1
+
+    # run 3: unchanged source -> empty batch -> nothing moves
+    _task(ctx, "dd_inc", cfg)
+    assert spark.table("dd_inc_index").count() == idx2
+    assert spark.table("dd_inc_matches").where("ingest_id >= 2").count() == 0
+    assert spark.table("dd_inc_out").count() == out2
+    for t in (
+        "dd_inc_src",
+        "dd_inc_index",
+        "dd_inc_index_bands",
+        "dd_inc_matches",
+        "dd_inc_out",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
