@@ -1129,6 +1129,44 @@ def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# applyInPandas materialises one whole cell in one executor; a skewed
+# quantizer cell would OOM there with no signal.  The guard counts
+# cell sizes (one cheap agg) BEFORE the pairwise stage and fails fast
+# with the SemDeDup remedy — more centroids = smaller cells.  (The
+# exact memory-bounded alternative — block-pair decomposition of the
+# oversized cell's Gram matrix — costs an nblocks-fold row duplication;
+# at 128-dim/8-byte doubles the default cap is ~100 MB per cell, far
+# below executor memory, so failing fast with the knob named is the
+# right default.)
+_SEM_CELL_CAP = 100_000
+
+
+def _check_semantic_cell_cap(cells: DataFrame, cap: int | None = None) -> None:
+    """Raise when any quantizer cell exceeds ``cap`` vectors
+    (default: the module-level _SEM_CELL_CAP, read at call time)."""
+    if cap is None:
+        cap = _SEM_CELL_CAP
+    row = (
+        cells.groupBy("cell")
+        .count()
+        .agg(
+            F.max("count").alias("mx"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("count").alias("n_vecs"),
+        )
+        .collect()[0]
+    )
+    if row["mx"] is not None and row["mx"] > cap:
+        suggested = int(row["n_vecs"] // max(cap // 4, 1)) + 1
+        raise ValueError(
+            f"semantic dedup: largest quantizer cell holds {row['mx']} vectors "
+            f"(cap {cap}) — the in-cell Gram matrix would not fit one executor. "
+            f"Raise the centroid count (currently {row['n_cells']} non-empty "
+            f"cells over {row['n_vecs']} vectors; ~{suggested} centroids would "
+            f"bound cells near cap/4) or raise the cap if executors have room."
+        )
+
+
 def _semantic_dropped_per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
     """One cell's duplicate targets: vec_ids with a cos >= 0.99
     neighbor of smaller id.  Full cosine matrix in one BLAS call; the
@@ -1242,6 +1280,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("dc").alias("m"))
         .select("vec_id", F.col("m.cl").alias("cell"))
     )
+    _check_semantic_cell_cap(cells)
     sided = cells.join(normed.select("vec_id", "e"), "vec_id")
     # the in-cell pairwise cosine runs as ONE numpy Gram matrix per
     # cell (SemDeDup's own per-cluster computation) instead of an
