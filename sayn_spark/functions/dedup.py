@@ -241,27 +241,61 @@ _N_HASHES = 16
 _BAND_ROWS = 4  # 4 bands x 4 rows
 
 
-# minhash via hash *permutations*: one md5 per shingle, then 16 integer
-# LCG perms h_s = (A_s*base + B_s) mod p computed array-local — no
-# per-seed explode, no shuffle before banding.  p = 2^31-1; base < p and
-# A_s < p keep every product inside int64.  The md5 base lives in its
-# own staged column so the 16 permutations are pure integer folds.
+# minhash via hash *permutations*: one md5 per shingle, then N affine
+# perms h_s = (A_s*base + B_s) mod p computed array-local — no per-seed
+# explode, no shuffle before banding.  p = 2^31-1; base < p and A_s < p
+# keep every product inside int64.  The md5 base lives in its own
+# staged column so the permutations are pure integer folds.
+#
+# The multipliers MUST be independent random draws.  The original
+# LCG-style A_s = 1103515245*(s+1) shared a common factor, so
+# h_s(x) = (s+1) * (1103515245*x) mod p and the argmin barely moved
+# across permutations (measured 2/128 agreements on a true subset pair
+# where ~60 were expected).  That made est_jaccard structurally
+# unreliable exactly where the ESTIMATE is the verdict (the
+# incremental signature store, the streaming ingest, the dedup task):
+# two documents sharing one globally-minimal shingle could estimate
+# ~1.0.  Seeded PCG64 draws fix the independence while staying fully
+# deterministic, and all three implementations (Spark expression,
+# numpy UDF, DuckDB oracle SQL) are generated from this one table —
+# the 128-wide prefix extension serves the LSH-Ensemble containment
+# gate, whose per-band agreement probability IS its recall guarantee.
 _P = 2147483647
+_MH_MAX_HASHES = 128
+_mh_rng = np.random.default_rng(20160905)  # fixed: signatures must be stable
+_MH_A = _mh_rng.integers(1, _P, size=_MH_MAX_HASHES, dtype=np.int64)
+_MH_B = _mh_rng.integers(0, _P, size=_MH_MAX_HASHES, dtype=np.int64)
+del _mh_rng
+
 _SPARK_BASES = f"transform(sh, x -> cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint) % {_P})"
 _SPARK_SIG = (
-    f"transform(sequence(0, {_N_HASHES - 1}), s -> "
-    f"array_min(transform(bases, h -> "
-    f"(((cast(1103515245 as bigint) * (s + 1)) % {_P}) * h "
-    f"+ (cast(12345 as bigint) * (s + 7)) % {_P}) % {_P})))"
+    "array("
+    + ", ".join(
+        f"array_min(transform(bases, h -> ({_MH_A[s]}L * h + {_MH_B[s]}L) % {_P}))"
+        for s in range(_N_HASHES)
+    )
+    + ")"
+)
+
+_DUCK_BASE = f"((('0x' || substr(md5(x), 1, 8))::BIGINT) % {_P})"
+_SQL_SIG = (
+    "list_value("
+    + ", ".join(
+        f"list_aggregate(list_transform(sh, x -> "
+        f"({_MH_A[s]}::BIGINT * {_DUCK_BASE} + {_MH_B[s]}) % {_P}), 'min')"
+        for s in range(_N_HASHES)
+    )
+    + ")"
 )
 
 
 def _sig_udf(n_hashes: int = _N_HASHES):
     """Vectorized minhash permutations (Arrow/numpy) — bit-identical to
-    _SPARK_SIG (same int64 arithmetic) but ~2x faster: 16xN integer ops
-    are one numpy broadcast per document instead of interpreted
-    higher-order-function lambdas.  This is the blessed Pandas-UDF path:
-    used only because the built-in expression is measurably slower.
+    _SPARK_SIG (same int64 arithmetic over the same _MH_A/_MH_B table)
+    but ~2x faster: the integer ops are one numpy broadcast per
+    document instead of interpreted higher-order-function lambdas.
+    This is the blessed Pandas-UDF path: used only because the built-in
+    expression is measurably slower.
 
     ``n_hashes`` widens the permutation family for operators that need
     long 1-row-band signatures (the LSH-Ensemble containment gate);
@@ -270,8 +304,10 @@ def _sig_udf(n_hashes: int = _N_HASHES):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    A = np.array([(1103515245 * (s + 1)) % _P for s in range(n_hashes)], dtype=np.int64)[:, None]
-    B = np.array([(12345 * (s + 7)) % _P for s in range(n_hashes)], dtype=np.int64)[:, None]
+    if n_hashes > _MH_MAX_HASHES:
+        raise ValueError(f"n_hashes > {_MH_MAX_HASHES}: extend the _MH_A/_MH_B table")
+    A = _MH_A[:n_hashes, None]
+    B = _MH_B[:n_hashes, None]
 
     @pandas_udf(ArrayType(LongType()))
     def sig(col: pd.Series) -> pd.Series:
@@ -282,12 +318,6 @@ def _sig_udf(n_hashes: int = _N_HASHES):
         return col.map(one)
 
     return sig
-_SQL_SIG = (
-    f"list_transform(generate_series(0, {_N_HASHES - 1}), s -> "
-    f"list_aggregate(list_transform(sh, x -> "
-    f"(((1103515245::BIGINT * (s + 1)) % {_P}) * ((('0x' || substr(md5(x), 1, 8))::BIGINT) % {_P}) "
-    f"+ (12345::BIGINT * (s + 7)) % {_P}) % {_P}), 'min'))"
-)
 
 
 @register(
@@ -1416,38 +1446,6 @@ _LE_BANDS_BY_GAP = {0: 32, 1: 64, 2: 128}
 _LE_EST_DELTA = 0.18
 
 
-def _le_sig_udf():
-    """Minhash signatures for the containment gate, with INDEPENDENT
-    random affine permutations.
-
-    Not _sig_udf: its multipliers A_s = 1103515245*(s+1) share a common
-    factor, so h_s(x) = (s+1)*(1103515245*x) mod p and for small s the
-    minimum is dominated by the globally-smallest base value — the
-    argmin barely moves across permutations (measured 2/128 agreements
-    on a true subset pair where ~60 were expected).  Harmless where the
-    DuckDB oracle mirrors the same arithmetic on both sides, fatal here
-    where per-band agreement probability IS the recall guarantee.
-    Seeded PCG64-drawn multipliers restore per-permutation independence
-    while staying fully deterministic.
-    """
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, LongType
-
-    rng = np.random.default_rng(20160905)  # fixed: candidates must be stable
-    A = rng.integers(1, _P, size=_LE_N_HASHES, dtype=np.int64)[:, None]
-    B = rng.integers(0, _P, size=_LE_N_HASHES, dtype=np.int64)[:, None]
-
-    @pandas_udf(ArrayType(LongType()))
-    def sig(col: pd.Series) -> pd.Series:
-        def one(bases):
-            h = np.asarray(bases, dtype=np.int64)[None, :]
-            return ((A * h + B) % _P).min(axis=1)
-
-        return col.map(one)
-
-    return sig
-
-
 def _containment_candidates(sigs: DataFrame) -> DataFrame:
     """(id_a < id_b) candidate pairs from size-partitioned 1-row-band
     MinHash — the LSH-Ensemble join.
@@ -1499,7 +1497,7 @@ def _containment_gate_inputs(
             "doc_id",
             F.floor(F.log2(F.size("sh"))).cast("int").alias("part"),
             F.expr(_SPARK_BASES).alias("bases"),
-        ).select("doc_id", "part", _le_sig_udf()(F.col("bases")).alias("sig"))
+        ).select("doc_id", "part", _sig_udf(_LE_N_HASHES)(F.col("bases")).alias("sig"))
     )
     return shingled, sigs
 

@@ -298,3 +298,57 @@ def test_semantic_cell_cap_guard(spark, monkeypatch):
     with _pytest.raises(ValueError, match="Raise the centroid count"):
         # monkeypatched cap flows through the registered query's guard
         REGISTRY["q_dedup_semantic"].fn(spark, SF).collect()
+
+
+def test_minhash_estimator_is_unbiased_on_structured_pairs(spark):
+    """Regression for the degenerate-permutation bug: the original LCG
+    multipliers shared a common factor, freezing the minhash argmin
+    across permutations — a true SUBSET pair agreed on 2/128 positions
+    (expected ~60), and a pair sharing one globally-minimal shingle
+    could estimate ~1.0.  With independent PCG-drawn multipliers the
+    estimate must track true Jaccard on both structured shapes, across
+    all three implementations (numpy UDF == Spark expression == the
+    DuckDB oracle SQL)."""
+    import duckdb
+
+    from sayn_spark.functions.dedup import (
+        _SPARK_BASES,
+        _SPARK_SIG,
+        _SQL_SIG,
+        _sig_udf,
+    )
+
+    doc = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm fire and the birds sing in the tall trees"
+    )
+    snippet = " ".join(doc.split()[: len(doc.split()) // 2])
+    df = spark.createDataFrame(
+        [(1, doc), (2, snippet)], schema="doc_id long, text string"
+    )
+    from sayn_spark.functions.dedup import _staged_shingles
+
+    sh = _staged_shingles(df).where(F.size("sh") > 0)
+    bases = sh.select("doc_id", "sh", F.expr(_SPARK_BASES).alias("bases"))
+    via_expr = {
+        r.doc_id: list(r.sig)
+        for r in bases.select("doc_id", F.expr(_SPARK_SIG).alias("sig")).collect()
+    }
+    via_udf = {
+        r.doc_id: list(r.sig)
+        for r in bases.select("doc_id", _sig_udf()(F.col("bases")).alias("sig")).collect()
+    }
+    assert via_expr == via_udf  # Spark expression == numpy UDF
+
+    con = duckdb.connect()
+    shs = {r.doc_id: list(r.sh) for r in sh.collect()}
+    for doc_id, shingles in shs.items():
+        lit = "[" + ",".join("'" + x.replace("'", "''") + "'" for x in shingles) + "]"
+        got = con.execute(f"SELECT {_SQL_SIG} FROM (SELECT {lit} AS sh)").fetchone()[0]
+        assert list(got) == via_expr[doc_id]  # DuckDB oracle == Spark
+
+    # estimate tracks true J on the subset pair (true ~0.44 at 3-gram
+    # shingles of a half-document): a frozen argmin would give ~1/16
+    # or ~16/16, never the middle
+    agree = sum(a == b for a, b in zip(via_expr[1], via_expr[2]))
+    assert 3 <= agree <= 12, f"est {agree}/16 off true ~0.44"
