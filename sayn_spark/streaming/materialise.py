@@ -183,6 +183,7 @@ def stream_dedup_ingest(
     matches_table: str,
     checkpoint: str,
     sf_dir: str,
+    band_table: str | None = None,
 ):
     """Continuous near-dup ingest: each micro-batch of (doc_id, text)
     is probed against the persistent MinHash SIGNATURE index
@@ -203,7 +204,10 @@ def stream_dedup_ingest(
     outer_session = source.sparkSession
 
     def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
-        dedup_ingest_batch(batch_df, batch_id, index_table, matches_table, sf_dir)
+        dedup_ingest_batch(
+            batch_df, batch_id, index_table, matches_table, sf_dir,
+            band_table=band_table,
+        )
         outer_session.catalog.refreshTable(index_table)
 
     return (

@@ -312,7 +312,7 @@ def test_stream_dedup_ingest_probes_and_grows_index(spark, tmp_path):
     src.mkdir()
     ckpt = str(tmp_path / "ckpt")
     idx, mt = "stream_mh_index", "stream_mh_matches"
-    for t in (idx, mt):
+    for t in (idx, mt, f"{idx}_bands"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
     base = (
@@ -332,7 +332,7 @@ def test_stream_dedup_ingest_probes_and_grows_index(spark, tmp_path):
         stream = spark.readStream.schema("doc_id long, text string").option(
             "recursiveFileLookup", "true"
         ).parquet(str(src))
-        q = stream_dedup_ingest(stream, idx, mt, ckpt, SF)
+        q = stream_dedup_ingest(stream, idx, mt, ckpt, SF, band_table=f"{idx}_bands")
         q.awaitTermination(120)
 
     run_wave("w1", [(1, base)])
@@ -344,7 +344,9 @@ def test_stream_dedup_ingest_probes_and_grows_index(spark, tmp_path):
     # index holds signatures for exactly the novel docs, nothing else
     assert {r.doc_id for r in spark.table(idx).collect()} == {1, 102}
     assert spark.table(idx).columns == ["doc_id", "sig"]
-    for t in (idx, mt):
+    # the bucketed band index tracks the signature index: 4 bands/doc
+    assert spark.table(f"{idx}_bands").count() == spark.table(idx).count() * 4
+    for t in (idx, mt, f"{idx}_bands"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
