@@ -15,6 +15,11 @@ def ingest_documents(context, spark, sf_dir):
     load_tables(spark, sf_dir, tables=("documents",), register=True)
 
 
+@task(name="ingest_embeddings", outputs=["embeddings"])
+def ingest_embeddings(context, spark, sf_dir):
+    load_tables(spark, sf_dir, tables=("embeddings",), register=True)
+
+
 @task(name="dedup_candidates", sources=["documents"], outputs=["dup_components"])
 def dedup_candidates(context, spark):
     """n-gram Jaccard edges (>= 0.5) -> connected components -> one

@@ -357,6 +357,79 @@ def _centroid_arrays(emb: DataFrame) -> DataFrame:
     )
 
 
+def _assign_cells(emb: DataFrame, cent: DataFrame, nprobe: int = 1) -> DataFrame:
+    """(vec_id, cell) nearest-centroid assignment — broadcast the k
+    centroids, fold the squared distance left-to-right, round before
+    the argmin, tie-break on the cell label.  ``nprobe`` > 1 keeps the
+    n nearest cells per vector (the IVF multi-probe read path)."""
+    d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        ),
+        8,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    out = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "c_label", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= nprobe)
+        .select("vec_id", F.col("c_label").alias("cell"))
+    )
+    return out
+
+
+def ann_index_search(
+    spark: SparkSession,
+    index: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Top-k cosine search against a catalog ANN index built by the
+    ``ann_index`` task (operators/ann.py): ``{index}_centroids``
+    (broadcast) route each query to its ``nprobe`` nearest cells, and
+    the exact cosine runs only against ``{index}_vectors`` rows in
+    those cells — the bucketed inverted file never reshuffles, only
+    query rows move.
+
+    ``queries``: (query_id, e: array<double>).  Returns
+    (query_id, neighbor_id, cos, rk<=k) with the engine's determinism
+    contract (rounded cosine, unique neighbor_id tie-break).
+    """
+    cent = spark.table(f"{index}_centroids")
+    q = queries.select(
+        F.col("query_id").alias("vec_id"),
+        F.expr("cast(e as array<double>)").alias("e"),
+    )
+    probes = _assign_cells(q, cent, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    qn = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("qnrm"),
+    )
+    vec = spark.table(f"{index}_vectors").select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "e", "nrm"
+    )
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qnrm") * F.col("nrm")),
+        6,
+    )
+    scored = (
+        probes.join(qn, "query_id")
+        .join(vec, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    # no distinct needed: every vector lives in exactly one cell, so a
+    # neighbor appears at most once per query even with nprobe > 1
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
 @register(
     "q_ivf_search",
     oracle=f"""
@@ -394,18 +467,7 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n = _normed(spark, sf_dir)
     cent = _centroid_arrays(n.select("label", "e"))
-    d2 = F.round(
-        F.expr("aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"),
-        8,
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy("d2", "c_label")
-    cells = (
-        n.crossJoin(F.broadcast(cent))
-        .select("vec_id", "c_label", d2.alias("d2"))
-        .withColumn("rk", F.row_number().over(w_assign))
-        .where(F.col("rk") == 1)
-        .select("vec_id", F.col("c_label").alias("cell"))
-    )
+    cells = _assign_cells(n, cent)
     q = (
         cells.where(F.col("vec_id") < 10)
         .join(n, "vec_id")
@@ -803,18 +865,7 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.expr("cast(embedding as array<double>)").alias("e")
     )
     cent0 = _centroid_arrays(emb.select("label", "e"))
-    d2 = F.round(
-        F.expr("aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"),
-        8,
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy("d2", "c_label")
-    cells = (
-        emb.crossJoin(F.broadcast(cent0))
-        .select("vec_id", "c_label", d2.alias("d2"))
-        .withColumn("rk", F.row_number().over(w_assign))
-        .where(F.col("rk") == 1)
-        .select("vec_id", F.col("c_label").alias("cell"))
-    )
+    cells = _assign_cells(emb, cent0)
     assigned = emb.join(cells, "vec_id").select(F.col("cell").alias("label"), "e")
     cent1 = _centroid_arrays(assigned).select(
         F.col("c_label").alias("cell"), F.col("ce").alias("ce1")

@@ -1,3 +1,4 @@
+from sayn_spark.operators.ann import AnnIndexTask  # noqa: F401
 from sayn_spark.operators.base import RunArguments, Task, TaskContext, TaskStatus  # noqa: F401
 from sayn_spark.operators.copy import CopyTask  # noqa: F401
 from sayn_spark.operators.dedup import DedupTask  # noqa: F401
@@ -19,6 +20,7 @@ TASK_TYPES = {
     "autosql": AutoSqlTask,
     "copy": CopyTask,
     "dedup": DedupTask,
+    "ann_index": AnnIndexTask,
     "test": TestTask,
     "python": ClassPythonTask,
     "python_module": ModulePythonTask,

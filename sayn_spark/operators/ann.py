@@ -1,0 +1,127 @@
+"""ANN index task: the similarity-search index as a YAML-native task —
+the IVF build that q_ivf_centroids / q_ivf_search / q_kmeans_refine
+demonstrate as queries, promoted to a catalog-managed artifact the way
+`type: dedup` promotes the dedup operators:
+
+    tasks:
+      build_vec_index:
+        type: ann_index
+        source: embeddings
+        index: vec_index          # table prefix
+        label_column: label       # optional centroid seed
+        n_cells: 16               # seed by id-hash when no label_column
+        refine_iters: 1           # Lloyd iterations after seeding
+
+Builds two catalog tables:
+
+- ``{index}_centroids`` (c_label, ce: array<double>) — the coarse
+  quantizer, small enough to broadcast at any scale.
+- ``{index}_vectors`` (vec_id, cell, e, nrm) BUCKETED BY cell — the
+  inverted file.  Searches join probes against it on the cell key, so
+  the big side arrives pre-bucketed and only query rows shuffle; each
+  query reads nprobe/k of the corpus.
+
+Search is a library call over the tables
+(functions/similarity.py:ann_index_search), so any task or ad-hoc
+session can query an index built by a previous run — the index
+persists; rebuilds are full (replace_table semantics, like autosql
+``table``).
+
+Determinism contract matches the registered queries: centroid means
+sum in DECIMAL and round to 8dp; distances fold left-to-right and
+round before argmin; every top-k carries a unique tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sayn_spark.operators.base import Task, TaskStatus
+
+_VEC_BUCKETS = 16
+
+
+class AnnIndexTask(Task):
+    def config(self) -> None:
+        c = self.config_dict
+        self.source = self.compile_property(c.get("source"))
+        if not self.source:
+            raise ValueError(f"ann_index task {self.name!r} needs source")
+        self.index = self.compile_property(c.get("index"))
+        if not self.index:
+            raise ValueError(f"ann_index task {self.name!r} needs index (table prefix)")
+        self.id_column = c.get("id_column", "vec_id")
+        self.vector_column = c.get("vector_column", "embedding")
+        self.label_column = c.get("label_column")
+        self.n_cells = int(c.get("n_cells", 16))
+        if self.n_cells < 1:
+            raise ValueError(f"ann_index task {self.name!r}: n_cells must be >= 1")
+        self.refine_iters = int(c.get("refine_iters", 0))
+        if self.refine_iters < 0:
+            raise ValueError(f"ann_index task {self.name!r}: refine_iters must be >= 0")
+
+        self.src_obj = self.context.obj_compiler.from_string(self.source)
+        self.sources.add(self.src_obj)
+        self.src_value = self.context.obj_compiler.src_value(self.src_obj)
+        for suffix in ("_centroids", "_vectors"):
+            self.outputs.add(
+                self.context.obj_compiler.from_string(f"{self.index}{suffix}")
+            )
+        self.status = TaskStatus.READY
+
+    def _emb(self) -> DataFrame:
+        df = self.context.spark.table(self.src_value)
+        for col in (self.id_column, self.vector_column):
+            if col not in df.columns:
+                raise ValueError(
+                    f"ann_index task {self.name!r}: column {col!r} not in {self.src_value}"
+                )
+        seed = (
+            F.col(self.label_column)
+            if self.label_column
+            else F.pmod(F.col(self.id_column), F.lit(self.n_cells))
+        )
+        return df.select(
+            F.col(self.id_column).alias("vec_id"),
+            seed.alias("label"),
+            F.expr(f"cast({self.vector_column} as array<double>)").alias("e"),
+        )
+
+    def run(self) -> None:
+        from sayn_spark.functions.similarity import _assign_cells, _centroid_arrays
+
+        db = self.context.db
+        emb = self._emb().localCheckpoint()  # read by seed + every Lloyd pass
+        cent = _centroid_arrays(emb.select("label", "e"))
+        for _ in range(self.refine_iters):
+            cells = _assign_cells(emb, cent)
+            assigned = emb.join(cells, "vec_id").select(
+                F.col("cell").alias("label"), "e"
+            )
+            cent = _centroid_arrays(assigned)
+        cent = cent.localCheckpoint()  # read by the table write AND final assign
+        db.replace_table(f"{self.index}_centroids", cent)
+        cells = _assign_cells(emb, cent)
+        vectors = (
+            emb.join(cells, "vec_id")
+            .select(
+                "vec_id",
+                "cell",
+                "e",
+                F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm"),
+            )
+        )
+        # bucketed inverted file: searches join on cell with the corpus
+        # side pre-bucketed (saveAsTable overwrite keeps the spec)
+        db.drop_object(f"{self.index}_vectors")
+        db.create_table(
+            f"{self.index}_vectors",
+            vectors,
+            mode="overwrite",
+            bucket_by=(_VEC_BUCKETS, ["cell"]),
+        )
+
+    def compile(self) -> None:
+        return None

@@ -1,0 +1,204 @@
+"""Lifecycle tests for the ann_index task (operators/ann.py): the
+catalog-built IVF index searched through ann_index_search must equal
+the registered q_ivf_search query (same oracle mechanism), refined
+centroids must match the DuckDB Lloyd-step replica, and the inverted
+file must be bucketed on the cell key.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sayn_spark.core.compiler import Compiler
+from sayn_spark.core.database import SparkDatabase
+from sayn_spark.core.objects import DbObjectCompiler
+from sayn_spark.functions import REGISTRY
+from sayn_spark.functions.similarity import ann_index_search
+from sayn_spark.operators import RunArguments, TaskContext
+from sayn_spark.operators.ann import AnnIndexTask
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def ctx(spark, tmp_path):
+    return TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={},
+        connections={},
+        project_dir=tmp_path,
+    )
+
+
+def _build(ctx, spark, name, cfg):
+    t = AnnIndexTask(name, cfg, ctx)
+    t.config()
+    t.run()
+    return t
+
+
+@pytest.fixture
+def emb_table(ctx, spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ctx.db.replace_table("ann_src", df)
+    yield "ann_src"
+
+
+def test_ann_index_search_equals_registered_query(ctx, spark, emb_table):
+    """nprobe=1 search over the task-built index == q_ivf_search's
+    registered (oracle-verified) output: same cells, same cosines,
+    same tie-breaks."""
+    _build(
+        ctx,
+        spark,
+        "ann_build",
+        {"source": "ann_src", "index": "ann_ix", "label_column": "label"},
+    )
+    queries = (
+        spark.table("ann_src")
+        .where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr("cast(embedding as array<double>)").alias("e"),
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in ann_index_search(spark, "ann_ix", queries, k=3, nprobe=1)
+        .select("query_id", "neighbor_id", "cos", "rk")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["q_ivf_search"]
+        .fn(spark, SF)
+        .select("query_id", "neighbor_id", "cos", "rk")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_ann_index_refined_centroids_match_duckdb_lloyd_step(ctx, spark, emb_table):
+    """refine_iters=1 must produce exactly the DuckDB replica of one
+    Lloyd iteration (assign to seed centroids, recompute means with
+    DECIMAL accumulation)."""
+    from sayn_spark.functions.similarity import _SQL_CENTROIDS, _SQL_EMB
+
+    _build(
+        ctx,
+        spark,
+        "ann_build_r1",
+        {
+            "source": "ann_src",
+            "index": "ann_r1",
+            "label_column": "label",
+            "refine_iters": 1,
+        },
+    )
+    got = {
+        r.c_label: list(r.ce) for r in spark.table("ann_r1_centroids").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = {
+        row[0]: list(row[1])
+        for row in con.execute(
+            f"""
+WITH {_SQL_EMB}, {_SQL_CENTROIDS},
+assigned AS (
+  SELECT vec_id, c_label, ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_aggregate(list_transform(list_zip(v.e, c.ce),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8), c_label) AS rk
+  FROM emb v, cent_arr c
+),
+cells AS (SELECT vec_id, c_label AS cell FROM assigned WHERE rk = 1),
+comp1 AS (
+  SELECT cell, i, e[i] AS x
+  FROM emb JOIN cells USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i)
+),
+cent1 AS (
+  SELECT cell, i,
+         ROUND(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 8) AS c1
+  FROM comp1 GROUP BY cell, i
+)
+SELECT cell, list(c1 ORDER BY i) FROM cent1 GROUP BY cell
+"""
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_ann_index_vectors_bucketed_and_rebuild_idempotent(ctx, spark, emb_table):
+    cfg = {"source": "ann_src", "index": "ann_b", "label_column": "label"}
+    _build(ctx, spark, "ann_b1", cfg)
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql("DESCRIBE TABLE EXTENDED ann_b_vectors").collect()
+    }
+    assert desc.get("Num Buckets") is not None
+    assert "cell" in desc.get("Bucket Columns", "")
+    first = sorted(
+        (r.vec_id, r.cell) for r in spark.table("ann_b_vectors").collect()
+    )
+    # rebuild: same inputs -> identical index
+    _build(ctx, spark, "ann_b2", cfg)
+    second = sorted(
+        (r.vec_id, r.cell) for r in spark.table("ann_b_vectors").collect()
+    )
+    assert first == second
+
+
+def test_ann_index_nprobe_widens_candidates(ctx, spark, emb_table):
+    """nprobe=2 can only improve each query's top-k (more cells in
+    scope), and hash-seeded indexes (no label column) work too."""
+    _build(
+        ctx,
+        spark,
+        "ann_hash",
+        {"source": "ann_src", "index": "ann_h", "n_cells": 8},
+    )
+    queries = (
+        spark.table("ann_src")
+        .where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr("cast(embedding as array<double>)").alias("e"),
+        )
+    )
+    one = {
+        r.query_id: r.cos
+        for r in ann_index_search(spark, "ann_h", queries, k=3, nprobe=1)
+        .where("rk = 3")
+        .collect()
+    }
+    two = {
+        r.query_id: r.cos
+        for r in ann_index_search(spark, "ann_h", queries, k=3, nprobe=2)
+        .where("rk = 3")
+        .collect()
+    }
+    assert set(one) == set(two)
+    for qid, c1 in one.items():
+        assert two[qid] >= c1, (qid, two[qid], c1)
+
+
+def test_ann_index_config_validation(ctx):
+    for cfg in (
+        {},
+        {"source": "t"},  # no index
+        {"source": "t", "index": "i", "n_cells": 0},
+        {"source": "t", "index": "i", "refine_iters": -1},
+    ):
+        t = AnnIndexTask("bad", cfg, ctx)
+        with pytest.raises(ValueError):
+            t.config()
