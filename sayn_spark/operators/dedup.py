@@ -252,7 +252,7 @@ class DedupTask(Task):
             )
             prev = prev_matches.agg(F.max("ingest_id").alias("m")).collect()[0]["m"]
             ingest_id = int(prev) + 1 if prev is not None else 0
-        batch = batch.localCheckpoint()  # read by probe + destination append
+        batch = batch.localCheckpoint()  # several probe arms read it
         dedup_ingest_batch(
             batch,
             ingest_id,
@@ -262,19 +262,27 @@ class DedupTask(Task):
             threshold=self.threshold,
             band_table=f"{self.index_table}_bands",
         )
-        if self.dst_value is not None and not batch.isEmpty():
-            # the corpus table grows by the batch's non-duplicate docs
-            matched = (
-                spark.table(self.matches_table)
-                .where(F.col("ingest_id") == ingest_id)
-                .select(F.col("batch_id").alias(self.id_column))
-                .distinct()
+        if self.dst_value is not None:
+            # SELF-HEALING: the destination is defined as "source docs
+            # whose signatures made the index" (the non-duplicates),
+            # derived from index-minus-destination rather than from
+            # this run's batch — a crash after the index append but
+            # before this write would otherwise lose the batch's docs
+            # forever (the rerun's batch is empty).
+            kept_ids = spark.table(self.index_table).select(
+                F.col("doc_id").alias(self.id_column)
             )
-            novel = docs.join(
-                batch.select(F.col("doc_id").alias(self.id_column)), self.id_column
-            ).join(matched, self.id_column, "left_anti")
-            mode = "append" if db.table_exists(self.dst_value) else "overwrite"
-            db.create_table(self.dst_value, novel, mode=mode)
+            novel = docs.join(kept_ids, self.id_column)
+            if db.table_exists(self.dst_value):
+                novel = novel.join(
+                    spark.table(self.dst_value).select(self.id_column),
+                    self.id_column,
+                    "left_anti",
+                )
+                if not novel.isEmpty():
+                    db.create_table(self.dst_value, novel, mode="append")
+            else:
+                db.create_table(self.dst_value, novel, mode="overwrite")
 
     def compile(self) -> None:  # parity with sql tasks: nothing to render
         return None

@@ -159,9 +159,22 @@ def dedup_ingest_batch(
         db.create_table(index_table, kept, mode="overwrite")
     if band_table is not None:
         if db.table_exists(band_table):
+            # SELF-HEALING append: derive the rows to add from what the
+            # index has that the band table lacks, NOT from this
+            # batch's `kept`.  A crash between the index append and
+            # this write would otherwise leave the band table
+            # permanently missing the batch (the replay recomputes an
+            # empty `kept` because the ids are already indexed) —
+            # corpus docs invisible to every future probe.  The
+            # anti-join scans only the band table's doc_id column.
+            missing = spark.table(index_table).join(
+                spark.table(band_table).select("doc_id").distinct(),
+                "doc_id",
+                "left_anti",
+            )
             db.create_table(
                 band_table,
-                _mh_band_frame(kept),
+                _mh_band_frame(missing),
                 mode="append",
                 bucket_by=(_BAND_BUCKETS, ["band_sig"]),
             )

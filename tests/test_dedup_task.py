@@ -292,3 +292,81 @@ def test_dedup_task_incremental_lifecycle(ctx, spark):
         "dd_inc_out",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_band_table_self_heals(ctx, spark):
+    """Simulated crash between the index append and the band append:
+    the band table is rebuilt from index-minus-band-table on the next
+    trigger, so corpus docs can never stay invisible to probes."""
+    from pyspark.sql import functions as SF_
+
+    from sayn_spark.streaming.materialise import dedup_ingest_batch
+
+    idx, mt, bt = "heal_idx", "heal_mt", "heal_idx_bands"
+    for t in (idx, mt, bt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    texts = {
+        1: "one two three four five six seven eight nine ten eleven twelve",
+        2: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        3: "red orange yellow green blue indigo violet crimson amber teal",
+    }
+    b0 = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    dedup_ingest_batch(b0, 0, idx, mt, SF, band_table=bt)
+    assert spark.table(bt).count() == spark.table(idx).count() * 4
+
+    # simulate the partial failure: band rows for doc 2 went missing
+    ctx.db.replace_table(
+        "heal_tmp", spark.table(bt).where(SF_.col("doc_id") != 2)
+    )
+    spark.sql(f"DROP TABLE {bt}")
+    ctx.db.create_table(
+        bt, spark.table("heal_tmp"), mode="overwrite", bucket_by=(32, ["band_sig"])
+    )
+    assert spark.table(bt).count() == (spark.table(idx).count() - 1) * 4
+
+    # next trigger repairs the divergence while processing its own batch
+    b1 = spark.createDataFrame(
+        [(10, "totally different words about parquet shuffles and joins")],
+        "doc_id long, text string",
+    )
+    dedup_ingest_batch(b1, 1, idx, mt, SF, band_table=bt)
+    assert spark.table(bt).count() == spark.table(idx).count() * 4
+    assert spark.table(bt).where(SF_.col("doc_id") == 2).count() == 4
+    for t in (idx, mt, bt, "heal_tmp"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_destination_self_heals(ctx, spark):
+    """Simulated crash before the destination append: the next run
+    derives the destination from index-minus-destination, restoring
+    the lost rows even though its batch is empty."""
+    from pyspark.sql import functions as SF_
+
+    for t in ("heal2_src", "heal2_idx", "heal2_idx_bands", "heal2_mt", "heal2_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").limit(50)
+    ctx.db.replace_table("heal2_src", docs)
+    cfg = {
+        "source": "heal2_src",
+        "mode": "incremental",
+        "method": "minhash",
+        "index_table": "heal2_idx",
+        "matches_table": "heal2_mt",
+        "destination": "heal2_out",
+    }
+    _task(ctx, "heal2", cfg)
+    n_out = spark.table("heal2_out").count()
+    victim = spark.table("heal2_out").select("doc_id").first().doc_id
+    ctx.db.replace_table(
+        "heal2_out",
+        spark.table("heal2_out").where(SF_.col("doc_id") != victim),
+        tmp_swap=True,
+    )
+    assert spark.table("heal2_out").count() == n_out - 1
+
+    # unchanged source -> empty batch, but the destination still heals
+    _task(ctx, "heal2", cfg)
+    assert spark.table("heal2_out").count() == n_out
+    assert spark.table("heal2_out").where(SF_.col("doc_id") == victim).count() == 1
+    for t in ("heal2_src", "heal2_idx", "heal2_idx_bands", "heal2_mt", "heal2_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
