@@ -430,6 +430,91 @@ def ann_index_search(
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
+def ann_index_search_pq(
+    spark: SparkSession,
+    index: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    shortlist: int = 20,
+) -> DataFrame:
+    """IVF-PQ search against a catalog index built by the ``ann_index``
+    task with ``method: ivfpq``: route each query to its ``nprobe``
+    nearest cells (broadcast centroids), ADC-scan only those cells'
+    ``{index}_codes`` rows against the query's 16x8 lookup table
+    (broadcast, DECIMAL sums), shortlist per query by approximate
+    distance, and re-rank the shortlist with exact cosine from
+    ``{index}_vectors`` — q_ann_ivfpq_topk's plan over persisted
+    tables.  Only 8-small-int code rows move in the wide stage; exact
+    vectors are fetched for shortlist rows alone.
+    """
+    cent = spark.table(f"{index}_centroids")
+    q = queries.select(
+        F.col("query_id").alias("vec_id"),
+        F.expr("cast(e as array<double>)").alias("e"),
+    )
+    probes = _assign_cells(q, cent, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
+    )
+    qsubs = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(
+            F.expr("transform(sequence(0, 7), s -> slice(e, s * 8 + 1, 8))")
+        ).alias("s", "sub"),
+    )
+    cb = spark.table(f"{index}_codebook")
+    sub_d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        ),
+        8,
+    )
+    lut = qsubs.join(F.broadcast(cb), "s").select(
+        "query_id",
+        F.col("s").alias("ls"),
+        F.col("c").alias("lc"),
+        sub_d2.cast("decimal(20,8)").alias("ld2"),
+    )
+    lut_in_cell = lut.join(probes, "query_id")
+    codes = spark.table(f"{index}_codes")
+    adc = (
+        codes.join(
+            F.broadcast(lut_in_cell),
+            (F.col("s") == F.col("ls"))
+            & (F.col("c") == F.col("lc"))
+            & (F.col("cell") == F.col("qcell")),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld2").alias("ad2"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("ad2", "neighbor_id")
+    cand = (
+        adc.withColumn("rk", F.row_number().over(w_adc))
+        .where(F.col("rk") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    vec = spark.table(f"{index}_vectors")
+    qn = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("qnrm"),
+    )
+    cn = vec.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qnrm") * F.col("nrm")),
+        6,
+    )
+    scored = (
+        cand.join(qn, "query_id")
+        .join(cn, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w_out = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w_out)).where(F.col("rk") <= k)
+
+
 @register(
     "q_ivf_search",
     oracle=f"""

@@ -55,6 +55,9 @@ class AnnIndexTask(Task):
         self.id_column = c.get("id_column", "vec_id")
         self.vector_column = c.get("vector_column", "embedding")
         self.label_column = c.get("label_column")
+        self.method = c.get("method", "ivf")
+        if self.method not in ("ivf", "ivfpq"):
+            raise ValueError(f"ann_index task {self.name!r}: method must be ivf|ivfpq")
         self.n_cells = int(c.get("n_cells", 16))
         if self.n_cells < 1:
             raise ValueError(f"ann_index task {self.name!r}: n_cells must be >= 1")
@@ -65,7 +68,10 @@ class AnnIndexTask(Task):
         self.src_obj = self.context.obj_compiler.from_string(self.source)
         self.sources.add(self.src_obj)
         self.src_value = self.context.obj_compiler.src_value(self.src_obj)
-        for suffix in ("_centroids", "_vectors"):
+        suffixes = ("_centroids", "_vectors") + (
+            ("_codebook", "_codes") if self.method == "ivfpq" else ()
+        )
+        for suffix in suffixes:
             self.outputs.add(
                 self.context.obj_compiler.from_string(f"{self.index}{suffix}")
             )
@@ -113,15 +119,74 @@ class AnnIndexTask(Task):
                 F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm"),
             )
         )
-        # bucketed inverted file: searches join on cell with the corpus
-        # side pre-bucketed (saveAsTable overwrite keeps the spec)
-        db.drop_object(f"{self.index}_vectors")
+        # bucketed inverted file, rebuilt atomically: write to a staging
+        # table, then rename over the old one (RENAME carries the bucket
+        # spec) — readers never observe a missing or half-written index
+        from sayn_spark.core.database import _tmp_name
+
+        staging = _tmp_name(f"{self.index}_vectors")
+        db.drop_object(staging)
         db.create_table(
-            f"{self.index}_vectors",
+            staging,
             vectors,
             mode="overwrite",
             bucket_by=(_VEC_BUCKETS, ["cell"]),
         )
+        db.move_table(staging, f"{self.index}_vectors")
+        if self.method == "ivfpq":
+            self._build_pq()
+
+    def _build_pq(self) -> None:
+        """PQ layer over the IVF cells: ``{index}_codebook`` (s, c, cw)
+        — 8 subspaces x 16 codewords, broadcast-sized — and
+        ``{index}_codes`` (vec_id, cell, s, c) bucketed by cell, the
+        8-small-ints-per-vector representation the ADC scan reads
+        instead of raw vectors (the q_ann_ivfpq_topk design, persisted).
+
+        Codewords are the sub-vectors of the 16 lowest-id vectors —
+        the registered queries' deterministic stand-in for a trained
+        codebook (train with k-means via refine_iters on the COARSE
+        level; a trained PQ codebook would slot into the same tables).
+        """
+        from sayn_spark.core.database import _tmp_name
+
+        db = self.context.db
+        spark = self.context.spark
+        vec = spark.table(f"{self.index}_vectors")
+        subs = vec.select(
+            "vec_id",
+            "cell",
+            F.posexplode(
+                F.expr("transform(sequence(0, 7), s -> slice(e, s * 8 + 1, 8))")
+            ).alias("s", "sub"),
+        )
+        # TakeOrderedAndProject, not a global window: the 16 lowest ids
+        seed_ids = vec.select("vec_id").orderBy("vec_id").limit(16)
+        cb = (
+            subs.join(F.broadcast(seed_ids), "vec_id")
+            .select("s", F.col("vec_id").alias("c"), F.col("sub").alias("cw"))
+        )
+        db.replace_table(f"{self.index}_codebook", cb)
+        cb_t = spark.table(f"{self.index}_codebook")
+        sub_d2 = F.round(
+            F.expr(
+                "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+            ),
+            8,
+        )
+        codes = (
+            subs.join(F.broadcast(cb_t), "s")
+            .select("vec_id", "cell", "s", "c", sub_d2.alias("d2"))
+            .groupBy("vec_id", "cell", "s")
+            .agg(F.min(F.struct("d2", "c")).alias("m"))
+            .select("vec_id", "cell", "s", F.col("m.c").alias("c"))
+        )
+        staging = _tmp_name(f"{self.index}_codes")
+        db.drop_object(staging)
+        db.create_table(
+            staging, codes, mode="overwrite", bucket_by=(_VEC_BUCKETS, ["cell"])
+        )
+        db.move_table(staging, f"{self.index}_codes")
 
     def compile(self) -> None:
         return None

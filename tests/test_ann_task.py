@@ -202,3 +202,56 @@ def test_ann_index_config_validation(ctx):
         t = AnnIndexTask("bad", cfg, ctx)
         with pytest.raises(ValueError):
             t.config()
+
+
+def test_ann_ivfpq_task_search_equals_registered_query(ctx, spark, emb_table):
+    """method=ivfpq builds codebook + cell-bucketed codes tables, and
+    ann_index_search_pq over them reproduces the registered
+    q_ann_ivfpq_topk output exactly (same cells, same ADC shortlist,
+    same re-ranked top-5)."""
+    from sayn_spark.functions.similarity import ann_index_search_pq
+
+    _build(
+        ctx,
+        spark,
+        "ann_pq",
+        {
+            "source": "ann_src",
+            "index": "ann_pq",
+            "label_column": "label",
+            "method": "ivfpq",
+        },
+    )
+    # codebook: 8 subspaces x 16 codewords; codes: 8 rows per vector
+    assert spark.table("ann_pq_codebook").count() == 8 * 16
+    n_vec = spark.table("ann_pq_vectors").count()
+    assert spark.table("ann_pq_codes").count() == n_vec * 8
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql("DESCRIBE TABLE EXTENDED ann_pq_codes").collect()
+    }
+    assert "cell" in desc.get("Bucket Columns", "")
+
+    queries = (
+        spark.table("ann_src")
+        .where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr("cast(embedding as array<double>)").alias("e"),
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in ann_index_search_pq(spark, "ann_pq", queries, k=5, nprobe=1)
+        .select("query_id", "neighbor_id", "cos", "rk")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["q_ann_ivfpq_topk"]
+        .fn(spark, SF)
+        .select("query_id", "neighbor_id", "cos", "rk")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
