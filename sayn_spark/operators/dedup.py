@@ -89,6 +89,18 @@ class DedupTask(Task):
         self.keep = c.get("keep", "min")
         if self.keep not in ("min", "best"):
             raise ValueError(f"dedup task {self.name!r}: keep must be min|best")
+        # minhash full mode: what decides a duplicate pair — the
+        # signature ESTIMATE (scale default: only signatures move) or
+        # the EXACT shingle Jaccard on LSH candidates (shingle arrays
+        # move for candidate pairs)
+        self.verify = c.get("verify", "estimate")
+        if self.verify not in ("estimate", "exact"):
+            raise ValueError(f"dedup task {self.name!r}: verify must be estimate|exact")
+        if self.verify == "exact" and self.method != "minhash":
+            raise ValueError(
+                f"dedup task {self.name!r}: verify=exact applies to method=minhash "
+                "(jaccard already verifies exactly; exact has no estimate)"
+            )
         self.score_column: Optional[str] = c.get("score_column")
         if self.keep == "best" and not self.score_column:
             raise ValueError(f"dedup task {self.name!r}: keep=best needs score_column")
@@ -165,6 +177,33 @@ class DedupTask(Task):
         sigs = persist_tracked(
             _mh_sig_frame(self._standard(docs), spark, self._sf_dir())
         )
+        if self.verify == "exact":
+            # LSH candidates at a permissive estimate gate, then the
+            # exact shingle-set Jaccard decides — q_dedup_minhash_lsh's
+            # shape; the estimate stays the gate so recall costs are
+            # still LSH-bounded, only the VERDICT moves to exact sets
+            from sayn_spark.functions.dedup import _staged_shingles
+
+            cand = (
+                incremental_minhash_matches(sigs, sigs, threshold=0.0)
+                .where(F.col("batch_id") > F.col("corpus_id"))
+                .select(F.col("batch_id").alias("src"), F.col("corpus_id").alias("dst"))
+            )
+            sh = _staged_shingles(self._standard(docs), persist=True).where(
+                F.size("sh") > 0
+            )
+            sh_a = sh.select(F.col("doc_id").alias("src"), F.col("sh").alias("sh_a"))
+            sh_b = sh.select(F.col("doc_id").alias("dst"), F.col("sh").alias("sh_b"))
+            common = F.size(F.array_intersect("sh_a", "sh_b"))
+            jacc = common.cast("double") / (
+                F.size("sh_a") + F.size("sh_b") - common
+            )
+            return (
+                cand.join(sh_a, "src")
+                .join(sh_b, "dst")
+                .where(jacc >= self.threshold)
+                .select("src", "dst")
+            )
         return (
             incremental_minhash_matches(sigs, sigs, self.threshold)
             .where(F.col("batch_id") > F.col("corpus_id"))

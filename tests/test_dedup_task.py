@@ -207,6 +207,8 @@ def test_dedup_task_config_validation(ctx):
             "method": "jaccard",  # incremental requires minhash
         },
         {"source": "t", "destination": "o", "threshold": 1.5},
+        {"source": "t", "destination": "o", "verify": "nope"},
+        {"source": "t", "destination": "o", "method": "jaccard", "verify": "exact"},
     ]
     for cfg in bad:
         t = DedupTask("bad", cfg, ctx)
@@ -370,3 +372,73 @@ def test_incremental_destination_self_heals(ctx, spark):
     assert spark.table("heal2_out").where(SF_.col("doc_id") == victim).count() == 1
     for t in ("heal2_src", "heal2_idx", "heal2_idx_bands", "heal2_mt", "heal2_out"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dedup_task_minhash_exact_verify(ctx, spark):
+    """verify=exact: LSH candidates, but the EXACT shingle Jaccard
+    decides — checked against a DuckDB replica that verifies candidates
+    with list_intersect instead of the signature estimate."""
+    from sayn_spark.functions.dedup import _SQL_MH_BANDS, _SQL_SHINGLES, _SQL_SIG
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zz qq")).alias("text"),
+        )
+    )
+    ctx.db.replace_table("dd_ex_src", corpus)
+    _task(
+        ctx,
+        "dd_ex",
+        {
+            "source": "dd_ex_src",
+            "destination": "dd_ex_out",
+            "method": "minhash",
+            "verify": "exact",
+            "threshold": 0.5,
+        },
+    )
+    got = {r.doc_id for r in spark.table("dd_ex_out").collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW corpus AS SELECT doc_id, text FROM d "
+        "UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM d"
+    )
+    pairs = [
+        (a, b)
+        for a, b in con.execute(
+            f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh FROM corpus WHERE len({_SQL_SHINGLES}) > 0
+),
+sigs AS (SELECT doc_id, {_SQL_SIG} AS sig FROM sh),
+bands AS {_SQL_MH_BANDS.format(src="sigs")},
+candidates AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id > b.doc_id
+)
+SELECT id_a, id_b FROM candidates
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+"""
+        ).fetchall()
+    ]
+    parent = _union_find(pairs)
+    all_ids = {r[0] for r in con.execute("SELECT doc_id FROM corpus").fetchall()}
+    roots = {}
+    for n in parent:
+        x = n
+        while parent[x] != x:
+            x = parent[x]
+        roots.setdefault(x, set()).add(n)
+    dropped = {n for members in roots.values() for n in members} - set(roots)
+    assert got == all_ids - dropped
+    assert len(dropped) > 0
