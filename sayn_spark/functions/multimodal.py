@@ -196,6 +196,62 @@ def wav_parse(payload: bytes):
     return sample_rate, channels, bits, samples
 
 
+def bmp_encode(pixels: bytes, width: int, height: int) -> bytes:
+    """A real, spec-valid Windows BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER, 24-bit uncompressed BGR, bottom-up rows padded to
+    4-byte boundaries.  Grayscale input: each pixel byte becomes
+    B=G=R=value."""
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    row_size = (width * 3 + 3) & ~3
+    img_size = row_size * height
+    off = 14 + 40
+    file_header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    pad = b"\x00" * (row_size - width * 3)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up row order
+        line = pixels[y * width : (y + 1) * width]
+        rows.append(b"".join(bytes((v, v, v)) for v in line) + pad)
+    return file_header + info_header + b"".join(rows)
+
+
+def bmp_parse(payload: bytes, want_pixels: bool = False):
+    """Parse a BMP: (width, height, bits_per_pixel[, gray_pixels]).
+
+    Reads the two headers at their spec offsets (BMP is offset-framed,
+    unlike PNG's chunk list), honours the pixel-array offset from the
+    file header, un-pads and re-flips the bottom-up rows, and returns
+    the blue channel as grayscale (this module encodes B=G=R).
+    Compressed (RLE) or non-24bpp payloads raise at the documented
+    boundary."""
+    if bytes(payload[:2]) != b"BM":
+        raise NotImplementedError(
+            f"payload magic {bytes(payload[:2])!r} is not BMP — plug other "
+            "raster codecs in here"
+        )
+    _, _, _, _, off = struct.unpack("<2sIHHI", bytes(payload[:14]))
+    hdr_size, width, height, _, bpp, compression = struct.unpack(
+        "<IiiHHI", bytes(payload[14:34])
+    )
+    if compression != 0 or bpp != 24:
+        raise NotImplementedError("BMP decode implemented for uncompressed 24bpp")
+    if height <= 0:
+        raise NotImplementedError("top-down BMP rows not implemented")
+    if not want_pixels:
+        return width, height, bpp
+    row_size = (width * 3 + 3) & ~3
+    out = bytearray()
+    for y in range(height):
+        # rows stored bottom-up: logical row y sits height-1-y from the top
+        start = off + (height - 1 - y) * row_size
+        line = payload[start : start + width * 3]
+        out += bytes(line[x * 3] for x in range(width))  # blue channel
+    return width, height, bpp, bytes(out)
+
+
 def decode_image_metadata(df: DataFrame, decode: str = "deterministic") -> DataFrame:
     """Arrow-batched decode: BINARY payload -> typed image metadata.
 
@@ -618,6 +674,77 @@ def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["bits_per_sample"].append(bits)
                 rows["n_samples"].append(len(samples))
                 rows["energy"].append(int((samples * samples).sum()))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(_encode, enc_schema).mapInPandas(_decode, dec_schema)
+
+
+@register(
+    "q_multimodal_bmp_roundtrip",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE doc_id % 11 = 0 AND length(text) > 0
+),
+dims AS (
+  SELECT doc_id, text, n, (n % 32) + 1 AS width, ((n * 5) % 24) + 1 AS height
+  FROM d
+)
+SELECT doc_id, width, height, 24 AS bits_per_pixel,
+       CAST(list_sum(list_transform(generate_series(1, width * height),
+            i -> ord(substr(text, ((i - 1) % n) + 1, 1)))) AS BIGINT) AS pixel_sum
+FROM dims
+""",
+)
+def q_multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP round-trip — the third stdlib container codec (after
+    PNG's chunk list and WAV's RIFF walk, this exercises OFFSET-framed
+    parsing: header-declared pixel-array offset, 4-byte row padding,
+    bottom-up row order).  Each document becomes a spec-valid 24-bit
+    uncompressed BMP with B=G=R=text byte; ``bmp_parse`` re-reads the
+    headers, un-pads, re-flips, and reports dimensions plus the decoded
+    pixel sum.  The oracle recomputes everything with char arithmetic —
+    a wrong pad byte, flipped row, or off-by-one in either header
+    breaks the hash.
+
+    Scale shape: two chained mapInPandas stages, Arrow-batched,
+    payloads never leave the executors (same as the PNG/WAV twins).
+    """
+    d = (
+        T(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 11 == 0) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    enc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("ascii")
+                n = len(raw)
+                w, h = (n % 32) + 1, ((n * 5) % 24) + 1
+                pixels = bytes(raw[i % n] for i in range(w * h))
+                rows["doc_id"].append(doc_id)
+                rows["payload"].append(bmp_encode(pixels, w, h))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    dec_schema = "doc_id long, width long, height long, bits_per_pixel long, pixel_sum long"
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "width", "height", "bits_per_pixel", "pixel_sum"]
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, bpp, pixels = bmp_parse(bytes(payload), want_pixels=True)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["bits_per_pixel"].append(bpp)
+                rows["pixel_sum"].append(sum(pixels))
             yield pd.DataFrame(rows, columns=cols)
 
     return d.mapInPandas(_encode, enc_schema).mapInPandas(_decode, dec_schema)

@@ -120,3 +120,38 @@ def test_real_image_metadata_on_png_payloads(spark):
     rows = {r.doc_id: r for r in decode_image_metadata(df, decode="real").collect()}
     assert (rows[1].width, rows[1].height, rows[1].channels) == (3, 2, 1)
     assert (rows[2].width, rows[2].height, rows[2].channels) == (2, 4, 1)
+
+
+def test_bmp_roundtrip_all_pad_widths():
+    """Row padding hits every case (width*3 % 4 in {0,1,2,3}) and the
+    bottom-up flip restores row order exactly."""
+    from sayn_spark.functions.multimodal import bmp_encode, bmp_parse
+
+    for width in (1, 2, 3, 4, 5, 8):
+        height = 3
+        pixels = bytes((x * 7 + y * 31) % 256 for y in range(height) for x in range(width))
+        payload = bmp_encode(pixels, width, height)
+        w, h, bpp, got = bmp_parse(payload, want_pixels=True)
+        assert (w, h, bpp) == (width, height, 24)
+        assert got == pixels, f"width {width}"
+        # file size matches the header's declaration
+        import struct
+
+        declared = struct.unpack("<I", payload[2:6])[0]
+        assert declared == len(payload)
+
+
+def test_bmp_parse_rejects_foreign_and_topdown():
+    import pytest
+
+    from sayn_spark.functions.multimodal import bmp_encode, bmp_parse
+
+    with pytest.raises(NotImplementedError, match="not BMP"):
+        bmp_parse(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40)
+    # top-down BMPs (negative height) are the documented boundary
+    payload = bytearray(bmp_encode(bytes(6), 2, 3))
+    import struct
+
+    payload[22:26] = struct.pack("<i", -3)
+    with pytest.raises(NotImplementedError, match="top-down"):
+        bmp_parse(bytes(payload), want_pixels=True)
