@@ -214,8 +214,11 @@ class DedupTask(Task):
         """doc ids to drop: cluster members minus each cluster's keeper."""
         if self.method == "exact":
             # hash groups need no component stage: one shuffle, keep the
-            # best/min per md5 group
-            groups = docs.select(
+            # best/min per md5 group.  NULL texts are excluded: md5(NULL)
+            # is NULL and would collapse every text-less doc into one
+            # "duplicate" cluster — a doc with no content is not a copy
+            # of another doc with no content
+            groups = docs.where(F.col(self.text_column).isNotNull()).select(
                 F.col(self.id_column).alias("node"),
                 F.md5(F.col(self.text_column)).alias("component"),
                 *(

@@ -442,3 +442,18 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
     dropped = {n for members in roots.values() for n in members} - set(roots)
     assert got == all_ids - dropped
     assert len(dropped) > 0
+
+
+def test_dedup_task_exact_null_texts_never_dedupe(ctx, spark):
+    """Docs with NULL text are not copies of each other: md5(NULL) is
+    NULL and a naive hash-group would collapse them into one cluster."""
+    rows = [(1, "same words here"), (2, "same words here"), (3, None), (4, None)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    ctx.db.replace_table("dd_null_src", df)
+    _task(
+        ctx,
+        "dd_null",
+        {"source": "dd_null_src", "destination": "dd_null_out", "method": "exact"},
+    )
+    got = {r.doc_id for r in spark.table("dd_null_out").collect()}
+    assert got == {1, 3, 4}
