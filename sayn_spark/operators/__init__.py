@@ -2,6 +2,7 @@ from sayn_spark.operators.ann import AnnIndexTask  # noqa: F401
 from sayn_spark.operators.base import RunArguments, Task, TaskContext, TaskStatus  # noqa: F401
 from sayn_spark.operators.copy import CopyTask  # noqa: F401
 from sayn_spark.operators.dedup import DedupTask  # noqa: F401
+from sayn_spark.operators.embed import EmbedTask  # noqa: F401
 from sayn_spark.operators.python import (  # noqa: F401
     ClassPythonTask,
     DecoratedPythonTask,
@@ -21,6 +22,7 @@ TASK_TYPES = {
     "copy": CopyTask,
     "dedup": DedupTask,
     "ann_index": AnnIndexTask,
+    "embed": EmbedTask,
     "test": TestTask,
     "python": ClassPythonTask,
     "python_module": ModulePythonTask,
