@@ -55,6 +55,31 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SW_SQL = "('" + "','".join(STOPWORDS) + "')"
 
+def n_tokens_col():
+    """Token count over a ``text`` column (reusable: the filter task
+    and the registered queries share these builders so one definition
+    carries the oracle evidence)."""
+    return F.expr(f"size({_TOKENS})")
+
+
+def quality_score_col():
+    """The q_text_quality composite over a ``text`` column:
+    0.4*distinct_ratio + 0.3*(1 - stopword_ratio) + 0.3*min(1, n/100),
+    rounded to 6dp."""
+    sw = "('" + "','".join(STOPWORDS) + "')"
+    n_tokens = n_tokens_col()
+    n_distinct = F.expr(f"size(array_distinct({_TOKENS}))")
+    n_stop = F.expr(f"size(filter({_TOKENS}, x -> x in {sw}))")
+    distinct_ratio = n_distinct.cast("double") / n_tokens
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return F.round(
+        0.4 * distinct_ratio
+        + 0.3 * (F.lit(1.0) - stop_ratio)
+        + 0.3 * F.least(F.lit(1.0), n_tokens / F.lit(100.0)),
+        6,
+    )
+
+
 @register(
     "q_text_quality",
     oracle=f"""
@@ -80,7 +105,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios combined into one deterministic score."""
     d = T(spark, sf_dir, "documents")
     sw = "('" + "','".join(STOPWORDS) + "')"
-    n_tokens = F.expr(f"size({_TOKENS})")
+    n_tokens = n_tokens_col()
     n_distinct = F.expr(f"size(array_distinct({_TOKENS}))")
     n_stop = F.expr(f"size(filter({_TOKENS}, x -> x in {sw}))")
     n_punct = F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", ""))
@@ -92,12 +117,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(n_punct.cast("double") / F.col("n_chars"), 6).alias("punct_ratio"),
-        F.round(
-            0.4 * distinct_ratio
-            + 0.3 * (F.lit(1.0) - stop_ratio)
-            + 0.3 * F.least(F.lit(1.0), n_tokens / F.lit(100.0)),
-            6,
-        ).alias("quality_score"),
+        quality_score_col().alias("quality_score"),
     )
 
 
@@ -107,6 +127,30 @@ _MARKERS = {
     "fr": ("le", "les", "et"),
     "de": ("der", "die", "und"),
 }
+
+
+def langid_columns():
+    """Marker-count columns over a ``text`` column (c_en..c_de +
+    has_cjk) — stage these, then apply ``predicted_lang_col``."""
+    counts = [
+        F.expr(
+            f"size(filter({_TOKENS}, x -> x in ('" + "','".join(words) + "')))"
+        ).alias(f"c_{lang}")
+        for lang, words in _MARKERS.items()
+    ]
+    return [F.col("text").rlike("[\\u4e00-\\u9fff]").alias("has_cjk"), *counts]
+
+
+def predicted_lang_col():
+    """The q_text_langid decision over staged langid_columns(): CJK
+    wins outright; otherwise deterministic tie-break en > es > fr > de."""
+    return (
+        F.when(F.col("has_cjk"), "zh")
+        .when(F.col("c_en") >= F.greatest("c_es", "c_fr", "c_de"), "en")
+        .when(F.col("c_es") >= F.greatest("c_fr", "c_de"), "es")
+        .when(F.col("c_fr") >= F.col("c_de"), "fr")
+        .otherwise("de")
+    )
 
 
 @register(
@@ -141,27 +185,19 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     column rides along for accuracy eval downstream.
     """
     d = T(spark, sf_dir, "documents")
-    counts = {
-        lang: F.expr(
-            f"size(filter({_TOKENS}, x -> x in ('" + "','".join(words) + "')))"
-        ).alias(f"c_{lang}")
-        for lang, words in _MARKERS.items()
-    }
     scored = d.select(
         "doc_id",
         F.col("lang").alias("declared_lang"),
-        F.col("text").rlike("[\\u4e00-\\u9fff]").alias("has_cjk"),
-        *counts.values(),
-    )
-    pred = (
-        F.when(F.col("has_cjk"), "zh")
-        .when(F.col("c_en") >= F.greatest("c_es", "c_fr", "c_de"), "en")
-        .when(F.col("c_es") >= F.greatest("c_fr", "c_de"), "es")
-        .when(F.col("c_fr") >= F.col("c_de"), "fr")
-        .otherwise("de")
+        *langid_columns(),
     )
     return scored.select(
-        "doc_id", "declared_lang", "c_en", "c_es", "c_fr", "c_de", pred.alias("predicted_lang")
+        "doc_id",
+        "declared_lang",
+        "c_en",
+        "c_es",
+        "c_fr",
+        "c_de",
+        predicted_lang_col().alias("predicted_lang"),
     )
 
 

@@ -3,6 +3,7 @@ from sayn_spark.operators.base import RunArguments, Task, TaskContext, TaskStatu
 from sayn_spark.operators.copy import CopyTask  # noqa: F401
 from sayn_spark.operators.dedup import DedupTask  # noqa: F401
 from sayn_spark.operators.embed import EmbedTask  # noqa: F401
+from sayn_spark.operators.filter import FilterTask  # noqa: F401
 from sayn_spark.operators.python import (  # noqa: F401
     ClassPythonTask,
     DecoratedPythonTask,
@@ -23,6 +24,7 @@ TASK_TYPES = {
     "dedup": DedupTask,
     "ann_index": AnnIndexTask,
     "embed": EmbedTask,
+    "filter": FilterTask,
     "test": TestTask,
     "python": ClassPythonTask,
     "python_module": ModulePythonTask,

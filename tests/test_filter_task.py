@@ -1,0 +1,151 @@
+"""Lifecycle tests for the filter task (operators/filter.py): each
+scorer's keep set must equal the registered oracle-verified query's
+decision over the same rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sayn_spark.core.compiler import Compiler
+from sayn_spark.core.database import SparkDatabase
+from sayn_spark.core.objects import DbObjectCompiler
+from sayn_spark.functions import REGISTRY
+from sayn_spark.operators import RunArguments, TaskContext
+from sayn_spark.operators.filter import FilterTask
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def ctx(spark, tmp_path):
+    return TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={},
+        connections={},
+        project_dir=tmp_path,
+    )
+
+
+def _run(ctx, name, cfg):
+    t = FilterTask(name, cfg, ctx)
+    t.config()
+    t.run()
+    return t
+
+
+@pytest.fixture
+def docs_table(ctx, spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    ctx.db.replace_table("ft_src", df)
+    return df
+
+
+def test_filter_quality_matches_registered_query(ctx, spark, docs_table):
+    _run(
+        ctx,
+        "ft_q",
+        {
+            "source": "ft_src",
+            "destination": "ft_q_out",
+            "scorer": "quality",
+            "min_score": 0.55,
+            "with_score": True,
+        },
+    )
+    got = {r.doc_id for r in spark.table("ft_q_out").collect()}
+    want = {
+        r.doc_id
+        for r in REGISTRY["q_text_quality"].fn(spark, SF).collect()
+        if r.quality_score >= 0.55
+    }
+    assert got == want
+    assert 0 < len(got) < docs_table.count()
+    # with_score carried the exact registered score values
+    scores = {r.doc_id: r.quality_score for r in spark.table("ft_q_out").collect()}
+    reg = {
+        r.doc_id: r.quality_score
+        for r in REGISTRY["q_text_quality"].fn(spark, SF).collect()
+    }
+    assert all(scores[d] == reg[d] for d in scores)
+
+
+def test_filter_langid_matches_registered_query(ctx, spark, docs_table):
+    _run(
+        ctx,
+        "ft_l",
+        {
+            "source": "ft_src",
+            "destination": "ft_l_out",
+            "scorer": "langid",
+            "languages": ["en", "zh"],
+        },
+    )
+    got = {r.doc_id for r in spark.table("ft_l_out").collect()}
+    preds = {r.doc_id: r.predicted_lang for r in REGISTRY["q_text_langid"].fn(spark, SF).collect()}
+    want = {d for d, lang in preds.items() if lang in ("en", "zh")}
+    assert got == want
+    assert len(got) > 0
+    # output schema untouched (helper columns dropped)
+    assert spark.table("ft_l_out").columns == docs_table.columns
+    # discrimination: plant unambiguous es / zh docs among the corpus
+    # and allow-list only Spanish — exactly the planted es doc survives
+    planted = spark.createDataFrame(
+        [
+            (900001, "el la los gatos el la", "es", "planted", 22),
+            (900002, "\u4e2d\u6587\u6587\u672c", "zh", "planted", 4),
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ctx.db.replace_table("ft_l2_src", docs_table.unionByName(planted))
+    _run(
+        ctx,
+        "ft_l2",
+        {
+            "source": "ft_l2_src",
+            "destination": "ft_l2_out",
+            "scorer": "langid",
+            "languages": ["es"],
+        },
+    )
+    got2 = {r.doc_id for r in spark.table("ft_l2_out").collect()}
+    assert 900001 in got2 and 900002 not in got2
+    assert got2 - {900001} == {d for d, lang in preds.items() if lang == "es"}
+
+
+def test_filter_length_bounds(ctx, spark, docs_table):
+    _run(
+        ctx,
+        "ft_n",
+        {
+            "source": "ft_src",
+            "destination": "ft_n_out",
+            "scorer": "length",
+            "min_tokens": 10,
+            "max_tokens": 40,
+        },
+    )
+    got = spark.table("ft_n_out")
+    n = F.expr("size(filter(split(lower(text), ' '), x -> x != ''))")
+    assert got.where((n < 10) | (n > 40)).count() == 0
+    outside = docs_table.where((n < 10) | (n > 40)).count()
+    assert got.count() == docs_table.count() - outside
+
+
+def test_filter_config_validation(ctx):
+    for cfg in (
+        {},
+        {"source": "t"},
+        {"source": "t", "destination": "o", "scorer": "nope"},
+        {"source": "t", "destination": "o", "scorer": "quality"},  # no min_score
+        {"source": "t", "destination": "o", "scorer": "langid"},  # no languages
+        {"source": "t", "destination": "o", "scorer": "length"},  # no bounds
+    ):
+        t = FilterTask("bad", cfg, ctx)
+        with pytest.raises(ValueError):
+            t.config()
