@@ -20,6 +20,24 @@ def ingest_embeddings(context, spark, sf_dir):
     load_tables(spark, sf_dir, tables=("embeddings",), register=True)
 
 
+@task(name="make_eval_snippets", sources=["documents"], outputs=["eval_snippets"])
+def make_eval_snippets(context, spark):
+    """Synthesize a held-out eval set: 8-token snippets from every 9th
+    document (stand-in for real benchmark prompts)."""
+    ev = (
+        spark.table("documents")
+        .where(F.col("doc_id") % 9 == 0)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.expr(
+                "concat_ws(' ', slice(filter(split(lower(text), ' '), "
+                "x -> x != ''), 3, 8))"
+            ).alias("text"),
+        )
+    )
+    context.default_db.replace_table("eval_snippets", ev)
+
+
 @task(name="dedup_candidates", sources=["documents"], outputs=["dup_components"])
 def dedup_candidates(context, spark):
     """n-gram Jaccard edges (>= 0.5) -> connected components -> one

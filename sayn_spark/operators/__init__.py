@@ -1,6 +1,7 @@
 from sayn_spark.operators.ann import AnnIndexTask  # noqa: F401
 from sayn_spark.operators.base import RunArguments, Task, TaskContext, TaskStatus  # noqa: F401
 from sayn_spark.operators.copy import CopyTask  # noqa: F401
+from sayn_spark.operators.decontaminate import DecontaminateTask  # noqa: F401
 from sayn_spark.operators.dedup import DedupTask  # noqa: F401
 from sayn_spark.operators.embed import EmbedTask  # noqa: F401
 from sayn_spark.operators.filter import FilterTask  # noqa: F401
@@ -25,6 +26,7 @@ TASK_TYPES = {
     "ann_index": AnnIndexTask,
     "embed": EmbedTask,
     "filter": FilterTask,
+    "decontaminate": DecontaminateTask,
     "test": TestTask,
     "python": ClassPythonTask,
     "python_module": ModulePythonTask,

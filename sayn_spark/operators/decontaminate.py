@@ -1,0 +1,125 @@
+"""Decontaminate task: remove (or flag) training documents that
+overlap a held-out evaluation set — the training-data hygiene step
+every benchmark-respecting pipeline runs (the 13-gram rule popularised
+by the GPT-3 appendix):
+
+    tasks:
+      clean_train:
+        type: decontaminate
+        source: train_docs
+        eval_table: eval_docs
+        destination: train_clean
+        ngram: 13
+        mode: drop            # drop | flag
+
+A source document is contaminated when it shares at least one
+``ngram``-token sequence with ANY eval document.  ``mode: drop``
+removes those rows; ``mode: flag`` keeps every row and adds an
+``is_contaminated`` boolean (for auditing before committing to the
+drop).
+
+Scale shape: both sides reduce to 8-byte xxhash64 n-gram keys.  The
+eval side (benchmarks — megabytes against a 100 TB corpus) is
+explicitly broadcast, so the contamination check is a map-side
+LEFT SEMI join: the corpus never shuffles, and the text columns never
+leave their partitions.  Documents shorter than ``ngram`` tokens have
+no n-grams and are never contaminated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sayn_spark.operators.base import Task, TaskStatus
+
+_TOKENS = "filter(split(lower(text), ' '), x -> x != '')"
+
+
+def _ngram_hash_frame(df: DataFrame, text_column: str, n: int, id_column: str | None):
+    """Distinct (``id?``, h) xxhash64 keys of every n-token sequence."""
+    work = df.where(F.col(text_column).isNotNull()).withColumn(
+        "toks", F.expr(_TOKENS.replace("text", text_column))
+    )
+    grams = F.expr(
+        f"case when size(toks) >= {n} then "
+        f"transform(sequence(1, size(toks) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(toks, i, {n}))) "
+        "else cast(array() as array<string>) end"
+    )
+    cols = ([F.col(id_column)] if id_column else []) + [
+        F.explode(grams).alias("g")
+    ]
+    out = work.select(*cols).select(
+        *( [id_column] if id_column else [] ), F.xxhash64("g").alias("h")
+    )
+    return out.distinct()
+
+
+class DecontaminateTask(Task):
+    def config(self) -> None:
+        c = self.config_dict
+        self.source = self.compile_property(c.get("source"))
+        if not self.source:
+            raise ValueError(f"decontaminate task {self.name!r} needs source")
+        self.eval_table = self.compile_property(c.get("eval_table"))
+        if not self.eval_table:
+            raise ValueError(f"decontaminate task {self.name!r} needs eval_table")
+        dest = self.compile_property(c.get("destination"))
+        if not dest:
+            raise ValueError(f"decontaminate task {self.name!r} needs destination")
+        self.mode = c.get("mode", "drop")
+        if self.mode not in ("drop", "flag"):
+            raise ValueError(f"decontaminate task {self.name!r}: mode must be drop|flag")
+        self.ngram = int(c.get("ngram", 13))
+        if self.ngram < 1:
+            raise ValueError(f"decontaminate task {self.name!r}: ngram must be >= 1")
+        self.id_column = c.get("id_column", "doc_id")
+        self.text_column = c.get("text_column", "text")
+        self.eval_text_column = c.get("eval_text_column", self.text_column)
+
+        self.src_obj = self.context.obj_compiler.from_string(self.source)
+        self.sources.add(self.src_obj)
+        self.src_value = self.context.obj_compiler.src_value(self.src_obj)
+        self.eval_obj = self.context.obj_compiler.from_string(self.eval_table)
+        self.sources.add(self.eval_obj)
+        self.eval_value = self.context.obj_compiler.src_value(self.eval_obj)
+        self.destination = self.context.obj_compiler.from_string(dest)
+        self.outputs.add(self.destination)
+        self.dst_value = self.context.obj_compiler.out_value(self.destination)
+        self.status = TaskStatus.READY
+
+    def run(self) -> None:
+        spark = self.context.spark
+        df = spark.table(self.src_value)
+        ev = spark.table(self.eval_value)
+        for col, frame, label in (
+            (self.id_column, df, "source"),
+            (self.text_column, df, "source"),
+            (self.eval_text_column, ev, "eval_table"),
+        ):
+            if col not in frame.columns:
+                raise ValueError(
+                    f"decontaminate task {self.name!r}: column {col!r} not in {label}"
+                )
+        ev_hashes = _ngram_hash_frame(ev, self.eval_text_column, self.ngram, None)
+        src_hashes = _ngram_hash_frame(df, self.text_column, self.ngram, self.id_column)
+        contaminated = (
+            src_hashes.join(F.broadcast(ev_hashes), "h", "left_semi")
+            .select(self.id_column)
+            .distinct()
+        )
+        if self.mode == "drop":
+            out = df.join(contaminated, self.id_column, "left_anti")
+        else:
+            out = df.join(
+                contaminated.withColumn("is_contaminated", F.lit(True)),
+                self.id_column,
+                "left",
+            ).withColumn(
+                "is_contaminated", F.coalesce("is_contaminated", F.lit(False))
+            )
+        self.context.db.replace_table(self.dst_value, out)
+
+    def compile(self) -> None:
+        return None

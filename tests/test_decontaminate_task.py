@@ -1,0 +1,175 @@
+"""Lifecycle tests for the decontaminate task: n-gram overlap against
+a held-out set, checked against a DuckDB replica."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sayn_spark.core.compiler import Compiler
+from sayn_spark.core.database import SparkDatabase
+from sayn_spark.core.objects import DbObjectCompiler
+from sayn_spark.operators import RunArguments, TaskContext
+from sayn_spark.operators.decontaminate import DecontaminateTask
+
+SF = "/root/testdata/sf0.001"
+N = 8  # contamination n-gram size for the test corpus's doc lengths
+
+
+@pytest.fixture
+def ctx(spark, tmp_path):
+    return TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={},
+        connections={},
+        project_dir=tmp_path,
+    )
+
+
+def _run(ctx, name, cfg):
+    t = DecontaminateTask(name, cfg, ctx)
+    t.config()
+    t.run()
+    return t
+
+
+@pytest.fixture
+def tables(ctx, spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # eval set: 8-token snippets from every 9th doc (token offset 2) —
+    # those docs share an 8-gram with the eval set by construction
+    ev = (
+        docs.where(F.col("doc_id") % 9 == 0)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.expr(
+                "concat_ws(' ', slice(filter(split(lower(text), ' '), x -> x != ''), 3, 8))"
+            ).alias("text"),
+        )
+        .where(F.expr("size(filter(split(lower(text), ' '), x -> x != ''))") >= 8)
+    )
+    ctx.db.replace_table("dc_src", docs)
+    ctx.db.replace_table("dc_eval", ev)
+    return docs, ev
+
+
+def _duckdb_contaminated(n):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return {
+        r[0]
+        for r in con.execute(
+            f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM d
+),
+src_g AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - {n} + 1),
+         i -> array_to_string(t[i:i+{n}-1], ' '))) AS g
+  FROM toks WHERE len(t) >= {n}
+),
+ev_raw AS (
+  SELECT array_to_string((list_filter(string_split(lower(text), ' '), x -> x <> ''))[3:10], ' ') AS text
+  FROM d WHERE doc_id % 9 = 0
+    AND len(list_filter(string_split(lower(text), ' '), x -> x <> '')) >= 10
+),
+ev_toks AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM ev_raw
+),
+ev_g AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - {n} + 1),
+         i -> array_to_string(t[i:i+{n}-1], ' '))) AS g
+  FROM ev_toks WHERE len(t) >= {n}
+)
+SELECT DISTINCT doc_id FROM src_g WHERE g IN (SELECT g FROM ev_g)
+"""
+        ).fetchall()
+    }
+
+
+def test_decontaminate_drop_matches_duckdb(ctx, spark, tables):
+    docs, ev = tables
+    _run(
+        ctx,
+        "dc",
+        {
+            "source": "dc_src",
+            "eval_table": "dc_eval",
+            "destination": "dc_out",
+            "ngram": N,
+            "mode": "drop",
+        },
+    )
+    kept = {r.doc_id for r in spark.table("dc_out").collect()}
+    contaminated = _duckdb_contaminated(N)
+    all_ids = {r.doc_id for r in docs.collect()}
+    assert kept == all_ids - contaminated
+    # the planted snippet donors are contaminated by construction
+    donors = {r.eval_id for r in ev.collect()}
+    assert donors <= contaminated
+    assert len(kept) > 0
+
+
+def test_decontaminate_flag_mode(ctx, spark, tables):
+    docs, _ = tables
+    _run(
+        ctx,
+        "dc_f",
+        {
+            "source": "dc_src",
+            "eval_table": "dc_eval",
+            "destination": "dc_f_out",
+            "ngram": N,
+            "mode": "flag",
+        },
+    )
+    out = spark.table("dc_f_out")
+    assert out.count() == docs.count()  # nothing dropped
+    flagged = {r.doc_id for r in out.where("is_contaminated").collect()}
+    assert flagged == _duckdb_contaminated(N)
+
+
+def test_decontaminate_short_docs_never_contaminated(ctx, spark):
+    src = spark.createDataFrame(
+        [(1, "only three words"), (2, "a b c d e f g h i j")],
+        schema="doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "only three words plus more to reach eight tokens total here")],
+        schema="eval_id long, text string",
+    )
+    ctx.db.replace_table("dc_s_src", src)
+    ctx.db.replace_table("dc_s_eval", ev)
+    _run(
+        ctx,
+        "dc_s",
+        {
+            "source": "dc_s_src",
+            "eval_table": "dc_s_eval",
+            "destination": "dc_s_out",
+            "ngram": 8,
+        },
+    )
+    # doc 1 has < 8 tokens -> no 8-grams -> survives even though its
+    # whole text is a substring of the eval doc
+    assert {r.doc_id for r in spark.table("dc_s_out").collect()} == {1, 2}
+
+
+def test_decontaminate_config_validation(ctx):
+    for cfg in (
+        {},
+        {"source": "t"},
+        {"source": "t", "eval_table": "e"},
+        {"source": "t", "eval_table": "e", "destination": "o", "mode": "nope"},
+        {"source": "t", "eval_table": "e", "destination": "o", "ngram": 0},
+    ):
+        t = DecontaminateTask("bad", cfg, ctx)
+        with pytest.raises(ValueError):
+            t.config()
