@@ -49,6 +49,12 @@ class EmbedTask(Task):
         self.method = c.get("method", "feature_hash")
         if self.method not in ("feature_hash", "model"):
             raise ValueError(f"embed task {self.name!r}: method must be feature_hash|model")
+        # incremental: embed only source rows whose id is not yet in the
+        # destination and append — a recurring ingest never re-encodes
+        # the existing corpus (at 100 TB re-embedding IS the cost)
+        self.mode = c.get("mode", "full")
+        if self.mode not in ("full", "incremental"):
+            raise ValueError(f"embed task {self.name!r}: mode must be full|incremental")
         self.id_column = c.get("id_column", "doc_id")
         self.text_column = c.get("text_column", "text")
         self.dim = int(c.get("dim", 64))
@@ -83,6 +89,19 @@ class EmbedTask(Task):
             F.col(self.id_column).alias("doc_id"),
             F.col(self.text_column).alias("text"),
         ).where(F.col("text").isNotNull())
+        incremental = self.mode == "incremental" and self.context.db.table_exists(
+            self.dst_value
+        )
+        if incremental:
+            # only new ids get encoded; replay-safe by construction
+            # (already-appended ids leave the batch)
+            docs = docs.join(
+                spark.table(self.dst_value).select(
+                    F.col(self.id_column).alias("doc_id")
+                ),
+                "doc_id",
+                "left_anti",
+            )
         toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("t"))
         bucketed = toks.select(
             "doc_id",
@@ -127,7 +146,11 @@ class EmbedTask(Task):
                 )
             )
         out = emb.select(F.col("doc_id").alias(self.id_column), "embedding")
-        self.context.db.replace_table(self.dst_value, out)
+        if incremental:
+            if not out.isEmpty():
+                self.context.db.create_table(self.dst_value, out, mode="append")
+        else:
+            self.context.db.replace_table(self.dst_value, out)
 
     def compile(self) -> None:
         return None

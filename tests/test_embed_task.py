@@ -168,3 +168,33 @@ def test_embed_config_validation(ctx):
         t = EmbedTask("bad", cfg, ctx)
         with pytest.raises(ValueError):
             t.config()
+
+
+def test_embed_incremental_appends_only_new_rows(ctx, spark):
+    """mode=incremental: a grown source re-encodes ONLY the new ids;
+    reruns with an unchanged source are no-ops (replay-safe append)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    cfg = {
+        "source": "em_i_src",
+        "destination": "em_i_out",
+        "dim": 16,
+        "mode": "incremental",
+    }
+    spark.sql("DROP TABLE IF EXISTS em_i_out")
+    wave1 = docs.where(F.col("doc_id") % 2 == 0)
+    ctx.db.replace_table("em_i_src", wave1)
+    _run(EmbedTask, ctx, "em_i", cfg)
+    n1 = spark.table("em_i_out").count()
+    assert n1 == wave1.count()
+    first = {r.doc_id: list(r.embedding) for r in spark.table("em_i_out").collect()}
+
+    ctx.db.replace_table("em_i_src", docs)
+    _run(EmbedTask, ctx, "em_i", cfg)
+    assert spark.table("em_i_out").count() == docs.count()
+    # existing rows untouched (no re-encode, no duplicates)
+    after = {r.doc_id: list(r.embedding) for r in spark.table("em_i_out").collect()}
+    assert all(after[d] == v for d, v in first.items())
+
+    _run(EmbedTask, ctx, "em_i", cfg)  # unchanged source -> no-op
+    assert spark.table("em_i_out").count() == docs.count()
+    spark.sql("DROP TABLE IF EXISTS em_i_out")
