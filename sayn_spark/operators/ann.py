@@ -64,6 +64,18 @@ class AnnIndexTask(Task):
         self.refine_iters = int(c.get("refine_iters", 0))
         if self.refine_iters < 0:
             raise ValueError(f"ann_index task {self.name!r}: refine_iters must be >= 0")
+        # incremental: insert new vectors into the EXISTING index (the
+        # FAISS `add` path) — frozen centroids/codebook, bucketed
+        # appends, anti-join replay safety.  Rebuild (mode: full) to
+        # retrain the quantizers.
+        self.mode = c.get("mode", "full")
+        if self.mode not in ("full", "incremental"):
+            raise ValueError(f"ann_index task {self.name!r}: mode must be full|incremental")
+        if self.mode == "incremental" and self.refine_iters:
+            raise ValueError(
+                f"ann_index task {self.name!r}: incremental inserts keep centroids "
+                "frozen — refine_iters requires a full rebuild"
+            )
 
         self.src_obj = self.context.obj_compiler.from_string(self.source)
         self.sources.add(self.src_obj)
@@ -99,6 +111,9 @@ class AnnIndexTask(Task):
         from sayn_spark.functions.similarity import _assign_cells, _centroid_arrays
 
         db = self.context.db
+        if self.mode == "incremental":
+            self._run_incremental()
+            return
         emb = self._emb().localCheckpoint()  # read by seed + every Lloyd pass
         cent = _centroid_arrays(emb.select("label", "e"))
         for _ in range(self.refine_iters):
@@ -136,6 +151,91 @@ class AnnIndexTask(Task):
         if self.method == "ivfpq":
             self._build_pq()
 
+    def _run_incremental(self) -> None:
+        """Insert new source vectors into the existing index: assign to
+        the FROZEN centroids, bucketed append to ``{index}_vectors``,
+        and (ivfpq) encode with the frozen codebook into
+        ``{index}_codes``.  Anti-joins on the target tables make every
+        write replay-safe and self-healing — a crash between the two
+        appends repairs on the next run."""
+        from sayn_spark.functions.similarity import _assign_cells
+
+        db = self.context.db
+        spark = self.context.spark
+        for t in (f"{self.index}_centroids", f"{self.index}_vectors"):
+            if not db.table_exists(t):
+                raise ValueError(
+                    f"ann_index task {self.name!r}: incremental insert needs an "
+                    f"existing index ({t} missing) — run a full build first"
+                )
+        cent = spark.table(f"{self.index}_centroids")
+        emb = self._emb()
+        new = emb.join(
+            spark.table(f"{self.index}_vectors").select("vec_id"), "vec_id", "left_anti"
+        ).localCheckpoint()  # read by assign + vector/code appends
+        if new.isEmpty():
+            return
+        cells = _assign_cells(new, cent)
+        vectors = new.join(cells, "vec_id").select(
+            "vec_id",
+            "cell",
+            "e",
+            F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm"),
+        )
+        db.create_table(
+            f"{self.index}_vectors",
+            vectors,
+            mode="append",
+            bucket_by=(_VEC_BUCKETS, ["cell"]),
+        )
+        if self.method == "ivfpq":
+            codes_t = f"{self.index}_codes"
+            if not db.table_exists(f"{self.index}_codebook"):
+                raise ValueError(
+                    f"ann_index task {self.name!r}: ivfpq incremental insert needs "
+                    f"the existing {self.index}_codebook — run a full build first"
+                )
+            # self-healing: encode whatever the vectors table has that
+            # the codes table lacks (covers a crash after the vector
+            # append but before this one)
+            missing = spark.table(f"{self.index}_vectors").join(
+                spark.table(codes_t).select("vec_id").distinct(),
+                "vec_id",
+                "left_anti",
+            )
+            db.create_table(
+                codes_t,
+                self._encode_pq(missing),
+                mode="append",
+                bucket_by=(_VEC_BUCKETS, ["cell"]),
+            )
+
+    def _encode_pq(self, vec: DataFrame) -> DataFrame:
+        """(vec_id, cell, s, c) codes for ``vec`` rows under the
+        existing (frozen) ``{index}_codebook``."""
+        spark = self.context.spark
+        cb = spark.table(f"{self.index}_codebook")
+        subs = vec.select(
+            "vec_id",
+            "cell",
+            F.posexplode(
+                F.expr("transform(sequence(0, 7), s -> slice(e, s * 8 + 1, 8))")
+            ).alias("s", "sub"),
+        )
+        sub_d2 = F.round(
+            F.expr(
+                "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+            ),
+            8,
+        )
+        return (
+            subs.join(F.broadcast(cb), "s")
+            .select("vec_id", "cell", "s", "c", sub_d2.alias("d2"))
+            .groupBy("vec_id", "cell", "s")
+            .agg(F.min(F.struct("d2", "c")).alias("m"))
+            .select("vec_id", "cell", "s", F.col("m.c").alias("c"))
+        )
+
     def _build_pq(self) -> None:
         """PQ layer over the IVF cells: ``{index}_codebook`` (s, c, cw)
         — 8 subspaces x 16 codewords, broadcast-sized — and
@@ -167,20 +267,7 @@ class AnnIndexTask(Task):
             .select("s", F.col("vec_id").alias("c"), F.col("sub").alias("cw"))
         )
         db.replace_table(f"{self.index}_codebook", cb)
-        cb_t = spark.table(f"{self.index}_codebook")
-        sub_d2 = F.round(
-            F.expr(
-                "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
-            ),
-            8,
-        )
-        codes = (
-            subs.join(F.broadcast(cb_t), "s")
-            .select("vec_id", "cell", "s", "c", sub_d2.alias("d2"))
-            .groupBy("vec_id", "cell", "s")
-            .agg(F.min(F.struct("d2", "c")).alias("m"))
-            .select("vec_id", "cell", "s", F.col("m.c").alias("c"))
-        )
+        codes = self._encode_pq(vec)
         staging = _tmp_name(f"{self.index}_codes")
         db.drop_object(staging)
         db.create_table(

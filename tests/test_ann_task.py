@@ -255,3 +255,77 @@ def test_ann_ivfpq_task_search_equals_registered_query(ctx, spark, emb_table):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_ann_index_incremental_insert(ctx, spark, emb_table):
+    """mode=incremental inserts new vectors into the existing index
+    under FROZEN centroids: vectors/codes append only the new ids,
+    existing assignments are untouched, searches see the inserts, and
+    reruns are no-ops."""
+    from sayn_spark.functions.similarity import ann_index_search
+
+    for t in ("ann_inc_src",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    full = spark.table("ann_src")
+    wave1 = full.where(F.col("vec_id") % 3 != 0)
+    ctx.db.replace_table("ann_inc_src", wave1)
+    base_cfg = {
+        "source": "ann_inc_src",
+        "index": "ann_inc",
+        "label_column": "label",
+        "method": "ivfpq",
+    }
+    _build(ctx, spark, "ann_inc_full", base_cfg)
+    n1 = spark.table("ann_inc_vectors").count()
+    assert n1 == wave1.count()
+    before = {
+        r.vec_id: r.cell for r in spark.table("ann_inc_vectors").collect()
+    }
+    cent_before = sorted(
+        (r.c_label, tuple(r.ce)) for r in spark.table("ann_inc_centroids").collect()
+    )
+
+    # grow the source; incremental insert picks up only the new ids
+    ctx.db.replace_table("ann_inc_src", full)
+    _build(ctx, spark, "ann_inc_add", {**base_cfg, "mode": "incremental"})
+    after = {r.vec_id: r.cell for r in spark.table("ann_inc_vectors").collect()}
+    assert len(after) == full.count()
+    assert all(after[v] == c for v, c in before.items())  # untouched
+    assert spark.table("ann_inc_codes").count() == full.count() * 8
+    # centroids frozen
+    cent_after = sorted(
+        (r.c_label, tuple(r.ce)) for r in spark.table("ann_inc_centroids").collect()
+    )
+    assert cent_after == cent_before
+
+    # a query finds an inserted vector (its own exact copy isn't there,
+    # but its cell now contains it)
+    new_id = full.where(F.col("vec_id") % 3 == 0).select("vec_id").first().vec_id
+    queries = full.where(F.col("vec_id") == new_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("cast(embedding as array<double>)").alias("e"),
+    )
+    hits = ann_index_search(spark, "ann_inc", queries, k=3, nprobe=1)
+    assert hits.count() == 3
+
+    # rerun with unchanged source: no-op
+    _build(ctx, spark, "ann_inc_noop", {**base_cfg, "mode": "incremental"})
+    assert spark.table("ann_inc_vectors").count() == full.count()
+    assert spark.table("ann_inc_codes").count() == full.count() * 8
+
+
+def test_ann_index_incremental_validation(ctx):
+    t = AnnIndexTask(
+        "bad",
+        {
+            "source": "t",
+            "index": "i",
+            "mode": "incremental",
+            "refine_iters": 1,
+        },
+        ctx,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="frozen"):
+        t.config()
