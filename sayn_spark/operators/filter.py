@@ -98,8 +98,13 @@ class FilterTask(Task):
             )
         src_cols = df.columns
         # the shared column builders read a column literally named
-        # `text`; alias once, restore after
-        work = df.withColumn("text", F.col(self.text_column)).where(
+        # `text`; alias once, restore after.  If the source ALSO has an
+        # unrelated `text` column, stash it first so its data survives.
+        clash = self.text_column != "text" and "text" in src_cols
+        work = df
+        if clash:
+            work = work.withColumnRenamed("text", "__sayn_orig_text__")
+        work = work.withColumn("text", F.col(self.text_column)).where(
             F.col("text").isNotNull()
         )
         if self.scorer == "quality":
@@ -129,8 +134,10 @@ class FilterTask(Task):
             out = kept if self.with_score else kept.drop("_n")
             if self.with_score:
                 out = out.withColumnRenamed("_n", "n_tokens")
-        if self.text_column != "text" and "text" not in src_cols:
+        if self.text_column != "text":
             out = out.drop("text")
+            if clash:
+                out = out.withColumnRenamed("__sayn_orig_text__", "text")
         self.context.db.replace_table(self.dst_value, out)
 
     def compile(self) -> None:

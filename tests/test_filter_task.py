@@ -149,3 +149,30 @@ def test_filter_config_validation(ctx):
         t = FilterTask("bad", cfg, ctx)
         with pytest.raises(ValueError):
             t.config()
+
+
+def test_filter_preserves_unrelated_text_column(ctx, spark):
+    """text_column=body while an unrelated `text` column exists: the
+    original text data must survive untouched (the scorer aliases the
+    body column internally)."""
+    rows = [
+        (1, "keep this text intact", "alpha beta gamma delta epsilon " * 8),
+        (2, "another original", "a a a a a"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, body string")
+    ctx.db.replace_table("ft_c_src", df)
+    _run(
+        ctx,
+        "ft_c",
+        {
+            "source": "ft_c_src",
+            "destination": "ft_c_out",
+            "scorer": "length",
+            "text_column": "body",
+            "min_tokens": 10,
+        },
+    )
+    out = {r.doc_id: (r.text, r.body) for r in spark.table("ft_c_out").collect()}
+    assert set(out) == {1}  # doc 2's body has 5 tokens
+    assert out[1][0] == "keep this text intact"
+    assert sorted(spark.table("ft_c_out").columns) == ["body", "doc_id", "text"]
