@@ -493,3 +493,89 @@ def q_quality_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(kept).alias("n_kept"),
         F.round(F.sum(kept).cast("double") / F.count(F.lit(1)), 6).alias("keep_rate"),
     ).select("source", "n_docs", "n_kept", "keep_rate", "median_quality")
+
+
+_NGRAM_TOKENS = "filter(split(lower(text), ' '), x -> x != '')"
+
+
+def ngram_hash_frame(df: DataFrame, text_column: str, n: int, id_column: str | None):
+    """Distinct (``id?``, h) xxhash64 keys of every n-token sequence —
+    shared by q_decontaminate_ngrams and the decontaminate task."""
+    work = df.where(F.col(text_column).isNotNull()).withColumn(
+        "toks", F.expr(_NGRAM_TOKENS.replace("text", text_column))
+    )
+    grams = F.expr(
+        f"case when size(toks) >= {n} then "
+        f"transform(sequence(1, size(toks) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(toks, i, {n}))) "
+        "else cast(array() as array<string>) end"
+    )
+    cols = ([F.col(id_column)] if id_column else []) + [
+        F.explode(grams).alias("g")
+    ]
+    out = work.select(*cols).select(
+        *( [id_column] if id_column else [] ), F.xxhash64("g").alias("h")
+    )
+    return out.distinct()
+
+
+@register(
+    "q_decontaminate_ngrams",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+src_g AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+         i -> array_to_string(t[i:i+7], ' '))) AS g
+  FROM toks WHERE len(t) >= 8
+),
+ev_raw AS (
+  SELECT array_to_string(t[3:10], ' ') AS text
+  FROM toks WHERE doc_id % 9 = 0 AND len(t) >= 10
+),
+ev_toks AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM ev_raw
+),
+ev_g AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 7),
+         i -> array_to_string(t[i:i+7], ' '))) AS g
+  FROM ev_toks WHERE len(t) >= 8
+)
+SELECT DISTINCT doc_id AS contaminated_id FROM src_g
+WHERE g IN (SELECT g FROM ev_g)
+""",
+)
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap (the 13-gram rule of
+    the GPT-3 appendix, at n=8 for this corpus's document lengths):
+    training documents sharing any 8-token sequence with a held-out
+    eval set are contaminated.  The eval set is planted — 8-token
+    snippets (token offset 3) of every 9th document — so the snippet
+    donors are contaminated by construction, plus any natural overlap.
+
+    Scale design (the engine task `type: decontaminate` is this exact
+    plan over arbitrary tables): both sides reduce to 8-byte xxhash64
+    n-gram keys, the eval side (benchmarks are MBs against a 100 TB
+    corpus) broadcasts, and the check is a map-side LEFT SEMI join —
+    the corpus never shuffles and text never leaves its partitions.
+    Documents shorter than n tokens have no n-grams and are immune.
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = (
+        d.where(F.col("doc_id") % 9 == 0)
+        .select(
+            F.expr(
+                "concat_ws(' ', slice(filter(split(lower(text), ' '), x -> x != ''), 3, 8))"
+            ).alias("text")
+        )
+        .where(F.expr("size(filter(split(lower(text), ' '), x -> x != ''))") >= 8)
+    )
+    ev_hashes = ngram_hash_frame(ev, "text", 8, None)
+    src_hashes = ngram_hash_frame(d, "text", 8, "doc_id")
+    return (
+        src_hashes.join(F.broadcast(ev_hashes), "h", "left_semi")
+        .select(F.col("doc_id").alias("contaminated_id"))
+        .distinct()
+    )

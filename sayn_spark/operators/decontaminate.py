@@ -31,30 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sayn_spark.functions.content_filter import ngram_hash_frame
 from sayn_spark.operators.base import Task, TaskStatus
-
-_TOKENS = "filter(split(lower(text), ' '), x -> x != '')"
-
-
-def _ngram_hash_frame(df: DataFrame, text_column: str, n: int, id_column: str | None):
-    """Distinct (``id?``, h) xxhash64 keys of every n-token sequence."""
-    work = df.where(F.col(text_column).isNotNull()).withColumn(
-        "toks", F.expr(_TOKENS.replace("text", text_column))
-    )
-    grams = F.expr(
-        f"case when size(toks) >= {n} then "
-        f"transform(sequence(1, size(toks) - {n} + 1), "
-        f"i -> concat_ws(' ', slice(toks, i, {n}))) "
-        "else cast(array() as array<string>) end"
-    )
-    cols = ([F.col(id_column)] if id_column else []) + [
-        F.explode(grams).alias("g")
-    ]
-    out = work.select(*cols).select(
-        *( [id_column] if id_column else [] ), F.xxhash64("g").alias("h")
-    )
-    return out.distinct()
-
 
 class DecontaminateTask(Task):
     def config(self) -> None:
@@ -102,8 +80,8 @@ class DecontaminateTask(Task):
                 raise ValueError(
                     f"decontaminate task {self.name!r}: column {col!r} not in {label}"
                 )
-        ev_hashes = _ngram_hash_frame(ev, self.eval_text_column, self.ngram, None)
-        src_hashes = _ngram_hash_frame(df, self.text_column, self.ngram, self.id_column)
+        ev_hashes = ngram_hash_frame(ev, self.eval_text_column, self.ngram, None)
+        src_hashes = ngram_hash_frame(df, self.text_column, self.ngram, self.id_column)
         contaminated = (
             src_hashes.join(F.broadcast(ev_hashes), "h", "left_semi")
             .select(self.id_column)
