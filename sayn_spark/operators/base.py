@@ -121,6 +121,28 @@ class Task:
             task_parameters=self.task_parameters,
         )
 
+    def destination_writer_opts(self) -> dict:
+        """Catalog-layout passthrough shared by the pipeline task types
+        (dedup/embed/filter/decontaminate), using the same
+        ``table_properties`` keys the sql task honours:
+
+            table_properties:
+              partition: [lang]        # or a single string
+              bucket_by: [doc_id]
+              buckets: 16
+              sort_by: [doc_id]
+        """
+        tp = self.config_dict.get("table_properties") or {}
+        opts: dict[str, Any] = {}
+        if tp.get("partition"):
+            p = tp["partition"]
+            opts["partition_by"] = [p] if isinstance(p, str) else list(p)
+        if tp.get("bucket_by"):
+            opts["bucket_by"] = (int(tp.get("buckets", 8)), list(tp["bucket_by"]))
+            if tp.get("sort_by"):
+                opts["sort_by"] = list(tp["sort_by"])
+        return opts
+
     def compile_property(self, value: Any) -> Any:
         """Jinja-compile string task properties (ref: task_wrapper.py:175-196)."""
         if isinstance(value, str):

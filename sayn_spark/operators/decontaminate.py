@@ -97,7 +97,9 @@ class DecontaminateTask(Task):
             ).withColumn(
                 "is_contaminated", F.coalesce("is_contaminated", F.lit(False))
             )
-        self.context.db.replace_table(self.dst_value, out)
+        self.context.db.replace_table(
+            self.dst_value, out, **self.destination_writer_opts()
+        )
 
     def compile(self) -> None:
         return None

@@ -265,7 +265,9 @@ class DedupTask(Task):
         docs = self._docs()
         dropped = self._dropped(docs)
         kept = docs.join(dropped, self.id_column, "left_anti")
-        self.context.db.replace_table(self.dst_value, kept)
+        self.context.db.replace_table(
+            self.dst_value, kept, **self.destination_writer_opts()
+        )
         from sayn_spark.functions.registry import release_persisted
 
         release_persisted()

@@ -150,7 +150,9 @@ class EmbedTask(Task):
             if not out.isEmpty():
                 self.context.db.create_table(self.dst_value, out, mode="append")
         else:
-            self.context.db.replace_table(self.dst_value, out)
+            self.context.db.replace_table(
+                self.dst_value, out, **self.destination_writer_opts()
+            )
 
     def compile(self) -> None:
         return None

@@ -138,7 +138,9 @@ class FilterTask(Task):
             out = out.drop("text")
             if clash:
                 out = out.withColumnRenamed("__sayn_orig_text__", "text")
-        self.context.db.replace_table(self.dst_value, out)
+        self.context.db.replace_table(
+            self.dst_value, out, **self.destination_writer_opts()
+        )
 
     def compile(self) -> None:
         return None

@@ -176,3 +176,24 @@ def test_filter_preserves_unrelated_text_column(ctx, spark):
     assert set(out) == {1}  # doc 2's body has 5 tokens
     assert out[1][0] == "keep this text intact"
     assert sorted(spark.table("ft_c_out").columns) == ["body", "doc_id", "text"]
+
+
+def test_filter_destination_table_properties(ctx, spark):
+    """table_properties on a pipeline task flow through to the catalog
+    writer (same keys the sql task honours)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ctx.db.replace_table("ft_p_src", docs)
+    _run(
+        ctx,
+        "ft_p",
+        {
+            "source": "ft_p_src",
+            "destination": "ft_p_out",
+            "scorer": "length",
+            "min_tokens": 1,
+            "table_properties": {"partition": ["lang"]},
+        },
+    )
+    desc = [r.col_name for r in spark.sql("DESCRIBE TABLE ft_p_out").collect()]
+    assert "# Partition Information" in desc
+    assert spark.table("ft_p_out").count() > 0
