@@ -225,6 +225,17 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     comp = spark.table("dup_components")
     joined = final.join(comp, final.doc_id == comp.node)
     assert joined.where("component != node").count() == 0
+    # the declarative pipeline task types all produced their outputs
+    n_docs = spark.table("documents").count()
+    assert 0 < spark.table("corpus_minhash_deduped").count() < n_docs
+    assert spark.table("doc_hash_embeddings").count() == n_docs
+    assert spark.table("corpus_doc_index_vectors").count() == n_docs
+    assert spark.table("corpus_doc_index_centroids").count() == 8
+    clean = spark.table("documents_clean")
+    assert 0 < clean.count() <= n_docs
+    assert "quality_score" in clean.columns
+    decon = spark.table("documents_decontaminated")
+    assert 0 < decon.count() < clean.count()  # snippet donors dropped
 
 
 def test_env_parameter_override(spark, tmp_path, monkeypatch):
