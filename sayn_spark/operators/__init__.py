@@ -5,6 +5,8 @@ from sayn_spark.operators.decontaminate import DecontaminateTask  # noqa: F401
 from sayn_spark.operators.dedup import DedupTask  # noqa: F401
 from sayn_spark.operators.embed import EmbedTask  # noqa: F401
 from sayn_spark.operators.filter import FilterTask  # noqa: F401
+from sayn_spark.operators.mixture import MixtureTask  # noqa: F401
+from sayn_spark.operators.pack import PackTask  # noqa: F401
 from sayn_spark.operators.python import (  # noqa: F401
     ClassPythonTask,
     DecoratedPythonTask,
@@ -27,6 +29,8 @@ TASK_TYPES = {
     "embed": EmbedTask,
     "filter": FilterTask,
     "decontaminate": DecontaminateTask,
+    "mixture": MixtureTask,
+    "pack": PackTask,
     "test": TestTask,
     "python": ClassPythonTask,
     "python_module": ModulePythonTask,

@@ -1,0 +1,119 @@
+"""Mixture task: token-budget-weighted downsampling across domains —
+the pretraining-mix construction stage, as a YAML task:
+
+    tasks:
+      mix_corpus:
+        type: mixture
+        source: documents
+        destination: documents_mixed
+        group_column: lang         # domain key (language, source, ...)
+        token_budget_ratio: 0.5    # fraction of total tokens to keep
+        weights: {en: 3, zh: 1}    # optional; default uniform
+
+Each group g is downsampled to target ~= budget * w_g / sum(w) tokens:
+pass 1 aggregates per-group token counts (tiny frame, broadcast);
+pass 2 keeps rows whose content-hash per-mille bucket falls under the
+solved rate — the q_token_budget_mix shape (oracle-verified) with
+configurable weights.  All rate math is integer (per-mille, floor div)
+and the keep decision is a deterministic md5 of the id, so the same
+mix reproduces on any cluster and reruns are stable.  Rates cap at
+1000 — groups are never upsampled; a group whose weight exceeds its
+data keeps everything (the standard epochs-handled-elsewhere trade).
+
+At 100 TB: pass 1 is a scan-aggregate, pass 2 a map-side filter — no
+shuffle touches the documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sayn_spark.operators.base import Task, TaskStatus
+
+
+class MixtureTask(Task):
+    def config(self) -> None:
+        c = self.config_dict
+        self.source = self.compile_property(c.get("source"))
+        if not self.source:
+            raise ValueError(f"mixture task {self.name!r} needs source")
+        dest = self.compile_property(c.get("destination"))
+        if not dest:
+            raise ValueError(f"mixture task {self.name!r} needs destination")
+        self.group_column = c.get("group_column")
+        if not self.group_column:
+            raise ValueError(f"mixture task {self.name!r} needs group_column")
+        self.ratio = float(c.get("token_budget_ratio", 0.5))
+        if not (0.0 < self.ratio <= 1.0):
+            raise ValueError(
+                f"mixture task {self.name!r}: token_budget_ratio must be in (0, 1]"
+            )
+        self.weights = dict(c.get("weights", {}))
+        for k, v in self.weights.items():
+            if int(v) < 0:
+                raise ValueError(f"mixture task {self.name!r}: weight {k} < 0")
+        self.id_column = c.get("id_column", "doc_id")
+        self.text_column = c.get("text_column", "text")
+
+        self.src_obj = self.context.obj_compiler.from_string(self.source)
+        self.sources.add(self.src_obj)
+        self.src_value = self.context.obj_compiler.src_value(self.src_obj)
+        self.destination = self.context.obj_compiler.from_string(dest)
+        self.outputs.add(self.destination)
+        self.dst_value = self.context.obj_compiler.out_value(self.destination)
+        self.status = TaskStatus.READY
+
+    def run(self) -> None:
+        spark = self.context.spark
+        df = spark.table(self.src_value)
+        for col in (self.id_column, self.text_column, self.group_column):
+            if col not in df.columns:
+                raise ValueError(
+                    f"mixture task {self.name!r}: column {col!r} not in {self.src_value}"
+                )
+        n_tokens = F.expr(
+            f"size(filter(split(lower({self.text_column}), ' '), x -> x != ''))"
+        )
+        tok = df.select(
+            F.col(self.id_column).alias("_id"),
+            F.col(self.group_column).alias("_grp"),
+            n_tokens.alias("_n"),
+        )
+        stats = tok.groupBy("_grp").agg(F.sum("_n").alias("_grp_tokens"))
+        if self.weights:
+            w_rows = [(k, int(v)) for k, v in self.weights.items()]
+            wdf = spark.createDataFrame(w_rows, schema="_grp string, _w long")
+            stats = stats.join(F.broadcast(wdf), "_grp", "left").withColumn(
+                "_w", F.coalesce("_w", F.lit(0))
+            )
+        else:
+            stats = stats.withColumn("_w", F.lit(1))
+        # integer rate solve: budget in per-mille of total tokens split
+        # by weight share; floor div keeps both engines/runs identical
+        budget_pm = int(self.ratio * 1000)
+        tot = stats.agg(
+            F.sum("_grp_tokens").alias("_tot"), F.sum("_w").alias("_sumw")
+        )
+        rated = stats.join(F.broadcast(tot)).select(
+            "_grp",
+            F.expr(
+                f"least(1000, ((_tot * {budget_pm} div 1000) * _w * 1000) "
+                "div (_sumw * _grp_tokens))"
+            ).alias("_rate"),
+        )
+        bucket = F.expr(
+            "cast(conv(substr(md5(cast(_id as string)), 1, 8), 16, 10) as bigint) % 1000"
+        )
+        kept_ids = (
+            tok.withColumn("_bucket", bucket)
+            .join(F.broadcast(rated), "_grp")
+            .where(F.col("_bucket") < F.col("_rate"))
+            .select(F.col("_id").alias(self.id_column))
+        )
+        out = df.join(kept_ids, self.id_column, "left_semi")
+        self.context.db.replace_table(
+            self.dst_value, out, **self.destination_writer_opts()
+        )
+
+    def compile(self) -> None:
+        return None
