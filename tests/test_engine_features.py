@@ -236,6 +236,11 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     assert "quality_score" in clean.columns
     decon = spark.table("documents_decontaminated")
     assert 0 < decon.count() < clean.count()  # snippet donors dropped
+    mixed = spark.table("corpus_mixed")
+    assert 0 < mixed.count() <= decon.count()
+    packed = spark.table("corpus_packed")
+    assert packed.count() == mixed.count()
+    assert {"n_tokens", "bin_id"} <= set(packed.columns)
 
 
 def test_env_parameter_override(spark, tmp_path, monkeypatch):
