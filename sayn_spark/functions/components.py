@@ -65,7 +65,7 @@ def _label_prop(sym: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
     return labels, iterations, converged
 
 
-def _symmetrise(edges: DataFrame) -> DataFrame:
+def _symmetrise(edges: DataFrame, checkpointed: bool = False) -> DataFrame:
     """Checkpoint the raw edge list, then build the symmetrised +
     self-looped frame every propagation iteration joins against.
 
@@ -75,8 +75,14 @@ def _symmetrise(edges: DataFrame) -> DataFrame:
     each union arm below would re-run it once per reference.  sym needs
     NO distinct and NO separate node set: duplicate edges are harmless
     under the min aggregate, and self-loops come from two more narrow
-    projections of fwd — four map-side unions, zero shuffles."""
-    fwd = edges.select("src", "dst").localCheckpoint()
+    projections of fwd — four map-side unions, zero shuffles.
+
+    ``checkpointed=True`` skips the inner checkpoint when the caller
+    already materialised the edge list (components() does, because it
+    may hand the same frame to star_components on fall-over) — a
+    second localCheckpoint would copy the partitions and add a job
+    barrier for nothing."""
+    fwd = edges if checkpointed else edges.select("src", "dst").localCheckpoint()
     return (
         fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .unionByName(fwd.select("src", F.col("src").alias("dst")))
@@ -140,7 +146,7 @@ def components(
     ``_method``, if given, receives "label_prop" or "star" (test hook).
     """
     fwd = edges.select("src", "dst").localCheckpoint()
-    labels, _, converged = _label_prop(_symmetrise(fwd), label_budget)
+    labels, _, converged = _label_prop(_symmetrise(fwd, checkpointed=True), label_budget)
     if converged:
         if _method is not None:
             _method.append("label_prop")
