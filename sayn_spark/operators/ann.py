@@ -168,6 +168,12 @@ class AnnIndexTask(Task):
                     f"ann_index task {self.name!r}: incremental insert needs an "
                     f"existing index ({t} missing) — run a full build first"
                 )
+        if self.method == "ivf" and db.table_exists(f"{self.index}_codes"):
+            raise ValueError(
+                f"ann_index task {self.name!r}: {self.index} was built with "
+                "method=ivfpq — inserting with method=ivf would leave the codes "
+                "table stale; set method: ivfpq"
+            )
         cent = spark.table(f"{self.index}_centroids")
         emb = self._emb()
         new = emb.join(

@@ -329,3 +329,22 @@ def test_ann_index_incremental_validation(ctx):
 
     with _pytest.raises(ValueError, match="frozen"):
         t.config()
+
+
+def test_ann_index_incremental_method_mismatch_guard(ctx, spark, emb_table):
+    """Inserting with method=ivf into an ivfpq index would silently
+    leave the codes table stale — rejected instead."""
+    _build(
+        ctx,
+        spark,
+        "ann_mm",
+        {"source": "ann_src", "index": "ann_mm", "label_column": "label", "method": "ivfpq"},
+    )
+    t = AnnIndexTask(
+        "ann_mm_ins",
+        {"source": "ann_src", "index": "ann_mm", "label_column": "label", "mode": "incremental"},
+        ctx,
+    )
+    t.config()
+    with pytest.raises(ValueError, match="stale"):
+        t.run()
