@@ -1,5 +1,6 @@
 from sayn_spark.operators.ann import AnnIndexTask  # noqa: F401
 from sayn_spark.operators.base import RunArguments, Task, TaskContext, TaskStatus  # noqa: F401
+from sayn_spark.operators.chunk import ChunkTask  # noqa: F401
 from sayn_spark.operators.copy import CopyTask  # noqa: F401
 from sayn_spark.operators.decontaminate import DecontaminateTask  # noqa: F401
 from sayn_spark.operators.dedup import DedupTask  # noqa: F401
@@ -31,6 +32,7 @@ TASK_TYPES = {
     "decontaminate": DecontaminateTask,
     "mixture": MixtureTask,
     "pack": PackTask,
+    "chunk": ChunkTask,
     "test": TestTask,
     "python": ClassPythonTask,
     "python_module": ModulePythonTask,

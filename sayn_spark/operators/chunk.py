@@ -1,0 +1,105 @@
+"""Chunk task: split long documents into overlapping context-window
+chunks — the complement of ``pack`` (pack groups whole short docs into
+windows; chunk SPLITS docs longer than one window), as a YAML task:
+
+    tasks:
+      chunk_corpus:
+        type: chunk
+        source: documents
+        destination: corpus_chunks
+        chunk_tokens: 2048
+        stride: 1792             # overlap = chunk_tokens - stride
+        min_tokens: 1            # drop empty docs
+
+Output: one row per chunk — (id, chunk_index, chunk_start, n_tokens,
+chunk_text) plus any ``carry_columns`` copied from the source row.
+Chunk starts come from an array-local sequence() explode, so each
+document expands independently: at 100 TB this is a pure map-side
+flatMap — no shuffle at all (the q_doc_chunking shape, which
+oracle-pins the identical chunk text by checksum).
+
+The final (possibly short) tail chunk is kept — chunking for training
+usually keeps tails and lets packing/padding deal with them; filter on
+``n_tokens`` downstream to drop them instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sayn_spark.operators.base import Task, TaskStatus
+
+
+class ChunkTask(Task):
+    def config(self) -> None:
+        c = self.config_dict
+        self.source = self.compile_property(c.get("source"))
+        if not self.source:
+            raise ValueError(f"chunk task {self.name!r} needs source")
+        dest = self.compile_property(c.get("destination"))
+        if not dest:
+            raise ValueError(f"chunk task {self.name!r} needs destination")
+        self.chunk_tokens = int(c.get("chunk_tokens", 2048))
+        if self.chunk_tokens < 1:
+            raise ValueError(f"chunk task {self.name!r}: chunk_tokens must be >= 1")
+        self.stride = int(c.get("stride", self.chunk_tokens))
+        if not (1 <= self.stride <= self.chunk_tokens):
+            raise ValueError(
+                f"chunk task {self.name!r}: stride must be in [1, chunk_tokens]"
+            )
+        self.min_tokens = int(c.get("min_tokens", 1))
+        self.id_column = c.get("id_column", "doc_id")
+        self.text_column = c.get("text_column", "text")
+        self.carry_columns = list(c.get("carry_columns", []))
+
+        self.src_obj = self.context.obj_compiler.from_string(self.source)
+        self.sources.add(self.src_obj)
+        self.src_value = self.context.obj_compiler.src_value(self.src_obj)
+        self.destination = self.context.obj_compiler.from_string(dest)
+        self.outputs.add(self.destination)
+        self.dst_value = self.context.obj_compiler.out_value(self.destination)
+        self.status = TaskStatus.READY
+
+    def run(self) -> None:
+        spark = self.context.spark
+        df = spark.table(self.src_value)
+        for col in [self.id_column, self.text_column, *self.carry_columns]:
+            if col not in df.columns:
+                raise ValueError(
+                    f"chunk task {self.name!r}: column {col!r} not in {self.src_value}"
+                )
+        toks = F.expr(
+            f"filter(split(lower({self.text_column}), ' '), x -> x != '')"
+        )
+        work = (
+            df.where(F.col(self.text_column).isNotNull())
+            .withColumn("_toks", toks)
+            .where(F.size("_toks") >= self.min_tokens)
+        )
+        exploded = work.select(
+            F.col(self.id_column),
+            *self.carry_columns,
+            F.size("_toks").alias("_n"),
+            F.col("_toks"),
+            F.explode(
+                F.expr(f"sequence(1, size(_toks), {self.stride})")
+            ).alias("chunk_start"),
+        )
+        out = exploded.select(
+            self.id_column,
+            *self.carry_columns,
+            ((F.col("chunk_start") - 1) / self.stride).cast("bigint").alias("chunk_index"),
+            "chunk_start",
+            F.least(
+                F.lit(self.chunk_tokens), F.col("_n") - F.col("chunk_start") + 1
+            ).alias("n_tokens"),
+            F.expr(
+                f"array_join(slice(_toks, chunk_start, {self.chunk_tokens}), ' ')"
+            ).alias("chunk_text"),
+        )
+        self.context.db.replace_table(
+            self.dst_value, out, **self.destination_writer_opts()
+        )
+
+    def compile(self) -> None:
+        return None

@@ -1,0 +1,117 @@
+"""Lifecycle tests for the chunk task: chunk text/counts must match a
+DuckDB replica token-for-token."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sayn_spark.core.compiler import Compiler
+from sayn_spark.core.database import SparkDatabase
+from sayn_spark.core.objects import DbObjectCompiler
+from sayn_spark.operators import RunArguments, TaskContext
+from sayn_spark.operators.chunk import ChunkTask
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def ctx(spark, tmp_path):
+    return TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={},
+        connections={},
+        project_dir=tmp_path,
+    )
+
+
+def _run(ctx, name, cfg):
+    t = ChunkTask(name, cfg, ctx)
+    t.config()
+    t.run()
+    return t
+
+
+def test_chunk_matches_duckdb_replica(ctx, spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text", "lang")
+    ctx.db.replace_table("ck_src", docs)
+    _run(
+        ctx,
+        "ck",
+        {
+            "source": "ck_src",
+            "destination": "ck_out",
+            "chunk_tokens": 16,
+            "stride": 8,
+            "carry_columns": ["lang"],
+        },
+    )
+    got = {
+        (r.doc_id, r.chunk_index): (r.chunk_start, r.n_tokens, r.chunk_text, r.lang)
+        for r in spark.table("ck_out").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5])
+        for r in con.execute(
+            """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM d WHERE text IS NOT NULL
+),
+starts AS (
+  SELECT doc_id, lang, t, len(t) AS n, unnest(generate_series(1, len(t), 8)) AS s
+  FROM toks WHERE len(t) >= 1
+)
+SELECT doc_id, (s - 1) // 8 AS chunk_index, s AS chunk_start,
+       LEAST(16, n - s + 1) AS n_tokens,
+       array_to_string(t[s:s+15], ' ') AS chunk_text, lang
+FROM starts
+"""
+        ).fetchall()
+    }
+    assert got == want
+    assert len(got) > len({k[0] for k in got})  # long docs really split
+
+
+def test_chunk_overlap_and_tail(ctx, spark):
+    """stride < chunk_tokens overlaps; the tail chunk is short but kept."""
+    src = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))], schema="doc_id long, text string"
+    )
+    ctx.db.replace_table("ck_o_src", src)
+    _run(
+        ctx,
+        "ck_o",
+        {"source": "ck_o_src", "destination": "ck_o_out", "chunk_tokens": 6, "stride": 4},
+    )
+    rows = {
+        r.chunk_index: (r.chunk_start, r.n_tokens, r.chunk_text)
+        for r in spark.table("ck_o_out").collect()
+    }
+    assert rows[0] == (1, 6, "w0 w1 w2 w3 w4 w5")
+    assert rows[1] == (5, 6, "w4 w5 w6 w7 w8 w9")  # 2-token overlap
+    assert rows[2] == (9, 2, "w8 w9")  # short tail kept
+    assert len(rows) == 3
+
+
+def test_chunk_config_validation(ctx):
+    for cfg in (
+        {},
+        {"source": "t"},
+        {"source": "t", "destination": "o", "chunk_tokens": 0},
+        {"source": "t", "destination": "o", "chunk_tokens": 8, "stride": 0},
+        {"source": "t", "destination": "o", "chunk_tokens": 8, "stride": 9},
+    ):
+        t = ChunkTask("bad", cfg, ctx)
+        with pytest.raises(ValueError):
+            t.config()
