@@ -241,6 +241,12 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     packed = spark.table("corpus_packed")
     assert packed.count() == mixed.count()
     assert {"n_tokens", "bin_id"} <= set(packed.columns)
+    chunked = spark.table("corpus_chunked")
+    assert chunked.count() >= mixed.count()  # long docs split
+    assert {"chunk_index", "chunk_text", "lang"} <= set(chunked.columns)
+    epoch = spark.table("corpus_epoch0")
+    assert epoch.count() == packed.count()
+    assert {"hv", "shard"} <= set(epoch.columns)
 
 
 def test_env_parameter_override(spark, tmp_path, monkeypatch):
