@@ -89,7 +89,10 @@ class MixtureTask(Task):
         else:
             stats = stats.withColumn("_w", F.lit(1))
         # integer rate solve: budget in per-mille of total tokens split
-        # by weight share; floor div keeps both engines/runs identical
+        # by weight share; exact floor division keeps runs identical.
+        # The products run in DECIMAL(38,0): a 100 TB corpus holds
+        # ~10^13-10^14 tokens, and tot * budget_pm * w * 1000 blows past
+        # int64 long before that — bigint math here would silently wrap.
         budget_pm = int(self.ratio * 1000)
         tot = stats.agg(
             F.sum("_grp_tokens").alias("_tot"), F.sum("_w").alias("_sumw")
@@ -97,8 +100,10 @@ class MixtureTask(Task):
         rated = stats.join(F.broadcast(tot)).select(
             "_grp",
             F.expr(
-                f"least(1000, ((_tot * {budget_pm} div 1000) * _w * 1000) "
-                "div (_sumw * _grp_tokens))"
+                "cast(least(1000, floor("
+                f"floor(cast(_tot as decimal(38,0)) * {budget_pm} / 1000) "
+                "* _w * 1000 / (cast(_sumw as decimal(38,0)) * _grp_tokens)"
+                ")) as bigint)"
             ).alias("_rate"),
         )
         bucket = F.expr(
