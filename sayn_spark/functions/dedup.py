@@ -1483,14 +1483,11 @@ def _containment_candidates(sigs: DataFrame) -> DataFrame:
     )
 
 
-def _containment_gate_inputs(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """(shingled, sigs) for the containment gate: the persisted shingle
-    table (verify side) and the size-partitioned 128-hash signature
-    frame (candidate side).  Shared by the registered query and the
-    candidate-growth tests."""
-    corpus = _fan_out(_containment_corpus(spark, sf_dir), spark, sf_dir)
+def _containment_gate_frames(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(shingled, sigs) for the containment gate over an arbitrary
+    (doc_id, text) corpus: the persisted shingle table (verify side)
+    and the size-partitioned 128-hash signature frame (candidate
+    side)."""
     shingled = _staged_shingles(corpus, persist=True).where(F.size("sh") > 0)
     sigs = persist_tracked(
         shingled.select(
@@ -1500,6 +1497,41 @@ def _containment_gate_inputs(
         ).select("doc_id", "part", _sig_udf(_LE_N_HASHES)(F.col("bases")).alias("sig"))
     )
     return shingled, sigs
+
+
+def gated_containment_pairs(corpus: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """(id_a, id_b, containment) pairs with overlap coefficient >=
+    threshold over an arbitrary (doc_id, text) corpus, via the full
+    LSH-Ensemble gate (size-partitioned bands -> sketch screen -> exact
+    verify).  The library entry point behind q_dedup_containment_gated;
+    the supported size-ratio window is < 2^(_LE_MAX_GAP+1) = 8 —
+    wider-ratio pairs need more 1-row bands (see _LE_BANDS_BY_GAP)."""
+    shingled, sigs = _containment_gate_frames(corpus)
+    screened = _containment_screened(shingled, sigs)
+    sh_a = shingled.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.size("sh").alias("na")
+    )
+    sh_b = shingled.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.size("sh").alias("nb")
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    cont = common.cast("double") / F.least(F.col("na"), F.col("nb"))
+    return (
+        screened.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .where(cont >= float(threshold))
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
+
+
+def _containment_gate_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Registered-corpus variant of _containment_gate_frames (shared by
+    the candidate-growth tests)."""
+    return _containment_gate_frames(
+        _fan_out(_containment_corpus(spark, sf_dir), spark, sf_dir)
+    )
 
 
 def _containment_screened(shingled: DataFrame, sigs: DataFrame) -> DataFrame:
@@ -1554,21 +1586,8 @@ def q_dedup_containment_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage at sf0.1).  Partition math and band-count derivation: see
     _LE_BANDS_BY_GAP / _LE_EST_DELTA above.
     """
-    shingled, sigs = _containment_gate_inputs(spark, sf_dir)
-    screened = _containment_screened(shingled, sigs)
-    sh_a = shingled.select(
-        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.size("sh").alias("na")
-    )
-    sh_b = shingled.select(
-        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.size("sh").alias("nb")
-    )
-    common = F.size(F.array_intersect("sh_a", "sh_b"))
-    cont = common.cast("double") / F.least(F.col("na"), F.col("nb"))
-    return (
-        screened.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .where(cont >= 0.9)
-        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    return gated_containment_pairs(
+        _fan_out(_containment_corpus(spark, sf_dir), spark, sf_dir)
     )
 
 

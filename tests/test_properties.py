@@ -257,3 +257,68 @@ def test_components_nonconvergence_raises(spark):
         connected_components(path, max_iter=4)
     with pytest.raises(ComponentsNotConverged):
         star_components(path, max_rounds=2)
+
+
+def _model_containment_pairs(docs, threshold=0.9):
+    """Pure-python exact overlap-coefficient pairs over token lists."""
+    def shingles(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(t) for i, t in docs.items() if len(t) >= 3}
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            c = len(sa & sb) / min(len(sa), len(sb))
+            if c >= threshold:
+                out.add((a, b))
+    return out
+
+
+_VOCAB = [f"w{i}" for i in range(12)]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=12, max_size=26),
+        min_size=4,
+        max_size=14,
+    ),
+    snip=st.data(),
+)
+def test_gated_containment_equals_model_on_random_corpora(spark, data, snip):
+    """Property: the LSH-Ensemble gate's output equals the exact
+    pure-python overlap model on RANDOM corpora from a dense shared
+    vocabulary — including planted sub-slices (containment ~1.0 at
+    Jaccard ~0.5).  Token counts 12-26 keep shingle-set sizes inside
+    the gate's documented ratio window (< 8).  Structural recall on
+    arbitrary data, not just the fixed registered corpus."""
+    from sayn_spark.functions.dedup import gated_containment_pairs
+    from sayn_spark.functions.registry import release_persisted
+
+    docs = {i: toks for i, toks in enumerate(data)}
+    # plant sub-slice snippets of up to 3 docs (ratio ~2: in-window)
+    next_id = 1000
+    for i in list(docs)[:3]:
+        toks = docs[i]
+        half = max(12, len(toks) // 2 + 6)  # keep >= 10 shingles
+        if half < len(toks):
+            start = snip.draw(st.integers(min_value=0, max_value=len(toks) - half))
+            docs[next_id] = toks[start : start + half]
+            next_id += 1
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], schema="doc_id long, text string"
+    )
+    try:
+        got = {
+            (r.id_a, r.id_b)
+            for r in gated_containment_pairs(df).collect()
+        }
+    finally:
+        release_persisted()
+    assert got == _model_containment_pairs(docs)
