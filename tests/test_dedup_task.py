@@ -457,3 +457,83 @@ def test_dedup_task_exact_null_texts_never_dedupe(ctx, spark):
     )
     got = {r.doc_id for r in spark.table("dd_null_out").collect()}
     assert got == {1, 3, 4}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VOCAB = [f"t{i}" for i in range(10)]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=5, max_size=18),
+        min_size=3,
+        max_size=10,
+    )
+)
+def test_dedup_task_jaccard_matches_model_on_random_corpora(spark, data):
+    """Property: full-mode jaccard dedup == shingle-Jaccard edges ->
+    union-find -> keep-min, computed by a pure-python model, on random
+    dense-vocabulary corpora (exact verify — no LSH probability)."""
+    from pathlib import Path
+
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.functions.registry import release_persisted
+
+    ctx = TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={},
+        connections={},
+        project_dir=Path("/tmp"),
+    )
+    docs = {i: toks for i, toks in enumerate(data)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], schema="doc_id long, text string"
+    )
+    ctx.db.replace_table("pp_src", df)
+    try:
+        _task(
+            ctx,
+            "pp",
+            {
+                "source": "pp_src",
+                "destination": "pp_out",
+                "method": "jaccard",
+                "threshold": 0.5,
+            },
+        )
+        got = {r.doc_id for r in spark.table("pp_out").collect()}
+    finally:
+        release_persisted()
+
+    def shingles(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(t) for i, t in docs.items()}
+    pairs = []
+    ids = sorted(docs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.5:
+                pairs.append((a, b))
+    parent = _union_find(pairs)
+    roots = {}
+    for n in parent:
+        x = n
+        while parent[x] != x:
+            x = parent[x]
+        roots.setdefault(x, set()).add(n)
+    dropped = {n for m in roots.values() for n in m} - set(roots)
+    assert got == set(docs) - dropped
