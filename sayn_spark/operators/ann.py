@@ -40,7 +40,11 @@ from pyspark.sql.window import Window
 
 from sayn_spark.operators.base import Task, TaskStatus
 
-_VEC_BUCKETS = 16
+# MUST match spark.sql.shuffle.partitions (32 in session.py): Spark
+# only satisfies a join's required distribution from a bucketed scan
+# when the bucket count equals the expected partition count — with a
+# mismatch both sides re-shuffle and the bucketing buys nothing.
+_VEC_BUCKETS = 32
 
 
 class AnnIndexTask(Task):
@@ -129,7 +133,11 @@ class AnnIndexTask(Task):
             emb.join(cells, "vec_id")
             .select(
                 "vec_id",
-                "cell",
+                # BIGINT bucket key: a planner-inserted cast on the
+                # bucket column disables bucketed scans entirely
+                # ("Bucketed: false (disabled by query planner)"), so
+                # the key's type must match what probes produce
+                F.col("cell").cast("bigint").alias("cell"),
                 "e",
                 F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm"),
             )
@@ -184,7 +192,7 @@ class AnnIndexTask(Task):
         cells = _assign_cells(new, cent)
         vectors = new.join(cells, "vec_id").select(
             "vec_id",
-            "cell",
+            F.col("cell").cast("bigint").alias("cell"),
             "e",
             F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm"),
         )
