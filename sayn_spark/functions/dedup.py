@@ -1601,7 +1601,16 @@ def _mh_sig_frame(corpus: DataFrame, spark: SparkSession, sf_dir: str) -> DataFr
 
 
 def _mh_band_frame(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band, band_sig) LSH band keys from signatures."""
+    """(doc_id, band, band_sig) LSH band keys from signatures.
+
+    The band INDEX is folded into the hash (md5 of "band|values"), so
+    probe joins need only the single band_sig key.  That matters for
+    the persistent band table: Spark refuses to use a bucketed scan
+    for a join unless ALL join keys match the bucketing
+    (spark.sql.requireAllClusterKeysForCoPartition) — a two-key
+    (band, band_sig) join against a band_sig-bucketed table silently
+    re-shuffles the whole corpus side every probe.
+    """
     return sigs.select(
         "doc_id",
         F.explode(F.expr(f"sequence(0, {_N_HASHES // _BAND_ROWS - 1})")).alias("band"),
@@ -1611,8 +1620,9 @@ def _mh_band_frame(sigs: DataFrame) -> DataFrame:
         "band",
         F.md5(
             F.expr(
+                f"concat(cast(band as string), '|', "
                 f"array_join(transform(sequence(1, {_BAND_ROWS}), "
-                f"i -> cast(element_at(sig, band * {_BAND_ROWS} + i) as string)), '|')"
+                f"i -> cast(element_at(sig, band * {_BAND_ROWS} + i) as string)), '|'))"
             )
         ).alias("band_sig"),
     )
@@ -1620,7 +1630,8 @@ def _mh_band_frame(sigs: DataFrame) -> DataFrame:
 
 _SQL_MH_BANDS = f"""(
   SELECT doc_id, band,
-         md5(array_to_string(list_transform(generate_series(1, {_BAND_ROWS}),
+         md5(CAST(band AS VARCHAR) || '|' ||
+             array_to_string(list_transform(generate_series(1, {_BAND_ROWS}),
              i -> CAST(sig[band * {_BAND_ROWS} + i] AS VARCHAR)), '|')) AS band_sig
   FROM {{src}}, (SELECT unnest(generate_series(0, {_N_HASHES // _BAND_ROWS - 1})) AS band)
 )"""
@@ -1646,8 +1657,7 @@ old_bands AS {_SQL_MH_BANDS.format(src='old_sigs')},
 new_bands AS {_SQL_MH_BANDS.format(src='new_sigs')},
 candidates AS (
   SELECT DISTINCT n.doc_id AS batch_id, o.doc_id AS corpus_id
-  FROM new_bands n JOIN old_bands o
-    ON n.band = o.band AND n.band_sig = o.band_sig
+  FROM new_bands n JOIN old_bands o ON n.band_sig = o.band_sig
 )
 SELECT batch_id, corpus_id,
        ROUND(CAST(len(list_filter(list_zip(ns.sig, os.sig), p -> p[1] = p[2])) AS DOUBLE)
@@ -1715,12 +1725,14 @@ def incremental_minhash_matches(
     """
     if old_bands is None:
         old_bands = _mh_band_frame(old_sigs)
+    # single-key join: band is folded into band_sig, so the stored
+    # (bucketed) corpus side co-partitions without an Exchange
     candidates = (
         _mh_band_frame(new_sigs)
-        .select(F.col("doc_id").alias("batch_id"), "band", "band_sig")
+        .select(F.col("doc_id").alias("batch_id"), "band_sig")
         .join(
-            old_bands.select(F.col("doc_id").alias("corpus_id"), "band", "band_sig"),
-            ["band", "band_sig"],
+            old_bands.select(F.col("doc_id").alias("corpus_id"), "band_sig"),
+            ["band_sig"],
         )
         .select("batch_id", "corpus_id")
         .distinct()
