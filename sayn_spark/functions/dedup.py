@@ -1755,3 +1755,32 @@ def incremental_minhash_matches(
         .where(est >= F.lit(float(threshold)))
         .select("batch_id", "corpus_id", est.alias("est_jaccard"))
     )
+
+
+def fan_out_table(df: DataFrame, spark: SparkSession, table: str) -> DataFrame:
+    """_fan_out for CATALOG tables: resolve the table's storage
+    location from the catalog and apply the same byte-size guard —
+    repartition to cluster width only when the files are too small to
+    split wide enough.  The dedup task's signature UDF is the
+    compute-bound consumer: a small catalog table scans into 1-2
+    partitions and would run the Arrow stage nearly serial (the
+    measured-8x SimHash lesson) without this."""
+    try:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    except Exception:
+        return df
+    location = next(
+        (r.data_type for r in rows if r.col_name == "Location"), None
+    )
+    if not location:
+        return df
+    path = location.removeprefix("file:")
+    size = _dataset_bytes(path)
+    if size is None:
+        return df
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    max_bytes = _parse_byte_string(raw)
+    width = spark.sparkContext.defaultParallelism
+    if size // max_bytes >= width:
+        return df
+    return df.repartition(width)

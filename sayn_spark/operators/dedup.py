@@ -151,11 +151,16 @@ class DedupTask(Task):
         return df
 
     def _standard(self, df: DataFrame) -> DataFrame:
-        """(doc_id, text) view of the source for the engine functions."""
-        return df.select(
+        """(doc_id, text) view of the source for the engine functions,
+        width-guarded: a small catalog table scans into 1-2 partitions
+        and would run the signature UDF nearly serial."""
+        from sayn_spark.functions.dedup import fan_out_table
+
+        out = df.select(
             F.col(self.id_column).alias("doc_id"),
             F.col(self.text_column).alias("text"),
         )
+        return fan_out_table(out, self.context.spark, self.src_value)
 
     def _sf_dir(self) -> str:
         # fan-out sizing hint; absent parameter degrades to no repartition
