@@ -105,11 +105,16 @@ class AnnIndexTask(Task):
             if self.label_column
             else F.pmod(F.col(self.id_column), F.lit(self.n_cells))
         )
-        return df.select(
+        out = df.select(
             F.col(self.id_column).alias("vec_id"),
             seed.alias("label"),
             F.expr(f"cast({self.vector_column} as array<double>)").alias("e"),
         )
+        # the centroid-distance HOFs are interpreted, not codegen'd — a
+        # narrow scan of a small catalog table would run them serial
+        from sayn_spark.functions.dedup import fan_out_table
+
+        return fan_out_table(out, self.context.spark, self.src_value)
 
     def run(self) -> None:
         from sayn_spark.functions.similarity import _assign_cells, _centroid_arrays
