@@ -5,6 +5,7 @@ from sayn_spark.streaming.stateful import (  # noqa: F401
 from sayn_spark.streaming.materialise import stream_merge_into  # noqa: F401
 from sayn_spark.streaming.streams import (  # noqa: F401
     attribution_join_stream,
+    content_filter_stream,
     dynamic_session_stream,
     hourly_aggregate_stream,
     read_events_stream,

@@ -202,3 +202,35 @@ def stream_copy(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def content_filter_stream(
+    docs: DataFrame,
+    min_score: float = 0.5,
+    languages: Optional[list[str]] = None,
+) -> DataFrame:
+    """Streaming twin of the filter task's scorers: quality-score and
+    (optionally) language-gate a document stream with the SAME
+    oracle-verified column expressions the batch path uses
+    (functions/text.py) — stateless map-side predicates, so the stream
+    needs no watermark, no state store, and emits in append mode.
+
+    The continuous-crawl front door: filter at ingest, BEFORE the
+    expensive dedup/embed stages ever see rejected documents.
+    """
+    from sayn_spark.functions.text import (
+        langid_columns,
+        predicted_lang_col,
+        quality_score_col,
+    )
+
+    out = docs.where(F.col("text").isNotNull()).where(
+        quality_score_col() >= float(min_score)
+    )
+    if languages:
+        out = (
+            out.select("*", *langid_columns())
+            .where(predicted_lang_col().isin(list(languages)))
+            .drop("has_cjk", "c_en", "c_es", "c_fr", "c_de")
+        )
+    return out

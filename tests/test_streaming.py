@@ -416,3 +416,40 @@ def test_dedup_ingest_within_batch_and_replay(spark):
     assert len(idx_rows) == 3  # no duplicated signature rows
     for t in (idx, mt):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_content_filter_stream_matches_batch(spark, tmp_path):
+    """The streaming content filter must keep exactly the docs the
+    batch scorers keep — same quality expression, same langid gate."""
+    from sayn_spark.functions.text import (
+        langid_columns,
+        predicted_lang_col,
+        quality_score_col,
+    )
+    from sayn_spark.streaming import content_filter_stream
+
+    src = tmp_path / "cf_docs"
+    src.mkdir()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "w1"))
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = (
+        content_filter_stream(stream, min_score=0.55, languages=["en", "zh"])
+        .writeStream.format("memory")
+        .queryName("cf_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.table("cf_out").collect()}
+    batch = (
+        docs.where(quality_score_col() >= 0.55)
+        .select("*", *langid_columns())
+        .where(predicted_lang_col().isin(["en", "zh"]))
+    )
+    want = {r.doc_id for r in batch.collect()}
+    assert got == want
+    assert 0 < len(got) < docs.count()
