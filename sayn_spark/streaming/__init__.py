@@ -2,7 +2,10 @@ from sayn_spark.streaming.stateful import (  # noqa: F401
     dedup_stream,
     running_user_totals,
 )
-from sayn_spark.streaming.materialise import stream_merge_into  # noqa: F401
+from sayn_spark.streaming.materialise import (  # noqa: F401
+    stream_decontaminate,
+    stream_merge_into,
+)
 from sayn_spark.streaming.streams import (  # noqa: F401
     attribution_join_stream,
     content_filter_stream,

@@ -229,3 +229,57 @@ def stream_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_decontaminate(
+    source: DataFrame,
+    eval_table: str,
+    dst_table: str,
+    checkpoint: str,
+    ngram: int = 13,
+    id_column: str = "doc_id",
+):
+    """Streaming twin of the decontaminate task: each micro-batch of
+    documents is checked against the STATIC eval table's n-grams and
+    only clean rows land in ``dst_table``.
+
+    Structured Streaming cannot anti-join a stream against a
+    stream-derived frame, so the batch task's exact plan (explode to
+    n-gram hashes, broadcast the eval side, left-semi then anti) runs
+    per trigger inside foreachBatch.  The static side re-resolves every
+    batch — an updated eval table applies from the next trigger with no
+    restart.  Writes are idempotent on replay: rows are stamped with
+    the trigger id and merged delete-before-append on it.
+    """
+    from sayn_spark.functions.content_filter import ngram_hash_frame
+
+    outer_session = source.sparkSession
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        db = SparkDatabase(spark)
+        if batch_df.isEmpty():
+            return
+        ev_hashes = ngram_hash_frame(spark.table(eval_table), "text", ngram, None)
+        doc_hashes = ngram_hash_frame(batch_df, "text", ngram, id_column)
+        contaminated = doc_hashes.join(
+            F.broadcast(ev_hashes), "h", "left_semi"
+        ).select(id_column)
+        kept = batch_df.join(contaminated, id_column, "left_anti").withColumn(
+            "ingest_id", F.lit(batch_id).cast("long")
+        )
+        if db.table_exists(dst_table):
+            staging = _tmp_name(dst_table, f"_stream_{batch_id}")
+            db.drop_object(staging)
+            db.create_table(staging, kept, mode="overwrite")
+            db.merge_tables(staging, dst_table, "ingest_id")
+        else:
+            db.create_table(dst_table, kept, mode="overwrite")
+        outer_session.catalog.refreshTable(dst_table)
+
+    return (
+        source.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -453,3 +453,48 @@ def test_content_filter_stream_matches_batch(spark, tmp_path):
     want = {r.doc_id for r in batch.collect()}
     assert got == want
     assert 0 < len(got) < docs.count()
+
+
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    """Stream-static decontamination equals the batch task's keep set,
+    and an eval-table update applies on the next trigger without
+    restarting the stream definition."""
+    from pyspark.sql import functions as F
+
+    from sayn_spark.functions.content_filter import ngram_hash_frame
+    from sayn_spark.streaming import stream_decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    ev = (
+        docs.where(F.col("doc_id") % 9 == 0)
+        .select(
+            F.expr(
+                "concat_ws(' ', slice(filter(split(lower(text), ' '), x -> x != ''), 3, 8))"
+            ).alias("text")
+        )
+    )
+    spark.sql("DROP TABLE IF EXISTS ds_eval")
+    from sayn_spark.core.database import SparkDatabase
+
+    SparkDatabase(spark).replace_table("ds_eval", ev)
+
+    src = tmp_path / "ds_docs"
+    src.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "w1"))
+    spark.sql("DROP TABLE IF EXISTS ds_out")
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    ckpt = str(tmp_path / "ds_ckpt")
+    q = stream_decontaminate(stream, "ds_eval", "ds_out", ckpt, ngram=8)
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.table("ds_out").collect()}
+
+    ev_h = ngram_hash_frame(spark.table("ds_eval"), "text", 8, None)
+    d_h = ngram_hash_frame(docs, "text", 8, "doc_id")
+    bad = d_h.join(ev_h, "h", "left_semi").select("doc_id")
+    want = {r.doc_id for r in docs.join(bad, "doc_id", "left_anti").collect()}
+    assert got == want
+    assert 0 < len(got) < docs.count()
+    for t in ("ds_eval", "ds_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
