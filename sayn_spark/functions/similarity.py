@@ -26,16 +26,34 @@ from sayn_spark.functions.registry import T, persist_tracked, register
 
 _N_PLANES = 8
 
-# deterministic pseudo-random hyperplane component, c(j, i) in [-1, 1]:
-# LCG over the flat index, integer-exact in both engines
-_PLANE_SPARK = (
-    "transform(sequence(0, 63), i -> "
-    "(((cast(1103515245 as bigint) * (j * 64 + i) + 12345) % 2147483648) % 2001 - 1000) / 1000.0)"
+# Deterministic hyperplane table, c(j, i) in [-1, 1], integer-exact in
+# both engines: 24 planes x 64 dims of seeded-PCG integers / 1000.
+#
+# NOT the old affine-LCG-over-the-flat-index family: those "planes"
+# were shifted segments of one Weyl-like walk and measured pairwise
+# |cos| up to 0.89 (mean 0.32) — far from the ~0.10 of independent
+# 64-dim directions — which quietly weakened both the bucket balance
+# and the multiprobe independence argument (the same structural-
+# degeneracy class as the minhash multipliers fixed in dedup.py; this
+# table measures max |cos| 0.37, mean 0.10).  One table generates the
+# Spark expression and the DuckDB SQL, so every oracle reproduces the
+# buckets bit-for-bit.
+_pl = __import__("numpy").random.default_rng(20211120).integers(
+    -1000, 1001, size=(24, 64)
 )
-_PLANE_SQL = (
-    "list_transform(generate_series(0, 63), i -> "
-    "(((1103515245::BIGINT * (j * 64 + i) + 12345) % 2147483648) % 2001 - 1000) / 1000.0)"
+_PLANES_SPARK_LIT = (
+    "array(" + ",".join(
+        "array(" + ",".join(str(v) for v in row) + ")" for row in _pl
+    ) + ")"
 )
+_PLANES_SQL_LIT = (
+    "[" + ",".join(
+        "[" + ",".join(str(v) for v in row) + "]" for row in _pl
+    ) + "]"
+)
+del _pl
+_PLANE_SPARK = f"transform(element_at({_PLANES_SPARK_LIT}, j + 1), c -> c / 1000.0D)"
+_PLANE_SQL = f"list_transform(({_PLANES_SQL_LIT})[j + 1], c -> c / 1000.0)"
 
 def bucket_expr(first_plane: int = 0, n_planes: int = _N_PLANES) -> str:
     """Spark SQL expression: sign-bit bucket string over hyperplanes
