@@ -352,7 +352,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, band-bucket join for candidates, exact-Jaccard verification.
 
     Scale design: the signature is computed entirely array-local (one
-    md5 per shingle + 16 integer LCG permutations folded per array —
+    md5 per shingle + 16 seeded random affine permutations folded per array —
     no per-seed row explosion, no shuffle before banding); the only
     shuffles are the 4-rows-per-doc band join and the candidate verify.
     """
@@ -828,7 +828,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE-PLANE MULTIPROBE, exact cosine computed on candidates only.
 
     Two independent TEN-plane tables (planes 0-9 and 10-19 of the shared
-    deterministic LCG family); within each table the left side probes
+    deterministic seeded plane table); within each table the left side probes
     its own bucket PLUS all 10 one-bit-flipped buckets (the
     q_ann_multiprobe_topk lever), so a pair is a candidate if its two
     home buckets are within Hamming distance 1 in EITHER table — a
@@ -1573,7 +1573,7 @@ def q_dedup_containment_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated plan loses nothing on the planted asymmetric snippet corpus
     (snippet-in-document pairs at Jaccard ~0.5, plus natural pairs down
     to 3-shingle documents at size ratio up to ~3.3).  Determinism:
-    fixed LCG permutation seeds, so the candidate set — and therefore
+    fixed seeded permutation table, so the candidate set — and therefore
     the output — is stable across runs and engines.
 
     Scale shape: signatures are 128 ints/doc computed in one Arrow

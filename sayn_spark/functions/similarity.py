@@ -8,7 +8,7 @@
 
 Everything is pure column expressions over arrays (zip_with/aggregate
 fold in DOUBLE), JVM-side.  LSH hyperplanes are generated from an
-integer LCG so both engines derive bit-identical planes with no RNG.
+a seeded integer table so both engines derive bit-identical planes.
 
 Scale design: brute-force is O(Q x N) — fine for small Q; LSH turns the
 candidate set into one bucket (expected N / 2^planes); IVF probes the
@@ -60,7 +60,7 @@ def bucket_expr(first_plane: int = 0, n_planes: int = _N_PLANES) -> str:
     ``first_plane .. first_plane + n_planes - 1`` applied to column
     ``e`` (array<double>).  Different ``first_plane`` offsets yield
     independent LSH tables (dedup.py gates its cosine verifier on two
-    of them); the planes are the deterministic LCG family above, so the
+    of them); the planes come from the seeded table above, so the
     DuckDB oracle can reproduce any table bit-for-bit."""
     last = first_plane + n_planes - 1
     return (
@@ -71,7 +71,7 @@ def bucket_expr(first_plane: int = 0, n_planes: int = _N_PLANES) -> str:
 
 
 def bucket_sql(first_plane: int = 0, n_planes: int = _N_PLANES) -> str:
-    """DuckDB twin of :func:`bucket_expr` — same LCG plane family, same
+    """DuckDB twin of :func:`bucket_expr` — same plane table, same
     sign-bit bucket string, so an oracle can restate any Spark-side LSH
     gating exactly."""
     last = first_plane + n_planes - 1
