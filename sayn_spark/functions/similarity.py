@@ -7,8 +7,8 @@
   assignment
 
 Everything is pure column expressions over arrays (zip_with/aggregate
-fold in DOUBLE), JVM-side.  LSH hyperplanes are generated from an
-a seeded integer table so both engines derive bit-identical planes.
+fold in DOUBLE), JVM-side.  LSH hyperplanes are generated from a
+seeded integer table so both engines derive bit-identical planes.
 
 Scale design: brute-force is O(Q x N) — fine for small Q; LSH turns the
 candidate set into one bucket (expected N / 2^planes); IVF probes the
