@@ -1610,8 +1610,14 @@ def _mh_band_frame(sigs: DataFrame) -> DataFrame:
     (spark.sql.requireAllClusterKeysForCoPartition) — a two-key
     (band, band_sig) join against a band_sig-bucketed table silently
     re-shuffles the whole corpus side every probe.
+
+    Empty signatures (documents too short to shingle, recorded in the
+    incremental index as trivially-novel with ``sig = array()``) emit
+    no band rows: every element_at would be NULL, so all such docs
+    would otherwise share one degenerate band_sig and candidate each
+    other quadratically.
     """
-    return sigs.select(
+    return sigs.where(F.size("sig") > 0).select(
         "doc_id",
         F.explode(F.expr(f"sequence(0, {_N_HASHES // _BAND_ROWS - 1})")).alias("band"),
         "sig",

@@ -329,9 +329,19 @@ class DedupTask(Task):
                     "left_anti",
                 )
                 if not novel.isEmpty():
-                    db.create_table(self.dst_value, novel, mode="append")
+                    db.create_table(
+                        self.dst_value,
+                        novel,
+                        mode="append",
+                        **self.destination_writer_opts(),
+                    )
             else:
-                db.create_table(self.dst_value, novel, mode="overwrite")
+                db.create_table(
+                    self.dst_value,
+                    novel,
+                    mode="overwrite",
+                    **self.destination_writer_opts(),
+                )
 
     def compile(self) -> None:  # parity with sql tasks: nothing to render
         return None

@@ -63,6 +63,39 @@ def stream_merge_into(
 _BAND_BUCKETS = 32  # bucket count for the persisted band index
 
 
+def _heal_band_table(spark, db: SparkDatabase, index_table: str, band_table: str) -> None:
+    """Append band rows for any indexed signature the band table lacks.
+
+    A crash between the signature-index append and the band append
+    leaves docs that every future probe would silently skip (the probe
+    reads the band table, not the index).  Deriving the missing rows
+    from index-minus-band makes the repair independent of which batch
+    originally crashed; the anti-join scans only the band table's
+    doc_id column.  Must run BEFORE a probe reads the band table — a
+    heal that only happens at append time repairs the store one ingest
+    too late, after the incomplete index already mis-declared a novel
+    doc.
+    """
+    from sayn_spark.functions.dedup import _mh_band_frame
+
+    missing = (
+        spark.table(index_table)
+        .where(F.size("sig") > 0)  # empty-sig docs never have band rows
+        .join(
+            spark.table(band_table).select("doc_id").distinct(),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    if not missing.isEmpty():
+        db.create_table(
+            band_table,
+            _mh_band_frame(missing),
+            mode="append",
+            bucket_by=(_BAND_BUCKETS, ["band_sig"]),
+        )
+
+
 def dedup_ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -94,6 +127,12 @@ def dedup_ingest_batch(
     reported once, larger id as the duplicate); only docs that matched
     neither the index nor an earlier in-batch doc append to the index.
 
+    Docs too short to shingle (< 3 tokens, or NULL text) carry no
+    minhash information: they are indexed as trivially novel with an
+    EMPTY signature (never probed, never banded), so the lifecycle
+    converges for them too — without this they would re-enter every
+    batch forever and never reach an index-derived destination.
+
     ``band_table``, if given, names a band_sig-bucketed catalog table
     of the corpus band keys (doc_id, band, band_sig) that this function
     maintains alongside the signature index: the probe reads it instead
@@ -115,6 +154,16 @@ def dedup_ingest_batch(
     sigs = _mh_sig_frame(
         batch_df.select("doc_id", "text"), spark, sf_dir
     ).localCheckpoint()
+    # docs too short to shingle (or NULL text) have no minhash
+    # semantics: they are trivially novel, recorded in the index with
+    # an EMPTY signature so reruns converge (the batch anti-join sees
+    # them) instead of re-selecting them forever.  _mh_band_frame
+    # skips empty sigs, so they emit no band rows and never candidate.
+    sigless = (
+        batch_df.select("doc_id")
+        .join(sigs.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("sig", F.expr("cast(array() as array<bigint>)"))
+    )
     batch_ids = sigs.select("doc_id")
     # self-probe: larger id matches smaller, each pair reported once
     matches = incremental_minhash_matches(sigs, sigs, threshold).where(
@@ -127,6 +176,11 @@ def dedup_ingest_batch(
         probe_index = spark.table(index_table).join(batch_ids, "doc_id", "left_anti")
         old_bands = None
         if band_table is not None and db.table_exists(band_table):
+            # repair BEFORE the probe reads the band table: a crash in
+            # a prior run between the index append and the band append
+            # left indexed docs invisible to the candidate join — this
+            # probe would mis-declare their near-dups novel
+            _heal_band_table(spark, db, index_table, band_table)
             old_bands = spark.table(band_table).join(batch_ids, "doc_id", "left_anti")
         matches = matches.unionByName(
             incremental_minhash_matches(sigs, probe_index, threshold, old_bands)
@@ -148,11 +202,11 @@ def dedup_ingest_batch(
         matches.select(F.col("batch_id").alias("doc_id")).distinct(),
         "doc_id",
         "left_anti",
-    )
+    ).unionByName(sigless)
     if index_exists:
         kept = kept.join(
             spark.table(index_table).select("doc_id"), "doc_id", "left_anti"
-        ).localCheckpoint()  # read twice below (index + band appends)
+        ).localCheckpoint()
         db.create_table(index_table, kept, mode="append")
     else:
         kept = kept.localCheckpoint()
@@ -164,20 +218,11 @@ def dedup_ingest_batch(
             # batch's `kept`.  A crash between the index append and
             # this write would otherwise leave the band table
             # permanently missing the batch (the replay recomputes an
-            # empty `kept` because the ids are already indexed) —
-            # corpus docs invisible to every future probe.  The
-            # anti-join scans only the band table's doc_id column.
-            missing = spark.table(index_table).join(
-                spark.table(band_table).select("doc_id").distinct(),
-                "doc_id",
-                "left_anti",
-            )
-            db.create_table(
-                band_table,
-                _mh_band_frame(missing),
-                mode="append",
-                bucket_by=(_BAND_BUCKETS, ["band_sig"]),
-            )
+            # empty `kept` because the ids are already indexed).
+            # (_heal_band_table also runs pre-probe for crash residue
+            # from PRIOR runs; this call covers the batch just
+            # appended.)
+            _heal_band_table(spark, db, index_table, band_table)
         else:
             # first creation (or backfill over a pre-existing signature
             # index): the index table already includes this batch's

@@ -537,3 +537,115 @@ def test_dedup_task_jaccard_matches_model_on_random_corpora(spark, data):
         roots.setdefault(x, set()).add(n)
     dropped = {n for m in roots.values() for n in m} - set(roots)
     assert got == set(docs) - dropped
+
+
+def test_incremental_short_docs_converge(ctx, spark):
+    """Docs too short to shingle (< 3 tokens) or with NULL text carry
+    no minhash signature, but must still reach the index (empty sig,
+    no band rows) and the destination — and must LEAVE the batch, so
+    an unchanged source stays a no-op instead of re-selecting them
+    forever."""
+    for t in ("short_src", "short_idx", "short_idx_bands", "short_mt", "short_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    rows = [
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "hello world"),  # 2 tokens -> zero 3-shingles
+        (3, None),  # NULL text
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota"),
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, text string")
+    ctx.db.replace_table("short_src", src)
+    cfg = {
+        "source": "short_src",
+        "mode": "incremental",
+        "method": "minhash",
+        "index_table": "short_idx",
+        "matches_table": "short_mt",
+        "destination": "short_out",
+    }
+    _task(ctx, "short", cfg)
+    idx = spark.table("short_idx")
+    assert {r.doc_id for r in idx.collect()} == {1, 2, 3, 4}
+    # sigless docs hold an empty signature and contribute no band rows
+    assert idx.where("size(sig) = 0").count() == 2
+    assert spark.table("short_idx_bands").where("doc_id in (2, 3)").count() == 0
+    assert {r.doc_id for r in spark.table("short_out").collect()} == {1, 2, 3, 4}
+
+    # rerun with an unchanged source: nothing moves, nothing re-probes
+    _task(ctx, "short", cfg)
+    assert spark.table("short_idx").count() == 4
+    assert not ctx.db.table_exists("short_mt")  # no matches ever formed
+    assert spark.table("short_out").count() == 4
+    for t in ("short_src", "short_idx", "short_idx_bands", "short_mt", "short_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_band_heal_runs_before_probe(ctx, spark):
+    """The crash-residue repair must precede the probe: if a prior run
+    died between the index append and the band append, the VERY NEXT
+    ingest containing a near-dup of the orphaned doc must still report
+    the match (healing only at append time would mis-declare it novel
+    one ingest too late — a permanent duplicate)."""
+    from pyspark.sql import functions as SF_
+
+    from sayn_spark.streaming.materialise import dedup_ingest_batch
+
+    idx, mt, bt = "hb_idx", "hb_mt", "hb_idx_bands"
+    for t in (idx, mt, bt, "hb_tmp"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    b0 = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten eleven"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    dedup_ingest_batch(b0, 0, idx, mt, SF, threshold=0.5, band_table=bt)
+
+    # simulate the crash residue: doc 2 indexed but bandless
+    ctx.db.replace_table("hb_tmp", spark.table(bt).where(SF_.col("doc_id") != 2))
+    spark.sql(f"DROP TABLE {bt}")
+    ctx.db.create_table(
+        bt, spark.table("hb_tmp"), mode="overwrite", bucket_by=(32, ["band_sig"])
+    )
+
+    # the next batch holds a near-dup of the ORPHANED doc — the pre-probe
+    # heal must make doc 2 visible to this very probe
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta iota kappa zz")],
+        "doc_id long, text string",
+    )
+    dedup_ingest_batch(b1, 1, idx, mt, SF, threshold=0.5, band_table=bt)
+    m = spark.table(mt).where("ingest_id = 1").collect()
+    assert {(r.batch_id, r.corpus_id) for r in m} == {(10, 2)}
+    # and doc 10 was NOT mis-admitted to the index
+    assert spark.table(idx).where("doc_id = 10").count() == 0
+    for t in (idx, mt, bt, "hb_tmp"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_destination_honours_table_properties(ctx, spark):
+    """Incremental-mode destination writes pass table_properties
+    through, same as full mode (bucketed catalog layout survives)."""
+    for t in ("tp_src", "tp_idx", "tp_idx_bands", "tp_mt", "tp_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(30)
+    )
+    ctx.db.replace_table("tp_src", docs)
+    cfg = {
+        "source": "tp_src",
+        "mode": "incremental",
+        "method": "minhash",
+        "index_table": "tp_idx",
+        "matches_table": "tp_mt",
+        "destination": "tp_out",
+        "table_properties": {"bucket_by": ["doc_id"], "buckets": 8},
+    }
+    _task(ctx, "tp", cfg)
+    ddl = spark.sql("SHOW CREATE TABLE tp_out").first()[0]
+    assert "CLUSTERED BY" in ddl and "8 BUCKETS" in ddl
+    for t in ("tp_src", "tp_idx", "tp_idx_bands", "tp_mt", "tp_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
