@@ -67,6 +67,29 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_tokens_col(text_col: str = "text"):
+    """Lowercased whitespace token array — the shared input of the
+    repetition signals (and of the filter task's repetition scorer)."""
+    return F.expr(f"filter(split(lower({text_col}), ' '), x -> x != '')")
+
+
+def immediate_repeats_col(t: str = "t"):
+    """Count of adjacent equal-token positions in the array column
+    ``t`` (0 for arrays shorter than 2)."""
+    return F.expr(
+        f"size(filter(zip_with(slice({t}, 1, size({t}) - 1), "
+        f"slice({t}, 2, size({t}) - 1), (a, b) -> a = b), x -> x))"
+    )
+
+
+def repetition_ratio_col(t: str = "t"):
+    """1 - distinct/total over the array column ``t`` (NULL for empty
+    arrays — no tokens means no signal)."""
+    return F.round(
+        F.lit(1.0) - F.expr(f"size(array_distinct({t}))").cast("double") / F.size(t), 6
+    )
+
+
 @register(
     "q_repetition_signals",
     oracle="""
@@ -85,21 +108,19 @@ FROM tok WHERE len(t) >= 2
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signals: immediate token repeats + overall
     repetition ratio (1 - distinct/total) — the cheap degenerate-text
-    detectors run before expensive dedup."""
+    detectors run before expensive dedup.  The column builders are
+    shared with the filter task's ``scorer: repetition``
+    (operators/filter.py), so the task decision carries this query's
+    oracle evidence."""
     d = T(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("t")
-    ).where(F.expr("size(t) >= 2"))
+    toks = d.select("doc_id", repetition_tokens_col().alias("t")).where(
+        F.expr("size(t) >= 2")
+    )
     return toks.select(
         "doc_id",
         F.size("t").alias("n_tokens"),
-        F.expr(
-            "size(filter(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
-            "(a, b) -> a = b), x -> x))"
-        ).alias("n_immediate_repeats"),
-        F.round(
-            F.lit(1.0) - F.expr("size(array_distinct(t))").cast("double") / F.size("t"), 6
-        ).alias("repetition_ratio"),
+        immediate_repeats_col().alias("n_immediate_repeats"),
+        repetition_ratio_col().alias("repetition_ratio"),
     )
 
 
