@@ -75,10 +75,12 @@ def repetition_tokens_col(text_col: str = "text"):
 
 def immediate_repeats_col(t: str = "t"):
     """Count of adjacent equal-token positions in the array column
-    ``t`` (0 for arrays shorter than 2)."""
+    ``t`` (0 for arrays shorter than 2 — guarded explicitly: slice
+    with a negative length would otherwise throw on empty arrays)."""
     return F.expr(
+        f"case when size({t}) < 2 then 0 else "
         f"size(filter(zip_with(slice({t}, 1, size({t}) - 1), "
-        f"slice({t}, 2, size({t}) - 1), (a, b) -> a = b), x -> x))"
+        f"slice({t}, 2, size({t}) - 1), (a, b) -> a = b), x -> x)) end"
     )
 
 
@@ -473,20 +475,29 @@ _QUALITY_SQL = (
     "q_quality_adaptive_filter",
     oracle=f"""
 WITH scored AS (
-  SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM documents
+  SELECT doc_id, source, CAST(ROUND({_QUALITY_SQL} * 1000000) AS BIGINT) AS qmicro
+  FROM documents
+),
+ranked AS (
+  SELECT source, qmicro,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY qmicro, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM scored
 ),
 thresholds AS (
-  SELECT source, ROUND(quantile_cont(quality, 0.5), 6) AS median_quality
-  FROM scored GROUP BY source
+  SELECT source,
+         SUM(CASE WHEN rn = (n + 1) // 2 THEN qmicro ELSE 0 END)
+       + SUM(CASE WHEN rn = (n + 2) // 2 THEN qmicro ELSE 0 END) AS thr2
+  FROM ranked GROUP BY source
 )
 SELECT s.source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN s.quality >= t.median_quality THEN 1 ELSE 0 END) AS n_kept,
-       ROUND(CAST(SUM(CASE WHEN s.quality >= t.median_quality THEN 1 ELSE 0 END) AS DOUBLE)
+       SUM(CASE WHEN 2 * s.qmicro >= t.thr2 THEN 1 ELSE 0 END) AS n_kept,
+       ROUND(CAST(SUM(CASE WHEN 2 * s.qmicro >= t.thr2 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS keep_rate,
-       t.median_quality
+       CAST(t.thr2 AS DOUBLE) / 2000000.0 AS median_quality
 FROM scored s JOIN thresholds t ON t.source = s.source
-GROUP BY s.source, t.median_quality
+GROUP BY s.source, t.thr2
 """,
 )
 def q_quality_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,25 +506,53 @@ def q_quality_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold that over-prunes weak sources and under-prunes strong
     ones (the per-dump calibration step of web-corpus curation).
 
-    Scale shape: one pass to score (JVM expressions), one exact
-    interpolated percentile per source (Spark ``percentile`` == DuckDB
-    ``quantile_cont``), and a broadcast of the tiny per-source
-    threshold table back onto the scored stream — documents shuffle
-    once, on source, for the percentile.  At 100 TB you swap the exact
-    percentile for ``percentile_approx`` and nothing else changes.
+    The median is computed in integer micro-units to be boundary-free
+    by construction (VERDICT r5 item 1): quality is already rounded to
+    6dp, so ``qmicro = round(quality * 1e6)`` is an exact BIGINT in
+    both engines, the even-count median is the exact integer sum of the
+    two middle order statistics (``thr2``), and the keep decision
+    ``2*qmicro >= thr2`` never touches floating point.  The old
+    ``round(percentile(...), 6)`` formulation landed exactly on the
+    6dp round-half boundary for 8 of 20 sources at sf0.1, making the
+    oracle hash FP-version-dependent.  ``median_quality = thr2/2e6``
+    is an exact-integer-to-double conversion followed by one IEEE
+    division — bit-identical across engines.
+
+    Scale shape: one pass to score (JVM expressions), one shuffle on
+    source for the per-source rank (the order statistics), and a
+    broadcast of the tiny per-source threshold table back onto the
+    scored stream.  At 100 TB you swap the exact order statistics for
+    ``percentile_approx`` micro-units and nothing else changes.
     """
     d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    scored = d.select("doc_id", "source", F.expr(_QUALITY_SPARK).alias("quality"))
-    thresholds = scored.groupBy("source").agg(
-        F.round(F.expr("percentile(quality, 0.5)"), 6).alias("median_quality")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.expr(f"cast(round(({_QUALITY_SPARK}) * 1000000) as bigint)").alias("qmicro"),
     )
+    w = Window.partitionBy("source").orderBy("qmicro", "doc_id")
+    ranked = scored.select(
+        "source",
+        "qmicro",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    lo = F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("qmicro")).otherwise(F.lit(0))
+    hi = F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col("qmicro")).otherwise(F.lit(0))
+    thresholds = ranked.groupBy("source").agg((F.sum(lo) + F.sum(hi)).alias("thr2"))
     joined = scored.join(F.broadcast(thresholds), "source")
-    kept = F.when(F.col("quality") >= F.col("median_quality"), 1).otherwise(0)
-    return joined.groupBy("source", "median_quality").agg(
+    kept = F.when(F.lit(2) * F.col("qmicro") >= F.col("thr2"), 1).otherwise(0)
+    return joined.groupBy("source", "thr2").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(kept).alias("n_kept"),
         F.round(F.sum(kept).cast("double") / F.count(F.lit(1)), 6).alias("keep_rate"),
-    ).select("source", "n_docs", "n_kept", "keep_rate", "median_quality")
+    ).select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "keep_rate",
+        (F.col("thr2").cast("double") / F.lit(2000000.0)).alias("median_quality"),
+    )
 
 
 _NGRAM_TOKENS = "filter(split(lower(text), ' '), x -> x != '')"

@@ -850,7 +850,10 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates than 8 planes at sf0.1 for the same probe radius); as n
     grows you add planes per table (keeping probe radius 1) to hold
     bucket sizes — the plan stays equi-joins on the bucket string, no
-    nested-loop join anywhere.
+    nested-loop join anywhere.  The seeded plane family holds 24 planes
+    (two disjoint tables of up to 12); requests past it raise (see
+    similarity._check_plane_range) — widen the seeded table first when
+    a corpus needs deeper buckets.
     """
     return cosine_gated_pairs(_cosine_corpus(spark, sf_dir))
 

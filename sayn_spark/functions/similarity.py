@@ -38,8 +38,9 @@ _N_PLANES = 8
 # table measures max |cos| 0.37, mean 0.10).  One table generates the
 # Spark expression and the DuckDB SQL, so every oracle reproduces the
 # buckets bit-for-bit.
+_PLANE_TABLE_SIZE = 24
 _pl = __import__("numpy").random.default_rng(20211120).integers(
-    -1000, 1001, size=(24, 64)
+    -1000, 1001, size=(_PLANE_TABLE_SIZE, 64)
 )
 _PLANES_SPARK_LIT = (
     "array(" + ",".join(
@@ -55,13 +56,30 @@ del _pl
 _PLANE_SPARK = f"transform(element_at({_PLANES_SPARK_LIT}, j + 1), c -> c / 1000.0D)"
 _PLANE_SQL = f"list_transform(({_PLANES_SQL_LIT})[j + 1], c -> c / 1000.0)"
 
+def _check_plane_range(first_plane: int, n_planes: int) -> None:
+    if n_planes < 1 or first_plane < 0 or first_plane + n_planes > _PLANE_TABLE_SIZE:
+        raise ValueError(
+            f"hyperplane family exhausted: planes {first_plane}.."
+            f"{first_plane + n_planes - 1} requested but the seeded table "
+            f"holds {_PLANE_TABLE_SIZE}; widen the seeded table "
+            "(functions/similarity.py) rather than reusing offsets"
+        )
+
+
 def bucket_expr(first_plane: int = 0, n_planes: int = _N_PLANES) -> str:
     """Spark SQL expression: sign-bit bucket string over hyperplanes
     ``first_plane .. first_plane + n_planes - 1`` applied to column
     ``e`` (array<double>).  Different ``first_plane`` offsets yield
     independent LSH tables (dedup.py gates its cosine verifier on two
     of them); the planes come from the seeded table above, so the
-    DuckDB oracle can reproduce any table bit-for-bit."""
+    DuckDB oracle can reproduce any table bit-for-bit.
+
+    The seeded family holds exactly ``_PLANE_TABLE_SIZE`` (24) planes;
+    ``element_at`` past it would return NULL and silently emit constant
+    '0' bits (degenerate buckets), so out-of-range requests raise
+    instead.  To scale past 24 planes, widen the seeded table — do NOT
+    reuse offsets across tables (that correlates the tables)."""
+    _check_plane_range(first_plane, n_planes)
     last = first_plane + n_planes - 1
     return (
         f"array_join(transform(sequence({first_plane}, {last}), j -> "
@@ -74,6 +92,7 @@ def bucket_sql(first_plane: int = 0, n_planes: int = _N_PLANES) -> str:
     """DuckDB twin of :func:`bucket_expr` — same plane table, same
     sign-bit bucket string, so an oracle can restate any Spark-side LSH
     gating exactly."""
+    _check_plane_range(first_plane, n_planes)
     last = first_plane + n_planes - 1
     return (
         f"array_to_string(list_transform(generate_series({first_plane}, {last}), j -> "

@@ -100,6 +100,19 @@ class AnnIndexTask(Task):
                 raise ValueError(
                     f"ann_index task {self.name!r}: column {col!r} not in {self.src_value}"
                 )
+        if self.label_column:
+            # the seed label becomes the BIGINT inverted-file cell key;
+            # a non-numeric label would cast to NULL and every probe
+            # would silently return empty (NULL never joins) — fail
+            # loudly here instead (ADVICE r5)
+            ltype = dict(df.dtypes)[self.label_column]
+            if ltype not in ("tinyint", "smallint", "int", "bigint"):
+                raise ValueError(
+                    f"ann_index task {self.name!r}: label_column "
+                    f"{self.label_column!r} is {ltype}, but cell keys must "
+                    "be integer — pre-hash string labels (e.g. "
+                    "xxhash64(label)) in an upstream task"
+                )
         seed = (
             F.col(self.label_column)
             if self.label_column

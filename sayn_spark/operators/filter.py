@@ -7,7 +7,7 @@ applied as a declarative keep/drop stage:
         type: filter
         source: documents
         destination: documents_clean
-        scorer: quality          # quality | langid | length
+        scorer: quality          # quality | langid | length | repetition
         min_score: 0.5
         with_score: true         # add the score column to the output
 
@@ -28,6 +28,10 @@ correctness evidence):
 - langid:  keep rows whose predicted language is in ``languages``
   (q_text_langid's marker-count heuristic, CJK -> zh).
 - length:  keep rows with min_tokens <= n_tokens <= max_tokens.
+- repetition: keep rows with repetition_ratio <= max_repetition_ratio
+  and/or n_immediate_repeats <= max_immediate_repeats
+  (q_repetition_signals' shared builders in functions/content_filter.py;
+  docs with fewer than 2 tokens have no signal and are kept).
 
 All scorers are pure JVM column expressions over the text column — the
 filter is map-side, pushes through to the scan where possible, and the
@@ -41,7 +45,7 @@ from pyspark.sql import functions as F
 
 from sayn_spark.operators.base import Task, TaskStatus
 
-_SCORERS = ("quality", "langid", "length")
+_SCORERS = ("quality", "langid", "length", "repetition")
 
 
 class FilterTask(Task):
@@ -71,6 +75,17 @@ class FilterTask(Task):
         if self.scorer == "length" and self.min_tokens is None and self.max_tokens is None:
             raise ValueError(
                 f"filter task {self.name!r}: length needs min_tokens and/or max_tokens"
+            )
+        self.max_repetition_ratio = c.get("max_repetition_ratio")
+        self.max_immediate_repeats = c.get("max_immediate_repeats")
+        if (
+            self.scorer == "repetition"
+            and self.max_repetition_ratio is None
+            and self.max_immediate_repeats is None
+        ):
+            raise ValueError(
+                f"filter task {self.name!r}: repetition needs "
+                "max_repetition_ratio and/or max_immediate_repeats"
             )
 
         self.src_obj = self.context.obj_compiler.from_string(self.source)
@@ -123,6 +138,37 @@ class FilterTask(Task):
                 out = out.withColumnRenamed("_lang", "predicted_lang")
             else:
                 out = out.drop("_lang")
+        elif self.scorer == "repetition":
+            from sayn_spark.functions.content_filter import (
+                immediate_repeats_col,
+                repetition_ratio_col,
+                repetition_tokens_col,
+            )
+
+            # <2 tokens means nothing can repeat: coalesce the NULL
+            # signals to zero so short docs pass (only NULL text drops)
+            scored = (
+                work.withColumn("_t", repetition_tokens_col())
+                .withColumn(
+                    "_ratio", F.coalesce(repetition_ratio_col("_t"), F.lit(0.0))
+                )
+                .withColumn(
+                    "_reps", F.coalesce(immediate_repeats_col("_t"), F.lit(0))
+                )
+                .drop("_t")
+            )
+            cond = F.lit(True)
+            if self.max_repetition_ratio is not None:
+                cond = cond & (F.col("_ratio") <= float(self.max_repetition_ratio))
+            if self.max_immediate_repeats is not None:
+                cond = cond & (F.col("_reps") <= int(self.max_immediate_repeats))
+            kept = scored.where(cond)
+            if self.with_score:
+                out = kept.withColumnRenamed(
+                    "_ratio", "repetition_ratio"
+                ).withColumnRenamed("_reps", "n_immediate_repeats")
+            else:
+                out = kept.drop("_ratio", "_reps")
         else:
             scored = work.withColumn("_n", n_tokens_col())
             cond = F.lit(True)

@@ -8,7 +8,11 @@ the pretraining-mix construction stage, as a YAML task:
         destination: documents_mixed
         group_column: lang         # domain key (language, source, ...)
         token_budget_ratio: 0.5    # fraction of total tokens to keep
-        weights: {en: 3, zh: 1}    # optional; default uniform
+        weights: {en: 3, zh: 1}    # optional; default uniform.  When
+                                   # given, it must cover EVERY observed
+                                   # group (weight 0 drops a group
+                                   # explicitly) — a missing group is a
+                                   # config error, not a silent drop
 
 Each group g is downsampled to target ~= budget * w_g / sum(w) tokens:
 pass 1 aggregates per-group token counts (tiny frame, broadcast);
@@ -18,7 +22,8 @@ configurable weights.  All rate math is integer (per-mille, floor div)
 and the keep decision is a deterministic md5 of the id, so the same
 mix reproduces on any cluster and reruns are stable.  Rates cap at
 1000 — groups are never upsampled; a group whose weight exceeds its
-data keeps everything (the standard epochs-handled-elsewhere trade).
+data keeps everything (the standard epochs-handled-elsewhere trade),
+and a zero-token group keeps everything too (it costs no budget).
 
 At 100 TB: pass 1 is a scan-aggregate, pass 2 a map-side filter — no
 shuffle touches the documents.
@@ -83,9 +88,25 @@ class MixtureTask(Task):
         if self.weights:
             w_rows = [(k, int(v)) for k, v in self.weights.items()]
             wdf = spark.createDataFrame(w_rows, schema="_grp string, _w long")
-            stats = stats.join(F.broadcast(wdf), "_grp", "left").withColumn(
-                "_w", F.coalesce("_w", F.lit(0))
-            )
+            stats = stats.join(F.broadcast(wdf), "_grp", "left")
+            # an explicit weights map must cover every observed group —
+            # silently coalescing unlisted groups to 0 dropped their
+            # rows entirely (ADVICE r5); the stats frame is tiny
+            # (group cardinality), so the check is a scalar collect
+            missing = [
+                r["_grp"]
+                for r in stats.where(F.col("_w").isNull())
+                .select("_grp")
+                .limit(20)
+                .collect()
+            ]
+            if missing:
+                raise ValueError(
+                    f"mixture task {self.name!r}: weights does not cover "
+                    f"observed group(s) {sorted(missing)!r}; list every "
+                    "group (weight 0 to drop one explicitly) or omit "
+                    "weights for uniform"
+                )
         else:
             stats = stats.withColumn("_w", F.lit(1))
         # integer rate solve: budget in per-mille of total tokens split
@@ -97,13 +118,18 @@ class MixtureTask(Task):
         tot = stats.agg(
             F.sum("_grp_tokens").alias("_tot"), F.sum("_w").alias("_sumw")
         )
+        # a zero-token group's rate divides by _grp_tokens = 0 -> NULL;
+        # such a group costs no budget, so it keeps everything (1000)
         rated = stats.join(F.broadcast(tot)).select(
             "_grp",
-            F.expr(
-                "cast(least(1000, floor("
-                f"floor(cast(_tot as decimal(38,0)) * {budget_pm} / 1000) "
-                "* _w * 1000 / (cast(_sumw as decimal(38,0)) * _grp_tokens)"
-                ")) as bigint)"
+            F.coalesce(
+                F.expr(
+                    "cast(least(1000, floor("
+                    f"floor(cast(_tot as decimal(38,0)) * {budget_pm} / 1000) "
+                    "* _w * 1000 / (cast(_sumw as decimal(38,0)) * nullif(_grp_tokens, 0))"
+                    ")) as bigint)"
+                ),
+                F.lit(1000),
             ).alias("_rate"),
         )
         bucket = F.expr(

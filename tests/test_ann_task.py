@@ -348,3 +348,21 @@ def test_ann_index_incremental_method_mismatch_guard(ctx, spark, emb_table):
     t.config()
     with pytest.raises(ValueError, match="stale"):
         t.run()
+
+
+def test_ann_index_rejects_string_label_column(ctx, spark, emb_table):
+    """A string label would cast to a NULL cell key and every probe
+    would silently return empty — the build must fail loudly
+    (ADVICE r5)."""
+    df = spark.table("ann_src").withColumn(
+        "label_s", F.concat(F.lit("grp_"), F.col("label").cast("string"))
+    )
+    ctx.db.replace_table("ann_src_s", df)
+    t = AnnIndexTask(
+        "ann_bad_label",
+        {"source": "ann_src_s", "index": "ann_bad", "label_column": "label_s"},
+        ctx,
+    )
+    t.config()
+    with pytest.raises(ValueError, match="must be integer"):
+        t.run()
