@@ -11,6 +11,9 @@ demonstrate as queries, promoted to a catalog-managed artifact the way
         label_column: label       # optional centroid seed
         n_cells: 16               # seed by id-hash when no label_column
         refine_iters: 1           # Lloyd iterations after seeding
+        method: ivfpq             # ivf (default) | ivfpq
+        codebook: trained         # ivfpq only: seed (default) | trained
+        pq_iters: 3               # trained: per-subspace Lloyd steps
 
 Builds two catalog tables:
 
@@ -68,6 +71,24 @@ class AnnIndexTask(Task):
         self.refine_iters = int(c.get("refine_iters", 0))
         if self.refine_iters < 0:
             raise ValueError(f"ann_index task {self.name!r}: refine_iters must be >= 0")
+        # PQ codebook construction: "seed" keeps the deterministic
+        # 16-lowest-id stand-in (oracle-stable); "trained" runs
+        # pq_iters per-subspace Lloyd steps from those same seeds —
+        # still fully deterministic (decimal-exact means, rounded
+        # distances, codeword-id tie-breaks), but the codewords adapt
+        # to the corpus, which is what ADC recall lives on at scale.
+        self.codebook = c.get("codebook", "seed")
+        if self.codebook not in ("seed", "trained"):
+            raise ValueError(
+                f"ann_index task {self.name!r}: codebook must be seed|trained"
+            )
+        self.pq_iters = int(c.get("pq_iters", 3))
+        if self.pq_iters < 1:
+            raise ValueError(f"ann_index task {self.name!r}: pq_iters must be >= 1")
+        if self.codebook == "trained" and self.method != "ivfpq":
+            raise ValueError(
+                f"ann_index task {self.name!r}: codebook applies to method=ivfpq only"
+            )
         # incremental: insert new vectors into the EXISTING index (the
         # FAISS `add` path) — frozen centroids/codebook, bucketed
         # appends, anti-join replay safety.  Rebuild (mode: full) to
@@ -242,6 +263,63 @@ class AnnIndexTask(Task):
                 bucket_by=(_VEC_BUCKETS, ["cell"]),
             )
 
+    def _train_pq(self, subs: DataFrame, seed_ids: DataFrame) -> DataFrame:
+        """Per-subspace k-means codebook (s, c, cw): 16 codewords per
+        subspace, seeded from the 16 lowest-id vectors' sub-vectors
+        (relabelled to dense c = 0..15 by id rank) and refined with
+        ``pq_iters`` Lloyd steps — the same distributed shape as the
+        coarse level (functions/similarity.py:_centroid_arrays /
+        _assign_cells) run once per subspace, with all 8 subspaces in
+        one frame.  Determinism: decimal-exact per-dimension means
+        rounded to 8, distances rounded to 8 before the argmin,
+        codeword-id tie-break; empty codewords keep their previous
+        position (no respawn heuristics).  The 8x16 codebook is
+        broadcast-sized at any corpus scale — only the (vec_id, s,
+        sub) assignment stage is distributed."""
+        from pyspark.sql.window import Window
+
+        w_seed = Window.orderBy("vec_id")  # 16 rows: global window is fine
+        seeds = seed_ids.select(
+            "vec_id", (F.row_number().over(w_seed) - 1).alias("c")
+        )
+        cb = subs.join(F.broadcast(seeds), "vec_id").select(
+            "s", "c", F.col("sub").alias("cw")
+        )
+        d2 = F.round(
+            F.expr(
+                "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+            ),
+            8,
+        )
+        w_assign = Window.partitionBy("vec_id", "s").orderBy("d2", "c")
+        for _ in range(self.pq_iters):
+            assigned = (
+                subs.join(F.broadcast(cb), "s")
+                .select("vec_id", "s", "sub", "c", d2.alias("d2"))
+                .withColumn("rk", F.row_number().over(w_assign))
+                .where(F.col("rk") == 1)
+            )
+            comp = assigned.select("s", "c", F.posexplode("sub").alias("pos", "x"))
+            means = comp.groupBy("s", "c", "pos").agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+                    / F.count(F.lit(1)),
+                    8,
+                ).alias("v")
+            )
+            new_cb = means.groupBy("s", "c").agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, v))), t -> t.v)"
+                ).alias("cw")
+            )
+            cb = (
+                cb.select("s", "c", F.col("cw").alias("old_cw"))
+                .join(new_cb, ["s", "c"], "left")
+                .select("s", "c", F.coalesce("cw", "old_cw").alias("cw"))
+                .localCheckpoint()  # cut the per-iteration lineage
+            )
+        return cb
+
     def _encode_pq(self, vec: DataFrame) -> DataFrame:
         """(vec_id, cell, s, c) codes for ``vec`` rows under the
         existing (frozen) ``{index}_codebook``."""
@@ -275,10 +353,11 @@ class AnnIndexTask(Task):
         8-small-ints-per-vector representation the ADC scan reads
         instead of raw vectors (the q_ann_ivfpq_topk design, persisted).
 
-        Codewords are the sub-vectors of the 16 lowest-id vectors —
-        the registered queries' deterministic stand-in for a trained
-        codebook (train with k-means via refine_iters on the COARSE
-        level; a trained PQ codebook would slot into the same tables).
+        ``codebook: seed`` (default) uses the sub-vectors of the 16
+        lowest-id vectors — the registered queries' deterministic
+        stand-in.  ``codebook: trained`` runs ``pq_iters`` per-subspace
+        Lloyd steps from those same seeds (see _train_pq), improving
+        ADC recall on clustered corpora while staying deterministic.
         """
         from sayn_spark.core.database import _tmp_name
 
@@ -294,10 +373,13 @@ class AnnIndexTask(Task):
         )
         # TakeOrderedAndProject, not a global window: the 16 lowest ids
         seed_ids = vec.select("vec_id").orderBy("vec_id").limit(16)
-        cb = (
-            subs.join(F.broadcast(seed_ids), "vec_id")
-            .select("s", F.col("vec_id").alias("c"), F.col("sub").alias("cw"))
-        )
+        if self.codebook == "trained":
+            cb = self._train_pq(subs, seed_ids)
+        else:
+            cb = (
+                subs.join(F.broadcast(seed_ids), "vec_id")
+                .select("s", F.col("vec_id").alias("c"), F.col("sub").alias("cw"))
+            )
         db.replace_table(f"{self.index}_codebook", cb)
         codes = self._encode_pq(vec)
         staging = _tmp_name(f"{self.index}_codes")

@@ -445,3 +445,151 @@ def test_minhash_wide_table_prefix_stable():
     assert (np.asarray(_MH_B[:128]) == b128).all()
     assert len(_MH_A) == len(_MH_B) == 512
     assert (np.asarray(_MH_A) >= 1).all() and (np.asarray(_MH_A) < _P).all()
+
+
+# -- 8. trained PQ codebook (VERDICT r5 item 4) -------------------------
+
+
+def test_trained_pq_codebook_improves_recall(spark, tmp_path):
+    """codebook: trained (per-subspace Lloyd from the deterministic
+    seeds) must beat the 16-lowest-id stand-in on recall@10 for a
+    clustered corpus whose low ids all live in one cluster (the
+    stand-in's worst case: every seed codeword comes from the same
+    region).  nprobe scans ALL cells so the difference isolates the
+    PQ shortlist quality, and two trained builds must be
+    bit-identical (determinism contract)."""
+    import numpy as np
+
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.functions.similarity import ann_index_search_pq
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.ann import AnnIndexTask
+
+    ctx = TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={},
+        connections={},
+        project_dir=tmp_path,
+    )
+    rng = np.random.default_rng(7)
+    # 64 clusters x 6 members: more clusters than codewords, low ids
+    # all in a few clusters — the stand-in codebook quantizes distant
+    # clusters onto shared codewords and its ADC shortlist degrades
+    # (measured recall 0.600), while per-subspace Lloyd spreads the 16
+    # codewords over the occupied space (measured 0.7375).  Fully
+    # seeded/deterministic, so the measured values are exact.
+    centers = rng.normal(size=(64, 64))
+    rows = []
+    vid = 0
+    for ci in range(64):
+        for _ in range(6):
+            v = centers[ci] + 0.3 * rng.normal(size=64)
+            rows.append((vid, [float(x) for x in v], ci))
+            vid += 1
+    ctx.db.replace_table(
+        "r6_pq_src",
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>, label int"
+        ),
+    )
+    X = np.array([r[1] for r in rows])
+    nrm = np.linalg.norm(X, axis=1)
+    cosm = (X @ X.T) / np.outer(nrm, nrm)
+    np.fill_diagonal(cosm, -2.0)
+    query_ids = list(range(0, 384, 6))  # one query per cluster
+    truth = {q: set(np.argsort(-cosm[q])[:10]) for q in query_ids}
+
+    def build_and_search(index, codebook):
+        cfg = {
+            "source": "r6_pq_src",
+            "index": index,
+            "label_column": "label",
+            "method": "ivfpq",
+            "refine_iters": 1,
+        }
+        if codebook:
+            cfg["codebook"] = codebook
+        t = AnnIndexTask(f"{index}_build", cfg, ctx)
+        t.config()
+        t.run()
+        queries = spark.createDataFrame(
+            [(q, [float(x) for x in X[q]]) for q in query_ids],
+            "query_id bigint, e array<double>",
+        )
+        got = ann_index_search_pq(
+            spark, index, queries, k=10, nprobe=64, shortlist=20
+        ).collect()
+        hits = sum(
+            1 for r in got if r.neighbor_id in truth[r.query_id]
+        )
+        return hits / (10 * len(query_ids))
+
+    recall_seed = build_and_search("r6_pq_seed", None)
+    recall_trained = build_and_search("r6_pq_tr", "trained")
+    assert recall_trained >= recall_seed + 0.1, (recall_seed, recall_trained)
+    assert recall_trained >= 0.7, recall_trained
+
+    # determinism: a second trained build produces the identical codebook
+    cb1 = sorted(
+        (r.s, r.c, tuple(r.cw)) for r in spark.table("r6_pq_tr_codebook").collect()
+    )
+    t2 = AnnIndexTask(
+        "r6_pq_tr2",
+        {
+            "source": "r6_pq_src",
+            "index": "r6_pq_tr",
+            "label_column": "label",
+            "method": "ivfpq",
+            "refine_iters": 1,
+            "codebook": "trained",
+        },
+        ctx,
+    )
+    t2.config()
+    t2.run()
+    cb2 = sorted(
+        (r.s, r.c, tuple(r.cw)) for r in spark.table("r6_pq_tr_codebook").collect()
+    )
+    assert cb1 == cb2
+    for t in ("r6_pq_src",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for ix in ("r6_pq_seed", "r6_pq_tr"):
+        for sfx in ("_centroids", "_vectors", "_codebook", "_codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {ix}{sfx}")
+
+
+def test_ann_task_codebook_config_validation(spark, tmp_path):
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.ann import AnnIndexTask
+
+    ctx = TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={},
+        connections={},
+        project_dir=tmp_path,
+    )
+    with pytest.raises(ValueError, match="ivfpq only"):
+        AnnIndexTask(
+            "bad_cb",
+            {"source": "s", "index": "i", "codebook": "trained"},
+            ctx,
+        ).config()
+    with pytest.raises(ValueError, match="seed|trained"):
+        AnnIndexTask(
+            "bad_cb2",
+            {"source": "s", "index": "i", "method": "ivfpq", "codebook": "kmeanspp"},
+            ctx,
+        ).config()
