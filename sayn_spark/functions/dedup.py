@@ -1531,8 +1531,16 @@ def _containment_candidates(sigs: DataFrame, bands: dict[int, int]) -> DataFrame
             "id_p", (F.col("own_part") + F.col("g")).alias("part"), "band", "v"
         )
     )
+    # shuffle-hash, pinned: both sides are exploded band streams (the
+    # probe side reaches ~1.5k rows/doc under the wide gate), but the
+    # optimizer cost-estimates them from the slim persisted signature
+    # frame and happily BROADCASTS the probe arm — measured 1.7 GiB of
+    # hashed relation at sf0.1, a guaranteed OOM at corpus scale.  A
+    # shuffle-hash join on the 3-int key is the plan that survives
+    # 100x data: both sides partition on (part, band, v), no sort, no
+    # driver-side relation.
     return (
-        probe.join(index, ["part", "band", "v"])
+        probe.join(index.hint("shuffle_hash"), ["part", "band", "v"])
         .where(F.col("id_p") != F.col("id_x"))
         .select(
             F.least("id_p", "id_x").alias("id_a"),
@@ -1665,12 +1673,23 @@ def _containment_screened(
     threshold: float = 0.9,
 ) -> DataFrame:
     """Band candidates passed through the sketch screen: estimated
-    Jaccard (n_hashes-permutation agreement) vs the pair's EXACT
-    required Jaccard jreq = t*min / (na + nb - t*min), kept iff
+    Jaccard vs the pair's EXACT required Jaccard
+    jreq = t*min / (na + nb - t*min), kept iff
     est >= jreq - _LE_EST_DELTA.  Signatures move for candidate pairs
-    only; shingle arrays move only for the survivors this returns."""
+    only; shingle arrays move only for the survivors this returns.
+
+    The estimate always uses the FIRST 128 permutations, even under
+    the 512-hash wide gate: the Hoeffding slack (_LE_EST_DELTA) is
+    calibrated for 128 draws, the extra hashes exist for band recall
+    (1-row-band budget), and the slice keeps the screen's sketch
+    frames at 1/4 the width — the full 512-wide frame measured a
+    1.5 GiB AQE broadcast at sf0.1, exactly the join-side bloat this
+    stage exists to avoid."""
+    est_n = min(int(n_hashes), _LE_N_HASHES)
     cand = _containment_candidates(sigs, bands)
-    sized = sigs.join(shingled.select("doc_id", F.size("sh").alias("n")), "doc_id")
+    sized = sigs.select("doc_id", F.slice("sig", 1, est_n).alias("sig")).join(
+        shingled.select("doc_id", F.size("sh").alias("n")), "doc_id"
+    )
     sk_a = sized.select(
         F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), F.col("n").alias("na")
     )
@@ -1678,7 +1697,7 @@ def _containment_screened(
         F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), F.col("n").alias("nb")
     )
     est = F.expr(
-        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / cast({n_hashes} as double)"
+        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / cast({est_n} as double)"
     )
     t = float(threshold)
     jreq = F.expr(f"({t} * least(na, nb)) / (na + nb - {t} * least(na, nb))")
@@ -1720,6 +1739,28 @@ def q_dedup_containment_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return gated_containment_pairs(
         _fan_out(_containment_corpus(spark, sf_dir), spark, sf_dir)
+    )
+
+
+@register("q_dedup_containment_wide", oracle=_SQL_CONTAINMENT_ORACLE)
+def q_dedup_containment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide-ratio containment gate (max_ratio=32: 512-hash
+    signatures, probe arms to partition gap 5) against the SAME
+    exact-join oracle as q_dedup_containment — driver-hash evidence
+    that the wide gate loses nothing on a real corpus, complementing
+    the planted ratio-30 unit test.  The registered corpus spans
+    partition gap 5, so this is also the configuration under which the
+    gate runs warning-free (the default gate documents its gap-3 limit
+    with a measured-spread warning on this corpus).
+
+    Scale shape is q_dedup_containment_gated's with 4x the signature
+    width and ~4.3x the probe rows (1504/doc) — the documented cost of
+    extending the recall contract from ratio<8 to ratio<32; pay it
+    only for corpora where quoted excerpts inside much larger pages
+    are in scope.
+    """
+    return gated_containment_pairs(
+        _fan_out(_containment_corpus(spark, sf_dir), spark, sf_dir), max_ratio=32
     )
 
 

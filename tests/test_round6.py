@@ -593,3 +593,33 @@ def test_ann_task_codebook_config_validation(spark, tmp_path):
             {"source": "s", "index": "i", "method": "ivfpq", "codebook": "kmeanspp"},
             ctx,
         ).config()
+
+
+def test_containment_band_join_is_shuffle_hash_not_broadcast(spark):
+    """The band join must stay a ShuffledHashJoin: the optimizer
+    cost-estimates the exploded probe arm from the slim persisted
+    signature frame and would otherwise BROADCAST it (measured
+    1.7 GiB hashed relation at sf0.1 under the wide gate — an OOM at
+    corpus scale)."""
+    from sayn_spark.functions.dedup import (
+        _LE_GATES,
+        _containment_candidates,
+        _containment_gate_frames,
+    )
+    from sayn_spark.functions.registry import release_persisted
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    try:
+        _, sigs = _containment_gate_frames(docs, n_hashes=128)
+        cand = _containment_candidates(sigs, _LE_GATES[8]["bands"])
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        band_join_lines = [
+            l for l in plan.splitlines() if "Join [part" in l or "Join [band" in l
+        ]
+        assert band_join_lines, "band join not found in plan"
+        assert all("ShuffledHashJoin" in l for l in band_join_lines), band_join_lines
+        assert not any("BroadcastHashJoin" in l for l in band_join_lines)
+    finally:
+        release_persisted()
