@@ -639,3 +639,74 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("contaminated_id"))
         .distinct()
     )
+
+
+@register(
+    "q_ngram_novelty",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+           i -> array_to_string(t[i:i+7], ' '))) AS g
+    FROM toks WHERE len(t) >= 8)
+),
+first_owner AS (SELECT g, MIN(doc_id) AS owner FROM grams GROUP BY g)
+SELECT gr.doc_id,
+       COUNT(*) AS n_grams,
+       SUM(CASE WHEN f.owner = gr.doc_id THEN 1 ELSE 0 END) AS n_novel,
+       SUM(CASE WHEN f.owner = gr.doc_id THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+         AS novelty_ppm
+FROM grams gr JOIN first_owner f USING (g)
+GROUP BY gr.doc_id
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scan — for each document, the fraction of its
+    distinct 8-gram hashes NOT already present in any lower-id
+    document (ingest order): the memorization/freshness signal a
+    training pipeline uses to prioritise new data over re-crawls and
+    boilerplate (a re-crawled page scores ~0, a genuinely new page
+    ~1e6 ppm).  Ownership is first-writer (min doc_id), so the metric
+    is deterministic under any execution order.
+
+    novelty_ppm is an exact integer FLOOR division (never a rounded
+    double): n_grams can be a power of two, which puts
+    round(n_novel/n_grams, 6) exactly on a round-half boundary — the
+    FP-fragility class fixed in q_quality_adaptive_filter, avoided
+    here by construction.
+
+    Scale shape: documents reduce to distinct 8-byte xxhash64 gram
+    keys (the decontaminate reduction); one shuffle on the hash for
+    the min-owner aggregate (map-side combinable — hot boilerplate
+    grams collapse before the exchange), one hash-key join back, and
+    a map-side-combinable per-doc count.  Text never moves; at 100 TB
+    the widest stream is the (h, doc_id) pair list, the same width
+    the exact-dedup fingerprint pass already shuffles.
+
+    Engine note: the Spark plan moves 8-byte xxhash64 keys; the oracle
+    restates the same membership logic over the raw gram strings
+    (exact truth), so the comparison also certifies that hashing
+    introduced no collisions on this corpus.
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = ngram_hash_frame(d, "text", 8, "doc_id")
+    first_owner = grams.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    novel = F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        grams.join(first_owner, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("(n_novel * 1000000) div n_grams").alias("novelty_ppm"),
+        )
+    )

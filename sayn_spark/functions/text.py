@@ -573,6 +573,34 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_avg_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_toks, avg_nll) — self-trained unigram-LM surprisal
+    per document, shared verbatim by q_text_unigram_surprisal and
+    q_perplexity_buckets (same expressions, same determinism: 8dp
+    per-token nll summed in DECIMAL, mean rounded to 6dp)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("t"))
+    toks = persist_tracked(toks)
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    nll = freq.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.round(-F.log(F.col("c").cast("double") / F.col("total")), 8)
+        .cast("decimal(20,8)")
+        .alias("nll"),
+    )
+    return (
+        toks.join(nll, "t")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_toks"), F.sum("nll").alias("s"))
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(F.col("s").cast("double") / F.col("n_toks"), 6).alias("avg_nll"),
+        )
+    )
+
+
 @register(
     "q_text_unigram_surprisal",
     oracle="""
@@ -618,31 +646,100 @@ def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-trained frequencies for a reference-corpus table turns this
     into the standard quality-filter shape without changing the plan.
     """
-    d = T(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("t"))
-    toks = persist_tracked(toks)
-    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.agg(F.count(F.lit(1)).alias("total"))
-    nll = freq.crossJoin(F.broadcast(total)).select(
-        "t",
-        F.round(-F.log(F.col("c").cast("double") / F.col("total")), 8)
-        .cast("decimal(20,8)")
-        .alias("nll"),
-    )
-    doc = (
-        toks.join(nll, "t")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_toks"), F.sum("nll").alias("s"))
-        .select(
-            "doc_id",
-            "n_toks",
-            F.round(F.col("s").cast("double") / F.col("n_toks"), 6).alias("avg_nll"),
-        )
-    )
+    doc = _doc_avg_nll(spark, sf_dir)
     top = doc.orderBy(F.desc("avg_nll"), "doc_id").limit(50)
     return top.select(
         "doc_id",
         "n_toks",
         "avg_nll",
         F.row_number().over(Window.orderBy(F.desc("avg_nll"), "doc_id")).alias("rk"),
+    )
+
+
+_NLL_SQL_DOC = """
+tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+  FROM documents
+),
+freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT COUNT(*) AS total FROM tok),
+nll AS (
+  SELECT t, CAST(ROUND(-LN(CAST(c AS DOUBLE) / total), 8) AS DECIMAL(20,8)) AS nll
+  FROM freq, tot
+),
+doc AS (
+  SELECT doc_id, COUNT(*) AS n_toks, SUM(nll) AS s
+  FROM tok JOIN nll USING (t) GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "q_perplexity_buckets",
+    oracle=f"""
+WITH {_NLL_SQL_DOC},
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND(ROUND(CAST(s AS DOUBLE) / n_toks, 6) * 1000000) AS BIGINT)
+           AS nll_micro
+  FROM doc
+),
+ranked AS (
+  SELECT d.source, sc.doc_id, sc.nll_micro,
+         ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY sc.nll_micro, sc.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY d.source) AS n
+  FROM scored sc JOIN documents d USING (doc_id)
+)
+SELECT source,
+       CASE WHEN 3 * rn <= n THEN 'head'
+            WHEN 3 * rn <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       SUM(nll_micro) AS sum_nll_micro
+FROM ranked GROUP BY source, bucket
+""",
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per source, rank documents by
+    unigram-LM surprisal and split into head / middle / tail terciles
+    — the language-model quality partition web-corpus pipelines use
+    to keep head+middle and drop (or re-weight) the tail, calibrated
+    PER DUMP exactly like q_quality_adaptive_filter's median.
+
+    Boundary-free by construction: surprisal converts to exact integer
+    micro-units (avg_nll is 6dp), and the tercile assignment
+    ``3*rn <= n`` / ``3*rn <= 2*n`` is pure integer rank arithmetic —
+    no percentile interpolation, no FP threshold anywhere (the lesson
+    of the r5 adaptive-filter fragility, applied to the next
+    order-statistics operator).
+
+    Scale shape: the surprisal stage is q_text_unigram_surprisal's
+    (vocabulary-table join, map-side-combinable doc aggregate); the
+    bucketing adds one shuffle on source for the per-source rank and a
+    3-row-per-source aggregate.  At 100 TB swap the exact rank for
+    percentile_approx boundaries on nll_micro and the bucket CASE —
+    the output contract (source, bucket, counts, mass) is unchanged.
+    """
+    doc = _doc_avg_nll(spark, sf_dir)
+    src = T(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = doc.join(src, "doc_id").select(
+        "source",
+        "doc_id",
+        F.expr("cast(round(avg_nll * 1000000) as bigint)").alias("nll_micro"),
+    )
+    w = Window.partitionBy("source").orderBy("nll_micro", "doc_id")
+    ranked = scored.select(
+        "source",
+        "nll_micro",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    bucket = (
+        F.when(F.lit(3) * F.col("rn") <= F.col("n"), "head")
+        .when(F.lit(3) * F.col("rn") <= F.lit(2) * F.col("n"), "middle")
+        .otherwise("tail")
+    )
+    return ranked.groupBy("source", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nll_micro").alias("sum_nll_micro"),
     )
