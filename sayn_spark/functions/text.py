@@ -573,12 +573,13 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_avg_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_avg_nll_frame(d: DataFrame) -> DataFrame:
     """(doc_id, n_toks, avg_nll) — self-trained unigram-LM surprisal
-    per document, shared verbatim by q_text_unigram_surprisal and
-    q_perplexity_buckets (same expressions, same determinism: 8dp
-    per-token nll summed in DECIMAL, mean rounded to 6dp)."""
-    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    per document over an arbitrary (doc_id, text) frame, shared
+    verbatim by q_text_unigram_surprisal, q_perplexity_buckets, and
+    the filter task's ``scorer: surprisal`` (same expressions, same
+    determinism: 8dp per-token nll summed in DECIMAL, mean rounded to
+    6dp)."""
     toks = d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("t"))
     toks = persist_tracked(toks)
     freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
@@ -598,6 +599,12 @@ def _doc_avg_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_toks",
             F.round(F.col("s").cast("double") / F.col("n_toks"), 6).alias("avg_nll"),
         )
+    )
+
+
+def _doc_avg_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_avg_nll_frame(
+        T(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 

@@ -7,7 +7,8 @@ applied as a declarative keep/drop stage:
         type: filter
         source: documents
         destination: documents_clean
-        scorer: quality          # quality | langid | length | repetition
+        scorer: quality          # quality | langid | length |
+                                 #   repetition | surprisal
         min_score: 0.5
         with_score: true         # add the score column to the output
 
@@ -32,11 +33,19 @@ correctness evidence):
   and/or n_immediate_repeats <= max_immediate_repeats
   (q_repetition_signals' shared builders in functions/content_filter.py;
   docs with fewer than 2 tokens have no signal and are kept).
+- surprisal: the CCNet-style LM-quality filter — keep rows with
+  unigram avg_nll <= max_avg_nll and/or the lowest-surprisal
+  keep_fraction of the corpus (exact integer rank cut; needs
+  id_column, default doc_id).  Shares doc_avg_nll_frame with
+  q_text_unigram_surprisal / q_perplexity_buckets; at 100 TB prefer
+  max_avg_nll (map-side after the vocabulary join) over keep_fraction
+  (global rank window).
 
-All scorers are pure JVM column expressions over the text column — the
-filter is map-side, pushes through to the scan where possible, and the
-destination is a full rebuild (replace_table).  NULL text never passes
-any scorer.
+Every scorer except surprisal is a pure JVM column expression over the
+text column — the filter is map-side and pushes through to the scan
+where possible; surprisal adds the vocabulary-table join (still
+JVM-side, map-side-combinable aggregates).  The destination is a full
+rebuild (replace_table).  NULL text never passes any scorer.
 """
 
 from __future__ import annotations
@@ -45,7 +54,7 @@ from pyspark.sql import functions as F
 
 from sayn_spark.operators.base import Task, TaskStatus
 
-_SCORERS = ("quality", "langid", "length", "repetition")
+_SCORERS = ("quality", "langid", "length", "repetition", "surprisal")
 
 
 class FilterTask(Task):
@@ -87,6 +96,21 @@ class FilterTask(Task):
                 f"filter task {self.name!r}: repetition needs "
                 "max_repetition_ratio and/or max_immediate_repeats"
             )
+        self.id_column = c.get("id_column", "doc_id")
+        self.max_avg_nll = c.get("max_avg_nll")
+        self.keep_fraction = c.get("keep_fraction")
+        if self.scorer == "surprisal":
+            if self.max_avg_nll is None and self.keep_fraction is None:
+                raise ValueError(
+                    f"filter task {self.name!r}: surprisal needs "
+                    "max_avg_nll and/or keep_fraction"
+                )
+            if self.keep_fraction is not None and not (
+                0.0 < float(self.keep_fraction) <= 1.0
+            ):
+                raise ValueError(
+                    f"filter task {self.name!r}: keep_fraction must be in (0, 1]"
+                )
 
         self.src_obj = self.context.obj_compiler.from_string(self.source)
         self.sources.add(self.src_obj)
@@ -138,6 +162,44 @@ class FilterTask(Task):
                 out = out.withColumnRenamed("_lang", "predicted_lang")
             else:
                 out = out.drop("_lang")
+        elif self.scorer == "surprisal":
+            from pyspark.sql.window import Window
+
+            from sayn_spark.functions.text import doc_avg_nll_frame
+
+            if self.id_column not in work.columns:
+                raise ValueError(
+                    f"filter task {self.name!r}: surprisal needs id column "
+                    f"{self.id_column!r} in {self.src_value}"
+                )
+            nll = doc_avg_nll_frame(
+                work.select(F.col(self.id_column).alias("doc_id"), "text")
+            ).select(F.col("doc_id").alias(self.id_column), "avg_nll")
+            scored = work.join(nll, self.id_column)
+            cond = F.lit(True)
+            if self.max_avg_nll is not None:
+                cond = cond & (F.col("avg_nll") <= float(self.max_avg_nll))
+            if self.keep_fraction is not None:
+                # boundary-free rank cut in integer micro-units (the
+                # q_perplexity_buckets arithmetic): keep the lowest-
+                # surprisal permille share.  The global row_number is a
+                # single-partition window — fine for per-dump
+                # calibration corpora; at 100 TB derive an absolute
+                # max_avg_nll from q_perplexity_buckets instead (the
+                # same remedy pack documents for its global cumsum).
+                permille = int(round(float(self.keep_fraction) * 1000))
+                w = Window.orderBy(
+                    F.expr("cast(round(avg_nll * 1000000) as bigint)"),
+                    F.col(self.id_column),
+                )
+                scored = scored.withColumn("_rn", F.row_number().over(w)).withColumn(
+                    "_n", F.count(F.lit(1)).over(Window.partitionBy())
+                )
+                cond = cond & (
+                    F.lit(1000) * F.col("_rn") <= F.lit(permille) * F.col("_n")
+                )
+            kept = scored.where(cond).drop("_rn", "_n")
+            out = kept if self.with_score else kept.drop("avg_nll")
         elif self.scorer == "repetition":
             from sayn_spark.functions.content_filter import (
                 immediate_repeats_col,
@@ -187,6 +249,12 @@ class FilterTask(Task):
         self.context.db.replace_table(
             self.dst_value, out, **self.destination_writer_opts()
         )
+        if self.scorer == "surprisal":
+            # doc_avg_nll_frame persists the token stream for its two
+            # aggregation branches; the write above consumed it
+            from sayn_spark.functions.registry import release_persisted
+
+            release_persisted()
 
     def compile(self) -> None:
         return None

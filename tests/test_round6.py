@@ -623,3 +623,57 @@ def test_containment_band_join_is_shuffle_hash_not_broadcast(spark):
         assert not any("BroadcastHashJoin" in l for l in band_join_lines)
     finally:
         release_persisted()
+
+
+# -- 9. filter task: surprisal scorer -----------------------------------
+
+
+def test_filter_task_surprisal_matches_registered_query(spark, tmp_path):
+    """scorer: surprisal keeps exactly the docs the registered
+    (oracle-verified) q_text_unigram_surprisal machinery scores at or
+    under the threshold — the task decision carries the query's
+    evidence because both run doc_avg_nll_frame verbatim."""
+    from sayn_spark.functions.text import doc_avg_nll_frame
+
+    docs = [
+        (i, f"common word alpha beta w{i % 3} filler text here") for i in range(1, 21)
+    ] + [(99, "zzzqx vrmpl kkjhw unique gibberish tokens xyzzy")]
+    out = _run_filter(
+        spark,
+        tmp_path,
+        docs,
+        scorer="surprisal",
+        max_avg_nll=4.0,
+        with_score=True,
+    )
+    kept = {r.doc_id for r in out.collect()}
+    scored = doc_avg_nll_frame(_mk_docs(spark, docs)).collect()
+    expect = {r.doc_id for r in scored if r.avg_nll <= 4.0}
+    assert kept == expect
+    assert 99 not in kept, "the gibberish outlier must score above 4.0 nats"
+    assert "avg_nll" in out.columns
+
+
+def test_filter_task_surprisal_keep_fraction_exact_rank(spark, tmp_path):
+    from sayn_spark.functions.text import doc_avg_nll_frame
+
+    docs = [(i, f"tok{i} tok{i} shared base words w{i % 5}") for i in range(1, 31)]
+    out = _run_filter(
+        spark,
+        tmp_path,
+        docs,
+        scorer="surprisal",
+        keep_fraction=0.5,
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert len(kept) == 15  # exact integer rank cut: floor(0.5 * 30)
+    scored = sorted(
+        doc_avg_nll_frame(_mk_docs(spark, docs)).collect(),
+        key=lambda r: (round(r.avg_nll * 1e6), r.doc_id),
+    )
+    assert kept == {r.doc_id for r in scored[:15]}
+
+
+def test_filter_task_surprisal_requires_threshold(spark, tmp_path):
+    with pytest.raises(ValueError, match="surprisal needs"):
+        _run_filter(spark, tmp_path, [(1, "a b c")], scorer="surprisal")
