@@ -501,3 +501,75 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keep_id"),
         F.max(F.when(F.col("rk") == 1, F.col("quality"))).alias("keep_quality"),
     )
+
+
+@register(
+    "q_dedup_cluster_profile",
+    oracle=f"""
+WITH RECURSIVE {_SQL_CORPUS3}, {_SQL_EDGES},
+sym AS (
+  SELECT src, dst FROM edges
+  UNION SELECT dst, src FROM edges
+  UNION SELECT src, src FROM edges
+  UNION SELECT dst, dst FROM edges
+),
+reach(a, b) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+),
+comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+csize AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component),
+multi AS (
+  SELECT cluster_size, COUNT(*) AS n_clusters,
+         SUM(cluster_size) AS n_docs,
+         SUM(cluster_size - 1) AS n_dropped
+  FROM csize GROUP BY cluster_size
+)
+SELECT * FROM multi
+UNION ALL
+SELECT 1, n, n, 0 FROM (
+  SELECT (SELECT COUNT(*) FROM corpus) - (SELECT COUNT(*) FROM comp) AS n
+) WHERE n > 0
+""",
+)
+def q_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile — the dedup PLANNING number every
+    curation run reports before deleting anything: for each near-dup
+    cluster size, how many clusters exist, how many documents they
+    hold, and how many a keep-one policy would drop.  Size-1 rows are
+    the singleton documents (no >= 0.5-Jaccard neighbor), so the
+    n_docs column sums to the corpus and `1 - sum(n_dropped)/corpus`
+    is the surviving fraction.
+
+    Scale shape: the cluster assignment is the auto-selecting
+    ``components()`` (label-prop with star-contraction fall-over); the
+    profile on top is two map-side-combinable aggregates over the
+    (node, component) frame plus one scalar count for the singleton
+    row — output rows are O(distinct cluster sizes), a telemetry-sized
+    frame at any corpus scale.
+    """
+    from sayn_spark.functions.dedup import _fan_out
+
+    corpus = _fan_out(_near_dup_corpus(spark, sf_dir), spark, sf_dir)
+    comp = components(_jaccard_edges(corpus))
+    csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    multi = csize.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).alias("n_dropped"),
+    )
+    n_corpus = corpus.select(F.count(F.lit(1)).alias("nc"))
+    n_nodes = comp.select(F.count(F.lit(1)).alias("nn"))
+    singles = (
+        n_corpus.crossJoin(n_nodes)
+        .select((F.col("nc") - F.col("nn")).alias("n"))
+        .where(F.col("n") > 0)
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+            F.lit(0).cast("bigint").alias("n_dropped"),
+        )
+    )
+    return multi.unionByName(singles)

@@ -45,7 +45,11 @@ Every scorer except surprisal is a pure JVM column expression over the
 text column — the filter is map-side and pushes through to the scan
 where possible; surprisal adds the vocabulary-table join (still
 JVM-side, map-side-combinable aggregates).  The destination is a full
-rebuild (replace_table).  NULL text never passes any scorer.
+rebuild (replace_table); ``mode: incremental`` appends only new-id
+rows instead (row-local scorers only — previously-DROPPED rows are
+re-scored on each run, which is idempotent by row-locality and
+cheaper than keeping a drops table for a map-side predicate).  NULL
+text never passes any scorer.
 """
 
 from __future__ import annotations
@@ -70,6 +74,20 @@ class FilterTask(Task):
         if self.scorer not in _SCORERS:
             raise ValueError(
                 f"filter task {self.name!r}: scorer must be one of {_SCORERS}"
+            )
+        # incremental: score only source rows whose id is not yet in
+        # the destination and append — a recurring ingest never
+        # re-scores the existing corpus.  Row-local scorers only: a
+        # corpus-relative scorer (surprisal trains its vocabulary on
+        # the corpus) would give batch-dependent answers.
+        self.mode = c.get("mode", "full")
+        if self.mode not in ("full", "incremental"):
+            raise ValueError(f"filter task {self.name!r}: mode must be full|incremental")
+        if self.mode == "incremental" and self.scorer == "surprisal":
+            raise ValueError(
+                f"filter task {self.name!r}: surprisal is corpus-relative "
+                "(self-trained vocabulary) — incremental scoring would be "
+                "batch-dependent; use mode: full, or a row-local scorer"
             )
         self.text_column = c.get("text_column", "text")
         self.with_score = bool(c.get("with_score", False))
@@ -146,6 +164,22 @@ class FilterTask(Task):
         work = work.withColumn("text", F.col(self.text_column)).where(
             F.col("text").isNotNull()
         )
+        incremental = (
+            self.mode == "incremental"
+            and self.context.db.table_exists(self.dst_value)
+        )
+        if self.mode == "incremental":
+            if self.id_column not in src_cols:
+                raise ValueError(
+                    f"filter task {self.name!r}: incremental needs id column "
+                    f"{self.id_column!r} in {self.src_value}"
+                )
+            if incremental:
+                work = work.join(
+                    spark.table(self.dst_value).select(self.id_column),
+                    self.id_column,
+                    "left_anti",
+                )
         if self.scorer == "quality":
             scored = work.withColumn("_score", quality_score_col())
             kept = scored.where(F.col("_score") >= float(self.min_score))
@@ -246,9 +280,18 @@ class FilterTask(Task):
             out = out.drop("text")
             if clash:
                 out = out.withColumnRenamed("__sayn_orig_text__", "text")
-        self.context.db.replace_table(
-            self.dst_value, out, **self.destination_writer_opts()
-        )
+        if incremental:
+            if not out.isEmpty():
+                self.context.db.create_table(
+                    self.dst_value,
+                    out,
+                    mode="append",
+                    **self.destination_writer_opts(),
+                )
+        else:
+            self.context.db.replace_table(
+                self.dst_value, out, **self.destination_writer_opts()
+            )
         if self.scorer == "surprisal":
             # doc_avg_nll_frame persists the token stream for its two
             # aggregation branches; the write above consumed it

@@ -677,3 +677,65 @@ def test_filter_task_surprisal_keep_fraction_exact_rank(spark, tmp_path):
 def test_filter_task_surprisal_requires_threshold(spark, tmp_path):
     with pytest.raises(ValueError, match="surprisal needs"):
         _run_filter(spark, tmp_path, [(1, "a b c")], scorer="surprisal")
+
+
+# -- 10. filter task: incremental mode ----------------------------------
+
+
+def test_filter_task_incremental_appends_only_new_rows(spark, tmp_path):
+    """mode=incremental scores only ids absent from the destination and
+    appends; reruns with an unchanged source are no-ops, and
+    previously-dropped rows stay dropped (row-local scorer gives the
+    same answer on re-score)."""
+    spark.sql("DROP TABLE IF EXISTS r6_filter_out")  # fresh state
+    rows1 = [
+        (1, "alpha beta gamma delta"),
+        (2, "spam spam spam spam spam"),  # dropped by repetition
+        (3, "one two three four five"),
+    ]
+    out1 = _run_filter(
+        spark,
+        tmp_path,
+        rows1,
+        scorer="repetition",
+        max_repetition_ratio=0.5,
+        mode="incremental",
+    )
+    assert {r.doc_id for r in out1.collect()} == {1, 3}
+
+    rows2 = rows1 + [
+        (4, "fresh new document text here"),
+        (5, "dup dup dup dup dup dup"),  # dropped
+    ]
+    out2 = _run_filter(
+        spark,
+        tmp_path,
+        rows2,
+        scorer="repetition",
+        max_repetition_ratio=0.5,
+        mode="incremental",
+    )
+    assert {r.doc_id for r in out2.collect()} == {1, 3, 4}
+    # no-op rerun: no duplicates
+    out3 = _run_filter(
+        spark,
+        tmp_path,
+        rows2,
+        scorer="repetition",
+        max_repetition_ratio=0.5,
+        mode="incremental",
+    )
+    assert sorted(r.doc_id for r in out3.collect()) == [1, 3, 4]
+    spark.sql("DROP TABLE IF EXISTS r6_filter_out")
+
+
+def test_filter_task_incremental_rejects_surprisal(spark, tmp_path):
+    with pytest.raises(ValueError, match="corpus-relative"):
+        _run_filter(
+            spark,
+            tmp_path,
+            [(1, "a b c")],
+            scorer="surprisal",
+            max_avg_nll=5.0,
+            mode="incremental",
+        )
