@@ -573,6 +573,40 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nll_from_toks(toks: DataFrame) -> DataFrame:
+    """(t, nll: decimal(20,8)) unigram negative-log-prob table from an
+    exploded (doc_id, t) token stream."""
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    return freq.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.round(-F.log(F.col("c").cast("double") / F.col("total")), 8)
+        .cast("decimal(20,8)")
+        .alias("nll"),
+    )
+
+
+def nll_vocab_frame(d: DataFrame) -> DataFrame:
+    """(t, nll) unigram-LM vocabulary trained on a (doc_id, text)
+    corpus — the FROZEN-LM artifact the streaming surprisal filter
+    scores against (train offline on a reference corpus, apply to the
+    ingest stream)."""
+    return _nll_from_toks(d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("t")))
+
+
+def _score_toks(toks: DataFrame, nll: DataFrame) -> DataFrame:
+    return (
+        toks.join(nll, "t")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_toks"), F.sum("nll").alias("s"))
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(F.col("s").cast("double") / F.col("n_toks"), 6).alias("avg_nll"),
+        )
+    )
+
+
 def doc_avg_nll_frame(d: DataFrame) -> DataFrame:
     """(doc_id, n_toks, avg_nll) — self-trained unigram-LM surprisal
     per document over an arbitrary (doc_id, text) frame, shared
@@ -582,17 +616,26 @@ def doc_avg_nll_frame(d: DataFrame) -> DataFrame:
     6dp)."""
     toks = d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("t"))
     toks = persist_tracked(toks)
-    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.agg(F.count(F.lit(1)).alias("total"))
-    nll = freq.crossJoin(F.broadcast(total)).select(
-        "t",
-        F.round(-F.log(F.col("c").cast("double") / F.col("total")), 8)
-        .cast("decimal(20,8)")
-        .alias("nll"),
+    return _score_toks(toks, _nll_from_toks(toks))
+
+
+def score_against_vocab(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(doc_id, n_toks, avg_nll) for ``docs`` under a FROZEN (t, nll)
+    vocabulary — the apply side of the offline-trained LM filter.
+    Out-of-vocabulary tokens score the vocabulary's MAXIMUM nll (the
+    rarest-known-token surprisal): deterministic, and unseen tokens
+    read as maximally surprising, which is the conservative choice for
+    a quality gate.  The vocabulary (and its scalar max) broadcast;
+    scoring is one join + a map-side-combinable per-doc aggregate."""
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("t"))
+    mx = vocab.agg(F.max("nll").alias("_oov_nll"))
+    joined = (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .crossJoin(F.broadcast(mx))
+        .select("doc_id", F.coalesce("nll", "_oov_nll").alias("nll"))
     )
     return (
-        toks.join(nll, "t")
-        .groupBy("doc_id")
+        joined.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_toks"), F.sum("nll").alias("s"))
         .select(
             "doc_id",

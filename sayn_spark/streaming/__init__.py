@@ -5,6 +5,7 @@ from sayn_spark.streaming.stateful import (  # noqa: F401
 from sayn_spark.streaming.materialise import (  # noqa: F401
     stream_decontaminate,
     stream_merge_into,
+    stream_surprisal_filter,
 )
 from sayn_spark.streaming.streams import (  # noqa: F401
     attribution_join_stream,

@@ -328,3 +328,63 @@ def stream_decontaminate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_surprisal_filter(
+    source: DataFrame,
+    vocab_table: str,
+    dst_table: str,
+    checkpoint: str,
+    max_avg_nll: float,
+    id_column: str = "doc_id",
+):
+    """Streaming twin of the filter task's ``scorer: surprisal`` in its
+    production shape: the unigram LM is trained OFFLINE
+    (functions/text.py:nll_vocab_frame written to ``vocab_table``) and
+    each micro-batch scores against that FROZEN vocabulary — the
+    batch task's self-trained variant is corpus-relative and cannot
+    stream, which is exactly why its incremental mode is rejected
+    (operators/filter.py); freezing the LM is how CCNet-style
+    filtering actually runs on a continuous crawl.
+
+    Out-of-vocabulary tokens score the vocabulary's max nll
+    (score_against_vocab's contract).  The static side re-resolves
+    every trigger, so a retrained vocabulary applies from the next
+    batch without a restart.  Writes are replay-idempotent: rows stamp
+    the trigger id and merge delete-before-append on it.
+    """
+    from sayn_spark.functions.text import score_against_vocab
+
+    outer_session = source.sparkSession
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        db = SparkDatabase(spark)
+        if batch_df.isEmpty():
+            return
+        work = batch_df.where(F.col("text").isNotNull())
+        scored = score_against_vocab(
+            work.select(F.col(id_column).alias("doc_id"), "text"),
+            spark.table(vocab_table),
+        )
+        keep_ids = scored.where(F.col("avg_nll") <= float(max_avg_nll)).select(
+            F.col("doc_id").alias(id_column)
+        )
+        kept = work.join(keep_ids, id_column, "left_semi").withColumn(
+            "ingest_id", F.lit(batch_id).cast("long")
+        )
+        if db.table_exists(dst_table):
+            staging = _tmp_name(dst_table, f"_stream_{batch_id}")
+            db.drop_object(staging)
+            db.create_table(staging, kept, mode="overwrite")
+            db.merge_tables(staging, dst_table, "ingest_id")
+        else:
+            db.create_table(dst_table, kept, mode="overwrite")
+        outer_session.catalog.refreshTable(dst_table)
+
+    return (
+        source.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -498,3 +498,53 @@ def test_decontaminate_stream_matches_batch(spark, tmp_path):
     assert 0 < len(got) < docs.count()
     for t in ("ds_eval", "ds_out"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_surprisal_filter_matches_frozen_vocab_batch(spark, tmp_path):
+    """stream_surprisal_filter scores micro-batches against the FROZEN
+    offline-trained vocabulary and must keep exactly the docs the
+    batch score_against_vocab keeps — including OOV handling (a second
+    wave introduces unseen tokens that score the vocab's max nll) and
+    replay-idempotent trigger-id merges across waves."""
+    from pyspark.sql import functions as F
+
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.functions.text import nll_vocab_frame, score_against_vocab
+    from sayn_spark.streaming import stream_surprisal_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # train the LM on the even-id half only: odd ids carry OOV mass
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    spark.sql("DROP TABLE IF EXISTS sv_vocab")
+    SparkDatabase(spark).replace_table("sv_vocab", nll_vocab_frame(train))
+
+    src = tmp_path / "sv_docs"
+    src.mkdir()
+    wave1 = docs.where(F.col("doc_id") < 250)
+    wave1.coalesce(1).write.mode("overwrite").parquet(str(src / "w1"))
+    spark.sql("DROP TABLE IF EXISTS sv_out")
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    ckpt = str(tmp_path / "sv_ckpt")
+    threshold = 3.41  # ~median under the frozen vocab: both keep and drop sets non-empty
+    q = stream_surprisal_filter(stream, "sv_vocab", "sv_out", ckpt, threshold)
+    q.awaitTermination(120)
+
+    # second wave: the rest of the corpus (some with tokens unseen by
+    # the frozen vocab), same checkpoint -> only new files process
+    docs.where(F.col("doc_id") >= 250).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "w2")
+    )
+    q2 = stream_surprisal_filter(stream, "sv_vocab", "sv_out", ckpt, threshold)
+    q2.awaitTermination(120)
+
+    got = {r.doc_id for r in spark.table("sv_out").collect()}
+    scored = score_against_vocab(docs, spark.table("sv_vocab"))
+    want = {
+        r.doc_id for r in scored.where(F.col("avg_nll") <= threshold).collect()
+    }
+    assert got == want
+    assert 0 < len(got) < docs.count()
+    for t in ("sv_vocab", "sv_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
