@@ -57,6 +57,8 @@ HEADLINE = [
     "q_ann_ivfpq_topk",
     "q_text_quality",
     "q_text_unigram_surprisal",
+    "q_ngram_novelty",
+    "q_perplexity_buckets",
     "task_dedup_incremental",
 ]
 

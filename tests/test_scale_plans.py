@@ -182,6 +182,8 @@ _BNLJ_BOUNDED_FRAME_OK = {
     "q_kmeans_refine",           # k-row centroid frame
     "q_text_unigram_surprisal",  # 1-row total-token-count frame
     "q_token_budget_mix",        # 1-row corpus-total frame
+    "q_perplexity_buckets",      # 1-row total-token-count frame (shared nll stage)
+    "q_dedup_cluster_profile",   # 1-row x 1-row singleton-count scalars
 }
 
 
