@@ -710,3 +710,145 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_novel * 1000000) div n_grams").alias("novelty_ppm"),
         )
     )
+
+
+# --- Gopher-style rule filter (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A) -
+
+_GOPHER_STOPS = ("the", "a", "of", "and", "is")
+
+
+def gopher_signal_cols(t: str = "t") -> dict:
+    """The five Gopher rule signals over a lowercased token-array
+    column ``t`` — shared by q_quality_gopher_rules and the filter
+    task's ``scorer: gopher`` (operators/filter.py), so the task
+    decision carries the query's oracle evidence.  All counts are
+    exact integers; every downstream rule is an integer
+    cross-multiplication, so the gate is boundary-free by construction
+    (the FP-fragility class fixed in q_quality_adaptive_filter never
+    arises)."""
+    stops = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+    return {
+        "n_words": F.size(F.expr(t)).cast("bigint"),
+        "sum_word_chars": F.expr(
+            f"aggregate({t}, cast(0 as bigint), (acc, x) -> acc + length(x))"
+        ),
+        "n_alpha_words": F.expr(
+            f"cast(size(filter({t}, x -> x rlike '[a-z]')) as bigint)"
+        ),
+        "n_symbol_words": F.expr(
+            f"cast(size(filter({t}, x -> instr(x, '#') > 0 "
+            f"or instr(x, '...') > 0)) as bigint)"
+        ),
+        "n_stop_distinct": F.expr(
+            f"cast(size(filter(array({stops}), s -> array_contains({t}, s))) "
+            f"as bigint)"
+        ),
+    }
+
+
+def gopher_pass_col(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_permille: int = 100,
+    min_alpha_permille: int = 800,
+    min_stop_words: int = 2,
+):
+    """Conjunction of the five Gopher rules as integer comparisons over
+    the gopher_signal_cols outputs (columns must already be bound).
+    Published defaults; mean-word-length bounds are integer characters
+    and the two ratio rules are permille cross-multiplications —
+    ``1000 * n_symbol_words <= max_symbol_permille * n_words`` never
+    computes a float."""
+    n, s = F.col("n_words"), F.col("sum_word_chars")
+    return (
+        (n >= F.lit(int(min_words)))
+        & (n <= F.lit(int(max_words)))
+        & (F.lit(int(min_mean_word_len)) * n <= s)
+        & (s <= F.lit(int(max_mean_word_len)) * n)
+        & (F.lit(1000) * F.col("n_symbol_words") <= F.lit(int(max_symbol_permille)) * n)
+        & (F.lit(1000) * F.col("n_alpha_words") >= F.lit(int(min_alpha_permille)) * n)
+        & (F.col("n_stop_distinct") >= F.lit(int(min_stop_words)))
+    )
+
+
+@register(
+    "q_quality_gopher_rules",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS sum_word_chars,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+           AS n_alpha_words,
+         CAST(len(list_filter(t, x -> strpos(x, '#') > 0 OR strpos(x, '...') > 0))
+           AS BIGINT) AS n_symbol_words,
+         CAST(len(list_filter(['the','a','of','and','is'],
+                              s -> list_contains(t, s))) AS BIGINT) AS n_stop_distinct
+  FROM tok WHERE len(t) >= 1
+)
+SELECT doc_id, n_words, sum_word_chars, n_alpha_words, n_symbol_words,
+       n_stop_distinct,
+       CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END
+         AS pass_word_count,
+       CASE WHEN 3 * n_words <= sum_word_chars
+             AND sum_word_chars <= 10 * n_words THEN 1 ELSE 0 END
+         AS pass_mean_word_len,
+       CASE WHEN 1000 * n_symbol_words <= 100 * n_words THEN 1 ELSE 0 END
+         AS pass_symbol_ratio,
+       CASE WHEN 1000 * n_alpha_words >= 800 * n_words THEN 1 ELSE 0 END
+         AS pass_alpha_ratio,
+       CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END AS pass_stopwords,
+       CASE WHEN n_words >= 50 AND n_words <= 100000
+             AND 3 * n_words <= sum_word_chars
+             AND sum_word_chars <= 10 * n_words
+             AND 1000 * n_symbol_words <= 100 * n_words
+             AND 1000 * n_alpha_words >= 800 * n_words
+             AND n_stop_distinct >= 2 THEN 1 ELSE 0 END AS gopher_pass
+FROM sig
+""",
+)
+def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filtering (Rae et al. 2021, Appendix A): word
+    count in [50, 100k], mean word length in [3, 10] characters,
+    symbol-to-word ratio <= 0.1, >= 80% of words containing an
+    alphabetic character, and >= 2 distinct stop words present — the
+    published heuristic gate web-corpus pipelines run before any
+    model-based scoring.
+
+    Every rule is an integer cross-multiplication over exact token
+    counts (``3 * n_words <= sum_word_chars`` instead of
+    ``sum_word_chars / n_words >= 3.0``), so no rule ever computes or
+    rounds a float: the gate is boundary-free by construction and the
+    oracle comparison cannot be FP-version-dependent.
+
+    Scale shape: pure map-side JVM column expressions over the text
+    scan — no shuffle, no UDF, linear in corpus bytes; the filter
+    composes with the scan's predicate pushdown.  The same builders
+    power ``scorer: gopher`` in the filter task and the streaming
+    front door (stateless predicate — append mode, no state store).
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_Q_TOKENS).alias("t")
+    ).where(F.expr("size(t) >= 1"))
+    sig = d.select("doc_id", *(c.alias(k) for k, c in gopher_signal_cols().items()))
+    flags = {
+        "pass_word_count": (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000),
+        "pass_mean_word_len": (F.lit(3) * F.col("n_words") <= F.col("sum_word_chars"))
+        & (F.col("sum_word_chars") <= F.lit(10) * F.col("n_words")),
+        "pass_symbol_ratio": F.lit(1000) * F.col("n_symbol_words")
+        <= F.lit(100) * F.col("n_words"),
+        "pass_alpha_ratio": F.lit(1000) * F.col("n_alpha_words")
+        >= F.lit(800) * F.col("n_words"),
+        "pass_stopwords": F.col("n_stop_distinct") >= 2,
+    }
+    out = sig.select(
+        "*", *(F.when(c, 1).otherwise(0).alias(k) for k, c in flags.items())
+    )
+    return out.withColumn("gopher_pass", gopher_pass_col().cast("int"))

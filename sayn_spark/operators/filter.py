@@ -8,7 +8,7 @@ applied as a declarative keep/drop stage:
         source: documents
         destination: documents_clean
         scorer: quality          # quality | langid | length |
-                                 #   repetition | surprisal
+                                 #   repetition | surprisal | gopher
         min_score: 0.5
         with_score: true         # add the score column to the output
 
@@ -33,6 +33,12 @@ correctness evidence):
   and/or n_immediate_repeats <= max_immediate_repeats
   (q_repetition_signals' shared builders in functions/content_filter.py;
   docs with fewer than 2 tokens have no signal and are kept).
+- gopher: the published Gopher rule suite (Rae et al. 2021 App. A) —
+  word count in [min_words, max_words], mean word length in integer
+  character bounds, symbol/alpha permille ratios, >= min_stop_words
+  distinct stop words; every rule an integer cross-multiplication
+  (q_quality_gopher_rules' shared builders — boundary-free, row-local,
+  incremental- and streaming-safe).
 - surprisal: the CCNet-style LM-quality filter — keep rows with
   unigram avg_nll <= max_avg_nll and/or the lowest-surprisal
   keep_fraction of the corpus (exact integer rank cut; needs
@@ -58,7 +64,7 @@ from pyspark.sql import functions as F
 
 from sayn_spark.operators.base import Task, TaskStatus
 
-_SCORERS = ("quality", "langid", "length", "repetition", "surprisal")
+_SCORERS = ("quality", "langid", "length", "repetition", "surprisal", "gopher")
 
 
 class FilterTask(Task):
@@ -114,6 +120,18 @@ class FilterTask(Task):
                 f"filter task {self.name!r}: repetition needs "
                 "max_repetition_ratio and/or max_immediate_repeats"
             )
+        # gopher: published Gopher rule bounds (Rae et al. 2021 App. A)
+        # as integers/permille so the gate stays boundary-free; override
+        # any subset per-corpus.
+        self.gopher_bounds = {
+            "min_words": int(c.get("min_words", 50)),
+            "max_words": int(c.get("max_words", 100_000)),
+            "min_mean_word_len": int(c.get("min_mean_word_len", 3)),
+            "max_mean_word_len": int(c.get("max_mean_word_len", 10)),
+            "max_symbol_permille": int(c.get("max_symbol_permille", 100)),
+            "min_alpha_permille": int(c.get("min_alpha_permille", 800)),
+            "min_stop_words": int(c.get("min_stop_words", 2)),
+        }
         self.id_column = c.get("id_column", "doc_id")
         self.max_avg_nll = c.get("max_avg_nll")
         self.keep_fraction = c.get("keep_fraction")
@@ -265,6 +283,21 @@ class FilterTask(Task):
                 ).withColumnRenamed("_reps", "n_immediate_repeats")
             else:
                 out = kept.drop("_ratio", "_reps")
+        elif self.scorer == "gopher":
+            from sayn_spark.functions.content_filter import (
+                gopher_pass_col,
+                gopher_signal_cols,
+                repetition_tokens_col,
+            )
+
+            sig = gopher_signal_cols("_t")
+            scored = work.withColumn("_t", repetition_tokens_col())
+            for k, col in sig.items():
+                scored = scored.withColumn(k, col)
+            # empty token arrays fail the word-count floor by
+            # construction (n_words = 0 < min_words)
+            kept = scored.where(gopher_pass_col(**self.gopher_bounds)).drop("_t")
+            out = kept if self.with_score else kept.drop(*sig)
         else:
             scored = work.withColumn("_n", n_tokens_col())
             cond = F.lit(True)

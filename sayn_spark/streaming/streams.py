@@ -208,6 +208,7 @@ def content_filter_stream(
     docs: DataFrame,
     min_score: float = 0.5,
     languages: Optional[list[str]] = None,
+    gopher_bounds: Optional[dict] = None,
 ) -> DataFrame:
     """Streaming twin of the filter task's scorers: quality-score and
     (optionally) language-gate a document stream with the SAME
@@ -233,4 +234,19 @@ def content_filter_stream(
             .where(predicted_lang_col().isin(list(languages)))
             .drop("has_cjk", "c_en", "c_es", "c_fr", "c_de")
         )
+    if gopher_bounds is not None:
+        # the Gopher rule suite is also a stateless integer predicate
+        # (q_quality_gopher_rules' shared builders) — pass {} for the
+        # published defaults, or override any bound
+        from sayn_spark.functions.content_filter import (
+            gopher_pass_col,
+            gopher_signal_cols,
+            repetition_tokens_col,
+        )
+
+        sig = gopher_signal_cols("_t")
+        out = out.withColumn("_t", repetition_tokens_col())
+        for k, col in sig.items():
+            out = out.withColumn(k, col)
+        out = out.where(gopher_pass_col(**gopher_bounds)).drop("_t", *sig)
     return out

@@ -548,3 +548,40 @@ def test_stream_surprisal_filter_matches_frozen_vocab_batch(spark, tmp_path):
     assert 0 < len(got) < docs.count()
     for t in ("sv_vocab", "sv_out"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_content_filter_stream_gopher_matches_batch(spark, tmp_path):
+    """The streaming gopher gate must keep exactly the batch rule
+    suite's keep set (same shared integer builders, stateless)."""
+    from sayn_spark.functions import REGISTRY
+    from sayn_spark.streaming import content_filter_stream
+
+    src = tmp_path / "cfg_docs"
+    src.mkdir()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "w1"))
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = (
+        content_filter_stream(stream, min_score=0.0, gopher_bounds={"min_words": 30})
+        .writeStream.format("memory")
+        .queryName("cfg_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.table("cfg_out").collect()}
+    reg = REGISTRY["q_quality_gopher_rules"].fn(spark, SF).collect()
+    want = {
+        r.doc_id
+        for r in reg
+        if 30 <= r.n_words <= 100_000
+        and r.pass_mean_word_len and r.pass_symbol_ratio
+        and r.pass_alpha_ratio and r.pass_stopwords
+    }
+    assert got == want
+    assert 0 < len(got) < docs.count()
+    # gate is stateless: the sink schema carries no helper columns
+    assert spark.table("cfg_out").columns == ["doc_id", "text"]
