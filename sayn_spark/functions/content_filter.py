@@ -852,3 +852,119 @@ def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*", *(F.when(c, 1).otherwise(0).alias(k) for k, c in flags.items())
     )
     return out.withColumn("gopher_pass", gopher_pass_col().cast("int"))
+
+
+def isqrt_sql(t: str) -> str:
+    """Exact integer square root of a BIGINT expression, portable SQL
+    (valid in both Spark SQL and DuckDB): floor of the double sqrt,
+    then a +/-1 integer correction — the double rounding error near
+    perfect squares never survives the adjustment, so the result is
+    exact for any corpus-scale count (100 TB ~ 10^14 tokens)."""
+    s0 = f"cast(floor(sqrt(cast(({t}) as double))) as bigint)"
+    return (
+        f"({s0} + (case when ({s0} + 1) * ({s0} + 1) <= ({t}) then 1 else 0 end)"
+        f" - (case when {s0} * {s0} > ({t}) then 1 else 0 end))"
+    )
+
+
+@register(
+    "q_mixture_temperature",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+stats AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS grp_tokens
+  FROM tok GROUP BY source
+),
+weighted AS (
+  SELECT source, n_docs, grp_tokens,
+         {isqrt_sql('grp_tokens')} AS w_sqrt
+  FROM stats
+),
+tot AS (
+  SELECT CAST(SUM(grp_tokens) AS BIGINT) AS tot_tokens,
+         CAST(SUM(w_sqrt) AS BIGINT) AS sum_w
+  FROM weighted
+),
+rated AS (
+  SELECT w.source, w.n_docs, w.grp_tokens, w.w_sqrt,
+         LEAST(1000, ((t.tot_tokens // 2) * w.w_sqrt * 1000)
+                     // (t.sum_w * w.grp_tokens)) AS rate_pm
+  FROM weighted w CROSS JOIN tot t
+)
+SELECT r.source, r.n_docs, r.grp_tokens, r.w_sqrt, r.rate_pm,
+       SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1000 < r.rate_pm THEN 1 ELSE 0 END) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1000 < r.rate_pm THEN k.n_tokens END), 0) AS BIGINT)
+         AS tokens_kept
+FROM tok k JOIN rated r USING (source)
+GROUP BY r.source, r.n_docs, r.grp_tokens, r.w_sqrt, r.rate_pm
+""",
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (the multilingual-corpus
+    rebalance of Lample & Conneau 2019 / mT5): each domain's sampling
+    weight is ``tokens^alpha`` with alpha = 0.5, flattening the size
+    distribution so head domains stop dominating while tail domains
+    are not upsampled into repetition.  Half the corpus' tokens is the
+    budget; each group g keeps ``budget * w_g / sum(w)`` tokens where
+    ``w_g = isqrt(tokens_g)``.
+
+    ``tokens^0.5`` is computed as an EXACT integer square root
+    (isqrt_sql: floor-double-sqrt plus +/-1 integer correction), and
+    the rate solve is pure integer floor division — no float is ever
+    computed or rounded, so the oracle comparison is boundary-free by
+    construction.  The keep decision reuses the md5 per-mille bucket of
+    the other mixture queries (deterministic under any cluster layout).
+
+    Scale shape: pass 1 scan-aggregate (tiny per-domain frame), rate
+    solve on the driver-sized frame, pass 2 map-side filter — the
+    document stream is never shuffled.  At 100 TB move the bigint
+    products to DECIMAL(38,0) exactly as the mixture task does
+    (operators/mixture.py) — tot * w * 1000 wraps int64 past ~10^13
+    tokens.
+    """
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.expr("size(filter(split(lower(text), ' '), x -> x != ''))").alias("n_tokens"),
+    )
+    stats = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("grp_tokens"),
+    )
+    weighted = stats.withColumn("w_sqrt", F.expr(isqrt_sql("grp_tokens")))
+    tot = weighted.agg(
+        F.sum("grp_tokens").cast("bigint").alias("tot_tokens"),
+        F.sum("w_sqrt").cast("bigint").alias("sum_w"),
+    )
+    rated = weighted.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "grp_tokens",
+        "w_sqrt",
+        F.expr(
+            "least(1000, ((tot_tokens div 2) * w_sqrt * 1000)"
+            " div (sum_w * grp_tokens))"
+        ).alias("rate_pm"),
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 1000"
+    )
+    kept = F.col("bucket") < F.col("rate_pm")
+    return (
+        tok.select("doc_id", "source", "n_tokens", bucket.alias("bucket"))
+        .join(F.broadcast(rated), "source")
+        .groupBy("source", "n_docs", "grp_tokens", "w_sqrt", "rate_pm")
+        .agg(
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+    )

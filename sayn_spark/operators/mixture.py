@@ -13,6 +13,10 @@ the pretraining-mix construction stage, as a YAML task:
                                    # group (weight 0 drops a group
                                    # explicitly) — a missing group is a
                                    # config error, not a silent drop
+        temperature_alpha: 0.5     # alternative to weights: weight each
+                                   # group tokens^alpha (temperature
+                                   # sampling); alpha in {1.0, 0.5,
+                                   # 0.25} — the integer-exact family
 
 Each group g is downsampled to target ~= budget * w_g / sum(w) tokens:
 pass 1 aggregates per-group token counts (tiny frame, broadcast);
@@ -57,6 +61,26 @@ class MixtureTask(Task):
         for k, v in self.weights.items():
             if int(v) < 0:
                 raise ValueError(f"mixture task {self.name!r}: weight {k} < 0")
+        # temperature sampling (Lample & Conneau 2019): weight each
+        # group tokens^alpha instead of a hand-written map.  Restricted
+        # to the integer-exact family {1.0, 0.5, 0.25} — computed via
+        # repeated exact isqrt, so the solve stays boundary-free
+        # (q_mixture_temperature's oracle-verified arithmetic).
+        self.temperature_alpha = c.get("temperature_alpha")
+        if self.temperature_alpha is not None:
+            if self.weights:
+                raise ValueError(
+                    f"mixture task {self.name!r}: weights and "
+                    "temperature_alpha are mutually exclusive"
+                )
+            if float(self.temperature_alpha) not in (1.0, 0.5, 0.25):
+                raise ValueError(
+                    f"mixture task {self.name!r}: temperature_alpha must be "
+                    "one of 1.0, 0.5, 0.25 (the integer-exact family; other "
+                    "exponents would need float pow, which is not "
+                    "reproducible across engines)"
+                )
+            self.temperature_alpha = float(self.temperature_alpha)
         self.id_column = c.get("id_column", "doc_id")
         self.text_column = c.get("text_column", "text")
 
@@ -107,6 +131,16 @@ class MixtureTask(Task):
                     "group (weight 0 to drop one explicitly) or omit "
                     "weights for uniform"
                 )
+        elif self.temperature_alpha is not None:
+            from sayn_spark.functions.content_filter import isqrt_sql
+
+            if self.temperature_alpha == 1.0:
+                w_expr = "_grp_tokens"
+            elif self.temperature_alpha == 0.5:
+                w_expr = isqrt_sql("_grp_tokens")
+            else:  # 0.25 = isqrt twice
+                w_expr = isqrt_sql(isqrt_sql("_grp_tokens"))
+            stats = stats.withColumn("_w", F.expr(w_expr))
         else:
             stats = stats.withColumn("_w", F.lit(1))
         # integer rate solve: budget in per-mille of total tokens split

@@ -174,3 +174,79 @@ def test_mixture_pack_config_validation(ctx):
         t = cls("bad", cfg, ctx)
         with pytest.raises(ValueError):
             t.config()
+
+
+def test_mixture_temperature_matches_registered_query(ctx, spark, docs_table):
+    """temperature_alpha=0.5 over source == q_mixture_temperature's
+    kept set (same isqrt weights, same rate solve, same md5 buckets)."""
+    _run(
+        MixtureTask,
+        ctx,
+        "mx_t",
+        {
+            "source": "mp_src",
+            "destination": "mx_t_out",
+            "group_column": "source",
+            "token_budget_ratio": 0.5,
+            "temperature_alpha": 0.5,
+        },
+    )
+    out = spark.table("mx_t_out")
+    got = out.groupBy("source").count().collect()
+    want = {
+        r.source: r.n_kept
+        for r in REGISTRY["q_mixture_temperature"].fn(spark, SF).collect()
+    }
+    assert {r.source: r["count"] for r in got} == {
+        s: n for s, n in want.items() if n > 0
+    }
+    assert 0 < out.count() < docs_table.count()
+
+
+def test_mixture_temperature_flattens_vs_proportional(ctx, spark, docs_table):
+    """alpha=0.5 must allocate a LARGER keep share to small groups than
+    alpha=1.0 (proportional) does — the whole point of temperature
+    sampling.  Build a skewed corpus: one giant group, one tiny."""
+    big = docs_table.limit(180).withColumn("source", F.lit("big"))
+    small = (
+        docs_table.orderBy(F.col("doc_id").desc())
+        .limit(12)
+        .withColumn("source", F.lit("small"))
+    )
+    ctx.db.replace_table("mx_skew_src", big.unionByName(small))
+    rates = {}
+    for alpha, dest in ((1.0, "mx_a1_out"), (0.5, "mx_a5_out")):
+        _run(
+            MixtureTask,
+            ctx,
+            f"mx_a{alpha}",
+            {
+                "source": "mx_skew_src",
+                "destination": dest,
+                "group_column": "source",
+                "token_budget_ratio": 0.5,
+                "temperature_alpha": alpha,
+            },
+        )
+        kept = {
+            r.source: r["count"]
+            for r in spark.table(dest).groupBy("source").count().collect()
+        }
+        rates[alpha] = kept.get("small", 0)
+    assert rates[0.5] > rates[1.0]
+
+
+def test_mixture_temperature_config_validation(ctx):
+    base = {
+        "source": "mp_src",
+        "destination": "mx_bad_out",
+        "group_column": "source",
+    }
+    t = MixtureTask("mx_bad1", {**base, "temperature_alpha": 0.3}, ctx)
+    with pytest.raises(ValueError, match="integer-exact"):
+        t.config()
+    t = MixtureTask(
+        "mx_bad2", {**base, "temperature_alpha": 0.5, "weights": {"a": 1}}, ctx
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.config()
