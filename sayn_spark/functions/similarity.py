@@ -493,13 +493,38 @@ def ann_index_search_pq(
     probes = _assign_cells(q, cent, nprobe=nprobe).select(
         F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
     )
-    qsubs = q.select(
-        F.col("vec_id").alias("query_id"),
-        F.posexplode(
-            F.expr("transform(sequence(0, 7), s -> slice(e, s * 8 + 1, 8))")
-        ).alias("s", "sub"),
-    )
     cb = spark.table(f"{index}_codebook")
+    # residual-encoded index (enc column on the codebook): the LUT is
+    # per (query, probe cell) — distances compare the query's
+    # WITHIN-CELL residual against the residual codewords.  Exact for
+    # the scanned cell: ||q - (c + r)||^2 = ||(q - c) - r||^2.
+    residual = "enc" in cb.columns and cb.select("enc").first()["enc"] == "residual"
+    cb = cb.drop("enc")
+    if residual:
+        cent_arr = cent.select(F.col("c_label").cast("bigint").alias("qcell"), "ce")
+        qres = (
+            probes.join(q.select(F.col("vec_id").alias("query_id"), "e"), "query_id")
+            .join(F.broadcast(cent_arr), "qcell")
+            .select(
+                "query_id",
+                "qcell",
+                F.expr("zip_with(e, ce, (x, y) -> x - y)").alias("e"),
+            )
+        )
+        qsubs = qres.select(
+            "query_id",
+            "qcell",
+            F.posexplode(
+                F.expr("transform(sequence(0, 7), s -> slice(e, s * 8 + 1, 8))")
+            ).alias("s", "sub"),
+        )
+    else:
+        qsubs = q.select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(
+                F.expr("transform(sequence(0, 7), s -> slice(e, s * 8 + 1, 8))")
+            ).alias("s", "sub"),
+        )
     sub_d2 = F.round(
         F.expr(
             "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
@@ -508,11 +533,12 @@ def ann_index_search_pq(
     )
     lut = qsubs.join(F.broadcast(cb), "s").select(
         "query_id",
+        *(["qcell"] if residual else []),
         F.col("s").alias("ls"),
         F.col("c").alias("lc"),
         sub_d2.cast("decimal(20,8)").alias("ld2"),
     )
-    lut_in_cell = lut.join(probes, "query_id")
+    lut_in_cell = lut if residual else lut.join(probes, "query_id")
     codes = spark.table(f"{index}_codes")
     adc = (
         codes.join(

@@ -14,6 +14,10 @@ demonstrate as queries, promoted to a catalog-managed artifact the way
         method: ivfpq             # ivf (default) | ivfpq
         codebook: trained         # ivfpq only: seed (default) | trained
         pq_iters: 3               # trained: per-subspace Lloyd steps
+        encode: residual          # ivfpq only: vector (default) |
+                                  # residual (quantize e - centroid,
+                                  # the FAISS IVFPQ default — sharper
+                                  # ADC on clustered corpora)
 
 Builds two catalog tables:
 
@@ -88,6 +92,21 @@ class AnnIndexTask(Task):
         if self.codebook == "trained" and self.method != "ivfpq":
             raise ValueError(
                 f"ann_index task {self.name!r}: codebook applies to method=ivfpq only"
+            )
+        # encode: "vector" quantizes the raw vector; "residual"
+        # quantizes vector - cell centroid (the FAISS IVFPQ default) —
+        # codewords only need to span WITHIN-cell offsets, not the
+        # whole space, so ADC shortlists sharpen on clustered corpora.
+        # The choice is persisted on the codebook table (enc column);
+        # searches and incremental inserts read it from there.
+        self.encode = c.get("encode", "vector")
+        if self.encode not in ("vector", "residual"):
+            raise ValueError(
+                f"ann_index task {self.name!r}: encode must be vector|residual"
+            )
+        if self.encode == "residual" and self.method != "ivfpq":
+            raise ValueError(
+                f"ann_index task {self.name!r}: encode applies to method=ivfpq only"
             )
         # incremental: insert new vectors into the EXISTING index (the
         # FAISS `add` path) — frozen centroids/codebook, bucketed
@@ -221,47 +240,61 @@ class AnnIndexTask(Task):
                 "method=ivfpq — inserting with method=ivf would leave the codes "
                 "table stale; set method: ivfpq"
             )
-        cent = spark.table(f"{self.index}_centroids")
-        emb = self._emb()
-        new = emb.join(
-            spark.table(f"{self.index}_vectors").select("vec_id"), "vec_id", "left_anti"
-        ).localCheckpoint()  # read by assign + vector/code appends
-        if new.isEmpty():
-            return
-        cells = _assign_cells(new, cent)
-        vectors = new.join(cells, "vec_id").select(
-            "vec_id",
-            F.col("cell").cast("bigint").alias("cell"),
-            "e",
-            F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm"),
-        )
-        db.create_table(
-            f"{self.index}_vectors",
-            vectors,
-            mode="append",
-            bucket_by=(_VEC_BUCKETS, ["cell"]),
-        )
+        # ALL validation before any write: raising after the vector
+        # append would strand a half-inserted batch behind the anti-join
+        stored_enc = "vector"
         if self.method == "ivfpq":
-            codes_t = f"{self.index}_codes"
             if not db.table_exists(f"{self.index}_codebook"):
                 raise ValueError(
                     f"ann_index task {self.name!r}: ivfpq incremental insert needs "
                     f"the existing {self.index}_codebook — run a full build first"
                 )
+            stored_enc = self._stored_encoding()
+            if stored_enc != self.encode:
+                raise ValueError(
+                    f"ann_index task {self.name!r}: {self.index} was built with "
+                    f"encode={stored_enc} — inserting with encode={self.encode} "
+                    "would mix incompatible codes; set encode to match (or "
+                    "rebuild full)"
+                )
+        cent = spark.table(f"{self.index}_centroids")
+        emb = self._emb()
+        new = emb.join(
+            spark.table(f"{self.index}_vectors").select("vec_id"), "vec_id", "left_anti"
+        ).localCheckpoint()  # read by assign + vector/code appends
+        if not new.isEmpty():
+            cells = _assign_cells(new, cent)
+            vectors = new.join(cells, "vec_id").select(
+                "vec_id",
+                F.col("cell").cast("bigint").alias("cell"),
+                "e",
+                F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm"),
+            )
+            db.create_table(
+                f"{self.index}_vectors",
+                vectors,
+                mode="append",
+                bucket_by=(_VEC_BUCKETS, ["cell"]),
+            )
+        if self.method == "ivfpq":
             # self-healing: encode whatever the vectors table has that
-            # the codes table lacks (covers a crash after the vector
-            # append but before this one)
+            # the codes table lacks.  Runs even when no NEW source rows
+            # exist — a crash (or a rejected config) after the vector
+            # append leaves rows the anti-join above will never
+            # resurface, so the repair must not hide behind it.
+            codes_t = f"{self.index}_codes"
             missing = spark.table(f"{self.index}_vectors").join(
                 spark.table(codes_t).select("vec_id").distinct(),
                 "vec_id",
                 "left_anti",
             )
-            db.create_table(
-                codes_t,
-                self._encode_pq(missing),
-                mode="append",
-                bucket_by=(_VEC_BUCKETS, ["cell"]),
-            )
+            if not missing.isEmpty():
+                db.create_table(
+                    codes_t,
+                    self._encode_pq(missing, residual=stored_enc == "residual"),
+                    mode="append",
+                    bucket_by=(_VEC_BUCKETS, ["cell"]),
+                )
 
     def _train_pq(self, subs: DataFrame, seed_ids: DataFrame) -> DataFrame:
         """Per-subspace k-means codebook (s, c, cw): 16 codewords per
@@ -320,11 +353,33 @@ class AnnIndexTask(Task):
             )
         return cb
 
-    def _encode_pq(self, vec: DataFrame) -> DataFrame:
+    def _residual_frame(self, vec: DataFrame) -> DataFrame:
+        """Replace ``e`` with the within-cell residual e - centroid:
+        broadcast the (tiny) centroid table, exact double subtraction.
+        ``vec`` must carry (vec_id, cell, e)."""
+        cent = self.context.spark.table(f"{self.index}_centroids").select(
+            F.col("c_label").cast("bigint").alias("cell"), "ce"
+        )
+        keep = [c for c in vec.columns if c != "e"]
+        return vec.join(F.broadcast(cent), "cell").select(
+            *keep, F.expr("zip_with(e, ce, (x, y) -> x - y)").alias("e")
+        )
+
+    def _stored_encoding(self) -> str:
+        """The encoding the existing codebook was built with ("vector"
+        for pre-residual indexes that have no enc column)."""
+        cb = self.context.spark.table(f"{self.index}_codebook")
+        if "enc" not in cb.columns:
+            return "vector"
+        return cb.select("enc").first()["enc"]
+
+    def _encode_pq(self, vec: DataFrame, residual: bool) -> DataFrame:
         """(vec_id, cell, s, c) codes for ``vec`` rows under the
         existing (frozen) ``{index}_codebook``."""
         spark = self.context.spark
-        cb = spark.table(f"{self.index}_codebook")
+        cb = spark.table(f"{self.index}_codebook").drop("enc")
+        if residual:
+            vec = self._residual_frame(vec.select("vec_id", "cell", "e"))
         subs = vec.select(
             "vec_id",
             "cell",
@@ -364,7 +419,12 @@ class AnnIndexTask(Task):
         db = self.context.db
         spark = self.context.spark
         vec = spark.table(f"{self.index}_vectors")
-        subs = vec.select(
+        enc_src = (
+            self._residual_frame(vec.select("vec_id", "cell", "e"))
+            if self.encode == "residual"
+            else vec
+        )
+        subs = enc_src.select(
             "vec_id",
             "cell",
             F.posexplode(
@@ -380,8 +440,10 @@ class AnnIndexTask(Task):
                 subs.join(F.broadcast(seed_ids), "vec_id")
                 .select("s", F.col("vec_id").alias("c"), F.col("sub").alias("cw"))
             )
-        db.replace_table(f"{self.index}_codebook", cb)
-        codes = self._encode_pq(vec)
+        db.replace_table(
+            f"{self.index}_codebook", cb.withColumn("enc", F.lit(self.encode))
+        )
+        codes = self._encode_pq(vec, residual=self.encode == "residual")
         staging = _tmp_name(f"{self.index}_codes")
         db.drop_object(staging)
         db.create_table(
