@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sayn_spark.functions.registry import T, register
+from sayn_spark.functions.registry import T, persist_tracked, register
 
 _EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
 _PHONE_RE = "\\+1-[0-9]{3}-[0-9]{4}"
@@ -966,5 +966,166 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
             .cast("bigint")
             .alias("tokens_kept"),
+        )
+    )
+
+
+@register(
+    "q_repetition_top_ngram",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS sum_chars
+  FROM tok WHERE len(t) >= 2
+),
+grams_raw AS (
+  SELECT b.doc_id, gn.n,
+         unnest(list_transform(generate_series(1, len(b.t) - gn.n + 1),
+                i -> struct_pack(i := i,
+                     g := array_to_string(b.t[i:i + gn.n - 1], ' ')))) AS u
+  FROM base b
+  CROSS JOIN (SELECT unnest([2, 3, 4, 5]) AS n) gn
+  WHERE len(b.t) >= gn.n
+),
+grams AS (SELECT doc_id, n, u.i AS i, u.g AS g FROM grams_raw),
+counts AS (
+  SELECT doc_id, n, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, n, g
+),
+top AS (
+  SELECT doc_id, n, cnt, CAST(len(g) - (n - 1) AS BIGINT) AS gram_chars
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, g) AS rk
+    FROM counts
+  ) WHERE rk = 1 AND n <= 4
+),
+dup5_pos AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT gr.doc_id, unnest(generate_series(gr.i, gr.i + 4)) AS pos
+    FROM grams gr
+    JOIN counts c ON c.doc_id = gr.doc_id AND c.n = 5 AND c.g = gr.g AND c.cnt >= 2
+    WHERE gr.n = 5
+  )
+),
+dup5 AS (
+  SELECT d.doc_id, CAST(SUM(len(b.t[d.pos])) AS BIGINT) AS dup_chars
+  FROM dup5_pos d JOIN base b ON b.doc_id = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.sum_chars,
+       COALESCE(MAX(CASE WHEN tp.n = 2 THEN tp.cnt * tp.gram_chars * 1000000 // b.sum_chars END), 0) AS top2_ppm,
+       COALESCE(MAX(CASE WHEN tp.n = 3 THEN tp.cnt * tp.gram_chars * 1000000 // b.sum_chars END), 0) AS top3_ppm,
+       COALESCE(MAX(CASE WHEN tp.n = 4 THEN tp.cnt * tp.gram_chars * 1000000 // b.sum_chars END), 0) AS top4_ppm,
+       COALESCE(MAX(d.dup_chars * 1000000 // b.sum_chars), 0) AS dup5_ppm
+FROM base b
+LEFT JOIN top tp ON tp.doc_id = b.doc_id
+LEFT JOIN dup5 d ON d.doc_id = b.doc_id
+GROUP BY b.doc_id, b.n_tokens, b.sum_chars
+""",
+)
+def q_repetition_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MassiveText repetition signals (Rae et al. 2021, Table A2): the
+    character fraction covered by the single most frequent {2,3,4}-gram
+    and by ALL duplicated 5-grams (union of covered positions, so
+    overlapping occurrences are not double-counted) — the degenerate-
+    text detectors that catch boilerplate loops exact dedup misses.
+
+    All fractions are integer ppm via floor division over exact
+    character counts (gram chars = string length minus separator
+    spaces), never a rounded float — boundary-free by construction.
+    The published gate thresholds (0.20 / 0.18 / 0.16 for top-grams,
+    0.15 for dup-5-grams) become integer comparisons against
+    200000/180000/160000/150000 ppm downstream.
+
+    Scale shape: one explode to (doc, n, position) gram rows — fan-out
+    ~4x token count, slim strings — then per-(doc, n, gram) map-side-
+    combinable counts, a per-doc top-1 window over the tiny per-doc
+    gram-count frame, and a distinct-position union for the dup-5
+    coverage.  Everything shuffles on doc_id-prefixed keys (no global
+    state), so the pass scales linearly and partitions by document
+    like the other text signals.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_NGRAM_TOKENS).alias("t")
+    ).where(F.expr("size(t) >= 2"))
+    base = d.select(
+        "doc_id",
+        "t",
+        F.expr("cast(size(t) as bigint)").alias("n_tokens"),
+        F.expr(
+            "aggregate(t, cast(0 as bigint), (acc, x) -> acc + length(x))"
+        ).alias("sum_chars"),
+    )
+    base = persist_tracked(base)
+    grams = base.select(
+        "doc_id",
+        F.explode(F.expr("array(2, 3, 4, 5)")).alias("n"),
+        "t",
+    ).select(
+        "doc_id",
+        "n",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(0, size(t) - n + 1)), "
+                "i -> array_join(slice(t, i, n), ' '))"
+            )
+        ).alias("i0", "g"),
+    ).select("doc_id", "n", (F.col("i0") + 1).alias("i"), "g")
+    grams = persist_tracked(grams)
+    counts = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = persist_tracked(counts)
+    w_top = Window.partitionBy("doc_id", "n").orderBy(F.desc("cnt"), "g")
+    top = (
+        counts.where(F.col("n") <= 4)
+        .withColumn("rk", F.row_number().over(w_top))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "n",
+            "cnt",
+            (F.length("g") - (F.col("n") - 1)).cast("bigint").alias("gram_chars"),
+        )
+    )
+    dup5_pos = (
+        grams.where(F.col("n") == 5)
+        .join(
+            counts.where((F.col("n") == 5) & (F.col("cnt") >= 2)).select(
+                "doc_id", "n", "g"
+            ),
+            ["doc_id", "n", "g"],
+        )
+        .select("doc_id", F.explode(F.expr("sequence(i, i + 4)")).alias("pos"))
+        .distinct()
+    )
+    dup5 = (
+        dup5_pos.join(base.select("doc_id", "t"), "doc_id")
+        .select("doc_id", F.expr("length(element_at(t, cast(pos as int)))").alias("len"))
+        .groupBy("doc_id")
+        .agg(F.sum("len").cast("bigint").alias("dup_chars"))
+    )
+    ppm = lambda n: F.coalesce(
+        F.max(
+            F.when(
+                F.col("n") == n,
+                F.expr("(cnt * gram_chars * 1000000) div sum_chars"),
+            )
+        ),
+        F.lit(0),
+    )
+    return (
+        base.select("doc_id", "n_tokens", "sum_chars")
+        .join(top, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .groupBy("doc_id", "n_tokens", "sum_chars")
+        .agg(
+            ppm(2).alias("top2_ppm"),
+            ppm(3).alias("top3_ppm"),
+            ppm(4).alias("top4_ppm"),
+            F.coalesce(
+                F.max(F.expr("(dup_chars * 1000000) div sum_chars")), F.lit(0)
+            ).alias("dup5_ppm"),
         )
     )

@@ -1095,3 +1095,191 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("g").alias("gram"))
     )
+
+
+@register(
+    "q_ann_ivfpq_residual_topk",
+    oracle=f"""
+WITH {_SQL_EMB}, {_SQL_NORMED}, {_SQL_CENTROIDS},
+assigned AS (
+  SELECT vec_id, c_label, ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_aggregate(list_transform(list_zip(n.e, c.ce),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8), c_label) AS rk
+  FROM normed n, cent_arr c
+),
+cells AS (SELECT vec_id, c_label AS cell FROM assigned WHERE rk = 1),
+res AS (
+  SELECT n.vec_id, cl.cell,
+         list_transform(list_zip(n.e, c.ce), p -> p[1] - p[2]) AS re
+  FROM normed n
+  JOIN cells cl ON cl.vec_id = n.vec_id
+  JOIN cent_arr c ON c.c_label = cl.cell
+),
+rsubs AS (
+  SELECT vec_id, cell, s, re[(s*8+1):(s*8+8)] AS sub
+  FROM res, (SELECT unnest(generate_series(0, 7)) AS s)
+),
+rcb AS (SELECT s, vec_id AS c, sub AS cw FROM rsubs WHERE vec_id < 16),
+enc_d AS (
+  SELECT v.vec_id, v.s, rcb.c,
+         ROUND(list_aggregate(list_transform(list_zip(v.sub, rcb.cw),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8) AS d2
+  FROM rsubs v JOIN rcb ON rcb.s = v.s
+),
+codes AS (
+  SELECT vec_id, s, c FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rk
+    FROM enc_d
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, rcb.s, rcb.c,
+         CAST(ROUND(list_aggregate(list_transform(list_zip(q.sub, rcb.cw),
+              p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8) AS DECIMAL(20,8)) AS d2
+  FROM rsubs q JOIN rcb ON rcb.s = q.s WHERE q.vec_id < 10
+),
+adc AS (
+  SELECT l.query_id, n.vec_id AS neighbor_id, SUM(l.d2) AS ad2
+  FROM codes n
+  JOIN cells cn ON cn.vec_id = n.vec_id
+  JOIN lut l ON l.s = n.s AND l.c = n.c
+  JOIN cells qc ON qc.vec_id = l.query_id AND qc.cell = cn.cell
+  WHERE n.vec_id <> l.query_id
+  GROUP BY l.query_id, n.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ad2, neighbor_id) AS rk
+    FROM adc
+  ) WHERE rk <= 20
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_dot_product(qn.e, cn.e) / (qn.nrm * cn.nrm), 6) AS cos
+  FROM cand
+  JOIN normed qn ON qn.vec_id = cand.query_id
+  JOIN normed cn ON cn.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+)
+def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (the FAISS IVFPQ default; Jegou
+    et al., PAMI'11 §V): the PQ layer quantizes ``e - centroid(cell)``
+    instead of the raw vector, so codewords only span within-cell
+    offsets — a strictly finer quantization of the region the ADC scan
+    actually visits.  Identity that makes the LUT exact for the probed
+    cell: ``||q - (c + r)||^2 = ||(q - c) - r||^2``.  With nprobe=1
+    each query's residual is taken against its OWN cell's centroid, so
+    the per-query LUT stays a single 16x8 broadcast table, exactly as
+    in q_ann_ivfpq_topk — the residual subtraction is the only new
+    arithmetic (exact double subtraction, no rounding added).
+
+    The ann_index task persists this design (``encode: residual``);
+    this query carries the oracle evidence for the residual ADC path
+    the way q_ann_ivfpq_topk does for the vector path.
+
+    100 TB notes: identical movement profile to q_ann_ivfpq_topk —
+    centroids/codebook/LUTs broadcast, only 8-code rows move in the
+    wide stage; the residual subtraction is map-side against the
+    broadcast centroid table and never materialises a second copy of
+    the vectors.
+    """
+    n = persist_tracked(_normed(spark, sf_dir))
+    cent = _centroid_arrays(n.select("label", "e"))
+    d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        ),
+        8,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    cells = (
+        n.crossJoin(F.broadcast(cent))
+        .select("vec_id", "c_label", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") == 1)
+        .select("vec_id", F.col("c_label").alias("cell"))
+    )
+    cells = persist_tracked(cells)
+    res = (
+        n.join(cells, "vec_id")
+        .join(F.broadcast(cent), F.col("cell") == F.col("c_label"))
+        .select(
+            "vec_id",
+            "cell",
+            F.expr("zip_with(e, ce, (x, y) -> x - y)").alias("re"),
+        )
+    )
+    rsubs = res.select(
+        "vec_id",
+        "cell",
+        F.posexplode(
+            F.expr("transform(sequence(0, 7), s -> slice(re, s * 8 + 1, 8))")
+        ).alias("s", "sub"),
+    )
+    rcb = rsubs.where(F.col("vec_id") < 16).select(
+        "s", F.col("vec_id").alias("c"), F.col("sub").alias("cw")
+    )
+    sub_d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        ),
+        8,
+    )
+    enc_d = rsubs.join(F.broadcast(rcb), "s").select(
+        "vec_id", "cell", "s", "c", sub_d2.alias("d2")
+    )
+    codes = (
+        enc_d.groupBy("vec_id", "cell", "s")
+        .agg(F.min(F.struct("d2", "c")).alias("m"))
+        .select("vec_id", "cell", "s", F.col("m.c").alias("c"))
+    )
+    lut_in_cell = (
+        rsubs.where(F.col("vec_id") < 10)
+        .join(F.broadcast(rcb), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cell").alias("qcell"),
+            F.col("s").alias("ls"),
+            F.col("c").alias("lc"),
+            sub_d2.cast("decimal(20,8)").alias("ld2"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut_in_cell),
+            (F.col("s") == F.col("ls"))
+            & (F.col("c") == F.col("lc"))
+            & (F.col("cell") == F.col("qcell")),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld2").alias("ad2"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("ad2", "neighbor_id")
+    cand = (
+        adc.withColumn("rk", F.row_number().over(w_adc))
+        .where(F.col("rk") <= 20)
+        .select("query_id", "neighbor_id")
+    )
+    qn = n.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    cn = n.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qn") * F.col("nrm")),
+        6,
+    )
+    scored = (
+        cand.join(qn, "query_id")
+        .join(cn, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
