@@ -1048,7 +1048,17 @@ def q_repetition_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     state), so the pass scales linearly and partitions by document
     like the other text signals.
     """
-    d = T(spark, sf_dir, "documents").select(
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return top_ngram_signal_frame(d)
+
+
+def top_ngram_signal_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, sum_chars, top2_ppm, top3_ppm, top4_ppm,
+    dup5_ppm) for a (doc_id, text) frame — the body of
+    q_repetition_top_ngram, shared with the filter task's repetition
+    scorer so its gate decisions carry that query's oracle evidence.
+    Docs with fewer than 2 tokens are dropped (no signal)."""
+    d = docs.select(
         "doc_id", F.expr(_NGRAM_TOKENS).alias("t")
     ).where(F.expr("size(t) >= 2"))
     base = d.select(
@@ -1089,22 +1099,27 @@ def q_repetition_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("g") - (F.col("n") - 1)).cast("bigint").alias("gram_chars"),
         )
     )
-    dup5_pos = (
+    # duplicated-5-gram coverage without a distinct-position shuffle:
+    # a window count marks duplicated occurrences in place, the start
+    # positions collect into ONE per-doc list (bounded by doc length),
+    # and the union-of-positions + char sum run as array expressions
+    # against the doc's own token array — one groupBy and one
+    # doc_id-keyed join instead of an explode + distinct + second join
+    w_cnt = Window.partitionBy("doc_id", "g")
+    dup_starts = (
         grams.where(F.col("n") == 5)
-        .join(
-            counts.where((F.col("n") == 5) & (F.col("cnt") >= 2)).select(
-                "doc_id", "n", "g"
-            ),
-            ["doc_id", "n", "g"],
-        )
-        .select("doc_id", F.explode(F.expr("sequence(i, i + 4)")).alias("pos"))
-        .distinct()
-    )
-    dup5 = (
-        dup5_pos.join(base.select("doc_id", "t"), "doc_id")
-        .select("doc_id", F.expr("length(element_at(t, cast(pos as int)))").alias("len"))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
+        .where(F.col("cnt") >= 2)
         .groupBy("doc_id")
-        .agg(F.sum("len").cast("bigint").alias("dup_chars"))
+        .agg(F.collect_list("i").alias("starts"))
+    )
+    dup5 = dup_starts.join(base.select("doc_id", "t"), "doc_id").select(
+        "doc_id",
+        F.expr(
+            "aggregate(array_distinct(flatten(transform(starts, "
+            "i -> sequence(i, i + 4)))), cast(0 as bigint), "
+            "(acc, p) -> acc + length(element_at(t, cast(p as int))))"
+        ).alias("dup_chars"),
     )
     ppm = lambda n: F.coalesce(
         F.max(

@@ -32,7 +32,11 @@ correctness evidence):
 - repetition: keep rows with repetition_ratio <= max_repetition_ratio
   and/or n_immediate_repeats <= max_immediate_repeats
   (q_repetition_signals' shared builders in functions/content_filter.py;
-  docs with fewer than 2 tokens have no signal and are kept).
+  docs with fewer than 2 tokens have no signal and are kept).  The
+  MassiveText n-gram coverage gates stack on via max_top2_ppm /
+  max_top3_ppm / max_top4_ppm / max_dup5_ppm (integer ppm; published
+  thresholds 200000/180000/160000/150000 — q_repetition_top_ngram's
+  shared frame builder, so the decision carries its oracle evidence).
 - gopher: the published Gopher rule suite (Rae et al. 2021 App. A) —
   word count in [min_words, max_words], mean word length in integer
   character bounds, symbol/alpha permille ratios, >= min_stop_words
@@ -111,14 +115,24 @@ class FilterTask(Task):
             )
         self.max_repetition_ratio = c.get("max_repetition_ratio")
         self.max_immediate_repeats = c.get("max_immediate_repeats")
+        # MassiveText n-gram coverage gates (integer ppm; published
+        # thresholds are 200000/180000/160000/150000) — per-doc
+        # signals from q_repetition_top_ngram's shared frame builder
+        self.ngram_ppm_bounds = {
+            k: int(c[k])
+            for k in ("max_top2_ppm", "max_top3_ppm", "max_top4_ppm", "max_dup5_ppm")
+            if c.get(k) is not None
+        }
         if (
             self.scorer == "repetition"
             and self.max_repetition_ratio is None
             and self.max_immediate_repeats is None
+            and not self.ngram_ppm_bounds
         ):
             raise ValueError(
                 f"filter task {self.name!r}: repetition needs "
-                "max_repetition_ratio and/or max_immediate_repeats"
+                "max_repetition_ratio, max_immediate_repeats, and/or an "
+                "n-gram coverage bound (max_top{2,3,4}_ppm / max_dup5_ppm)"
             )
         # gopher: published Gopher rule bounds (Rae et al. 2021 App. A)
         # as integers/permille so the gate stays boundary-free; override
@@ -276,13 +290,45 @@ class FilterTask(Task):
                 cond = cond & (F.col("_ratio") <= float(self.max_repetition_ratio))
             if self.max_immediate_repeats is not None:
                 cond = cond & (F.col("_reps") <= int(self.max_immediate_repeats))
+            ngram_cols = ()
+            if self.ngram_ppm_bounds:
+                # per-doc n-gram coverage signals (still row-local
+                # semantically — each doc scores against its own text —
+                # so incremental mode stays valid); unshingleable docs
+                # (<2 tokens) have no signal row and their ppm
+                # coalesces to 0, i.e. they pass the coverage gates
+                from sayn_spark.functions.content_filter import (
+                    top_ngram_signal_frame,
+                )
+
+                if self.id_column not in work.columns:
+                    raise ValueError(
+                        f"filter task {self.name!r}: n-gram coverage bounds "
+                        f"need id column {self.id_column!r} in {self.src_value}"
+                    )
+                sig = top_ngram_signal_frame(
+                    work.select(F.col(self.id_column).alias("doc_id"), "text")
+                ).select(
+                    F.col("doc_id").alias(self.id_column),
+                    "top2_ppm",
+                    "top3_ppm",
+                    "top4_ppm",
+                    "dup5_ppm",
+                )
+                scored = scored.join(sig, self.id_column, "left")
+                for col, bound in self.ngram_ppm_bounds.items():
+                    signal = col[len("max_"):]
+                    cond = cond & (
+                        F.coalesce(F.col(signal), F.lit(0)) <= F.lit(bound)
+                    )
+                ngram_cols = ("top2_ppm", "top3_ppm", "top4_ppm", "dup5_ppm")
             kept = scored.where(cond)
             if self.with_score:
                 out = kept.withColumnRenamed(
                     "_ratio", "repetition_ratio"
                 ).withColumnRenamed("_reps", "n_immediate_repeats")
             else:
-                out = kept.drop("_ratio", "_reps")
+                out = kept.drop("_ratio", "_reps", *ngram_cols)
         elif self.scorer == "gopher":
             from sayn_spark.functions.content_filter import (
                 gopher_pass_col,
@@ -325,9 +371,12 @@ class FilterTask(Task):
             self.context.db.replace_table(
                 self.dst_value, out, **self.destination_writer_opts()
             )
-        if self.scorer == "surprisal":
-            # doc_avg_nll_frame persists the token stream for its two
-            # aggregation branches; the write above consumed it
+        if self.scorer == "surprisal" or (
+            self.scorer == "repetition" and self.ngram_ppm_bounds
+        ):
+            # doc_avg_nll_frame / top_ngram_signal_frame persist
+            # intermediate streams for their multi-branch aggregations;
+            # the write above consumed them
             from sayn_spark.functions.registry import release_persisted
 
             release_persisted()

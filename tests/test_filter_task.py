@@ -293,3 +293,45 @@ def test_filter_gopher_incremental_appends_only_new_ids(ctx, spark, docs_table):
     ctx.db.replace_table("ft_g3_src", docs_table.unionByName(extra))
     _run(ctx, "ft_g3", cfg)
     assert {r.doc_id for r in spark.table("ft_g3_out").collect()} == first | {900201}
+
+
+def test_filter_repetition_ngram_coverage_gates(ctx, spark, docs_table):
+    """The MassiveText coverage bounds must drop exactly the docs the
+    registered query's signals exceed, and a planted looping doc must
+    fail while its clean twin survives."""
+    planted = spark.createDataFrame(
+        [
+            # top-2-gram loop: "spam ham" covers ~all characters
+            (900301, " ".join(["spam ham"] * 25), "en", "planted", 200),
+            # clean twin: same length, no repetition
+            (900302, " ".join(f"w{i}x" for i in range(50)), "en", "planted", 200),
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ctx.db.replace_table("ft_ng_src", docs_table.unionByName(planted))
+    _run(
+        ctx,
+        "ft_ng",
+        {
+            "source": "ft_ng_src",
+            "destination": "ft_ng_out",
+            "scorer": "repetition",
+            "max_top2_ppm": 200_000,
+            "max_dup5_ppm": 150_000,
+        },
+    )
+    got = {r.doc_id for r in spark.table("ft_ng_out").collect()}
+    assert 900302 in got and 900301 not in got
+    # corpus rows match the registered signals under the same bounds;
+    # <2-token docs have no signal row and must be kept
+    sig = {r.doc_id: r for r in REGISTRY["q_repetition_top_ngram"].fn(spark, SF).collect()}
+    corpus_ids = {r.doc_id for r in docs_table.select("doc_id").collect()}
+    want = {
+        d
+        for d in corpus_ids
+        if d not in sig
+        or (sig[d].top2_ppm <= 200_000 and sig[d].dup5_ppm <= 150_000)
+    }
+    assert got - {900301, 900302} == want
+    # helper signal columns dropped without with_score
+    assert spark.table("ft_ng_out").columns == docs_table.columns
