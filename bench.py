@@ -55,10 +55,12 @@ HEADLINE = [
     "q_record_linkage",
     "q_ann_lsh_topk",
     "q_ann_ivfpq_topk",
+    "q_ann_ivfpq_residual_topk",
     "q_text_quality",
     "q_text_unigram_surprisal",
     "q_ngram_novelty",
     "q_perplexity_buckets",
+    "q_repetition_top_ngram",
     "task_dedup_incremental",
 ]
 

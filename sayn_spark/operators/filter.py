@@ -43,6 +43,11 @@ correctness evidence):
   distinct stop words; every rule an integer cross-multiplication
   (q_quality_gopher_rules' shared builders — boundary-free, row-local,
   incremental- and streaming-safe).
+- pii: count email/phone matches (q_pii_scan's regexes).
+  pii_action: drop (default) removes rows with more than max_pii
+  (default 0) matches; redact keeps every row and replaces matches
+  with [EMAIL]/[PHONE] in place.  Row-local — incremental- and
+  streaming-safe.
 - surprisal: the CCNet-style LM-quality filter — keep rows with
   unigram avg_nll <= max_avg_nll and/or the lowest-surprisal
   keep_fraction of the corpus (exact integer rank cut; needs
@@ -68,7 +73,15 @@ from pyspark.sql import functions as F
 
 from sayn_spark.operators.base import Task, TaskStatus
 
-_SCORERS = ("quality", "langid", "length", "repetition", "surprisal", "gopher")
+_SCORERS = (
+    "quality",
+    "langid",
+    "length",
+    "repetition",
+    "surprisal",
+    "gopher",
+    "pii",
+)
 
 
 class FilterTask(Task):
@@ -146,6 +159,14 @@ class FilterTask(Task):
             "min_alpha_permille": int(c.get("min_alpha_permille", 800)),
             "min_stop_words": int(c.get("min_stop_words", 2)),
         }
+        # pii: drop documents with more than max_pii matches, or keep
+        # every row and redact the matches in place
+        self.max_pii = int(c.get("max_pii", 0))
+        self.pii_action = c.get("pii_action", "drop")
+        if self.scorer == "pii" and self.pii_action not in ("drop", "redact"):
+            raise ValueError(
+                f"filter task {self.name!r}: pii_action must be drop|redact"
+            )
         self.id_column = c.get("id_column", "doc_id")
         self.max_avg_nll = c.get("max_avg_nll")
         self.keep_fraction = c.get("keep_fraction")
@@ -329,6 +350,29 @@ class FilterTask(Task):
                 ).withColumnRenamed("_reps", "n_immediate_repeats")
             else:
                 out = kept.drop("_ratio", "_reps", *ngram_cols)
+        elif self.scorer == "pii":
+            from sayn_spark.functions.content_filter import _EMAIL_RE, _PHONE_RE
+
+            n_pii = (
+                F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0))
+                + F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), 0))
+            )
+            scored = work.withColumn("_n_pii", n_pii)
+            if self.pii_action == "drop":
+                kept = scored.where(F.col("_n_pii") <= self.max_pii)
+            else:
+                # redact in place (q_pii_scan's replacement), keep
+                # every row; the original text column gets the
+                # redacted value
+                redacted = F.regexp_replace(
+                    F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+                    _PHONE_RE,
+                    "[PHONE]",
+                )
+                kept = scored.withColumn(self.text_column, redacted)
+            out = kept if self.with_score else kept.drop("_n_pii")
+            if self.with_score:
+                out = out.withColumnRenamed("_n_pii", "n_pii")
         elif self.scorer == "gopher":
             from sayn_spark.functions.content_filter import (
                 gopher_pass_col,

@@ -335,3 +335,51 @@ def test_filter_repetition_ngram_coverage_gates(ctx, spark, docs_table):
     assert got - {900301, 900302} == want
     # helper signal columns dropped without with_score
     assert spark.table("ft_ng_out").columns == docs_table.columns
+
+
+def test_filter_pii_drop_and_redact(ctx, spark):
+    planted = spark.createDataFrame(
+        [
+            (1, "contact me at bob@example.com for details", "en", "p", 40),
+            (2, "call +1-555-0000 or mail eve@test.org now", "en", "p", 40),
+            (3, "clean document with no contact information", "en", "p", 42),
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ctx.db.replace_table("ft_pii_src", planted)
+    _run(
+        ctx,
+        "ft_pii_d",
+        {"source": "ft_pii_src", "destination": "ft_pii_d_out", "scorer": "pii"},
+    )
+    assert {r.doc_id for r in spark.table("ft_pii_d_out").collect()} == {3}
+    # redact keeps all rows, replaces matches in place, zero residue
+    _run(
+        ctx,
+        "ft_pii_r",
+        {
+            "source": "ft_pii_src",
+            "destination": "ft_pii_r_out",
+            "scorer": "pii",
+            "pii_action": "redact",
+            "with_score": True,
+        },
+    )
+    rows = {r.doc_id: r for r in spark.table("ft_pii_r_out").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].text == "contact me at [EMAIL] for details"
+    assert rows[2].text == "call [PHONE] or mail [EMAIL] now"
+    assert rows[3].text == planted.collect()[2].text
+    assert (rows[1].n_pii, rows[2].n_pii, rows[3].n_pii) == (1, 2, 0)
+    # max_pii loosens the drop threshold
+    _run(
+        ctx,
+        "ft_pii_m",
+        {
+            "source": "ft_pii_src",
+            "destination": "ft_pii_m_out",
+            "scorer": "pii",
+            "max_pii": 1,
+        },
+    )
+    assert {r.doc_id for r in spark.table("ft_pii_m_out").collect()} == {1, 3}

@@ -184,6 +184,8 @@ _BNLJ_BOUNDED_FRAME_OK = {
     "q_token_budget_mix",        # 1-row corpus-total frame
     "q_perplexity_buckets",      # 1-row total-token-count frame (shared nll stage)
     "q_dedup_cluster_profile",   # 1-row x 1-row singleton-count scalars
+    "q_ann_ivfpq_residual_topk", # k-row centroid frame (IVF cell assignment)
+    "q_mixture_temperature",     # 1-row corpus-total frame (rate solve)
 }
 
 
@@ -373,3 +375,15 @@ def test_star_components_rounds_shrink_edges(spark):
     rows = comp.collect()
     assert {r.component for r in rows} == {0, 100}
     assert all(r.component <= r.node for r in rows)
+
+
+def test_gopher_rules_is_pure_map_side(spark):
+    """The Gopher rule query must plan ZERO exchanges: every signal and
+    every gate is a per-row expression over the text scan, so the pass
+    is linear in corpus bytes and composes with predicate pushdown —
+    the property that makes it the front-door filter at 100 TB."""
+    df = REGISTRY["q_quality_gopher_rules"].fn(spark, SF)
+    plan = plan_of(spark, df)
+    assert "Exchange" not in plan, plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "lang" not in read_schema and "source" not in read_schema
