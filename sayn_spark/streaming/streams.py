@@ -209,6 +209,7 @@ def content_filter_stream(
     min_score: float = 0.5,
     languages: Optional[list[str]] = None,
     gopher_bounds: Optional[dict] = None,
+    pii: Optional[dict] = None,
 ) -> DataFrame:
     """Streaming twin of the filter task's scorers: quality-score and
     (optionally) language-gate a document stream with the SAME
@@ -249,4 +250,28 @@ def content_filter_stream(
         for k, col in sig.items():
             out = out.withColumn(k, col)
         out = out.where(gopher_pass_col(**gopher_bounds)).drop("_t", *sig)
+    if pii is not None:
+        # {"action": "drop"|"redact", "max_pii": 0} — the filter
+        # task's pii scorer as a stateless stream stage (q_pii_scan's
+        # shared regexes)
+        from sayn_spark.functions.content_filter import _EMAIL_RE, _PHONE_RE
+
+        action = pii.get("action", "drop")
+        if action not in ("drop", "redact"):
+            raise ValueError("pii action must be drop|redact")
+        if action == "drop":
+            n_pii = (
+                F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0))
+                + F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), 0))
+            )
+            out = out.where(n_pii <= int(pii.get("max_pii", 0)))
+        else:
+            out = out.withColumn(
+                "text",
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+                    _PHONE_RE,
+                    "[PHONE]",
+                ),
+            )
     return out

@@ -585,3 +585,36 @@ def test_content_filter_stream_gopher_matches_batch(spark, tmp_path):
     assert 0 < len(got) < docs.count()
     # gate is stateless: the sink schema carries no helper columns
     assert spark.table("cfg_out").columns == ["doc_id", "text"]
+
+
+def test_content_filter_stream_pii_redacts_in_flight(spark, tmp_path):
+    """The streaming pii stage must redact matches in place (same
+    regexes as the batch scorer) without dropping rows."""
+    from sayn_spark.streaming import content_filter_stream
+
+    src = tmp_path / "pii_docs"
+    src.mkdir()
+    docs = spark.createDataFrame(
+        [(1, "the the the mail bob@example.com the the the the the a a a"),
+         (2, "the the the call +1-555-0000 now the the the the a a a"),
+         (3, "the the the clean text here the the the the the a a a")],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "w1"))
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = (
+        content_filter_stream(stream, min_score=0.0, pii={"action": "redact"})
+        .writeStream.format("memory")
+        .queryName("pii_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id: r.text for r in spark.table("pii_out").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert "[EMAIL]" in rows[1] and "@" not in rows[1]
+    assert "[PHONE]" in rows[2] and "555" not in rows[2]
+    assert "clean text here" in rows[3]
