@@ -498,7 +498,8 @@ def ann_index_search_pq(
     # per (query, probe cell) — distances compare the query's
     # WITHIN-CELL residual against the residual codewords.  Exact for
     # the scanned cell: ||q - (c + r)||^2 = ||(q - c) - r||^2.
-    residual = "enc" in cb.columns and cb.select("enc").first()["enc"] == "residual"
+    enc_row = cb.select("enc").first() if "enc" in cb.columns else None
+    residual = enc_row is not None and enc_row["enc"] == "residual"
     cb = cb.drop("enc")
     if residual:
         cent_arr = cent.select(F.col("c_label").cast("bigint").alias("qcell"), "ce")
