@@ -1052,12 +1052,63 @@ def q_repetition_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngram_signal_frame(d)
 
 
+def _top_run_expr(n: int) -> str:
+    """Per-row top-``n``-gram (count, gram) via a fold over the doc's
+    own SORTED gram list: runs of equal grams are contiguous, so one
+    left-to-right pass tracks the longest run; strict ``>`` keeps the
+    lexicographically smallest gram on count ties (the same order as
+    ``ROW_NUMBER() OVER (ORDER BY cnt DESC, g)``)."""
+    grams = (
+        f"case when size(t) >= {n} then array_sort(transform("
+        f"sequence(1, size(t) - {n} + 1), i -> array_join(slice(t, i, {n}), ' '))) "
+        f"else cast(array() as array<string>) end"
+    )
+    run = "case when x <=> a.prev then a.run + 1 else cast(1 as bigint) end"
+    return (
+        f"aggregate({grams}, "
+        "named_struct('prev', cast(null as string), 'run', cast(0 as bigint), "
+        "'bestc', cast(0 as bigint), 'bestg', cast(null as string)), "
+        f"(a, x) -> named_struct('prev', x, 'run', {run}, "
+        f"'bestc', case when ({run}) > a.bestc then ({run}) else a.bestc end, "
+        f"'bestg', case when ({run}) > a.bestc then x else a.bestg end), "
+        "a -> named_struct('c', a.bestc, 'g', a.bestg))"
+    )
+
+
+_DUP5_STARTS_EXPR = """
+aggregate(
+  case when size(t) >= 5 then array_sort(transform(sequence(1, size(t) - 4),
+      i -> named_struct('g', array_join(slice(t, i, 5), ' '), 'i', i)))
+  else cast(array() as array<struct<g: string, i: int>>) end,
+  named_struct('prev', cast(null as string),
+               'starts', cast(array() as array<int>),
+               'dups', cast(array() as array<int>)),
+  (a, x) -> case when x.g <=> a.prev
+    then named_struct('prev', x.g, 'starts', concat(a.starts, array(x.i)),
+                      'dups', a.dups)
+    else named_struct('prev', x.g, 'starts', array(x.i),
+                      'dups', case when size(a.starts) >= 2
+                              then concat(a.dups, a.starts) else a.dups end)
+    end,
+  a -> case when size(a.starts) >= 2 then concat(a.dups, a.starts) else a.dups end)
+"""
+
+
 def top_ngram_signal_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, sum_chars, top2_ppm, top3_ppm, top4_ppm,
     dup5_ppm) for a (doc_id, text) frame — the body of
     q_repetition_top_ngram, shared with the filter task's repetition
     scorer so its gate decisions carry that query's oracle evidence.
-    Docs with fewer than 2 tokens are dropped (no signal)."""
+    Docs with fewer than 2 tokens are dropped (no signal).
+
+    ZERO-shuffle by construction: every signal is per-document, so the
+    whole computation folds over the doc's own token array with
+    higher-order functions — sort the doc's gram list, run-length for
+    the top gram, run-grouping for duplicated 5-gram starts, and a
+    position-union char sum, all inside the row.  Nothing leaves the
+    scan: no explode, no groupBy, no window — the pass is linear in
+    corpus bytes at any scale (the oracle restates the same semantics
+    relationally over exploded grams, certifying the fold)."""
     d = docs.select(
         "doc_id", F.expr(_NGRAM_TOKENS).alias("t")
     ).where(F.expr("size(t) >= 2"))
@@ -1068,79 +1119,24 @@ def top_ngram_signal_frame(docs: DataFrame) -> DataFrame:
         F.expr(
             "aggregate(t, cast(0 as bigint), (acc, x) -> acc + length(x))"
         ).alias("sum_chars"),
+        *(F.expr(_top_run_expr(n)).alias(f"_top{n}") for n in (2, 3, 4)),
+        F.expr(_DUP5_STARTS_EXPR).alias("_dupstarts"),
     )
-    base = persist_tracked(base)
-    grams = base.select(
-        "doc_id",
-        F.explode(F.expr("array(2, 3, 4, 5)")).alias("n"),
-        "t",
-    ).select(
-        "doc_id",
-        "n",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, greatest(0, size(t) - n + 1)), "
-                "i -> array_join(slice(t, i, n), ' '))"
-            )
-        ).alias("i0", "g"),
-    ).select("doc_id", "n", (F.col("i0") + 1).alias("i"), "g")
-    grams = persist_tracked(grams)
-    counts = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("cnt"))
-    counts = persist_tracked(counts)
-    w_top = Window.partitionBy("doc_id", "n").orderBy(F.desc("cnt"), "g")
-    top = (
-        counts.where(F.col("n") <= 4)
-        .withColumn("rk", F.row_number().over(w_top))
-        .where(F.col("rk") == 1)
-        .select(
-            "doc_id",
-            "n",
-            "cnt",
-            (F.length("g") - (F.col("n") - 1)).cast("bigint").alias("gram_chars"),
-        )
+    top_ppm = lambda n: F.expr(
+        f"case when _top{n}.c > 0 then "
+        f"(_top{n}.c * (length(_top{n}.g) - {n - 1}) * 1000000) div sum_chars "
+        "else cast(0 as bigint) end"
     )
-    # duplicated-5-gram coverage without a distinct-position shuffle:
-    # a window count marks duplicated occurrences in place, the start
-    # positions collect into ONE per-doc list (bounded by doc length),
-    # and the union-of-positions + char sum run as array expressions
-    # against the doc's own token array — one groupBy and one
-    # doc_id-keyed join instead of an explode + distinct + second join
-    w_cnt = Window.partitionBy("doc_id", "g")
-    dup_starts = (
-        grams.where(F.col("n") == 5)
-        .withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
-        .where(F.col("cnt") >= 2)
-        .groupBy("doc_id")
-        .agg(F.collect_list("i").alias("starts"))
-    )
-    dup5 = dup_starts.join(base.select("doc_id", "t"), "doc_id").select(
+    return base.select(
         "doc_id",
+        "n_tokens",
+        "sum_chars",
+        top_ppm(2).alias("top2_ppm"),
+        top_ppm(3).alias("top3_ppm"),
+        top_ppm(4).alias("top4_ppm"),
         F.expr(
-            "aggregate(array_distinct(flatten(transform(starts, "
+            "(aggregate(array_distinct(flatten(transform(_dupstarts, "
             "i -> sequence(i, i + 4)))), cast(0 as bigint), "
-            "(acc, p) -> acc + length(element_at(t, cast(p as int))))"
-        ).alias("dup_chars"),
-    )
-    ppm = lambda n: F.coalesce(
-        F.max(
-            F.when(
-                F.col("n") == n,
-                F.expr("(cnt * gram_chars * 1000000) div sum_chars"),
-            )
-        ),
-        F.lit(0),
-    )
-    return (
-        base.select("doc_id", "n_tokens", "sum_chars")
-        .join(top, "doc_id", "left")
-        .join(dup5, "doc_id", "left")
-        .groupBy("doc_id", "n_tokens", "sum_chars")
-        .agg(
-            ppm(2).alias("top2_ppm"),
-            ppm(3).alias("top3_ppm"),
-            ppm(4).alias("top4_ppm"),
-            F.coalesce(
-                F.max(F.expr("(dup_chars * 1000000) div sum_chars")), F.lit(0)
-            ).alias("dup5_ppm"),
-        )
+            "(acc, p) -> acc + length(element_at(t, p))) * 1000000) div sum_chars"
+        ).alias("dup5_ppm"),
     )

@@ -415,12 +415,11 @@ class FilterTask(Task):
             self.context.db.replace_table(
                 self.dst_value, out, **self.destination_writer_opts()
             )
-        if self.scorer == "surprisal" or (
-            self.scorer == "repetition" and self.ngram_ppm_bounds
-        ):
-            # doc_avg_nll_frame / top_ngram_signal_frame persist
-            # intermediate streams for their multi-branch aggregations;
-            # the write above consumed them
+        if self.scorer == "surprisal":
+            # doc_avg_nll_frame persists the token stream for its two
+            # aggregation branches; the write above consumed it
+            # (top_ngram_signal_frame persists nothing — it is a pure
+            # per-row fold)
             from sayn_spark.functions.registry import release_persisted
 
             release_persisted()

@@ -387,3 +387,13 @@ def test_gopher_rules_is_pure_map_side(spark):
     assert "Exchange" not in plan, plan
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_top_ngram_signals_are_pure_map_side(spark):
+    """The MassiveText coverage signals must plan ZERO exchanges: every
+    signal folds over the doc's own token array (sorted-gram run
+    lengths in higher-order functions), so nothing ever leaves the
+    scan — no explode, no groupBy, no window."""
+    df = REGISTRY["q_repetition_top_ngram"].fn(spark, SF)
+    plan = plan_of(spark, df)
+    assert "Exchange" not in plan, plan
