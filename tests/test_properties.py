@@ -322,3 +322,62 @@ def test_gated_containment_equals_model_on_random_corpora(spark, data, snip):
     finally:
         release_persisted()
     assert got == _model_containment_pairs(docs)
+
+
+def _model_top_ngram(tokens):
+    """Pure-python model of top_ngram_signal_frame for one doc."""
+    from collections import Counter
+
+    m = len(tokens)
+    if m < 2:
+        return None
+    sum_chars = sum(len(x) for x in tokens)
+    out = {"n_tokens": m, "sum_chars": sum_chars}
+    for n in (2, 3, 4):
+        grams = [" ".join(tokens[i : i + n]) for i in range(m - n + 1)]
+        if not grams:
+            out[f"top{n}_ppm"] = 0
+            continue
+        cnt = Counter(grams)
+        # tie-break: highest count, then lexicographically smallest g
+        bc = max(cnt.values())
+        bg = min(g for g, c in cnt.items() if c == bc)
+        gram_chars = len(bg) - (n - 1)
+        out[f"top{n}_ppm"] = bc * gram_chars * 1_000_000 // sum_chars
+    grams5 = [" ".join(tokens[i : i + 5]) for i in range(max(0, m - 4))]
+    cnt5 = Counter(grams5)
+    covered = set()
+    for i, g in enumerate(grams5):
+        if cnt5[g] >= 2:
+            covered.update(range(i, i + 5))
+    dup_chars = sum(len(tokens[p]) for p in covered)
+    out["dup5_ppm"] = dup_chars * 1_000_000 // sum_chars
+    return out
+
+
+TOKENS = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "d", "q", "zz"]),
+    min_size=0,
+    max_size=24,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(tokens=TOKENS)
+def test_top_ngram_fold_matches_model(spark, tokens):
+    """The per-row higher-order-function fold must equal a pure-python
+    Counter model on arbitrary token streams — including all-identical
+    tokens (maximal overlap), runs ending at the array tail (the final
+    flush), and sub-5-token docs (empty gram lists)."""
+    from sayn_spark.functions.content_filter import top_ngram_signal_frame
+
+    df = spark.createDataFrame([(1, " ".join(tokens))], "doc_id long, text string")
+    got = top_ngram_signal_frame(df).collect()
+    want = _model_top_ngram(tokens)
+    if want is None:
+        assert got == []
+        return
+    assert len(got) == 1
+    r = got[0]
+    for k, v in want.items():
+        assert getattr(r, k) == v, (k, tokens)
