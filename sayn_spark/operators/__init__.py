@@ -1,4 +1,5 @@
 from sayn_spark.operators.ann import AnnIndexTask  # noqa: F401
+from sayn_spark.operators.ann_search import AnnSearchTask  # noqa: F401
 from sayn_spark.operators.base import RunArguments, Task, TaskContext, TaskStatus  # noqa: F401
 from sayn_spark.operators.chunk import ChunkTask  # noqa: F401
 from sayn_spark.operators.copy import CopyTask  # noqa: F401
@@ -28,6 +29,7 @@ TASK_TYPES = {
     "copy": CopyTask,
     "dedup": DedupTask,
     "ann_index": AnnIndexTask,
+    "ann_search": AnnSearchTask,
     "embed": EmbedTask,
     "filter": FilterTask,
     "decontaminate": DecontaminateTask,

@@ -1,0 +1,111 @@
+"""ANN search task: query a catalog index built by ``ann_index``
+declaratively — the search half of the similarity pipeline as YAML:
+
+    tasks:
+      nearest_docs:
+        type: ann_search
+        index: corpus_vec_index    # ann_index's table prefix
+        queries: probe_vectors     # (id, vector) table
+        destination: probe_topk    # (query_id, neighbor_id, cos, rk)
+        k: 5
+        nprobe: 2
+        id_column: vec_id          # queries' id column
+        vector_column: embedding
+        shortlist: 20              # ivfpq only: ADC shortlist width
+
+The path is chosen from the CATALOG, not the config: an index with a
+``{index}_codes`` table searches via ADC + exact re-rank
+(functions/similarity.py:ann_index_search_pq — residual encodings route
+automatically through the codebook's enc column); otherwise the exact
+in-cell scan (ann_index_search).  Only query rows shuffle; the bucketed
+inverted file is read in place.  The destination is a full rebuild
+(replace_table), so re-running a search after an incremental index
+insert refreshes results idempotently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sayn_spark.operators.base import Task, TaskStatus
+
+
+class AnnSearchTask(Task):
+    def config(self) -> None:
+        c = self.config_dict
+        self.index = self.compile_property(c.get("index"))
+        if not self.index:
+            raise ValueError(f"ann_search task {self.name!r} needs index")
+        self.queries = self.compile_property(c.get("queries"))
+        if not self.queries:
+            raise ValueError(f"ann_search task {self.name!r} needs queries")
+        dest = self.compile_property(c.get("destination"))
+        if not dest:
+            raise ValueError(f"ann_search task {self.name!r} needs destination")
+        self.k = int(c.get("k", 5))
+        self.nprobe = int(c.get("nprobe", 1))
+        self.shortlist = int(c.get("shortlist", 20))
+        if self.k < 1 or self.nprobe < 1 or self.shortlist < self.k:
+            raise ValueError(
+                f"ann_search task {self.name!r}: need k >= 1, nprobe >= 1, "
+                "shortlist >= k"
+            )
+        self.id_column = c.get("id_column", "vec_id")
+        self.vector_column = c.get("vector_column", "embedding")
+
+        self.q_obj = self.context.obj_compiler.from_string(self.queries)
+        self.sources.add(self.q_obj)
+        self.q_value = self.context.obj_compiler.src_value(self.q_obj)
+        # the index tables are upstream dependencies too, so the DAG
+        # orders this task after the ann_index build
+        self.idx_obj = self.context.obj_compiler.from_string(
+            f"{self.index}_vectors"
+        )
+        self.sources.add(self.idx_obj)
+        self.destination = self.context.obj_compiler.from_string(dest)
+        self.outputs.add(self.destination)
+        self.dst_value = self.context.obj_compiler.out_value(self.destination)
+        self.status = TaskStatus.READY
+
+    def run(self) -> None:
+        from sayn_spark.functions.similarity import (
+            ann_index_search,
+            ann_index_search_pq,
+        )
+
+        spark = self.context.spark
+        db = self.context.db
+        for t in (f"{self.index}_centroids", f"{self.index}_vectors"):
+            if not db.table_exists(t):
+                raise ValueError(
+                    f"ann_search task {self.name!r}: index table {t} missing — "
+                    "run the ann_index build first"
+                )
+        qdf = spark.table(self.q_value)
+        for col in (self.id_column, self.vector_column):
+            if col not in qdf.columns:
+                raise ValueError(
+                    f"ann_search task {self.name!r}: column {col!r} "
+                    f"not in {self.q_value}"
+                )
+        queries = qdf.select(
+            F.col(self.id_column).alias("query_id"),
+            F.expr(f"cast({self.vector_column} as array<double>)").alias("e"),
+        )
+        if db.table_exists(f"{self.index}_codes"):
+            out = ann_index_search_pq(
+                spark,
+                self.index,
+                queries,
+                k=self.k,
+                nprobe=self.nprobe,
+                shortlist=self.shortlist,
+            )
+        else:
+            out = ann_index_search(
+                spark, self.index, queries, k=self.k, nprobe=self.nprobe
+            )
+        db.replace_table(self.dst_value, out, **self.destination_writer_opts())
+
+    def compile(self) -> None:
+        return None

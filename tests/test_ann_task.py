@@ -366,3 +366,87 @@ def test_ann_index_rejects_string_label_column(ctx, spark, emb_table):
     t.config()
     with pytest.raises(ValueError, match="must be integer"):
         t.run()
+
+
+def test_ann_search_task_matches_library_and_orders_after_build(ctx, spark, emb_table):
+    """The ann_search task must write exactly the library call's result
+    for both index kinds (catalog-dispatched: codes table -> PQ path),
+    and declare the index as a source so the DAG orders it after the
+    build."""
+    from sayn_spark.functions.similarity import (
+        ann_index_search,
+        ann_index_search_pq,
+    )
+    from sayn_spark.operators.ann_search import AnnSearchTask
+
+    # build both index kinds from the shared fixture table
+    for index, method in (("as_ivf", "ivf"), ("as_pq", "ivfpq")):
+        t = AnnIndexTask(
+            f"{index}_build",
+            {
+                "source": "ann_src",
+                "index": index,
+                "label_column": "label",
+                "method": method,
+            },
+            ctx,
+        )
+        t.config()
+        t.run()
+    ctx.db.replace_table(
+        "as_queries",
+        spark.table("ann_src").where("vec_id < 10").select("vec_id", "embedding"),
+    )
+    queries = spark.table("as_queries").select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("cast(embedding as array<double>)").alias("e"),
+    )
+    for index, lib in (
+        ("as_ivf", lambda: ann_index_search(spark, "as_ivf", queries, k=3, nprobe=2)),
+        ("as_pq", lambda: ann_index_search_pq(spark, "as_pq", queries, k=3, nprobe=2, shortlist=10)),
+    ):
+        st = AnnSearchTask(
+            f"{index}_search",
+            {
+                "index": index,
+                "queries": "as_queries",
+                "destination": f"{index}_topk",
+                "k": 3,
+                "nprobe": 2,
+                "shortlist": 10,
+            },
+            ctx,
+        )
+        st.config()
+        # DAG ordering: the index's vectors table is a declared source
+        assert any("_vectors" in str(s) for s in st.sources)
+        st.run()
+        got = sorted(
+            (r.query_id, r.neighbor_id, r.cos, r.rk)
+            for r in spark.table(f"{index}_topk").collect()
+        )
+        want = sorted(
+            (r.query_id, r.neighbor_id, r.cos, r.rk) for r in lib().collect()
+        )
+        assert got == want and len(got) > 0
+    # config validation
+    bad = AnnSearchTask(
+        "as_bad",
+        {"index": "as_ivf", "queries": "as_queries", "destination": "x", "k": 5, "shortlist": 3},
+        ctx,
+    )
+    with pytest.raises(ValueError, match="shortlist >= k"):
+        bad.config()
+    missing = AnnSearchTask(
+        "as_missing",
+        {"index": "nope", "queries": "as_queries", "destination": "x"},
+        ctx,
+    )
+    missing.config()
+    with pytest.raises(ValueError, match="run the ann_index build first"):
+        missing.run()
+    for t in ("as_queries",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for ix in ("as_ivf", "as_pq"):
+        for sfx in ("_centroids", "_vectors", "_codebook", "_codes", "_topk"):
+            spark.sql(f"DROP TABLE IF EXISTS {ix}{sfx}")
