@@ -224,8 +224,6 @@ class AnnIndexTask(Task):
         ``{index}_codes``.  Anti-joins on the target tables make every
         write replay-safe and self-healing — a crash between the two
         appends repairs on the next run."""
-        from sayn_spark.functions.similarity import _assign_cells
-
         db = self.context.db
         spark = self.context.spark
         for t in (f"{self.index}_centroids", f"{self.index}_vectors"):
@@ -257,44 +255,9 @@ class AnnIndexTask(Task):
                     "would mix incompatible codes; set encode to match (or "
                     "rebuild full)"
                 )
-        cent = spark.table(f"{self.index}_centroids")
-        emb = self._emb()
-        new = emb.join(
-            spark.table(f"{self.index}_vectors").select("vec_id"), "vec_id", "left_anti"
-        ).localCheckpoint()  # read by assign + vector/code appends
-        if not new.isEmpty():
-            cells = _assign_cells(new, cent)
-            vectors = new.join(cells, "vec_id").select(
-                "vec_id",
-                F.col("cell").cast("bigint").alias("cell"),
-                "e",
-                F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm"),
-            )
-            db.create_table(
-                f"{self.index}_vectors",
-                vectors,
-                mode="append",
-                bucket_by=(_VEC_BUCKETS, ["cell"]),
-            )
-        if self.method == "ivfpq":
-            # self-healing: encode whatever the vectors table has that
-            # the codes table lacks.  Runs even when no NEW source rows
-            # exist — a crash (or a rejected config) after the vector
-            # append leaves rows the anti-join above will never
-            # resurface, so the repair must not hide behind it.
-            codes_t = f"{self.index}_codes"
-            missing = spark.table(f"{self.index}_vectors").join(
-                spark.table(codes_t).select("vec_id").distinct(),
-                "vec_id",
-                "left_anti",
-            )
-            if not missing.isEmpty():
-                db.create_table(
-                    codes_t,
-                    self._encode_pq(missing, residual=stored_enc == "residual"),
-                    mode="append",
-                    bucket_by=(_VEC_BUCKETS, ["cell"]),
-                )
+        # the shared engine does the anti-join insert + codes self-heal
+        # (stream_ann_ingest drives the same function per micro-batch)
+        ann_insert_batch(spark, db, self.index, self._emb().select("vec_id", "e"))
 
     def _train_pq(self, subs: DataFrame, seed_ids: DataFrame) -> DataFrame:
         """Per-subspace k-means codebook (s, c, cw): 16 codewords per
@@ -354,52 +317,13 @@ class AnnIndexTask(Task):
         return cb
 
     def _residual_frame(self, vec: DataFrame) -> DataFrame:
-        """Replace ``e`` with the within-cell residual e - centroid:
-        broadcast the (tiny) centroid table, exact double subtraction.
-        ``vec`` must carry (vec_id, cell, e)."""
-        cent = self.context.spark.table(f"{self.index}_centroids").select(
-            F.col("c_label").cast("bigint").alias("cell"), "ce"
-        )
-        keep = [c for c in vec.columns if c != "e"]
-        return vec.join(F.broadcast(cent), "cell").select(
-            *keep, F.expr("zip_with(e, ce, (x, y) -> x - y)").alias("e")
-        )
+        return _residual_frame(self.context.spark, self.index, vec)
 
     def _stored_encoding(self) -> str:
-        """The encoding the existing codebook was built with ("vector"
-        for pre-residual indexes that have no enc column)."""
-        cb = self.context.spark.table(f"{self.index}_codebook")
-        if "enc" not in cb.columns:
-            return "vector"
-        return cb.select("enc").first()["enc"]
+        return _stored_encoding(self.context.spark, self.index)
 
     def _encode_pq(self, vec: DataFrame, residual: bool) -> DataFrame:
-        """(vec_id, cell, s, c) codes for ``vec`` rows under the
-        existing (frozen) ``{index}_codebook``."""
-        spark = self.context.spark
-        cb = spark.table(f"{self.index}_codebook").drop("enc")
-        if residual:
-            vec = self._residual_frame(vec.select("vec_id", "cell", "e"))
-        subs = vec.select(
-            "vec_id",
-            "cell",
-            F.posexplode(
-                F.expr("transform(sequence(0, 7), s -> slice(e, s * 8 + 1, 8))")
-            ).alias("s", "sub"),
-        )
-        sub_d2 = F.round(
-            F.expr(
-                "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
-            ),
-            8,
-        )
-        return (
-            subs.join(F.broadcast(cb), "s")
-            .select("vec_id", "cell", "s", "c", sub_d2.alias("d2"))
-            .groupBy("vec_id", "cell", "s")
-            .agg(F.min(F.struct("d2", "c")).alias("m"))
-            .select("vec_id", "cell", "s", F.col("m.c").alias("c"))
-        )
+        return _encode_pq(self.context.spark, self.index, vec, residual)
 
     def _build_pq(self) -> None:
         """PQ layer over the IVF cells: ``{index}_codebook`` (s, c, cw)
@@ -453,3 +377,106 @@ class AnnIndexTask(Task):
 
     def compile(self) -> None:
         return None
+
+
+def _residual_frame(spark, index: str, vec: DataFrame) -> DataFrame:
+    """Replace ``e`` with the within-cell residual e - centroid:
+    broadcast the (tiny) centroid table, exact double subtraction.
+    ``vec`` must carry (vec_id, cell, e)."""
+    cent = spark.table(f"{index}_centroids").select(
+        F.col("c_label").cast("bigint").alias("cell"), "ce"
+    )
+    keep = [c for c in vec.columns if c != "e"]
+    return vec.join(F.broadcast(cent), "cell").select(
+        *keep, F.expr("zip_with(e, ce, (x, y) -> x - y)").alias("e")
+    )
+
+
+def _stored_encoding(spark, index: str) -> str:
+    """The encoding the existing codebook was built with ("vector" for
+    pre-residual indexes that have no enc column)."""
+    cb = spark.table(f"{index}_codebook")
+    if "enc" not in cb.columns:
+        return "vector"
+    row = cb.select("enc").first()
+    return row["enc"] if row is not None else "vector"
+
+
+def _encode_pq(spark, index: str, vec: DataFrame, residual: bool) -> DataFrame:
+    """(vec_id, cell, s, c) codes for ``vec`` rows under the existing
+    (frozen) ``{index}_codebook``."""
+    cb = spark.table(f"{index}_codebook").drop("enc")
+    if residual:
+        vec = _residual_frame(spark, index, vec.select("vec_id", "cell", "e"))
+    subs = vec.select(
+        "vec_id",
+        "cell",
+        F.posexplode(
+            F.expr("transform(sequence(0, 7), s -> slice(e, s * 8 + 1, 8))")
+        ).alias("s", "sub"),
+    )
+    sub_d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        ),
+        8,
+    )
+    return (
+        subs.join(F.broadcast(cb), "s")
+        .select("vec_id", "cell", "s", "c", sub_d2.alias("d2"))
+        .groupBy("vec_id", "cell", "s")
+        .agg(F.min(F.struct("d2", "c")).alias("m"))
+        .select("vec_id", "cell", "s", F.col("m.c").alias("c"))
+    )
+
+
+def ann_insert_batch(spark, db, index: str, vecs: DataFrame) -> None:
+    """Insert (vec_id, e: array<double>) rows into an EXISTING index
+    under frozen quantizers — the engine behind the ann_index task's
+    incremental mode and stream_ann_ingest.  The PQ layer is inferred
+    from the CATALOG (a ``{index}_codes`` table dispatches encoding;
+    its enc column picks vector vs residual), so callers cannot
+    disagree with the index.  Replay-safe: new rows come from an
+    anti-join on the vectors table, and the codes self-heal runs even
+    when no new rows exist (a crash between the two appends repairs on
+    the next call)."""
+    from sayn_spark.functions.similarity import _assign_cells
+
+    for t in (f"{index}_centroids", f"{index}_vectors"):
+        if not db.table_exists(t):
+            raise ValueError(
+                f"ann_insert_batch: index table {t} missing — run a full "
+                "ann_index build first"
+            )
+    pq = db.table_exists(f"{index}_codes")
+    stored_enc = _stored_encoding(spark, index) if pq else "vector"
+    cent = spark.table(f"{index}_centroids")
+    new = vecs.join(
+        spark.table(f"{index}_vectors").select("vec_id"), "vec_id", "left_anti"
+    ).localCheckpoint()  # read by assign + vector/code appends
+    if not new.isEmpty():
+        cells = _assign_cells(new, cent)
+        vectors = new.join(cells, "vec_id").select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            "e",
+            F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm"),
+        )
+        db.create_table(
+            f"{index}_vectors",
+            vectors,
+            mode="append",
+            bucket_by=(_VEC_BUCKETS, ["cell"]),
+        )
+    if pq:
+        codes_t = f"{index}_codes"
+        missing = spark.table(f"{index}_vectors").join(
+            spark.table(codes_t).select("vec_id").distinct(), "vec_id", "left_anti"
+        )
+        if not missing.isEmpty():
+            db.create_table(
+                codes_t,
+                _encode_pq(spark, index, missing, residual=stored_enc == "residual"),
+                mode="append",
+                bucket_by=(_VEC_BUCKETS, ["cell"]),
+            )

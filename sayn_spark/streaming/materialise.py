@@ -388,3 +388,49 @@ def stream_surprisal_filter(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ann_ingest(
+    source: DataFrame,
+    index: str,
+    checkpoint: str,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+):
+    """Continuous vector ingest into a catalog ANN index built by the
+    ``ann_index`` task: each micro-batch of (id, vector) rows inserts
+    under FROZEN quantizers via the same engine as the task's
+    incremental mode (operators/ann.py:ann_insert_batch) — anti-join
+    replay safety, bucketed appends, PQ codes inferred from the
+    catalog (vector or residual encoding follows the codebook's enc
+    column), and the codes self-heal runs every trigger, so a crash
+    between the two appends repairs on the next one.
+
+    State discipline at 100 TB: the index tables grow by appends only;
+    each trigger shuffles nothing but the batch's rows (centroids and
+    codebook broadcast).  Retrain (full rebuild) stays a batch
+    decision — the stream never moves centroids.
+    """
+    from sayn_spark.operators.ann import ann_insert_batch
+
+    outer_session = source.sparkSession
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        vecs = batch_df.select(
+            F.col(id_column).alias("vec_id"),
+            F.expr(f"cast({vector_column} as array<double>)").alias("e"),
+        )
+        ann_insert_batch(spark, SparkDatabase(spark), index, vecs)
+        for t in (f"{index}_vectors", f"{index}_codes"):
+            if SparkDatabase(spark).table_exists(t):
+                outer_session.catalog.refreshTable(t)
+
+    return (
+        source.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

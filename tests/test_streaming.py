@@ -618,3 +618,103 @@ def test_content_filter_stream_pii_redacts_in_flight(spark, tmp_path):
     assert "[EMAIL]" in rows[1] and "@" not in rows[1]
     assert "[PHONE]" in rows[2] and "555" not in rows[2]
     assert "clean text here" in rows[3]
+
+
+def test_ann_ingest_stream_matches_batch_insert(spark, tmp_path):
+    """Streaming vector ingest must leave the index tables equal to the
+    batch incremental insert over the same rows (frozen quantizers,
+    residual codes included), and a replayed batch must change
+    nothing."""
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.ann import AnnIndexTask
+    from sayn_spark.streaming import stream_ann_ingest
+
+    ctx = TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={},
+        connections={},
+        project_dir=tmp_path,
+    )
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seed = emb.where("vec_id < 40")
+    later = emb.where("vec_id >= 40 and vec_id < 56")
+    ctx.db.replace_table("sai_seed", seed)
+    # one residual-encoded ivfpq index fed by the STREAM, one by the
+    # batch incremental task — they must end identical
+    for index in ("sai_s", "sai_b"):
+        t = AnnIndexTask(
+            f"{index}_build",
+            {
+                "source": "sai_seed",
+                "index": index,
+                "label_column": "label",
+                "method": "ivfpq",
+                "codebook": "trained",
+                "encode": "residual",
+            },
+            ctx,
+        )
+        t.config()
+        t.run()
+    # batch twin
+    ctx.db.replace_table("sai_all", seed.unionByName(later))
+    bt = AnnIndexTask(
+        "sai_b_ins",
+        {
+            "source": "sai_all",
+            "index": "sai_b",
+            "label_column": "label",
+            "method": "ivfpq",
+            "mode": "incremental",
+            "encode": "residual",
+        },
+        ctx,
+    )
+    bt.config()
+    bt.run()
+    # stream twin: two files, two triggers
+    src = tmp_path / "sai_vecs"
+    src.mkdir()
+    later1 = later.where("vec_id < 48")
+    later2 = later.where("vec_id >= 48")
+    later1.coalesce(1).write.mode("overwrite").parquet(str(src / "w1"))
+    stream = spark.readStream.schema(emb.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    ckpt = str(tmp_path / "sai_ckpt")
+    q = stream_ann_ingest(stream, "sai_s", ckpt)
+    q.awaitTermination(180)
+    later2.coalesce(1).write.mode("overwrite").parquet(str(src / "w2"))
+    q = stream_ann_ingest(stream, "sai_s", ckpt)
+    q.awaitTermination(180)
+
+    def snap(index):
+        vecs = sorted(
+            (r.vec_id, r.cell, tuple(r.e), r.nrm)
+            for r in spark.table(f"{index}_vectors").collect()
+        )
+        codes = sorted(
+            (r.vec_id, r.cell, r.s, r.c)
+            for r in spark.table(f"{index}_codes").collect()
+        )
+        return vecs, codes
+
+    assert snap("sai_s") == snap("sai_b")
+    # replay: a fresh stream over the SAME files with a NEW checkpoint
+    # re-delivers every row; the anti-join must make it a no-op
+    before = snap("sai_s")
+    q = stream_ann_ingest(stream, "sai_s", str(tmp_path / "sai_ckpt2"))
+    q.awaitTermination(180)
+    assert snap("sai_s") == before
+    for t in ("sai_seed", "sai_all"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for ix in ("sai_s", "sai_b"):
+        for sfx in ("_centroids", "_vectors", "_codebook", "_codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {ix}{sfx}")
