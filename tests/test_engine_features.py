@@ -247,6 +247,14 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     epoch = spark.table("corpus_epoch0")
     assert epoch.count() == packed.count()
     assert {"hv", "shard"} <= set(epoch.columns)
+    # late round-6 stages: pii redact keeps every row, gopher gates a
+    # strict subset, ann_search materialises top-k over the doc index
+    assert spark.table("documents_redacted").count() == n_docs
+    assert 0 < spark.table("documents_gopher").count() < n_docs
+    topk = spark.table("doc_topk")
+    assert {"query_id", "neighbor_id", "cos", "rk"} <= set(topk.columns)
+    assert topk.groupBy("query_id").count().where("count > 3").count() == 0
+    assert topk.count() > 0
 
 
 def test_env_parameter_override(spark, tmp_path, monkeypatch):
