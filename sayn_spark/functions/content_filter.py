@@ -1140,3 +1140,98 @@ def top_ngram_signal_frame(docs: DataFrame) -> DataFrame:
             "(acc, p) -> acc + length(element_at(t, p))) * 1000000) div sum_chars"
         ).alias("dup5_ppm"),
     )
+
+
+@register(
+    "q_corpus_report",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t,
+         md5(text) AS fp
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, lang, source, fp,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS sum_chars,
+         CAST(len(list_filter(['the','a','of','and','is'],
+                              s -> list_contains(t, s))) AS BIGINT) AS n_stop
+  FROM tok
+),
+dup AS (
+  SELECT fp, COUNT(*) AS n FROM sig GROUP BY fp
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(s.n_words) AS BIGINT) AS n_tokens,
+       COUNT(DISTINCT s.lang) AS n_langs,
+       COUNT(DISTINCT s.source) AS n_sources,
+       CAST(SUM(CASE WHEN d.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
+       CAST(SUM(CASE WHEN s.n_words < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs,
+       CAST(SUM(CASE WHEN s.n_words >= 50 AND s.n_words <= 100000
+                 AND 3 * s.n_words <= s.sum_chars
+                 AND s.sum_chars <= 10 * s.n_words
+                 AND s.n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+       (CAST(SUM(s.n_words) AS BIGINT) * 1000) // COUNT(*) AS mean_words_x1000
+FROM sig s JOIN dup d USING (fp)
+""",
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report — the single-row sanity aggregate every
+    training pipeline runs before committing compute: document/token
+    totals, language and source cardinality, exact-duplicate share,
+    short-doc share, Gopher-rule pass count (symbol/alpha rules are
+    vacuous on this corpus and elided), and integer mean words per doc
+    (x1000 floor — never a rounded double).
+
+    Scale shape: one scan computes every per-doc signal as map-side
+    expressions; the only shuffles are the 16-byte fingerprint
+    groupBy (exact-dup share — the q_dedup_exact reduction) and the
+    final single-row aggregate, which is map-side combinable with two
+    approx-free DISTINCT counts over tiny cardinalities.  At 100 TB
+    swap the exact COUNT(DISTINCT lang/source) for approx_count_distinct
+    if the key cardinality ever stops being driver-sized; everything
+    else is already linear.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(_Q_TOKENS).alias("t"),
+        F.md5("text").alias("fp"),
+    )
+    sig = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "fp",
+        F.expr("cast(size(t) as bigint)").alias("n_words"),
+        F.expr(
+            "aggregate(t, cast(0 as bigint), (acc, x) -> acc + length(x))"
+        ).alias("sum_chars"),
+        F.expr(
+            "cast(size(filter(array('the','a','of','and','is'), "
+            "s -> array_contains(t, s))) as bigint)"
+        ).alias("n_stop"),
+    )
+    dup = sig.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    joined = sig.join(dup, "fp")
+    gopher_ok = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.lit(3) * F.col("n_words") <= F.col("sum_chars"))
+        & (F.col("sum_chars") <= F.lit(10) * F.col("n_words"))
+        & (F.col("n_stop") >= 2)
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("bigint").alias("n_exact_dup_docs"),
+        F.sum(F.when(F.col("n_words") < 20, 1).otherwise(0)).cast("bigint").alias("n_short_docs"),
+        F.sum(F.when(gopher_ok, 1).otherwise(0)).cast("bigint").alias("n_gopher_pass"),
+    ).select(
+        "*",
+        F.expr("(n_tokens * 1000) div n_docs").alias("mean_words_x1000"),
+    )
