@@ -10,6 +10,7 @@ windows; chunk SPLITS docs longer than one window), as a YAML task:
         chunk_tokens: 2048
         stride: 1792             # overlap = chunk_tokens - stride
         min_tokens: 1            # drop empty docs
+        mode: incremental        # chunk + append only new ids
 
 Output: one row per chunk — (id, chunk_index, chunk_start, n_tokens,
 chunk_text) plus any ``carry_columns`` copied from the source row.
@@ -48,6 +49,12 @@ class ChunkTask(Task):
                 f"chunk task {self.name!r}: stride must be in [1, chunk_tokens]"
             )
         self.min_tokens = int(c.get("min_tokens", 1))
+        # incremental: chunk only source rows whose id is not yet in
+        # the destination and append — row-local (each doc chunks from
+        # its own text alone), so per-batch decisions are idempotent
+        self.mode = c.get("mode", "full")
+        if self.mode not in ("full", "incremental"):
+            raise ValueError(f"chunk task {self.name!r}: mode must be full|incremental")
         self.id_column = c.get("id_column", "doc_id")
         self.text_column = c.get("text_column", "text")
         self.carry_columns = list(c.get("carry_columns", []))
@@ -97,9 +104,26 @@ class ChunkTask(Task):
                 f"array_join(slice(_toks, chunk_start, {self.chunk_tokens}), ' ')"
             ).alias("chunk_text"),
         )
-        self.context.db.replace_table(
-            self.dst_value, out, **self.destination_writer_opts()
-        )
+        if self.mode == "incremental" and self.context.db.table_exists(
+            self.dst_value
+        ):
+            new_ids = work.select(self.id_column).join(
+                spark.table(self.dst_value).select(self.id_column).distinct(),
+                self.id_column,
+                "left_anti",
+            )
+            fresh = out.join(new_ids, self.id_column, "left_semi")
+            if not fresh.isEmpty():
+                self.context.db.create_table(
+                    self.dst_value,
+                    fresh,
+                    mode="append",
+                    **self.destination_writer_opts(),
+                )
+        else:
+            self.context.db.replace_table(
+                self.dst_value, out, **self.destination_writer_opts()
+            )
 
     def compile(self) -> None:
         return None

@@ -115,3 +115,36 @@ def test_chunk_config_validation(ctx):
         t = ChunkTask("bad", cfg, ctx)
         with pytest.raises(ValueError):
             t.config()
+
+
+def test_chunk_incremental_appends_only_new_ids(ctx, spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    wave1 = docs.where("doc_id % 2 = 0")
+    ctx.db.replace_table("ck_inc_src", wave1)
+    cfg = {
+        "source": "ck_inc_src",
+        "destination": "ck_inc_out",
+        "chunk_tokens": 16,
+        "stride": 12,
+        "mode": "incremental",
+    }
+    _run(ctx, "ck_inc", cfg)
+    first = spark.table("ck_inc_out").count()
+    assert first > 0
+    # replay with the same source: no duplicates
+    _run(ctx, "ck_inc", cfg)
+    assert spark.table("ck_inc_out").count() == first
+    # second wave appends exactly the new docs' chunks, equal to a
+    # full rebuild over the union
+    ctx.db.replace_table("ck_inc_src", docs)
+    _run(ctx, "ck_inc", cfg)
+    _run(ctx, "ck_full", {**cfg, "mode": "full", "destination": "ck_full_out"})
+    inc = sorted(
+        tuple(r) for r in spark.table("ck_inc_out").collect()
+    )
+    full = sorted(
+        tuple(r) for r in spark.table("ck_full_out").collect()
+    )
+    assert inc == full
+    for t in ("ck_inc_src", "ck_inc_out", "ck_full_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
