@@ -11,6 +11,9 @@ by the GPT-3 appendix):
         destination: train_clean
         ngram: 13
         mode: drop            # drop | flag
+        load_mode: full       # full | incremental (check + append only
+                              # new ids vs the CURRENT eval table; an
+                              # eval-set change needs a full rebuild)
 
 A source document is contaminated when it shares at least one
 ``ngram``-token sequence with ANY eval document.  ``mode: drop``
@@ -52,6 +55,16 @@ class DecontaminateTask(Task):
         self.ngram = int(c.get("ngram", 13))
         if self.ngram < 1:
             raise ValueError(f"decontaminate task {self.name!r}: ngram must be >= 1")
+        # load_mode: incremental checks + appends only new-id rows
+        # against the CURRENT eval table (the stream twin's per-batch
+        # semantics: rows admitted before an eval-table growth are not
+        # re-checked — rebuild full after changing the eval set).
+        # Named load_mode because ``mode`` already selects drop|flag.
+        self.load_mode = c.get("load_mode", "full")
+        if self.load_mode not in ("full", "incremental"):
+            raise ValueError(
+                f"decontaminate task {self.name!r}: load_mode must be full|incremental"
+            )
         self.id_column = c.get("id_column", "doc_id")
         self.text_column = c.get("text_column", "text")
         self.eval_text_column = c.get("eval_text_column", self.text_column)
@@ -80,6 +93,19 @@ class DecontaminateTask(Task):
                 raise ValueError(
                     f"decontaminate task {self.name!r}: column {col!r} not in {label}"
                 )
+        incremental = self.load_mode == "incremental" and self.context.db.table_exists(
+            self.dst_value
+        )
+        if incremental:
+            # restrict BEFORE hashing: already-admitted docs never
+            # re-shingle (the destination holds kept rows only, so the
+            # anti-join also re-checks previously-DROPPED ids — cheap,
+            # idempotent, and self-correcting if the eval set shrank)
+            df = df.join(
+                spark.table(self.dst_value).select(self.id_column).distinct(),
+                self.id_column,
+                "left_anti",
+            )
         ev_hashes = ngram_hash_frame(ev, self.eval_text_column, self.ngram, None)
         src_hashes = ngram_hash_frame(df, self.text_column, self.ngram, self.id_column)
         contaminated = (
@@ -97,9 +123,18 @@ class DecontaminateTask(Task):
             ).withColumn(
                 "is_contaminated", F.coalesce("is_contaminated", F.lit(False))
             )
-        self.context.db.replace_table(
-            self.dst_value, out, **self.destination_writer_opts()
-        )
+        if incremental:
+            if not out.isEmpty():
+                self.context.db.create_table(
+                    self.dst_value,
+                    out,
+                    mode="append",
+                    **self.destination_writer_opts(),
+                )
+        else:
+            self.context.db.replace_table(
+                self.dst_value, out, **self.destination_writer_opts()
+            )
 
     def compile(self) -> None:
         return None

@@ -173,3 +173,35 @@ def test_decontaminate_config_validation(ctx):
         t = DecontaminateTask("bad", cfg, ctx)
         with pytest.raises(ValueError):
             t.config()
+
+
+def test_decontaminate_incremental_appends_only_new_ids(ctx, spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    ev = docs.where("doc_id % 9 = 0").select(F.col("text").alias("text"))
+    ctx.db.replace_table("dc_inc_ev", ev)
+    wave1 = docs.where("doc_id % 2 = 0")
+    ctx.db.replace_table("dc_inc_src", wave1)
+    cfg = {
+        "source": "dc_inc_src",
+        "eval_table": "dc_inc_ev",
+        "destination": "dc_inc_out",
+        "ngram": 8,
+        "load_mode": "incremental",
+    }
+    _run(ctx, "dc_inc", cfg)
+    first = {r.doc_id for r in spark.table("dc_inc_out").collect()}
+    assert first
+    # replay: no duplicates, same keep set
+    _run(ctx, "dc_inc", cfg)
+    rows = spark.table("dc_inc_out").groupBy("doc_id").count()
+    assert rows.where("count > 1").count() == 0
+    assert {r.doc_id for r in spark.table("dc_inc_out").collect()} == first
+    # second wave: final state equals a full rebuild over the union
+    ctx.db.replace_table("dc_inc_src", docs)
+    _run(ctx, "dc_inc", cfg)
+    _run(ctx, "dc_full", {**cfg, "load_mode": "full", "destination": "dc_full_out"})
+    got = {r.doc_id for r in spark.table("dc_inc_out").collect()}
+    want = {r.doc_id for r in spark.table("dc_full_out").collect()}
+    assert got == want
+    for t in ("dc_inc_ev", "dc_inc_src", "dc_inc_out", "dc_full_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
