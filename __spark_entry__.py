@@ -43,9 +43,24 @@ _SENTINELS = [
 ]
 
 
+def _entry_green(v: object) -> bool:
+    """A fully-green artifact cell: no error and every present match
+    flag true (rows-only checks carry no hash_match key)."""
+    if not isinstance(v, dict):
+        return False
+    if v.get("err") is not None:
+        return False
+    flags = [v.get(k) for k in ("rows_match", "schema_match", "hash_match") if k in v]
+    return bool(flags) and all(flags)
+
+
 def _driver_history() -> dict[str, int]:
-    """query name -> latest round with external driver-hash evidence,
-    read from the CORRECTNESS_r*.json artifacts the harness records."""
+    """query name -> latest round with GREEN external driver-hash
+    evidence, read from the CORRECTNESS_r*.json artifacts the harness
+    records.  A FAILED artifact entry must NOT advance the stamp: a
+    failure means the query needs re-verification soonest, so it keeps
+    (or reverts to) the stale end of the queue instead of sinking to
+    the back with the freshest timestamp (VERDICT r6 item 2)."""
     import glob
     import json
     import os
@@ -53,6 +68,7 @@ def _driver_history() -> dict[str, int]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     hist: dict[str, int] = {}
+    failed_later: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
         if m is None:
@@ -64,8 +80,16 @@ def _driver_history() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         if isinstance(data, dict):
-            for name in data:
-                hist[name] = max(hist.get(name, 0), rnd)
+            for name, cell in data.items():
+                if _entry_green(cell):
+                    hist[name] = max(hist.get(name, 0), rnd)
+                else:
+                    failed_later[name] = max(failed_later.get(name, 0), rnd)
+    # A query whose LATEST evidence is a failure is treated as
+    # never-verified (stamp 0) so it sorts to the head of the queue.
+    for name, rnd in failed_later.items():
+        if rnd >= hist.get(name, 0):
+            hist.pop(name, None)
     return hist
 
 

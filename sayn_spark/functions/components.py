@@ -522,8 +522,8 @@ comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
 csize AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component),
 multi AS (
   SELECT cluster_size, COUNT(*) AS n_clusters,
-         SUM(cluster_size) AS n_docs,
-         SUM(cluster_size - 1) AS n_dropped
+         CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+         CAST(SUM(cluster_size - 1) AS BIGINT) AS n_dropped
   FROM csize GROUP BY cluster_size
 )
 SELECT * FROM multi

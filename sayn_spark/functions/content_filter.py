@@ -492,7 +492,7 @@ thresholds AS (
 )
 SELECT s.source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN 2 * s.qmicro >= t.thr2 THEN 1 ELSE 0 END) AS n_kept,
+       CAST(SUM(CASE WHEN 2 * s.qmicro >= t.thr2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        ROUND(CAST(SUM(CASE WHEN 2 * s.qmicro >= t.thr2 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS keep_rate,
        CAST(t.thr2 AS DOUBLE) / 2000000.0 AS median_quality
@@ -657,9 +657,9 @@ grams AS (
 first_owner AS (SELECT g, MIN(doc_id) AS owner FROM grams GROUP BY g)
 SELECT gr.doc_id,
        COUNT(*) AS n_grams,
-       SUM(CASE WHEN f.owner = gr.doc_id THEN 1 ELSE 0 END) AS n_novel,
-       SUM(CASE WHEN f.owner = gr.doc_id THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
-         AS novelty_ppm
+       CAST(SUM(CASE WHEN f.owner = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.owner = gr.doc_id THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+         AS BIGINT) AS novelty_ppm
 FROM grams gr JOIN first_owner f USING (g)
 GROUP BY gr.doc_id
 """,
@@ -896,8 +896,8 @@ rated AS (
   FROM weighted w CROSS JOIN tot t
 )
 SELECT r.source, r.n_docs, r.grp_tokens, r.w_sqrt, r.rate_pm,
-       SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
-                     AS BIGINT) % 1000 < r.rate_pm THEN 1 ELSE 0 END) AS n_kept,
+       CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1000 < r.rate_pm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(COALESCE(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
                      AS BIGINT) % 1000 < r.rate_pm THEN k.n_tokens END), 0) AS BIGINT)
          AS tokens_kept

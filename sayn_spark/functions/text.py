@@ -745,7 +745,7 @@ SELECT source,
             WHEN 3 * rn <= 2 * n THEN 'middle'
             ELSE 'tail' END AS bucket,
        COUNT(*) AS n_docs,
-       SUM(nll_micro) AS sum_nll_micro
+       CAST(SUM(nll_micro) AS BIGINT) AS sum_nll_micro
 FROM ranked GROUP BY source, bucket
 """,
 )
