@@ -1,0 +1,136 @@
+"""Measured FP-boundary margins for the rounding-over-transcendental
+oracles (VERDICT r6 item 3).
+
+A final oracle column of the form ROUND(f(x), n) where f involves a
+transcendental (LN) is cross-engine fragile IFF some actual value lands
+within ~1 ulp of a half-boundary at n decimal places: libm log() is not
+correctly rounded, so Spark (JVM Math.log) and DuckDB (C libm) can
+differ by 1 ulp, flipping the rounded digit only near a boundary.
+sqrt/division/multiplication are IEEE-correctly-rounded, so those
+compositions are bit-identical across engines given identical inputs;
+their only residual risk is an EXACT half at the rounding digit, where
+engine round-half conventions could diverge.
+
+This test measures, on the real corpus at the driver's gate SF, the
+minimum distance of every pre-round value to its nearest half-boundary,
+and asserts a margin orders of magnitude above the 1-ulp discrepancy
+scale.  The measured numbers are documented in PARITY.md §FRAGILITY.
+
+Audited oracles (the complete transcendental-rounding set, found by
+grepping LN/EXP/LOG/POW/sqrt inside oracle strings):
+  - q_text_unigram_surprisal / q_perplexity_buckets: per-token
+    ROUND(-LN(c/total), 8) and per-doc ROUND(s/n_toks, 6)
+  - q_events_anomalies: ROUND(zscore, 4) (sqrt is IEEE-exact; margin
+    still measured against exact-half ties)
+  - q_kmeans_refine: ROUND(sumsq, 8) and ROUND(sqrt(.), 6)
+"""
+
+from __future__ import annotations
+
+import os
+
+from tests.oracle import duckdb_con
+
+SF_DIR = os.environ.get("SPARK_GRAFT_GATE_DIR", "/root/testdata/sf0.01")
+
+# distance of v*10^n to the nearest half-boundary, in grid units
+_MARGIN = "MIN(ABS(({v}) * {scale} - FLOOR(({v}) * {scale}) - 0.5))"
+
+
+def _min_margin(con, with_sql: str, value_expr: str, scale: float, from_sql: str):
+    q = f"WITH {with_sql} SELECT {_MARGIN.format(v=value_expr, scale=scale)} {from_sql}"
+    return con.sql(q).fetchone()[0]
+
+
+_TOK = """
+tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+  FROM documents
+),
+freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT COUNT(*) AS total FROM tok),
+nll AS (
+  SELECT t, CAST(ROUND(-LN(CAST(c AS DOUBLE) / total), 8) AS DECIMAL(20,8)) AS nll
+  FROM freq, tot
+),
+doc AS (
+  SELECT doc_id, COUNT(*) AS n_toks, SUM(nll) AS s
+  FROM tok JOIN nll USING (t) GROUP BY doc_id
+)
+"""
+
+
+def test_token_nll_8dp_margin():
+    # 1-ulp libm discrepancy in LN is ~1e-16 relative; at nll~10 the
+    # pre-round value *1e8 carries ~1e-7 absolute slack.  Require the
+    # corpus to sit 1000x further from any half-boundary than that.
+    con = duckdb_con(SF_DIR)
+    m = _min_margin(
+        con, _TOK, "-LN(CAST(c AS DOUBLE) / total)", 1e8, "FROM freq, tot"
+    )
+    assert m > 1e-4, f"token nll within {m} grid units of an 8dp half-boundary"
+
+
+def test_doc_avg_nll_6dp_margin():
+    # s is an exact DECIMAL sum; s/n_toks is one correctly-rounded IEEE
+    # division, identical in both engines — the only hazard is an exact
+    # half at 6dp where round-half conventions could differ.
+    con = duckdb_con(SF_DIR)
+    m = _min_margin(
+        con, _TOK, "CAST(s AS DOUBLE) / n_toks", 1e6, "FROM doc"
+    )
+    assert m > 1e-6, f"doc avg_nll within {m} grid units of a 6dp half-boundary"
+
+
+def test_events_zscore_4dp_margin():
+    con = duckdb_con(SF_DIR)
+    with_sql = """
+stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_v,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_sq
+  FROM events GROUP BY event_type
+),
+z AS (
+  SELECT (e.value - s.mean_v) / sqrt(s.mean_sq - s.mean_v * s.mean_v) AS zs
+  FROM events e JOIN stats s ON s.event_type = e.event_type
+  WHERE ABS((e.value - s.mean_v) / sqrt(s.mean_sq - s.mean_v * s.mean_v)) > 3
+)
+"""
+    m = _min_margin(con, with_sql, "zs", 1e4, "FROM z")
+    assert m > 1e-6, f"zscore within {m} grid units of a 4dp half-boundary"
+
+
+def test_kmeans_shift_margins():
+    from sayn_spark.functions.similarity import _SQL_CENTROIDS, _SQL_EMB
+
+    con = duckdb_con(SF_DIR)
+    with_sql = f"""{_SQL_EMB}, {_SQL_CENTROIDS},
+assigned AS (
+  SELECT vec_id, c_label, ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_aggregate(list_transform(list_zip(v.e, c.ce),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8), c_label) AS rk
+  FROM emb v, cent_arr c
+),
+cells AS (SELECT vec_id, c_label AS cell FROM assigned WHERE rk = 1),
+comp1 AS (
+  SELECT cell, i, e[i] AS x
+  FROM emb JOIN cells USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i)
+),
+cent1 AS (
+  SELECT cell, i,
+         ROUND(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 8) AS c1
+  FROM comp1 GROUP BY cell, i
+),
+cent1_arr AS (SELECT cell, list(c1 ORDER BY i) AS ce1 FROM cent1 GROUP BY cell),
+shifts AS (
+  SELECT list_aggregate(list_transform(list_zip(n1.ce1, c0.ce),
+         p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS ss
+  FROM cent1_arr n1 JOIN cent_arr c0 ON c0.c_label = n1.cell
+)
+"""
+    m8 = _min_margin(con, with_sql, "ss", 1e8, "FROM shifts")
+    m6 = _min_margin(con, with_sql, "sqrt(ROUND(ss, 8))", 1e6, "FROM shifts")
+    assert m8 > 1e-4, f"kmeans sumsq within {m8} grid units of an 8dp half-boundary"
+    assert m6 > 1e-4, f"kmeans shift within {m6} grid units of a 6dp half-boundary"
