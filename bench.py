@@ -51,6 +51,7 @@ HEADLINE = [
     "q_dedup_editdistance",
     "q_dedup_components",
     "q_dedup_containment_gated",
+    "q_dedup_containment_wide",
     "q_dedup_semantic",
     "q_record_linkage",
     "q_ann_lsh_topk",
@@ -62,6 +63,7 @@ HEADLINE = [
     "q_perplexity_buckets",
     "q_repetition_top_ngram",
     "task_dedup_incremental",
+    "task_filter_gopher",
 ]
 
 
@@ -119,7 +121,53 @@ def _bench_dedup_task(spark, sf_dir: str) -> None:
     task.run()
 
 
-TASK_BENCH = {"task_dedup_incremental": _bench_dedup_task}
+def _bench_filter_task(spark, sf_dir: str) -> None:
+    """End-to-end filter-task benchmark (VERDICT r6 item 6 follow-on):
+    one full gopher-rules filter run over the documents table — scorer
+    expression build, keep/drop gate, destination tmp-swap write — so
+    the hottest pipeline stage after dedup has a task-layer number, not
+    just its registered query's.  The destination is dropped before
+    each run; the source table is set up once by _setup_task_bench."""
+    import shutil
+
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.filter import FilterTask
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS bench_filter_out")
+    if wh:
+        shutil.rmtree(os.path.join(wh, "bench_filter_out"), ignore_errors=True)
+    ctx = TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={},
+        connections={},
+        project_dir=".",
+    )
+    task = FilterTask(
+        "bench_filter",
+        {
+            "source": "bench_dedup_src",
+            "destination": "bench_filter_out",
+            "scorer": "gopher",
+            "min_words": 10,
+        },
+        ctx,
+    )
+    task.config()
+    task.run()
+
+
+TASK_BENCH = {
+    "task_dedup_incremental": _bench_dedup_task,
+    "task_filter_gopher": _bench_filter_task,
+}
 
 
 def _setup_task_bench(spark, sf_dir: str) -> None:
