@@ -83,6 +83,20 @@ class ChunkTask(Task):
             .withColumn("_toks", toks)
             .where(F.size("_toks") >= self.min_tokens)
         )
+        # incremental: restrict to new ids BEFORE tokenize/explode —
+        # Catalyst does not push a semi-join below Generate, so gating
+        # after the explode would re-tokenize and re-explode the whole
+        # source every run (the decontaminate task's restrict-before-
+        # work pattern).  The anti-join sees only the slim id column.
+        incremental = self.mode == "incremental" and self.context.db.table_exists(
+            self.dst_value
+        )
+        if incremental:
+            work = work.join(
+                spark.table(self.dst_value).select(self.id_column).distinct(),
+                self.id_column,
+                "left_anti",
+            )
         exploded = work.select(
             F.col(self.id_column),
             *self.carry_columns,
@@ -104,19 +118,11 @@ class ChunkTask(Task):
                 f"array_join(slice(_toks, chunk_start, {self.chunk_tokens}), ' ')"
             ).alias("chunk_text"),
         )
-        if self.mode == "incremental" and self.context.db.table_exists(
-            self.dst_value
-        ):
-            new_ids = work.select(self.id_column).join(
-                spark.table(self.dst_value).select(self.id_column).distinct(),
-                self.id_column,
-                "left_anti",
-            )
-            fresh = out.join(new_ids, self.id_column, "left_semi")
-            if not fresh.isEmpty():
+        if incremental:
+            if not out.isEmpty():
                 self.context.db.create_table(
                     self.dst_value,
-                    fresh,
+                    out,
                     mode="append",
                     **self.destination_writer_opts(),
                 )

@@ -148,3 +148,46 @@ def test_chunk_incremental_appends_only_new_ids(ctx, spark):
     assert inc == full
     for t in ("ck_inc_src", "ck_inc_out", "ck_full_out"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_chunk_incremental_restricts_before_explode(ctx, spark):
+    """The incremental anti-join must sit BELOW the Generate (explode)
+    in the plan: Catalyst does not push a semi-join through Generate,
+    so gating after the explode would re-tokenize and re-explode the
+    entire source on every incremental run (ADVICE r6)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    ctx.db.replace_table("ck_plan_src", docs.where("doc_id % 2 = 0"))
+    cfg = {
+        "source": "ck_plan_src",
+        "destination": "ck_plan_out",
+        "chunk_tokens": 16,
+        "stride": 12,
+        "mode": "incremental",
+    }
+    _run(ctx, "ck_plan", cfg)
+    # second run: rebuild the incremental frame exactly as run() does
+    # and inspect its optimized plan
+    work = (
+        spark.table("ck_plan_src")
+        .where(F.col("text").isNotNull())
+        .withColumn("_toks", F.expr("filter(split(lower(text), ' '), x -> x != '')"))
+        .where(F.size("_toks") >= 1)
+        .join(
+            spark.table("ck_plan_out").select("doc_id").distinct(),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    out = work.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, size(_toks), 12)")).alias("chunk_start"),
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    gen = next(i for i, l in enumerate(lines) if "Generate" in l)
+    anti = next(i for i, l in enumerate(lines) if "LeftAnti" in l)
+    # plans print root-first: the join must appear BELOW the Generate
+    # (i.e. inside its input), never above it
+    assert anti > gen, plan
+    for t in ("ck_plan_src", "ck_plan_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
