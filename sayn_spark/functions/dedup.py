@@ -1569,7 +1569,10 @@ def _containment_gate_frames(
 
 
 def gated_containment_pairs(
-    corpus: DataFrame, threshold: float = 0.9, max_ratio: int = 8
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    max_ratio: int = 8,
+    spread_check: str = "warn",
 ) -> DataFrame:
     """(id_a, id_b, containment) pairs with overlap coefficient >=
     threshold over an arbitrary (doc_id, text) corpus, via the full
@@ -1584,7 +1587,18 @@ def gated_containment_pairs(
     short snippet is quoted inside much larger documents.  The gate
     measures the corpus' actual partition spread and WARNS when pairs
     could fall outside the window (never a silent miss); band sizing
-    assumes threshold >= 0.9, so lower thresholds are rejected."""
+    assumes threshold >= 0.9, so lower thresholds are rejected.
+
+    ``spread_check`` controls the out-of-contract response (ADVICE r6):
+    "warn" (default) emits warnings.warn; "strict" RAISES so
+    scheduled pipeline runs cannot swallow a recall-contract breach in
+    logs; "skip" omits the probe entirely (no extra Spark job) for
+    callers that already know their corpus' size spread fits the
+    window."""
+    if spread_check not in ("warn", "strict", "skip"):
+        raise ValueError(
+            "gated_containment_pairs: spread_check must be warn|strict|skip"
+        )
     if float(threshold) < 0.9:
         raise ValueError(
             "gated_containment_pairs: band counts are sized for "
@@ -1599,7 +1613,10 @@ def gated_containment_pairs(
         )
     gate = _LE_GATES[max_ratio]
     shingled, sigs = _containment_gate_frames(corpus, n_hashes=gate["n_hashes"])
-    _warn_if_spread_exceeds(sigs, gate["bands"], max_ratio)
+    if spread_check != "skip":
+        _warn_if_spread_exceeds(
+            sigs, gate["bands"], max_ratio, strict=spread_check == "strict"
+        )
     screened = _containment_screened(
         shingled, sigs, gate["bands"], gate["n_hashes"], float(threshold)
     )
@@ -1630,15 +1647,17 @@ def _containment_gate_inputs(
 
 
 def _warn_if_spread_exceeds(
-    sigs: DataFrame, bands: dict[int, int], max_ratio: int
+    sigs: DataFrame, bands: dict[int, int], max_ratio: int, strict: bool = False
 ) -> None:
     """Structural-coverage check (ADVICE r5): probes reach only
     partition gap max(bands), so a qualifying pair at a wider gap —
     size ratio >= max_ratio — can never become a candidate.  Nothing
     in the data model prevents such pairs when the corpus' size spread
     exceeds the probe reach, so measure it (one scalar agg over the
-    persisted signature frame) and warn loudly instead of silently
-    losing the quoted-excerpt case."""
+    persisted signature frame) and surface it loudly instead of
+    silently losing the quoted-excerpt case: warnings.warn by default,
+    or raise when ``strict`` so orchestrated runs fail visibly
+    (ADVICE r6 — scheduled pipelines swallow warnings in logs)."""
     import warnings
 
     max_gap = max(bands)
@@ -1655,14 +1674,16 @@ def _warn_if_spread_exceeds(
             if wider
             else "extend _LE_GATES with a wider multi-row-band gate"
         )
-        warnings.warn(
+        msg = (
             f"containment gate: corpus spans partition gap {spread} "
             f"(doc set sizes from 2^{int(row['lo'])} to 2^{int(row['hi']) + 1}) "
             f"but probes reach only gap {max_gap} — qualifying pairs at "
             f"size ratio >= {max_ratio} are NOT candidates; {remedy} if "
-            "such pairs matter for this corpus",
-            stacklevel=3,
+            "such pairs matter for this corpus"
         )
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=3)
 
 
 def _containment_screened(

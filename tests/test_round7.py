@@ -152,3 +152,70 @@ def test_boundaries_config_validation(spark, tmp_path):
         _run_surprisal(
             spark, tmp_path, "r7_bad2", max_avg_nll=4.0, boundaries="approx"
         )
+
+
+# -- containment gate: spread_check modes (ADVICE r6) --------------------
+
+
+def _cont_df(spark, docs):
+    return spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], schema="doc_id long, text string"
+    )
+
+
+def _wide_spread_docs():
+    # part spread 0..5 (gap 5) > default gate's probe reach (gap 3)
+    docs = {1: [f"t{i}" for i in range(66)]}  # 64 shingles -> part 6
+    docs[2] = ["a", "b", "c"]  # 1 shingle -> part 0
+    docs[3] = [f"m{i}" for i in range(12)]
+    return docs
+
+
+def test_containment_spread_strict_raises(spark):
+    from sayn_spark.functions.dedup import gated_containment_pairs
+    from sayn_spark.functions.registry import release_persisted
+
+    try:
+        with pytest.raises(ValueError, match="NOT candidates"):
+            gated_containment_pairs(
+                _cont_df(spark, _wide_spread_docs()), spread_check="strict"
+            ).collect()
+    finally:
+        release_persisted()
+
+
+def test_containment_spread_skip_runs_no_probe_and_matches_warn(spark):
+    import warnings
+
+    from sayn_spark.functions.dedup import gated_containment_pairs
+    from sayn_spark.functions.registry import release_persisted
+
+    docs = _wide_spread_docs()
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any warning becomes an error
+            skipped = {
+                tuple(r)
+                for r in gated_containment_pairs(
+                    _cont_df(spark, docs), spread_check="skip"
+                ).collect()
+            }
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            warned = {
+                tuple(r)
+                for r in gated_containment_pairs(_cont_df(spark, docs)).collect()
+            }
+            assert any("NOT candidates" in str(x.message) for x in w)
+        assert skipped == warned
+    finally:
+        release_persisted()
+
+
+def test_containment_spread_check_validation(spark):
+    from sayn_spark.functions.dedup import gated_containment_pairs
+
+    with pytest.raises(ValueError, match="spread_check"):
+        gated_containment_pairs(
+            _cont_df(spark, {1: ["a", "b", "c"]}), spread_check="maybe"
+        )
