@@ -148,3 +148,52 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"),
         F.expr("min_by(doc_id, hv)").alias("first_doc"),
     )
+
+
+_CAP_PER_SOURCE = 10
+
+
+@register(
+    "q_source_cap",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, hv,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, source, rk FROM ranked WHERE rk <= {_CAP_PER_SOURCE}
+""",
+)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the RefinedWeb/C4 domain-frequency
+    control: no single source (domain) may contribute more than
+    {_CAP_PER_SOURCE} documents, and WHICH documents survive is decided
+    by a seeded content hash, so the capped corpus is reproducible
+    across engines, runs, and cluster sizes (a capped re-crawl keeps
+    the same winners instead of re-rolling them).
+
+    Scale: the rank-<=cap filter directly above a row_number window is
+    rewritten by Catalyst into WindowGroupLimit (partial mode BEFORE
+    the shuffle), so each map partition forwards at most cap rows per
+    source — the shuffle moves O(partitions x sources x cap) slim rows
+    no matter how skewed the source distribution is, never the full
+    corpus.  Plan-pinned in tests/test_round7.py.
+    """
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents")
+    hv = F.expr(
+        "cast(conv(substr(md5(concat('cap|', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+    )
+    w = Window.partitionBy("source").orderBy("hv", "doc_id")
+    return (
+        d.select("doc_id", "source", hv.alias("hv"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _CAP_PER_SOURCE)
+        .select("doc_id", "source", "rk")
+    )

@@ -17,6 +17,10 @@ the pretraining-mix construction stage, as a YAML task:
                                    # group tokens^alpha (temperature
                                    # sampling); alpha in {1.0, 0.5,
                                    # 0.25} — the integer-exact family
+        max_docs_per_group: 10000  # optional hard per-group doc cap
+                                   # applied after the budget solve
+                                   # (seeded-hash winners, skew-proof
+                                   # via WindowGroupLimit)
 
 Each group g is downsampled to target ~= budget * w_g / sum(w) tokens:
 pass 1 aggregates per-group token counts (tiny frame, broadcast);
@@ -81,6 +85,19 @@ class MixtureTask(Task):
                     "reproducible across engines)"
                 )
             self.temperature_alpha = float(self.temperature_alpha)
+        # optional hard per-group document cap (RefinedWeb/C4 domain
+        # frequency control), applied AFTER the token-budget solve:
+        # survivors are the cap lowest seeded-hash docs per group —
+        # reproducible winners, and the rank<=cap filter compiles to
+        # WindowGroupLimit (partial below the shuffle), so the cap is
+        # skew-proof (q_source_cap's oracle-verified shape)
+        self.max_docs_per_group = c.get("max_docs_per_group")
+        if self.max_docs_per_group is not None:
+            self.max_docs_per_group = int(self.max_docs_per_group)
+            if self.max_docs_per_group < 1:
+                raise ValueError(
+                    f"mixture task {self.name!r}: max_docs_per_group must be >= 1"
+                )
         self.id_column = c.get("id_column", "doc_id")
         self.text_column = c.get("text_column", "text")
 
@@ -176,6 +193,22 @@ class MixtureTask(Task):
             .select(F.col("_id").alias(self.id_column))
         )
         out = df.join(kept_ids, self.id_column, "left_semi")
+        if self.max_docs_per_group is not None:
+            from pyspark.sql.window import Window
+
+            hv = F.expr(
+                "cast(conv(substr(md5(concat('cap|', cast("
+                f"{self.id_column} as string))), 1, 15), 16, 10) as bigint)"
+            )
+            w = Window.partitionBy(self.group_column).orderBy(
+                "_hv", self.id_column
+            )
+            out = (
+                out.withColumn("_hv", hv)
+                .withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") <= self.max_docs_per_group)
+                .drop("_hv", "_rk")
+            )
         self.context.db.replace_table(
             self.dst_value, out, **self.destination_writer_opts()
         )

@@ -219,3 +219,110 @@ def test_containment_spread_check_validation(spark):
         gated_containment_pairs(
             _cont_df(spark, {1: ["a", "b", "c"]}), spread_check="maybe"
         )
+
+
+# -- q_source_cap: WindowGroupLimit scale pin ----------------------------
+
+
+def test_source_cap_uses_window_group_limit(spark):
+    """The rank<=cap filter must be rewritten into WindowGroupLimit
+    with a PARTIAL stage below the shuffle — each map partition then
+    forwards at most cap rows per source, making the cap skew-proof.
+    If this pin breaks (expression shape change defeats the rewrite),
+    the window would shuffle the full corpus."""
+    from sayn_spark.functions import REGISTRY
+
+    df = REGISTRY["q_source_cap"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    # both stages: Partial (map-side, below the exchange) and Final
+    assert "Partial" in plan and "Final" in plan, plan
+    gl_partial = next(
+        i for i, l in enumerate(plan.splitlines())
+        if "WindowGroupLimit" in l and "Partial" in l
+    )
+    ex = next(
+        i for i, l in enumerate(plan.splitlines()) if "Exchange hashpartitioning" in l
+    )
+    # root-first printing: the partial limit must sit BELOW the shuffle
+    assert gl_partial > ex, plan
+
+
+def test_source_cap_is_deterministic_and_capped(spark):
+    from sayn_spark.functions import REGISTRY
+
+    rows1 = {tuple(r) for r in REGISTRY["q_source_cap"].fn(spark, SF).collect()}
+    rows2 = {tuple(r) for r in REGISTRY["q_source_cap"].fn(spark, SF).collect()}
+    assert rows1 == rows2
+    per_source = {}
+    for _, source, rk in rows1:
+        per_source[source] = max(per_source.get(source, 0), rk)
+    assert all(v <= 10 for v in per_source.values())
+    assert len(per_source) == 20  # every source survives, none exceeds cap
+
+
+# -- mixture task: max_docs_per_group cap --------------------------------
+
+
+def test_mixture_cap_matches_registered_source_cap(spark, tmp_path):
+    """max_docs_per_group keeps, per group, exactly the cap
+    lowest-seeded-hash docs among the budget-solve survivors — the
+    q_source_cap selection rule applied after the rate stage (the
+    budget floor may pre-drop a sliver even at ratio=1.0, so the
+    expectation derives from the uncapped run)."""
+    import hashlib
+
+    from sayn_spark.operators.mixture import MixtureTask
+
+    ctx = _filter_ctx(spark, tmp_path)
+    src = spark.read.parquet(f"{SF}/documents.parquet")
+    ctx.db.replace_table("r7_mix_src", src)
+
+    def run(name, dest, **extra):
+        t = MixtureTask(
+            name,
+            {
+                "source": "r7_mix_src",
+                "destination": dest,
+                "group_column": "source",
+                "token_budget_ratio": 1.0,
+                **extra,
+            },
+            ctx,
+        )
+        t.config()
+        t.run()
+        return spark.table(dest)
+
+    uncapped = run("r7_mix0", "r7_mix_nocap")
+    got = {r.doc_id for r in run("r7_mix1", "r7_mix_out", max_docs_per_group=10).collect()}
+
+    def hv(doc_id):
+        return int(hashlib.md5(f"cap|{doc_id}".encode()).hexdigest()[:15], 16)
+
+    want = set()
+    by_src = {}
+    for r in uncapped.select("doc_id", "source").collect():
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    for ids in by_src.values():
+        want.update(sorted(ids, key=lambda d: (hv(d), d))[:10])
+    assert got == want
+    assert len(got) == 10 * len(by_src)
+
+
+def test_mixture_cap_validation(spark, tmp_path):
+    from sayn_spark.operators.mixture import MixtureTask
+
+    ctx = _filter_ctx(spark, tmp_path)
+    t = MixtureTask(
+        "r7_mix_bad",
+        {
+            "source": "x",
+            "destination": "y",
+            "group_column": "source",
+            "max_docs_per_group": 0,
+        },
+        ctx,
+    )
+    with pytest.raises(ValueError, match="max_docs_per_group"):
+        t.config()
