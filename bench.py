@@ -62,6 +62,7 @@ HEADLINE = [
     "q_ngram_novelty",
     "q_perplexity_buckets",
     "q_repetition_top_ngram",
+    "q_dsir_selection",
     "task_dedup_incremental",
     "task_filter_gopher",
 ]

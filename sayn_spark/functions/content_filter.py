@@ -1235,3 +1235,161 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.expr("(n_tokens * 1000) div n_docs").alias("mean_words_x1000"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256  # hashed n-gram feature buckets
+_DSIR_K = 50  # selected documents
+
+
+def dsir_feature_frame(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """(doc_id, b, c): per-document hashed-ngram feature counts — the
+    DSIR bag-of-hashed-ngrams representation (unigrams + bigrams,
+    md5 mod {B} buckets, WITH multiplicity).  md5 so the DuckDB oracle
+    computes byte-identical buckets."""
+    work = df.where(F.col(text_column).isNotNull()).withColumn(
+        "toks", F.expr(f"filter(split(lower({text_column}), ' '), x -> x != '')")
+    )
+    feats = F.expr(
+        "concat(toks, case when size(toks) >= 2 then "
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2))) "
+        "else cast(array() as array<string>) end)"
+    )
+    return (
+        work.select("doc_id", F.explode(feats).alias("g"))
+        .select(
+            "doc_id",
+            (
+                F.expr("cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint)")
+                % _DSIR_B
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+_DSIR_FEATS_SQL = f"""
+toks AS (
+  SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) >= 2
+),
+docb AS (
+  SELECT doc_id, lang, (('0x' || substr(md5(g), 1, 8))::BIGINT) % {_DSIR_B} AS b,
+         COUNT(*) AS c
+  FROM feats GROUP BY doc_id, lang, b
+)
+"""
+
+
+@register(
+    "q_dsir_selection",
+    oracle=f"""
+WITH {_DSIR_FEATS_SQL},
+tb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS ct FROM docb WHERE lang = 'en' GROUP BY b),
+rb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM docb WHERE lang <> 'en' GROUP BY b),
+tot AS (
+  SELECT (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tb) AS nt,
+         (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) FROM rb) AS nr
+),
+spine AS (SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS b),
+lnr AS (
+  SELECT s.b,
+         CAST(ROUND(LN(
+           CAST((COALESCE(tb.ct, 0) + 1) * (t.nr + {_DSIR_B}) AS DOUBLE)
+           / CAST((COALESCE(rb.cr, 0) + 1) * (t.nt + {_DSIR_B}) AS DOUBLE)
+         ) * 100000000) AS BIGINT) AS lnr_i8
+  FROM spine s LEFT JOIN tb ON tb.b = s.b LEFT JOIN rb ON rb.b = s.b CROSS JOIN tot t
+),
+wts AS (
+  SELECT d.doc_id, d.lang, CAST(SUM(d.c) AS BIGINT) AS n_feats,
+         CAST(SUM(d.c * l.lnr_i8) AS BIGINT) AS w_micro8
+  FROM docb d JOIN lnr l USING (b) WHERE d.lang <> 'en'
+  GROUP BY d.doc_id, d.lang
+)
+SELECT doc_id, lang, n_feats, w_micro8,
+       ROW_NUMBER() OVER (ORDER BY w_micro8 DESC, doc_id) AS rk
+FROM wts QUALIFY rk <= {_DSIR_K}
+""",
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): select from the raw pool the documents most distributed
+    like a trusted target corpus, by importance weight under two
+    bag-of-hashed-ngrams models.  Target here: the 'en' slice of the
+    documents table; pool: everything else; feature space: unigrams +
+    bigrams hashed into {B} buckets; per-doc log weight
+    w = sum_b c_b * ln(p_target(b) / p_raw(b)) with add-one smoothing.
+    The top-{K} by weight are the selection (deterministic variant of
+    the paper's Gumbel resampling — rank by weight with doc_id
+    tie-break, so the result is reproducible).
+
+    Determinism: per-bucket log-ratios round ONCE to integer 1e-8
+    units (margins measured in tests/test_oracle_fragility.py — the
+    surprisal-family pattern); everything downstream is BIGINT, so
+    per-doc weights are exact integer sums in both engines.  (A
+    DECIMAL formulation was tried first and failed parity: Spark caps
+    long*decimal(20,8) products at precision 38 with scale loss, so
+    exact-looking decimal sums silently round — integer units avoid
+    the whole class.)
+
+    Scale: both n-gram models are {B}-row aggregates (map-side
+    combinable, broadcast back); per-doc weights are one join of the
+    (doc, bucket, count) frame — at most {B} rows per document,
+    usually far fewer — against the broadcast log-ratio table plus a
+    map-side-combinable sum.  The top-k filter over the global
+    row_number compiles to WindowGroupLimit (partial per-partition
+    top-k before the single-group exchange).  Text is read once for
+    feature extraction and never moves; int64 bucket-count products
+    are safe to ~10^12 tokens per class — promote the LN operands to
+    DECIMAL(38,0) beyond that (the mixture task's documented
+    promotion).
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docb = persist_tracked(
+        dsir_feature_frame(d).join(d.select("doc_id", "lang"), "doc_id")
+    )
+    tb = docb.where(F.col("lang") == "en").groupBy("b").agg(F.sum("c").alias("ct"))
+    rb = docb.where(F.col("lang") != "en").groupBy("b").agg(F.sum("c").alias("cr"))
+    tot = tb.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")).crossJoin(
+        rb.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
+    )
+    spine = spark.range(_DSIR_B).select(F.col("id").alias("b"))
+    lnr = (
+        spine.join(tb, "b", "left")
+        .join(rb, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.expr(
+                f"cast(round(ln("
+                f"cast((coalesce(ct, 0) + 1) * (nr + {_DSIR_B}) as double)"
+                f" / cast((coalesce(cr, 0) + 1) * (nt + {_DSIR_B}) as double)"
+                f") * 100000000) as bigint)"
+            ).alias("lnr_i8"),
+        )
+    )
+    w = Window.orderBy(F.desc("w_micro8"), "doc_id")
+    return (
+        docb.where(F.col("lang") != "en")
+        .join(F.broadcast(lnr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lnr_i8")).alias("w_micro8"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _DSIR_K)
+        .select("doc_id", "lang", "n_feats", "w_micro8", "rk")
+    )

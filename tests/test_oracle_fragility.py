@@ -134,3 +134,30 @@ shifts AS (
     m6 = _min_margin(con, with_sql, "sqrt(ROUND(ss, 8))", 1e6, "FROM shifts")
     assert m8 > 1e-4, f"kmeans sumsq within {m8} grid units of an 8dp half-boundary"
     assert m6 > 1e-4, f"kmeans shift within {m6} grid units of a 6dp half-boundary"
+
+
+def test_dsir_log_ratio_margin():
+    # q_dsir_selection rounds each per-bucket ln(p/q) ONCE to integer
+    # 1e-8 units; a flip needs the pre-round value within ~1 ulp of a
+    # half at that grid.  256 buckets, so measure them all.
+    import math
+
+    con = duckdb_con(SF_DIR)
+    from sayn_spark.functions.content_filter import _DSIR_B, _DSIR_FEATS_SQL
+
+    rows = con.sql(
+        f"""WITH {_DSIR_FEATS_SQL},
+tb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS ct FROM docb WHERE lang = 'en' GROUP BY b),
+rb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM docb WHERE lang <> 'en' GROUP BY b),
+tot AS (SELECT (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tb) AS nt,
+               (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) FROM rb) AS nr),
+spine AS (SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS b)
+SELECT COALESCE(tb.ct, 0), COALESCE(rb.cr, 0), t.nt, t.nr
+FROM spine s LEFT JOIN tb ON tb.b = s.b LEFT JOIN rb ON rb.b = s.b CROSS JOIN tot t"""
+    ).fetchall()
+    worst = 1.0
+    for ct, cr, nt, nr in rows:
+        v = math.log(((ct + 1) * (nr + _DSIR_B)) / ((cr + 1) * (nt + _DSIR_B)))
+        g = v * 1e8
+        worst = min(worst, abs(g - math.floor(g) - 0.5))
+    assert worst > 1e-4, f"dsir log-ratio within {worst} of an integer-round boundary"

@@ -326,3 +326,67 @@ def test_mixture_cap_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="max_docs_per_group"):
         t.config()
+
+
+# -- q_dsir_selection ----------------------------------------------------
+
+
+def test_dsir_topk_avoids_global_sort(spark):
+    """The global top-k must compile to TakeOrderedAndProject (partial
+    per-partition top-k) — never a full global Sort before the rank."""
+    from sayn_spark.functions import REGISTRY
+    from sayn_spark.functions.registry import release_persisted
+
+    try:
+        df = REGISTRY["q_dsir_selection"].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Exchange rangepartitioning" not in plan, plan
+    finally:
+        release_persisted()
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """Sanity on the method itself (parity alone would not catch a
+    degenerate estimator — both engines mirror the arithmetic): docs
+    sharing vocabulary with the 'en' target must outrank docs that
+    share none.  Build a corpus where some non-en docs are copies of
+    en text (cross-lingual leakage) and the rest are disjoint."""
+    from sayn_spark.functions.content_filter import _DSIR_B, dsir_feature_frame
+    from pyspark.sql import functions as F
+
+    en_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, "en", en_text) for i in range(100, 120)]
+    rows += [(i, "de", en_text) for i in range(1, 6)]  # leaked en content
+    rows += [(i, "de", f"ganz anderes vokabular {i} ohne überlappung") for i in range(50, 70)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    docb = dsir_feature_frame(d).join(d.select("doc_id", "lang"), "doc_id")
+    tb = docb.where(F.col("lang") == "en").groupBy("b").agg(F.sum("c").alias("ct"))
+    rb = docb.where(F.col("lang") != "en").groupBy("b").agg(F.sum("c").alias("cr"))
+    tot = tb.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")).crossJoin(
+        rb.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
+    )
+    spine = spark.range(_DSIR_B).select(F.col("id").alias("b"))
+    lnr = (
+        spine.join(tb, "b", "left")
+        .join(rb, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.expr(
+                f"cast(round(ln(cast((coalesce(ct, 0) + 1) * (nr + {_DSIR_B}) as double)"
+                f" / cast((coalesce(cr, 0) + 1) * (nt + {_DSIR_B}) as double)) * 100000000) as bigint)"
+            ).alias("lnr_i8"),
+        )
+    )
+    wts = (
+        docb.where(F.col("lang") != "en")
+        .join(F.broadcast(lnr), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lnr_i8")).alias("w"))
+        .collect()
+    )
+    w = {r.doc_id: r.w for r in wts}
+    leaked = [w[i] for i in range(1, 6)]
+    disjoint = [w[i] for i in range(50, 70)]
+    assert min(leaked) > max(disjoint), (min(leaked), max(disjoint))
