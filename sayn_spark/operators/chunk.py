@@ -26,9 +26,52 @@ usually keeps tails and lets packing/padding deal with them; filter on
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sayn_spark.operators.base import Task, TaskStatus
+
+
+def chunk_frame(
+    df: DataFrame,
+    chunk_tokens: int = 2048,
+    stride: int | None = None,
+    min_tokens: int = 1,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    carry_columns: tuple[str, ...] = (),
+) -> DataFrame:
+    """The chunk projection shared by the batch task and its streaming
+    twin: tokenize, explode stride-spaced starts (a row-local
+    flatMap — no shuffle), slice each window back to text.  One output
+    row per chunk: (id, carry..., chunk_index, chunk_start, n_tokens,
+    chunk_text)."""
+    stride = chunk_tokens if stride is None else stride
+    toks = F.expr(f"filter(split(lower({text_column}), ' '), x -> x != '')")
+    work = (
+        df.where(F.col(text_column).isNotNull())
+        .withColumn("_toks", toks)
+        .where(F.size("_toks") >= min_tokens)
+    )
+    exploded = work.select(
+        F.col(id_column),
+        *carry_columns,
+        F.size("_toks").alias("_n"),
+        F.col("_toks"),
+        F.explode(F.expr(f"sequence(1, size(_toks), {stride})")).alias("chunk_start"),
+    )
+    return exploded.select(
+        id_column,
+        *carry_columns,
+        ((F.col("chunk_start") - 1) / stride).cast("bigint").alias("chunk_index"),
+        "chunk_start",
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("chunk_start") + 1).alias(
+            "n_tokens"
+        ),
+        F.expr(f"array_join(slice(_toks, chunk_start, {chunk_tokens}), ' ')").alias(
+            "chunk_text"
+        ),
+    )
 
 
 class ChunkTask(Task):
@@ -75,14 +118,6 @@ class ChunkTask(Task):
                 raise ValueError(
                     f"chunk task {self.name!r}: column {col!r} not in {self.src_value}"
                 )
-        toks = F.expr(
-            f"filter(split(lower({self.text_column}), ' '), x -> x != '')"
-        )
-        work = (
-            df.where(F.col(self.text_column).isNotNull())
-            .withColumn("_toks", toks)
-            .where(F.size("_toks") >= self.min_tokens)
-        )
         # incremental: restrict to new ids BEFORE tokenize/explode —
         # Catalyst does not push a semi-join below Generate, so gating
         # after the explode would re-tokenize and re-explode the whole
@@ -92,31 +127,19 @@ class ChunkTask(Task):
             self.dst_value
         )
         if incremental:
-            work = work.join(
+            df = df.join(
                 spark.table(self.dst_value).select(self.id_column).distinct(),
                 self.id_column,
                 "left_anti",
             )
-        exploded = work.select(
-            F.col(self.id_column),
-            *self.carry_columns,
-            F.size("_toks").alias("_n"),
-            F.col("_toks"),
-            F.explode(
-                F.expr(f"sequence(1, size(_toks), {self.stride})")
-            ).alias("chunk_start"),
-        )
-        out = exploded.select(
-            self.id_column,
-            *self.carry_columns,
-            ((F.col("chunk_start") - 1) / self.stride).cast("bigint").alias("chunk_index"),
-            "chunk_start",
-            F.least(
-                F.lit(self.chunk_tokens), F.col("_n") - F.col("chunk_start") + 1
-            ).alias("n_tokens"),
-            F.expr(
-                f"array_join(slice(_toks, chunk_start, {self.chunk_tokens}), ' ')"
-            ).alias("chunk_text"),
+        out = chunk_frame(
+            df,
+            chunk_tokens=self.chunk_tokens,
+            stride=self.stride,
+            min_tokens=self.min_tokens,
+            id_column=self.id_column,
+            text_column=self.text_column,
+            carry_columns=tuple(self.carry_columns),
         )
         if incremental:
             if not out.isEmpty():

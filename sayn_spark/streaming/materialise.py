@@ -434,3 +434,58 @@ def stream_ann_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_chunk(
+    source: DataFrame,
+    dst_table: str,
+    checkpoint: str,
+    chunk_tokens: int = 2048,
+    stride: int | None = None,
+    min_tokens: int = 1,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+):
+    """Streaming twin of the chunk task: each micro-batch of documents
+    splits into overlapping context windows via the SAME projection the
+    batch task runs (operators/chunk.py:chunk_frame — a row-local
+    flatMap, so a stream trigger shuffles nothing), and the chunks land
+    in ``dst_table``.
+
+    Replay idempotence follows the decontaminate twin's shape: rows are
+    stamped with the trigger id and merged delete-before-append on it,
+    so a re-delivered batch replaces its own chunks instead of
+    duplicating them.
+    """
+    from sayn_spark.operators.chunk import chunk_frame
+
+    outer_session = source.sparkSession
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        db = SparkDatabase(spark)
+        if batch_df.isEmpty():
+            return
+        chunks = chunk_frame(
+            batch_df,
+            chunk_tokens=chunk_tokens,
+            stride=stride,
+            min_tokens=min_tokens,
+            id_column=id_column,
+            text_column=text_column,
+        ).withColumn("ingest_id", F.lit(batch_id).cast("long"))
+        if db.table_exists(dst_table):
+            staging = _tmp_name(dst_table, f"_stream_{batch_id}")
+            db.drop_object(staging)
+            db.create_table(staging, chunks, mode="overwrite")
+            db.merge_tables(staging, dst_table, "ingest_id")
+        else:
+            db.create_table(dst_table, chunks, mode="overwrite")
+        outer_session.catalog.refreshTable(dst_table)
+
+    return (
+        source.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

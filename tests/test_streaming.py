@@ -718,3 +718,53 @@ def test_ann_ingest_stream_matches_batch_insert(spark, tmp_path):
     for ix in ("sai_s", "sai_b"):
         for sfx in ("_centroids", "_vectors", "_codebook", "_codes"):
             spark.sql(f"DROP TABLE IF EXISTS {ix}{sfx}")
+
+
+def test_stream_chunk_matches_batch_task(spark, tmp_path):
+    """stream_chunk produces, across two waves (the second replaying
+    wave-1 rows too), exactly the chunks the batch chunk task emits
+    over the union — per-row flatMap semantics plus trigger-id merge
+    idempotence."""
+    from pyspark.sql import functions as F
+
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.operators.chunk import chunk_frame
+    from sayn_spark.streaming import stream_chunk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    w1 = docs.where(F.col("doc_id") % 2 == 0)
+    w2 = docs.where(F.col("doc_id") % 2 == 1)
+
+    src = tmp_path / "ck_docs"
+    src.mkdir()
+    w1.coalesce(1).write.mode("overwrite").parquet(str(src / "w1"))
+    spark.sql("DROP TABLE IF EXISTS cks_out")
+    ckpt = str(tmp_path / "ck_ckpt")
+
+    def run_wave():
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = stream_chunk(stream, "cks_out", ckpt, chunk_tokens=16, stride=12)
+        q.awaitTermination(120)
+
+    run_wave()
+    n1 = spark.table("cks_out").count()
+    assert n1 > 0
+    # replay with no new files: no growth
+    run_wave()
+    assert spark.table("cks_out").count() == n1
+
+    w2.coalesce(1).write.mode("overwrite").parquet(str(src / "w2"))
+    run_wave()
+    got = sorted(
+        tuple(r)
+        for r in spark.table("cks_out")
+        .select("doc_id", "chunk_index", "chunk_start", "n_tokens", "chunk_text")
+        .collect()
+    )
+    want = sorted(
+        tuple(r) for r in chunk_frame(docs, chunk_tokens=16, stride=12).collect()
+    )
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS cks_out")
