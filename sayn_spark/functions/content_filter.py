@@ -1362,11 +1362,26 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tb = docb.where(F.col("lang") == "en").groupBy("b").agg(F.sum("c").alias("ct"))
     rb = docb.where(F.col("lang") != "en").groupBy("b").agg(F.sum("c").alias("cr"))
+    lnr = dsir_lnr_frame(spark, tb, rb)
+    w = Window.orderBy(F.desc("w_micro8"), "doc_id")
+    return (
+        dsir_weight_frame(docb.where(F.col("lang") != "en"), lnr, extra=["lang"])
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _DSIR_K)
+        .select("doc_id", "lang", "n_feats", "w_micro8", "rk")
+    )
+
+
+def dsir_lnr_frame(spark: SparkSession, tb: DataFrame, rb: DataFrame) -> DataFrame:
+    """(b, lnr_i8): the smoothed log importance ratio per feature
+    bucket in integer 1e-8 units, from target bucket counts
+    ``tb`` (b, ct) and raw bucket counts ``rb`` (b, cr).  A {B}-row
+    frame — broadcast it."""
     tot = tb.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")).crossJoin(
         rb.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
     )
     spine = spark.range(_DSIR_B).select(F.col("id").alias("b"))
-    lnr = (
+    return (
         spine.join(tb, "b", "left")
         .join(rb, "b", "left")
         .crossJoin(F.broadcast(tot))
@@ -1380,16 +1395,21 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lnr_i8"),
         )
     )
-    w = Window.orderBy(F.desc("w_micro8"), "doc_id")
+
+
+def dsir_weight_frame(
+    docb: DataFrame, lnr: DataFrame, extra: list[str] | None = None
+) -> DataFrame:
+    """(doc_id, extra..., n_feats, w_micro8): per-document DSIR
+    importance weights — one broadcast join of the (doc, bucket, count)
+    frame against the log-ratio table, then a map-side-combinable
+    integer sum."""
+    keys = ["doc_id", *(extra or [])]
     return (
-        docb.where(F.col("lang") != "en")
-        .join(F.broadcast(lnr), "b")
-        .groupBy("doc_id", "lang")
+        docb.join(F.broadcast(lnr), "b")
+        .groupBy(*keys)
         .agg(
             F.sum("c").alias("n_feats"),
             F.sum(F.col("c") * F.col("lnr_i8")).alias("w_micro8"),
         )
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= _DSIR_K)
-        .select("doc_id", "lang", "n_feats", "w_micro8", "rk")
     )

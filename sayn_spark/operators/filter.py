@@ -48,6 +48,12 @@ correctness evidence):
   (default 0) matches; redact keeps every row and replaces matches
   with [EMAIL]/[PHONE] in place.  Row-local — incremental- and
   streaming-safe.
+- dsir: Data Selection via Importance Resampling (Xie et al. 2023;
+  q_dsir_selection's arithmetic) — hashed-ngram models of
+  ``target_table`` (trusted domain text) vs this corpus; keep the
+  highest-importance keep_fraction (exact rank or boundaries: approx)
+  and/or rows with w_micro8 >= min_weight_micro8.  Corpus-relative:
+  full mode only.
 - surprisal: the CCNet-style LM-quality filter — keep rows with
   unigram avg_nll <= max_avg_nll and/or the lowest-surprisal
   keep_fraction of the corpus (exact integer rank cut; needs
@@ -57,10 +63,11 @@ correctness evidence):
   aggregate — no global rank window) or prefer max_avg_nll (map-side
   after the vocabulary join).
 
-Every scorer except surprisal is a pure JVM column expression over the
-text column — the filter is map-side and pushes through to the scan
-where possible; surprisal adds the vocabulary-table join (still
-JVM-side, map-side-combinable aggregates).  The destination is a full
+Every scorer except surprisal/dsir is a pure JVM column expression
+over the text column — the filter is map-side and pushes through to
+the scan where possible; surprisal adds the vocabulary-table join and
+dsir the broadcast log-ratio join (both still JVM-side,
+map-side-combinable aggregates).  The destination is a full
 rebuild (replace_table); ``mode: incremental`` appends only new-id
 rows instead (row-local scorers only — previously-DROPPED rows are
 re-scored on each run, which is idempotent by row-locality and
@@ -82,6 +89,7 @@ _SCORERS = (
     "surprisal",
     "gopher",
     "pii",
+    "dsir",
 )
 
 
@@ -107,11 +115,11 @@ class FilterTask(Task):
         self.mode = c.get("mode", "full")
         if self.mode not in ("full", "incremental"):
             raise ValueError(f"filter task {self.name!r}: mode must be full|incremental")
-        if self.mode == "incremental" and self.scorer == "surprisal":
+        if self.mode == "incremental" and self.scorer in ("surprisal", "dsir"):
             raise ValueError(
-                f"filter task {self.name!r}: surprisal is corpus-relative "
-                "(self-trained vocabulary) — incremental scoring would be "
-                "batch-dependent; use mode: full, or a row-local scorer"
+                f"filter task {self.name!r}: {self.scorer} is corpus-relative "
+                "(trained on the batch corpus) — incremental scoring would "
+                "be batch-dependent; use mode: full, or a row-local scorer"
             )
         self.text_column = c.get("text_column", "text")
         self.with_score = bool(c.get("with_score", False))
@@ -183,6 +191,28 @@ class FilterTask(Task):
                 raise ValueError(
                     f"filter task {self.name!r}: keep_fraction must be in (0, 1]"
                 )
+        # dsir: importance resampling against a trusted target corpus
+        # (q_dsir_selection's arithmetic).  target_table holds target-
+        # domain text; keep the highest-weight keep_fraction and/or
+        # rows with w_micro8 >= min_weight_micro8.
+        self.target_table = c.get("target_table")
+        self.min_weight_micro8 = c.get("min_weight_micro8")
+        if self.scorer == "dsir":
+            if not self.target_table:
+                raise ValueError(
+                    f"filter task {self.name!r}: dsir needs target_table"
+                )
+            if self.keep_fraction is None and self.min_weight_micro8 is None:
+                raise ValueError(
+                    f"filter task {self.name!r}: dsir needs keep_fraction "
+                    "and/or min_weight_micro8"
+                )
+            if self.keep_fraction is not None and not (
+                0.0 < float(self.keep_fraction) <= 1.0
+            ):
+                raise ValueError(
+                    f"filter task {self.name!r}: keep_fraction must be in (0, 1]"
+                )
         # boundaries: exact (default) keeps the lowest-surprisal share
         # via a global integer rank cut — deterministic, but the
         # row_number window is single-partition, so it is the per-dump
@@ -198,11 +228,11 @@ class FilterTask(Task):
             )
         self.approx_accuracy = int(c.get("approx_accuracy", 10000))
         if self.boundaries == "approx" and (
-            self.scorer != "surprisal" or self.keep_fraction is None
+            self.scorer not in ("surprisal", "dsir") or self.keep_fraction is None
         ):
             raise ValueError(
                 f"filter task {self.name!r}: boundaries: approx applies to "
-                "scorer: surprisal with keep_fraction"
+                "scorer: surprisal|dsir with keep_fraction"
             )
 
         self.src_obj = self.context.obj_compiler.from_string(self.source)
@@ -325,6 +355,67 @@ class FilterTask(Task):
                 )
             kept = scored.where(cond).drop("_rn", "_n", "_thr")
             out = kept if self.with_score else kept.drop("avg_nll")
+        elif self.scorer == "dsir":
+            from pyspark.sql.window import Window
+
+            from sayn_spark.functions.content_filter import (
+                dsir_feature_frame,
+                dsir_lnr_frame,
+                dsir_weight_frame,
+            )
+
+            if self.id_column not in work.columns:
+                raise ValueError(
+                    f"filter task {self.name!r}: dsir needs id column "
+                    f"{self.id_column!r} in {self.src_value}"
+                )
+            target = spark.table(self.target_table)
+            if "text" not in target.columns:
+                raise ValueError(
+                    f"filter task {self.name!r}: target_table "
+                    f"{self.target_table!r} needs a text column"
+                )
+            # both n-gram models are {B}-row aggregates; weights are a
+            # broadcast join + combinable sum (q_dsir_selection's plan)
+            docb = dsir_feature_frame(
+                work.select(F.col(self.id_column).alias("doc_id"), "text")
+            )
+            tgt = dsir_feature_frame(
+                target.select(F.lit(0).alias("doc_id"), "text")
+            )
+            tb = tgt.groupBy("b").agg(F.sum("c").alias("ct"))
+            rb = docb.groupBy("b").agg(F.sum("c").alias("cr"))
+            wts = dsir_weight_frame(docb, dsir_lnr_frame(spark, tb, rb)).select(
+                F.col("doc_id").alias(self.id_column), "w_micro8"
+            )
+            scored = work.join(wts, self.id_column)
+            cond = F.lit(True)
+            if self.min_weight_micro8 is not None:
+                cond = cond & (F.col("w_micro8") >= int(self.min_weight_micro8))
+            if self.keep_fraction is not None and self.boundaries == "approx":
+                # keep the TOP share: threshold at the (1-f) quantile
+                thr = scored.agg(
+                    F.percentile_approx(
+                        "w_micro8",
+                        1.0 - float(self.keep_fraction),
+                        self.approx_accuracy,
+                    ).alias("_thr")
+                )
+                scored = scored.crossJoin(F.broadcast(thr))
+                cond = cond & (F.col("w_micro8") >= F.col("_thr"))
+            elif self.keep_fraction is not None:
+                permille = int(round(float(self.keep_fraction) * 1000))
+                w = Window.orderBy(
+                    F.desc("w_micro8"), F.col(self.id_column)
+                )
+                scored = scored.withColumn("_rn", F.row_number().over(w)).withColumn(
+                    "_n", F.count(F.lit(1)).over(Window.partitionBy())
+                )
+                cond = cond & (
+                    F.lit(1000) * F.col("_rn") <= F.lit(permille) * F.col("_n")
+                )
+            kept = scored.where(cond).drop("_rn", "_n", "_thr")
+            out = kept if self.with_score else kept.drop("w_micro8")
         elif self.scorer == "repetition":
             from sayn_spark.functions.content_filter import (
                 immediate_repeats_col,

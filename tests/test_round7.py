@@ -390,3 +390,78 @@ def test_dsir_selects_target_like_docs(spark):
     leaked = [w[i] for i in range(1, 6)]
     disjoint = [w[i] for i in range(50, 70)]
     assert min(leaked) > max(disjoint), (min(leaked), max(disjoint))
+
+
+# -- filter task: dsir scorer --------------------------------------------
+
+
+def test_filter_dsir_keeps_target_like_docs(spark, tmp_path):
+    """scorer: dsir with a planted target table keeps exactly the
+    top-keep_fraction docs by the library's importance weights, and
+    target-overlapping docs outrank disjoint-vocabulary ones."""
+    from pyspark.sql import functions as F
+
+    from sayn_spark.functions.content_filter import (
+        dsir_feature_frame,
+        dsir_lnr_frame,
+        dsir_weight_frame,
+    )
+    from sayn_spark.operators.filter import FilterTask
+
+    ctx = _filter_ctx(spark, tmp_path)
+    en_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, en_text + f" tail{i % 3}") for i in range(1, 6)]
+    rows += [(i, f"vokabular ohne uberlappung {i} nummer wort") for i in range(50, 70)]
+    src = spark.createDataFrame(rows, "doc_id long, text string")
+    ctx.db.replace_table("r7_dsir_src", src)
+    tgt = spark.createDataFrame([(en_text,), (en_text + " more",)], "text string")
+    ctx.db.replace_table("r7_dsir_tgt", tgt)
+
+    t = FilterTask(
+        "r7_dsir",
+        {
+            "source": "r7_dsir_src",
+            "destination": "r7_dsir_out",
+            "scorer": "dsir",
+            "target_table": "r7_dsir_tgt",
+            "keep_fraction": 0.2,
+            "with_score": True,
+        },
+        ctx,
+    )
+    t.config()
+    t.run()
+    kept = {r.doc_id for r in spark.table("r7_dsir_out").collect()}
+    # library expectation: top floor(0.2 * 25) = 5 by (w desc, id)
+    docb = dsir_feature_frame(src)
+    tb = dsir_feature_frame(
+        tgt.select(F.lit(0).alias("doc_id"), "text")
+    ).groupBy("b").agg(F.sum("c").alias("ct"))
+    rb = docb.groupBy("b").agg(F.sum("c").alias("cr"))
+    wts = dsir_weight_frame(docb, dsir_lnr_frame(spark, tb, rb)).collect()
+    ranked = sorted(wts, key=lambda r: (-r.w_micro8, r.doc_id))
+    want = {r.doc_id for r in ranked[:5]}
+    assert kept == want
+    assert kept == set(range(1, 6))  # the target-overlapping docs
+    assert "w_micro8" in spark.table("r7_dsir_out").columns
+
+
+def test_filter_dsir_validation(spark, tmp_path):
+    from sayn_spark.operators.filter import FilterTask
+
+    ctx = _filter_ctx(spark, tmp_path)
+
+    def cfg(**kw):
+        t = FilterTask(
+            "r7_dsir_bad",
+            {"source": "x", "destination": "y", "scorer": "dsir", **kw},
+            ctx,
+        )
+        t.config()
+
+    with pytest.raises(ValueError, match="needs target_table"):
+        cfg(keep_fraction=0.5)
+    with pytest.raises(ValueError, match="keep_fraction"):
+        cfg(target_table="t")
+    with pytest.raises(ValueError, match="corpus-relative"):
+        cfg(target_table="t", keep_fraction=0.5, mode="incremental")
