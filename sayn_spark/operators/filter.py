@@ -238,6 +238,14 @@ class FilterTask(Task):
         self.src_obj = self.context.obj_compiler.from_string(self.source)
         self.sources.add(self.src_obj)
         self.src_value = self.context.obj_compiler.src_value(self.src_obj)
+        if self.scorer == "dsir":
+            # the target corpus is a DAG source too (implicit edge,
+            # like decontaminate's eval_table)
+            self.target_obj = self.context.obj_compiler.from_string(
+                self.compile_property(self.target_table)
+            )
+            self.sources.add(self.target_obj)
+            self.target_value = self.context.obj_compiler.src_value(self.target_obj)
         self.destination = self.context.obj_compiler.from_string(dest)
         self.outputs.add(self.destination)
         self.dst_value = self.context.obj_compiler.out_value(self.destination)
@@ -369,11 +377,11 @@ class FilterTask(Task):
                     f"filter task {self.name!r}: dsir needs id column "
                     f"{self.id_column!r} in {self.src_value}"
                 )
-            target = spark.table(self.target_table)
+            target = spark.table(self.target_value)
             if "text" not in target.columns:
                 raise ValueError(
                     f"filter task {self.name!r}: target_table "
-                    f"{self.target_table!r} needs a text column"
+                    f"{self.target_value!r} needs a text column"
                 )
             # both n-gram models are {B}-row aggregates; weights are a
             # broadcast join + combinable sum (q_dsir_selection's plan)

@@ -255,6 +255,14 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     assert {"query_id", "neighbor_id", "cos", "rk"} <= set(topk.columns)
     assert topk.groupBy("query_id").count().where("count > 3").count() == 0
     assert topk.count() > 0
+    # r7 stage: DSIR selection keeps roughly the target-like half of
+    # the LM-filtered corpus (approx boundaries — tie mass can nudge
+    # the share) and its DAG edge comes from target_table
+    lm = spark.table("documents_lm_filtered").count()
+    dsel = spark.table("documents_dsir_selected")
+    assert 0 < dsel.count() <= lm
+    assert abs(dsel.count() - 0.5 * lm) <= max(2, 0.05 * lm)
+    assert "w_micro8" in dsel.columns
 
 
 def test_env_parameter_override(spark, tmp_path, monkeypatch):
