@@ -1984,3 +1984,102 @@ def fan_out_table(df: DataFrame, spark: SparkSession, table: str) -> DataFrame:
     if size // max_bytes >= width:
         return df
     return df.repartition(width)
+
+
+@register(
+    "q_dedup_passage_rewrite",
+    oracle=f"""
+WITH {_SQL_CORPUS_EXACT},
+tok AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM corpus),
+wins AS (
+  SELECT doc_id, w.s AS s, w.h AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - {_PASSAGE_W - 1}),
+                  i -> struct_pack(s := i,
+                       h := md5(array_to_string(toks[i:i + {_PASSAGE_W - 1}], ' '))))) AS w
+    FROM tok WHERE len(toks) >= {_PASSAGE_W})
+),
+owner AS (SELECT h, MIN(doc_id) AS fd FROM wins GROUP BY h),
+removed AS (
+  SELECT w.doc_id, w.s FROM wins w JOIN owner o USING (h) WHERE w.doc_id > o.fd
+),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(s, s + {_PASSAGE_W - 1})) AS p
+  FROM removed
+),
+tokpos AS (
+  SELECT doc_id, t.i AS i, t.t AS t FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks)),
+                  i -> struct_pack(i := i, t := toks[i]))) AS t
+    FROM tok)
+),
+kept AS (
+  SELECT k.doc_id, COUNT(*) AS n_kept,
+         string_agg(k.t, ' ' ORDER BY k.i) AS cleaned_text
+  FROM (SELECT * FROM tokpos ANTI JOIN covered ON tokpos.doc_id = covered.doc_id
+                                              AND tokpos.i = covered.p) k
+  GROUP BY k.doc_id
+)
+SELECT tok.doc_id,
+       CAST(len(tok.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+       COALESCE(k.cleaned_text, '') AS cleaned_text
+FROM tok LEFT JOIN kept k ON k.doc_id = tok.doc_id
+""",
+)
+def q_dedup_passage_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-SPAN removal with text reconstruction — the
+    'Deduplicating Training Data Makes Language Models Better'
+    (Lee et al. 2021) ExactSubstr operator at {W}-token window
+    granularity: every window whose hash already occurs in a lower
+    doc_id is removed from THIS document (the first-owner document
+    keeps its text), and the surviving tokens are re-joined into the
+    cleaned training text.  The planted exact copies (doc_id+100000)
+    must come back EMPTY while every original survives verbatim —
+    pinned by the oracle's full cleaned_text hash.
+
+    Cross-document spans only: within-document repeats are a
+    repetition-filter concern (q_repetition_top_ngram), not dedup.
+
+    Scale shape: windows reduce to (h, doc_id, start) — slim keys, one
+    map-side-combinable MIN per hash, one hash-key join back; the
+    interval list per document is a groupBy on doc_id (bounded by the
+    doc's own window count), and the rewrite itself is a row-local
+    higher-order filter (exists() over the doc's removal starts) — the
+    text column never shuffles.  At 100 TB, winnow the window stream
+    (per-window min hashes) exactly as q_dedup_passages documents.
+    """
+    corpus = _fan_out(_doc_corpus(spark, sf_dir, mutate=None), spark, sf_dir)
+    toks = corpus.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    wins = toks.where(F.size("toks") >= _PASSAGE_W).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_PASSAGE_W - 1}), "
+                f"i -> struct(i as s, md5(array_join(slice(toks, i, {_PASSAGE_W}), ' ')) as h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", "w.s", "w.h")
+    owner = wins.groupBy("h").agg(F.min("doc_id").alias("fd"))
+    removed = (
+        wins.join(owner, "h")
+        .where(F.col("doc_id") > F.col("fd"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("starts"))
+    )
+    out = toks.join(removed, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"case when starts is null then toks else "
+            f"filter(toks, (x, i) -> not exists(starts, s -> "
+            f"i + 1 >= s and i + 1 <= s + {_PASSAGE_W - 1})) end"
+        ).alias("kept_toks"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.size("kept_toks").cast("bigint").alias("n_kept_tokens"),
+        F.array_join("kept_toks", " ").alias("cleaned_text"),
+    )
