@@ -2051,13 +2051,20 @@ def q_dedup_passage_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-window min hashes) exactly as q_dedup_passages documents.
     """
     corpus = _fan_out(_doc_corpus(spark, sf_dir, mutate=None), spark, sf_dir)
+    return passage_rewrite(corpus)
+
+
+def passage_rewrite(corpus: DataFrame, window: int = _PASSAGE_W) -> DataFrame:
+    """(doc_id, n_tokens, n_kept_tokens, cleaned_text) duplicate-span
+    removal over an arbitrary (doc_id, text) corpus — the engine behind
+    q_dedup_passage_rewrite and the dedup task's method: passages."""
     toks = corpus.select("doc_id", F.expr(_TOKENS).alias("toks"))
-    wins = toks.where(F.size("toks") >= _PASSAGE_W).select(
+    wins = toks.where(F.size("toks") >= window).select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, size(toks) - {_PASSAGE_W - 1}), "
-                f"i -> struct(i as s, md5(array_join(slice(toks, i, {_PASSAGE_W}), ' ')) as h))"
+                f"transform(sequence(1, size(toks) - {window - 1}), "
+                f"i -> struct(i as s, md5(array_join(slice(toks, i, {window}), ' ')) as h))"
             )
         ).alias("w"),
     ).select("doc_id", "w.s", "w.h")
@@ -2074,7 +2081,7 @@ def q_dedup_passage_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"case when starts is null then toks else "
             f"filter(toks, (x, i) -> not exists(starts, s -> "
-            f"i + 1 >= s and i + 1 <= s + {_PASSAGE_W - 1})) end"
+            f"i + 1 >= s and i + 1 <= s + {window - 1})) end"
         ).alias("kept_toks"),
     )
     return out.select(

@@ -64,7 +64,7 @@ from pyspark.sql.window import Window
 
 from sayn_spark.operators.base import Task, TaskStatus
 
-_METHODS = ("exact", "minhash", "jaccard")
+_METHODS = ("exact", "minhash", "jaccard", "passages")
 
 
 class DedupTask(Task):
@@ -96,6 +96,25 @@ class DedupTask(Task):
         self.verify = c.get("verify", "estimate")
         if self.verify not in ("estimate", "exact"):
             raise ValueError(f"dedup task {self.name!r}: verify must be estimate|exact")
+        # passages: duplicate-SPAN removal (q_dedup_passage_rewrite's
+        # engine) — rewrites text instead of dropping whole documents
+        self.window_tokens = int(c.get("window_tokens", 10))
+        if self.window_tokens < 2:
+            raise ValueError(
+                f"dedup task {self.name!r}: window_tokens must be >= 2"
+            )
+        self.min_kept_tokens = int(c.get("min_kept_tokens", 1))
+        if self.method == "passages":
+            if self.mode != "full":
+                raise ValueError(
+                    f"dedup task {self.name!r}: method=passages is full-mode "
+                    "only (span ownership is corpus-global)"
+                )
+            if self.keep == "best" or c.get("verify") is not None:
+                raise ValueError(
+                    f"dedup task {self.name!r}: keep/verify do not apply to "
+                    "method=passages (spans are removed, documents kept)"
+                )
         if self.verify == "exact" and self.method != "minhash":
             raise ValueError(
                 f"dedup task {self.name!r}: verify=exact applies to method=minhash "
@@ -268,6 +287,26 @@ class DedupTask(Task):
             self._run_incremental()
             return
         docs = self._docs()
+        if self.method == "passages":
+            from sayn_spark.functions.dedup import passage_rewrite
+
+            rewritten = passage_rewrite(
+                self._standard(docs), window=self.window_tokens
+            ).where(F.col("n_kept_tokens") >= self.min_kept_tokens)
+            out = docs.drop(self.text_column).join(
+                rewritten.select(
+                    F.col("doc_id").alias(self.id_column),
+                    F.col("cleaned_text").alias(self.text_column),
+                ),
+                self.id_column,
+            )
+            self.context.db.replace_table(
+                self.dst_value, out, **self.destination_writer_opts()
+            )
+            from sayn_spark.functions.registry import release_persisted
+
+            release_persisted()
+            return
         dropped = self._dropped(docs)
         kept = docs.join(dropped, self.id_column, "left_anti")
         self.context.db.replace_table(

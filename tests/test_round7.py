@@ -563,3 +563,70 @@ def test_passage_rewrite_partial_overlap(spark):
     # tokens removed, the b/c frames stay
     want = [f"b{i}" for i in range(10)] + [f"c{i}" for i in range(10)]
     assert out[2].kept == want
+
+
+# -- dedup task: method passages -----------------------------------------
+
+
+def test_dedup_task_passages_rewrites_text(spark, tmp_path):
+    """method: passages replaces each doc's text with the span-cleaned
+    version (library parity) and drops docs left below
+    min_kept_tokens."""
+    from sayn_spark.functions.dedup import passage_rewrite
+    from sayn_spark.functions.registry import release_persisted
+    from sayn_spark.operators.dedup import DedupTask
+
+    ctx = _filter_ctx(spark, tmp_path)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    # plant a full copy so at least one doc rewrites to empty
+    planted = docs.unionByName(
+        docs.limit(1).selectExpr("doc_id + 900000 as doc_id", "text", "lang")
+    )
+    ctx.db.replace_table("r7_pw_src", planted)
+    t = DedupTask(
+        "r7_pw",
+        {
+            "source": "r7_pw_src",
+            "destination": "r7_pw_out",
+            "method": "passages",
+            "min_kept_tokens": 1,
+        },
+        ctx,
+    )
+    t.config()
+    t.run()
+    got = {r.doc_id: r.text for r in spark.table("r7_pw_out").collect()}
+    try:
+        want_rows = passage_rewrite(planted.select("doc_id", "text")).collect()
+    finally:
+        release_persisted()
+    want = {
+        r.doc_id: r.cleaned_text for r in want_rows if r.n_kept_tokens >= 1
+    }
+    assert got == want
+    copy_id = planted.agg({"doc_id": "max"}).first()[0]
+    assert copy_id not in got  # the planted copy rewrote to empty
+    assert "lang" in spark.table("r7_pw_out").columns  # carry columns kept
+
+
+def test_dedup_task_passages_validation(spark, tmp_path):
+    from sayn_spark.operators.dedup import DedupTask
+
+    ctx = _filter_ctx(spark, tmp_path)
+
+    def cfg(**kw):
+        t = DedupTask(
+            "r7_pw_bad",
+            {"source": "x", "destination": "y", "method": "passages", **kw},
+            ctx,
+        )
+        t.config()
+
+    with pytest.raises(ValueError, match="full-mode"):
+        cfg(mode="incremental", index_table="i", matches_table="m")
+    with pytest.raises(ValueError, match="do not apply"):
+        cfg(keep="best", score_column="s")
+    with pytest.raises(ValueError, match="do not apply"):
+        cfg(verify="exact")
