@@ -2090,3 +2090,101 @@ def passage_rewrite(corpus: DataFrame, window: int = _PASSAGE_W) -> DataFrame:
         F.size("kept_toks").cast("bigint").alias("n_kept_tokens"),
         F.array_join("kept_toks", " ").alias("cleaned_text"),
     )
+
+
+_WINNOW_W = 4  # winnow window over consecutive passage hashes
+
+
+@register(
+    "q_dedup_passages_winnowed",
+    oracle=f"""
+WITH {_SQL_CORPUS_EXACT},
+tok AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM corpus),
+hashes AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - {_PASSAGE_W - 1}),
+                i -> md5(array_to_string(toks[i:i + {_PASSAGE_W - 1}], ' '))) AS h
+  FROM tok WHERE len(toks) >= {_PASSAGE_W + _WINNOW_W - 1}
+),
+fps AS (
+  SELECT doc_id, len(h) AS n_windows,
+         list_distinct(list_transform(generate_series(1, len(h) - {_WINNOW_W - 1}),
+                i -> list_aggregate(h[i:i + {_WINNOW_W - 1}], 'min'))) AS fp
+  FROM hashes
+),
+fp_rows AS (SELECT doc_id, n_windows, unnest(fp) AS f FROM fps),
+dup AS (SELECT f FROM fp_rows GROUP BY f HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT r.doc_id,
+       CAST(MAX(r.n_windows) AS BIGINT) AS n_windows,
+       COUNT(*) AS n_fps,
+       COUNT(d.f) AS n_dup_fps,
+       COUNT(d.f) * 1000000 // COUNT(*) AS dup_ppm
+FROM fp_rows r LEFT JOIN dup d ON r.f = d.f
+GROUP BY r.doc_id
+""",
+)
+def q_dedup_passages_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WINNOWED passage-dedup scan — q_dedup_passages' documented
+    100 TB path, executable: instead of shuffling every {W}-token
+    window hash, each document keeps only the winnowed fingerprints
+    (the minimum hash of every {_WINNOW_W} consecutive window hashes,
+    Schleimer et al. 2003), cutting the shuffled stream to an expected
+    2/(w+1) of the windows while guaranteeing any shared span of
+    {_PASSAGE_W}+{_WINNOW_W}-1 tokens still collides on at least one
+    fingerprint.  Reported per doc: window count, fingerprint count,
+    fingerprints shared with another doc, and the integer-ppm
+    duplicated-fingerprint fraction (the winnowed estimate of
+    q_dedup_passages' dup_frac — planted exact copies score 10^6 ppm).
+
+    Scale shape: winnowing is a row-local higher-order fold (the
+    document's own hash array, zero exchanges); only the DISTINCT
+    fingerprints shuffle — one combinable distinct-owner count per
+    fingerprint, one hash join back, one per-doc aggregate.  Raise the
+    winnow window to trade recall granularity for movement (w=50 ~=
+    25x reduction); the guarantee degrades only to spans shorter than
+    {_PASSAGE_W}+w-1 tokens.
+    """
+    corpus = _fan_out(_doc_corpus(spark, sf_dir, mutate=None), spark, sf_dir)
+    toks = corpus.select("doc_id", F.expr(_TOKENS).alias("toks")).where(
+        F.size("toks") >= _PASSAGE_W + _WINNOW_W - 1
+    )
+    hashes = toks.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(toks) - {_PASSAGE_W - 1}), "
+            f"i -> md5(array_join(slice(toks, i, {_PASSAGE_W}), ' ')))"
+        ).alias("h"),
+    )
+    fps = hashes.select(
+        "doc_id",
+        F.size("h").alias("n_windows"),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(h) - {_WINNOW_W - 1}), "
+                f"i -> array_min(slice(h, i, {_WINNOW_W}))))"
+            )
+        ).alias("f"),
+    )
+    fps = persist_tracked(fps)
+    dup = (
+        fps.groupBy("f")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("f")
+    )
+    return (
+        fps.join(dup.withColumn("is_dup", F.lit(1)), "f", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_windows").cast("bigint").alias("n_windows"),
+            F.count(F.lit(1)).alias("n_fps"),
+            F.count("is_dup").alias("n_dup_fps"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_fps",
+            "n_dup_fps",
+            F.expr("(n_dup_fps * 1000000) div n_fps").alias("dup_ppm"),
+        )
+    )

@@ -630,3 +630,29 @@ def test_dedup_task_passages_validation(spark, tmp_path):
         cfg(keep="best", score_column="s")
     with pytest.raises(ValueError, match="do not apply"):
         cfg(verify="exact")
+
+
+# -- q_dedup_passages_winnowed -------------------------------------------
+
+
+def test_winnowed_passages_guarantee_and_reduction(spark):
+    """Planted exact copies score exactly 10^6 ppm (the winnow
+    guarantee: every shared span >= W+w-1 tokens collides), and the
+    winnowed fingerprint stream is materially smaller than the full
+    window stream (the point of the scale path)."""
+    from sayn_spark.functions import REGISTRY
+    from sayn_spark.functions.registry import release_persisted
+
+    try:
+        rows = {
+            r.doc_id: r
+            for r in REGISTRY["q_dedup_passages_winnowed"].fn(spark, SF).collect()
+        }
+    finally:
+        release_persisted()
+    copies = [r for d, r in rows.items() if d > 100000]
+    assert copies and all(r.dup_ppm == 1_000_000 for r in copies)
+    total_windows = sum(r.n_windows for r in rows.values())
+    total_fps = sum(r.n_fps for r in rows.values())
+    # expected density 2/(w+1) = 0.4 at w=4; allow generous slack
+    assert total_fps < 0.6 * total_windows, (total_fps, total_windows)
