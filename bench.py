@@ -46,6 +46,7 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
     "q_dedup_passages",
+    "q_dedup_passage_rewrite",
     "q_dedup_simhash",
     "q_dedup_embedding_cosine",
     "q_dedup_editdistance",
