@@ -2054,27 +2054,32 @@ def q_dedup_passage_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_rewrite(corpus)
 
 
-def passage_rewrite(corpus: DataFrame, window: int = _PASSAGE_W) -> DataFrame:
-    """(doc_id, n_tokens, n_kept_tokens, cleaned_text) duplicate-span
-    removal over an arbitrary (doc_id, text) corpus — the engine behind
-    q_dedup_passage_rewrite and the dedup task's method: passages."""
-    toks = corpus.select("doc_id", F.expr(_TOKENS).alias("toks"))
-    wins = toks.where(F.size("toks") >= window).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(toks) - {window - 1}), "
-                f"i -> struct(i as s, md5(array_join(slice(toks, i, {window}), ' ')) as h))"
-            )
-        ).alias("w"),
-    ).select("doc_id", "w.s", "w.h")
-    owner = wins.groupBy("h").agg(F.min("doc_id").alias("fd"))
-    removed = (
-        wins.join(owner, "h")
-        .where(F.col("doc_id") > F.col("fd"))
-        .groupBy("doc_id")
-        .agg(F.collect_list("s").alias("starts"))
+def passage_windows(toks: DataFrame, window: int = _PASSAGE_W) -> DataFrame:
+    """(doc_id, s, h): every ``window``-token span of each document as
+    (1-based start, md5 hash) — the slim key stream all passage-dedup
+    variants shuffle."""
+    return (
+        toks.where(F.size("toks") >= window)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {window - 1}), "
+                    f"i -> struct(i as s, md5(array_join(slice(toks, i, {window}), ' ')) as h))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.s", "w.h")
     )
+
+
+def rewrite_with_removed_starts(
+    toks: DataFrame, removed: DataFrame, window: int = _PASSAGE_W
+) -> DataFrame:
+    """(doc_id, n_tokens, n_kept_tokens, cleaned_text): row-local text
+    reconstruction given each doc's removal-start list (``removed`` =
+    (doc_id, starts array)); docs absent from ``removed`` pass through
+    verbatim."""
     out = toks.join(removed, "doc_id", "left").select(
         "doc_id",
         F.size("toks").cast("bigint").alias("n_tokens"),
@@ -2090,6 +2095,22 @@ def passage_rewrite(corpus: DataFrame, window: int = _PASSAGE_W) -> DataFrame:
         F.size("kept_toks").cast("bigint").alias("n_kept_tokens"),
         F.array_join("kept_toks", " ").alias("cleaned_text"),
     )
+
+
+def passage_rewrite(corpus: DataFrame, window: int = _PASSAGE_W) -> DataFrame:
+    """(doc_id, n_tokens, n_kept_tokens, cleaned_text) duplicate-span
+    removal over an arbitrary (doc_id, text) corpus — the engine behind
+    q_dedup_passage_rewrite and the dedup task's method: passages."""
+    toks = corpus.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    wins = passage_windows(toks, window)
+    owner = wins.groupBy("h").agg(F.min("doc_id").alias("fd"))
+    removed = (
+        wins.join(owner, "h")
+        .where(F.col("doc_id") > F.col("fd"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("starts"))
+    )
+    return rewrite_with_removed_starts(toks, removed, window)
 
 
 _WINNOW_W = 4  # winnow window over consecutive passage hashes

@@ -64,6 +64,9 @@ from pyspark.sql.window import Window
 
 from sayn_spark.operators.base import Task, TaskStatus
 
+# the engine's tokenizer expression (functions/dedup.py:_TOKENS)
+_PASSAGE_TOKENS = "filter(split(lower(text), ' '), x -> x != '')"
+
 _METHODS = ("exact", "minhash", "jaccard", "passages")
 
 
@@ -105,11 +108,6 @@ class DedupTask(Task):
             )
         self.min_kept_tokens = int(c.get("min_kept_tokens", 1))
         if self.method == "passages":
-            if self.mode != "full":
-                raise ValueError(
-                    f"dedup task {self.name!r}: method=passages is full-mode "
-                    "only (span ownership is corpus-global)"
-                )
             if self.keep == "best" or c.get("verify") is not None:
                 raise ValueError(
                     f"dedup task {self.name!r}: keep/verify do not apply to "
@@ -136,12 +134,25 @@ class DedupTask(Task):
                     "incremental-mode config"
                 )
         else:
-            if self.method != "minhash":
+            if self.method not in ("minhash", "passages"):
                 raise ValueError(
                     f"dedup task {self.name!r}: incremental mode requires "
-                    "method=minhash (the signature index IS the state)"
+                    "method=minhash (signature index) or method=passages "
+                    "(fingerprint index)"
                 )
-            if not (self.index_table and self.matches_table):
+            if self.method == "passages":
+                if not (self.index_table and dest):
+                    raise ValueError(
+                        f"dedup task {self.name!r}: incremental passages "
+                        "needs index_table and destination"
+                    )
+                if self.matches_table:
+                    raise ValueError(
+                        f"dedup task {self.name!r}: matches_table does not "
+                        "apply to method=passages (spans are removed, not "
+                        "reported as doc pairs)"
+                    )
+            elif not (self.index_table and self.matches_table):
                 raise ValueError(
                     f"dedup task {self.name!r}: incremental mode needs "
                     "index_table and matches_table"
@@ -284,7 +295,10 @@ class DedupTask(Task):
 
     def run(self) -> None:
         if self.mode == "incremental":
-            self._run_incremental()
+            if self.method == "passages":
+                self._run_incremental_passages()
+            else:
+                self._run_incremental()
             return
         docs = self._docs()
         if self.method == "passages":
@@ -381,6 +395,97 @@ class DedupTask(Task):
                     mode="overwrite",
                     **self.destination_writer_opts(),
                 )
+
+    def _run_incremental_passages(self) -> None:
+        """Recurring-crawl span dedup: the fingerprint index maps every
+        seen window hash to its first-owner doc; each run rewrites ONLY
+        new documents against history + each other and appends them to
+        the destination (the processed marker — every batch doc lands,
+        empty rewrites included, or reruns would reprocess forever).
+
+        Crash discipline mirrors the minhash ingest: the index append
+        is an idempotent anti-join (replay re-appends only missing
+        hashes), it happens BEFORE the destination write, and ownership
+        checks ignore index entries whose owner is in the CURRENT batch
+        — exactly the rows a crashed previous attempt of this batch
+        wrote — so a replay neither self-duplicates nor loses spans."""
+        from sayn_spark.functions.dedup import (
+            passage_windows,
+            rewrite_with_removed_starts,
+        )
+        from sayn_spark.functions.registry import persist_tracked, release_persisted
+
+        spark = self.context.spark
+        db = self.context.db
+        docs = self._docs()
+        batch = self._standard(docs)
+        if db.table_exists(self.dst_value):
+            batch = batch.join(
+                spark.table(self.dst_value).select(
+                    F.col(self.id_column).alias("doc_id")
+                ),
+                "doc_id",
+                "left_anti",
+            )
+        toks = batch.select("doc_id", F.expr(_PASSAGE_TOKENS).alias("toks"))
+        wins = persist_tracked(passage_windows(toks, self.window_tokens))
+        try:
+            batch_ids = batch.select("doc_id")
+            have_index = db.table_exists(self.index_table)
+            owner_b = wins.groupBy("h").agg(F.min("doc_id").alias("bmin"))
+            if have_index:
+                idx = spark.table(self.index_table)
+                idx_eff = idx.join(
+                    batch_ids.select(F.col("doc_id").alias("fd")), "fd", "left_anti"
+                )
+                own = owner_b.join(
+                    idx_eff.select("h").withColumn("in_idx", F.lit(1)), "h", "left"
+                )
+            else:
+                own = owner_b.withColumn("in_idx", F.lit(None).cast("int"))
+            removed = (
+                wins.join(own, "h")
+                .where((F.col("in_idx") == 1) | (F.col("doc_id") > F.col("bmin")))
+                .groupBy("doc_id")
+                .agg(F.collect_list("s").alias("starts"))
+            )
+            cleaned = rewrite_with_removed_starts(toks, removed, self.window_tokens)
+            # 1) index append (idempotent): hashes this batch owns that
+            #    the index does not have yet
+            new_idx = owner_b.select("h", F.col("bmin").alias("fd"))
+            if have_index:
+                new_idx = new_idx.join(
+                    spark.table(self.index_table).select("h"), "h", "left_anti"
+                )
+                if not new_idx.isEmpty():
+                    db.create_table(self.index_table, new_idx, mode="append")
+            else:
+                db.create_table(self.index_table, new_idx, mode="overwrite")
+            # 2) destination append: every batch doc, text rewritten
+            out = docs.drop(self.text_column).join(
+                cleaned.select(
+                    F.col("doc_id").alias(self.id_column),
+                    F.col("cleaned_text").alias(self.text_column),
+                ),
+                self.id_column,
+            )
+            if db.table_exists(self.dst_value):
+                if not out.isEmpty():
+                    db.create_table(
+                        self.dst_value,
+                        out,
+                        mode="append",
+                        **self.destination_writer_opts(),
+                    )
+            else:
+                db.create_table(
+                    self.dst_value,
+                    out,
+                    mode="overwrite",
+                    **self.destination_writer_opts(),
+                )
+        finally:
+            release_persisted()
 
     def compile(self) -> None:  # parity with sql tasks: nothing to render
         return None

@@ -624,8 +624,10 @@ def test_dedup_task_passages_validation(spark, tmp_path):
         )
         t.config()
 
-    with pytest.raises(ValueError, match="full-mode"):
+    with pytest.raises(ValueError, match="matches_table does not apply"):
         cfg(mode="incremental", index_table="i", matches_table="m")
+    with pytest.raises(ValueError, match="needs index_table"):
+        cfg(mode="incremental")
     with pytest.raises(ValueError, match="do not apply"):
         cfg(keep="best", score_column="s")
     with pytest.raises(ValueError, match="do not apply"):
@@ -656,3 +658,128 @@ def test_winnowed_passages_guarantee_and_reduction(spark):
     total_fps = sum(r.n_fps for r in rows.values())
     # expected density 2/(w+1) = 0.4 at w=4; allow generous slack
     assert total_fps < 0.6 * total_windows, (total_fps, total_windows)
+
+
+def test_dedup_task_passages_incremental_lifecycle(spark, tmp_path):
+    """Two-wave incremental span dedup: wave 2's quotes of wave-1 spans
+    are stripped via the fingerprint index, reruns are no-ops, and the
+    two-wave result equals a full-mode rewrite of the union (same
+    ownership order)."""
+    from sayn_spark.operators.dedup import DedupTask
+
+    for t in ("r7_pi_src", "r7_pi_idx", "r7_pi_out", "r7_pif_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    ctx = _filter_ctx(spark, tmp_path)
+    a = [f"a{i}" for i in range(30)]
+    b = [f"b{i}" for i in range(25)]
+    wave1 = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b))], "doc_id long, text string"
+    )
+    ctx.db.replace_table("r7_pi_src", wave1)
+
+    def run_inc():
+        t = DedupTask(
+            "r7_pi",
+            {
+                "source": "r7_pi_src",
+                "destination": "r7_pi_out",
+                "method": "passages",
+                "mode": "incremental",
+                "index_table": "r7_pi_idx",
+            },
+            ctx,
+        )
+        t.config()
+        t.run()
+
+    run_inc()
+    out1 = {r.doc_id: r.text for r in spark.table("r7_pi_out").collect()}
+    assert out1 == {1: " ".join(a), 2: " ".join(b)}  # no cross-dup yet
+    n_idx = spark.table("r7_pi_idx").count()
+    assert n_idx == (30 - 9) + (25 - 9)
+
+    run_inc()  # replay with unchanged source: no-op
+    assert spark.table("r7_pi_out").count() == 2
+    assert spark.table("r7_pi_idx").count() == n_idx
+
+    # wave 2: doc 3 quotes a 12-token span of doc 1; doc 4 is fresh
+    quote = a[5:17]
+    c = [f"c{i}" for i in range(8)] + quote + [f"d{i}" for i in range(8)]
+    fresh = [f"e{i}" for i in range(15)]
+    wave2 = wave1.unionByName(
+        spark.createDataFrame(
+            [(3, " ".join(c)), (4, " ".join(fresh))], "doc_id long, text string"
+        )
+    )
+    ctx.db.replace_table("r7_pi_src", wave2)
+    run_inc()
+    out2 = {r.doc_id: r.text for r in spark.table("r7_pi_out").collect()}
+    assert set(out2) == {1, 2, 3, 4}
+    assert out2[1] == " ".join(a) and out2[2] == " ".join(b)
+    assert out2[4] == " ".join(fresh)
+    # doc 3 lost exactly the quoted span (starts 9..11 cover 9..20)
+    assert out2[3] == " ".join(
+        [f"c{i}" for i in range(8)] + [f"d{i}" for i in range(8)]
+    )
+
+    # equivalence with a full-mode rewrite over the union
+    tf = DedupTask(
+        "r7_pif",
+        {
+            "source": "r7_pi_src",
+            "destination": "r7_pif_out",
+            "method": "passages",
+            "min_kept_tokens": 0,
+        },
+        ctx,
+    )
+    tf.config()
+    tf.run()
+    full = {r.doc_id: r.text for r in spark.table("r7_pif_out").collect()}
+    assert out2 == full
+    for t in ("r7_pi_src", "r7_pi_idx", "r7_pi_out", "r7_pif_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dedup_task_passages_incremental_crash_heal(spark, tmp_path):
+    """Crash window: the index append landed but the destination write
+    did not.  The replayed batch must ignore its OWN crashed index
+    entries (owner in current batch) — otherwise every doc would strip
+    itself to empty — and converge to the same result."""
+    from pyspark.sql import functions as F
+
+    from sayn_spark.functions.dedup import passage_windows
+    from sayn_spark.operators.dedup import DedupTask
+
+    for t in ("r7_ph_src", "r7_ph_idx", "r7_ph_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    ctx = _filter_ctx(spark, tmp_path)
+    a = [f"x{i}" for i in range(20)]
+    src = spark.createDataFrame([(1, " ".join(a))], "doc_id long, text string")
+    ctx.db.replace_table("r7_ph_src", src)
+    # simulate the crashed first attempt: index written, destination not
+    toks = src.select(
+        "doc_id", F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("toks")
+    )
+    idx = passage_windows(toks).groupBy("h").agg(F.min("doc_id").alias("fd"))
+    ctx.db.replace_table("r7_ph_idx", idx.select("h", "fd"))
+    n_idx = spark.table("r7_ph_idx").count()
+
+    t = DedupTask(
+        "r7_ph",
+        {
+            "source": "r7_ph_src",
+            "destination": "r7_ph_out",
+            "method": "passages",
+            "mode": "incremental",
+            "index_table": "r7_ph_idx",
+        },
+        ctx,
+    )
+    t.config()
+    t.run()
+    out = {r.doc_id: r.text for r in spark.table("r7_ph_out").collect()}
+    assert out == {1: " ".join(a)}  # NOT stripped by its own crash rows
+    assert spark.table("r7_ph_idx").count() == n_idx  # no duplicate hashes
+    for t2 in ("r7_ph_src", "r7_ph_idx", "r7_ph_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
