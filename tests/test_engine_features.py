@@ -263,6 +263,10 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     assert 0 < dsel.count() <= lm
     assert abs(dsel.count() - 0.5 * lm) <= max(2, 0.05 * lm)
     assert "w_micro8" in dsel.columns
+    # span dedup rewrites text in place: docs survive (minus any that
+    # fall under min_kept_tokens), none gains text
+    span = spark.table("corpus_span_cleaned")
+    assert 0 < span.count() <= n_docs
 
 
 def test_env_parameter_override(spark, tmp_path, monkeypatch):
