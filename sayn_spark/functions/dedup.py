@@ -458,7 +458,11 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     return (
-        passages.join(dup.withColumn("is_dup", F.lit(1)), "h", "left")
+        # the dup-hash set is corpus-sized at scale (one row per shared
+        # window hash) but cost-estimates tiny below the explode —
+        # Spark would BROADCAST it (the containment-gate hazard);
+        # force the shuffled hash join
+        passages.join(dup.withColumn("is_dup", F.lit(1)).hint("shuffle_hash"), "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_passages"),
@@ -2080,7 +2084,8 @@ def rewrite_with_removed_starts(
     reconstruction given each doc's removal-start list (``removed`` =
     (doc_id, starts array)); docs absent from ``removed`` pass through
     verbatim."""
-    out = toks.join(removed, "doc_id", "left").select(
+    # removed has one row per rewritten doc — data-sized at scale
+    out = toks.join(removed.hint("shuffle_hash"), "doc_id", "left").select(
         "doc_id",
         F.size("toks").cast("bigint").alias("n_tokens"),
         F.expr(
@@ -2105,7 +2110,9 @@ def passage_rewrite(corpus: DataFrame, window: int = _PASSAGE_W) -> DataFrame:
     wins = passage_windows(toks, window)
     owner = wins.groupBy("h").agg(F.min("doc_id").alias("fd"))
     removed = (
-        wins.join(owner, "h")
+        # owner is one row per distinct window hash — corpus-sized at
+        # scale, underestimated below the explode: force shuffle
+        wins.join(owner.hint("shuffle_hash"), "h")
         .where(F.col("doc_id") > F.col("fd"))
         .groupBy("doc_id")
         .agg(F.collect_list("s").alias("starts"))
@@ -2194,7 +2201,8 @@ def q_dedup_passages_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("f")
     )
     return (
-        fps.join(dup.withColumn("is_dup", F.lit(1)), "f", "left")
+        # shared-fingerprint set: corpus-sized at scale, force shuffle
+        fps.join(dup.withColumn("is_dup", F.lit(1)).hint("shuffle_hash"), "f", "left")
         .groupBy("doc_id")
         .agg(
             F.max("n_windows").cast("bigint").alias("n_windows"),

@@ -444,7 +444,9 @@ class DedupTask(Task):
             else:
                 own = owner_b.withColumn("in_idx", F.lit(None).cast("int"))
             removed = (
-                wins.join(own, "h")
+                # own is one row per distinct batch window hash —
+                # data-sized; force the shuffled hash join
+                wins.join(own.hint("shuffle_hash"), "h")
                 .where((F.col("in_idx") == 1) | (F.col("doc_id") > F.col("bmin")))
                 .groupBy("doc_id")
                 .agg(F.collect_list("s").alias("starts"))

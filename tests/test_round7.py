@@ -783,3 +783,27 @@ def test_dedup_task_passages_incremental_crash_heal(spark, tmp_path):
     assert spark.table("r7_ph_idx").count() == n_idx  # no duplicate hashes
     for t2 in ("r7_ph_src", "r7_ph_idx", "r7_ph_out"):
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_passage_family_joins_never_broadcast(spark):
+    """The dup-hash / owner / removed frames are corpus-sized at scale
+    but cost-estimate tiny below the explode (the measured
+    containment-gate hazard) — every passage-family join must plan as
+    ShuffledHashJoin, never a broadcast of a data-sized side."""
+    from sayn_spark.functions import REGISTRY
+    from sayn_spark.functions.registry import release_persisted
+
+    for name in (
+        "q_dedup_passages",
+        "q_dedup_passage_rewrite",
+        "q_dedup_passages_winnowed",
+    ):
+        try:
+            df = REGISTRY[name].fn(spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            joins = [l for l in plan.splitlines() if "HashJoin" in l]
+            assert joins, (name, plan)
+            assert all("ShuffledHashJoin" in l for l in joins), (name, joins)
+            assert "BroadcastHashJoin" not in plan, (name, plan)
+        finally:
+            release_persisted()
