@@ -1245,11 +1245,16 @@ _DSIR_B = 256  # hashed n-gram feature buckets
 _DSIR_K = 50  # selected documents
 
 
-def dsir_feature_frame(df: DataFrame, text_column: str = "text") -> DataFrame:
-    """(doc_id, b, c): per-document hashed-ngram feature counts — the
-    DSIR bag-of-hashed-ngrams representation (unigrams + bigrams,
-    md5 mod {B} buckets, WITH multiplicity).  md5 so the DuckDB oracle
-    computes byte-identical buckets."""
+def dsir_feature_frame(
+    df: DataFrame, text_column: str = "text", carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, carry..., b, c): per-document hashed-ngram feature
+    counts — the DSIR bag-of-hashed-ngrams representation (unigrams +
+    bigrams, md5 mod {B} buckets, WITH multiplicity).  md5 so the
+    DuckDB oracle computes byte-identical buckets.  ``carry`` columns
+    ride through the explode instead of joining back afterwards — a
+    doc-dim join would pit two data-sized sides against each other at
+    scale."""
     work = df.where(F.col(text_column).isNotNull()).withColumn(
         "toks", F.expr(f"filter(split(lower({text_column}), ' '), x -> x != '')")
     )
@@ -1259,15 +1264,16 @@ def dsir_feature_frame(df: DataFrame, text_column: str = "text") -> DataFrame:
         "else cast(array() as array<string>) end)"
     )
     return (
-        work.select("doc_id", F.explode(feats).alias("g"))
+        work.select("doc_id", *carry, F.explode(feats).alias("g"))
         .select(
             "doc_id",
+            *carry,
             (
                 F.expr("cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint)")
                 % _DSIR_B
             ).alias("b"),
         )
-        .groupBy("doc_id", "b")
+        .groupBy("doc_id", *carry, "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
@@ -1357,9 +1363,7 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     promotion).
     """
     d = T(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    docb = persist_tracked(
-        dsir_feature_frame(d).join(d.select("doc_id", "lang"), "doc_id")
-    )
+    docb = persist_tracked(dsir_feature_frame(d, carry=("lang",)))
     tb = docb.where(F.col("lang") == "en").groupBy("b").agg(F.sum("c").alias("ct"))
     rb = docb.where(F.col("lang") != "en").groupBy("b").agg(F.sum("c").alias("cr"))
     lnr = dsir_lnr_frame(spark, tb, rb)

@@ -396,7 +396,9 @@ class FilterTask(Task):
             wts = dsir_weight_frame(docb, dsir_lnr_frame(spark, tb, rb)).select(
                 F.col("doc_id").alias(self.id_column), "w_micro8"
             )
-            scored = work.join(wts, self.id_column)
+            # wts is one row per scored doc — data-sized at scale but
+            # underestimated below the aggregate: force the shuffle
+            scored = work.join(wts.hint("shuffle_hash"), self.id_column)
             cond = F.lit(True)
             if self.min_weight_micro8 is not None:
                 cond = cond & (F.col("w_micro8") >= int(self.min_weight_micro8))
