@@ -307,11 +307,13 @@ class DedupTask(Task):
             rewritten = passage_rewrite(
                 self._standard(docs), window=self.window_tokens
             ).where(F.col("n_kept_tokens") >= self.min_kept_tokens)
+            # rewritten carries full text and is doc-sized — never let
+            # the post-aggregate underestimate broadcast it
             out = docs.drop(self.text_column).join(
                 rewritten.select(
                     F.col("doc_id").alias(self.id_column),
                     F.col("cleaned_text").alias(self.text_column),
-                ),
+                ).hint("shuffle_hash"),
                 self.id_column,
             )
             self.context.db.replace_table(
@@ -468,7 +470,7 @@ class DedupTask(Task):
                 cleaned.select(
                     F.col("doc_id").alias(self.id_column),
                     F.col("cleaned_text").alias(self.text_column),
-                ),
+                ).hint("shuffle_hash"),
                 self.id_column,
             )
             if db.table_exists(self.dst_value):
