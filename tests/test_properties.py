@@ -381,3 +381,57 @@ def test_top_ngram_fold_matches_model(spark, tokens):
     r = got[0]
     for k, v in want.items():
         assert getattr(r, k) == v, (k, tokens)
+
+
+# -- passage rewrite vs pure-Python model (r7) ---------------------------
+
+W3 = 3  # small window so tiny random corpora collide
+
+
+def model_passage_rewrite(docs: dict[int, list[str]], w: int) -> dict[int, list[str]]:
+    """Reference semantics: a w-token window is removed from a doc iff
+    the same token sequence occurs in a lower doc_id; covered positions
+    are the union of removed-window spans."""
+    owner: dict[tuple, int] = {}
+    for d in sorted(docs):
+        toks = docs[d]
+        for i in range(len(toks) - w + 1):
+            key = tuple(toks[i : i + w])
+            owner.setdefault(key, d)
+    out = {}
+    for d, toks in docs.items():
+        covered = set()
+        for i in range(len(toks) - w + 1):
+            if owner[tuple(toks[i : i + w])] < d:
+                covered.update(range(i, i + w))
+        out[d] = [t for j, t in enumerate(toks) if j not in covered]
+    return out
+
+
+DOCS = st.dictionaries(
+    st.integers(min_value=0, max_value=7),
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(DOCS)
+def test_passage_rewrite_matches_python_model(spark, docs):
+    from sayn_spark.functions.dedup import passage_rewrite
+    from sayn_spark.functions.registry import release_persisted
+
+    df = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
+    )
+    try:
+        got = {
+            r.doc_id: (r.n_tokens, r.n_kept_tokens, r.cleaned_text)
+            for r in passage_rewrite(df, window=W3).collect()
+        }
+    finally:
+        release_persisted()
+    want_kept = model_passage_rewrite(docs, W3)
+    for d, toks in docs.items():
+        assert got[d] == (len(toks), len(want_kept[d]), " ".join(want_kept[d])), d
