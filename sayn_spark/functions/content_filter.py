@@ -1417,3 +1417,80 @@ def dsir_weight_frame(
             F.sum(F.col("c") * F.col("lnr_i8")).alias("w_micro8"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated card detection
+# ---------------------------------------------------------------------------
+
+# planted card-like numbers: every 10th doc gets one Luhn-VALID and one
+# Luhn-INVALID 16-digit candidate — regex-only scanners flag both, the
+# checksum separates them
+_SPARK_CARD_CORPUS = (
+    "CASE WHEN doc_id % 10 = 0 THEN text || "
+    "' pay 4532015112830366 not 4532015112830367 end' ELSE text END"
+)
+_SQL_CARD_CORPUS = (
+    "CASE WHEN doc_id % 10 = 0 THEN text || "
+    "' pay 4532015112830366 not 4532015112830367 end' ELSE text END"
+)
+_CARD_RE = "[0-9]{13,19}"
+
+# Luhn checksum over a digit string c (engine-portable integer
+# arithmetic): reverse, double every second digit, fold >9 by -9, sum
+# mod 10 == 0.  ascii(digit)-48 keeps everything integer.
+_SPARK_LUHN_OK = (
+    "aggregate(transform(sequence(1, length(c)), i -> "
+    "case when i % 2 = 1 then ascii(substr(reverse(c), i, 1)) - 48 "
+    "else 2 * (ascii(substr(reverse(c), i, 1)) - 48) "
+    "- case when ascii(substr(reverse(c), i, 1)) - 48 > 4 then 9 else 0 end end), "
+    "0, (acc, x) -> acc + x) % 10 = 0"
+)
+_SQL_LUHN_OK = (
+    "list_aggregate(list_transform(generate_series(1, len(c)), i -> "
+    "CASE WHEN i % 2 = 1 THEN ascii(substr(reverse(c), i, 1)) - 48 "
+    "ELSE 2 * (ascii(substr(reverse(c), i, 1)) - 48) "
+    "- CASE WHEN ascii(substr(reverse(c), i, 1)) - 48 > 4 THEN 9 ELSE 0 END END), "
+    "'sum') % 10 = 0"
+)
+
+
+@register(
+    "q_pii_luhn",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id, {_SQL_CARD_CORPUS} AS text FROM documents),
+cand AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_CARD_RE}')) AS c
+  FROM corpus
+)
+SELECT doc_id,
+       COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN {_SQL_LUHN_OK} THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_cards
+FROM cand GROUP BY doc_id
+""",
+)
+def q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated payment-card detection: regex candidates
+    (13-19 digit runs) are validated with the Luhn checksum before
+    counting as PII — the production refinement over regex-only
+    scanning, whose candidate set is mostly false positives on numeric
+    corpora.  Each planted doc must report exactly 2 candidates and 1
+    valid card (the second plant fails the checksum by construction).
+
+    Pure integer map-side work: the checksum is a per-candidate
+    higher-order fold (ascii digits, double-and-fold-9, mod 10) — no
+    FP, no shuffle beyond the per-doc count aggregate.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPARK_CARD_CORPUS).alias("text")
+    )
+    cand = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(_CARD_RE), 0)).alias("c"),
+    )
+    return cand.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.expr(_SPARK_LUHN_OK), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_valid_cards"),
+    )

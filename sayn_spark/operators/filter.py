@@ -43,7 +43,10 @@ correctness evidence):
   distinct stop words; every rule an integer cross-multiplication
   (q_quality_gopher_rules' shared builders — boundary-free, row-local,
   incremental- and streaming-safe).
-- pii: count email/phone matches (q_pii_scan's regexes).
+- pii: count matches of the configured pii_types — email/phone
+  (q_pii_scan's regexes) and/or card (13-19-digit candidates validated
+  with the Luhn checksum, q_pii_luhn — regex-only card counting is
+  mostly false positives).
   pii_action: drop (default) removes rows with more than max_pii
   (default 0) matches; redact keeps every row and replaces matches
   with [EMAIL]/[PHONE] in place.  Row-local — incremental- and
@@ -172,6 +175,13 @@ class FilterTask(Task):
         # every row and redact the matches in place
         self.max_pii = int(c.get("max_pii", 0))
         self.pii_action = c.get("pii_action", "drop")
+        self.pii_types = tuple(c.get("pii_types", ("email", "phone")))
+        bad_types = set(self.pii_types) - {"email", "phone", "card"}
+        if self.scorer == "pii" and (bad_types or not self.pii_types):
+            raise ValueError(
+                f"filter task {self.name!r}: pii_types must be a non-empty "
+                f"subset of email|phone|card (got {sorted(bad_types)})"
+            )
         if self.scorer == "pii" and self.pii_action not in ("drop", "redact"):
             raise ValueError(
                 f"filter task {self.name!r}: pii_action must be drop|redact"
@@ -490,25 +500,55 @@ class FilterTask(Task):
             else:
                 out = kept.drop("_ratio", "_reps", *ngram_cols)
         elif self.scorer == "pii":
-            from sayn_spark.functions.content_filter import _EMAIL_RE, _PHONE_RE
-
-            n_pii = (
-                F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0))
-                + F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), 0))
+            from sayn_spark.functions.content_filter import (
+                _CARD_RE,
+                _EMAIL_RE,
+                _PHONE_RE,
+                _SPARK_LUHN_OK,
             )
+
+            n_pii = F.lit(0)
+            if "email" in self.pii_types:
+                n_pii = n_pii + F.size(
+                    F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0)
+                )
+            if "phone" in self.pii_types:
+                n_pii = n_pii + F.size(
+                    F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), 0)
+                )
+            if "card" in self.pii_types:
+                # Luhn-VALIDATED candidates only (q_pii_luhn's checksum)
+                # — regex-only card counting is mostly false positives
+                n_pii = n_pii + F.size(
+                    F.expr(
+                        f"filter(transform(regexp_extract_all(text, '{_CARD_RE}', 0), "
+                        f"c -> {_SPARK_LUHN_OK}), ok -> ok)"
+                    )
+                )
             scored = work.withColumn("_n_pii", n_pii)
             if self.pii_action == "drop":
                 kept = scored.where(F.col("_n_pii") <= self.max_pii)
             else:
                 # redact in place (q_pii_scan's replacement), keep
                 # every row; the original text column gets the
-                # redacted value
-                redacted = F.regexp_replace(
-                    F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
-                    _PHONE_RE,
-                    "[PHONE]",
-                )
+                # redacted value.  Cards redact via a row-local fold
+                # so only checksum-VALID candidates are replaced.
+                redacted = F.col("text")
+                if "email" in self.pii_types:
+                    redacted = F.regexp_replace(redacted, _EMAIL_RE, "[EMAIL]")
+                if "phone" in self.pii_types:
+                    redacted = F.regexp_replace(redacted, _PHONE_RE, "[PHONE]")
                 kept = scored.withColumn(self.text_column, redacted)
+                if "card" in self.pii_types:
+                    kept = kept.withColumn(
+                        self.text_column,
+                        F.expr(
+                            f"aggregate(regexp_extract_all({self.text_column}, "
+                            f"'{_CARD_RE}', 0), {self.text_column}, "
+                            f"(acc, c) -> case when {_SPARK_LUHN_OK} "
+                            f"then replace(acc, c, '[CARD]') else acc end)"
+                        ),
+                    )
             out = kept if self.with_score else kept.drop("_n_pii")
             if self.with_score:
                 out = out.withColumnRenamed("_n_pii", "n_pii")

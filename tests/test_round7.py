@@ -807,3 +807,60 @@ def test_passage_family_joins_never_broadcast(spark):
             assert "BroadcastHashJoin" not in plan, (name, plan)
         finally:
             release_persisted()
+
+
+# -- filter task: pii card type (Luhn) -----------------------------------
+
+
+def test_filter_pii_card_luhn(spark, tmp_path):
+    """pii_types: [card] counts and redacts only Luhn-VALID candidates;
+    the planted invalid number survives both."""
+    from sayn_spark.operators.filter import FilterTask
+
+    ctx = _filter_ctx(spark, tmp_path)
+    rows = [
+        (1, "pay 4532015112830366 now"),            # valid Luhn
+        (2, "ref 4532015112830367 code"),           # invalid
+        (3, "both 4532015112830366 and 4532015112830367"),
+        (4, "no digits at all"),
+    ]
+    ctx.db.replace_table("r7_card_src", spark.createDataFrame(rows, "doc_id long, text string"))
+
+    def run(dest, **cfg):
+        t = FilterTask(
+            "r7_card",
+            {
+                "source": "r7_card_src",
+                "destination": dest,
+                "scorer": "pii",
+                "pii_types": ["card"],
+                **cfg,
+            },
+            ctx,
+        )
+        t.config()
+        t.run()
+        return {r.doc_id: r for r in spark.table(dest).collect()}
+
+    dropped = run("r7_card_drop", pii_action="drop", with_score=True)
+    assert set(dropped) == {2, 4}  # only checksum-valid cards count
+    assert dropped[2].n_pii == 0 and dropped[4].n_pii == 0
+
+    red = run("r7_card_red", pii_action="redact")
+    assert red[1].text == "pay [CARD] now"
+    assert red[2].text == "ref 4532015112830367 code"  # invalid: untouched
+    assert red[3].text == "both [CARD] and 4532015112830367"
+    assert red[4].text == "no digits at all"
+
+
+def test_filter_pii_types_validation(spark, tmp_path):
+    from sayn_spark.operators.filter import FilterTask
+
+    ctx = _filter_ctx(spark, tmp_path)
+    t = FilterTask(
+        "r7_card_bad",
+        {"source": "x", "destination": "y", "scorer": "pii", "pii_types": ["iban"]},
+        ctx,
+    )
+    with pytest.raises(ValueError, match="pii_types"):
+        t.config()
