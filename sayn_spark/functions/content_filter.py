@@ -1494,3 +1494,107 @@ def q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_valid_cards"),
     )
+
+
+@register(
+    "q_mixture_upsample",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+stats AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS grp_tokens
+  FROM tok GROUP BY source
+),
+weighted AS (
+  SELECT source, n_docs, grp_tokens,
+         {isqrt_sql('grp_tokens')} AS w_sqrt
+  FROM stats
+),
+tot AS (
+  SELECT CAST(SUM(grp_tokens) AS BIGINT) AS tot_tokens,
+         CAST(SUM(w_sqrt) AS BIGINT) AS sum_w
+  FROM weighted
+),
+rated AS (
+  SELECT w.source, w.n_docs, w.grp_tokens, w.w_sqrt,
+         (t.tot_tokens * w.w_sqrt * 1000) // (t.sum_w * w.grp_tokens) AS rate_pm
+  FROM weighted w CROSS JOIN tot t
+),
+copies AS (
+  SELECT r.source, r.n_docs, r.grp_tokens, r.rate_pm, k.n_tokens,
+         r.rate_pm // 1000
+         + CASE WHEN CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1000 < r.rate_pm % 1000 THEN 1 ELSE 0 END AS n_copies
+  FROM tok k JOIN rated r USING (source)
+)
+SELECT source, n_docs, grp_tokens, rate_pm,
+       CAST(SUM(n_copies) AS BIGINT) AS docs_emitted,
+       CAST(SUM(n_copies * n_tokens) AS BIGINT) AS tokens_emitted
+FROM copies GROUP BY source, n_docs, grp_tokens, rate_pm
+""",
+)
+def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture WITH upsampling (epochs): when a group's
+    solved per-mille rate exceeds 1000, rare domains are REPEATED —
+    every doc contributes floor(rate/1000) full epochs and one more
+    iff its content-hash bucket falls under rate mod 1000 (so the
+    fractional epoch is a deterministic subset, not a random one).
+    The capped variant (q_mixture_temperature) drops the surplus
+    instead; this is the DoReMi/mT5-style rebalance where tail
+    languages are upsampled into repetition on purpose, with a full
+    corpus-token budget so head groups sit under 1000 and tail groups
+    above.
+
+    Integer end-to-end: exact isqrt weights, floor-division rates,
+    hash-bucket fractions — no FP anywhere.  Scale: two tiny
+    broadcast frames (group stats, totals) and one map-side n_copies
+    computation; materialising the epochs is a row-local
+    explode(sequence(1, n_copies)) the mixture task applies — the
+    plan never shuffles the corpus.
+    """
+    from sayn_spark.functions.content_filter import isqrt_sql
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.expr("size(filter(split(lower(text), ' '), x -> x != ''))").alias(
+            "n_tokens"
+        ),
+    )
+    stats = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("grp_tokens")
+    )
+    weighted = stats.withColumn("w_sqrt", F.expr(isqrt_sql("grp_tokens")))
+    tot = weighted.agg(
+        F.sum("grp_tokens").alias("tot_tokens"), F.sum("w_sqrt").alias("sum_w")
+    )
+    rated = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "grp_tokens",
+        F.expr("(tot_tokens * w_sqrt * 1000) div (sum_w * grp_tokens)").alias(
+            "rate_pm"
+        ),
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 1000"
+    )
+    copies = tok.join(F.broadcast(rated), "source").select(
+        "source",
+        "n_docs",
+        "grp_tokens",
+        "rate_pm",
+        "n_tokens",
+        (
+            F.expr("rate_pm div 1000")
+            + F.when(bucket < F.col("rate_pm") % 1000, 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return copies.groupBy("source", "n_docs", "grp_tokens", "rate_pm").agg(
+        F.sum("n_copies").cast("bigint").alias("docs_emitted"),
+        F.expr("cast(sum(n_copies * n_tokens) as bigint)").alias("tokens_emitted"),
+    )

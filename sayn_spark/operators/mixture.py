@@ -91,6 +91,10 @@ class MixtureTask(Task):
         # reproducible winners, and the rank<=cap filter compiles to
         # WindowGroupLimit (partial below the shuffle), so the cap is
         # skew-proof (q_source_cap's oracle-verified shape)
+        # allow_upsample: rates may exceed 1000 per-mille — rare groups
+        # REPEAT (epoch column added; q_mixture_upsample's arithmetic)
+        # instead of head groups being the only thing cut
+        self.allow_upsample = bool(c.get("allow_upsample", False))
         self.max_docs_per_group = c.get("max_docs_per_group")
         if self.max_docs_per_group is not None:
             self.max_docs_per_group = int(self.max_docs_per_group)
@@ -98,6 +102,12 @@ class MixtureTask(Task):
                 raise ValueError(
                     f"mixture task {self.name!r}: max_docs_per_group must be >= 1"
                 )
+        if self.allow_upsample and self.max_docs_per_group is not None:
+            raise ValueError(
+                f"mixture task {self.name!r}: allow_upsample and "
+                "max_docs_per_group are mutually exclusive (a cap under "
+                "replication is ambiguous)"
+            )
         self.id_column = c.get("id_column", "doc_id")
         self.text_column = c.get("text_column", "text")
 
@@ -171,14 +181,16 @@ class MixtureTask(Task):
         )
         # a zero-token group's rate divides by _grp_tokens = 0 -> NULL;
         # such a group costs no budget, so it keeps everything (1000)
+        cap = "" if self.allow_upsample else "least(1000, "
+        cap_close = "" if self.allow_upsample else ")"
         rated = stats.join(F.broadcast(tot)).select(
             "_grp",
             F.coalesce(
                 F.expr(
-                    "cast(least(1000, floor("
+                    f"cast({cap}floor("
                     f"floor(cast(_tot as decimal(38,0)) * {budget_pm} / 1000) "
                     "* _w * 1000 / (cast(_sumw as decimal(38,0)) * nullif(_grp_tokens, 0))"
-                    ")) as bigint)"
+                    f"){cap_close} as bigint)"
                 ),
                 F.lit(1000),
             ).alias("_rate"),
@@ -186,13 +198,40 @@ class MixtureTask(Task):
         bucket = F.expr(
             "cast(conv(substr(md5(cast(_id as string)), 1, 8), 16, 10) as bigint) % 1000"
         )
-        kept_ids = (
-            tok.withColumn("_bucket", bucket)
-            .join(F.broadcast(rated), "_grp")
-            .where(F.col("_bucket") < F.col("_rate"))
-            .select(F.col("_id").alias(self.id_column))
-        )
-        out = df.join(kept_ids, self.id_column, "left_semi")
+        if self.allow_upsample:
+            # floor(rate/1000) full epochs per doc + one more iff the
+            # content-hash bucket falls under the fractional per-mille
+            # — materialised as a row-local explode, epoch column 1..n
+            doc_bucket = F.expr(
+                f"cast(conv(substr(md5(cast({self.id_column} as string)), 1, 8), "
+                "16, 10) as bigint) % 1000"
+            )
+            out = (
+                df.join(
+                    F.broadcast(
+                        rated.select(
+                            F.col("_grp").alias(self.group_column), "_rate"
+                        )
+                    ),
+                    self.group_column,
+                )
+                .withColumn(
+                    "_n_copies",
+                    F.expr("_rate div 1000")
+                    + F.when(doc_bucket < F.col("_rate") % 1000, 1).otherwise(0),
+                )
+                .where(F.col("_n_copies") >= 1)
+                .withColumn("epoch", F.explode(F.expr("sequence(1, _n_copies)")))
+                .drop("_rate", "_n_copies")
+            )
+        else:
+            kept_ids = (
+                tok.withColumn("_bucket", bucket)
+                .join(F.broadcast(rated), "_grp")
+                .where(F.col("_bucket") < F.col("_rate"))
+                .select(F.col("_id").alias(self.id_column))
+            )
+            out = df.join(kept_ids, self.id_column, "left_semi")
         if self.max_docs_per_group is not None:
             from pyspark.sql.window import Window
 

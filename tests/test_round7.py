@@ -864,3 +864,68 @@ def test_filter_pii_types_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="pii_types"):
         t.config()
+
+
+# -- mixture task: allow_upsample ----------------------------------------
+
+
+def test_mixture_upsample_matches_registered_query(spark, tmp_path):
+    """allow_upsample with alpha=0.5 and a full token budget emits, per
+    source, exactly the docs_emitted q_mixture_upsample (oracle-
+    verified) computes, with epoch columns 1..n per replicated doc."""
+    from sayn_spark.functions import REGISTRY
+    from sayn_spark.operators.mixture import MixtureTask
+
+    ctx = _filter_ctx(spark, tmp_path)
+    src = spark.read.parquet(f"{SF}/documents.parquet")
+    ctx.db.replace_table("r7_up_src", src)
+    t = MixtureTask(
+        "r7_up",
+        {
+            "source": "r7_up_src",
+            "destination": "r7_up_out",
+            "group_column": "source",
+            "token_budget_ratio": 1.0,
+            "temperature_alpha": 0.5,
+            "allow_upsample": True,
+        },
+        ctx,
+    )
+    t.config()
+    t.run()
+    out = spark.table("r7_up_out")
+    assert "epoch" in out.columns
+    got = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    want = {
+        r.source: r.docs_emitted
+        for r in REGISTRY["q_mixture_upsample"].fn(spark, SF).collect()
+    }
+    assert got == want
+    # replicated docs carry dense epoch indices 1..n
+    reps = (
+        out.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.max("epoch").alias("mx"), F.min("epoch").alias("mn"))
+        .where("n > 1")
+        .collect()
+    )
+    assert reps, "full-budget sqrt weights must upsample some group"
+    assert all(r.mn == 1 and r.mx == r.n for r in reps)
+
+
+def test_mixture_upsample_validation(spark, tmp_path):
+    from sayn_spark.operators.mixture import MixtureTask
+
+    ctx = _filter_ctx(spark, tmp_path)
+    t = MixtureTask(
+        "r7_up_bad",
+        {
+            "source": "x",
+            "destination": "y",
+            "group_column": "source",
+            "allow_upsample": True,
+            "max_docs_per_group": 5,
+        },
+        ctx,
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.config()
