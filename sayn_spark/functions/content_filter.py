@@ -1598,3 +1598,185 @@ def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_copies").cast("bigint").alias("docs_emitted"),
         F.expr("cast(sum(n_copies * n_tokens) as bigint)").alias("tokens_emitted"),
     )
+
+
+# --- C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", §2.2) ---
+#
+# The published heuristics operate on page *lines*: keep only lines
+# that end in terminal punctuation, have >= 5 words, and do not
+# mention javascript; drop whole pages containing "lorem ipsum" or a
+# curly brace; require >= 3 surviving sentences per page.  The
+# synthetic corpus is a flat token stream, so the registered query
+# synthesises a deterministic page per doc (10-word lines, punctuation
+# assigned by an integer hash, javascript / lorem-ipsum / brace plants
+# on fixed doc_id residues) — both engines build the identical page,
+# and the rules must recover exactly the planted violations.
+
+
+def c4_line_keep_sql(line: str = "l", min_words_per_line: int = 5) -> str:
+    """The three C4 line rules as one portable boolean SQL expression
+    over a single line (used inside higher-order filter() lambdas):
+    terminal punctuation, a word-count floor, and no javascript
+    mention.  Pure string/integer tests — boundary-free."""
+    return (
+        f"right({line}, 1) in ('.', '!', '?', '\"') "
+        f"and size(split({line}, ' ')) >= {int(min_words_per_line)} "
+        f"and instr(lower({line}), 'javascript') = 0"
+    )
+
+
+def c4_signal_cols(lines: str = "lines", min_words_per_line: int = 5) -> dict:
+    """Per-page C4 signals over a lines-array column — shared by
+    q_quality_c4_rules and the filter task's ``scorer: c4`` so the
+    task decision carries the query's oracle evidence.  Every signal
+    is a row-local higher-order fold over the page's own lines (the
+    zero-exchange shape): no explode, no shuffle, no UDF."""
+    keep = c4_line_keep_sql("l", min_words_per_line)
+    return {
+        "n_lines": F.expr(f"cast(size({lines}) as bigint)"),
+        "n_kept_lines": F.expr(
+            f"cast(size(filter({lines}, l -> {keep})) as bigint)"
+        ),
+        "kept_words": F.expr(
+            f"aggregate(filter({lines}, l -> {keep}), cast(0 as bigint), "
+            f"(acc, l) -> acc + size(split(l, ' ')))"
+        ),
+        "has_lorem": F.expr(
+            f"case when exists({lines}, "
+            f"l -> instr(lower(l), 'lorem ipsum') > 0) then 1 else 0 end"
+        ),
+        "has_brace": F.expr(
+            f"case when exists({lines}, l -> instr(l, '{{') > 0) "
+            f"then 1 else 0 end"
+        ),
+    }
+
+
+def c4_keep_col(min_sentences: int = 3):
+    """Page-level C4 gate over bound c4_signal_cols outputs: no
+    lorem-ipsum boilerplate, no curly brace, and at least
+    ``min_sentences`` surviving lines (each kept line ends in terminal
+    punctuation, C4's sentence proxy)."""
+    return (
+        (F.col("has_lorem") == 0)
+        & (F.col("has_brace") == 0)
+        & (F.col("n_kept_lines") >= F.lit(int(min_sentences)))
+    )
+
+
+def c4_clean_text_col(lines: str = "lines", min_words_per_line: int = 5):
+    """The rewritten page: surviving lines re-joined with newlines —
+    C4 removes offending lines rather than dropping the page (page
+    drops are the lorem/brace/min-sentence rules)."""
+    keep = c4_line_keep_sql("l", min_words_per_line)
+    return F.expr(f"array_join(filter({lines}, l -> {keep}), '\\n')")
+
+
+_C4_LINES_SPARK = (
+    "transform(sequence(0, (size(t) - 1) div 10), i -> concat("
+    "array_join(slice(t, cast(i * 10 + 1 as int), 10), ' '), "
+    "case when doc_id % 7 = 0 and i = 0 then ' javascript' else '' end, "
+    "element_at(array('.', '!', '?', ''), cast((doc_id * 31 + i) % 4 + 1 as int))"
+    "))"
+)
+
+
+@register(
+    "q_quality_c4_rules",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+pages AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, (len(t) - 1) // 10), i ->
+           array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ') ||
+           CASE WHEN doc_id % 7 = 0 AND i = 0 THEN ' javascript' ELSE '' END ||
+           (['.', '!', '?', ''])[(doc_id * 31 + i) % 4 + 1]
+         ) AS lines0
+  FROM tok WHERE len(t) >= 1
+),
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0
+              THEN list_append(l1, 'var config = { a: 1 };') ELSE l1 END AS lines
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0
+                    THEN list_append(lines0, 'lorem ipsum dolor sit amet.')
+                    ELSE lines0 END AS l1
+        FROM pages)
+),
+lns AS (
+  SELECT doc_id, line,
+         CAST(len(string_split(line, ' ')) AS BIGINT) AS nw,
+         (right(line, 1) IN ('.', '!', '?', '"')
+          AND len(string_split(line, ' ')) >= 5
+          AND strpos(lower(line), 'javascript') = 0) AS keep
+  FROM (SELECT doc_id, unnest(lines) AS line FROM planted)
+),
+sig AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,
+         CAST(COALESCE(SUM(CASE WHEN keep THEN nw END), 0) AS BIGINT) AS kept_words,
+         MAX(CASE WHEN strpos(lower(line), 'lorem ipsum') > 0 THEN 1 ELSE 0 END)
+           AS has_lorem,
+         MAX(CASE WHEN strpos(line, '{') > 0 THEN 1 ELSE 0 END) AS has_brace
+  FROM lns GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_kept_lines, kept_words, has_lorem, has_brace,
+       CASE WHEN has_lorem = 0 AND has_brace = 0 AND n_kept_lines >= 3
+            THEN 1 ELSE 0 END AS c4_keep
+FROM sig
+""",
+)
+def q_quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020, §2.2): line-level
+    retention (terminal punctuation, >= 5 words, no javascript) plus
+    page-level drops (lorem ipsum, curly braces, >= 3 surviving
+    sentences) — the published rule suite that produced C4 from
+    Common Crawl, complementing the Gopher gate's token-statistics
+    rules.
+
+    The page structure is synthesised deterministically (10-word
+    lines; punctuation by ``(doc_id*31 + i) % 4``; javascript planted
+    on line 0 of ``doc_id % 7 == 0``; a lorem-ipsum line on ``% 11``;
+    a brace line on ``% 13``), so both engines score the identical
+    page and every planted violation must be recovered exactly.
+
+    Scale shape: page synthesis and all five signals are row-local
+    higher-order folds over the doc's own line array — zero
+    exchanges, no UDF, linear in corpus bytes; the DuckDB oracle
+    stays relational (unnest + group by) and independently certifies
+    the fold.  The same builders power ``scorer: c4`` in the filter
+    task (real corpora split pages on newlines) and its stateless
+    streaming mirror.
+    """
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_Q_TOKENS).alias("t"))
+        .where(F.expr("size(t) >= 1"))
+        .withColumn("lines", F.expr(_C4_LINES_SPARK))
+        .withColumn(
+            "lines",
+            F.expr(
+                "case when doc_id % 11 = 0 then "
+                "concat(lines, array('lorem ipsum dolor sit amet.')) "
+                "else lines end"
+            ),
+        )
+        .withColumn(
+            "lines",
+            F.expr(
+                "case when doc_id % 13 = 0 then "
+                "concat(lines, array('var config = { a: 1 };')) "
+                "else lines end"
+            ),
+        )
+    )
+    sig = d.select(
+        "doc_id", *(c.alias(k) for k, c in c4_signal_cols().items())
+    )
+    return sig.withColumn("c4_keep", c4_keep_col().cast("int"))

@@ -91,6 +91,7 @@ _SCORERS = (
     "repetition",
     "surprisal",
     "gopher",
+    "c4",
     "pii",
     "dsir",
 )
@@ -171,6 +172,13 @@ class FilterTask(Task):
             "min_alpha_permille": int(c.get("min_alpha_permille", 800)),
             "min_stop_words": int(c.get("min_stop_words", 2)),
         }
+        # c4: the published C4 cleaning heuristics (Raffel et al. 2020
+        # §2.2) over newline-split pages — line retention rewrites the
+        # text in place (c4_rewrite), page rules drop the row.  All
+        # integer/string tests, row-local, incremental-safe.
+        self.min_sentences = int(c.get("min_sentences", 3))
+        self.min_words_per_line = int(c.get("min_words_per_line", 5))
+        self.c4_rewrite = bool(c.get("c4_rewrite", True))
         # pii: drop documents with more than max_pii matches, or keep
         # every row and redact the matches in place
         self.max_pii = int(c.get("max_pii", 0))
@@ -566,6 +574,27 @@ class FilterTask(Task):
             # empty token arrays fail the word-count floor by
             # construction (n_words = 0 < min_words)
             kept = scored.where(gopher_pass_col(**self.gopher_bounds)).drop("_t")
+            out = kept if self.with_score else kept.drop(*sig)
+        elif self.scorer == "c4":
+            from sayn_spark.functions.content_filter import (
+                c4_clean_text_col,
+                c4_keep_col,
+                c4_signal_cols,
+            )
+
+            sig = c4_signal_cols("_lines", self.min_words_per_line)
+            scored = work.withColumn("_lines", F.split(F.col("text"), "\n"))
+            for k, col in sig.items():
+                scored = scored.withColumn(k, col)
+            kept = scored.where(c4_keep_col(self.min_sentences))
+            if self.c4_rewrite:
+                # C4 removes offending lines rather than dropping the
+                # page; page drops are the where() above
+                kept = kept.withColumn(
+                    self.text_column,
+                    c4_clean_text_col("_lines", self.min_words_per_line),
+                )
+            kept = kept.drop("_lines")
             out = kept if self.with_score else kept.drop(*sig)
         else:
             scored = work.withColumn("_n", n_tokens_col())

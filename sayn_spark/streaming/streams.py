@@ -209,6 +209,7 @@ def content_filter_stream(
     min_score: float = 0.5,
     languages: Optional[list[str]] = None,
     gopher_bounds: Optional[dict] = None,
+    c4: Optional[dict] = None,
     pii: Optional[dict] = None,
 ) -> DataFrame:
     """Streaming twin of the filter task's scorers: quality-score and
@@ -250,6 +251,26 @@ def content_filter_stream(
         for k, col in sig.items():
             out = out.withColumn(k, col)
         out = out.where(gopher_pass_col(**gopher_bounds)).drop("_t", *sig)
+    if c4 is not None:
+        # {"min_sentences": 3, "min_words_per_line": 5, "rewrite": True}
+        # — the C4 cleaning heuristics (q_quality_c4_rules' shared
+        # builders) as a stateless stream stage: line retention
+        # rewrites text in place, page rules drop the row
+        from sayn_spark.functions.content_filter import (
+            c4_clean_text_col,
+            c4_keep_col,
+            c4_signal_cols,
+        )
+
+        mwpl = int(c4.get("min_words_per_line", 5))
+        sig = c4_signal_cols("_lines", mwpl)
+        out = out.withColumn("_lines", F.split(F.col("text"), "\n"))
+        for k, col in sig.items():
+            out = out.withColumn(k, col)
+        out = out.where(c4_keep_col(int(c4.get("min_sentences", 3))))
+        if c4.get("rewrite", True):
+            out = out.withColumn("text", c4_clean_text_col("_lines", mwpl))
+        out = out.drop("_lines", *sig)
     if pii is not None:
         # {"action": "drop"|"redact", "max_pii": 0} — the filter
         # task's pii scorer as a stateless stream stage (q_pii_scan's

@@ -929,3 +929,112 @@ def test_mixture_upsample_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="mutually exclusive"):
         t.config()
+
+
+# -- C4 cleaning rules (query + filter task scorer + stream stage) ------
+
+
+def test_filter_c4_rewrites_and_drops(spark, tmp_path):
+    """scorer: c4 on newline-split pages: line retention rewrites the
+    text (terminal punctuation, >= 5 words, no javascript), page rules
+    drop lorem-ipsum / brace pages and pages under min_sentences."""
+    from sayn_spark.operators.filter import FilterTask
+
+    ctx = _filter_ctx(spark, tmp_path)
+    good = ("one two three four five.\nsix seven eight nine ten!\n"
+            "alpha beta gamma delta epsilon?\nno punctuation line here now")
+    js = ("one two three four five.\nuses javascript one two three.\n"
+          "six seven eight nine ten!\nalpha beta gamma delta epsilon?")
+    lorem = good + "\nlorem ipsum dolor sit amet."
+    brace = good + "\nvar config = { a: 1 };"
+    short = "one two three four five.\nsix seven eight nine ten!"
+    rows = [(1, good), (2, js), (3, lorem), (4, brace), (5, short)]
+    ctx.db.replace_table(
+        "r7_c4_src", spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    t = FilterTask(
+        "r7_c4",
+        {"source": "r7_c4_src", "destination": "r7_c4_out", "scorer": "c4",
+         "with_score": True},
+        ctx,
+    )
+    t.config()
+    t.run()
+    out = {r.doc_id: r for r in spark.table("r7_c4_out").collect()}
+    # lorem (3), brace (4), and short (5: only 2 sentences) pages drop
+    assert set(out) == {1, 2}
+    # the unpunctuated line is removed from page 1
+    assert out[1].text == ("one two three four five.\nsix seven eight nine ten!\n"
+                           "alpha beta gamma delta epsilon?")
+    assert out[1].n_kept_lines == 3 and out[1].n_lines == 4
+    # the javascript line is removed from page 2 (3 sentences survive)
+    assert "javascript" not in out[2].text
+    assert out[2].n_kept_lines == 3
+
+
+def test_filter_c4_min_sentences_and_no_rewrite(spark, tmp_path):
+    from sayn_spark.operators.filter import FilterTask
+
+    ctx = _filter_ctx(spark, tmp_path)
+    short = "one two three four five.\nsix seven eight nine ten!"
+    ctx.db.replace_table(
+        "r7_c42_src",
+        spark.createDataFrame([(1, short)], "doc_id long, text string"),
+    )
+    t = FilterTask(
+        "r7_c42",
+        {"source": "r7_c42_src", "destination": "r7_c42_out", "scorer": "c4",
+         "min_sentences": 2, "c4_rewrite": False},
+        ctx,
+    )
+    t.config()
+    t.run()
+    rows = spark.table("r7_c42_out").collect()
+    assert len(rows) == 1 and rows[0].text == short  # untouched, kept
+
+
+def test_content_filter_stream_c4_matches_batch(spark, tmp_path):
+    """The streaming c4 stage must keep and rewrite exactly as the
+    batch scorer (same shared builders, stateless)."""
+    from sayn_spark.operators.filter import FilterTask
+    from sayn_spark.streaming import content_filter_stream
+
+    ctx = _filter_ctx(spark, tmp_path)
+    pages = []
+    for i in range(40):
+        lines = [f"w{j} alpha beta gamma delta epsilon." for j in range(i % 5)]
+        lines.append("tail line without punct here now")
+        if i % 7 == 0:
+            lines.append("lorem ipsum dolor sit amet.")
+        pages.append((i, "\n".join(lines)))
+    docs = spark.createDataFrame(pages, "doc_id long, text string")
+    src = tmp_path / "c4_docs"
+    src.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "w1"))
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = (
+        content_filter_stream(stream, min_score=0.0, c4={"min_sentences": 2})
+        .writeStream.format("memory")
+        .queryName("c4s_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.text for r in spark.table("c4s_out").collect()}
+
+    ctx.db.replace_table("r7_c4s_src", docs)
+    t = FilterTask(
+        "r7_c4s",
+        {"source": "r7_c4s_src", "destination": "r7_c4s_out", "scorer": "c4",
+         "min_sentences": 2},
+        ctx,
+    )
+    t.config()
+    t.run()
+    want = {r.doc_id: r.text for r in spark.table("r7_c4s_out").collect()}
+    assert got == want
+    assert 0 < len(got) < len(pages)
+    assert spark.table("c4s_out").columns == ["doc_id", "text"]
