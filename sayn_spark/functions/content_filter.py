@@ -1780,3 +1780,172 @@ def q_quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", *(c.alias(k) for k, c in c4_signal_cols().items())
     )
     return sig.withColumn("c4_keep", c4_keep_col().cast("int"))
+
+
+# --- CCNet-style boilerplate line dedup (Wenzek et al. 2020) ----------
+#
+# CCNet's first stage removes *paragraphs* that repeat across many
+# pages (navigation, footers, cookie banners) before any model-based
+# scoring.  Line granularity here: a line occurring in >= min_docs
+# distinct documents is boilerplate and is removed from every page.
+
+
+def boilerplate_rewrite(pages: DataFrame, min_docs: int = 5) -> DataFrame:
+    """(doc_id, n_lines, n_kept_lines, n_boiler_lines, cleaned_text)
+    over a (doc_id, lines array<string>) frame — the engine behind
+    q_dedup_boilerplate_lines and the dedup task's ``method: lines``.
+
+    Scale shape: lines shuffle once as md5 fingerprints for the
+    distinct-doc frequency count (map-side partial aggregation); the
+    frequent set is joined back and surviving lines re-assemble with
+    one per-doc aggregate.  Both joins are shuffle_hash-pinned: the
+    frequency table is post-aggregate (underestimated) and the line
+    stream is post-explode (also underestimated) — either side
+    becoming a broadcast build would materialise a corpus-sized hash
+    table on every executor.
+    """
+    lns = pages.select(
+        "doc_id", F.posexplode("lines").alias("pos", "line")
+    ).withColumn("h", F.md5("line"))
+    boiler = (
+        lns.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= int(min_docs))
+        .select("h")
+    )
+    re = (
+        lns.join(boiler.hint("shuffle_hash"), "h", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept_lines"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, line))), "
+                "s -> s.line), '\\n')"
+            ).alias("cleaned_text"),
+        )
+    )
+    return (
+        pages.select("doc_id", F.expr("cast(size(lines) as bigint)").alias("n_lines"))
+        .join(re.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept_lines", F.lit(0)).cast("bigint").alias("n_kept_lines"),
+            (F.col("n_lines") - F.coalesce("n_kept_lines", F.lit(0)))
+            .cast("bigint")
+            .alias("n_boiler_lines"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+_BOILER_FOOTER = "subscribe to our newsletter for daily updates."
+_BOILER_RIGHTS = "all rights reserved by the site owner."
+
+
+@register(
+    "q_dedup_boilerplate_lines",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+pages AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, (len(t) - 1) // 10), i ->
+           array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ') ||
+           (['.', '!', '?', ''])[(doc_id * 31 + i) % 4 + 1]
+         ) AS lines0
+  FROM tok WHERE len(t) >= 1
+),
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN list_append(l1, '{_BOILER_RIGHTS}') ELSE l1 END AS lines
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN list_append(lines0, '{_BOILER_FOOTER}')
+                    ELSE lines0 END AS l1
+        FROM pages)
+),
+lns AS (
+  SELECT doc_id, s.pos AS pos, s.line AS line FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(lines)),
+           i -> struct_pack(pos := i, line := lines[i]))) AS s
+    FROM planted)
+),
+boiler AS (
+  SELECT line FROM lns GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 10
+),
+re AS (
+  SELECT l.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_kept_lines,
+         md5(string_agg(l.line, chr(10) ORDER BY l.pos)) AS clean_hash
+  FROM lns l LEFT JOIN boiler b ON l.line = b.line
+  WHERE b.line IS NULL
+  GROUP BY l.doc_id
+)
+SELECT p.doc_id,
+       CAST(len(p.lines) AS BIGINT) AS n_lines,
+       COALESCE(r.n_kept_lines, 0) AS n_kept_lines,
+       CAST(len(p.lines) - COALESCE(r.n_kept_lines, 0) AS BIGINT)
+         AS n_boiler_lines,
+       COALESCE(r.clean_hash, md5('')) AS clean_hash
+FROM planted p LEFT JOIN re r ON p.doc_id = r.doc_id
+""",
+)
+def q_dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal (Wenzek et al. 2020): a line
+    occurring in >= 10 distinct documents is boilerplate (navigation,
+    footers, legal text) and is removed from every page; surviving
+    lines re-assemble in order and the full cleaned text is
+    hash-certified.  Pages are synthesised as in q_quality_c4_rules
+    (10-word lines, hash-assigned punctuation) plus two planted
+    boilerplate lines — a footer on ``doc_id % 3 == 0`` (~33% of
+    docs) and a rights notice on ``% 5`` (~20%) — which must be the
+    ONLY lines removed: every natural 10-token line is unique at any
+    scale factor.
+
+    Scale shape (boilerplate_rewrite): one map-side-combinable
+    distinct-doc count over md5 line fingerprints, one
+    shuffle_hash-pinned anti-join, one per-doc re-assembly aggregate
+    — the frequency pass never moves text, only 16-byte fingerprints,
+    and the known explode/post-aggregate size-underestimates are
+    pinned away from broadcast.
+    """
+    pages = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_Q_TOKENS).alias("t"))
+        .where(F.expr("size(t) >= 1"))
+        .withColumn(
+            "lines",
+            F.expr(
+                "transform(sequence(0, (size(t) - 1) div 10), i -> concat("
+                "array_join(slice(t, cast(i * 10 + 1 as int), 10), ' '), "
+                "element_at(array('.', '!', '?', ''), "
+                "cast((doc_id * 31 + i) % 4 + 1 as int))))"
+            ),
+        )
+        .withColumn(
+            "lines",
+            F.expr(
+                f"case when doc_id % 3 = 0 then "
+                f"concat(lines, array('{_BOILER_FOOTER}')) else lines end"
+            ),
+        )
+        .withColumn(
+            "lines",
+            F.expr(
+                f"case when doc_id % 5 = 0 then "
+                f"concat(lines, array('{_BOILER_RIGHTS}')) else lines end"
+            ),
+        )
+    )
+    out = boilerplate_rewrite(pages, min_docs=10)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_boiler_lines",
+        F.md5("cleaned_text").alias("clean_hash"),
+    )

@@ -67,7 +67,7 @@ from sayn_spark.operators.base import Task, TaskStatus
 # the engine's tokenizer expression (functions/dedup.py:_TOKENS)
 _PASSAGE_TOKENS = "filter(split(lower(text), ' '), x -> x != '')"
 
-_METHODS = ("exact", "minhash", "jaccard", "passages")
+_METHODS = ("exact", "minhash", "jaccard", "passages", "lines")
 
 
 class DedupTask(Task):
@@ -107,12 +107,22 @@ class DedupTask(Task):
                 f"dedup task {self.name!r}: window_tokens must be >= 2"
             )
         self.min_kept_tokens = int(c.get("min_kept_tokens", 1))
-        if self.method == "passages":
+        if self.method in ("passages", "lines"):
             if self.keep == "best" or c.get("verify") is not None:
                 raise ValueError(
                     f"dedup task {self.name!r}: keep/verify do not apply to "
-                    "method=passages (spans are removed, documents kept)"
+                    f"method={self.method} (lines/spans are removed, "
+                    "documents kept)"
                 )
+        # lines: CCNet-style boilerplate removal
+        # (q_dedup_boilerplate_lines' engine) — a line in >= min_line_docs
+        # distinct docs is removed from every page
+        self.min_line_docs = int(c.get("min_line_docs", 5))
+        if self.min_line_docs < 2:
+            raise ValueError(
+                f"dedup task {self.name!r}: min_line_docs must be >= 2"
+            )
+        self.min_kept_lines = int(c.get("min_kept_lines", 1))
         if self.verify == "exact" and self.method != "minhash":
             raise ValueError(
                 f"dedup task {self.name!r}: verify=exact applies to method=minhash "
@@ -138,7 +148,8 @@ class DedupTask(Task):
                 raise ValueError(
                     f"dedup task {self.name!r}: incremental mode requires "
                     "method=minhash (signature index) or method=passages "
-                    "(fingerprint index)"
+                    "(fingerprint index); lines is corpus-relative "
+                    "(frequency threshold) — use mode: full"
                 )
             if self.method == "passages":
                 if not (self.index_table and dest):
@@ -301,6 +312,26 @@ class DedupTask(Task):
                 self._run_incremental()
             return
         docs = self._docs()
+        if self.method == "lines":
+            from sayn_spark.functions.content_filter import boilerplate_rewrite
+
+            pages = self._standard(docs).withColumn(
+                "lines", F.split(F.col("text"), "\n")
+            )
+            rewritten = boilerplate_rewrite(
+                pages.select("doc_id", "lines"), min_docs=self.min_line_docs
+            ).where(F.col("n_kept_lines") >= self.min_kept_lines)
+            out = docs.drop(self.text_column).join(
+                rewritten.select(
+                    F.col("doc_id").alias(self.id_column),
+                    F.col("cleaned_text").alias(self.text_column),
+                ).hint("shuffle_hash"),
+                self.id_column,
+            )
+            self.context.db.replace_table(
+                self.dst_value, out, **self.destination_writer_opts()
+            )
+            return
         if self.method == "passages":
             from sayn_spark.functions.dedup import passage_rewrite
 

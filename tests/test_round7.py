@@ -1038,3 +1038,64 @@ def test_content_filter_stream_c4_matches_batch(spark, tmp_path):
     assert got == want
     assert 0 < len(got) < len(pages)
     assert spark.table("c4s_out").columns == ["doc_id", "text"]
+
+
+# -- boilerplate line dedup (dedup task method: lines) ------------------
+
+
+def test_dedup_lines_removes_boilerplate(spark, tmp_path):
+    """method: lines removes exactly the lines shared by >= min_line_docs
+    documents and keeps unique lines in order."""
+    from sayn_spark.operators.dedup import DedupTask
+
+    ctx = _filter_ctx(spark, tmp_path)
+    footer = "subscribe to our newsletter."
+    rows = [
+        (i, f"unique line number {i} alpha.\nsecond unique {i} beta!\n" + footer)
+        for i in range(8)
+    ] + [(100, "a page with no boilerplate.\nonly unique content here!")]
+    ctx.db.replace_table(
+        "r7_bl_src", spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    t = DedupTask(
+        "r7_bl",
+        {"source": "r7_bl_src", "destination": "r7_bl_out", "method": "lines",
+         "min_line_docs": 5},
+        ctx,
+    )
+    t.config()
+    t.run()
+    out = {r.doc_id: r.text for r in spark.table("r7_bl_out").collect()}
+    assert len(out) == 9
+    for i in range(8):
+        assert out[i] == f"unique line number {i} alpha.\nsecond unique {i} beta!"
+    assert out[100] == "a page with no boilerplate.\nonly unique content here!"
+
+
+def test_dedup_lines_min_kept_and_validation(spark, tmp_path):
+    from sayn_spark.operators.dedup import DedupTask
+
+    ctx = _filter_ctx(spark, tmp_path)
+    # all-boilerplate pages drop below min_kept_lines
+    rows = [(i, "the common footer line.") for i in range(6)]
+    ctx.db.replace_table(
+        "r7_bl2_src", spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    t = DedupTask(
+        "r7_bl2",
+        {"source": "r7_bl2_src", "destination": "r7_bl2_out", "method": "lines",
+         "min_line_docs": 5},
+        ctx,
+    )
+    t.config()
+    t.run()
+    assert spark.table("r7_bl2_out").count() == 0
+
+    bad = DedupTask(
+        "r7_bl3",
+        {"source": "x", "destination": "y", "method": "lines",
+         "mode": "incremental", "index_table": "ix", "matches_table": "m"},
+        ctx,
+    )
+    with pytest.raises(ValueError, match="corpus-relative"):
+        bad.config()
