@@ -186,6 +186,7 @@ _BNLJ_BOUNDED_FRAME_OK = {
     "q_dedup_cluster_profile",   # 1-row x 1-row singleton-count scalars
     "q_ann_ivfpq_residual_topk", # k-row centroid frame (IVF cell assignment)
     "q_mixture_temperature",     # 1-row corpus-total frame (rate solve)
+    "q_mixture_upsample",        # 1-row corpus-total frame (rate solve)
     "q_dsir_selection",          # 1-row (nt, nr) totals frame x 256-row spine
 }
 
