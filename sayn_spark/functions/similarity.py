@@ -1284,3 +1284,184 @@ def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+
+
+# --- SQ8 symmetric search (the scalar-quantization ANN path) ----------
+
+
+def sq8_range_row(emb: DataFrame) -> DataFrame:
+    """1-row (lo_a, hi_a) frame of per-dimension min/max over an
+    (vec_id, e array<double>) corpus — the trained SQ8 grid
+    (q_embedding_quantization's ranges as broadcastable arrays)."""
+    comp = emb.select(F.posexplode("e").alias("i", "x"))
+    rng = comp.groupBy("i").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    return rng.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, lo))), s -> s.lo)"
+        ).alias("lo_a"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, hi))), s -> s.hi)"
+        ).alias("hi_a"),
+    )
+
+
+def sq8_codes_col(e: str = "e", dims: int | None = None):
+    """0..255 code array for a vector column against bound lo_a/hi_a
+    arrays — a row-local fold (no explode): the encode step never
+    shuffles."""
+    n = str(int(dims)) if dims is not None else f"size({e})"
+    return F.expr(
+        f"transform(sequence(1, {n}), j -> "
+        f"case when element_at(hi_a, j) = element_at(lo_a, j) then cast(0 as bigint) "
+        f"else cast(round((element_at({e}, j) - element_at(lo_a, j)) "
+        f"/ (element_at(hi_a, j) - element_at(lo_a, j)) * 255) as bigint) end)"
+    )
+
+
+_SQ8_D2 = (
+    "cast(aggregate(zip_with(qc, cc, (a, b) -> (a - b) * (a - b)), "
+    "cast(0 as bigint), (acc, v) -> acc + v) as bigint)"
+)
+
+
+@register(
+    "q_ann_sq8_topk",
+    oracle=f"""
+WITH {_SQL_EMB},
+comp AS (
+  SELECT vec_id, i, e[i] AS x FROM emb, (SELECT unnest(generate_series(1, 64)) AS i)
+),
+dim_range AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM comp GROUP BY i),
+rngarr AS (
+  SELECT list(lo ORDER BY i) AS lo_a, list(hi ORDER BY i) AS hi_a FROM dim_range
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, 64), j ->
+           CASE WHEN r.hi_a[j] = r.lo_a[j] THEN CAST(0 AS BIGINT)
+                ELSE CAST(ROUND((e[j] - r.lo_a[j]) / (r.hi_a[j] - r.lo_a[j]) * 255)
+                          AS BIGINT) END) AS c
+  FROM emb, rngarr r
+),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+              j -> (q.c[j] - n.c[j]) * (q.c[j] - n.c[j]))) AS BIGINT) AS d2
+  FROM codes q JOIN codes n ON q.vec_id < 10 AND n.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, d2, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+)
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric SQ8 search: corpus AND queries quantized on the same
+    per-dimension 0..255 grid (q_embedding_quantization's ranges),
+    distances as integer squared L2 over the codes — FAISS's
+    scalar-quantizer index family, the 4x-memory-compression
+    alternative to PQ when recall must stay near-exact.
+
+    Because both sides are integer codes, every distance is an exact
+    BIGINT — ranking has no FP boundary at all (the only rounding in
+    the pipeline is the quantizer's own grid assignment, shared with
+    the oracle).
+
+    Scale shape: the trained grid is one 1-row broadcast (two scalar
+    aggregates over the corpus — or load a persisted grid and skip the
+    pass); encoding is a row-local fold (no explode — codes never
+    shuffle to be built); search broadcasts only the 10 quantized
+    query rows against the code table, k results per partition fold
+    into the final top-k.  At 100 TB the code table is 64 bytes/vector
+    vs 256 for float32 — the whole index fits where a quarter of the
+    raw vectors would.
+    """
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("cast(embedding as array<double>)").alias("e")
+    )
+    rng = sq8_range_row(emb)
+    codes = emb.crossJoin(F.broadcast(rng)).select(
+        "vec_id", sq8_codes_col().alias("c")
+    )
+    q = codes.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("c").alias("qc")
+    )
+    n = codes.select(F.col("vec_id").alias("neighbor_id"), F.col("c").alias("cc"))
+    scored = q.join(n, F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", F.expr(_SQ8_D2).alias("d2")
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+
+
+def ann_index_search_sq8(
+    spark: SparkSession,
+    index: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    shortlist: int = 20,
+) -> DataFrame:
+    """IVF-SQ8 search against a catalog index built by the ``ann_index``
+    task with ``method: ivfsq8``: route each query to its ``nprobe``
+    nearest cells (broadcast centroids), quantize the query on the
+    index's frozen per-dimension grid (``{index}_sq8grid``, one
+    broadcast row), scan only those cells' ``{index}_sq8codes`` rows
+    with the SYMMETRIC integer squared-L2 of q_ann_sq8_topk (every
+    approximate distance is an exact BIGINT — no FP boundary in the
+    wide stage), shortlist per query, and re-rank the shortlist with
+    exact cosine from ``{index}_vectors``.
+
+    Scale: codes are 1 byte/dim (4x under float32) and bucketed by
+    cell, so the wide scan reads nprobe/n_cells of a quarter-sized
+    table in place; only query rows and the shortlist move.
+    """
+    cent = spark.table(f"{index}_centroids")
+    q = queries.select(
+        F.col("query_id").alias("vec_id"),
+        F.expr("cast(e as array<double>)").alias("e"),
+    )
+    probes = _assign_cells(q, cent, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    grid = spark.table(f"{index}_sq8grid")
+    qcodes = (
+        q.crossJoin(F.broadcast(grid))
+        .select(F.col("vec_id").alias("query_id"), sq8_codes_col().alias("qc"))
+        .join(probes, "query_id")
+    )
+    codes = spark.table(f"{index}_sq8codes").select(
+        F.col("vec_id").alias("neighbor_id"), "cell", F.col("c").alias("cc")
+    )
+    scored = (
+        codes.join(F.broadcast(qcodes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(_SQ8_D2).alias("d2"))
+    )
+    w_d2 = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    cand = (
+        scored.withColumn("rk", F.row_number().over(w_d2))
+        .where(F.col("rk") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    vec = spark.table(f"{index}_vectors")
+    qn = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("qnrm"),
+    )
+    cn = vec.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qnrm") * F.col("nrm")),
+        6,
+    )
+    scored_exact = (
+        cand.join(qn, "query_id")
+        .join(cn, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w_out = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return scored_exact.withColumn("rk", F.row_number().over(w_out)).where(
+        F.col("rk") <= k
+    )

@@ -67,8 +67,10 @@ class AnnIndexTask(Task):
         self.vector_column = c.get("vector_column", "embedding")
         self.label_column = c.get("label_column")
         self.method = c.get("method", "ivf")
-        if self.method not in ("ivf", "ivfpq"):
-            raise ValueError(f"ann_index task {self.name!r}: method must be ivf|ivfpq")
+        if self.method not in ("ivf", "ivfpq", "ivfsq8"):
+            raise ValueError(
+                f"ann_index task {self.name!r}: method must be ivf|ivfpq|ivfsq8"
+            )
         self.n_cells = int(c.get("n_cells", 16))
         if self.n_cells < 1:
             raise ValueError(f"ann_index task {self.name!r}: n_cells must be >= 1")
@@ -124,9 +126,11 @@ class AnnIndexTask(Task):
         self.src_obj = self.context.obj_compiler.from_string(self.source)
         self.sources.add(self.src_obj)
         self.src_value = self.context.obj_compiler.src_value(self.src_obj)
-        suffixes = ("_centroids", "_vectors") + (
-            ("_codebook", "_codes") if self.method == "ivfpq" else ()
-        )
+        suffixes = ("_centroids", "_vectors")
+        if self.method == "ivfpq":
+            suffixes += ("_codebook", "_codes")
+        elif self.method == "ivfsq8":
+            suffixes += ("_sq8grid", "_sq8codes")
         for suffix in suffixes:
             self.outputs.add(
                 self.context.obj_compiler.from_string(f"{self.index}{suffix}")
@@ -216,6 +220,8 @@ class AnnIndexTask(Task):
         db.move_table(staging, f"{self.index}_vectors")
         if self.method == "ivfpq":
             self._build_pq()
+        elif self.method == "ivfsq8":
+            self._build_sq8()
 
     def _run_incremental(self) -> None:
         """Insert new source vectors into the existing index: assign to
@@ -232,11 +238,20 @@ class AnnIndexTask(Task):
                     f"ann_index task {self.name!r}: incremental insert needs an "
                     f"existing index ({t} missing) — run a full build first"
                 )
-        if self.method == "ivf" and db.table_exists(f"{self.index}_codes"):
+        built_pq = db.table_exists(f"{self.index}_codes")
+        built_sq8 = db.table_exists(f"{self.index}_sq8codes")
+        built = "ivfpq" if built_pq else ("ivfsq8" if built_sq8 else "ivf")
+        if self.method != built:
             raise ValueError(
                 f"ann_index task {self.name!r}: {self.index} was built with "
-                "method=ivfpq — inserting with method=ivf would leave the codes "
-                "table stale; set method: ivfpq"
+                f"method={built} — inserting with method={self.method} would "
+                "leave the quantizer layers stale; set method to match "
+                "(or rebuild full)"
+            )
+        if self.method == "ivfsq8" and not db.table_exists(f"{self.index}_sq8grid"):
+            raise ValueError(
+                f"ann_index task {self.name!r}: ivfsq8 incremental insert needs "
+                f"the existing {self.index}_sq8grid — run a full build first"
             )
         # ALL validation before any write: raising after the vector
         # append would strand a half-inserted batch behind the anti-join
@@ -258,6 +273,37 @@ class AnnIndexTask(Task):
         # the shared engine does the anti-join insert + codes self-heal
         # (stream_ann_ingest drives the same function per micro-batch)
         ann_insert_batch(spark, db, self.index, self._emb().select("vec_id", "e"))
+
+    def _build_sq8(self) -> None:
+        """SQ8 layer over the IVF cells: ``{index}_sq8grid`` (one row —
+        per-dimension lo/hi arrays, the trained scalar quantizer) and
+        ``{index}_sq8codes`` (vec_id, cell, c: array<bigint> 0..255)
+        bucketed by cell — q_ann_sq8_topk's symmetric-integer design,
+        persisted.  Encoding is a row-local fold against the broadcast
+        grid: building the codes table shuffles nothing beyond the
+        bucketed write."""
+        from sayn_spark.core.database import _tmp_name
+        from sayn_spark.functions.similarity import sq8_codes_col, sq8_range_row
+
+        db = self.context.db
+        spark = self.context.spark
+        vec = spark.table(f"{self.index}_vectors")
+        grid = sq8_range_row(vec.select("vec_id", "e"))
+        db.replace_table(f"{self.index}_sq8grid", grid)
+        codes = (
+            vec.select("vec_id", "cell", "e")
+            .crossJoin(F.broadcast(spark.table(f"{self.index}_sq8grid")))
+            .select("vec_id", "cell", sq8_codes_col().alias("c"))
+        )
+        staging = _tmp_name(f"{self.index}_sq8codes")
+        db.drop_object(staging)
+        db.create_table(
+            staging,
+            codes,
+            mode="overwrite",
+            bucket_by=(_VEC_BUCKETS, ["cell"]),
+        )
+        db.move_table(staging, f"{self.index}_sq8codes")
 
     def _train_pq(self, subs: DataFrame, seed_ids: DataFrame) -> DataFrame:
         """Per-subspace k-means codebook (s, c, cw): 16 codewords per
@@ -477,6 +523,25 @@ def ann_insert_batch(spark, db, index: str, vecs: DataFrame) -> None:
             db.create_table(
                 codes_t,
                 _encode_pq(spark, index, missing, residual=stored_enc == "residual"),
+                mode="append",
+                bucket_by=(_VEC_BUCKETS, ["cell"]),
+            )
+    elif db.table_exists(f"{index}_sq8codes"):
+        # frozen-grid SQ8 encode for any vector missing codes — like
+        # the PQ heal, it runs even when no new rows arrived so a
+        # crash between the two appends repairs on the next call
+        from sayn_spark.functions.similarity import sq8_codes_col
+
+        codes_t = f"{index}_sq8codes"
+        missing = spark.table(f"{index}_vectors").join(
+            spark.table(codes_t).select("vec_id").distinct(), "vec_id", "left_anti"
+        )
+        if not missing.isEmpty():
+            db.create_table(
+                codes_t,
+                missing.select("vec_id", "cell", "e")
+                .crossJoin(F.broadcast(spark.table(f"{index}_sq8grid")))
+                .select("vec_id", "cell", sq8_codes_col().alias("c")),
                 mode="append",
                 bucket_by=(_VEC_BUCKETS, ["cell"]),
             )

@@ -14,10 +14,11 @@ declaratively — the search half of the similarity pipeline as YAML:
         shortlist: 20              # ivfpq only: ADC shortlist width
 
 The path is chosen from the CATALOG, not the config: an index with a
-``{index}_codes`` table searches via ADC + exact re-rank
-(functions/similarity.py:ann_index_search_pq — residual encodings route
-automatically through the codebook's enc column); otherwise the exact
-in-cell scan (ann_index_search).  Only query rows shuffle; the bucketed
+``{index}_sq8codes`` table searches via the symmetric integer SQ8 scan
++ exact re-rank (functions/similarity.py:ann_index_search_sq8); one
+with ``{index}_codes`` via ADC + exact re-rank (ann_index_search_pq —
+residual encodings route automatically through the codebook's enc
+column); otherwise the exact in-cell scan (ann_index_search).  Only query rows shuffle; the bucketed
 inverted file is read in place.  The destination is a full rebuild
 (replace_table), so re-running a search after an incremental index
 insert refreshes results idempotently.
@@ -71,6 +72,7 @@ class AnnSearchTask(Task):
         from sayn_spark.functions.similarity import (
             ann_index_search,
             ann_index_search_pq,
+            ann_index_search_sq8,
         )
 
         spark = self.context.spark
@@ -92,7 +94,16 @@ class AnnSearchTask(Task):
             F.col(self.id_column).alias("query_id"),
             F.expr(f"cast({self.vector_column} as array<double>)").alias("e"),
         )
-        if db.table_exists(f"{self.index}_codes"):
+        if db.table_exists(f"{self.index}_sq8codes"):
+            out = ann_index_search_sq8(
+                spark,
+                self.index,
+                queries,
+                k=self.k,
+                nprobe=self.nprobe,
+                shortlist=self.shortlist,
+            )
+        elif db.table_exists(f"{self.index}_codes"):
             out = ann_index_search_pq(
                 spark,
                 self.index,

@@ -450,3 +450,110 @@ def test_ann_search_task_matches_library_and_orders_after_build(ctx, spark, emb_
     for ix in ("as_ivf", "as_pq"):
         for sfx in ("_centroids", "_vectors", "_codebook", "_codes", "_topk"):
             spark.sql(f"DROP TABLE IF EXISTS {ix}{sfx}")
+
+
+def test_ann_sq8_task_builds_and_searches(ctx, spark, emb_table):
+    """method=ivfsq8 builds the 1-row grid + cell-bucketed integer
+    codes, and with every cell probed and an exhaustive shortlist the
+    SQ8 search's exact re-rank equals the plain in-cell exact scan."""
+    from sayn_spark.functions.similarity import (
+        ann_index_search,
+        ann_index_search_sq8,
+    )
+
+    _build(
+        ctx,
+        spark,
+        "ann_sq8",
+        {
+            "source": "ann_src",
+            "index": "ann_sq8",
+            "label_column": "label",
+            "method": "ivfsq8",
+        },
+    )
+    assert spark.table("ann_sq8_sq8grid").count() == 1
+    n_vec = spark.table("ann_sq8_vectors").count()
+    assert spark.table("ann_sq8_sq8codes").count() == n_vec
+    # every code is an integer in [0, 255]
+    bad = spark.table("ann_sq8_sq8codes").where(
+        F.expr("exists(c, x -> x < 0 or x > 255)")
+    )
+    assert bad.count() == 0
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql("DESCRIBE TABLE EXTENDED ann_sq8_sq8codes").collect()
+    }
+    assert "cell" in desc.get("Bucket Columns", "")
+
+    n_cells = spark.table("ann_sq8_centroids").count()
+    queries = (
+        spark.table("ann_src")
+        .where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr("cast(embedding as array<double>)").alias("e"),
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in ann_index_search_sq8(
+            spark, "ann_sq8", queries, k=5, nprobe=n_cells, shortlist=100000
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ann_index_search(
+            spark, "ann_sq8", queries, k=5, nprobe=n_cells
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    # and at nprobe=1 with a tight shortlist the approximate path still
+    # returns k ranked rows per query
+    tight = ann_index_search_sq8(spark, "ann_sq8", queries, k=5, nprobe=1,
+                                 shortlist=10)
+    assert tight.groupBy("query_id").count().where("count != 5").count() == 0
+
+
+def test_ann_sq8_incremental_insert_and_guards(ctx, spark, emb_table):
+    """SQ8 incremental inserts encode with the FROZEN grid (grid and
+    centroids untouched), replays are no-ops, and method mismatches
+    are rejected before any write."""
+    full = spark.table("ann_src")
+    wave1 = full.where(F.col("vec_id") % 3 != 0)
+    ctx.db.replace_table("ann_sq8i_src", wave1)
+    base = {
+        "source": "ann_sq8i_src",
+        "index": "ann_sq8i",
+        "label_column": "label",
+        "method": "ivfsq8",
+    }
+    _build(ctx, spark, "ann_sq8i_full", base)
+    grid_before = spark.table("ann_sq8i_sq8grid").collect()
+    codes_before = {
+        r.vec_id: tuple(r.c) for r in spark.table("ann_sq8i_sq8codes").collect()
+    }
+
+    ctx.db.replace_table("ann_sq8i_src", full)
+    _build(ctx, spark, "ann_sq8i_add", {**base, "mode": "incremental"})
+    assert spark.table("ann_sq8i_sq8grid").collect() == grid_before  # frozen
+    codes_after = {
+        r.vec_id: tuple(r.c) for r in spark.table("ann_sq8i_sq8codes").collect()
+    }
+    assert len(codes_after) == full.count()
+    assert all(codes_after[v] == c for v, c in codes_before.items())
+
+    # replay: no-op
+    _build(ctx, spark, "ann_sq8i_noop", {**base, "mode": "incremental"})
+    assert spark.table("ann_sq8i_sq8codes").count() == full.count()
+
+    # method mismatch guards, both directions
+    t = AnnIndexTask(
+        "ann_sq8i_bad",
+        {"source": "ann_sq8i_src", "index": "ann_sq8i", "label_column": "label",
+         "mode": "incremental", "method": "ivf"},
+        ctx,
+    )
+    t.config()
+    with pytest.raises(ValueError, match="stale"):
+        t.run()

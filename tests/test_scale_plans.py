@@ -188,6 +188,7 @@ _BNLJ_BOUNDED_FRAME_OK = {
     "q_mixture_temperature",     # 1-row corpus-total frame (rate solve)
     "q_mixture_upsample",        # 1-row corpus-total frame (rate solve)
     "q_dsir_selection",          # 1-row (nt, nr) totals frame x 256-row spine
+    "q_ann_sq8_topk",            # 1-row SQ8 grid + 10 fixed query vectors
 }
 
 
