@@ -1949,3 +1949,128 @@ def q_dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_boiler_lines",
         F.md5("cleaned_text").alias("clean_hash"),
     )
+
+
+# --- MassiveText duplicate-line signals (Rae et al. 2021, App. A1.1) --
+#
+# The two Gopher repetition rules the n-gram coverage family doesn't
+# cover: the fraction of LINES that are duplicates of an earlier line
+# in the same document, and the fraction of CHARACTERS inside those
+# duplicated lines (all-but-first occurrences count, the standard
+# reimplementation).  Both are per-document and integer-ppm.
+
+
+def dup_line_signal_cols(lines: str = "lines") -> dict:
+    """Row-local duplicate-line signals over a lines-array column —
+    shared by q_repetition_dup_lines and the filter task's repetition
+    bounds (max_dup_line_ppm / max_dup_char_ppm).  n_dup_lines/chars
+    are total-minus-distinct folds over the doc's own array: zero
+    exchanges, boundary-free integers."""
+    return {
+        "n_lines": F.expr(f"cast(size({lines}) as bigint)"),
+        "n_dup_lines": F.expr(
+            f"cast(size({lines}) - size(array_distinct({lines})) as bigint)"
+        ),
+        "sum_chars": F.expr(
+            f"aggregate({lines}, cast(0 as bigint), (acc, l) -> acc + length(l))"
+        ),
+        "n_dup_chars": F.expr(
+            f"aggregate({lines}, cast(0 as bigint), (acc, l) -> acc + length(l)) "
+            f"- aggregate(array_distinct({lines}), cast(0 as bigint), "
+            f"(acc, l) -> acc + length(l))"
+        ),
+    }
+
+
+@register(
+    "q_repetition_dup_lines",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+pages AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, (len(t) - 1) // 10), i ->
+           array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ') ||
+           (['.', '!', '?', ''])[(doc_id * 31 + i) % 4 + 1]
+         ) AS lines0
+  FROM tok WHERE len(t) >= 1
+),
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0 THEN l1 || list_slice(l1, 1, 2) ELSE l1 END
+           AS lines
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN list_append(lines0, lines0[1])
+                    ELSE lines0 END AS l1
+        FROM pages)
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+         CAST(list_sum(list_transform(lines, l -> len(l))) AS BIGINT) AS sum_chars,
+         CAST(list_sum(list_transform(lines, l -> len(l)))
+              - list_sum(list_transform(list_distinct(lines), l -> len(l)))
+           AS BIGINT) AS n_dup_chars
+  FROM planted
+)
+SELECT doc_id, n_lines, n_dup_lines, sum_chars, n_dup_chars,
+       CAST(n_dup_lines * 1000000 // n_lines AS BIGINT) AS dup_line_ppm,
+       CAST(n_dup_chars * 1000000 // sum_chars AS BIGINT) AS dup_char_ppm
+FROM sig
+""",
+)
+def q_repetition_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MassiveText duplicate-line repetition signals (Rae et al. 2021,
+    App. A1.1): per document, the ppm of lines that duplicate an
+    earlier line and the ppm of characters inside those duplicates —
+    the two published Gopher repetition rules the n-gram coverage
+    suite (q_repetition_top_ngram) doesn't express.  Pages are
+    synthesised as in q_quality_c4_rules; within-doc duplicates are
+    planted (a copy of line 1 on ``doc_id % 4 == 0``, copies of lines
+    1-2 on ``% 6``) and natural lines never collide, so the expected
+    signal is exact by construction.
+
+    All-but-first occurrences count as duplicates (total minus
+    distinct — the standard reimplementation); everything is a
+    row-local fold over the doc's own line array: zero exchanges, no
+    UDF, integer ppm by floor division (never round(k/n)).
+    """
+    pages = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_Q_TOKENS).alias("t"))
+        .where(F.expr("size(t) >= 1"))
+        .withColumn(
+            "lines",
+            F.expr(
+                "transform(sequence(0, (size(t) - 1) div 10), i -> concat("
+                "array_join(slice(t, cast(i * 10 + 1 as int), 10), ' '), "
+                "element_at(array('.', '!', '?', ''), "
+                "cast((doc_id * 31 + i) % 4 + 1 as int))))"
+            ),
+        )
+        .withColumn(
+            "lines",
+            F.expr(
+                "case when doc_id % 4 = 0 then "
+                "concat(lines, array(element_at(lines, 1))) else lines end"
+            ),
+        )
+        .withColumn(
+            "lines",
+            F.expr(
+                "case when doc_id % 6 = 0 then "
+                "concat(lines, slice(lines, 1, 2)) else lines end"
+            ),
+        )
+    )
+    sig = pages.select(
+        "doc_id", *(c.alias(k) for k, c in dup_line_signal_cols().items())
+    )
+    return sig.select(
+        "*",
+        F.expr("(n_dup_lines * 1000000) div n_lines").alias("dup_line_ppm"),
+        F.expr("(n_dup_chars * 1000000) div sum_chars").alias("dup_char_ppm"),
+    )

@@ -149,16 +149,26 @@ class FilterTask(Task):
             for k in ("max_top2_ppm", "max_top3_ppm", "max_top4_ppm", "max_dup5_ppm")
             if c.get(k) is not None
         }
+        # MassiveText duplicate-line gates (Rae et al. 2021 App. A1.1;
+        # published bounds: 300000/200000 ppm) — row-local over
+        # newline-split pages (q_repetition_dup_lines)
+        self.dup_line_bounds = {
+            k: int(c[k])
+            for k in ("max_dup_line_ppm", "max_dup_char_ppm")
+            if c.get(k) is not None
+        }
         if (
             self.scorer == "repetition"
             and self.max_repetition_ratio is None
             and self.max_immediate_repeats is None
             and not self.ngram_ppm_bounds
+            and not self.dup_line_bounds
         ):
             raise ValueError(
                 f"filter task {self.name!r}: repetition needs "
-                "max_repetition_ratio, max_immediate_repeats, and/or an "
-                "n-gram coverage bound (max_top{2,3,4}_ppm / max_dup5_ppm)"
+                "max_repetition_ratio, max_immediate_repeats, and/or a "
+                "coverage bound (max_top{2,3,4}_ppm / max_dup5_ppm / "
+                "max_dup_line_ppm / max_dup_char_ppm)"
             )
         # gopher: published Gopher rule bounds (Rae et al. 2021 App. A)
         # as integers/permille so the gate stays boundary-free; override
@@ -500,13 +510,48 @@ class FilterTask(Task):
                         F.coalesce(F.col(signal), F.lit(0)) <= F.lit(bound)
                     )
                 ngram_cols = ("top2_ppm", "top3_ppm", "top4_ppm", "dup5_ppm")
+            line_cols = ()
+            if self.dup_line_bounds:
+                # MassiveText duplicate-line signals over newline-split
+                # pages (q_repetition_dup_lines' row-local folds);
+                # single-line or empty docs have zero duplicates and
+                # pass — only genuinely repeated lines trip the gate
+                from sayn_spark.functions.content_filter import (
+                    dup_line_signal_cols,
+                )
+
+                scored = scored.withColumn("_lines", F.split(F.col("text"), "\n"))
+                for k, col in dup_line_signal_cols("_lines").items():
+                    scored = scored.withColumn(f"_dl_{k}", col)
+                scored = (
+                    scored.withColumn(
+                        "dup_line_ppm",
+                        F.coalesce(
+                            F.expr("(_dl_n_dup_lines * 1000000) div _dl_n_lines"),
+                            F.lit(0),
+                        ),
+                    )
+                    .withColumn(
+                        "dup_char_ppm",
+                        F.coalesce(
+                            F.expr("(_dl_n_dup_chars * 1000000) div _dl_sum_chars"),
+                            F.lit(0),
+                        ),
+                    )
+                    .drop("_lines", *(f"_dl_{k}" for k in
+                                      ("n_lines", "n_dup_lines",
+                                       "sum_chars", "n_dup_chars")))
+                )
+                for col, bound in self.dup_line_bounds.items():
+                    cond = cond & (F.col(col[len("max_"):]) <= F.lit(bound))
+                line_cols = ("dup_line_ppm", "dup_char_ppm")
             kept = scored.where(cond)
             if self.with_score:
                 out = kept.withColumnRenamed(
                     "_ratio", "repetition_ratio"
                 ).withColumnRenamed("_reps", "n_immediate_repeats")
             else:
-                out = kept.drop("_ratio", "_reps", *ngram_cols)
+                out = kept.drop("_ratio", "_reps", *ngram_cols, *line_cols)
         elif self.scorer == "pii":
             from sayn_spark.functions.content_filter import (
                 _CARD_RE,

@@ -1099,3 +1099,52 @@ def test_dedup_lines_min_kept_and_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="corpus-relative"):
         bad.config()
+
+
+# -- duplicate-line repetition gates ------------------------------------
+
+
+def test_filter_repetition_dup_line_bounds(spark, tmp_path):
+    """max_dup_line_ppm / max_dup_char_ppm drop pages whose newline
+    lines repeat beyond the bound (q_repetition_dup_lines' signals)."""
+    from sayn_spark.operators.filter import FilterTask
+
+    ctx = _filter_ctx(spark, tmp_path)
+    clean = "alpha one two.\nbeta three four!\ngamma five six?"
+    half_dup = "same line here.\nsame line here.\nunique tail line!"
+    all_dup = "only line.\nonly line.\nonly line.\nonly line."
+    rows = [(1, clean), (2, half_dup), (3, all_dup), (4, "single line page.")]
+    ctx.db.replace_table(
+        "r7_dl_src", spark.createDataFrame(rows, "doc_id long, text string")
+    )
+
+    def run(dest, **cfg):
+        t = FilterTask(
+            "r7_dl",
+            {"source": "r7_dl_src", "destination": dest,
+             "scorer": "repetition", **cfg},
+            ctx,
+        )
+        t.config()
+        t.run()
+        return {r.doc_id for r in spark.table(dest).collect()}
+
+    # published-style bound: 300000 ppm duplicate lines
+    assert run("r7_dl_a", max_dup_line_ppm=300_000) == {1, 4}
+    # char bound separately: half_dup has ~1/3 dup chars > 200000 ppm
+    assert run("r7_dl_b", max_dup_char_ppm=200_000) == {1, 4}
+    # loose bound keeps the 1/3-dup page but not the all-dup one
+    assert run("r7_dl_c", max_dup_line_ppm=400_000) == {1, 2, 4}
+
+
+def test_filter_repetition_needs_some_bound(spark, tmp_path):
+    from sayn_spark.operators.filter import FilterTask
+
+    ctx = _filter_ctx(spark, tmp_path)
+    t = FilterTask(
+        "r7_dl_bad",
+        {"source": "x", "destination": "y", "scorer": "repetition"},
+        ctx,
+    )
+    with pytest.raises(ValueError, match="dup_line"):
+        t.config()
