@@ -63,6 +63,10 @@ HEADLINE = [
     "q_ngram_novelty",
     "q_perplexity_buckets",
     "q_repetition_top_ngram",
+    "q_repetition_dup_lines",
+    "q_quality_c4_rules",
+    "q_dedup_boilerplate_lines",
+    "q_ann_sq8_topk",
     "q_dsir_selection",
     "task_dedup_incremental",
     "task_filter_gopher",
