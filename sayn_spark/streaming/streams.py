@@ -210,6 +210,7 @@ def content_filter_stream(
     languages: Optional[list[str]] = None,
     gopher_bounds: Optional[dict] = None,
     c4: Optional[dict] = None,
+    repetition: Optional[dict] = None,
     pii: Optional[dict] = None,
 ) -> DataFrame:
     """Streaming twin of the filter task's scorers: quality-score and
@@ -271,6 +272,55 @@ def content_filter_stream(
         if c4.get("rewrite", True):
             out = out.withColumn("text", c4_clean_text_col("_lines", mwpl))
         out = out.drop("_lines", *sig)
+    if repetition is not None:
+        # {"max_repetition_ratio": 0.5, "max_immediate_repeats": 3,
+        #  "max_dup_line_ppm": 300000, "max_dup_char_ppm": 200000} —
+        # the filter task's ROW-LOCAL repetition bounds as a stateless
+        # stream stage (the corpus-relative n-gram coverage gates need
+        # the batch path); any subset of the four bounds applies
+        from sayn_spark.functions.content_filter import (
+            dup_line_signal_cols,
+            immediate_repeats_col,
+            repetition_ratio_col,
+            repetition_tokens_col,
+        )
+
+        out = out.withColumn("_t", repetition_tokens_col())
+        cond = F.lit(True)
+        if repetition.get("max_repetition_ratio") is not None:
+            cond = cond & (
+                F.coalesce(repetition_ratio_col("_t"), F.lit(0.0))
+                <= float(repetition["max_repetition_ratio"])
+            )
+        if repetition.get("max_immediate_repeats") is not None:
+            cond = cond & (
+                F.coalesce(immediate_repeats_col("_t"), F.lit(0))
+                <= int(repetition["max_immediate_repeats"])
+            )
+        line_bounds = {
+            k: int(repetition[k])
+            for k in ("max_dup_line_ppm", "max_dup_char_ppm")
+            if repetition.get(k) is not None
+        }
+        if line_bounds:
+            sig = dup_line_signal_cols("_lines")
+            out = out.withColumn("_lines", F.split(F.col("text"), "\n"))
+            for k, col in sig.items():
+                out = out.withColumn(f"_dl_{k}", col)
+            ppm = {
+                "max_dup_line_ppm": F.coalesce(
+                    F.expr("(_dl_n_dup_lines * 1000000) div _dl_n_lines"),
+                    F.lit(0),
+                ),
+                "max_dup_char_ppm": F.coalesce(
+                    F.expr("(_dl_n_dup_chars * 1000000) div _dl_sum_chars"),
+                    F.lit(0),
+                ),
+            }
+            for k, bound in line_bounds.items():
+                cond = cond & (ppm[k] <= F.lit(bound))
+            out = out.drop("_lines", *(f"_dl_{k}" for k in sig))
+        out = out.where(cond).drop("_t")
     if pii is not None:
         # {"action": "drop"|"redact", "max_pii": 0} — the filter
         # task's pii scorer as a stateless stream stage (q_pii_scan's

@@ -768,3 +768,61 @@ def test_stream_chunk_matches_batch_task(spark, tmp_path):
     )
     assert got == want
     spark.sql("DROP TABLE IF EXISTS cks_out")
+
+
+def test_content_filter_stream_repetition_matches_batch(spark, tmp_path):
+    """The streaming repetition stage must keep exactly the batch
+    scorer's keep set for the row-local bounds (ratio + dup-line ppm,
+    stateless)."""
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.filter import FilterTask
+    from sayn_spark.streaming import content_filter_stream
+
+    rows = []
+    for i in range(30):
+        words = ["w%d" % (j % (2 + i % 9)) for j in range(40)]
+        lines = [" ".join(words[k:k + 10]) for k in range(0, 40, 10)]
+        if i % 5 == 0:
+            lines.append(lines[0])
+        rows.append((i, "\n".join(lines)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path / "rep_docs"
+    src.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "w1"))
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    bounds = {"max_repetition_ratio": 0.85, "max_dup_line_ppm": 150_000}
+    q = (
+        content_filter_stream(stream, min_score=0.0, repetition=bounds)
+        .writeStream.format("memory")
+        .queryName("rep_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.table("rep_out").collect()}
+
+    ctx = TaskContext(
+        spark=spark, db=SparkDatabase(spark), compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(), parameters={}, connections={},
+        project_dir=tmp_path,
+    )
+    ctx.db.replace_table("rep_src", docs)
+    t = FilterTask(
+        "rep_batch",
+        {"source": "rep_src", "destination": "rep_batch_out",
+         "scorer": "repetition", **bounds},
+        ctx,
+    )
+    t.config()
+    t.run()
+    want = {r.doc_id for r in spark.table("rep_batch_out").collect()}
+    assert got == want
+    assert 0 < len(got) < len(rows)
+    assert spark.table("rep_out").columns == ["doc_id", "text"]
