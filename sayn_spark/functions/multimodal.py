@@ -748,3 +748,146 @@ def q_multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return d.mapInPandas(_encode, enc_schema).mapInPandas(_decode, dec_schema)
+
+
+# --- perceptual-hash (dHash) near-duplicate image detection -----------
+#
+# The image-dedup stage of a multimodal pipeline: an 8x8 difference
+# hash over a grayscale thumbnail (compare horizontally adjacent
+# pixels -> 64 bits), banded 4x16 for LSH candidates, exact Hamming
+# verify.  The synthetic corpus has no real images, so the thumbnail
+# is generated deterministically: groups of 5 docs share a base image
+# (pixels from the group content hash) and non-anchor docs add sparse
+# pixel noise — the hash must cluster each group and the noise must
+# cost only a few bits.
+
+_PH_SPARK_PIXEL = (
+    "cast(conv(substr(md5(concat(cast(doc_id div 5 as string), '|', "
+    "cast(y as string), '|', cast(x as string))), 1, 8), 16, 10) as bigint) % 256"
+    " + case when doc_id % 5 != 0 and "
+    "cast(conv(substr(md5(concat(cast(doc_id as string), '#', "
+    "cast(y as string), '|', cast(x as string))), 1, 8), 16, 10) as bigint) % 19 = 0 "
+    "then 24 else 0 end"
+)
+
+_PH_SQL_PIXEL = (
+    "(('0x' || substr(md5(CAST(doc_id // 5 AS VARCHAR) || '|' || "
+    "CAST(y AS VARCHAR) || '|' || CAST(x AS VARCHAR)), 1, 8))::BIGINT % 256)"
+    " + CASE WHEN doc_id % 5 <> 0 AND "
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || "
+    "CAST(y AS VARCHAR) || '|' || CAST(x AS VARCHAR)), 1, 8))::BIGINT % 19) = 0 "
+    "THEN 24 ELSE 0 END"
+)
+
+_PH_HAMMING_MAX = 12
+
+
+@register(
+    "q_multimodal_phash_dedup",
+    oracle=f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 7), y ->
+           list_transform(generate_series(0, 8), x -> {_PH_SQL_PIXEL})) AS p
+  FROM documents
+),
+sigs AS (
+  SELECT doc_id,
+         flatten(list_transform(p, row ->
+           list_transform(generate_series(1, 8), x ->
+             CASE WHEN row[x + 1] > row[x] THEN 1 ELSE 0 END))) AS bits
+  FROM px
+),
+bands AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 3), b ->
+           CAST(list_sum(list_transform(generate_series(0, 15), i ->
+             bits[b * 16 + 1 + i] * (CAST(1 AS BIGINT) << (15 - i)))) AS BIGINT)
+         ) AS ba
+  FROM sigs
+),
+bandrows AS (
+  SELECT doc_id, ba, b AS band, ba[b + 1] AS key
+  FROM bands, (SELECT unnest(generate_series(0, 3)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src, c.doc_id AS dst, a.ba AS sa, c.ba AS sb
+  FROM bandrows a JOIN bandrows c
+    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+)
+SELECT src, dst,
+       CAST(list_sum(list_transform(list_zip(sa, sb),
+            p -> bit_count(xor(p[1], p[2])))) AS BIGINT) AS hamming
+FROM cand
+WHERE list_sum(list_transform(list_zip(sa, sb),
+      p -> bit_count(xor(p[1], p[2])))) <= {_PH_HAMMING_MAX}
+""",
+)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dedup: 8x8 dHash (each bit compares
+    horizontally adjacent grayscale pixels of an 8x9 thumbnail), 4x16
+    LSH bands for candidates, exact Hamming verify at <= 12 bits —
+    the standard image-dedup stage (dHash per Krawetz; banded probing
+    as in SimHash dedup) over deterministic synthetic thumbnails:
+    groups of 5 docs share a base image, non-anchors add sparse pixel
+    noise (~1/19 of pixels +24 gray levels), so each group must
+    cluster at a small Hamming distance while distinct groups sit near
+    32 bits apart.
+
+    Production swap: replace the pixel synthesis with the real decode
+    path (functions/multimodal.py PNG/BMP decoders + a mean-pool
+    thumbnail) — hashing, banding, and verify are unchanged.
+
+    Scale shape: hash construction is a row-local fold (72 synthetic
+    pixels -> 64 bits -> 4 band ints, zero exchanges); only the 4
+    (band, 16-bit key) rows per image shuffle for the candidate join;
+    Hamming verify runs on the 4 packed ints via bit_count(xor) — no
+    full signatures, no all-pairs.  Banded recall is the standard LSH
+    trade: a pair at distance d is missed only if all 4 bands differ.
+    """
+    px = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, 7), y -> "
+            f"transform(sequence(0, 8), x -> {_PH_SPARK_PIXEL}))"
+        ).alias("p"),
+    )
+    sigs = px.select(
+        "doc_id",
+        F.expr(
+            "flatten(transform(p, row -> transform(sequence(1, 8), x -> "
+            "case when element_at(row, x + 1) > element_at(row, x) "
+            "then 1 else 0 end)))"
+        ).alias("bits"),
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 3), b -> "
+            "aggregate(slice(bits, b * 16 + 1, 16), cast(0 as bigint), "
+            "(acc, v) -> acc * 2 + v))"
+        ).alias("ba"),
+    )
+    rows = bands.select(
+        "doc_id", "ba", F.posexplode("ba").alias("band", "key")
+    )
+    a = rows.select(
+        F.col("doc_id").alias("src"), F.col("ba").alias("sa"), "band", "key"
+    )
+    b = rows.select(
+        F.col("doc_id").alias("dst"), F.col("ba").alias("sb"), "band", "key"
+    )
+    cand = (
+        a.join(b.hint("shuffle_hash"), ["band", "key"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", "sa", "sb")
+        .distinct()
+    )
+    ham = F.expr(
+        "cast(aggregate(zip_with(sa, sb, (x, y) -> bit_count(x ^ y)), "
+        "0, (acc, v) -> acc + v) as bigint)"
+    )
+    return (
+        cand.select("src", "dst", ham.alias("hamming"))
+        .where(F.col("hamming") <= _PH_HAMMING_MAX)
+    )

@@ -1148,3 +1148,23 @@ def test_filter_repetition_needs_some_bound(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="dup_line"):
         t.config()
+
+
+# -- perceptual-hash image dedup ----------------------------------------
+
+
+def test_phash_dedup_clusters_image_groups(spark):
+    """The dHash banded dedup must recover every within-group pair
+    (groups of 5 share a base thumbnail) with zero cross-group false
+    positives, and noise must cost only a few bits."""
+    from sayn_spark.functions import REGISTRY
+
+    df = REGISTRY["q_multimodal_phash_dedup"].fn(spark, SF)
+    rows = df.collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    n_groups = (n_docs + 4) // 5
+    assert len(rows) == 10 * n_groups  # C(5,2) per complete group
+    assert all(r.src // 5 == r.dst // 5 for r in rows)
+    assert max(r.hamming for r in rows) <= 12
+    # anchors (pure base image) pair at the group's noise floor
+    assert any(r.hamming == 0 or r.hamming <= 2 for r in rows)
