@@ -435,3 +435,51 @@ def test_passage_rewrite_matches_python_model(spark, docs):
     want_kept = model_passage_rewrite(docs, W3)
     for d, toks in docs.items():
         assert got[d] == (len(toks), len(want_kept[d]), " ".join(want_kept[d])), d
+
+
+# -- boilerplate line rewrite vs pure-Python model (r7) ------------------
+
+
+def model_boilerplate(docs: dict[int, list[str]], min_docs: int) -> dict[int, list[str]]:
+    """Reference semantics: a line occurring in >= min_docs DISTINCT
+    documents is removed from every page; surviving lines keep order."""
+    from collections import defaultdict
+
+    holders = defaultdict(set)
+    for d, lines in docs.items():
+        for l in lines:
+            holders[l].add(d)
+    boiler = {l for l, ds in holders.items() if len(ds) >= min_docs}
+    return {d: [l for l in lines if l not in boiler] for d, lines in docs.items()}
+
+
+PAGES = st.dictionaries(
+    st.integers(min_value=0, max_value=9),
+    st.lists(st.sampled_from(["x y.", "y z!", "z w?", "w v", "v u."]),
+             min_size=1, max_size=6),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(PAGES, st.integers(min_value=2, max_value=4))
+def test_boilerplate_rewrite_matches_python_model(spark, docs, min_docs):
+    from pyspark.sql import functions as F
+
+    from sayn_spark.functions.content_filter import boilerplate_rewrite
+
+    df = spark.createDataFrame(
+        [(d, lines) for d, lines in docs.items()],
+        "doc_id long, lines array<string>",
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept_lines, r.n_boiler_lines, r.cleaned_text)
+        for r in boilerplate_rewrite(df, min_docs=min_docs).collect()
+    }
+    want = model_boilerplate(docs, min_docs)
+    for d, lines in docs.items():
+        kept = want[d]
+        assert got[d] == (
+            len(lines), len(kept), len(lines) - len(kept), "\n".join(kept)
+        ), (d, lines, min_docs)

@@ -826,3 +826,75 @@ def test_content_filter_stream_repetition_matches_batch(spark, tmp_path):
     assert got == want
     assert 0 < len(got) < len(rows)
     assert spark.table("rep_out").columns == ["doc_id", "text"]
+
+
+def test_ann_ingest_stream_sq8_matches_batch_insert(spark, tmp_path):
+    """Streaming ingest into an ivfsq8 index must equal the batch
+    incremental insert (frozen grid, identical integer codes) and
+    replay as a no-op — ann_insert_batch's sq8 branch drives both."""
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.ann import AnnIndexTask
+    from sayn_spark.streaming import stream_ann_ingest
+
+    ctx = TaskContext(
+        spark=spark, db=SparkDatabase(spark), compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(), parameters={}, connections={},
+        project_dir=tmp_path,
+    )
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seed = emb.where("vec_id < 40")
+    later = emb.where("vec_id >= 40 and vec_id < 56")
+    ctx.db.replace_table("sq8s_seed", seed)
+    for index in ("sq8s_s", "sq8s_b"):
+        t = AnnIndexTask(
+            f"{index}_build",
+            {"source": "sq8s_seed", "index": index, "label_column": "label",
+             "method": "ivfsq8"},
+            ctx,
+        )
+        t.config()
+        t.run()
+    ctx.db.replace_table("sq8s_all", seed.unionByName(later))
+    bt = AnnIndexTask(
+        "sq8s_b_ins",
+        {"source": "sq8s_all", "index": "sq8s_b", "label_column": "label",
+         "method": "ivfsq8", "mode": "incremental"},
+        ctx,
+    )
+    bt.config()
+    bt.run()
+    src = tmp_path / "sq8s_vecs"
+    src.mkdir()
+    later.coalesce(1).write.mode("overwrite").parquet(str(src / "w1"))
+    stream = spark.readStream.schema(emb.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = stream_ann_ingest(stream, "sq8s_s", str(tmp_path / "sq8s_ckpt"))
+    q.awaitTermination(180)
+
+    def snap(index):
+        vecs = sorted(
+            (r.vec_id, r.cell, tuple(r.e))
+            for r in spark.table(f"{index}_vectors").collect()
+        )
+        codes = sorted(
+            (r.vec_id, r.cell, tuple(r.c))
+            for r in spark.table(f"{index}_sq8codes").collect()
+        )
+        return vecs, codes
+
+    assert snap("sq8s_s") == snap("sq8s_b")
+    # replay with a fresh checkpoint: anti-join makes it a no-op
+    before = snap("sq8s_s")
+    q = stream_ann_ingest(stream, "sq8s_s", str(tmp_path / "sq8s_ckpt2"))
+    q.awaitTermination(180)
+    assert snap("sq8s_s") == before
+    for t in ("sq8s_seed", "sq8s_all"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for ix in ("sq8s_s", "sq8s_b"):
+        for sfx in ("_centroids", "_vectors", "_sq8grid", "_sq8codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {ix}{sfx}")
