@@ -70,6 +70,7 @@ HEADLINE = [
     "q_dsir_selection",
     "task_dedup_incremental",
     "task_filter_gopher",
+    "task_ann_search_sq8",
 ]
 
 
@@ -170,9 +171,54 @@ def _bench_filter_task(spark, sf_dir: str) -> None:
     task.run()
 
 
+def _bench_ann_search_task(spark, sf_dir: str) -> None:
+    """End-to-end ann_search benchmark: one catalog-dispatched top-k
+    run against the ivfsq8 index built once by _setup_task_bench —
+    probe routing, frozen-grid query quantization, the integer
+    symmetric scan, exact re-rank, destination tmp-swap write.  The
+    destination is dropped before each run."""
+    import shutil
+
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.ann_search import AnnSearchTask
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS bench_ann_topk")
+    if wh:
+        shutil.rmtree(os.path.join(wh, "bench_ann_topk"), ignore_errors=True)
+    ctx = TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={},
+        connections={},
+        project_dir=".",
+    )
+    task = AnnSearchTask(
+        "bench_ann_search",
+        {
+            "index": "bench_ann_ix",
+            "queries": "bench_ann_queries",
+            "destination": "bench_ann_topk",
+            "k": 5,
+            "nprobe": 2,
+            "shortlist": 20,
+        },
+        ctx,
+    )
+    task.config()
+    task.run()
+
+
 TASK_BENCH = {
     "task_dedup_incremental": _bench_dedup_task,
     "task_filter_gopher": _bench_filter_task,
+    "task_ann_search_sq8": _bench_ann_search_task,
 }
 
 
@@ -192,6 +238,41 @@ def _setup_task_bench(spark, sf_dir: str) -> None:
         "doc_id", "text"
     )
     SparkDatabase(spark).replace_table("bench_dedup_src", docs)
+    # one ivfsq8 index + a 50-row query table for task_ann_search_sq8
+    # (built once here — the benched cost is the SEARCH task run)
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.ann import AnnIndexTask
+
+    for t in ("bench_ann_src", "bench_ann_queries", "bench_ann_ix_centroids",
+              "bench_ann_ix_vectors", "bench_ann_ix_sq8grid",
+              "bench_ann_ix_sq8codes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if wh:
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    db = SparkDatabase(spark)
+    db.replace_table("bench_ann_src", emb)
+    db.replace_table("bench_ann_queries", emb.where("vec_id < 50"))
+    ctx = TaskContext(
+        spark=spark,
+        db=db,
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={},
+        connections={},
+        project_dir=".",
+    )
+    ix = AnnIndexTask(
+        "bench_ann_build",
+        {"source": "bench_ann_src", "index": "bench_ann_ix",
+         "label_column": "label", "method": "ivfsq8"},
+        ctx,
+    )
+    ix.config()
+    ix.run()
 
 
 def main() -> None:
