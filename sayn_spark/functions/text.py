@@ -793,3 +793,135 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("nll_micro").alias("sum_nll_micro"),
     )
+
+
+# --- RAKE keyword extraction (Rose et al. 2010) -----------------------
+
+_RAKE_STOPS = ("the", "a", "of", "and", "is")
+_RAKE_K = 3
+
+
+@register(
+    "q_text_rake_keywords",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+tokrows AS (
+  SELECT doc_id, s.pos AS pos, s.w AS w,
+         CASE WHEN s.w IN ('the', 'a', 'of', 'and', 'is') THEN 1 ELSE 0 END
+           AS is_stop
+  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+          i -> struct_pack(pos := i, w := t[i]))) AS s
+        FROM tok WHERE len(t) >= 1)
+),
+marked AS (
+  SELECT doc_id, pos, w, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS phrase_id
+  FROM tokrows
+),
+words AS (SELECT doc_id, pos, w, phrase_id FROM marked WHERE is_stop = 0),
+phrases AS (
+  SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS plen
+  FROM words GROUP BY doc_id, phrase_id
+),
+wordstats AS (
+  SELECT k.doc_id, k.w,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(p.plen - 1) AS BIGINT) AS deg
+  FROM words k JOIN phrases p USING (doc_id, phrase_id)
+  GROUP BY k.doc_id, k.w
+),
+scored AS (
+  SELECT k.doc_id, k.phrase_id,
+         string_agg(k.w, ' ' ORDER BY k.pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM((s.deg * 1000000) // s.freq) AS BIGINT) AS score_micro
+  FROM words k JOIN wordstats s ON k.doc_id = s.doc_id AND k.w = s.w
+  GROUP BY k.doc_id, k.phrase_id
+)
+SELECT doc_id, phrase, n_words, score_micro, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score_micro DESC, phrase_id) AS rk
+  FROM scored
+) WHERE rk <= {_RAKE_K}
+""",
+)
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency over the document's own phrases (degree = sum of
+    co-occurring phrase sizes minus one); a phrase scores the sum of
+    its word scores and the top 3 per document are the keywords —
+    the classic unsupervised keyphrase extractor, useful for corpus
+    topic profiling before mixture construction.
+
+    Determinism: word scores round ONCE by integer floor division
+    into 1e-6 units (never a float ratio), phrase scores are exact
+    BIGINT sums, and ranking tie-breaks on phrase position — no FP
+    anywhere.
+
+    Scale shape: phrase segmentation is a per-document prefix count
+    (window partitioned by doc_id — no global window); word stats and
+    phrase scores are map-side-combinable aggregates on (doc, word) /
+    (doc, phrase) keys; the two joins are co-partitioned on doc_id.
+    Everything shuffles at most the token stream, and the top-k is a
+    per-doc WindowGroupLimit.
+    """
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+    tok = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("t"))
+        .where(F.expr("size(t) >= 1"))
+    )
+    tokrows = tok.select(
+        "doc_id", F.posexplode("t").alias("pos0", "w")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "w",
+        F.expr(f"case when w in ({stops}) then 1 else 0 end").alias("is_stop"),
+    )
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = tokrows.withColumn("phrase_id", F.sum("is_stop").over(w_doc))
+    words = marked.where(F.col("is_stop") == 0).select(
+        "doc_id", "pos", "w", "phrase_id"
+    )
+    phrases = words.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("plen")
+    )
+    wordstats = (
+        words.join(phrases, ["doc_id", "phrase_id"])
+        .groupBy("doc_id", "w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum(F.col("plen") - 1).cast("bigint").alias("deg"),
+        )
+    )
+    scored = (
+        words.join(wordstats, ["doc_id", "w"])
+        .withColumn("w_score", F.expr("(deg * 1000000) div freq"))
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, w))), "
+                "s -> s.w), ' ')"
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("w_score").cast("bigint").alias("score_micro"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), "phrase_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") <= _RAKE_K)
+        .select("doc_id", "phrase", "n_words", "score_micro", "rk")
+    )
