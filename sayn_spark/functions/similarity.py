@@ -1465,3 +1465,162 @@ def ann_index_search_sq8(
     return scored_exact.withColumn("rk", F.row_number().over(w_out)).where(
         F.col("rk") <= k
     )
+
+
+# --- Binary (1-bit) quantization + packed Hamming search ---------------
+
+_BQ_WORDS = ((1, 32), (33, 64))  # two 32-bit words per 64-dim vector
+
+
+def _bq_pack_expr(code_col: str, lo: int, hi: int) -> str:
+    """BIGINT word packing bits lo..hi of an SQ8 code array: bit j set
+    iff code >= 128 (the grid midpoint), laid out MSB-first so both
+    engines agree on the word value."""
+    return (
+        f"aggregate(sequence({lo}, {hi}), cast(0 as bigint), (acc, j) -> "
+        f"acc + case when element_at({code_col}, j) >= 128 "
+        f"then shiftleft(cast(1 as bigint), {hi} - j) else cast(0 as bigint) end)"
+    )
+
+
+def _bq_pack_sql(code_col: str, lo: int, hi: int) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series({lo}, {hi}), j -> "
+        f"CASE WHEN {code_col}[j] >= 128 THEN (CAST(1 AS BIGINT) << ({hi} - j)) "
+        f"ELSE 0 END)) AS BIGINT)"
+    )
+
+
+def binary_codes_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, w1, w2): 64 sign bits against the SQ8 grid midpoint,
+    packed into two BIGINT words — 16 bytes per vector, a 16x
+    compression under float32.  Bits derive from the integer SQ8 codes
+    (code >= 128), so the binarisation carries no FP surface of its
+    own beyond the shared grid assignment."""
+    rng = sq8_range_row(emb)
+    codes = emb.crossJoin(F.broadcast(rng)).select(
+        "vec_id", sq8_codes_col().alias("c")
+    )
+    return codes.select(
+        "vec_id",
+        *[
+            F.expr(_bq_pack_expr("c", lo, hi)).alias(f"w{i + 1}")
+            for i, (lo, hi) in enumerate(_BQ_WORDS)
+        ],
+    )
+
+
+_BQ_HAM = (
+    "cast(bit_count(qw1 ^ w1) + bit_count(qw2 ^ w2) as int)"
+)
+
+_BQ_SHORTLIST = 20
+_BQ_K = 5
+
+
+@register(
+    "q_ann_binary_hamming",
+    oracle=f"""
+WITH {_SQL_EMB}, {_SQL_NORMED},
+comp AS (
+  SELECT vec_id, i, e[i] AS x FROM emb, (SELECT unnest(generate_series(1, 64)) AS i)
+),
+dim_range AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM comp GROUP BY i),
+rngarr AS (
+  SELECT list(lo ORDER BY i) AS lo_a, list(hi ORDER BY i) AS hi_a FROM dim_range
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, 64), j ->
+           CASE WHEN r.hi_a[j] = r.lo_a[j] THEN CAST(0 AS BIGINT)
+                ELSE CAST(ROUND((e[j] - r.lo_a[j]) / (r.hi_a[j] - r.lo_a[j]) * 255)
+                          AS BIGINT) END) AS c
+  FROM emb, rngarr r
+),
+words AS (
+  SELECT vec_id, {_bq_pack_sql("c", 1, 32)} AS w1, {_bq_pack_sql("c", 33, 64)} AS w2
+  FROM codes
+),
+ham AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.w1, n.w1)) + bit_count(xor(q.w2, n.w2)) AS INT) AS ham
+  FROM words q JOIN words n ON q.vec_id < 10 AND n.vec_id <> q.vec_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id, ham FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS rkh
+    FROM ham
+  ) WHERE rkh <= {_BQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id, s.ham,
+         ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
+  FROM shortlist s
+  JOIN normed q ON q.vec_id = s.query_id
+  JOIN normed c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, ham, cos, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM rerank
+) WHERE rk <= {_BQ_K}
+""",
+)
+def q_ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: 1 bit per dimension (sign against the SQ8
+    grid midpoint) packed into two 64-bit words, Hamming-distance
+    shortlist via ``bit_count(xor)``, exact-cosine rerank of the
+    shortlist — the cheapest tier of the quantized-index family
+    (FAISS IndexBinaryFlat / the binary-quantization mode vector
+    stores ship as their coarse pass).
+
+    Determinism: bits come from the INTEGER SQ8 codes (code >= 128),
+    word packing and Hamming distances are exact integer arithmetic,
+    and the rerank reuses the registry's round-6 cosine — the only FP
+    in the whole pipeline is the shared grid assignment and the final
+    rerank both engines already agree on.
+
+    Scale shape: the packed table is 16 bytes/vector (16x under
+    float32 — 100 TB of raw vectors binarise to ~6 TB, RAM-resident
+    on a modest cluster); the wide stage is two XOR+popcount ops per
+    pair, the cheapest distance that exists; shortlisting compiles to
+    WindowGroupLimit (per-partition partial top-k before the
+    query-key exchange) and only the ~{_BQ_SHORTLIST}-row-per-query
+    shortlist ever touches the full-precision vectors."""
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("cast(embedding as array<double>)").alias("e")
+    )
+    words = binary_codes_frame(emb)
+    q = words.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
+    )
+    n = words.select(F.col("vec_id").alias("neighbor_id"), "w1", "w2")
+    ham = q.join(n, F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", F.expr(_BQ_HAM).alias("ham")
+    )
+    w_h = Window.partitionBy("query_id").orderBy("ham", "neighbor_id")
+    shortlist = (
+        ham.withColumn("rkh", F.row_number().over(w_h))
+        .where(F.col("rkh") <= _BQ_SHORTLIST)
+        .select("query_id", "neighbor_id", "ham")
+    )
+    nf = _normed(spark, sf_dir)
+    qn = nf.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    cn = nf.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qn") * F.col("nrm")),
+        6,
+    )
+    rerank = (
+        shortlist.join(qn, "query_id")
+        .join(cn, "neighbor_id")
+        .select("query_id", "neighbor_id", "ham", cos.alias("cos"))
+    )
+    w_out = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return rerank.withColumn("rk", F.row_number().over(w_out)).where(
+        F.col("rk") <= _BQ_K
+    )
