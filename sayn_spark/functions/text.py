@@ -925,3 +925,158 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _RAKE_K)
         .select("doc_id", "phrase", "n_words", "score_micro", "rk")
     )
+
+
+# --- Bigram LM with Stupid Backoff (Brants et al. 2007) ----------------
+
+_SB_ALPHA_NUM, _SB_ALPHA_DEN = 4, 10  # backoff factor 0.4, exact rational
+_SB_K = 50
+
+_SB_TRAIN = "lang = 'en' AND doc_id % 2 = 0"
+_SB_SCORE = "lang = 'en' AND doc_id % 2 = 1"
+
+
+@register(
+    "q_text_bigram_surprisal",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents WHERE lang = 'en'
+),
+train_pos AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM tok WHERE doc_id % 2 = 0 AND len(t) >= 2
+),
+bi AS (SELECT g, COUNT(*) AS c12 FROM train_pos GROUP BY g),
+train_tok AS (SELECT unnest(t) AS w FROM tok WHERE doc_id % 2 = 0),
+uni AS (SELECT w, COUNT(*) AS c FROM train_tok GROUP BY w),
+tot AS (SELECT COUNT(*) AS n FROM train_tok),
+nll_bi AS (
+  SELECT b.g,
+         CAST(ROUND(-LN(CAST(b.c12 AS DOUBLE) / u.c) * 100000000) AS BIGINT) AS nll_i8
+  FROM bi b JOIN uni u ON u.w = string_split(b.g, ' ')[1]
+),
+nll_uni AS (
+  SELECT w,
+         CAST(ROUND(-LN({_SB_ALPHA_NUM} * CAST(c AS DOUBLE) / ({_SB_ALPHA_DEN} * n))
+              * 100000000) AS BIGINT) AS nll_i8
+  FROM uni, tot
+),
+oov AS (SELECT MAX(nll_i8) AS oov_i8 FROM nll_uni),
+score_pos AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM tok WHERE doc_id % 2 = 1 AND len(t) >= 2
+),
+scored_pos AS (
+  SELECT p.doc_id,
+         COALESCE(b.nll_i8, u.nll_i8, o.oov_i8) AS nll_i8
+  FROM score_pos p
+  LEFT JOIN nll_bi b USING (g)
+  LEFT JOIN nll_uni u ON u.w = string_split(p.g, ' ')[2]
+  CROSS JOIN oov o
+),
+docsc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         CAST(SUM(nll_i8) AS BIGINT) AS sum_nll_i8
+  FROM scored_pos GROUP BY doc_id
+)
+SELECT doc_id, n_scored, sum_nll_i8, avg_nll_i8, rk FROM (
+  SELECT *, CAST(sum_nll_i8 // n_scored AS BIGINT) AS avg_nll_i8,
+         ROW_NUMBER() OVER (ORDER BY sum_nll_i8 // n_scored DESC, doc_id) AS rk
+  FROM docsc
+) WHERE rk <= {_SB_K}
+""",
+)
+def q_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM with Stupid Backoff (Brants et al. 2007, "Large
+    Language Models in Machine Translation"): train bigram + unigram
+    counts on a reference slice (the even-doc_id half of the 'en'
+    corpus), score the held-out half per token position —
+    p(w2|w1) = c(w1 w2)/c(w1) when the bigram is known, else
+    0.4 * c(w2)/N, else (OOV) the vocabulary's maximum backoff
+    surprisal — and surface the 50 most surprising documents.  This is
+    the CCNet/KenLM quality-filter shape one order up from the unigram
+    family (q_text_unigram_surprisal): held-out scoring means the
+    backoff tier is genuinely exercised, not dead code.
+
+    Determinism: each transcendental rounds ONCE into integer 1e-8
+    units at the vocabulary entry (the q_dsir_selection rule —
+    margins measured in tests/test_oracle_fragility.py), per-doc sums
+    are exact BIGINT, and the per-doc average is integer floor
+    division (positive operands, so Spark's truncating ``div`` and
+    DuckDB's ``//`` agree) — no FP anywhere downstream of the LM
+    tables.
+
+    Scale shape: the LM "state" is two vocabulary-sized count tables
+    (map-side-combinable aggregates); scoring is one join per tier on
+    the position stream — broadcast when the LM fits (the common case
+    for a trained filter model), hash-partitioned on the bigram key
+    when it doesn't — and the doc aggregate combines map-side.  The
+    top-50 compiles to TakeOrderedAndProject.  Swapping the held-out
+    split for a persisted reference-corpus LM table turns this into
+    the production frozen-LM filter without changing the plan (the
+    ``nll_vocab_frame`` pattern, one tier up)."""
+    d = T(spark, sf_dir, "documents").where(F.col("lang") == "en").select(
+        "doc_id", F.expr(_TOKENS).alias("t")
+    )
+    pos_expr = F.expr(
+        "transform(sequence(1, size(t) - 1), i -> "
+        "struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"
+    )
+    train = d.where(F.expr("doc_id % 2 = 0"))
+    train_pos = (
+        train.where(F.expr("size(t) >= 2"))
+        .select(F.explode(pos_expr).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    bi = train_pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    train_tok = train.select(F.explode("t").alias("w"))
+    uni = persist_tracked(
+        train_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = train_tok.agg(F.count(F.lit(1)).alias("n"))
+    nll_bi = bi.join(uni.withColumnRenamed("w", "w1"), "w1").select(
+        "w1",
+        "w2",
+        F.expr(
+            "cast(round(-ln(cast(c12 as double) / c) * 100000000) as bigint)"
+        ).alias("nll_i8"),
+    )
+    nll_uni = uni.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.expr(
+            f"cast(round(-ln({_SB_ALPHA_NUM} * cast(c as double) / ({_SB_ALPHA_DEN} * n))"
+            " * 100000000) as bigint)"
+        ).alias("nll_i8"),
+    )
+    oov = nll_uni.agg(F.max("nll_i8").alias("oov_i8"))
+    score_pos = (
+        d.where(F.expr("doc_id % 2 = 1 AND size(t) >= 2"))
+        .select("doc_id", F.explode(pos_expr).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    scored_pos = (
+        score_pos.join(F.broadcast(nll_bi), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(nll_uni.select(F.col("w").alias("w2"), F.col("nll_i8").alias("nll_u_i8"))),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(oov))
+        .select(
+            "doc_id", F.coalesce("nll_i8", "nll_u_i8", "oov_i8").alias("p_nll_i8")
+        )
+    )
+    docsc = scored_pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("p_nll_i8").alias("sum_nll_i8"),
+    )
+    w = Window.orderBy(F.expr("sum_nll_i8 div n_scored").desc(), F.col("doc_id"))
+    return (
+        docsc.withColumn("avg_nll_i8", F.expr("sum_nll_i8 div n_scored"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _SB_K)
+        .select("doc_id", "n_scored", "sum_nll_i8", "avg_nll_i8", "rk")
+    )
