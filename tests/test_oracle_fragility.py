@@ -161,3 +161,44 @@ FROM spine s LEFT JOIN tb ON tb.b = s.b LEFT JOIN rb ON rb.b = s.b CROSS JOIN to
         g = v * 1e8
         worst = min(worst, abs(g - math.floor(g) - 0.5))
     assert worst > 1e-4, f"dsir log-ratio within {worst} of an integer-round boundary"
+
+
+_SB_LM = """
+tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents WHERE lang = 'en'
+),
+train_pos AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM tok WHERE doc_id % 2 = 0 AND len(t) >= 2
+),
+bi AS (SELECT g, COUNT(*) AS c12 FROM train_pos GROUP BY g),
+train_tok AS (SELECT unnest(t) AS w FROM tok WHERE doc_id % 2 = 0),
+uni AS (SELECT w, COUNT(*) AS c FROM train_tok GROUP BY w),
+tot AS (SELECT COUNT(*) AS n FROM train_tok)
+"""
+
+
+def test_bigram_lm_nll_margins():
+    # q_text_bigram_surprisal rounds two LN families ONCE into integer
+    # 1e-8 units: the bigram tier -ln(c12/c(w1)) and the backoff tier
+    # -ln(0.4*c(w2)/N).  Same contract as the dsir log-ratio: every
+    # vocabulary entry must sit far from a half-boundary at that grid.
+    con = duckdb_con(SF_DIR)
+    m_bi = _min_margin(
+        con,
+        _SB_LM,
+        "-LN(CAST(b.c12 AS DOUBLE) / u.c)",
+        1e8,
+        "FROM bi b JOIN uni u ON u.w = string_split(b.g, ' ')[1] WHERE b.c12 <> u.c",
+    )
+    assert m_bi > 1e-4, f"bigram nll within {m_bi} grid units of the round boundary"
+    m_uni = _min_margin(
+        con,
+        _SB_LM,
+        "-LN(4 * CAST(c AS DOUBLE) / (10 * n))",
+        1e8,
+        "FROM uni, tot",
+    )
+    assert m_uni > 1e-4, f"backoff nll within {m_uni} grid units of the round boundary"
