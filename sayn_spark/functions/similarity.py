@@ -1624,3 +1624,118 @@ def q_ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank.withColumn("rk", F.row_number().over(w_out)).where(
         F.col("rk") <= _BQ_K
     )
+
+
+# --- Batch-hard triplet mining (Hermans et al. 2017) -------------------
+
+_TRIP_ANCHORS = 30
+
+
+@register(
+    "q_ann_triplet_mining",
+    oracle=f"""
+WITH {_SQL_EMB}, {_SQL_NORMED},
+scored AS (
+  SELECT a.vec_id AS anchor_id, a.label,
+         c.vec_id AS neighbor_id, c.label AS c_label,
+         ROUND(list_dot_product(a.e, c.e) / (a.nrm * c.nrm), 6) AS cos
+  FROM normed a JOIN normed c
+    ON a.vec_id < {_TRIP_ANCHORS} AND c.vec_id <> a.vec_id
+),
+pos AS (
+  SELECT anchor_id, label, neighbor_id AS pos_id, cos AS cos_pos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos, neighbor_id) AS rk
+    FROM scored WHERE c_label = label
+  ) WHERE rk = 1
+),
+neg AS (
+  SELECT anchor_id, neighbor_id AS neg_id, cos AS cos_neg FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos DESC, neighbor_id) AS rk
+    FROM scored WHERE c_label <> label
+  ) WHERE rk = 1
+)
+SELECT p.anchor_id, p.label, p.pos_id, p.cos_pos, n.neg_id, n.cos_neg,
+       CAST(ROUND((p.cos_pos - n.cos_neg) * 1000000) AS BIGINT) AS margin_micro
+FROM pos p JOIN neg n USING (anchor_id)
+""",
+)
+def q_ann_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-hard triplet mining (Hermans et al. 2017, "In Defense of
+    the Triplet Loss"): for each anchor, the HARDEST positive (least
+    similar same-label vector) and HARDEST negative (most similar
+    different-label vector), plus the triplet margin — the mining step
+    that turns an embedding corpus into contrastive training triplets.
+    Anchors: vec_id < {_TRIP_ANCHORS}; candidate sets are corpus-wide
+    (the deterministic corpus-hard variant of the paper's per-batch
+    mining).
+
+    Determinism: cosines round to 6dp BEFORE the argmin/argmax ranks
+    (the registry's shared convention) with neighbor_id tie-breaks;
+    the margin is the difference of two 6dp-rounded values scaled to
+    exact integer micro-units.
+
+    Scale shape: one anchor-broadcast scan computes both extremes in a
+    single pass (two WindowGroupLimit rank-1 branches over the same
+    scored frame — per-partition partial argmin/argmax before the
+    anchor-key exchange, never a global sort).  At 100 TB the
+    candidate scan drops in for any of the registry's shortlists
+    (binary Hamming, SQ8, IVF probes) — mine hard negatives from a
+    quantized shortlist, then rerank exact, without changing this
+    output contract."""
+    nf = _normed(spark, sf_dir)
+    a = nf.where(F.col("vec_id") < _TRIP_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("label"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = nf.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        "e",
+        "nrm",
+    )
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qn") * F.col("nrm")),
+        6,
+    )
+    scored = persist_tracked(
+        a.join(c, F.col("neighbor_id") != F.col("anchor_id")).select(
+            "anchor_id", "label", "neighbor_id", "c_label", cos.alias("cos")
+        )
+    )
+    w_pos = Window.partitionBy("anchor_id").orderBy("cos", "neighbor_id")
+    pos = (
+        scored.where(F.col("c_label") == F.col("label"))
+        .withColumn("rk", F.row_number().over(w_pos))
+        .where(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            "label",
+            F.col("neighbor_id").alias("pos_id"),
+            F.col("cos").alias("cos_pos"),
+        )
+    )
+    w_neg = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), "neighbor_id")
+    neg = (
+        scored.where(F.col("c_label") != F.col("label"))
+        .withColumn("rk", F.row_number().over(w_neg))
+        .where(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("neighbor_id").alias("neg_id"),
+            F.col("cos").alias("cos_neg"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "label",
+        "pos_id",
+        "cos_pos",
+        "neg_id",
+        "cos_neg",
+        F.expr("cast(round((cos_pos - cos_neg) * 1000000) as bigint)").alias(
+            "margin_micro"
+        ),
+    )
