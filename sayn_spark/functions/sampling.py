@@ -197,3 +197,72 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _CAP_PER_SOURCE)
         .select("doc_id", "source", "rk")
     )
+
+
+_WS_K = 100
+
+
+@register(
+    "q_weighted_sample_es",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, GREATEST(n_chars, 1) AS w,
+         CAST(ROUND(-LN((('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                        / 4294967296.0) * 100000000) AS BIGINT) AS nlnu_i8
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, w,
+         CAST((nlnu_i8 * 1000000) // w AS BIGINT) AS key_scaled,
+         ROW_NUMBER() OVER (ORDER BY (nlnu_i8 * 1000000) // w, doc_id) AS rk
+  FROM keyed
+)
+SELECT doc_id, source, w, key_scaled, rk FROM ranked WHERE rk <= {_WS_K}
+""",
+)
+def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis
+    (A-ES, 2006): each document draws key u^(1/w) with u from a seeded
+    content hash and w = its character count; the {_WS_K} largest keys
+    are the sample.  Equivalent (and implemented as) the {_WS_K}
+    SMALLEST values of -ln(u)/w — the exponential-jumps formulation —
+    so heavier documents are proportionally likelier to survive while
+    the draw stays fully reproducible: no RNG, membership is a pure
+    function of (seed, doc_id, weight), stable across engines, runs,
+    and cluster sizes.  This is the quality-weighted subsampling step
+    between scoring and training-mix assembly (sample by quality score
+    instead of uniformly).
+
+    Determinism: u is a 32-bit hash fraction; -ln(u) rounds ONCE into
+    integer 1e-8 units (margin measured in
+    tests/test_oracle_fragility.py), then the per-doc key is integer
+    floor division of positive operands (Spark ``div`` == DuckDB
+    ``//``), and ranking is integer with doc_id tie-break.
+
+    Scale shape: the key is a map-side expression (no shuffle to draw
+    it); rank-<=k over the global order compiles to WindowGroupLimit
+    (per-partition partial top-k before the single-group exchange), so
+    the shuffle carries O(partitions x k) slim rows.  At 100 TB swap
+    the global top-k for a per-shard k (add shard to the partition
+    key) or a threshold pass (take keys under a calibrated cutoff,
+    one scan, no exchange at all)."""
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents")
+    nlnu = F.expr(
+        "cast(round(-ln((cast(conv(substr(md5(concat('ws|', cast(doc_id as string))), 1, 8), 16, 10) as bigint) + 1)"
+        " / 4294967296.0) * 100000000) as bigint)"
+    )
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.expr("greatest(n_chars, 1)").alias("w"),
+        nlnu.alias("nlnu_i8"),
+    )
+    w_rk = Window.orderBy(F.expr("(nlnu_i8 * 1000000) div w"), F.col("doc_id"))
+    return (
+        keyed.withColumn("key_scaled", F.expr("cast((nlnu_i8 * 1000000) div w as bigint)"))
+        .withColumn("rk", F.row_number().over(w_rk))
+        .where(F.col("rk") <= _WS_K)
+        .select("doc_id", "source", "w", "key_scaled", "rk")
+    )

@@ -202,3 +202,19 @@ def test_bigram_lm_nll_margins():
         "FROM uni, tot",
     )
     assert m_uni > 1e-4, f"backoff nll within {m_uni} grid units of the round boundary"
+
+
+def test_weighted_sample_nlnu_margin():
+    # q_weighted_sample_es rounds -ln(u) ONCE per document into integer
+    # 1e-8 units (u = 32-bit hash fraction in (0, 1]); measure every
+    # document's distance to the rounding half-boundary at that grid.
+    con = duckdb_con(SF_DIR)
+    with_sql = """
+keyed AS (
+  SELECT -LN((('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+             / 4294967296.0) AS nlnu
+  FROM documents
+)
+"""
+    m = _min_margin(con, with_sql, "nlnu", 1e8, "FROM keyed")
+    assert m > 1e-4, f"-ln(u) within {m} grid units of the rounding boundary"
