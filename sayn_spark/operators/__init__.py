@@ -9,6 +9,7 @@ from sayn_spark.operators.embed import EmbedTask  # noqa: F401
 from sayn_spark.operators.filter import FilterTask  # noqa: F401
 from sayn_spark.operators.mixture import MixtureTask  # noqa: F401
 from sayn_spark.operators.pack import PackTask  # noqa: F401
+from sayn_spark.operators.sample import SampleTask  # noqa: F401
 from sayn_spark.operators.shuffle import ShuffleTask  # noqa: F401
 from sayn_spark.operators.python import (  # noqa: F401
     ClassPythonTask,
@@ -36,6 +37,7 @@ TASK_TYPES = {
     "mixture": MixtureTask,
     "pack": PackTask,
     "chunk": ChunkTask,
+    "sample": SampleTask,
     "shuffle": ShuffleTask,
     "test": TestTask,
     "python": ClassPythonTask,
