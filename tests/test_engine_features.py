@@ -267,6 +267,16 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     # fall under min_kept_tokens), none gains text
     span = spark.table("corpus_span_cleaned")
     assert 0 < span.count() <= n_docs
+    # sample stages: the per-language hash downsample keeps every 'en'
+    # doc (rate 1) and a strict subset overall; the weighted draw
+    # returns at most k per language with the audit key column
+    clean_n = clean.count()
+    down = spark.table("documents_downsampled")
+    assert 0 < down.count() < clean_n
+    assert down.where("lang = 'en'").count() == clean.where("lang = 'en'").count()
+    qs = spark.table("documents_quality_sample")
+    assert "sample_key" in qs.columns
+    assert qs.groupBy("lang").count().where("count > 10").count() == 0
 
 
 def test_env_parameter_override(spark, tmp_path, monkeypatch):
