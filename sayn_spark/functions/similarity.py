@@ -1739,3 +1739,82 @@ def q_ann_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "margin_micro"
         ),
     )
+
+
+def ann_index_search_binary(
+    spark: SparkSession,
+    index: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    shortlist: int = 20,
+) -> DataFrame:
+    """Binary-Hamming search against a catalog index built by the
+    ``ann_index`` task with ``method: ivfbin``: route each query to its
+    ``nprobe`` nearest cells (broadcast centroids), binarise the query
+    on the index's frozen grid (``{index}_sq8grid`` midpoints, one
+    broadcast row), scan only those cells' ``{index}_binwords`` rows
+    with the packed XOR+popcount distance of q_ann_binary_hamming,
+    shortlist per query, and re-rank the shortlist with exact cosine
+    from ``{index}_vectors``.
+
+    Scale: words are 16 bytes/vector (16x under float32) and bucketed
+    by cell, so the wide scan reads nprobe/n_cells of a sixteenth-sized
+    table in place; only query rows and the shortlist move, and the
+    per-pair work is two XOR+popcounts — the cheapest scan of the
+    index family (the coarse tier under SQ8 when even 1 byte/dim is
+    too much memory)."""
+    cent = spark.table(f"{index}_centroids")
+    q = queries.select(
+        F.col("query_id").alias("vec_id"),
+        F.expr("cast(e as array<double>)").alias("e"),
+    )
+    probes = _assign_cells(q, cent, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    grid = spark.table(f"{index}_sq8grid")
+    qwords = (
+        q.crossJoin(F.broadcast(grid))
+        .select(F.col("vec_id").alias("query_id"), sq8_codes_col().alias("c"))
+        .select(
+            "query_id",
+            F.expr(_bq_pack_expr("c", *_BQ_WORDS[0])).alias("qw1"),
+            F.expr(_bq_pack_expr("c", *_BQ_WORDS[1])).alias("qw2"),
+        )
+        .join(probes, "query_id")
+    )
+    words = spark.table(f"{index}_binwords").select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "w1", "w2"
+    )
+    scored = (
+        words.join(F.broadcast(qwords), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(_BQ_HAM).alias("ham"))
+    )
+    w_h = Window.partitionBy("query_id").orderBy("ham", "neighbor_id")
+    cand = (
+        scored.withColumn("rk", F.row_number().over(w_h))
+        .where(F.col("rk") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    vec = spark.table(f"{index}_vectors")
+    qn = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("qnrm"),
+    )
+    cn = vec.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qnrm") * F.col("nrm")),
+        6,
+    )
+    scored_exact = (
+        cand.join(qn, "query_id")
+        .join(cn, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w_out = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return scored_exact.withColumn("rk", F.row_number().over(w_out)).where(
+        F.col("rk") <= k
+    )

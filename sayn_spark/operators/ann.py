@@ -11,7 +11,9 @@ demonstrate as queries, promoted to a catalog-managed artifact the way
         label_column: label       # optional centroid seed
         n_cells: 16               # seed by id-hash when no label_column
         refine_iters: 1           # Lloyd iterations after seeding
-        method: ivfpq             # ivf (default) | ivfpq
+        method: ivfpq             # ivf (default) | ivfpq | ivfsq8
+                                  #   | ivfbin (packed sign bits +
+                                  #   Hamming scan, 16 bytes/vector)
         codebook: trained         # ivfpq only: seed (default) | trained
         pq_iters: 3               # trained: per-subspace Lloyd steps
         encode: residual          # ivfpq only: vector (default) |
@@ -67,9 +69,10 @@ class AnnIndexTask(Task):
         self.vector_column = c.get("vector_column", "embedding")
         self.label_column = c.get("label_column")
         self.method = c.get("method", "ivf")
-        if self.method not in ("ivf", "ivfpq", "ivfsq8"):
+        if self.method not in ("ivf", "ivfpq", "ivfsq8", "ivfbin"):
             raise ValueError(
-                f"ann_index task {self.name!r}: method must be ivf|ivfpq|ivfsq8"
+                f"ann_index task {self.name!r}: method must be "
+                "ivf|ivfpq|ivfsq8|ivfbin"
             )
         self.n_cells = int(c.get("n_cells", 16))
         if self.n_cells < 1:
@@ -131,6 +134,8 @@ class AnnIndexTask(Task):
             suffixes += ("_codebook", "_codes")
         elif self.method == "ivfsq8":
             suffixes += ("_sq8grid", "_sq8codes")
+        elif self.method == "ivfbin":
+            suffixes += ("_sq8grid", "_binwords")
         for suffix in suffixes:
             self.outputs.add(
                 self.context.obj_compiler.from_string(f"{self.index}{suffix}")
@@ -222,6 +227,8 @@ class AnnIndexTask(Task):
             self._build_pq()
         elif self.method == "ivfsq8":
             self._build_sq8()
+        elif self.method == "ivfbin":
+            self._build_binary()
 
     def _run_incremental(self) -> None:
         """Insert new source vectors into the existing index: assign to
@@ -240,7 +247,12 @@ class AnnIndexTask(Task):
                 )
         built_pq = db.table_exists(f"{self.index}_codes")
         built_sq8 = db.table_exists(f"{self.index}_sq8codes")
-        built = "ivfpq" if built_pq else ("ivfsq8" if built_sq8 else "ivf")
+        built_bin = db.table_exists(f"{self.index}_binwords")
+        built = (
+            "ivfpq"
+            if built_pq
+            else ("ivfsq8" if built_sq8 else ("ivfbin" if built_bin else "ivf"))
+        )
         if self.method != built:
             raise ValueError(
                 f"ann_index task {self.name!r}: {self.index} was built with "
@@ -248,10 +260,12 @@ class AnnIndexTask(Task):
                 "leave the quantizer layers stale; set method to match "
                 "(or rebuild full)"
             )
-        if self.method == "ivfsq8" and not db.table_exists(f"{self.index}_sq8grid"):
+        if self.method in ("ivfsq8", "ivfbin") and not db.table_exists(
+            f"{self.index}_sq8grid"
+        ):
             raise ValueError(
-                f"ann_index task {self.name!r}: ivfsq8 incremental insert needs "
-                f"the existing {self.index}_sq8grid — run a full build first"
+                f"ann_index task {self.name!r}: {self.method} incremental insert "
+                f"needs the existing {self.index}_sq8grid — run a full build first"
             )
         # ALL validation before any write: raising after the vector
         # append would strand a half-inserted batch behind the anti-join
@@ -304,6 +318,50 @@ class AnnIndexTask(Task):
             bucket_by=(_VEC_BUCKETS, ["cell"]),
         )
         db.move_table(staging, f"{self.index}_sq8codes")
+
+    def _build_binary(self) -> None:
+        """Binary layer over the IVF cells: ``{index}_sq8grid`` (the
+        shared trained grid — binarisation is the top bit of the SQ8
+        code, i.e. sign against the grid midpoint) and
+        ``{index}_binwords`` (vec_id, cell, w1, w2: two BIGINT words of
+        packed sign bits) bucketed by cell — q_ann_binary_hamming's
+        design, persisted.  16 bytes/vector: the cheapest tier of the
+        quantized-index family; encoding is a row-local fold, so
+        building the words table shuffles nothing beyond the bucketed
+        write."""
+        from sayn_spark.core.database import _tmp_name
+        from sayn_spark.functions.similarity import (
+            _BQ_WORDS,
+            _bq_pack_expr,
+            sq8_codes_col,
+            sq8_range_row,
+        )
+
+        db = self.context.db
+        spark = self.context.spark
+        vec = spark.table(f"{self.index}_vectors")
+        grid = sq8_range_row(vec.select("vec_id", "e"))
+        db.replace_table(f"{self.index}_sq8grid", grid)
+        words = (
+            vec.select("vec_id", "cell", "e")
+            .crossJoin(F.broadcast(spark.table(f"{self.index}_sq8grid")))
+            .select("vec_id", "cell", sq8_codes_col().alias("c"))
+            .select(
+                "vec_id",
+                "cell",
+                F.expr(_bq_pack_expr("c", *_BQ_WORDS[0])).alias("w1"),
+                F.expr(_bq_pack_expr("c", *_BQ_WORDS[1])).alias("w2"),
+            )
+        )
+        staging = _tmp_name(f"{self.index}_binwords")
+        db.drop_object(staging)
+        db.create_table(
+            staging,
+            words,
+            mode="overwrite",
+            bucket_by=(_VEC_BUCKETS, ["cell"]),
+        )
+        db.move_table(staging, f"{self.index}_binwords")
 
     def _train_pq(self, subs: DataFrame, seed_ids: DataFrame) -> DataFrame:
         """Per-subspace k-means codebook (s, c, cw): 16 codewords per
@@ -542,6 +600,34 @@ def ann_insert_batch(spark, db, index: str, vecs: DataFrame) -> None:
                 missing.select("vec_id", "cell", "e")
                 .crossJoin(F.broadcast(spark.table(f"{index}_sq8grid")))
                 .select("vec_id", "cell", sq8_codes_col().alias("c")),
+                mode="append",
+                bucket_by=(_VEC_BUCKETS, ["cell"]),
+            )
+    elif db.table_exists(f"{index}_binwords"):
+        # frozen-grid binarisation for any vector missing packed words
+        # — same heal contract as the PQ/SQ8 branches
+        from sayn_spark.functions.similarity import (
+            _BQ_WORDS,
+            _bq_pack_expr,
+            sq8_codes_col,
+        )
+
+        words_t = f"{index}_binwords"
+        missing = spark.table(f"{index}_vectors").join(
+            spark.table(words_t).select("vec_id").distinct(), "vec_id", "left_anti"
+        )
+        if not missing.isEmpty():
+            db.create_table(
+                words_t,
+                missing.select("vec_id", "cell", "e")
+                .crossJoin(F.broadcast(spark.table(f"{index}_sq8grid")))
+                .select("vec_id", "cell", sq8_codes_col().alias("c"))
+                .select(
+                    "vec_id",
+                    "cell",
+                    F.expr(_bq_pack_expr("c", *_BQ_WORDS[0])).alias("w1"),
+                    F.expr(_bq_pack_expr("c", *_BQ_WORDS[1])).alias("w2"),
+                ),
                 mode="append",
                 bucket_by=(_VEC_BUCKETS, ["cell"]),
             )

@@ -14,14 +14,16 @@ declaratively — the search half of the similarity pipeline as YAML:
         shortlist: 20              # ivfpq only: ADC shortlist width
 
 The path is chosen from the CATALOG, not the config: an index with a
-``{index}_sq8codes`` table searches via the symmetric integer SQ8 scan
-+ exact re-rank (functions/similarity.py:ann_index_search_sq8); one
-with ``{index}_codes`` via ADC + exact re-rank (ann_index_search_pq —
-residual encodings route automatically through the codebook's enc
-column); otherwise the exact in-cell scan (ann_index_search).  Only query rows shuffle; the bucketed
-inverted file is read in place.  The destination is a full rebuild
-(replace_table), so re-running a search after an incremental index
-insert refreshes results idempotently.
+``{index}_binwords`` table searches via the packed XOR+popcount scan
++ exact re-rank (functions/similarity.py:ann_index_search_binary);
+one with ``{index}_sq8codes`` via the symmetric integer SQ8 scan
++ exact re-rank (ann_index_search_sq8); one with ``{index}_codes``
+via ADC + exact re-rank (ann_index_search_pq — residual encodings
+route automatically through the codebook's enc column); otherwise the
+exact in-cell scan (ann_index_search).  Only query rows shuffle; the
+bucketed inverted file is read in place.  The destination is a full
+rebuild (replace_table), so re-running a search after an incremental
+index insert refreshes results idempotently.
 """
 
 from __future__ import annotations
@@ -71,6 +73,7 @@ class AnnSearchTask(Task):
     def run(self) -> None:
         from sayn_spark.functions.similarity import (
             ann_index_search,
+            ann_index_search_binary,
             ann_index_search_pq,
             ann_index_search_sq8,
         )
@@ -94,7 +97,16 @@ class AnnSearchTask(Task):
             F.col(self.id_column).alias("query_id"),
             F.expr(f"cast({self.vector_column} as array<double>)").alias("e"),
         )
-        if db.table_exists(f"{self.index}_sq8codes"):
+        if db.table_exists(f"{self.index}_binwords"):
+            out = ann_index_search_binary(
+                spark,
+                self.index,
+                queries,
+                k=self.k,
+                nprobe=self.nprobe,
+                shortlist=self.shortlist,
+            )
+        elif db.table_exists(f"{self.index}_sq8codes"):
             out = ann_index_search_sq8(
                 spark,
                 self.index,

@@ -557,3 +557,133 @@ def test_ann_sq8_incremental_insert_and_guards(ctx, spark, emb_table):
     t.config()
     with pytest.raises(ValueError, match="stale"):
         t.run()
+
+
+def test_ann_binary_task_builds_and_searches(ctx, spark, emb_table):
+    """method=ivfbin builds the shared grid + cell-bucketed packed
+    words, the words recompute exactly from the codes, and with every
+    cell probed and an exhaustive shortlist the binary search's exact
+    re-rank equals the plain in-cell exact scan."""
+    from sayn_spark.functions.similarity import (
+        ann_index_search,
+        ann_index_search_binary,
+    )
+
+    _build(
+        ctx,
+        spark,
+        "ann_bin",
+        {
+            "source": "ann_src",
+            "index": "ann_bin",
+            "label_column": "label",
+            "method": "ivfbin",
+        },
+    )
+    assert spark.table("ann_bin_sq8grid").count() == 1
+    n_vec = spark.table("ann_bin_vectors").count()
+    words = spark.table("ann_bin_binwords")
+    assert words.count() == n_vec
+    # both words fit their 32-bit lanes
+    assert words.where("w1 < 0 or w1 > 4294967295 or w2 < 0 or w2 > 4294967295").count() == 0
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql("DESCRIBE TABLE EXTENDED ann_bin_binwords").collect()
+    }
+    assert "cell" in desc.get("Bucket Columns", "")
+
+    n_cells = spark.table("ann_bin_centroids").count()
+    queries = (
+        spark.table("ann_src")
+        .where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr("cast(embedding as array<double>)").alias("e"),
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in ann_index_search_binary(
+            spark, "ann_bin", queries, k=5, nprobe=n_cells, shortlist=100000
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ann_index_search(
+            spark, "ann_bin", queries, k=5, nprobe=n_cells
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    # tight approximate path still returns k ranked rows per query
+    tight = ann_index_search_binary(
+        spark, "ann_bin", queries, k=5, nprobe=1, shortlist=10
+    )
+    assert tight.groupBy("query_id").count().where("count != 5").count() == 0
+
+
+def test_ann_binary_incremental_insert_and_dispatch(ctx, spark, emb_table):
+    """Binary incremental inserts pack with the FROZEN grid, replays
+    are no-ops, method mismatch is rejected, and the ann_search task
+    dispatches to the binary path from the catalog."""
+    from sayn_spark.operators.ann_search import AnnSearchTask
+
+    full = spark.table("ann_src")
+    wave1 = full.where(F.col("vec_id") % 3 != 0)
+    ctx.db.replace_table("ann_bini_src", wave1)
+    base = {
+        "source": "ann_bini_src",
+        "index": "ann_bini",
+        "label_column": "label",
+        "method": "ivfbin",
+    }
+    _build(ctx, spark, "ann_bini_full", base)
+    grid_before = spark.table("ann_bini_sq8grid").collect()
+    words_before = {
+        (r.vec_id): (r.w1, r.w2) for r in spark.table("ann_bini_binwords").collect()
+    }
+
+    ctx.db.replace_table("ann_bini_src", full)
+    _build(ctx, spark, "ann_bini_add", {**base, "mode": "incremental"})
+    assert spark.table("ann_bini_sq8grid").collect() == grid_before  # frozen
+    words_after = {
+        (r.vec_id): (r.w1, r.w2) for r in spark.table("ann_bini_binwords").collect()
+    }
+    assert len(words_after) == full.count()
+    assert all(words_after[v] == w for v, w in words_before.items())
+
+    # replay: no-op
+    _build(ctx, spark, "ann_bini_noop", {**base, "mode": "incremental"})
+    assert spark.table("ann_bini_binwords").count() == full.count()
+
+    # method mismatch guard
+    t = AnnIndexTask(
+        "ann_bini_bad",
+        {"source": "ann_bini_src", "index": "ann_bini", "label_column": "label",
+         "mode": "incremental", "method": "ivfsq8"},
+        ctx,
+    )
+    t.config()
+    with pytest.raises(ValueError, match="stale"):
+        t.run()
+
+    # catalog dispatch: the search task routes through the binary scan
+    ctx.db.replace_table(
+        "ann_bini_queries", full.where(F.col("vec_id") < 5)
+    )
+    st = AnnSearchTask(
+        "ann_bini_search",
+        {
+            "index": "ann_bini",
+            "queries": "ann_bini_queries",
+            "destination": "ann_bini_topk",
+            "k": 3,
+            "nprobe": 2,
+        },
+        ctx,
+    )
+    st.config()
+    st.run()
+    topk = spark.table("ann_bini_topk")
+    assert {"query_id", "neighbor_id", "cos", "rk"} <= set(topk.columns)
+    assert topk.groupBy("query_id").count().where("count > 3").count() == 0
+    assert topk.count() > 0
