@@ -67,6 +67,9 @@ HEADLINE = [
     "q_quality_c4_rules",
     "q_dedup_boilerplate_lines",
     "q_ann_sq8_topk",
+    "q_ann_binary_hamming",
+    "q_ann_triplet_mining",
+    "q_text_bigram_surprisal",
     "q_dsir_selection",
     "task_dedup_incremental",
     "task_filter_gopher",
