@@ -42,6 +42,28 @@ from sayn_spark.operators.base import Task, TaskStatus
 _METHODS = ("hash", "weighted")
 
 
+def hash_sample_predicate(
+    id_column: str,
+    seed: int,
+    rate_in: int,
+    stratify_by: str | None = None,
+    rates: dict | None = None,
+):
+    """The deterministic keep-row predicate shared by the sample task's
+    hash method and its streaming twin: bucket = md5(seed|id) mod the
+    row's rate (the stratum's rate when given, else rate_in); keep
+    bucket 0.  A pure column expression — map-side in batch, stateless
+    in a stream."""
+    bucket = F.expr(
+        f"cast(conv(substr(md5(concat('{seed}|', "
+        f"cast({id_column} as string))), 1, 8), 16, 10) as bigint)"
+    )
+    rate = F.lit(int(rate_in))
+    for stratum, r in (rates or {}).items():
+        rate = F.when(F.col(stratify_by) == stratum, F.lit(int(r))).otherwise(rate)
+    return bucket % rate == 0
+
+
 class SampleTask(Task):
     def config(self) -> None:
         c = self.config_dict
@@ -122,25 +144,14 @@ class SampleTask(Task):
             self.dst_value, out, **self.destination_writer_opts()
         )
 
-    def _bucket(self):
-        return F.expr(
-            f"cast(conv(substr(md5(concat('{self.seed}|', "
-            f"cast({self.id_column} as string))), 1, 8), 16, 10) as bigint)"
-        )
-
     def _run_hash(self, df):
         # per-row modulus: the stratum's rate when given, else rate_in —
         # a pure projection, so the whole sample is one map-side filter
-        rate = F.lit(self.rate_in)
-        if self.rates:
-            expr = F.lit(self.rate_in)
-            for stratum, r in self.rates.items():
-                expr = (
-                    F.when(F.col(self.stratify_by) == stratum, F.lit(int(r)))
-                    .otherwise(expr)
-                )
-            rate = expr
-        return df.where(self._bucket() % rate == 0)
+        return df.where(
+            hash_sample_predicate(
+                self.id_column, self.seed, self.rate_in, self.stratify_by, self.rates
+            )
+        )
 
     def _run_weighted(self, df):
         # A-ES exponential-jumps key in exact integer units

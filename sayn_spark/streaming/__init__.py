@@ -17,4 +17,5 @@ from sayn_spark.streaming.streams import (  # noqa: F401
     read_events_stream,
     sessionize_stream,
     stream_copy,
+    stream_hash_sample,
 )

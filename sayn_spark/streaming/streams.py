@@ -346,3 +346,26 @@ def content_filter_stream(
                 ),
             )
     return out
+
+
+def stream_hash_sample(
+    docs: DataFrame,
+    rate_in: int,
+    seed: int = 0,
+    id_column: str = "doc_id",
+    stratify_by: Optional[str] = None,
+    rates: Optional[dict] = None,
+) -> DataFrame:
+    """Streaming twin of the sample task's ``method: hash``: keep the
+    rows whose seeded content-hash bucket is 0, with optional
+    per-stratum rates — the SAME predicate the batch task applies
+    (operators/sample.py:hash_sample_predicate), so a sampled ingest
+    stream and a batch re-materialisation of the same data keep
+    IDENTICAL row sets.  Stateless map-side filter: no watermark, no
+    state store, append mode — put it in front of the expensive
+    dedup/embed stages to downsample a continuous crawl at the door."""
+    from sayn_spark.operators.sample import hash_sample_predicate
+
+    return docs.where(
+        hash_sample_predicate(id_column, seed, rate_in, stratify_by, rates)
+    )

@@ -898,3 +898,43 @@ def test_ann_ingest_stream_sq8_matches_batch_insert(spark, tmp_path):
     for ix in ("sq8s_s", "sq8s_b"):
         for sfx in ("_centroids", "_vectors", "_sq8grid", "_sq8codes"):
             spark.sql(f"DROP TABLE IF EXISTS {ix}{sfx}")
+
+
+def test_stream_hash_sample_matches_batch(spark, tmp_path):
+    """The streaming hash sample keeps exactly the batch sample task's
+    row set (shared predicate), including per-stratum rates."""
+    from sayn_spark.operators.sample import hash_sample_predicate
+    from sayn_spark.streaming import stream_hash_sample
+
+    src = tmp_path / "hs_docs"
+    src.mkdir()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "w1"))
+    stream = spark.readStream.schema("doc_id long, lang string, text string").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = (
+        stream_hash_sample(
+            stream, rate_in=3, seed=9, stratify_by="lang", rates={"en": 1}
+        )
+        .writeStream.format("memory")
+        .queryName("hs_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.table("hs_out").collect()}
+    want = {
+        r.doc_id
+        for r in docs.where(
+            hash_sample_predicate("doc_id", 9, 3, "lang", {"en": 1})
+        ).collect()
+    }
+    assert got == want
+    assert 0 < len(got) < docs.count()
+    # rate-1 stratum passes through complete
+    en = {r.doc_id for r in docs.where("lang = 'en'").collect()}
+    assert en <= got
