@@ -113,6 +113,23 @@ class SampleTask(Task):
                 )
             self.group_by = c.get("group_by")
 
+        # incremental: sample only source rows the destination hasn't
+        # seen and append — valid for hash (a pure per-row predicate:
+        # incremental == full rebuild over the union, replay-safe).
+        # Weighted is corpus-relative (the top-k depends on every row),
+        # so it rejects incremental like the surprisal scorer does.
+        self.mode = c.get("mode", "full")
+        if self.mode not in ("full", "incremental"):
+            raise ValueError(
+                f"sample task {self.name!r}: mode must be full|incremental"
+            )
+        if self.mode == "incremental" and self.method != "hash":
+            raise ValueError(
+                f"sample task {self.name!r}: method weighted is corpus-relative "
+                "(the top-k depends on every row) — incremental runs would keep "
+                "rows a full run wouldn't; rebuild full instead"
+            )
+
         self.src_obj = self.context.obj_compiler.from_string(self.source)
         self.sources.add(self.src_obj)
         self.src_value = self.context.obj_compiler.src_value(self.src_obj)
@@ -131,9 +148,25 @@ class SampleTask(Task):
 
     def run(self) -> None:
         spark = self.context.spark
+        db = self.context.db
         df = spark.table(self.src_value)
         if self.method == "hash":
             self._require_columns(df, [self.id_column, self.stratify_by])
+            if self.mode == "incremental" and db.table_exists(self.dst_value):
+                # restrict to unseen ids BEFORE filtering (nothing but
+                # the slim id column of the destination moves), then
+                # append — the predicate is per-row, so the result is
+                # identical to a full rebuild over the union
+                seen = spark.table(self.dst_value).select(self.id_column)
+                new = self._run_hash(df.join(seen, self.id_column, "left_anti"))
+                if not new.isEmpty():
+                    db.create_table(
+                        self.dst_value,
+                        new,
+                        mode="append",
+                        **self.destination_writer_opts(),
+                    )
+                return
             out = self._run_hash(df)
         else:
             self._require_columns(

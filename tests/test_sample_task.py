@@ -187,3 +187,47 @@ def test_sample_missing_column_raises_before_write(ctx, spark):
     with pytest.raises(ValueError, match="no_such"):
         t.run()
     assert not spark.catalog.tableExists("smp_out5")
+
+
+def test_hash_sample_incremental_equals_full_over_union(ctx, spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    wave1 = docs.where("doc_id % 3 != 0")
+    ctx.db.replace_table("smp_inc_src", wave1)
+    base = {
+        "source": "smp_inc_src",
+        "destination": "smp_inc_out",
+        "rate_in": 3,
+        "seed": 5,
+        "mode": "incremental",
+    }
+    _run(ctx, "si1", base)  # first run: no destination yet -> full build
+    n1 = spark.table("smp_inc_out").count()
+    assert n1 > 0
+
+    ctx.db.replace_table("smp_inc_src", docs)
+    _run(ctx, "si2", base)  # second wave appends only unseen ids
+    got = {r.doc_id for r in spark.table("smp_inc_out").collect()}
+    want = {
+        r.doc_id for r in docs.select("doc_id").collect() if _bucket(5, r.doc_id) % 3 == 0
+    }
+    assert got == want  # incremental == full rebuild over the union
+
+    _run(ctx, "si3", base)  # replay: no-op
+    assert spark.table("smp_inc_out").count() == len(want)
+
+
+def test_weighted_sample_rejects_incremental(ctx):
+    t = SampleTask(
+        "bad_inc",
+        {
+            "source": "t",
+            "destination": "o",
+            "method": "weighted",
+            "weight_column": "w",
+            "k": 5,
+            "mode": "incremental",
+        },
+        ctx,
+    )
+    with pytest.raises(ValueError, match="corpus-relative"):
+        t.config()
