@@ -2074,3 +2074,121 @@ def q_repetition_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_dup_lines * 1000000) div n_lines").alias("dup_line_ppm"),
         F.expr("(n_dup_chars * 1000000) div sum_chars").alias("dup_char_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination overlap report (the GPT-3 appendix-C measurement step)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_decontaminate_report",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+ev AS (
+  SELECT 'eval_a' AS eval_set, t[3:12] AS s FROM toks
+  WHERE doc_id % 9 = 0 AND len(t) >= 12
+  UNION ALL
+  SELECT 'eval_b' AS eval_set, list_concat(t[5:13], ['qq']) AS s FROM toks
+  WHERE doc_id % 7 = 0 AND len(t) >= 13
+),
+ev_g AS (
+  SELECT DISTINCT eval_set,
+         hash(unnest(list_transform(generate_series(1, len(s) - 7),
+              i -> array_to_string(s[i:i+7], ' ')))) AS h
+  FROM ev
+),
+src_g AS (
+  SELECT DISTINCT doc_id,
+         hash(unnest(list_transform(generate_series(1, len(t) - 7),
+              i -> array_to_string(t[i:i+7], ' ')))) AS h
+  FROM toks WHERE len(t) >= 8
+),
+corpus_h AS (SELECT DISTINCT h FROM src_g),
+hits AS (
+  SELECT e.eval_set, e.h, (c.h IS NOT NULL) AS hit
+  FROM ev_g e LEFT JOIN corpus_h c USING (h)
+),
+contam AS (
+  SELECT e.eval_set, COUNT(DISTINCT s.doc_id) AS n_docs
+  FROM ev_g e JOIN src_g s USING (h) GROUP BY e.eval_set
+)
+SELECT h.eval_set,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_grams,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_grams,
+       CAST((SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
+         AS hit_ppm,
+       CAST(COALESCE(MAX(c.n_docs), 0) AS BIGINT) AS n_contaminated_docs
+FROM hits h LEFT JOIN contam c ON c.eval_set = h.eval_set
+GROUP BY h.eval_set
+""",
+)
+def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination overlap REPORT — the measurement the GPT-3
+    appendix publishes before any dropping happens: for each held-out
+    eval set, how many of its n-grams appear anywhere in the training
+    corpus (count + ppm) and how many training documents carry at
+    least one of them.  Two planted sets exercise both regimes:
+    eval_a is clean corpus spans (full overlap by construction),
+    eval_b's spans end in an out-of-corpus token, so only its
+    prefix-grams hit — the report shows the partial-overlap signature
+    a real benchmark leak produces.
+
+    Determinism: overlap is exact xxhash64 set membership (DuckDB
+    ``hash`` == Spark ``xxhash64`` on strings — the equivalence every
+    decontaminate oracle already pins) and every metric is an integer
+    (ppm is floor division).
+
+    Scale shape: identical to q_decontaminate_ngrams' apply path —
+    both sides reduce to 8-byte gram hashes, the eval side (MBs
+    against 100 TB) broadcasts into a map-side join, the corpus never
+    shuffles text, and the per-set aggregate is a handful of rows.
+    Run the report BEFORE the drop to size the blast radius (and
+    after, to verify it went to zero)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.expr(_NGRAM_TOKENS).alias("t"))
+    ev_a = toks.where(F.expr("doc_id % 9 = 0 AND size(t) >= 12")).select(
+        F.lit("eval_a").alias("eval_set"), F.expr("slice(t, 3, 10)").alias("s")
+    )
+    ev_b = toks.where(F.expr("doc_id % 7 = 0 AND size(t) >= 13")).select(
+        F.lit("eval_b").alias("eval_set"),
+        F.expr("concat(slice(t, 5, 9), array('qq'))").alias("s"),
+    )
+    grams = (
+        "transform(sequence(1, size(s) - 7), i -> concat_ws(' ', slice(s, i, 8)))"
+    )
+    ev_g = (
+        ev_a.unionByName(ev_b)
+        .select("eval_set", F.explode(F.expr(grams)).alias("g"))
+        .select("eval_set", F.xxhash64("g").alias("h"))
+        .distinct()
+    )
+    src_g = ngram_hash_frame(d, "text", 8, "doc_id")
+    src_g = persist_tracked(src_g)  # read by the hit probe AND the doc count
+    corpus_h = src_g.select("h").distinct()
+    hits = ev_g.join(
+        corpus_h.withColumn("_in", F.lit(1)), "h", "left"
+    ).select("eval_set", F.coalesce("_in", F.lit(0)).alias("hit"))
+    per_set = hits.groupBy("eval_set").agg(
+        F.count(F.lit(1)).alias("n_eval_grams"),
+        F.sum("hit").alias("n_hit_grams"),
+    )
+    contam = (
+        src_g.join(F.broadcast(ev_g), "h")
+        .groupBy("eval_set")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    return per_set.join(contam, "eval_set", "left").select(
+        "eval_set",
+        F.col("n_eval_grams").cast("bigint").alias("n_eval_grams"),
+        F.col("n_hit_grams").cast("bigint").alias("n_hit_grams"),
+        F.expr("cast((n_hit_grams * 1000000) div n_eval_grams as bigint)").alias(
+            "hit_ppm"
+        ),
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias(
+            "n_contaminated_docs"
+        ),
+    )
