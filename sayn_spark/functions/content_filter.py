@@ -2137,10 +2137,12 @@ def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-grams hit — the report shows the partial-overlap signature
     a real benchmark leak produces.
 
-    Determinism: overlap is exact xxhash64 set membership (DuckDB
-    ``hash`` == Spark ``xxhash64`` on strings — the equivalence every
-    decontaminate oracle already pins) and every metric is an integer
-    (ppm is floor division).
+    Determinism: overlap is exact n-gram set membership — each engine
+    hashes with its OWN 64-bit function (Spark xxhash64, DuckDB hash;
+    they are not bit-identical, but membership and counts depend only
+    on string equality, so collision-free hashing gives identical
+    metrics) — and every metric is an integer (ppm is floor
+    division).
 
     Scale shape: identical to q_decontaminate_ngrams' apply path —
     both sides reduce to 8-byte gram hashes, the eval side (MBs

@@ -1080,3 +1080,91 @@ def q_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _SB_K)
         .select("doc_id", "n_scored", "sum_nll_i8", "avg_nll_i8", "rk")
     )
+
+
+# --- Content-defined chunking (rsync/FastCDC-style boundaries) ---------
+
+_CDC_DIV = 16  # expected chunk length in tokens (boundary prob 1/16)
+
+
+@register(
+    "q_doc_cdc_chunks",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t)),
+                i -> struct_pack(i := i, w := t[i]))) AS s
+  FROM toks WHERE len(t) > 0
+),
+flagged AS (
+  SELECT doc_id, s.i AS i, s.w AS w,
+         CASE WHEN (('0x' || substr(md5(s.w), 1, 8))::BIGINT) % {_CDC_DIV} = 0
+              THEN 1 ELSE 0 END AS b
+  FROM pos
+),
+assigned AS (
+  SELECT doc_id, i, w,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_index
+  FROM flagged
+)
+SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       string_agg(w, ' ' ORDER BY i) AS chunk_text
+FROM assigned GROUP BY doc_id, chunk_index
+""",
+)
+def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC boundary idea,
+    token-granular): a chunk ends after any token whose hash falls in
+    1/{_CDC_DIV} of the hash space, so expected chunk length is
+    {_CDC_DIV} tokens and — the property fixed-window chunking lacks —
+    boundaries depend only on LOCAL content: an insertion near the top
+    of a document re-chunks one neighborhood instead of shifting every
+    downstream window.  That makes chunk-level dedup stable under
+    edits, which is why CDC is the chunking layer under storage dedup
+    and a natural pre-pass for passage-level corpus dedup.
+
+    Determinism: the boundary predicate is a modulus over the md5
+    prefix — the registry's cross-engine content hash (DuckDB ``hash``
+    vs Spark ``xxhash64`` are NOT bit-identical, they only agree
+    within-engine, so a cross-engine boundary must come from md5) —
+    and chunk text is the exact token sequence: no FP anywhere.
+
+    Scale shape: the Spark side builds each document's chunk list with
+    a single aggregate() fold over the row's own token array — ZERO
+    exchanges; chunks leave the row through one map-side explode (the
+    per-row-fold rule in SCALE.md).  The relational DuckDB oracle
+    (position window + group-by) certifies the fold.  At 100 TB this
+    rides the scan like the C4/line operators; pair it with
+    fingerprint-only shuffles for chunk-level dedup downstream."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKENS).alias("t")
+    ).where(F.expr("size(t) > 0"))
+    empty_s = "cast(array() as array<string>)"
+    fold = F.expr(
+        f"aggregate(t, "
+        f"named_struct('chunks', cast(array() as array<array<string>>), "
+        f"'cur', {empty_s}), "
+        f"(acc, x) -> case when "
+        f"cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint) % {_CDC_DIV} = 0 "
+        f"then named_struct('chunks', array_append(acc.chunks, array_append(acc.cur, x)), "
+        f"'cur', {empty_s}) "
+        f"else named_struct('chunks', acc.chunks, 'cur', array_append(acc.cur, x)) end, "
+        f"acc -> case when size(acc.cur) > 0 "
+        f"then array_append(acc.chunks, acc.cur) else acc.chunks end)"
+    )
+    return (
+        d.select("doc_id", F.posexplode(fold).alias("chunk_index", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_index").cast("bigint").alias("chunk_index"),
+            F.size("c").cast("bigint").alias("n_tokens"),
+            F.expr("concat_ws(' ', c)").alias("chunk_text"),
+        )
+    )
