@@ -74,6 +74,64 @@ def chunk_frame(
     )
 
 
+def cdc_chunk_frame(
+    df: DataFrame,
+    divisor: int = 16,
+    min_tokens: int = 1,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    carry_columns: tuple[str, ...] = (),
+) -> DataFrame:
+    """Content-defined chunking as a chunk-task projection
+    (q_doc_cdc_chunks' boundary rule with chunk_start tracked in the
+    fold): a chunk ends after any token whose md5-prefix hash is
+    0 mod ``divisor``, so boundaries depend only on local content and
+    an edit re-chunks one neighborhood instead of shifting every
+    downstream window.  Same output contract as chunk_frame:
+    (id, carry..., chunk_index, chunk_start, n_tokens, chunk_text).
+    Row-local fold + one map-side explode — no shuffle at all."""
+    toks = F.expr(f"filter(split(lower({text_column}), ' '), x -> x != '')")
+    work = (
+        df.where(F.col(text_column).isNotNull())
+        .withColumn("_toks", toks)
+        .where(F.size("_toks") >= min_tokens)
+    )
+    empty_t = "cast(array() as array<string>)"
+    empty_c = "cast(array() as array<struct<chunk_start: int, t: array<string>>>)"
+    fold = F.expr(
+        f"aggregate(_toks, "
+        f"named_struct('chunks', {empty_c}, 'cur', {empty_t}, "
+        f"'cur_start', 1, 'pos', 0), "
+        f"(acc, x) -> "
+        f"case when cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint) % {int(divisor)} = 0 "
+        f"then named_struct("
+        f"'chunks', array_append(acc.chunks, named_struct("
+        f"'chunk_start', case when size(acc.cur) = 0 then acc.pos + 1 else acc.cur_start end, "
+        f"'t', array_append(acc.cur, x))), "
+        f"'cur', {empty_t}, 'cur_start', 1, 'pos', acc.pos + 1) "
+        f"else named_struct("
+        f"'chunks', acc.chunks, "
+        f"'cur', array_append(acc.cur, x), "
+        f"'cur_start', case when size(acc.cur) = 0 then acc.pos + 1 else acc.cur_start end, "
+        f"'pos', acc.pos + 1) end, "
+        f"acc -> case when size(acc.cur) > 0 "
+        f"then array_append(acc.chunks, named_struct('chunk_start', acc.cur_start, 't', acc.cur)) "
+        f"else acc.chunks end)"
+    )
+    return work.select(
+        F.col(id_column),
+        *carry_columns,
+        F.posexplode(fold).alias("chunk_index", "c"),
+    ).select(
+        id_column,
+        *carry_columns,
+        F.col("chunk_index").cast("bigint").alias("chunk_index"),
+        F.col("c.chunk_start").alias("chunk_start"),
+        F.size("c.t").alias("n_tokens"),
+        F.expr("array_join(c.t, ' ')").alias("chunk_text"),
+    )
+
+
 class ChunkTask(Task):
     def config(self) -> None:
         c = self.config_dict
@@ -83,6 +141,23 @@ class ChunkTask(Task):
         dest = self.compile_property(c.get("destination"))
         if not dest:
             raise ValueError(f"chunk task {self.name!r} needs destination")
+        # fixed: stride-spaced context windows (default).  cdc:
+        # content-defined boundaries (q_doc_cdc_chunks) — edit-stable
+        # chunking for chunk-level dedup; window params don't apply.
+        self.method = c.get("method", "fixed")
+        if self.method not in ("fixed", "cdc"):
+            raise ValueError(f"chunk task {self.name!r}: method must be fixed|cdc")
+        if self.method == "cdc":
+            if "chunk_tokens" in c or "stride" in c:
+                raise ValueError(
+                    f"chunk task {self.name!r}: chunk_tokens/stride apply to "
+                    "method fixed only — cdc sizes chunks via cdc_divisor"
+                )
+            self.cdc_divisor = int(c.get("cdc_divisor", 16))
+            if self.cdc_divisor < 2:
+                raise ValueError(
+                    f"chunk task {self.name!r}: cdc_divisor must be >= 2"
+                )
         self.chunk_tokens = int(c.get("chunk_tokens", 2048))
         if self.chunk_tokens < 1:
             raise ValueError(f"chunk task {self.name!r}: chunk_tokens must be >= 1")
@@ -132,15 +207,25 @@ class ChunkTask(Task):
                 self.id_column,
                 "left_anti",
             )
-        out = chunk_frame(
-            df,
-            chunk_tokens=self.chunk_tokens,
-            stride=self.stride,
-            min_tokens=self.min_tokens,
-            id_column=self.id_column,
-            text_column=self.text_column,
-            carry_columns=tuple(self.carry_columns),
-        )
+        if self.method == "cdc":
+            out = cdc_chunk_frame(
+                df,
+                divisor=self.cdc_divisor,
+                min_tokens=self.min_tokens,
+                id_column=self.id_column,
+                text_column=self.text_column,
+                carry_columns=tuple(self.carry_columns),
+            )
+        else:
+            out = chunk_frame(
+                df,
+                chunk_tokens=self.chunk_tokens,
+                stride=self.stride,
+                min_tokens=self.min_tokens,
+                id_column=self.id_column,
+                text_column=self.text_column,
+                carry_columns=tuple(self.carry_columns),
+            )
         if incremental:
             if not out.isEmpty():
                 self.context.db.create_table(

@@ -191,3 +191,91 @@ def test_chunk_incremental_restricts_before_explode(ctx, spark):
     assert anti > gen, plan
     for t in ("ck_plan_src", "ck_plan_out"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _cdc_model(text, divisor=16):
+    import hashlib
+
+    toks = [t for t in text.lower().split(" ") if t]
+    chunks, cur, cur_start = [], [], 1
+    for i, x in enumerate(toks, start=1):
+        if not cur:
+            cur_start = i
+        cur.append(x)
+        if int(hashlib.md5(x.encode()).hexdigest()[:8], 16) % divisor == 0:
+            chunks.append((cur_start, cur))
+            cur = []
+    if cur:
+        chunks.append((cur_start, cur))
+    return chunks
+
+
+def test_chunk_cdc_matches_pure_python(ctx, spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    ctx.db.replace_table("ckc_src", docs)
+    _run(
+        ctx,
+        "ckc",
+        {
+            "source": "ckc_src",
+            "destination": "ckc_out",
+            "method": "cdc",
+            "carry_columns": ["lang"],
+        },
+    )
+    got = {}
+    for r in spark.table("ckc_out").collect():
+        got[(r.doc_id, r.chunk_index)] = (r.chunk_start, r.n_tokens, r.chunk_text, r.lang)
+    src = {r.doc_id: (r.text, r.lang) for r in docs.collect()}
+    want = {}
+    for doc_id, (text, lang) in src.items():
+        for idx, (start, toks) in enumerate(_cdc_model(text)):
+            want[(doc_id, idx)] = (start, len(toks), " ".join(toks), lang)
+    assert got == want and got
+    # chunk text reassembles the document exactly
+    by_doc = {}
+    for (doc_id, idx), (_s, _n, txt, _l) in sorted(got.items()):
+        by_doc.setdefault(doc_id, []).append(txt)
+    for doc_id, parts in by_doc.items():
+        toks = [t for t in src[doc_id][0].lower().split(" ") if t]
+        assert " ".join(parts) == " ".join(toks)
+
+
+def test_chunk_cdc_config_and_incremental(ctx, spark):
+    from sayn_spark.operators.chunk import ChunkTask
+
+    # window params are rejected for cdc
+    t = ChunkTask(
+        "ckc_bad",
+        {"source": "s", "destination": "d", "method": "cdc", "chunk_tokens": 64},
+        ctx,
+    )
+    with pytest.raises(ValueError, match="method fixed only"):
+        t.config()
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    wave1 = docs.where("doc_id % 2 = 0")
+    ctx.db.replace_table("ckci_src", wave1)
+    cfg = {
+        "source": "ckci_src",
+        "destination": "ckci_out",
+        "method": "cdc",
+        "mode": "incremental",
+    }
+    _run(ctx, "ckci1", cfg)
+    n1 = spark.table("ckci_out").count()
+    ctx.db.replace_table("ckci_src", docs)
+    _run(ctx, "ckci2", cfg)
+    n2 = spark.table("ckci_out").count()
+    assert n2 > n1
+    # incremental == full rebuild over the union (row-local chunking)
+    ctx.db.replace_table("ckci_full_src", docs)
+    _run(ctx, "ckci_full", {**cfg, "destination": "ckci_full_out", "source": "ckci_full_src", "mode": "full"})
+    a = {tuple(r) for r in spark.table("ckci_out").collect()}
+    b = {tuple(r) for r in spark.table("ckci_full_out").collect()}
+    assert a == b
+    # replay: no-op
+    _run(ctx, "ckci3", cfg)
+    assert spark.table("ckci_out").count() == n2
