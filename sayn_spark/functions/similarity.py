@@ -1818,3 +1818,123 @@ def ann_index_search_binary(
     return scored_exact.withColumn("rk", F.row_number().over(w_out)).where(
         F.col("rk") <= k
     )
+
+
+@register(
+    "q_ann_binary_recall",
+    oracle=f"""
+WITH {_SQL_EMB}, {_SQL_NORMED},
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC,
+                      c.vec_id) AS rk
+    FROM normed q JOIN normed c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+  ) WHERE rk <= {_BQ_K}
+),
+comp AS (
+  SELECT vec_id, i, e[i] AS x FROM emb, (SELECT unnest(generate_series(1, 64)) AS i)
+),
+dim_range AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM comp GROUP BY i),
+rngarr AS (
+  SELECT list(lo ORDER BY i) AS lo_a, list(hi ORDER BY i) AS hi_a FROM dim_range
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, 64), j ->
+           CASE WHEN r.hi_a[j] = r.lo_a[j] THEN CAST(0 AS BIGINT)
+                ELSE CAST(ROUND((e[j] - r.lo_a[j]) / (r.hi_a[j] - r.lo_a[j]) * 255)
+                          AS BIGINT) END) AS c
+  FROM emb, rngarr r
+),
+words AS (
+  SELECT vec_id, {_bq_pack_sql("c", 1, 32)} AS w1, {_bq_pack_sql("c", 33, 64)} AS w2
+  FROM codes
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY bit_count(xor(q.w1, n.w1)) + bit_count(xor(q.w2, n.w2)),
+                      n.vec_id) AS rkh
+    FROM words q JOIN words n ON q.vec_id < 10 AND n.vec_id <> q.vec_id
+  ) WHERE rkh <= {_BQ_SHORTLIST}
+)
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       CAST((SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // {_BQ_K} AS BIGINT) AS recall_ppm
+FROM exact e LEFT JOIN shortlist s USING (query_id, neighbor_id)
+GROUP BY e.query_id
+""",
+)
+def q_ann_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measured shortlist recall of the binary tier: for each of
+    the 10 standard query vectors, how many of the EXACT cosine top-{_BQ_K}
+    survive into the {_BQ_SHORTLIST}-wide Hamming shortlist (the only
+    place q_ann_binary_hamming can lose recall — its re-rank is
+    exact).  The measurement operators every production ANN deployment
+    runs on a sample before trusting a compression tier: recall here
+    is a DATA property (how much cosine geometry the 64 sign bits
+    preserve on THIS corpus), so the engine reports it per corpus
+    instead of assuming a paper number.
+
+    Determinism: both rankings are the registry's round-6 cosine /
+    integer Hamming with id tie-breaks; recall is integer counts and
+    floor-division ppm.
+
+    Scale shape: the exact arm is the documented O(Q x N) baseline
+    over the SAME 10-query broadcast the binary arm uses — at 100 TB
+    you run this report on a sampled slice (the sample task's hash
+    method composes upstream), not the full corpus, and the binary
+    arm's cost model is unchanged from q_ann_binary_hamming."""
+    nf = _normed(spark, sf_dir)
+    q = nf.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = nf.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qn") * F.col("nrm")),
+        6,
+    )
+    w_e = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    exact = (
+        q.join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w_e))
+        .where(F.col("rk") <= _BQ_K)
+        .select("query_id", "neighbor_id")
+    )
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("cast(embedding as array<double>)").alias("e")
+    )
+    words = binary_codes_frame(emb)
+    qw = words.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
+    )
+    nw = words.select(F.col("vec_id").alias("neighbor_id"), "w1", "w2")
+    w_h = Window.partitionBy("query_id").orderBy("ham", "neighbor_id")
+    shortlist = (
+        qw.join(nw, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(_BQ_HAM).alias("ham"))
+        .withColumn("rkh", F.row_number().over(w_h))
+        .where(F.col("rkh") <= _BQ_SHORTLIST)
+        .select("query_id", "neighbor_id", F.lit(1).alias("_in"))
+    )
+    return (
+        exact.join(shortlist, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("_in", F.lit(0))).cast("bigint").alias("n_hit"),
+            F.expr(
+                f"cast((sum(coalesce(_in, 0)) * 1000000) div {_BQ_K} as bigint)"
+            ).alias("recall_ppm"),
+        )
+    )
