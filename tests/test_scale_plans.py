@@ -191,6 +191,7 @@ _BNLJ_BOUNDED_FRAME_OK = {
     "q_ann_sq8_topk",            # 1-row SQ8 grid + 10 fixed query vectors
     "q_ann_binary_hamming",      # 1-row SQ8 grid + 10 fixed query word-pairs
     "q_ann_triplet_mining",      # 30-anchor broadcast frame (batch-hard mining)
+    "q_ann_binary_recall",       # 10 fixed query vectors, both arms of the report
     "q_text_bigram_surprisal",   # 1-row total + 1-row OOV scalar frames
 }
 
