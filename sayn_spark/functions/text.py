@@ -935,6 +935,89 @@ _SB_K = 50
 _SB_TRAIN = "lang = 'en' AND doc_id % 2 = 0"
 _SB_SCORE = "lang = 'en' AND doc_id % 2 = 1"
 
+_SB_POS_EXPR = (
+    "transform(sequence(1, size(t) - 1), i -> "
+    "struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"
+)
+
+
+def bigram_lm_frames(train: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(nll_bi (w1, w2, nll_i8), nll_uni (w, nll_i8)) — the Stupid
+    Backoff LM tables trained on a (doc_id, text) corpus, in exact
+    integer 1e-8 nll units (each transcendental rounded ONCE at the
+    vocabulary entry).  Both frames are vocabulary-sized aggregates —
+    broadcast them when they fit (the trained-filter case), hash-join
+    on the bigram key when they don't.  ``train`` needs only a
+    ``text`` column."""
+    d = train.select(F.expr(_TOKENS).alias("t"))
+    train_pos = (
+        d.where(F.expr("size(t) >= 2"))
+        .select(F.explode(F.expr(_SB_POS_EXPR)).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    bi = train_pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    train_tok = d.select(F.explode("t").alias("w"))
+    uni = persist_tracked(
+        train_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = train_tok.agg(F.count(F.lit(1)).alias("n"))
+    nll_bi = bi.join(uni.withColumnRenamed("w", "w1"), "w1").select(
+        "w1",
+        "w2",
+        F.expr(
+            "cast(round(-ln(cast(c12 as double) / c) * 100000000) as bigint)"
+        ).alias("nll_i8"),
+    )
+    nll_uni = uni.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.expr(
+            f"cast(round(-ln({_SB_ALPHA_NUM} * cast(c as double) / ({_SB_ALPHA_DEN} * n))"
+            " * 100000000) as bigint)"
+        ).alias("nll_i8"),
+    )
+    return nll_bi, nll_uni
+
+
+def score_against_bigram_lm(
+    docs: DataFrame, nll_bi: DataFrame, nll_uni: DataFrame
+) -> DataFrame:
+    """(doc_id, n_scored, sum_nll_i8, avg_nll_i8) — per-document Stupid
+    Backoff surprisal of a (doc_id, text) frame under FROZEN LM tables
+    from bigram_lm_frames: bigram tier when the pair is known, 0.4x
+    backoff to the unigram, vocabulary-max nll for OOV.  Documents
+    with < 2 tokens have no scoreable position and are absent (no
+    evidence — the caller decides their fate).  All integer after the
+    LM lookups: BIGINT sums + floor division."""
+    oov = nll_uni.agg(F.max("nll_i8").alias("oov_i8"))
+    score_pos = (
+        docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+        .where(F.expr("size(t) >= 2"))
+        .select("doc_id", F.explode(F.expr(_SB_POS_EXPR)).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    scored_pos = (
+        score_pos.join(F.broadcast(nll_bi), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(
+                nll_uni.select(F.col("w").alias("w2"), F.col("nll_i8").alias("nll_u_i8"))
+            ),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(oov))
+        .select(
+            "doc_id", F.coalesce("nll_i8", "nll_u_i8", "oov_i8").alias("p_nll_i8")
+        )
+    )
+    return (
+        scored_pos.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("p_nll_i8").alias("sum_nll_i8"),
+        )
+        .withColumn("avg_nll_i8", F.expr("sum_nll_i8 div n_scored"))
+    )
+
 
 @register(
     "q_text_bigram_surprisal",
@@ -1019,64 +1102,15 @@ def q_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production frozen-LM filter without changing the plan (the
     ``nll_vocab_frame`` pattern, one tier up)."""
     d = T(spark, sf_dir, "documents").where(F.col("lang") == "en").select(
-        "doc_id", F.expr(_TOKENS).alias("t")
+        "doc_id", "text"
     )
-    pos_expr = F.expr(
-        "transform(sequence(1, size(t) - 1), i -> "
-        "struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"
+    nll_bi, nll_uni = bigram_lm_frames(d.where(F.expr("doc_id % 2 = 0")))
+    docsc = score_against_bigram_lm(
+        d.where(F.expr("doc_id % 2 = 1")), nll_bi, nll_uni
     )
-    train = d.where(F.expr("doc_id % 2 = 0"))
-    train_pos = (
-        train.where(F.expr("size(t) >= 2"))
-        .select(F.explode(pos_expr).alias("p"))
-        .select("p.w1", "p.w2")
-    )
-    bi = train_pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    train_tok = train.select(F.explode("t").alias("w"))
-    uni = persist_tracked(
-        train_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    )
-    tot = train_tok.agg(F.count(F.lit(1)).alias("n"))
-    nll_bi = bi.join(uni.withColumnRenamed("w", "w1"), "w1").select(
-        "w1",
-        "w2",
-        F.expr(
-            "cast(round(-ln(cast(c12 as double) / c) * 100000000) as bigint)"
-        ).alias("nll_i8"),
-    )
-    nll_uni = uni.crossJoin(F.broadcast(tot)).select(
-        "w",
-        F.expr(
-            f"cast(round(-ln({_SB_ALPHA_NUM} * cast(c as double) / ({_SB_ALPHA_DEN} * n))"
-            " * 100000000) as bigint)"
-        ).alias("nll_i8"),
-    )
-    oov = nll_uni.agg(F.max("nll_i8").alias("oov_i8"))
-    score_pos = (
-        d.where(F.expr("doc_id % 2 = 1 AND size(t) >= 2"))
-        .select("doc_id", F.explode(pos_expr).alias("p"))
-        .select("doc_id", "p.w1", "p.w2")
-    )
-    scored_pos = (
-        score_pos.join(F.broadcast(nll_bi), ["w1", "w2"], "left")
-        .join(
-            F.broadcast(nll_uni.select(F.col("w").alias("w2"), F.col("nll_i8").alias("nll_u_i8"))),
-            "w2",
-            "left",
-        )
-        .crossJoin(F.broadcast(oov))
-        .select(
-            "doc_id", F.coalesce("nll_i8", "nll_u_i8", "oov_i8").alias("p_nll_i8")
-        )
-    )
-    docsc = scored_pos.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_scored"),
-        F.sum("p_nll_i8").alias("sum_nll_i8"),
-    )
-    w = Window.orderBy(F.expr("sum_nll_i8 div n_scored").desc(), F.col("doc_id"))
+    w = Window.orderBy(F.desc("avg_nll_i8"), F.col("doc_id"))
     return (
-        docsc.withColumn("avg_nll_i8", F.expr("sum_nll_i8 div n_scored"))
-        .withColumn("rk", F.row_number().over(w))
+        docsc.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _SB_K)
         .select("doc_id", "n_scored", "sum_nll_i8", "avg_nll_i8", "rk")
     )

@@ -58,13 +58,19 @@ correctness evidence):
   and/or rows with w_micro8 >= min_weight_micro8.  Corpus-relative:
   full mode only.
 - surprisal: the CCNet-style LM-quality filter — keep rows with
-  unigram avg_nll <= max_avg_nll and/or the lowest-surprisal
+  avg_nll <= max_avg_nll and/or the lowest-surprisal
   keep_fraction of the corpus (exact integer rank cut; needs
-  id_column, default doc_id).  Shares doc_avg_nll_frame with
-  q_text_unigram_surprisal / q_perplexity_buckets; at 100 TB set
-  boundaries: approx (percentile_approx threshold, one scalar
-  aggregate — no global rank window) or prefer max_avg_nll (map-side
-  after the vocabulary join).
+  id_column, default doc_id).  lm_order 1 (default) shares
+  doc_avg_nll_frame with q_text_unigram_surprisal /
+  q_perplexity_buckets; lm_order 2 is the Stupid Backoff bigram LM
+  (q_text_bigram_surprisal's integer 1e-8 units — max_avg_nll then
+  reads in nats).  reference_table trains the LM on a trusted corpus
+  instead of the scored one (the CCNet production shape; implicit
+  DAG edge) — frozen-LM + max_avg_nll is per-row, so it is the one
+  surprisal configuration that supports mode: incremental.  At
+  100 TB set boundaries: approx (percentile_approx threshold, one
+  scalar aggregate — no global rank window) or prefer max_avg_nll
+  (map-side after the vocabulary join).
 
 Every scorer except surprisal/dsir is a pure JVM column expression
 over the text column — the filter is map-side and pushes through to
@@ -120,11 +126,23 @@ class FilterTask(Task):
         if self.mode not in ("full", "incremental"):
             raise ValueError(f"filter task {self.name!r}: mode must be full|incremental")
         if self.mode == "incremental" and self.scorer in ("surprisal", "dsir"):
-            raise ValueError(
-                f"filter task {self.name!r}: {self.scorer} is corpus-relative "
-                "(trained on the batch corpus) — incremental scoring would "
-                "be batch-dependent; use mode: full, or a row-local scorer"
+            # ONE carve-out: surprisal against a FROZEN reference LM
+            # with an absolute threshold is per-row (the LM and the cut
+            # don't depend on the scored batch), so incremental ingest
+            # is sound.  keep_fraction stays corpus-relative even with
+            # a frozen LM (it ranks the scored corpus).
+            frozen_lm = (
+                self.scorer == "surprisal"
+                and c.get("reference_table")
+                and c.get("keep_fraction") is None
             )
+            if not frozen_lm:
+                raise ValueError(
+                    f"filter task {self.name!r}: {self.scorer} is corpus-relative "
+                    "(trained on the batch corpus) — incremental scoring would "
+                    "be batch-dependent; use mode: full, a row-local scorer, or "
+                    "surprisal with reference_table + max_avg_nll (frozen LM)"
+                )
         self.text_column = c.get("text_column", "text")
         self.with_score = bool(c.get("with_score", False))
         self.min_score = c.get("min_score")
@@ -207,7 +225,18 @@ class FilterTask(Task):
         self.id_column = c.get("id_column", "doc_id")
         self.max_avg_nll = c.get("max_avg_nll")
         self.keep_fraction = c.get("keep_fraction")
+        # surprisal options: lm_order 1 (unigram, default) or 2 (Stupid
+        # Backoff bigram — q_text_bigram_surprisal's LM); an optional
+        # reference_table trains the LM on a trusted corpus instead of
+        # the scored one (the CCNet production shape; implicit DAG
+        # edge like dsir's target_table).
+        self.lm_order = int(c.get("lm_order", 1))
+        self.reference_table = c.get("reference_table")
         if self.scorer == "surprisal":
+            if self.lm_order not in (1, 2):
+                raise ValueError(
+                    f"filter task {self.name!r}: lm_order must be 1 or 2"
+                )
             if self.max_avg_nll is None and self.keep_fraction is None:
                 raise ValueError(
                     f"filter task {self.name!r}: surprisal needs "
@@ -219,6 +248,11 @@ class FilterTask(Task):
                 raise ValueError(
                     f"filter task {self.name!r}: keep_fraction must be in (0, 1]"
                 )
+        elif self.reference_table or "lm_order" in c:
+            raise ValueError(
+                f"filter task {self.name!r}: lm_order/reference_table apply "
+                "to scorer: surprisal only"
+            )
         # dsir: importance resampling against a trusted target corpus
         # (q_dsir_selection's arithmetic).  target_table holds target-
         # domain text; keep the highest-weight keep_fraction and/or
@@ -274,6 +308,14 @@ class FilterTask(Task):
             )
             self.sources.add(self.target_obj)
             self.target_value = self.context.obj_compiler.src_value(self.target_obj)
+        if self.scorer == "surprisal" and self.reference_table:
+            self.reference_obj = self.context.obj_compiler.from_string(
+                self.compile_property(self.reference_table)
+            )
+            self.sources.add(self.reference_obj)
+            self.reference_value = self.context.obj_compiler.src_value(
+                self.reference_obj
+            )
         self.destination = self.context.obj_compiler.from_string(dest)
         self.outputs.add(self.destination)
         self.dst_value = self.context.obj_compiler.out_value(self.destination)
@@ -337,19 +379,100 @@ class FilterTask(Task):
                 out = out.withColumnRenamed("_lang", "predicted_lang")
             else:
                 out = out.drop("_lang")
-        elif self.scorer == "surprisal":
+        elif self.scorer == "surprisal" and self.lm_order == 2:
             from pyspark.sql.window import Window
 
-            from sayn_spark.functions.text import doc_avg_nll_frame
+            from sayn_spark.functions.text import (
+                bigram_lm_frames,
+                score_against_bigram_lm,
+            )
 
             if self.id_column not in work.columns:
                 raise ValueError(
                     f"filter task {self.name!r}: surprisal needs id column "
                     f"{self.id_column!r} in {self.src_value}"
                 )
-            nll = doc_avg_nll_frame(
-                work.select(F.col(self.id_column).alias("doc_id"), "text")
-            ).select(F.col("doc_id").alias(self.id_column), "avg_nll")
+            if self.reference_table:
+                ref = spark.table(self.reference_value)
+                if "text" not in ref.columns:
+                    raise ValueError(
+                        f"filter task {self.name!r}: reference_table "
+                        f"{self.reference_table!r} needs a text column"
+                    )
+                train = ref.select("text")
+            else:
+                train = work.select("text")
+            nll_bi, nll_uni = bigram_lm_frames(train)
+            sc = score_against_bigram_lm(
+                work.select(F.col(self.id_column).alias("doc_id"), "text"),
+                nll_bi,
+                nll_uni,
+            ).select(F.col("doc_id").alias(self.id_column), "avg_nll_i8")
+            # docs with < 2 tokens have no scoreable position and drop
+            # here (no LM evidence) — the unigram path drops 0-token
+            # docs the same way
+            scored = work.join(sc, self.id_column)
+            cond = F.lit(True)
+            if self.max_avg_nll is not None:
+                cond = cond & (
+                    F.col("avg_nll_i8")
+                    <= int(round(float(self.max_avg_nll) * 100000000))
+                )
+            if self.keep_fraction is not None and self.boundaries == "approx":
+                thr = scored.agg(
+                    F.percentile_approx(
+                        F.col("avg_nll_i8"),
+                        float(self.keep_fraction),
+                        self.approx_accuracy,
+                    ).alias("_thr")
+                )
+                scored = scored.crossJoin(F.broadcast(thr))
+                cond = cond & (F.col("avg_nll_i8") <= F.col("_thr"))
+            elif self.keep_fraction is not None:
+                permille = int(round(float(self.keep_fraction) * 1000))
+                w = Window.orderBy(F.col("avg_nll_i8"), F.col(self.id_column))
+                scored = scored.withColumn("_rn", F.row_number().over(w)).withColumn(
+                    "_n", F.count(F.lit(1)).over(Window.partitionBy())
+                )
+                cond = cond & (
+                    F.lit(1000) * F.col("_rn") <= F.lit(permille) * F.col("_n")
+                )
+            kept = scored.where(cond).drop("_rn", "_n", "_thr")
+            out = kept if self.with_score else kept.drop("avg_nll_i8")
+        elif self.scorer == "surprisal":
+            from pyspark.sql.window import Window
+
+            from sayn_spark.functions.text import (
+                doc_avg_nll_frame,
+                nll_vocab_frame,
+                score_against_vocab,
+            )
+
+            if self.id_column not in work.columns:
+                raise ValueError(
+                    f"filter task {self.name!r}: surprisal needs id column "
+                    f"{self.id_column!r} in {self.src_value}"
+                )
+            if self.reference_table:
+                # frozen unigram LM trained on the reference corpus
+                # (the streaming twin's nll_vocab_frame, batch-side)
+                ref = spark.table(self.reference_value)
+                if "text" not in ref.columns:
+                    raise ValueError(
+                        f"filter task {self.name!r}: reference_table "
+                        f"{self.reference_table!r} needs a text column"
+                    )
+                vocab = nll_vocab_frame(
+                    ref.select(F.lit(0).alias("doc_id"), "text")
+                )
+                nll = score_against_vocab(
+                    work.select(F.col(self.id_column).alias("doc_id"), "text"),
+                    vocab,
+                ).select(F.col("doc_id").alias(self.id_column), "avg_nll")
+            else:
+                nll = doc_avg_nll_frame(
+                    work.select(F.col(self.id_column).alias("doc_id"), "text")
+                ).select(F.col("doc_id").alias(self.id_column), "avg_nll")
             scored = work.join(nll, self.id_column)
             cond = F.lit(True)
             if self.max_avg_nll is not None:

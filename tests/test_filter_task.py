@@ -383,3 +383,130 @@ def test_filter_pii_drop_and_redact(ctx, spark):
         },
     )
     assert {r.doc_id for r in spark.table("ft_pii_m_out").collect()} == {1, 3}
+
+
+def test_filter_bigram_surprisal_keep_fraction(ctx, spark, docs_table):
+    """lm_order 2 self-trained: the kept set is exactly the lowest
+    avg_nll_i8 permille share under the library's own scoring."""
+    from pyspark.sql import functions as F
+
+    from sayn_spark.functions.text import bigram_lm_frames, score_against_bigram_lm
+
+    _run(
+        ctx,
+        "ft_b",
+        {
+            "source": "ft_src",
+            "destination": "ft_b_out",
+            "scorer": "surprisal",
+            "lm_order": 2,
+            "keep_fraction": 0.5,
+            "with_score": True,
+        },
+    )
+    got = {r.doc_id: r.avg_nll_i8 for r in spark.table("ft_b_out").collect()}
+    work = docs_table.where(F.col("text").isNotNull()).select("doc_id", "text")
+    nll_bi, nll_uni = bigram_lm_frames(work.select("text"))
+    sc = score_against_bigram_lm(work, nll_bi, nll_uni)
+    scored = sorted(
+        (r.avg_nll_i8, r.doc_id) for r in sc.collect()
+    )
+    n = len(scored)
+    want = {d: a for i, (a, d) in enumerate(scored, start=1) if 1000 * i <= 500 * n}
+    assert got == want and got
+
+
+def test_filter_bigram_frozen_reference_incremental(ctx, spark, docs_table):
+    """reference_table + max_avg_nll is per-row (frozen LM), so
+    incremental ingest is allowed and equals the full rebuild."""
+    from pyspark.sql import functions as F
+
+    ref = docs_table.where("lang = 'en'").select("text")
+    ctx.db.replace_table("ft_ref", ref)
+    wave1 = docs_table.where("doc_id % 2 = 0")
+    ctx.db.replace_table("ft_inc_src", wave1)
+    cfg = {
+        "source": "ft_inc_src",
+        "destination": "ft_inc_out",
+        "scorer": "surprisal",
+        "lm_order": 2,
+        "reference_table": "ft_ref",
+        # the synthetic corpus scores 3.2-3.8 nats under the en LM
+        # (languages share the generator vocabulary); 3.44 ~ median
+        "max_avg_nll": 3.44,
+        "mode": "incremental",
+        "with_score": True,
+    }
+    _run(ctx, "ft_i1", cfg)
+    n1 = spark.table("ft_inc_out").count()
+    assert n1 > 0
+    ctx.db.replace_table("ft_inc_src", docs_table)
+    _run(ctx, "ft_i2", cfg)
+    got = {r.doc_id for r in spark.table("ft_inc_out").collect()}
+    # full rebuild over the union gives the same keep set
+    ctx.db.replace_table("ft_full_src", docs_table)
+    _run(ctx, "ft_full", {**cfg, "source": "ft_full_src",
+                          "destination": "ft_full_out", "mode": "full"})
+    want = {r.doc_id for r in spark.table("ft_full_out").collect()}
+    assert got == want and 0 < len(got) < docs_table.count()
+    # replay: no-op
+    _run(ctx, "ft_i3", cfg)
+    assert spark.table("ft_inc_out").count() == len(got)
+    # the frozen-LM score is the same in both runs (spot check)
+    a = {r.doc_id: r.avg_nll_i8 for r in spark.table("ft_inc_out").collect()}
+    b = {r.doc_id: r.avg_nll_i8 for r in spark.table("ft_full_out").collect()}
+    assert a == b
+
+
+def test_filter_unigram_frozen_reference_scores_oov_max(ctx, spark, docs_table):
+    """lm_order 1 + reference_table scores through score_against_vocab:
+    a doc of entirely unseen tokens gets the vocabulary's max nll."""
+    from pyspark.sql import functions as F
+
+    ref = docs_table.where("lang = 'en'").select("text")
+    ctx.db.replace_table("ft_ref1", ref)
+    planted = spark.createDataFrame(
+        [(900001, "zzqq zzqq wwxx yyvv")], ["doc_id", "text"]
+    )
+    ctx.db.replace_table(
+        "ft_u_src",
+        docs_table.select("doc_id", "text").unionByName(planted),
+    )
+    _run(
+        ctx,
+        "ft_u",
+        {
+            "source": "ft_u_src",
+            "destination": "ft_u_out",
+            "scorer": "surprisal",
+            "reference_table": "ft_ref1",
+            "max_avg_nll": 1000.0,  # keep everything; we check scores
+            "with_score": True,
+        },
+    )
+    out = {r.doc_id: r.avg_nll for r in spark.table("ft_u_out").collect()}
+    assert 900001 in out
+    assert out[900001] == max(out.values())  # all-OOV doc = max surprisal
+
+
+def test_filter_lm_options_validation(ctx):
+    import pytest as _pytest
+
+    for cfg in (
+        {"source": "s", "destination": "d", "scorer": "surprisal",
+         "lm_order": 3, "keep_fraction": 0.5},
+        {"source": "s", "destination": "d", "scorer": "quality",
+         "min_score": 0.5, "lm_order": 2},
+        {"source": "s", "destination": "d", "scorer": "quality",
+         "min_score": 0.5, "reference_table": "r"},
+        # corpus-relative incremental still rejected: keep_fraction
+        {"source": "s", "destination": "d", "scorer": "surprisal",
+         "lm_order": 2, "reference_table": "r", "keep_fraction": 0.5,
+         "mode": "incremental"},
+        # ... and self-trained incremental too
+        {"source": "s", "destination": "d", "scorer": "surprisal",
+         "max_avg_nll": 5.0, "mode": "incremental"},
+    ):
+        t = FilterTask("bad_lm", cfg, ctx)
+        with _pytest.raises(ValueError):
+            t.config()
