@@ -1938,3 +1938,34 @@ def q_ann_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+def ann_catalog_search(
+    spark: SparkSession,
+    db,
+    index: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    shortlist: int = 20,
+) -> DataFrame:
+    """Catalog-dispatched search over an ``ann_index``-built index —
+    the path comes from which code tables EXIST, not from caller
+    config (shared by the ann_search task and stream_ann_search):
+    ``{index}_binwords`` -> packed Hamming, ``{index}_sq8codes`` ->
+    symmetric SQ8, ``{index}_codes`` -> ADC (vector/residual via the
+    codebook's enc column), else the exact in-cell scan.  ``queries``
+    is a (query_id, e: array<double>) frame."""
+    if db.table_exists(f"{index}_binwords"):
+        return ann_index_search_binary(
+            spark, index, queries, k=k, nprobe=nprobe, shortlist=shortlist
+        )
+    if db.table_exists(f"{index}_sq8codes"):
+        return ann_index_search_sq8(
+            spark, index, queries, k=k, nprobe=nprobe, shortlist=shortlist
+        )
+    if db.table_exists(f"{index}_codes"):
+        return ann_index_search_pq(
+            spark, index, queries, k=k, nprobe=nprobe, shortlist=shortlist
+        )
+    return ann_index_search(spark, index, queries, k=k, nprobe=nprobe)

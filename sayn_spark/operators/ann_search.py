@@ -71,12 +71,7 @@ class AnnSearchTask(Task):
         self.status = TaskStatus.READY
 
     def run(self) -> None:
-        from sayn_spark.functions.similarity import (
-            ann_index_search,
-            ann_index_search_binary,
-            ann_index_search_pq,
-            ann_index_search_sq8,
-        )
+        from sayn_spark.functions.similarity import ann_catalog_search
 
         spark = self.context.spark
         db = self.context.db
@@ -97,37 +92,15 @@ class AnnSearchTask(Task):
             F.col(self.id_column).alias("query_id"),
             F.expr(f"cast({self.vector_column} as array<double>)").alias("e"),
         )
-        if db.table_exists(f"{self.index}_binwords"):
-            out = ann_index_search_binary(
-                spark,
-                self.index,
-                queries,
-                k=self.k,
-                nprobe=self.nprobe,
-                shortlist=self.shortlist,
-            )
-        elif db.table_exists(f"{self.index}_sq8codes"):
-            out = ann_index_search_sq8(
-                spark,
-                self.index,
-                queries,
-                k=self.k,
-                nprobe=self.nprobe,
-                shortlist=self.shortlist,
-            )
-        elif db.table_exists(f"{self.index}_codes"):
-            out = ann_index_search_pq(
-                spark,
-                self.index,
-                queries,
-                k=self.k,
-                nprobe=self.nprobe,
-                shortlist=self.shortlist,
-            )
-        else:
-            out = ann_index_search(
-                spark, self.index, queries, k=self.k, nprobe=self.nprobe
-            )
+        out = ann_catalog_search(
+            spark,
+            db,
+            self.index,
+            queries,
+            k=self.k,
+            nprobe=self.nprobe,
+            shortlist=self.shortlist,
+        )
         db.replace_table(self.dst_value, out, **self.destination_writer_opts())
 
     def compile(self) -> None:

@@ -4,6 +4,7 @@ from sayn_spark.streaming.stateful import (  # noqa: F401
 )
 from sayn_spark.streaming.materialise import (  # noqa: F401
     stream_ann_ingest,
+    stream_ann_search,
     stream_chunk,
     stream_decontaminate,
     stream_merge_into,

@@ -489,3 +489,64 @@ def stream_chunk(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ann_search(
+    source: DataFrame,
+    index: str,
+    dst_table: str,
+    checkpoint: str,
+    k: int = 5,
+    nprobe: int = 1,
+    shortlist: int = 20,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+):
+    """Continuous top-k search of a query-vector stream against a
+    FROZEN catalog index — the query half of the vector pipeline
+    (stream_ann_ingest is the corpus half): each micro-batch routes
+    through the same catalog dispatch as the ann_search task
+    (functions/similarity.py:ann_catalog_search — binary / SQ8 / ADC /
+    exact picked from which code tables exist) and MERGES its results
+    into ``dst_table`` on query_id, so a re-submitted query refreshes
+    its rows instead of duplicating them and trigger replays are
+    idempotent.
+
+    Scale: the index side is read in place (cell-bucketed, nprobe
+    cells per query); each trigger shuffles only the batch's query
+    rows and their k-row results — serving-path economics, not a
+    batch rebuild per trigger.
+    """
+    from sayn_spark.functions.similarity import ann_catalog_search
+
+    outer_session = source.sparkSession
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        db = SparkDatabase(spark)
+        queries = batch_df.select(
+            F.col(id_column).alias("query_id"),
+            F.expr(f"cast({vector_column} as array<double>)").alias("e"),
+        )
+        out = ann_catalog_search(
+            spark, db, index, queries, k=k, nprobe=nprobe, shortlist=shortlist
+        )
+        if not db.table_exists(dst_table):
+            db.create_table(dst_table, out, mode="overwrite")
+        else:
+            from sayn_spark.core.database import _tmp_name
+
+            staging = _tmp_name(dst_table, f"_annq_{batch_id}")
+            db.drop_object(staging)
+            db.create_table(staging, out, mode="overwrite")
+            db.merge_tables(staging, dst_table, "query_id")
+        outer_session.catalog.refreshTable(dst_table)
+
+    return (
+        source.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

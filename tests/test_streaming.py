@@ -938,3 +938,85 @@ def test_stream_hash_sample_matches_batch(spark, tmp_path):
     # rate-1 stratum passes through complete
     en = {r.doc_id for r in docs.where("lang = 'en'").collect()}
     assert en <= got
+
+
+def test_ann_search_stream_matches_batch_and_merges(spark, tmp_path):
+    """Streaming query-side search equals the batch catalog dispatch
+    per wave, and a re-submitted query MERGES (refreshes) instead of
+    duplicating."""
+    from pyspark.sql import functions as F
+
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.functions.similarity import ann_catalog_search
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.ann import AnnIndexTask
+    from sayn_spark.streaming import stream_ann_search
+
+    ctx = TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={},
+        connections={},
+        project_dir=tmp_path,
+    )
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ctx.db.replace_table("sas_src", emb)
+    t = AnnIndexTask(
+        "sas_build",
+        {"source": "sas_src", "index": "sas_ix", "label_column": "label",
+         "method": "ivfbin"},
+        ctx,
+    )
+    t.config()
+    t.run()
+
+    src = tmp_path / "sas_queries"
+    src.mkdir()
+    wave1 = emb.where("vec_id < 6").select("vec_id", "embedding")
+    wave1.coalesce(1).write.mode("overwrite").parquet(str(src / "w1"))
+    schema = "vec_id long, embedding array<float>"
+    ckpt = str(tmp_path / "sas_ckpt")
+
+    def _trigger():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = stream_ann_search(
+            stream, "sas_ix", "sas_topk", ckpt, k=3, nprobe=2
+        )
+        q.awaitTermination(120)
+
+    _trigger()
+    got1 = {tuple(r) for r in spark.table("sas_topk").collect()}
+    batch1 = ann_catalog_search(
+        spark,
+        ctx.db,
+        "sas_ix",
+        wave1.select(
+            F.col("vec_id").alias("query_id"),
+            F.expr("cast(embedding as array<double>)").alias("e"),
+        ),
+        k=3,
+        nprobe=2,
+    )
+    want1 = {tuple(r) for r in batch1.collect()}
+    assert got1 == want1 and got1
+
+    # wave 2: one repeated query + two new ones -> merge, no dupes
+    wave2 = emb.where("vec_id = 5 or (vec_id >= 6 and vec_id < 8)").select(
+        "vec_id", "embedding"
+    )
+    wave2.coalesce(1).write.mode("overwrite").parquet(str(src / "w2"))
+    _trigger()
+    out = spark.table("sas_topk")
+    assert out.groupBy("query_id", "neighbor_id").count().where("count > 1").count() == 0
+    assert {r.query_id for r in out.select("query_id").distinct().collect()} == set(
+        range(8)
+    )
+    # every query still carries exactly k rows
+    assert out.groupBy("query_id").count().where("count != 3").count() == 0
