@@ -266,3 +266,71 @@ def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _WS_K)
         .select("doc_id", "source", "w", "key_scaled", "rk")
     )
+
+
+_SPLIT_SQL_BUCKET = "(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10"
+_SPLIT_SPARK_BUCKET = (
+    "cast(conv(substr(md5(concat('split|', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 10"
+)
+
+
+@register(
+    "q_train_val_test_split",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CASE WHEN {_SPLIT_SQL_BUCKET} < 8 THEN 'train'
+              WHEN {_SPLIT_SQL_BUCKET} < 9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+strata AS (SELECT lang, COUNT(*) AS n_lang FROM assigned GROUP BY lang)
+SELECT a.split, a.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST((COUNT(*) * 1000) // s.n_lang AS BIGINT) AS share_permille,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM assigned a JOIN strata s USING (lang)
+GROUP BY a.split, a.lang, s.n_lang
+""",
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 by content
+    hash) with a per-stratum audit — the split step every supervised
+    corpus needs, done the reproducible way: membership is a pure
+    function of the document id (md5 bucket mod 10), so the split
+    survives re-materialisation, engine changes, and cluster resizes,
+    and a document can never migrate between splits when the corpus
+    grows (the leakage mode RNG splits suffer).  The report shows, per
+    (split, language): document count, realized permille of the
+    stratum (integer floor — hash splits hit 800/100/100 only in
+    expectation), and an id checksum pinning the exact membership.
+
+    Scale shape: assignment is a map-side projection (zero shuffle to
+    decide); the audit is one map-side-combinable aggregate plus a
+    broadcast join of the stratum totals.  Writing the actual splits
+    is `partitionBy(split)` on the same expression — still no
+    shuffle."""
+    d = T(spark, sf_dir, "documents")
+    b = F.expr(_SPLIT_SPARK_BUCKET)
+    split = (
+        F.when(b < 8, "train").when(b < 9, "val").otherwise("test")
+    )
+    assigned = d.select("doc_id", "lang", split.alias("split"))
+    strata = assigned.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        assigned.join(F.broadcast(strata), "lang")
+        .groupBy("split", "lang", "n_lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            F.expr("cast((n_docs * 1000) div n_lang as bigint)").alias(
+                "share_permille"
+            ),
+            "id_sum",
+        )
+    )

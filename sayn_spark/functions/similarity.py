@@ -1969,3 +1969,60 @@ def ann_catalog_search(
             spark, index, queries, k=k, nprobe=nprobe, shortlist=shortlist
         )
     return ann_index_search(spark, index, queries, k=k, nprobe=nprobe)
+
+
+# --- Embedding outlier report (mislabel / noise detection) -------------
+
+_OUT_TOPN = 3
+
+
+@register(
+    "q_embedding_outliers",
+    oracle=f"""
+WITH {_SQL_EMB}, {_SQL_CENTROIDS},
+dist AS (
+  SELECT v.label, v.vec_id,
+         ROUND(list_aggregate(list_transform(list_zip(v.e, c.ce),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8) AS d2
+  FROM emb v JOIN cent_arr c ON c.c_label = v.label
+)
+SELECT label, vec_id, d2, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rk
+  FROM dist
+) WHERE rk <= {_OUT_TOPN}
+""",
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier report — the mislabel/noise screen a training
+    pipeline runs over labeled embeddings: each label's centroid
+    (decimal-exact means, the registry's k-means arithmetic), each
+    vector's squared distance to ITS OWN centroid, and the {_OUT_TOPN}
+    most distant vectors per label — the candidates to audit for
+    labeling errors or junk content before they anchor a classifier
+    or a SemDeDup cell.
+
+    Determinism: centroid means sum in DECIMAL and round to 8dp,
+    distances fold left-to-right and round to 8dp before ranking
+    (q_kmeans_refine's contract — margins in the FRAGILITY audit
+    family), vec_id breaks ties.
+
+    Scale shape: one broadcast of the label-count-sized centroid
+    table, one map-side distance projection, and a per-label
+    WindowGroupLimit top-{_OUT_TOPN} — partial per-partition before
+    the label-key exchange.  The full corpus never sorts; at 100 TB
+    this is one scan over the vectors."""
+    emb = _normed(spark, sf_dir).select("vec_id", "label", "e")
+    cent = _centroid_arrays(emb.select("label", "e"))
+    d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        ),
+        8,
+    )
+    dist = emb.join(
+        F.broadcast(cent), emb["label"] == cent["c_label"]
+    ).select("label", "vec_id", d2.alias("d2"))
+    w = Window.partitionBy("label").orderBy(F.desc("d2"), "vec_id")
+    return dist.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= _OUT_TOPN
+    )
