@@ -55,8 +55,9 @@ def load_tables(
 def write_sink(df: DataFrame, conf: dict, mode: str = "overwrite") -> None:
     """Write a DataFrame to a configured sink:
 
-    - {"type": "parquet"|"csv"|"json", "path": ..., "partition_by": [...],
-       **options}
+    - {"type": "parquet"|"orc"|"csv"|"json"|"text", "path": ...,
+       "partition_by": [...], **options}  (any Spark-core file format;
+       avro would need the spark-avro package, which is not baked in)
     - {"type": "table", "name": catalog_table}
     - {"type": "jdbc", "url": ..., "table": ...}
 
@@ -90,7 +91,7 @@ def write_sink(df: DataFrame, conf: dict, mode: str = "overwrite") -> None:
 def read_source(spark: SparkSession, conf: dict) -> DataFrame:
     """Read a configured source. ``conf`` mirrors a sayn connection entry:
 
-    - {"type": "parquet"|"csv"|"json", "path": ...,  **options}
+    - {"type": "parquet"|"orc"|"csv"|"json"|"text", "path": ..., **options}
     - {"type": "table", "name": catalog_table}
     - {"type": "jdbc", "url": ..., "table"|"query": ..., "partition_column":
        ..., "num_partitions": ..., "lower_bound": ..., "upper_bound": ...}
