@@ -277,6 +277,21 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     qs = spark.table("documents_quality_sample")
     assert "sample_key" in qs.columns
     assert qs.groupBy("lang").count().where("count > 10").count() == 0
+    # frozen-LM bigram gate keeps a nonempty strict subset, with the
+    # integer score carried
+    bg = spark.table("documents_bigram_kept")
+    assert 0 < bg.count() < clean_n
+    assert "avg_nll_i8" in bg.columns
+    # CDC chunks reassemble each mixed doc's token stream exactly
+    cdc = spark.table("corpus_cdc_chunks")
+    assert {"chunk_index", "chunk_start", "n_tokens", "chunk_text", "lang"} <= set(
+        cdc.columns
+    )
+    assert cdc.count() > mixed.count()  # expected ~several chunks/doc
+    n_tok_mixed = mixed.selectExpr(
+        "sum(size(filter(split(lower(text), ' '), x -> x != ''))) AS n"
+    ).collect()[0].n
+    assert cdc.selectExpr("sum(n_tokens) AS n").collect()[0].n == n_tok_mixed
 
 
 def test_env_parameter_override(spark, tmp_path, monkeypatch):
