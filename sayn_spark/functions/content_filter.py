@@ -2194,3 +2194,190 @@ def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_contaminated_docs"
         ),
     )
+
+
+# --- Trained quality classifier (fastText/CCNet/GPT-3-style NB) --------
+
+# The "looks like the reference corpus" classifier filter: GPT-3
+# (Brown et al. 2020, Appendix A) and LLaMA/CCNet (Wenzek et al. 2020)
+# keep crawl documents a linear classifier scores as WebText/Wikipedia-
+# like.  fastText with unigram features and a log-odds output IS
+# multinomial Naive Bayes with add-1 smoothing, which has an exact
+# closed form over token counts — no SGD, fully deterministic, and the
+# training "state" is one vocabulary-sized count table.
+_NB_POS = "source IN ('src0', 'src1')"  # curated "reference" slice
+_NB_NEG = "source NOT IN ('src0', 'src1') AND doc_id % 2 = 0"  # crawl sample
+_NB_K = 100
+_NB_SCALE = 100000000  # llr in integer 1e-8 nat units
+
+
+def nb_llr_frames(train: DataFrame, pos_pred: str, neg_pred: str):
+    """(vocab (w, llr_i8), oov (oov_i8)) — the trained NB classifier.
+
+    ``train`` needs ``text`` plus whatever columns the two predicate
+    strings reference.  Per vocabulary word w the log-likelihood ratio
+
+        llr(w) = ln( p(w|pos) / p(w|neg) )
+               = ln( ((c_pos+1) * (N_neg+V)) / ((c_neg+1) * (N_pos+V)) )
+
+    with add-1 smoothing over the joint vocabulary V.  Determinism:
+    the ratio argument is built from exact BIGINT counts with IEEE-
+    correctly-rounded double multiply/divide, so both engines hand the
+    SAME double to a SINGLE ln, rounded ONCE into 1e-8 integer units
+    (the q_dsir_selection / bigram-LM rule; margins measured in
+    tests/test_oracle_fragility.py).  Everything downstream is integer.
+
+    Scale shape: training is one conditional-count aggregate over the
+    token stream (map-side combinable, shuffles only (w, c_pos, c_neg)
+    rows); the three scalars (N_pos, N_neg, V) are a broadcast
+    crossJoin.  The model is vocabulary-sized — broadcast it at apply
+    time when it fits (the common case), hash-join on w when not."""
+    tr = train.where(F.expr(f"({pos_pred}) OR ({neg_pred})")).select(
+        F.expr(f"case when {pos_pred} then 1 else 0 end").alias("is_pos"),
+        F.explode(F.expr(_Q_TOKENS)).alias("w"),
+    )
+    cnt = persist_tracked(
+        tr.groupBy("w").agg(
+            F.sum("is_pos").cast("bigint").alias("c_pos"),
+            F.sum(F.expr("1 - is_pos")).cast("bigint").alias("c_neg"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    vocab = cnt.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.expr(
+            f"cast(round(ln((cast(c_pos + 1 as double) * (n_neg + v)) / "
+            f"(cast(c_neg + 1 as double) * (n_pos + v))) * {_NB_SCALE}) as bigint)"
+        ).alias("llr_i8"),
+    )
+    oov = tot.select(
+        F.expr(
+            f"cast(round(ln(cast(n_neg + v as double) / (n_pos + v)) "
+            f"* {_NB_SCALE}) as bigint)"
+        ).alias("oov_i8")
+    )
+    return vocab, oov
+
+
+def score_against_nb(docs: DataFrame, vocab: DataFrame, oov: DataFrame,
+                     id_cols: list[str]) -> DataFrame:
+    """(id_cols..., n_tokens, sum_llr_i8, avg_llr_i8) — per-document NB
+    log-odds under a FROZEN (vocab, oov) model from nb_llr_frames.
+    Positive avg = reference-like.  Documents with zero tokens have no
+    evidence and are absent (the caller decides their fate).
+
+    The average is SIGN-SAFE floor division — log-odds sums go
+    negative, where Spark's truncating ``div`` and DuckDB's flooring
+    ``//`` disagree, so the numerator is first snapped down to an
+    exact multiple via pmod (identical %-semantics in both engines),
+    making truncation and flooring coincide."""
+    sc = docs.select(*id_cols, F.explode(F.expr(_Q_TOKENS)).alias("w"))
+    scored = (
+        sc.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(*id_cols, F.coalesce("llr_i8", "oov_i8").alias("t_llr"))
+    )
+    return (
+        scored.groupBy(*id_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("t_llr").alias("sum_llr_i8"),
+        )
+        .withColumn(
+            "avg_llr_i8",
+            F.expr("(sum_llr_i8 - pmod(sum_llr_i8, n_tokens)) div n_tokens"),
+        )
+    )
+
+
+@register(
+    "q_quality_nb_classifier",
+    oracle=f"""
+WITH tr AS (
+  SELECT CASE WHEN {_NB_POS} THEN 1 ELSE 0 END AS is_pos,
+         unnest({_Q_SQL_TOKENS}) AS w
+  FROM documents WHERE ({_NB_POS}) OR ({_NB_NEG})
+),
+cnt AS (
+  SELECT w, CAST(SUM(is_pos) AS BIGINT) AS c_pos,
+         CAST(SUM(1 - is_pos) AS BIGINT) AS c_neg
+  FROM tr GROUP BY w
+),
+tot AS (
+  SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+         COUNT(*) AS v
+  FROM cnt
+),
+vocab AS (
+  SELECT w, CAST(ROUND(LN((CAST(c_pos + 1 AS DOUBLE) * (n_neg + v)) /
+         (CAST(c_neg + 1 AS DOUBLE) * (n_pos + v))) * {_NB_SCALE}) AS BIGINT) AS llr_i8
+  FROM cnt, tot
+),
+oov AS (
+  SELECT CAST(ROUND(LN(CAST(n_neg + v AS DOUBLE) / (n_pos + v))
+         * {_NB_SCALE}) AS BIGINT) AS oov_i8
+  FROM tot
+),
+sc AS (
+  SELECT doc_id, source, unnest({_Q_SQL_TOKENS}) AS w FROM documents
+),
+scored AS (
+  SELECT s.doc_id, s.source, COALESCE(vb.llr_i8, o.oov_i8) AS t_llr
+  FROM sc s LEFT JOIN vocab vb USING (w) CROSS JOIN oov o
+),
+doc AS (
+  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(t_llr) AS BIGINT) AS sum_llr_i8
+  FROM scored GROUP BY doc_id, source
+),
+avgd AS (
+  SELECT *, CAST((sum_llr_i8 - ((sum_llr_i8 % n_tokens) + n_tokens) % n_tokens)
+         // n_tokens AS BIGINT) AS avg_llr_i8
+  FROM doc
+)
+SELECT doc_id, source, n_tokens, sum_llr_i8, avg_llr_i8, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY avg_llr_i8 DESC, doc_id) AS rk FROM avgd
+) WHERE rk <= {_NB_K}
+""",
+)
+def q_quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality-classifier filter — the GPT-3 Appendix-A /
+    CCNet (Wenzek et al. 2020) / fastText (Joulin et al. 2016) shape:
+    train a multinomial Naive Bayes log-odds model on a curated
+    "reference" slice (positive: src0/src1) against a crawl sample
+    (negative: every other source's even-doc_id half), then score the
+    ENTIRE corpus per token and keep the 100 most reference-like
+    documents.  Closed-form count-based training means the classifier
+    is exactly reproducible — no SGD order-dependence — while ranking
+    identically to a unigram fastText model with log-odds output.
+
+    Determinism: one ln per vocabulary entry over an IEEE-exact double
+    argument, rounded ONCE into 1e-8 integer units; per-doc sums are
+    BIGINT; the per-doc average uses pmod-snapped floor division so
+    NEGATIVE sums divide identically in Spark (truncating div) and
+    DuckDB (flooring //) — margins in tests/test_oracle_fragility.py.
+
+    Scale shape: training = one map-side-combinable conditional count
+    over the training token stream; model = one vocabulary-sized
+    (w, llr_i8) table, broadcast to the scoring join (hash-join on w
+    if the vocab outgrows broadcast); scoring = one narrow aggregate
+    per doc; top-100 compiles to a windowed group-limit.  The model
+    frame can be persisted as a table and reused as a FROZEN filter on
+    later crawl snapshots without retraining (the filter task's
+    nb_classifier scorer does exactly that)."""
+    d = T(spark, sf_dir, "documents")
+    vocab, oov = nb_llr_frames(d, _NB_POS, _NB_NEG)
+    docsc = score_against_nb(
+        d.select("doc_id", "source", "text"), vocab, oov, ["doc_id", "source"]
+    )
+    w = Window.orderBy(F.desc("avg_llr_i8"), F.col("doc_id"))
+    return (
+        docsc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _NB_K)
+        .select("doc_id", "source", "n_tokens", "sum_llr_i8", "avg_llr_i8", "rk")
+    )

@@ -218,3 +218,48 @@ keyed AS (
 """
     m = _min_margin(con, with_sql, "nlnu", 1e8, "FROM keyed")
     assert m > 1e-4, f"-ln(u) within {m} grid units of the rounding boundary"
+
+
+def test_nb_classifier_llr_margins():
+    # q_quality_nb_classifier: one LN per vocab entry over an IEEE-
+    # exact double argument, rounded once into 1e-8 nat units.  The
+    # 1-ulp libm slack at |llr| <= ~15 is ~1e-7 grid units; require
+    # the whole vocabulary (and the OOV scalar) to sit 1000x further
+    # from any half-boundary.
+    from sayn_spark.functions.content_filter import _NB_NEG, _NB_POS
+
+    con = duckdb_con(SF_DIR)
+    with_sql = f"""
+tr AS (
+  SELECT CASE WHEN {_NB_POS} THEN 1 ELSE 0 END AS is_pos,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+  FROM documents WHERE ({_NB_POS}) OR ({_NB_NEG})
+),
+cnt AS (
+  SELECT w, CAST(SUM(is_pos) AS BIGINT) AS c_pos,
+         CAST(SUM(1 - is_pos) AS BIGINT) AS c_neg
+  FROM tr GROUP BY w
+),
+tot AS (
+  SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(c_neg) AS BIGINT) AS n_neg, COUNT(*) AS v
+  FROM cnt
+)
+"""
+    m = _min_margin(
+        con,
+        with_sql,
+        "LN((CAST(c_pos + 1 AS DOUBLE) * (n_neg + v)) / "
+        "(CAST(c_neg + 1 AS DOUBLE) * (n_pos + v)))",
+        1e8,
+        "FROM cnt, tot",
+    )
+    assert m > 1e-4, f"NB vocab llr within {m} grid units of an 8dp half-boundary"
+    m_oov = _min_margin(
+        con,
+        with_sql,
+        "LN(CAST(n_neg + v AS DOUBLE) / (n_pos + v))",
+        1e8,
+        "FROM tot",
+    )
+    assert m_oov > 1e-4, f"NB oov llr within {m_oov} grid units of a half-boundary"
