@@ -2196,6 +2196,113 @@ def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_decontaminate_overlap_frac",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+ev AS (
+  SELECT doc_id AS eval_id, t[3:14] AS s FROM toks
+  WHERE doc_id % 9 = 0 AND len(t) >= 14
+  UNION ALL
+  SELECT doc_id + 1000000 AS eval_id,
+         list_concat(t[2:10], ['qz1', 'qz2', 'qz3', 'qz4', 'qz5']) AS s
+  FROM toks WHERE doc_id % 11 = 0 AND len(t) >= 10
+),
+ev_g AS (
+  SELECT DISTINCT eval_id,
+         hash(unnest(list_transform(generate_series(1, len(s) - 7),
+              i -> array_to_string(s[i:i+7], ' ')))) AS h
+  FROM ev
+),
+ev_n AS (SELECT eval_id, COUNT(*) AS n_ev FROM ev_g GROUP BY eval_id),
+src_g AS (
+  SELECT DISTINCT doc_id,
+         hash(unnest(list_transform(generate_series(1, len(t) - 7),
+              i -> array_to_string(t[i:i+7], ' ')))) AS h
+  FROM toks WHERE len(t) >= 8
+),
+m AS (
+  SELECT s.doc_id, e.eval_id, COUNT(*) AS n_matched
+  FROM src_g s JOIN ev_g e USING (h)
+  GROUP BY s.doc_id, e.eval_id
+)
+SELECT m.doc_id, m.eval_id,
+       CAST(n.n_ev AS BIGINT) AS n_ev_grams,
+       CAST(m.n_matched AS BIGINT) AS n_matched,
+       CAST((m.n_matched * 1000000) // n.n_ev AS BIGINT) AS frac_ppm,
+       CAST(CASE WHEN 2 * m.n_matched >= n.n_ev THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM m JOIN ev_n n USING (eval_id)
+""",
+)
+def q_decontaminate_overlap_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded-overlap decontamination (the PaLM / GPT-4 rule):
+    a (train doc, eval doc) pair is contaminated when >= 50% of the
+    eval document's distinct 8-grams appear in that ONE training
+    document — per-pair containment, not q_decontaminate_ngrams'
+    any-single-gram hit, so a stray idiom shared with an eval question
+    no longer nukes the training doc while a near-verbatim paraphrase
+    still does.  Two planted eval sets exercise both regimes: clean
+    corpus spans (every 9th doc, frac 1.0 against their donor) and
+    spans ending in five out-of-corpus tokens (every 11th doc, offset
+    by 1e6, only prefix grams hit -> below threshold, emitted with
+    contaminated=0 so the report shows the partial-overlap signature).
+
+    Determinism: membership and counts depend only on gram string
+    equality (each engine hashes with its own 64-bit function, like
+    q_decontaminate_report); every output is an integer — frac_ppm is
+    floor division and the threshold test is the integer comparison
+    2*n_matched >= n_ev_grams, so no FP boundary exists.
+
+    Scale shape: eval benchmarks are MBs against a 100 TB corpus —
+    ev_g broadcasts into a map-side hash join against the corpus gram
+    stream, so only the MATCHED (doc_id, eval_id) pairs enter the
+    count shuffle (partial aggregation applies); per-eval gram totals
+    are a broadcast-sized table joined after the count.  The corpus
+    text never shuffles."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.expr(_NGRAM_TOKENS).alias("t"))
+    ev_full = toks.where(F.expr("doc_id % 9 = 0 AND size(t) >= 14")).select(
+        F.col("doc_id").alias("eval_id"), F.expr("slice(t, 3, 12)").alias("s")
+    )
+    ev_part = toks.where(F.expr("doc_id % 11 = 0 AND size(t) >= 10")).select(
+        (F.col("doc_id") + 1000000).alias("eval_id"),
+        F.expr("concat(slice(t, 2, 9), array('qz1','qz2','qz3','qz4','qz5'))").alias(
+            "s"
+        ),
+    )
+    grams = (
+        "transform(sequence(1, size(s) - 7), i -> concat_ws(' ', slice(s, i, 8)))"
+    )
+    ev_g = (
+        ev_full.unionByName(ev_part)
+        .select("eval_id", F.explode(F.expr(grams)).alias("g"))
+        .select("eval_id", F.xxhash64("g").alias("h"))
+        .distinct()
+    )
+    ev_g = persist_tracked(ev_g)  # read by the match join AND the totals
+    ev_n = ev_g.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    src_g = ngram_hash_frame(d, "text", 8, "doc_id")
+    matched = (
+        src_g.join(F.broadcast(ev_g), "h")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return matched.join(F.broadcast(ev_n), "eval_id").select(
+        "doc_id",
+        "eval_id",
+        F.col("n_ev").cast("bigint").alias("n_ev_grams"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        F.expr("cast((n_matched * 1000000) div n_ev as bigint)").alias("frac_ppm"),
+        F.expr("cast(case when 2 * n_matched >= n_ev then 1 else 0 end as bigint)").alias(
+            "contaminated"
+        ),
+    )
+
+
 # --- Trained quality classifier (fastText/CCNet/GPT-3-style NB) --------
 
 # The "looks like the reference corpus" classifier filter: GPT-3

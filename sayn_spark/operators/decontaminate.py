@@ -21,6 +21,14 @@ removes those rows; ``mode: flag`` keeps every row and adds an
 ``is_contaminated`` boolean (for auditing before committing to the
 drop).
 
+``min_overlap_frac: 0.5`` switches the rule from any-single-gram to
+the PaLM/GPT-4-style per-pair containment (q_decontaminate_overlap_frac's
+engine): a source doc is contaminated only when at least that fraction
+of ONE eval document's distinct n-grams appear in it — a stray idiom
+shared with an eval question no longer drops the doc, a near-verbatim
+paraphrase still does.  The decision is the integer comparison
+``n_matched * 1_000_000 >= n_ev * ppm``, so no FP boundary exists.
+
 Scale shape: both sides reduce to 8-byte xxhash64 n-gram keys.  The
 eval side (benchmarks — megabytes against a 100 TB corpus) is
 explicitly broadcast, so the contamination check is a map-side
@@ -55,6 +63,20 @@ class DecontaminateTask(Task):
         self.ngram = int(c.get("ngram", 13))
         if self.ngram < 1:
             raise ValueError(f"decontaminate task {self.name!r}: ngram must be >= 1")
+        # min_overlap_frac: per-pair containment threshold (None = the
+        # default any-single-gram rule).  Stored as integer ppm so the
+        # drop decision is pure integer arithmetic.
+        frac = c.get("min_overlap_frac")
+        if frac is None:
+            self.min_overlap_ppm = None
+        else:
+            frac = float(frac)
+            if not 0.0 < frac <= 1.0:
+                raise ValueError(
+                    f"decontaminate task {self.name!r}: min_overlap_frac must be "
+                    "in (0, 1]"
+                )
+            self.min_overlap_ppm = round(frac * 1_000_000)
         # load_mode: incremental checks + appends only new-id rows
         # against the CURRENT eval table (the stream twin's per-batch
         # semantics: rows admitted before an eval-table growth are not
@@ -106,13 +128,39 @@ class DecontaminateTask(Task):
                 self.id_column,
                 "left_anti",
             )
-        ev_hashes = ngram_hash_frame(ev, self.eval_text_column, self.ngram, None)
         src_hashes = ngram_hash_frame(df, self.text_column, self.ngram, self.id_column)
-        contaminated = (
-            src_hashes.join(F.broadcast(ev_hashes), "h", "left_semi")
-            .select(self.id_column)
-            .distinct()
-        )
+        if self.min_overlap_ppm is None:
+            ev_hashes = ngram_hash_frame(ev, self.eval_text_column, self.ngram, None)
+            contaminated = (
+                src_hashes.join(F.broadcast(ev_hashes), "h", "left_semi")
+                .select(self.id_column)
+                .distinct()
+            )
+        else:
+            # Per-pair containment: grams keyed by eval DOCUMENT.  The
+            # eval table needs no id column — xxhash64 of the text is
+            # the per-doc key (identical eval texts merge harmlessly:
+            # same gram set, same total).  Both eval frames stay
+            # broadcast-sized; only matched (doc, eval) pairs shuffle
+            # into the count (map-side partial agg applies).
+            ev_docs = ev.where(F.col(self.eval_text_column).isNotNull()).select(
+                F.xxhash64(self.eval_text_column).alias("_eval_id"),
+                F.col(self.eval_text_column).alias("_ev_text"),
+            )
+            ev_g = ngram_hash_frame(ev_docs, "_ev_text", self.ngram, "_eval_id")
+            ev_n = ev_g.groupBy("_eval_id").agg(F.count(F.lit(1)).alias("_n_ev"))
+            contaminated = (
+                src_hashes.join(F.broadcast(ev_g), "h")
+                .groupBy(self.id_column, "_eval_id")
+                .agg(F.count(F.lit(1)).alias("_n_matched"))
+                .join(F.broadcast(ev_n), "_eval_id")
+                .where(
+                    F.col("_n_matched") * 1_000_000
+                    >= F.col("_n_ev") * F.lit(self.min_overlap_ppm)
+                )
+                .select(self.id_column)
+                .distinct()
+            )
         if self.mode == "drop":
             out = df.join(contaminated, self.id_column, "left_anti")
         else:

@@ -205,3 +205,126 @@ def test_decontaminate_incremental_appends_only_new_ids(ctx, spark):
     assert got == want
     for t in ("dc_inc_ev", "dc_inc_src", "dc_inc_out", "dc_full_out"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_decontaminate_overlap_frac_vs_duckdb(ctx, spark):
+    """min_overlap_frac switches to per-pair containment: checked
+    against a DuckDB replica of the thresholded rule on a corpus with
+    a full-overlap and a partial-overlap planted eval doc."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # eval doc A: a verbatim 12-token span (donors exceed any threshold);
+    # eval doc B: 9 corpus tokens + 5 out-of-corpus tokens (only the
+    # 2 prefix 8-grams of its 7 can hit -> frac 2/7 < 0.5)
+    ev = (
+        docs.where("doc_id % 9 = 0")
+        .select(
+            F.expr(
+                "concat_ws(' ', slice(filter(split(lower(text), ' '), x -> x != ''), 3, 12))"
+            ).alias("text")
+        )
+        .where(F.expr("size(filter(split(lower(text), ' '), x -> x != ''))") >= 12)
+        .unionByName(
+            docs.where("doc_id % 11 = 0")
+            .select(
+                F.expr(
+                    "concat_ws(' ', concat(slice(filter(split(lower(text), ' '), x -> x != ''), 2, 9),"
+                    " array('qz1','qz2','qz3','qz4','qz5')))"
+                ).alias("text")
+            )
+            .where(F.expr("size(filter(split(lower(text), ' '), x -> x != ''))") >= 14)
+        )
+    )
+    ctx.db.replace_table("dc_of_src", docs)
+    ctx.db.replace_table("dc_of_ev", ev)
+    _run(
+        ctx,
+        "dc_of",
+        {
+            "source": "dc_of_src",
+            "eval_table": "dc_of_ev",
+            "destination": "dc_of_out",
+            "ngram": 8,
+            "min_overlap_frac": 0.5,
+        },
+    )
+    kept = {r.doc_id for r in spark.table("dc_of_out").collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    ev_pd = ev.toPandas()
+    con.register("ev_docs", ev_pd)
+    dropped = {
+        r[0]
+        for r in con.execute(
+            """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM d
+),
+src_g AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+         i -> array_to_string(t[i:i+7], ' '))) AS g
+  FROM toks WHERE len(t) >= 8
+),
+ev_toks AS (
+  SELECT text AS ev_key, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM ev_docs
+),
+ev_g AS (
+  SELECT DISTINCT ev_key, unnest(list_transform(generate_series(1, len(t) - 7),
+         i -> array_to_string(t[i:i+7], ' '))) AS g
+  FROM ev_toks WHERE len(t) >= 8
+),
+ev_n AS (SELECT ev_key, COUNT(*) AS n_ev FROM ev_g GROUP BY ev_key),
+m AS (
+  SELECT s.doc_id, e.ev_key, COUNT(*) AS n_matched
+  FROM src_g s JOIN ev_g e USING (g) GROUP BY s.doc_id, e.ev_key
+)
+SELECT DISTINCT m.doc_id FROM m JOIN ev_n n USING (ev_key)
+WHERE m.n_matched * 1000000 >= n.n_ev * 500000
+"""
+        ).fetchall()
+    }
+    all_ids = {r.doc_id for r in docs.collect()}
+    assert kept == all_ids - dropped
+    # the partial-overlap eval doc alone drops nobody (its 2/7 frac is
+    # below 0.5): most %11 donors survive — the handful that don't are
+    # corpus near-dups that contain some OTHER doc's full 12-token
+    # span (verified for this corpus: doc 77 carries doc 459's span)
+    partial_only = {
+        r.doc_id
+        for r in docs.where("doc_id % 11 = 0 AND doc_id % 9 != 0").collect()
+    }
+    assert partial_only and len(partial_only - dropped) > len(partial_only) // 2
+    # any-gram rule at the same ngram drops strictly more (the partial
+    # prefix grams hit): sanity that the threshold is doing work
+    _run(
+        ctx,
+        "dc_any",
+        {
+            "source": "dc_of_src",
+            "eval_table": "dc_of_ev",
+            "destination": "dc_any_out",
+            "ngram": 8,
+        },
+    )
+    kept_any = {r.doc_id for r in spark.table("dc_any_out").collect()}
+    assert kept_any <= kept and kept_any != kept
+    for t in ("dc_of_src", "dc_of_ev", "dc_of_out", "dc_any_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_decontaminate_overlap_frac_validation(ctx):
+    for bad in (0, -0.2, 1.5):
+        t = DecontaminateTask(
+            "bad_frac",
+            {
+                "source": "t",
+                "eval_table": "e",
+                "destination": "o",
+                "min_overlap_frac": bad,
+            },
+            ctx,
+        )
+        with pytest.raises(ValueError):
+            t.config()
