@@ -2026,3 +2026,152 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= _OUT_TOPN
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection dimensionality reduction (Johnson-Lindenstrauss)
+# ---------------------------------------------------------------------------
+
+# Deterministic +/-1 sign matrix, 16 output dims x 64 input dims, from
+# one seeded-PCG draw (the hyperplane-table discipline above: one table
+# generates the Spark literal AND the DuckDB literal, so both engines
+# project bit-for-bit).  +/-1 entries (Achlioptas 2003) make each
+# output coordinate a signed SUM — no multiplies beyond sign flips at
+# production scale — and E[(s . x)^2] = |x|^2, so |y|^2 / 16 estimates
+# |x|^2 without any per-entry scaling.
+_SRP_OUT_DIM = 16
+_SRP_SEED = 20030415
+
+
+def srp_sign_table(out_dim: int, in_dim: int):
+    """The seeded +/-1 sign matrix for a (out_dim x in_dim) projection.
+    Each (out_dim, in_dim) shape is ONE fresh draw from the fixed seed
+    — internally consistent and reproducible; different shapes are
+    different (independent) tables, which is fine because nothing
+    persists projected vectors across shape changes (unlike the
+    minhash table, where the 128-prefix continuation rule applies)."""
+    import numpy as np
+
+    return (
+        np.random.default_rng(_SRP_SEED).integers(0, 2, size=(out_dim, in_dim)) * 2
+        - 1
+    )
+
+
+def srp_spark_literal(out_dim: int, in_dim: int) -> str:
+    return (
+        "array(" + ",".join(
+            "array(" + ",".join(str(v) for v in row) + ")"
+            for row in srp_sign_table(out_dim, in_dim)
+        ) + ")"
+    )
+
+
+def srp_project_expr(out_dim: int, in_dim: int, col: str = "e") -> str:
+    """Spark SQL expression projecting array<double> ``col`` (len
+    in_dim) to ``out_dim`` dims via the seeded sign table — row-local,
+    broadcast-free (the literal lives in the plan)."""
+    return (
+        f"transform({srp_spark_literal(out_dim, in_dim)}, "
+        f"s -> aggregate(zip_with({col}, s, (x, sg) -> x * sg), "
+        "0D, (acc, v) -> acc + v))"
+    )
+
+
+_SRP_SPARK_LIT = srp_spark_literal(_SRP_OUT_DIM, 64)
+_SRP_SQL_LIT = (
+    "[" + ",".join(
+        "[" + ",".join(str(v) for v in row) + "]"
+        for row in srp_sign_table(_SRP_OUT_DIM, 64)
+    ) + "]"
+)
+
+
+@register(
+    "q_embedding_srp_reduce",
+    oracle=f"""
+WITH {_SQL_EMB},
+proj AS (
+  SELECT vec_id, e,
+         list_transform({_SRP_SQL_LIT},
+           s -> list_aggregate(list_transform(list_zip(e, s), p -> p[1] * p[2]), 'sum')) AS y
+  FROM emb
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_aggregate(list_transform(list_zip(a.e, b.e),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8) AS d2_orig,
+         ROUND(list_aggregate(list_transform(list_zip(a.y, b.y),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8) AS d2_proj
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+)
+SELECT id_a, id_b, d2_orig, d2_proj,
+       ROUND(d2_proj / ({_SRP_OUT_DIM} * d2_orig), 6) AS ratio2
+FROM pairs WHERE d2_orig > 0
+""",
+)
+def q_embedding_srp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection dimensionality reduction (64 -> 16)
+    with a per-pair distortion audit — the Johnson-Lindenstrauss step
+    a 100 TB pipeline runs before ANN indexing to cut vector memory
+    and distance compute 4x.  Each output coordinate is a +/-1-signed
+    fold of the input (Achlioptas 2003 sparse JL), so the projection
+    is row-local and multiplication-free; the audit joins every vector
+    to its id-successor and reports squared distance before and after,
+    plus the distortion ratio d2_proj / (k * d2_orig) whose
+    concentration around 1.0 IS the JL guarantee (self-measured, like
+    q_ann_binary_recall — parity alone would hide a degenerate sign
+    table).
+
+    Determinism: the sign matrix is one seeded-PCG table inlined into
+    both engines' expressions; projections and distances fold
+    left-to-right in DOUBLE and round to 8dp (the kmeans/gram
+    contract); the ratio divides two identical rounded doubles in one
+    IEEE op and rounds once to 6dp.
+
+    Scale shape: the projection is a map-side transform (the 16x64
+    sign literal lives in the plan, nothing broadcasts); the audit
+    self-join is a slim (id, 16+64 doubles) shuffle on vec_id — at
+    100 TB you audit a sampled partition, not the corpus, and the
+    projection itself stays shuffle-free."""
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("cast(embedding as array<double>)").alias("e")
+    )
+    proj = emb.select(
+        "vec_id",
+        "e",
+        F.expr(
+            f"transform({_SRP_SPARK_LIT}, "
+            "s -> aggregate(zip_with(e, s, (x, sg) -> x * sg), 0D, (acc, v) -> acc + v))"
+        ).alias("y"),
+    )
+    proj = persist_tracked(proj)  # read by both sides of the audit join
+    a = proj.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("y").alias("ya"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("y").alias("yb"),
+    )
+    d2 = (
+        "round(aggregate(zip_with({l}, {r}, (x, z) -> (x - z) * (x - z)), "
+        "0D, (acc, v) -> acc + v), 8)"
+    )
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1).select(
+        "id_a",
+        "id_b",
+        F.expr(d2.format(l="ea", r="eb")).alias("d2_orig"),
+        F.expr(d2.format(l="ya", r="yb")).alias("d2_proj"),
+    )
+    return pairs.where(F.col("d2_orig") > 0).select(
+        "id_a",
+        "id_b",
+        "d2_orig",
+        "d2_proj",
+        F.round(F.col("d2_proj") / (_SRP_OUT_DIM * F.col("d2_orig")), 6).alias(
+            "ratio2"
+        ),
+    )

@@ -21,6 +21,13 @@ the plumbing is this same task; only the vectorizer changes); it
 raises NotImplementedError until a model runtime is available, the
 same honest boundary as the JPEG/MP4 codecs.
 
+``srp_dim: 16`` adds a signed-random-projection reduction after
+encoding (q_embedding_srp_reduce's seeded sign table, Achlioptas
+2003): the JL step that cuts downstream ANN memory and distance
+compute dim/srp_dim x, as a row-local plan literal — no broadcast, no
+shuffle.  Applied before ``normalize`` so norms live in the searched
+space.
+
 Scale shape: one explode + two aggregations, all JVM-side (no Python
 in the hot path); the vector assembly is a map_from_entries lookup
 fold, and L2 normalisation is a single array pass.  Output:
@@ -61,6 +68,15 @@ class EmbedTask(Task):
         if self.dim < 1:
             raise ValueError(f"embed task {self.name!r}: dim must be >= 1")
         self.normalize = bool(c.get("normalize", False))
+        # srp_dim: optional signed-random-projection reduction applied
+        # after encoding (q_embedding_srp_reduce's engine) — the JL
+        # step that cuts downstream ANN memory/compute dim/srp_dim x.
+        srp = c.get("srp_dim")
+        self.srp_dim = None if srp is None else int(srp)
+        if self.srp_dim is not None and not 1 <= self.srp_dim < self.dim:
+            raise ValueError(
+                f"embed task {self.name!r}: srp_dim must be in [1, dim)"
+            )
 
         self.src_obj = self.context.obj_compiler.from_string(self.source)
         self.sources.add(self.src_obj)
@@ -126,6 +142,17 @@ class EmbedTask(Task):
                 ).alias("embedding"),
             )
         )
+        if self.srp_dim is not None:
+            # project BEFORE normalising (norms are only meaningful in
+            # the space the consumer searches); row-local, no shuffle
+            from sayn_spark.functions.similarity import srp_project_expr
+
+            emb = emb.select(
+                "doc_id",
+                F.expr(
+                    srp_project_expr(self.srp_dim, self.dim, "embedding")
+                ).alias("embedding"),
+            )
         if self.normalize:
             # stage the norm in its own column: an inlined aggregate()
             # inside the transform lambda would re-evaluate per element

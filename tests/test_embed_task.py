@@ -198,3 +198,58 @@ def test_embed_incremental_appends_only_new_rows(ctx, spark):
     _run(EmbedTask, ctx, "em_i", cfg)  # unchanged source -> no-op
     assert spark.table("em_i_out").count() == docs.count()
     spark.sql("DROP TABLE IF EXISTS em_i_out")
+
+
+def test_embed_srp_dim_projects_with_seeded_table(ctx, spark):
+    """srp_dim output must equal the seeded sign table applied to the
+    UNPROJECTED embedding (numpy replica), and normalize must act on
+    the projected space."""
+    import numpy as np
+
+    from sayn_spark.functions.similarity import srp_sign_table
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    ctx.db.replace_table("em_srp_src", docs.limit(50))
+    base_cfg = {
+        "source": "em_srp_src",
+        "destination": "em_srp_base",
+        "dim": 32,
+    }
+    _run(EmbedTask, ctx, "em_b", base_cfg)
+    _run(
+        EmbedTask,
+        ctx,
+        "em_p",
+        {**base_cfg, "destination": "em_srp_out", "srp_dim": 8},
+    )
+    base = {r.doc_id: np.array(r.embedding) for r in spark.table("em_srp_base").collect()}
+    proj = {r.doc_id: np.array(r.embedding) for r in spark.table("em_srp_out").collect()}
+    signs = srp_sign_table(8, 32)
+    assert set(base) == set(proj)
+    for d, v in base.items():
+        want = signs @ v
+        assert proj[d].shape == (8,)
+        assert np.allclose(proj[d], want, rtol=0, atol=1e-9), d
+    # normalize composes after projection: unit norm in the 8-dim space
+    _run(
+        EmbedTask,
+        ctx,
+        "em_pn",
+        {**base_cfg, "destination": "em_srp_n", "srp_dim": 8, "normalize": True},
+    )
+    for r in spark.table("em_srp_n").collect():
+        nrm = math.sqrt(sum(x * x for x in r.embedding))
+        assert len(r.embedding) == 8 and abs(nrm - 1.0) < 1e-9
+    for t in ("em_srp_src", "em_srp_base", "em_srp_out", "em_srp_n"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_embed_srp_dim_validation(ctx):
+    for bad in (0, 64, 65):
+        t = EmbedTask(
+            "bad_srp",
+            {"source": "s", "destination": "d", "dim": 64, "srp_dim": bad},
+            ctx,
+        )
+        with pytest.raises(ValueError):
+            t.config()

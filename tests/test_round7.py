@@ -1168,3 +1168,39 @@ def test_phash_dedup_clusters_image_groups(spark):
     assert max(r.hamming for r in rows) <= 12
     # anchors (pure base image) pair at the group's noise floor
     assert any(r.hamming == 0 or r.hamming <= 2 for r in rows)
+
+
+def test_srp_distortion_concentrates_around_one(spark):
+    """Self-measured JL guarantee for the seeded sign table: the
+    distortion ratio d2_proj / (16 * d2_orig) must concentrate around
+    1.0 over the consecutive-pair audit — oracle parity alone cannot
+    catch a degenerate table (DuckDB would mirror the same degenerate
+    folds, the minhash-multiplier lesson)."""
+    from sayn_spark.functions.similarity import q_embedding_srp_reduce
+
+    rows = q_embedding_srp_reduce(spark, SF).collect()
+    assert len(rows) > 400
+    ratios = [r.ratio2 for r in rows]
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15, f"JL mean distortion off: {mean}"
+    within = sum(1 for r in ratios if 0.5 <= r <= 2.0)
+    # Chi^2_16/16 concentration: ~95% of pairs inside [0.5, 2]
+    assert within / len(ratios) > 0.85, f"only {within}/{len(ratios)} in [0.5,2]"
+
+
+def test_srp_sign_table_is_balanced(spark):
+    """Structural check on the seeded +/-1 table: every output dim
+    mixes both signs substantially (a stuck row would make that
+    coordinate a plain sum — still 'random' to parity, useless to JL),
+    and no two rows are excessively correlated."""
+    from sayn_spark.functions.similarity import _SRP_OUT_DIM
+
+    import numpy as np
+
+    srp = np.random.default_rng(20030415).integers(0, 2, size=(_SRP_OUT_DIM, 64)) * 2 - 1
+    assert srp.shape == (_SRP_OUT_DIM, 64)
+    pos = (srp > 0).sum(axis=1)
+    assert ((pos >= 20) & (pos <= 44)).all(), f"sign balance off: {pos}"
+    gram = srp @ srp.T / 64.0
+    off = gram - np.eye(_SRP_OUT_DIM)
+    assert abs(off).max() < 0.45, f"row correlation too high: {abs(off).max()}"
