@@ -2217,3 +2217,176 @@ def q_dedup_passages_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_dup_fps * 1000000) div n_fps").alias("dup_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Self-measured MinHash-LSH recall/precision (estimator evidence)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_minhash_recall",
+    oracle=f"""
+WITH {_SQL_CORPUS_NEAR},
+sample AS (SELECT doc_id, text FROM corpus WHERE (doc_id % 100000) % 17 = 0),
+shingled AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh FROM sample WHERE len({_SQL_SHINGLES}) > 0
+),
+sigs AS (SELECT doc_id, sh, {_SQL_SIG} AS sig FROM shingled),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(sh) AS n FROM shingled),
+truep AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE 3 * c >= sa.n + sb.n
+),
+bands AS (
+  SELECT doc_id, band,
+         md5(array_to_string(list_transform(generate_series(1, {_BAND_ROWS}),
+             i -> CAST(sig[band * {_BAND_ROWS} + i] AS VARCHAR)), '|')) AS band_sig
+  FROM sigs, (SELECT unnest(generate_series(0, {_N_HASHES // _BAND_ROWS - 1})) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_true,
+         CASE WHEN list_aggregate(list_transform(list_zip(sa.sig, sb.sig),
+              p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END), 'sum') * 2
+              >= {_N_HASHES} THEN 1 ELSE 0 END AS est_keep
+  FROM cand c
+  LEFT JOIN truep t ON t.id_a = c.id_a AND t.id_b = c.id_b
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM shingled) AS n_sample_docs,
+         (SELECT COUNT(*) FROM truep) AS n_true_pairs,
+         (SELECT COUNT(*) FROM scored) AS n_candidates,
+         (SELECT COALESCE(CAST(SUM(is_true) AS BIGINT), 0) FROM scored) AS n_candidate_true,
+         (SELECT COALESCE(CAST(SUM(is_true * est_keep) AS BIGINT), 0) FROM scored) AS n_est_true
+)
+SELECT CAST(n_sample_docs AS BIGINT) AS n_sample_docs,
+       CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_candidate_true AS BIGINT) AS n_candidate_true,
+       CAST(n_est_true AS BIGINT) AS n_est_true,
+       CAST((n_candidate_true * 1000000) // n_true_pairs AS BIGINT) AS band_recall_ppm,
+       CAST((n_est_true * 1000000) // n_true_pairs AS BIGINT) AS est_recall_ppm,
+       CAST((n_candidate_true * 1000000) // n_candidates AS BIGINT) AS precision_ppm
+FROM agg
+""",
+)
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measured MinHash-LSH quality report — recall AND precision
+    of the banded candidate generation and of the 16-hash estimate
+    verdict, against exact Jaccard ground truth on a deterministic
+    ~6% document sample (base-id % 17, so each planted twin pair stays
+    inside the sample together).  Oracle parity alone cannot certify
+    the ESTIMATOR (DuckDB mirrors the same permutation arithmetic —
+    the degenerate-LCG lesson), so the engine measures and publishes
+    it, the q_ann_binary_recall discipline applied to dedup.
+
+    Every decision is integer-exact: J >= 1/2 is the cross-
+    multiplication 3*common >= |A|+|B| (J = c/(a+b-c)), the estimate
+    verdict is 2*agreements >= 16, and the report is integer ppm
+    (floor division) — no FP boundary anywhere.
+
+    Scale shape: the sample filter is map-side and FIRST, so the
+    all-pairs-grade exact verifier (shingle inverted-index join) runs
+    on ~0.35%% of the pair space — at 100 TB you'd pin the sample to a
+    fixed doc count instead of a fixed rate; banding and signatures
+    reuse the production machinery unchanged, so the measured numbers
+    are the numbers the dedup task actually ships."""
+    corpus = _doc_corpus(spark, sf_dir, mutate=" zz qq")
+    sample = corpus.where((F.col("doc_id") % 100000) % 17 == 0)
+    shingled = _staged_shingles(sample, persist=True).where(F.size("sh") > 0)
+    bases = shingled.select("doc_id", "sh", F.expr(_SPARK_BASES).alias("bases"))
+    sigs = persist_tracked(
+        bases.select("doc_id", "sh", _sig_udf()(F.col("bases")).alias("sig"))
+    )
+    sizes = sigs.select("doc_id", F.size("sh").alias("n"))
+    exploded = sigs.select("doc_id", F.explode("sh").alias("s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = persist_tracked(
+        a.join(
+            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+    )
+    truep = common.where(3 * F.col("c") >= F.col("na") + F.col("nb")).select(
+        "id_a", "id_b", F.lit(1).alias("_t")
+    )
+    bands = persist_tracked(_mh_band_frame(sigs.select("doc_id", "sig")))
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.band_sig") == F.col("bb.band_sig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("id_a"), F.col("bb.doc_id").alias("id_b"))
+        .distinct()
+    )
+    agree = F.expr(
+        "aggregate(zip_with(siga, sigb, (x, y) -> case when x = y then 1 else 0 end), "
+        "0, (acc, v) -> acc + v)"
+    )
+    scored = (
+        cand.join(truep, ["id_a", "id_b"], "left")
+        .join(
+            sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("siga")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sigb")),
+            "id_b",
+        )
+        .select(
+            F.coalesce(F.col("_t"), F.lit(0)).alias("is_true"),
+            F.when(agree * 2 >= _N_HASHES, 1).otherwise(0).alias("est_keep"),
+        )
+    )
+    n_docs = shingled.agg(F.count(F.lit(1)).alias("n_sample_docs"))
+    tp = truep.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    cd = scored.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.coalesce(F.sum("is_true"), F.lit(0)).alias("n_candidate_true"),
+        F.coalesce(F.sum(F.col("is_true") * F.col("est_keep")), F.lit(0)).alias(
+            "n_est_true"
+        ),
+    )
+    return (
+        n_docs.crossJoin(tp)
+        .crossJoin(cd)
+        .select(
+            F.col("n_sample_docs").cast("bigint").alias("n_sample_docs"),
+            F.col("n_true_pairs").cast("bigint").alias("n_true_pairs"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("n_candidate_true").cast("bigint").alias("n_candidate_true"),
+            F.col("n_est_true").cast("bigint").alias("n_est_true"),
+            F.expr("cast((n_candidate_true * 1000000) div n_true_pairs as bigint)").alias(
+                "band_recall_ppm"
+            ),
+            F.expr("cast((n_est_true * 1000000) div n_true_pairs as bigint)").alias(
+                "est_recall_ppm"
+            ),
+            F.expr("cast((n_candidate_true * 1000000) div n_candidates as bigint)").alias(
+                "precision_ppm"
+            ),
+        )
+    )

@@ -1204,3 +1204,19 @@ def test_srp_sign_table_is_balanced(spark):
     gram = srp @ srp.T / 64.0
     off = gram - np.eye(_SRP_OUT_DIM)
     assert abs(off).max() < 0.45, f"row correlation too high: {abs(off).max()}"
+
+
+def test_minhash_recall_report_is_honest(spark):
+    """The self-measured LSH quality report must show a healthy
+    estimator on the planted-twin corpus: near-perfect band recall
+    (twins sit at J ~0.9, far above the 4x4-band S-curve knee) and
+    high precision.  A degenerate permutation table would crater both
+    while still passing oracle parity."""
+    from sayn_spark.functions.dedup import q_dedup_minhash_recall
+
+    row = q_dedup_minhash_recall(spark, SF).collect()[0]
+    assert row.n_true_pairs > 10
+    assert row.band_recall_ppm >= 900000, row
+    assert row.precision_ppm >= 900000, row
+    # the estimate verdict may only lose candidates, never invent them
+    assert row.n_est_true <= row.n_candidate_true
