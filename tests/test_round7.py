@@ -1220,3 +1220,18 @@ def test_minhash_recall_report_is_honest(spark):
     assert row.precision_ppm >= 900000, row
     # the estimate verdict may only lose candidates, never invent them
     assert row.n_est_true <= row.n_candidate_true
+
+
+def test_srp_retrieval_recall_is_measured_and_bounded(spark):
+    """The SRP retrieval report must return one row per query with
+    integer-consistent hits (n_hit <= K, recall_ppm = n_hit/K) and a
+    nonzero aggregate — the tier finds SOME true neighbors; its
+    honestly-low corpus-specific mean is the report's point."""
+    from sayn_spark.functions.similarity import _SRP_K, q_ann_srp_recall
+
+    rows = q_ann_srp_recall(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_hit <= _SRP_K
+        assert r.recall_ppm == (r.n_hit * 1000000) // _SRP_K
+    assert sum(r.n_hit for r in rows) > 0
