@@ -2196,6 +2196,55 @@ def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contaminated_ids_frame(
+    docs: DataFrame,
+    ev: DataFrame,
+    ngram: int,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    eval_text_column: str = "text",
+    min_overlap_ppm: int | None = None,
+) -> DataFrame:
+    """Distinct contaminated-id frame — the ONE predicate behind the
+    decontaminate task and its streaming twin (stream == batch by
+    construction).  ``min_overlap_ppm is None`` is the any-single-gram
+    rule (GPT-3 appendix); an integer ppm switches to per-pair
+    containment of an eval document's distinct n-grams
+    (q_decontaminate_overlap_frac's engine).  The eval side always
+    broadcasts; with the frac rule only matched (doc, eval) pairs
+    shuffle into the count."""
+    src_hashes = ngram_hash_frame(docs, text_column, ngram, id_column)
+    if min_overlap_ppm is None:
+        ev_hashes = ngram_hash_frame(ev, eval_text_column, ngram, None)
+        return (
+            src_hashes.join(F.broadcast(ev_hashes), "h", "left_semi")
+            .select(id_column)
+            .distinct()
+        )
+    # Per-pair containment: grams keyed by eval DOCUMENT.  No id column
+    # is required on the eval table — xxhash64 of the text is the
+    # per-doc key (identical eval texts merge harmlessly: same gram
+    # set, same total).
+    ev_docs = ev.where(F.col(eval_text_column).isNotNull()).select(
+        F.xxhash64(eval_text_column).alias("_eval_id"),
+        F.col(eval_text_column).alias("_ev_text"),
+    )
+    ev_g = ngram_hash_frame(ev_docs, "_ev_text", ngram, "_eval_id")
+    ev_n = ev_g.groupBy("_eval_id").agg(F.count(F.lit(1)).alias("_n_ev"))
+    return (
+        src_hashes.join(F.broadcast(ev_g), "h")
+        .groupBy(id_column, "_eval_id")
+        .agg(F.count(F.lit(1)).alias("_n_matched"))
+        .join(F.broadcast(ev_n), "_eval_id")
+        .where(
+            F.col("_n_matched") * 1_000_000
+            >= F.col("_n_ev") * F.lit(int(min_overlap_ppm))
+        )
+        .select(id_column)
+        .distinct()
+    )
+
+
 @register(
     "q_decontaminate_overlap_frac",
     oracle="""

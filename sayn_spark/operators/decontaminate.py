@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sayn_spark.functions.content_filter import ngram_hash_frame
+from sayn_spark.functions.content_filter import contaminated_ids_frame
 from sayn_spark.operators.base import Task, TaskStatus
 
 class DecontaminateTask(Task):
@@ -128,39 +128,15 @@ class DecontaminateTask(Task):
                 self.id_column,
                 "left_anti",
             )
-        src_hashes = ngram_hash_frame(df, self.text_column, self.ngram, self.id_column)
-        if self.min_overlap_ppm is None:
-            ev_hashes = ngram_hash_frame(ev, self.eval_text_column, self.ngram, None)
-            contaminated = (
-                src_hashes.join(F.broadcast(ev_hashes), "h", "left_semi")
-                .select(self.id_column)
-                .distinct()
-            )
-        else:
-            # Per-pair containment: grams keyed by eval DOCUMENT.  The
-            # eval table needs no id column — xxhash64 of the text is
-            # the per-doc key (identical eval texts merge harmlessly:
-            # same gram set, same total).  Both eval frames stay
-            # broadcast-sized; only matched (doc, eval) pairs shuffle
-            # into the count (map-side partial agg applies).
-            ev_docs = ev.where(F.col(self.eval_text_column).isNotNull()).select(
-                F.xxhash64(self.eval_text_column).alias("_eval_id"),
-                F.col(self.eval_text_column).alias("_ev_text"),
-            )
-            ev_g = ngram_hash_frame(ev_docs, "_ev_text", self.ngram, "_eval_id")
-            ev_n = ev_g.groupBy("_eval_id").agg(F.count(F.lit(1)).alias("_n_ev"))
-            contaminated = (
-                src_hashes.join(F.broadcast(ev_g), "h")
-                .groupBy(self.id_column, "_eval_id")
-                .agg(F.count(F.lit(1)).alias("_n_matched"))
-                .join(F.broadcast(ev_n), "_eval_id")
-                .where(
-                    F.col("_n_matched") * 1_000_000
-                    >= F.col("_n_ev") * F.lit(self.min_overlap_ppm)
-                )
-                .select(self.id_column)
-                .distinct()
-            )
+        contaminated = contaminated_ids_frame(
+            df,
+            ev,
+            self.ngram,
+            id_column=self.id_column,
+            text_column=self.text_column,
+            eval_text_column=self.eval_text_column,
+            min_overlap_ppm=self.min_overlap_ppm,
+        )
         if self.mode == "drop":
             out = df.join(contaminated, self.id_column, "left_anti")
         else:

@@ -283,33 +283,39 @@ def stream_decontaminate(
     checkpoint: str,
     ngram: int = 13,
     id_column: str = "doc_id",
+    min_overlap_frac: float | None = None,
 ):
     """Streaming twin of the decontaminate task: each micro-batch of
     documents is checked against the STATIC eval table's n-grams and
     only clean rows land in ``dst_table``.
 
     Structured Streaming cannot anti-join a stream against a
-    stream-derived frame, so the batch task's exact plan (explode to
-    n-gram hashes, broadcast the eval side, left-semi then anti) runs
-    per trigger inside foreachBatch.  The static side re-resolves every
+    stream-derived frame, so the batch task's exact predicate
+    (functions/content_filter.py:contaminated_ids_frame — the SAME
+    helper, so stream == batch by construction, including the
+    ``min_overlap_frac`` per-pair containment rule) runs per trigger
+    inside foreachBatch.  The static side re-resolves every
     batch — an updated eval table applies from the next trigger with no
     restart.  Writes are idempotent on replay: rows are stamped with
     the trigger id and merged delete-before-append on it.
     """
-    from sayn_spark.functions.content_filter import ngram_hash_frame
+    from sayn_spark.functions.content_filter import contaminated_ids_frame
 
     outer_session = source.sparkSession
+    min_ppm = None if min_overlap_frac is None else round(float(min_overlap_frac) * 1_000_000)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         db = SparkDatabase(spark)
         if batch_df.isEmpty():
             return
-        ev_hashes = ngram_hash_frame(spark.table(eval_table), "text", ngram, None)
-        doc_hashes = ngram_hash_frame(batch_df, "text", ngram, id_column)
-        contaminated = doc_hashes.join(
-            F.broadcast(ev_hashes), "h", "left_semi"
-        ).select(id_column)
+        contaminated = contaminated_ids_frame(
+            batch_df,
+            spark.table(eval_table),
+            ngram,
+            id_column=id_column,
+            min_overlap_ppm=min_ppm,
+        )
         kept = batch_df.join(contaminated, id_column, "left_anti").withColumn(
             "ingest_id", F.lit(batch_id).cast("long")
         )

@@ -1020,3 +1020,67 @@ def test_ann_search_stream_matches_batch_and_merges(spark, tmp_path):
     )
     # every query still carries exactly k rows
     assert out.groupBy("query_id").count().where("count != 3").count() == 0
+
+
+def test_decontaminate_stream_overlap_frac_matches_batch(spark, tmp_path):
+    """The streaming twin's min_overlap_frac keep set must equal the
+    batch task's per-pair containment keep set (shared predicate:
+    contaminated_ids_frame)."""
+    from pyspark.sql import functions as F
+
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.functions.content_filter import contaminated_ids_frame
+    from sayn_spark.streaming import stream_decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    ev = (
+        docs.where(F.col("doc_id") % 9 == 0)
+        .select(
+            F.expr(
+                "concat_ws(' ', slice(filter(split(lower(text), ' '), x -> x != ''), 3, 12))"
+            ).alias("text")
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 11 == 0).select(
+                F.expr(
+                    "concat_ws(' ', concat(slice(filter(split(lower(text), ' '), x -> x != ''), 2, 9),"
+                    " array('qz1','qz2','qz3','qz4','qz5')))"
+                ).alias("text")
+            )
+        )
+    )
+    spark.sql("DROP TABLE IF EXISTS dsf_eval")
+    SparkDatabase(spark).replace_table("dsf_eval", ev)
+
+    src = tmp_path / "dsf_docs"
+    src.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "w1"))
+    spark.sql("DROP TABLE IF EXISTS dsf_out")
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = stream_decontaminate(
+        stream,
+        "dsf_eval",
+        "dsf_out",
+        str(tmp_path / "dsf_ckpt"),
+        ngram=8,
+        min_overlap_frac=0.5,
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.table("dsf_out").collect()}
+
+    bad = contaminated_ids_frame(
+        docs, spark.table("dsf_eval"), 8, min_overlap_ppm=500000
+    )
+    want = {r.doc_id for r in docs.join(bad, "doc_id", "left_anti").collect()}
+    assert got == want
+    assert 0 < len(got) < docs.count()
+    # the frac rule keeps strictly more than the any-gram rule here
+    bad_any = contaminated_ids_frame(docs, spark.table("dsf_eval"), 8)
+    want_any = {
+        r.doc_id for r in docs.join(bad_any, "doc_id", "left_anti").collect()
+    }
+    assert want_any < got
+    for t in ("dsf_eval", "dsf_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
