@@ -2390,3 +2390,106 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_dedup_source_matrix",
+    oracle=f"""
+WITH shingled AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents WHERE len({_SQL_SHINGLES}) > 0
+),
+sigs AS (SELECT doc_id, sh, {_SQL_SIG} AS sig FROM shingled),
+bands AS (
+  SELECT doc_id, band,
+         md5(array_to_string(list_transform(generate_series(1, {_BAND_ROWS}),
+             i -> CAST(sig[band * {_BAND_ROWS} + i] AS VARCHAR)), '|')) AS band_sig
+  FROM sigs, (SELECT unnest(generate_series(0, {_N_HASHES // _BAND_ROWS - 1})) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b FROM cand
+  JOIN shingled sa ON sa.doc_id = id_a
+  JOIN shingled sb ON sb.doc_id = id_b
+  WHERE 3 * len(list_intersect(sa.sh, sb.sh)) >= len(sa.sh) + len(sb.sh)
+),
+labeled AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         v.id_a
+  FROM verified v
+  JOIN documents da ON da.doc_id = v.id_a
+  JOIN documents db ON db.doc_id = v.id_b
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MIN(id_a) AS example_id
+FROM labeled GROUP BY source_a, source_b
+""",
+)
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the provenance governance
+    report (RefinedWeb/Dolma run it before mixing): which sources copy
+    which, counted as verified near-dup pairs (MinHash-LSH candidates,
+    exact Jaccard >= 1/2 via the integer cross-multiplication
+    3*common >= |A|+|B|) over the RAW corpus — no planted twins, so
+    the numbers are the corpus' own duplication structure.  The pair
+    (source_a, source_b) is order-normalised (least/greatest), folding
+    the symmetric halves; a large diagonal entry means within-source
+    re-posts (cheap to dedup at ingest), a large off-diagonal one
+    means mirror sites — which changes mixture weights, not just
+    dedup.
+
+    Scale shape: identical to q_dedup_minhash_lsh (16 ints/doc
+    shuffle, banded candidates, verify on survivors only) plus one
+    slim (id, source) join on the verified pairs — a few rows per
+    million docs, negligible.  All outputs are integers/strings; no
+    FP anywhere."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = _fan_out(d.select("doc_id", "text"), spark, sf_dir)
+    shingled = _staged_shingles(corpus, persist=True).where(F.size("sh") > 0)
+    bases = shingled.select("doc_id", "sh", F.expr(_SPARK_BASES).alias("bases"))
+    sigs = bases.select("doc_id", _sig_udf()(F.col("bases")).alias("sig"))
+    bands = persist_tracked(_mh_band_frame(sigs))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    common = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    verified = (
+        cand.join(shingled.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(shingled.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .where(3 * common >= F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")))
+        .select("id_a", "id_b")
+    )
+    srcs = d.select("doc_id", "source")
+    labeled = (
+        verified.join(
+            srcs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            srcs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "id_a",
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("id_a").alias("example_id"),
+    )
