@@ -71,6 +71,9 @@ HEADLINE = [
     "q_ann_triplet_mining",
     "q_text_bigram_surprisal",
     "q_dsir_selection",
+    "q_decontaminate_overlap_frac",
+    "q_embedding_srp_reduce",
+    "q_dedup_source_matrix",
     "task_dedup_incremental",
     "task_filter_gopher",
     "task_ann_search_sq8",
