@@ -1202,3 +1202,100 @@ def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("concat_ws(' ', c)").alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal
+# ---------------------------------------------------------------------------
+
+_ENT_LN = "cast(round(ln(cast({x} as double)) * 100000000) as bigint)"
+_ENT_LOW = 200000000  # 2.0 nats in 1e-8 units
+
+
+def char_entropy_col(text: str = "text"):
+    """Column: per-document character Shannon entropy in integer 1e-8
+    nat units, as a ZERO-EXCHANGE row-local fold (run-length aggregate
+    over the doc's own sorted chars).  NULL/empty text scores 0.
+    Shared by q_text_char_entropy, the filter task's ``scorer:
+    entropy``, and the streaming stage."""
+    ln_run = _ENT_LN.format(x="acc.run")
+    fold = (
+        f"aggregate(array_sort(filter(split({text}, ''), x -> x != '')), "
+        "named_struct('prev', '', 'run', 0L, 'acc', 0L), "
+        "(acc, c) -> case when c = acc.prev "
+        "then named_struct('prev', acc.prev, 'run', acc.run + 1L, 'acc', acc.acc) "
+        "else named_struct('prev', c, 'run', 1L, "
+        f"'acc', acc.acc + case when acc.run > 0 then acc.run * {ln_run} else 0L end) end, "
+        f"acc -> acc.acc + case when acc.run > 0 then acc.run * {ln_run} else 0L end)"
+    )
+    ln_n = _ENT_LN.format(x=f"length({text})")
+    return F.expr(
+        f"case when {text} is null or length({text}) = 0 then 0L else "
+        f"cast((cast(length({text}) as bigint) * {ln_n} - {fold}) "
+        f"div cast(length({text}) as bigint) as bigint) end"
+    )
+
+
+@register(
+    "q_text_char_entropy",
+    oracle=f"""
+WITH ch AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ''), x -> x <> '')) AS c
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+cnts AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(k) AS BIGINT) AS n,
+         CAST(SUM(k * CAST(ROUND(LN(CAST(k AS DOUBLE)) * 100000000) AS BIGINT))
+              AS BIGINT) AS acc
+  FROM cnts GROUP BY doc_id
+)
+SELECT doc_id, n AS n_chars,
+       CAST((n * CAST(ROUND(LN(CAST(n AS DOUBLE)) * 100000000) AS BIGINT) - acc)
+            // n AS BIGINT) AS entropy_e8,
+       CAST(CASE WHEN (n * CAST(ROUND(LN(CAST(n AS DOUBLE)) * 100000000) AS BIGINT)
+                       - acc) // n < {_ENT_LOW} THEN 1 ELSE 0 END AS BIGINT)
+         AS low_entropy
+FROM per_doc
+""",
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document, in integer 1e-8
+    nat units — the crawler quality signal that catches what word
+    rules miss (binary junk, base64 blobs, aaaaa-style keyboard mash
+    all sit far below natural text's ~2.5-4 nats/char; ``low_entropy``
+    flags documents under 2.0).  H = ln(n) - (1/n) * sum_c k_c ln(k_c)
+    over character counts.
+
+    Determinism: each LN rounds ONCE into 1e-8 integer units (the
+    q_dsir_selection rule; margins in the FRAGILITY audit) and
+    everything downstream — the k*L(k) products, the subtraction, the
+    floor division by n — is exact BIGINT, so the threshold flag has
+    no FP boundary.
+
+    Scale shape: the Spark side is a ZERO-EXCHANGE row-local fold
+    (array_sort + run-length aggregate over the doc's own chars — the
+    MassiveText-fold discipline; the relational DuckDB formulation
+    certifies it): 100 TB of text never shuffles a single character.
+    """
+    d = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+    # stage the fold in its own column (interpreted HOFs re-evaluate
+    # inlined subexpressions — the measured-8x pitfall)
+    staged = d.select(
+        "doc_id",
+        F.expr("cast(length(text) as bigint)").alias("n_chars"),
+        char_entropy_col().alias("entropy_e8"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_chars",
+        "entropy_e8",
+        F.expr(
+            f"cast(case when entropy_e8 < {_ENT_LOW} then 1 else 0 end as bigint)"
+        ).alias("low_entropy"),
+    )

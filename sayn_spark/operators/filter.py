@@ -8,7 +8,8 @@ applied as a declarative keep/drop stage:
         source: documents
         destination: documents_clean
         scorer: quality          # quality | langid | length |
-                                 #   repetition | surprisal | gopher
+                                 #   entropy | repetition |
+                                 #   surprisal | gopher
         min_score: 0.5
         with_score: true         # add the score column to the output
 
@@ -29,6 +30,11 @@ correctness evidence):
 - langid:  keep rows whose predicted language is in ``languages``
   (q_text_langid's marker-count heuristic, CJK -> zh).
 - length:  keep rows with min_tokens <= n_tokens <= max_tokens.
+- entropy: keep rows whose character Shannon entropy is at least
+  min_entropy nats (q_text_char_entropy's zero-exchange row-local
+  fold, integer 1e-8 nat units — catches binary junk / base64 blobs /
+  keyboard mash that word-level rules miss).  Row-local: incremental-
+  and streaming-safe.
 - repetition: keep rows with repetition_ratio <= max_repetition_ratio
   and/or n_immediate_repeats <= max_immediate_repeats
   (q_repetition_signals' shared builders in functions/content_filter.py;
@@ -94,6 +100,7 @@ _SCORERS = (
     "quality",
     "langid",
     "length",
+    "entropy",
     "repetition",
     "surprisal",
     "gopher",
@@ -157,6 +164,16 @@ class FilterTask(Task):
             raise ValueError(
                 f"filter task {self.name!r}: length needs min_tokens and/or max_tokens"
             )
+        # entropy: character-Shannon floor in nats (row-local, so
+        # mode: incremental is sound); stored as integer 1e-8 units
+        min_ent = c.get("min_entropy")
+        if self.scorer == "entropy" and min_ent is None:
+            raise ValueError(
+                f"filter task {self.name!r}: entropy needs min_entropy (nats)"
+            )
+        self.min_entropy_e8 = (
+            None if min_ent is None else int(round(float(min_ent) * 100000000))
+        )
         self.max_repetition_ratio = c.get("max_repetition_ratio")
         self.max_immediate_repeats = c.get("max_immediate_repeats")
         # MassiveText n-gram coverage gates (integer ppm; published
@@ -743,6 +760,14 @@ class FilterTask(Task):
             # construction (n_words = 0 < min_words)
             kept = scored.where(gopher_pass_col(**self.gopher_bounds)).drop("_t")
             out = kept if self.with_score else kept.drop(*sig)
+        elif self.scorer == "entropy":
+            from sayn_spark.functions.text import char_entropy_col
+
+            scored = work.withColumn("_ent", char_entropy_col())
+            kept = scored.where(F.col("_ent") >= self.min_entropy_e8)
+            out = kept if self.with_score else kept.drop("_ent")
+            if self.with_score:
+                out = out.withColumnRenamed("_ent", "entropy_e8")
         elif self.scorer == "c4":
             from sayn_spark.functions.content_filter import (
                 c4_clean_text_col,

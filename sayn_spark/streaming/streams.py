@@ -212,6 +212,7 @@ def content_filter_stream(
     c4: Optional[dict] = None,
     repetition: Optional[dict] = None,
     pii: Optional[dict] = None,
+    min_entropy: Optional[float] = None,
 ) -> DataFrame:
     """Streaming twin of the filter task's scorers: quality-score and
     (optionally) language-gate a document stream with the SAME
@@ -236,6 +237,14 @@ def content_filter_stream(
             out.select("*", *langid_columns())
             .where(predicted_lang_col().isin(list(languages)))
             .drop("has_cjk", "c_en", "c_es", "c_fr", "c_de")
+        )
+    if min_entropy is not None:
+        # character-Shannon floor (q_text_char_entropy's row-local
+        # fold) — stateless integer predicate like the rest
+        from sayn_spark.functions.text import char_entropy_col
+
+        out = out.where(
+            char_entropy_col() >= int(round(float(min_entropy) * 100000000))
         )
     if gopher_bounds is not None:
         # the Gopher rule suite is also a stateless integer predicate

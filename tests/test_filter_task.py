@@ -510,3 +510,67 @@ def test_filter_lm_options_validation(ctx):
         t = FilterTask("bad_lm", cfg, ctx)
         with _pytest.raises(ValueError):
             t.config()
+
+
+def test_filter_entropy_matches_registered_query(ctx, spark):
+    """scorer: entropy must keep exactly the docs q_text_char_entropy
+    scores at/above the floor, and must actually drop a planted
+    low-entropy page."""
+    from sayn_spark.functions.text import q_text_char_entropy
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [(990001, "aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa")],
+        schema="doc_id long, text string",
+    )
+    corpus = docs.unionByName(planted)
+    ctx.db.replace_table("fe_src", corpus)
+    _run(
+        ctx,
+        "fe",
+        {
+            "source": "fe_src",
+            "destination": "fe_out",
+            "scorer": "entropy",
+            "min_entropy": 2.0,
+            "with_score": True,
+        },
+    )
+    out = {r.doc_id: r.entropy_e8 for r in spark.table("fe_out").collect()}
+    assert 990001 not in out  # the mash page is below 2.0 nats
+    scored = {
+        r.doc_id: r.entropy_e8 for r in q_text_char_entropy(spark, SF).collect()
+    }
+    want = {d: e for d, e in scored.items() if e >= 200000000}
+    assert {d: e for d, e in out.items() if d != 990001} == want
+    assert len(out) > 0
+    for t in ("fe_src", "fe_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_filter_entropy_validation_and_incremental(ctx, spark):
+    t = FilterTask("bad_ent", {"source": "s", "destination": "d", "scorer": "entropy"}, ctx)
+    with pytest.raises(ValueError):
+        t.config()
+    # row-local: incremental mode is accepted and replays are no-ops
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    ctx.db.replace_table("fei_src", docs.where("doc_id % 2 = 0"))
+    cfg = {
+        "source": "fei_src",
+        "destination": "fei_out",
+        "scorer": "entropy",
+        "min_entropy": 2.0,
+        "mode": "incremental",
+    }
+    spark.sql("DROP TABLE IF EXISTS fei_out")
+    _run(ctx, "fei", cfg)
+    n1 = spark.table("fei_out").count()
+    _run(ctx, "fei", cfg)
+    assert spark.table("fei_out").count() == n1
+    ctx.db.replace_table("fei_src", docs)
+    _run(ctx, "fei", cfg)
+    got = {r.doc_id for r in spark.table("fei_out").collect()}
+    _run(ctx, "fef", {**cfg, "mode": "full", "destination": "fef_out"})
+    assert got == {r.doc_id for r in spark.table("fef_out").collect()}
+    for t2 in ("fei_src", "fei_out", "fef_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")

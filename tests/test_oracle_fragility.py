@@ -263,3 +263,23 @@ tot AS (
         "FROM tot",
     )
     assert m_oov > 1e-4, f"NB oov llr within {m_oov} grid units of a half-boundary"
+
+
+def test_char_entropy_ln_margin():
+    # q_text_char_entropy rounds LN(k) (character run lengths) and
+    # LN(n) (doc lengths) once into 1e-8 integer units; the distinct
+    # argument set is every run length and doc length in the corpus
+    con = duckdb_con(SF_DIR)
+    with_sql = """
+ch AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ''), x -> x <> '')) AS c
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+args AS (
+  SELECT COUNT(*) AS k FROM ch GROUP BY doc_id, c
+  UNION SELECT length(text) FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+lns AS (SELECT DISTINCT LN(CAST(k AS DOUBLE)) AS lnk FROM args WHERE k > 1)
+"""
+    m = _min_margin(con, with_sql, "lnk", 1e8, "FROM lns")
+    assert m is None or m > 1e-4, f"LN(k) margin {m} too close to a half-boundary"

@@ -1084,3 +1084,35 @@ def test_decontaminate_stream_overlap_frac_matches_batch(spark, tmp_path):
     assert want_any < got
     for t in ("dsf_eval", "dsf_out"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_content_filter_stream_entropy_matches_batch(spark, tmp_path):
+    """The streaming entropy gate must keep exactly the docs the
+    registered query scores at/above the floor (same shared fold)."""
+    from sayn_spark.functions.text import q_text_char_entropy
+    from sayn_spark.streaming import content_filter_stream
+
+    src = tmp_path / "cfe_docs"
+    src.mkdir()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src / "w1"))
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = (
+        content_filter_stream(stream, min_score=0.0, min_entropy=2.85)
+        .writeStream.format("memory")
+        .queryName("cfe_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.table("cfe_out").collect()}
+    want = {
+        r.doc_id
+        for r in q_text_char_entropy(spark, SF).collect()
+        if r.entropy_e8 >= 285000000
+    }
+    assert got == want
+    assert 0 < len(got) < docs.count()
