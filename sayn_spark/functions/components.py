@@ -573,3 +573,64 @@ def q_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return multi.unionByName(singles)
+
+
+@register(
+    "q_dedup_soft_weights",
+    oracle=f"""
+WITH RECURSIVE {_SQL_CORPUS3}, {_SQL_EDGES},
+sym AS (
+  SELECT src, dst FROM edges
+  UNION SELECT dst, src FROM edges
+  UNION SELECT src, src FROM edges
+  UNION SELECT dst, dst FROM edges
+),
+reach(a, b) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+),
+comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+csize AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component),
+sized AS (SELECT c.node AS doc_id, s.cluster_size FROM comp c JOIN csize s USING (component))
+SELECT d.doc_id,
+       CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+       CAST(1000000 // COALESCE(s.cluster_size, 1) AS BIGINT) AS weight_ppm
+FROM corpus d LEFT JOIN sized s ON s.doc_id = d.doc_id
+""",
+)
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup — DOWNWEIGHT near-duplicate clusters instead of
+    dropping them (the SoftDeDup idea: hard removal throws away the
+    signal that duplicated text is often GOOD text; reweighting keeps
+    every document but makes each cluster contribute ~one document's
+    worth of gradient).  Every doc gets weight 1/cluster_size as
+    integer ppm — singletons weigh 1000000, a 4-copy cluster's members
+    250000 each — ready to feed a weighted sampler (the sample task's
+    method: weighted consumes exactly this shape) or a loss-weighting
+    column.
+
+    Determinism: cluster assignment is the auto-selecting
+    ``components()`` over >= 0.5-Jaccard edges (the registry's
+    recursive-CTE-certified machinery); weights are integer floor
+    division — no FP anywhere.
+
+    Scale shape: everything up to the weights is q_dedup_components'
+    audited plan (banded edges, budgeted label-prop); the weighting
+    itself adds one broadcast-sized (component, size) aggregate and a
+    slim left join on doc_id — no new shuffle of document text."""
+    from sayn_spark.functions.dedup import _fan_out
+
+    corpus = _fan_out(_near_dup_corpus(spark, sf_dir), spark, sf_dir)
+    comp = components(_jaccard_edges(corpus))
+    csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    sized = comp.join(csize, "component").select(
+        F.col("node").alias("doc_id"), "cluster_size"
+    )
+    return corpus.select("doc_id").join(sized, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_size", F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.expr("cast(1000000 div coalesce(cluster_size, 1) as bigint)").alias(
+            "weight_ppm"
+        ),
+    )
