@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sayn_spark.functions.registry import T, register
+from sayn_spark.functions.registry import T, persist_tracked, register
 
 _N_PARTS = 16
 
@@ -398,4 +398,130 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("rh") % _CHECKSUM_MOD).alias("sum_mod"),
             F.expr("bit_xor(rh)").alias("xor_h"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout — multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_EPOCH0 = 1704067200  # 2024-01-01T00:00:00Z — the corpus' hour origin
+_Z_BLOCK = 256  # rows per simulated file/row-group
+
+
+def zorder_key_expr(a: str, b: str, bits: int = _Z_BITS) -> str:
+    """Spark SQL expression: bit-interleaved Z-order (Morton) key over
+    two non-negative integer columns, ``bits`` low bits each — the
+    sort key behind multi-dimensional data skipping (Delta's OPTIMIZE
+    ZORDER): sorting by it clusters rows that are close in BOTH
+    dimensions, so per-file min/max stats prune on either predicate.
+    Use with the engine's sorted-write path (repartitionByRange +
+    sortWithinPartitions, q_sorted_write_invariant's mechanism)."""
+    return (
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc"
+        f" + (shiftright(cast({a} as bigint), i) % 2) * shiftleft(1L, 2 * i)"
+        f" + (shiftright(cast({b} as bigint), i) % 2) * shiftleft(1L, 2 * i + 1))"
+    )
+
+
+def _zorder_key_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
+    """DuckDB twin of :func:`zorder_key_expr`."""
+    return (
+        f"CAST(list_aggregate(list_transform(generate_series(0, {bits - 1}), i ->"
+        f" (({a} >> i) & 1) * (1::BIGINT << (2 * i))"
+        f" + (({b} >> i) & 1) * (1::BIGINT << (2 * i + 1))), 'sum') AS BIGINT)"
+    )
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id,
+         (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - {_Z_EPOCH0}) // 3600 AS hidx
+  FROM events
+),
+keyed AS (SELECT *, {_zorder_key_sql("user_id", "hidx")} AS zkey FROM e),
+zb AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY zkey, event_id) - 1) // {_Z_BLOCK} AS block,
+         user_id, hidx
+  FROM keyed
+),
+tb AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY hidx, event_id) - 1) // {_Z_BLOCK} AS block,
+         user_id, hidx
+  FROM keyed
+),
+zagg AS (
+  SELECT block, MAX(user_id) - MIN(user_id) AS us, MAX(hidx) - MIN(hidx) AS hs
+  FROM zb GROUP BY block
+),
+tagg AS (
+  SELECT block, MAX(user_id) - MIN(user_id) AS us, MAX(hidx) - MIN(hidx) AS hs
+  FROM tb GROUP BY block
+)
+SELECT 'zorder' AS ordering, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(us) AS BIGINT) AS sum_user_span, CAST(SUM(hs) AS BIGINT) AS sum_hour_span
+FROM zagg
+UNION ALL
+SELECT 'time', CAST(COUNT(*) AS BIGINT), CAST(SUM(us) AS BIGINT), CAST(SUM(hs) AS BIGINT)
+FROM tagg
+""",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear layout, measured — the data-skipping number
+    behind Delta's OPTIMIZE ZORDER, computed on the engine's own
+    events table: interleave (user_id, hour) bits into a Morton key,
+    cut both orderings into {_Z_BLOCK}-row blocks (simulated files /
+    row groups), and report each ordering's summed per-block min/max
+    span per dimension.  A block's span IS its pruning power: a
+    point-user predicate skips a block iff the user sits outside its
+    span, so sum_user_span(zorder) << sum_user_span(time) quantifies
+    how much I/O Z-ordering saves on user-keyed reads while keeping
+    time spans bounded (the two-predicate trade every lakehouse
+    layout decision weighs).
+
+    Determinism: the Morton fold, block cuts (row_number over
+    (key, event_id)), and spans are all exact integers.
+
+    Scale shape: the measurement's global sorts are
+    repartitionByRange-style total orders (q_sorted_write_invariant's
+    mechanism — range-partitioned, locally sorted); the Z-key itself
+    is a row-local fold you attach before any sorted write.  At
+    100 TB you run the report per partition-sample to size file
+    stats, then ZORDER the hot tables."""
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            f"(unix_timestamp(date_trunc('hour', ts)) - {_Z_EPOCH0}) div 3600"
+        ).alias("hidx"),
+    )
+    keyed = persist_tracked(
+        e.withColumn("zkey", F.expr(zorder_key_expr("user_id", "hidx")))
+    )
+
+    def _spans(order_cols, label: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(*order_cols)
+        blocks = keyed.select(
+            ((F.row_number().over(w) - 1) / _Z_BLOCK).cast("bigint").alias("block"),
+            "user_id",
+            "hidx",
+        )
+        agg = blocks.groupBy("block").agg(
+            (F.max("user_id") - F.min("user_id")).alias("us"),
+            (F.max("hidx") - F.min("hidx")).alias("hs"),
+        )
+        return agg.agg(
+            F.lit(label).alias("ordering"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum("us").cast("bigint").alias("sum_user_span"),
+            F.sum("hs").cast("bigint").alias("sum_hour_span"),
+        )
+
+    return _spans(["zkey", "event_id"], "zorder").unionByName(
+        _spans(["hidx", "event_id"], "time")
     )
