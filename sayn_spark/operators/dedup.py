@@ -11,7 +11,7 @@ a python task:
         destination: corpus_deduped
         method: minhash          # exact | minhash | jaccard
         threshold: 0.8
-        keep: best               # min | best
+        keep: best               # min | best | soft
         score_column: quality
 
     tasks:
@@ -51,7 +51,9 @@ Methods:
 
 keep: ``min`` keeps the lowest id per cluster; ``best`` keeps the
 highest ``score_column`` (ties -> lowest id) — the keep-best canonical
-selection from functions/components.py.
+selection from functions/components.py.  ``soft`` keeps EVERY row and
+adds ``weight_ppm`` = 1e6/cluster_size instead (q_dedup_soft_weights'
+SoftDeDup rule) — downweight duplicates rather than delete them.
 """
 
 from __future__ import annotations
@@ -90,8 +92,13 @@ class DedupTask(Task):
         if not (0.0 < self.threshold <= 1.0):
             raise ValueError(f"dedup task {self.name!r}: threshold must be in (0, 1]")
         self.keep = c.get("keep", "min")
-        if self.keep not in ("min", "best"):
-            raise ValueError(f"dedup task {self.name!r}: keep must be min|best")
+        if self.keep not in ("min", "best", "soft"):
+            raise ValueError(f"dedup task {self.name!r}: keep must be min|best|soft")
+        if self.keep == "soft" and self.mode == "incremental":
+            raise ValueError(
+                f"dedup task {self.name!r}: keep=soft is corpus-relative "
+                "(cluster sizes) — full mode only"
+            )
         # minhash full mode: what decides a duplicate pair — the
         # signature ESTIMATE (scale default: only signatures move) or
         # the EXACT shingle Jaccard on LSH candidates (shingle arrays
@@ -108,7 +115,7 @@ class DedupTask(Task):
             )
         self.min_kept_tokens = int(c.get("min_kept_tokens", 1))
         if self.method in ("passages", "lines"):
-            if self.keep == "best" or c.get("verify") is not None:
+            if self.keep != "min" or c.get("verify") is not None:
                 raise ValueError(
                     f"dedup task {self.name!r}: keep/verify do not apply to "
                     f"method={self.method} (lines/spans are removed, "
@@ -256,6 +263,25 @@ class DedupTask(Task):
             .select(F.col("batch_id").alias("src"), F.col("corpus_id").alias("dst"))
         )
 
+    def _soft_weights(self, docs: DataFrame) -> DataFrame:
+        """(id, weight_ppm): 1e6 / near-dup-cluster size — the
+        q_dedup_soft_weights rule (SoftDeDup: keep everything, make
+        each cluster contribute ~one document's worth)."""
+        if self.method == "exact":
+            groups = docs.where(F.col(self.text_column).isNotNull()).select(
+                F.col(self.id_column).alias("node"),
+                F.md5(F.col(self.text_column)).alias("component"),
+            )
+        else:
+            from sayn_spark.functions.components import components
+
+            groups = components(self._duplicate_edges(docs))
+        csize = groups.groupBy("component").agg(F.count(F.lit(1)).alias("cs"))
+        return groups.join(csize, "component").select(
+            F.col("node").alias(self.id_column),
+            F.expr("cast(1000000 div cs as bigint)").alias("weight_ppm"),
+        )
+
     def _dropped(self, docs: DataFrame) -> DataFrame:
         """doc ids to drop: cluster members minus each cluster's keeper."""
         if self.method == "exact":
@@ -346,6 +372,22 @@ class DedupTask(Task):
                     F.col("cleaned_text").alias(self.text_column),
                 ).hint("shuffle_hash"),
                 self.id_column,
+            )
+            self.context.db.replace_table(
+                self.dst_value, out, **self.destination_writer_opts()
+            )
+            from sayn_spark.functions.registry import release_persisted
+
+            release_persisted()
+            return
+        if self.keep == "soft":
+            # downweight instead of drop: every source row survives
+            # with a weight_ppm column (docs outside any cluster — and
+            # NULL-text docs under method=exact — weigh 1000000)
+            weights = self._soft_weights(docs)
+            out = docs.join(weights, self.id_column, "left").withColumn(
+                "weight_ppm",
+                F.coalesce("weight_ppm", F.lit(1000000)).cast("bigint"),
             )
             self.context.db.replace_table(
                 self.dst_value, out, **self.destination_writer_opts()

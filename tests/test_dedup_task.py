@@ -649,3 +649,80 @@ def test_incremental_destination_honours_table_properties(ctx, spark):
     assert "CLUSTERED BY" in ddl and "8 BUCKETS" in ddl
     for t in ("tp_src", "tp_idx", "tp_idx_bands", "tp_mt", "tp_out"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dedup_keep_soft_matches_registered_weights(ctx, spark):
+    """keep: soft must keep every row and weight it 1e6/cluster_size —
+    checked against an exact-text DuckDB replica."""
+    import duckdb
+
+    from sayn_spark.operators.dedup import DedupTask
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where("doc_id % 3 = 0").select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"
+        )
+    )
+    ctx.db.replace_table("dsoft_src", corpus)
+    t = DedupTask(
+        "dsoft",
+        {
+            "source": "dsoft_src",
+            "destination": "dsoft_out",
+            "method": "exact",
+            "keep": "soft",
+        },
+        ctx,
+    )
+    t.config()
+    t.run()
+    out = {r.doc_id: r.weight_ppm for r in spark.table("dsoft_out").collect()}
+    assert len(out) == corpus.count()  # nothing dropped
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            """
+WITH corpus AS (
+  SELECT doc_id, text FROM d
+  UNION ALL SELECT doc_id + 500000, text FROM d WHERE doc_id % 3 = 0
+),
+g AS (SELECT doc_id, md5(text) AS h FROM corpus WHERE text IS NOT NULL),
+cs AS (SELECT h, COUNT(*) AS n FROM g GROUP BY h)
+SELECT g.doc_id, CAST(1000000 // cs.n AS BIGINT) FROM g JOIN cs USING (h)
+"""
+        ).fetchall()
+    }
+    for d, w in want.items():
+        assert out[d] == w, (d, out[d], w)
+    # planted copies weigh <= 500000, and their originals match
+    assert all(out[d + 500000] <= 500000 for d in range(0, 50, 3))
+
+
+def test_dedup_keep_soft_validation(ctx):
+    from sayn_spark.operators.dedup import DedupTask
+
+    t = DedupTask(
+        "bad_soft",
+        {
+            "source": "s",
+            "index_table": "i",
+            "matches_table": "m",
+            "mode": "incremental",
+            "keep": "soft",
+        },
+        ctx,
+    )
+    with pytest.raises(ValueError):
+        t.config()
+    t2 = DedupTask(
+        "bad_soft2",
+        {"source": "s", "destination": "d", "method": "passages", "keep": "soft"},
+        ctx,
+    )
+    with pytest.raises(ValueError):
+        t2.config()
