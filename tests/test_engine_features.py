@@ -292,6 +292,7 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
         "sum(size(filter(split(lower(text), ' '), x -> x != ''))) AS n"
     ).collect()[0].n
     assert cdc.selectExpr("sum(n_tokens) AS n").collect()[0].n == n_tok_mixed
+    _pipeline_round7c_assertions(spark, n_docs, clean_n)
 
 
 def test_env_parameter_override(spark, tmp_path, monkeypatch):
@@ -605,3 +606,24 @@ def test_driver_ordering_is_stale_evidence_first(spark):
     qs = E.queries()
     assert list(qs) == names
     assert set(E.oracle_sql()) <= set(qs)
+
+
+def _pipeline_round7c_assertions(spark, n_docs, clean_n):
+    """Round-7 third-session stages (split out to keep the e2e test
+    readable): entropy gate, soft dedup -> weighted sample, SRP embed,
+    frac decontamination."""
+    ent = spark.table("documents_entropy_gated")
+    assert 0 < ent.count() <= clean_n
+    assert "entropy_e8" in ent.columns
+    soft = spark.table("corpus_soft_weighted")
+    assert soft.count() == n_docs  # nothing dropped
+    assert soft.where("weight_ppm <= 0 OR weight_ppm > 1000000").count() == 0
+    ss = spark.table("corpus_soft_sample")
+    assert 0 < ss.count() <= 50
+    srp = spark.table("doc_embeddings_srp")
+    assert srp.count() == n_docs
+    assert srp.selectExpr("size(embedding) AS d").where("d != 16").count() == 0
+    frac = spark.table("documents_decon_frac")
+    any_n = spark.table("documents_decontaminated").count()
+    # the per-pair rule keeps at least as much as the any-gram rule
+    assert any_n <= frac.count() <= clean_n
