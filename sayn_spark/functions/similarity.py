@@ -2303,3 +2303,120 @@ def q_ann_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+@register(
+    "q_ann_nprobe_curve",
+    oracle=f"""
+WITH {_SQL_EMB}, {_SQL_NORMED}, {_SQL_CENTROIDS},
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC,
+                      c.vec_id) AS rk
+    FROM normed q JOIN normed c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+  ) WHERE rk <= 5
+),
+ecell AS (
+  SELECT vec_id, c_label AS cell FROM (
+    SELECT v.vec_id, c.c_label, ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ROUND(list_aggregate(list_transform(list_zip(v.e, c.ce),
+                            p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8), c.c_label
+           ) AS rk
+    FROM emb v, cent_arr c
+  ) WHERE rk = 1
+),
+qcell AS (
+  SELECT vec_id AS query_id, c_label, rk AS rkc FROM (
+    SELECT v.vec_id, c.c_label, ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ROUND(list_aggregate(list_transform(list_zip(v.e, c.ce),
+                            p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8), c.c_label
+           ) AS rk
+    FROM emb v, cent_arr c WHERE v.vec_id < 10
+  )
+),
+probes AS (SELECT unnest([1, 2, 4]) AS np)
+SELECT p.np AS nprobe, e.query_id,
+       CAST(SUM(CASE WHEN qc.rkc <= p.np THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST((SUM(CASE WHEN qc.rkc <= p.np THEN 1 ELSE 0 END) * 1000000) // 5 AS BIGINT)
+         AS recall_ppm
+FROM exact e
+JOIN ecell c ON c.vec_id = e.neighbor_id
+JOIN qcell qc ON qc.query_id = e.query_id AND qc.c_label = c.cell
+CROSS JOIN probes p
+GROUP BY p.np, e.query_id
+""",
+)
+def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF operating curve, self-measured: recall@5 of an
+    nprobe-cell probe set against exact cosine top-5, for nprobe in
+    {{1, 2, 4}} over the standard 10 query vectors — the number an ANN
+    deployment reads to pick its latency/recall point (every probed
+    cell is ~1/k of the corpus scanned; the curve says what each
+    increment buys ON THIS CORPUS).  A true top-5 neighbor is
+    recalled iff its cell is among the query's nprobe nearest
+    centroids — membership is exact, so no second ranking is needed.
+
+    Determinism: cell assignment is the registry's rounded-d2 argmin
+    with label tie-breaks (q_kmeans_refine's contract); the exact arm
+    is the rounded-cosine ranking; recall is integer ppm.
+
+    Scale shape: both cell-assignment arms broadcast the k-row
+    centroid frame; the exact arm is the documented bounded 10-query
+    baseline (run on a sample at 100 TB); the curve itself joins
+    telemetry-sized frames (50 exact rows x 3 probe widths)."""
+    nf = _normed(spark, sf_dir)
+    cent = _centroid_arrays(nf.select("label", "e"))
+    q = nf.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = nf.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qn") * F.col("nrm")),
+        6,
+    )
+    w_e = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    exact = (
+        q.join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w_e))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    ecell = _assign_cells(nf, cent)
+    d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        ),
+        8,
+    )
+    w_q = Window.partitionBy("query_id").orderBy("d2", "c_label")
+    qcell = (
+        nf.where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "e")
+        .crossJoin(F.broadcast(cent))
+        .select("query_id", "c_label", d2.alias("d2"))
+        .withColumn("rkc", F.row_number().over(w_q))
+        .select("query_id", F.col("c_label").alias("cell"), "rkc")
+    )
+    probes = spark.range(1).selectExpr("explode(array(1, 2, 4)) AS np")
+    return (
+        exact.join(ecell.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(qcell, ["query_id", "cell"])
+        .crossJoin(F.broadcast(probes))
+        .groupBy(F.col("np").alias("nprobe"), "query_id")
+        .agg(
+            F.sum(F.when(F.col("rkc") <= F.col("np"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.expr(
+                "cast((sum(case when rkc <= np then 1 else 0 end) * 1000000) div 5 "
+                "as bigint)"
+            ).alias("recall_ppm"),
+        )
+    )

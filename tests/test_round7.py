@@ -1273,3 +1273,20 @@ def test_zorder_blocks_prune_better_on_the_second_dimension(spark):
     }
     assert rows["zorder"].n_blocks == rows["time"].n_blocks > 0
     assert rows["zorder"].sum_user_span < rows["time"].sum_user_span
+
+
+def test_nprobe_curve_is_monotone(spark):
+    """More probed cells can only add candidates: per query, recall
+    must be non-decreasing in nprobe, and the widest probe must find
+    something overall."""
+    from sayn_spark.functions.similarity import q_ann_nprobe_curve
+
+    rows = q_ann_nprobe_curve(spark, SF).collect()
+    assert len(rows) == 30
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.nprobe] = r.n_hit
+    for qid, curve in by_q.items():
+        assert curve[1] <= curve[2] <= curve[4], (qid, curve)
+        assert all(0 <= v <= 5 for v in curve.values())
+    assert sum(c[4] for c in by_q.values()) > 0

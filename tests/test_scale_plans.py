@@ -196,6 +196,7 @@ _BNLJ_BOUNDED_FRAME_OK = {
     "q_quality_nb_classifier",   # 1-row (n_pos, n_neg, v) + 1-row OOV scalars
     "q_dedup_minhash_recall",    # 1-row x 1-row x 1-row report scalars
     "q_ann_srp_recall",          # 10 fixed query vectors, both arms of the report
+    "q_ann_nprobe_curve",        # k-row centroid frame + 3-row probe-width frame
 }
 
 
