@@ -2537,3 +2537,115 @@ def q_quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _NB_K)
         .select("doc_id", "source", "n_tokens", "sum_llr_i8", "avg_llr_i8", "rk")
     )
+
+
+@register(
+    "q_source_card",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t,
+         md5(text) AS fp
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, lang, source, fp,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS sum_chars,
+         CAST(len(list_filter(['the','a','of','and','is'],
+                              s -> list_contains(t, s))) AS BIGINT) AS n_stop
+  FROM tok
+),
+dup AS (
+  SELECT fp, COUNT(*) AS n FROM sig GROUP BY fp
+)
+SELECT s.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(s.n_words) AS BIGINT) AS n_tokens,
+       COUNT(DISTINCT s.lang) AS n_langs,
+       CAST(SUM(CASE WHEN d.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
+       CAST((SUM(CASE WHEN d.n > 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+            AS BIGINT) AS dup_ppm,
+       CAST(SUM(CASE WHEN s.n_words < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs,
+       CAST(SUM(CASE WHEN s.n_words >= 50 AND s.n_words <= 100000
+                 AND 3 * s.n_words <= s.sum_chars
+                 AND s.sum_chars <= 10 * s.n_words
+                 AND s.n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+       (CAST(SUM(s.n_words) AS BIGINT) * 1000) // COUNT(*) AS mean_words_x1000
+FROM sig s JOIN dup d USING (fp)
+GROUP BY s.source
+""",
+)
+def q_source_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — q_corpus_report's health signals
+    broken down by provenance, the table a curation review reads
+    before setting mixture weights: per source, document/token totals,
+    language cardinality, exact-duplicate count and ppm (duplication
+    is GLOBAL — a doc counted duplicated here may have its twin in
+    another source; q_dedup_source_matrix says which), short-doc
+    count, Gopher pass count, and integer mean words per doc.
+
+    Scale shape: identical to q_corpus_report (map-side per-doc
+    signals, one 16-byte fingerprint groupBy, then a per-source
+    aggregate that is map-side combinable); output rows = source
+    cardinality — telemetry-sized at any corpus scale."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(_Q_TOKENS).alias("t"),
+        F.md5("text").alias("fp"),
+    )
+    sig = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "fp",
+        F.expr("cast(size(t) as bigint)").alias("n_words"),
+        F.expr(
+            "aggregate(t, cast(0 as bigint), (acc, x) -> acc + length(x))"
+        ).alias("sum_chars"),
+        F.expr(
+            "cast(size(filter(array('the','a','of','and','is'), "
+            "s -> array_contains(t, s))) as bigint)"
+        ).alias("n_stop"),
+    )
+    dup = sig.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    joined = sig.join(dup, "fp")
+    gopher_ok = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.lit(3) * F.col("n_words") <= F.col("sum_chars"))
+        & (F.col("sum_chars") <= F.lit(10) * F.col("n_words"))
+        & (F.col("n_stop") >= 2)
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact_dup_docs"),
+            F.sum(F.when(F.col("n_words") < 20, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_short_docs"),
+            F.sum(F.when(gopher_ok, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_gopher_pass"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            "n_exact_dup_docs",
+            F.expr("cast((n_exact_dup_docs * 1000000) div n_docs as bigint)").alias(
+                "dup_ppm"
+            ),
+            "n_short_docs",
+            "n_gopher_pass",
+            F.expr("(n_tokens * 1000) div n_docs").alias("mean_words_x1000"),
+        )
+    )
