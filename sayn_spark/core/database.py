@@ -163,6 +163,7 @@ class SparkDatabase:
         bucket_by: Optional[tuple[int, Sequence[str]]] = None,
         sort_by: Optional[Sequence[str]] = None,
         merge_schema: bool = False,
+        zorder_by: Optional[Sequence[str]] = None,
     ) -> None:
         """Materialise a DataFrame as a managed table.  partition/bucket/
         sort map the reference's per-warehouse DDL extensions (BigQuery
@@ -170,7 +171,35 @@ class SparkDatabase:
         dist/sort `database/redshift.py:19-94`) onto Spark's writer.
         ``merge_schema`` lets appends add new columns (the reference's
         CANNOT CHANGE SCHEMA flag inverted: Spark CAN, when asked).
+
+        ``zorder_by`` (exactly two integer columns) lays the table out
+        along the Morton curve — Delta's OPTIMIZE ZORDER as a write
+        option: rows are range-partitioned and locally sorted by the
+        interleaved key (q_zorder_layout measures what that buys), so
+        per-file min/max stats prune on EITHER column's predicates.
+        The key is computed transiently and never stored.
         """
+        if zorder_by is not None:
+            if bucket_by or sort_by:
+                raise ValueError(
+                    "create_table: zorder_by is its own physical layout — "
+                    "combine with partition_by only, not bucket/sort"
+                )
+            if len(zorder_by) != 2:
+                raise ValueError(
+                    "create_table: zorder_by takes exactly two integer "
+                    "columns (widen zorder_key_expr for more dimensions)"
+                )
+            from sayn_spark.functions.scale import zorder_key_expr
+
+            a, b = zorder_by
+            n_parts = self.spark.sparkContext.defaultParallelism
+            df = (
+                df.withColumn("__sayn_zkey__", F.expr(zorder_key_expr(a, b)))
+                .repartitionByRange(n_parts, "__sayn_zkey__")
+                .sortWithinPartitions("__sayn_zkey__")
+                .drop("__sayn_zkey__")
+            )
         self._ensure_database(name)
         if mode == "overwrite":
             # saveAsTable(overwrite) can't replace a VIEW; clear it first

@@ -131,6 +131,7 @@ class Task:
               bucket_by: [doc_id]
               buckets: 16
               sort_by: [doc_id]
+              zorder_by: [user_id, hour]  # Morton layout (2 int cols)
         """
         tp = self.config_dict.get("table_properties") or {}
         opts: dict[str, Any] = {}
@@ -141,6 +142,8 @@ class Task:
             opts["bucket_by"] = (int(tp.get("buckets", 8)), list(tp["bucket_by"]))
             if tp.get("sort_by"):
                 opts["sort_by"] = list(tp["sort_by"])
+        if tp.get("zorder_by"):
+            opts["zorder_by"] = list(tp["zorder_by"])
         return opts
 
     def compile_property(self, value: Any) -> Any:

@@ -1290,3 +1290,58 @@ def test_nprobe_curve_is_monotone(spark):
         assert curve[1] <= curve[2] <= curve[4], (qid, curve)
         assert all(0 <= v <= 5 for v in curve.values())
     assert sum(c[4] for c in by_q.values()) > 0
+
+
+def test_create_table_zorder_by_lays_out_morton_ranges(spark):
+    """zorder_by must write a table whose files carry non-overlapping
+    Morton-key ranges, each file locally sorted — the min/max-stat
+    pruning contract — while storing no helper column."""
+    from pyspark.sql import functions as F2
+
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.functions.registry import T
+    from sayn_spark.functions.scale import zorder_key_expr
+
+    db = SparkDatabase(spark)
+    e = T(spark, SF, "events").select(
+        "event_id",
+        "user_id",
+        F2.expr("(unix_timestamp(date_trunc('hour', ts)) - 1704067200) div 3600").alias(
+            "hidx"
+        ),
+    )
+    spark.sql("DROP TABLE IF EXISTS zw_out")
+    db.create_table("zw_out", e, zorder_by=["user_id", "hidx"])
+    out = spark.table("zw_out")
+    assert out.count() == e.count()
+    assert set(out.columns) == {"event_id", "user_id", "hidx"}
+    zk = zorder_key_expr("user_id", "hidx")
+    files = out.inputFiles()
+    assert len(files) > 1  # range partitioning actually split the write
+    ranges = []
+    for f in files:
+        pdf = (
+            spark.read.parquet(f)
+            .selectExpr(f"{zk} AS z")
+            .toPandas()["z"]
+        )
+        assert (pdf.diff().dropna() >= 0).all(), f"file {f} not z-sorted"
+        ranges.append((pdf.min(), pdf.max()))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, _)}"
+    spark.sql("DROP TABLE IF EXISTS zw_out")
+
+
+def test_create_table_zorder_by_validation(spark):
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.functions.registry import T
+
+    db = SparkDatabase(spark)
+    e = T(spark, SF, "events").select("event_id", "user_id")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly two"):
+        db.create_table("zv_out", e, zorder_by=["user_id"])
+    with _pytest.raises(ValueError, match="own physical layout"):
+        db.create_table("zv_out", e, zorder_by=["user_id", "event_id"], sort_by=["x"])
