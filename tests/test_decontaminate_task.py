@@ -328,3 +328,38 @@ def test_decontaminate_overlap_frac_validation(ctx):
         )
         with pytest.raises(ValueError):
             t.config()
+
+
+def test_decontaminate_incremental_with_overlap_frac(ctx, spark):
+    """min_overlap_frac is per-(doc, eval-doc) — independent of the
+    scored batch — so load_mode: incremental must equal a full rebuild
+    over the union and replay as a no-op."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    ev = docs.where("doc_id % 9 = 0").select(
+        F.expr(
+            "concat_ws(' ', slice(filter(split(lower(text), ' '), x -> x != ''), 3, 12))"
+        ).alias("text")
+    )
+    ctx.db.replace_table("dcif_ev", ev)
+    cfg = {
+        "source": "dcif_src",
+        "eval_table": "dcif_ev",
+        "destination": "dcif_out",
+        "ngram": 8,
+        "min_overlap_frac": 0.5,
+        "load_mode": "incremental",
+    }
+    spark.sql("DROP TABLE IF EXISTS dcif_out")
+    ctx.db.replace_table("dcif_src", docs.where("doc_id % 2 = 0"))
+    _run(ctx, "dcif", cfg)
+    first = {r.doc_id for r in spark.table("dcif_out").collect()}
+    _run(ctx, "dcif", cfg)  # replay: no-op
+    assert {r.doc_id for r in spark.table("dcif_out").collect()} == first
+    ctx.db.replace_table("dcif_src", docs)
+    _run(ctx, "dcif", cfg)
+    _run(ctx, "dcff", {**cfg, "load_mode": "full", "destination": "dcff_out"})
+    got = {r.doc_id for r in spark.table("dcif_out").collect()}
+    want = {r.doc_id for r in spark.table("dcff_out").collect()}
+    assert got == want and first <= got
+    for t in ("dcif_ev", "dcif_src", "dcif_out", "dcff_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
