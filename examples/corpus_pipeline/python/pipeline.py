@@ -125,3 +125,13 @@ def corpus_checksum(context, spark):
         F.sum(F.col("rh") % 1000000007).alias("sum_mod"),
     )
     context.default_db.replace_table("corpus_checksum", fp)
+
+
+@task(name="corpus_source_cards", sources=["documents"], outputs=["source_cards"])
+def corpus_source_cards(context, spark, sf_dir):
+    """Materialise the per-source dataset card (q_source_card's
+    oracle-verified engine) — the governance table a curation review
+    reads before setting mixture weights."""
+    from sayn_spark.functions.content_filter import q_source_card
+
+    context.default_db.replace_table("source_cards", q_source_card(spark, sf_dir))
