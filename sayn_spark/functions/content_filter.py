@@ -2649,3 +2649,106 @@ def q_source_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_tokens * 1000) div n_docs").alias("mean_words_x1000"),
         )
     )
+
+
+@register(
+    "q_pack_attention_contamination",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, n,
+         CAST(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - n AS BIGINT) AS s
+  FROM tok WHERE n > 0
+),
+spans AS (
+  SELECT doc_id, w,
+         LEAST(s + n, (w + 1) * 2048) - GREATEST(s, w * 2048) AS c
+  FROM placed,
+       LATERAL (SELECT unnest(generate_series(s // 2048, (s + n - 1) // 2048)) AS w)
+),
+win AS (
+  SELECT w,
+         CAST(SUM(c) AS BIGINT) AS tot,
+         CAST(SUM(c * c) AS BIGINT) AS sumsq,
+         COUNT(*) AS n_docs
+  FROM spans GROUP BY w
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pure_windows,
+       CAST(SUM(tot) AS BIGINT) AS total_tokens,
+       CAST(SUM((tot * tot - sumsq) // 2) AS BIGINT) AS cross_pairs,
+       CAST(SUM((tot * (tot - 1)) // 2) AS BIGINT) AS total_pairs,
+       CAST((CAST(SUM((tot * tot - sumsq) // 2) AS BIGINT) * 1000000)
+            // CAST(SUM((tot * (tot - 1)) // 2) AS BIGINT) AS BIGINT) AS cross_ppm
+FROM win
+""",
+)
+def q_pack_attention_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-contamination audit of naive concat-and-chunk packing
+    (Krell et al. 2021): when documents are concatenated into 2048-
+    token windows without attention masks, every token pair from
+    DIFFERENT documents inside a window is contaminated attention.
+    Using q_sequence_packing's exact placement (cumsum over doc_id
+    order), each document's token span intersects its covering
+    windows; per window the cross-document pair count is
+    (S^2 - sum_d c_d^2) / 2.  The report — window count, pure-window
+    share, contaminated pairs and their ppm of the attention budget —
+    is what decides whether a run needs boundary-respecting masks or
+    can ship with naive packing.
+
+    Determinism: placement, span intersection, and pair counts are
+    pure integer arithmetic (tot^2 - sumsq is always even; ppm is
+    floor division).
+
+    Scale shape: one running-total window (per-shard at 100 TB, the
+    q_sequence_packing note), a tiny explode (a doc covers
+    ~len/2048 + 1 windows), and a map-side-combinable window
+    aggregate; output is one telemetry row."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.expr("size(filter(split(lower(text), ' '), x -> x != ''))").alias("n"),
+    ).where(F.col("n") > 0)
+    w_cum = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    placed = tok.select(
+        "doc_id", "n", (F.sum("n").over(w_cum) - F.col("n")).alias("s")
+    )
+    spans = placed.select(
+        "doc_id",
+        F.explode(
+            F.expr("sequence(s div 2048, (s + n - 1) div 2048)")
+        ).alias("w"),
+        "s",
+        "n",
+    ).select(
+        "doc_id",
+        "w",
+        F.expr(
+            "least(s + n, (w + 1) * 2048) - greatest(s, w * 2048)"
+        ).alias("c"),
+    )
+    win = spans.groupBy("w").agg(
+        F.sum("c").cast("bigint").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sumsq"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return win.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pure_windows"),
+        F.sum("tot").cast("bigint").alias("total_tokens"),
+        F.sum(F.expr("(tot * tot - sumsq) div 2")).cast("bigint").alias("cross_pairs"),
+        F.sum(F.expr("(tot * (tot - 1)) div 2")).cast("bigint").alias("total_pairs"),
+        F.expr(
+            "cast((sum((tot * tot - sumsq) div 2) * 1000000) "
+            "div sum((tot * (tot - 1)) div 2) as bigint)"
+        ).alias("cross_ppm"),
+    )
