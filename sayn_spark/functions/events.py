@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sayn_spark.functions.registry import T, register
+from sayn_spark.functions.registry import T, persist_tracked, register
 from sayn_spark.functions.relational import dec, dsum
 
 
@@ -700,4 +700,105 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
         .alias("union_within_5pct"),
+    )
+
+
+@register(
+    "q_events_mad_anomalies",
+    oracle="""
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vm, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+med AS (
+  SELECT event_type, vm AS med_micro FROM ranked WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT v.event_id, v.event_type, v.vm, ABS(v.vm - m.med_micro) AS ad,
+         m.med_micro
+  FROM v JOIN med m USING (event_type)
+),
+dranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, ad AS mad_micro FROM dranked WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(d.med_micro) AS BIGINT) AS med_micro,
+       CAST(MAX(md.mad_micro) AS BIGINT) AS mad_micro,
+       CAST(SUM(CASE WHEN 10000 * d.ad > 44478 * md.mad_micro
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM dev d JOIN mad md USING (event_type)
+GROUP BY d.event_type
+""",
+)
+def q_events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly detection per event type — the
+    outlier screen that survives the outliers it hunts (a handful of
+    extreme values drag q_events_anomalies' mean AND its sigma, masking
+    themselves; the median and the median absolute deviation move by
+    at most one rank).  An event is anomalous when
+    |v - median| > 3 * 1.4826 * MAD (the Gaussian-consistent MAD
+    sigma), evaluated as the INTEGER cross-multiplication
+    10000*|v - med| > 44478*MAD over 1e-6-unit values, so no FP
+    boundary exists anywhere — medians are lower-median order
+    statistics (exact rank (n+1) div 2, the adaptive-filter rule),
+    never interpolated.
+
+    Scale shape: two rank-in-group passes (sort within event_type
+    partitions — at 100 TB this is percentile_approx territory, the
+    documented boundaries:approx swap) and one map-side-combinable
+    aggregate; output rows = event-type cardinality."""
+    e = T(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = e.select(
+        "event_id",
+        "event_type",
+        F.expr("cast(round(value * 1000000) as bigint)").alias("vm"),
+    )
+    v = persist_tracked(v)
+
+    def _lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        wn = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .where(F.expr("rn = (n + 1) div 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = _lower_median(v, "vm", "med_micro")
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "med_micro",
+        F.abs(F.col("vm") - F.col("med_micro")).alias("ad"),
+    )
+    dev = persist_tracked(dev)
+    mad = _lower_median(dev, "ad", "mad_micro")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("med_micro").cast("bigint").alias("med_micro"),
+            F.max("mad_micro").cast("bigint").alias("mad_micro"),
+            F.sum(
+                F.when(
+                    F.lit(10000) * F.col("ad") > F.lit(44478) * F.col("mad_micro"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
     )

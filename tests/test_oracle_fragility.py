@@ -283,3 +283,12 @@ lns AS (SELECT DISTINCT LN(CAST(k AS DOUBLE)) AS lnk FROM args WHERE k > 1)
 """
     m = _min_margin(con, with_sql, "lnk", 1e8, "FROM lns")
     assert m is None or m > 1e-4, f"LN(k) margin {m} too close to a half-boundary"
+
+
+def test_events_value_micro_round_margin():
+    # q_events_mad_anomalies rounds value*1e6 once into integer units;
+    # measure the corpus distance to the nearest half-boundary
+    con = duckdb_con(SF_DIR)
+    with_sql = "v AS (SELECT value FROM events WHERE value IS NOT NULL)"
+    m = _min_margin(con, with_sql, "value", 1e6, "FROM v")
+    assert m is None or m > 1e-6, f"value*1e6 margin {m} too close to half-boundary"
