@@ -22,7 +22,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return q05_region_revenue(spark, "/root/testdata/sf0.001")
 
 
-# The registry holds ~136 oracle-backed queries but external correctness
+# The registry holds ~182 oracle-backed queries but external correctness
 # sweeps have historically sampled a ~50-query prefix of this dict, so
 # the emission ORDER decides which families gain independent (non-local)
 # hash verification each round.  Instead of a hand-curated static list
