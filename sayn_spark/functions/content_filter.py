@@ -2752,3 +2752,89 @@ def q_pack_attention_contamination(spark: SparkSession, sf_dir: str) -> DataFram
             "div sum((tot * (tot - 1)) div 2) as bigint)"
         ).alias("cross_ppm"),
     )
+
+
+@register(
+    "q_batch_padding_waste",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+              AS BIGINT) AS n
+  FROM documents
+  WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> '')) > 0
+),
+arrival AS (
+  SELECT n, (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 16 AS b FROM tok
+),
+bylen AS (
+  SELECT n, (ROW_NUMBER() OVER (ORDER BY n, doc_id) - 1) // 16 AS b FROM tok
+),
+aagg AS (
+  SELECT b, CAST(COUNT(*) * MAX(n) - SUM(n) AS BIGINT) AS pad,
+         CAST(COUNT(*) * MAX(n) AS BIGINT) AS slot
+  FROM arrival GROUP BY b
+),
+lagg AS (
+  SELECT b, CAST(COUNT(*) * MAX(n) - SUM(n) AS BIGINT) AS pad,
+         CAST(COUNT(*) * MAX(n) AS BIGINT) AS slot
+  FROM bylen GROUP BY b
+)
+SELECT 'arrival' AS ordering, CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(pad) AS BIGINT) AS padded_tokens,
+       CAST(SUM(slot) AS BIGINT) AS slot_tokens,
+       CAST((SUM(pad) * 1000000) // SUM(slot) AS BIGINT) AS pad_ppm
+FROM aagg
+UNION ALL
+SELECT 'bylength', CAST(COUNT(*) AS BIGINT), CAST(SUM(pad) AS BIGINT),
+       CAST(SUM(slot) AS BIGINT),
+       CAST((SUM(pad) * 1000000) // SUM(slot) AS BIGINT)
+FROM lagg
+""",
+)
+def q_batch_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching, measured — the inference/eval-serving
+    twin of the packing audits: padding a 16-doc batch to its longest
+    member wastes (B*max - sum) token slots, and sorting by length
+    before batching collapses that waste (the dynamic-batching /
+    bucketing trick every serving stack and eval harness uses).  The
+    report prices both orderings in integer token slots and ppm, so
+    the decision (is length-sorting worth the ordering constraint?)
+    is read off the corpus instead of assumed.
+
+    Determinism: batch cuts are row_number over (key, doc_id) floor-
+    divided; waste is exact integer arithmetic; ppm is floor division.
+
+    Scale shape: like q_zorder_layout, the global orders here are
+    repartitionByRange total sorts at 100 TB (per-shard batching in
+    practice — same expression with a partitionBy); the report is two
+    window passes and two tiny aggregates."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.expr(
+            "cast(size(filter(split(lower(text), ' '), x -> x != '')) as bigint)"
+        ).alias("n"),
+    ).where(F.col("n") > 0)
+    tok = persist_tracked(tok)
+
+    def _waste(order_cols, label: str) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        batches = tok.select(
+            "n", ((F.row_number().over(w) - 1) / 16).cast("bigint").alias("b")
+        )
+        agg = batches.groupBy("b").agg(
+            (F.count(F.lit(1)) * F.max("n") - F.sum("n")).alias("pad"),
+            (F.count(F.lit(1)) * F.max("n")).alias("slot"),
+        )
+        return agg.agg(
+            F.lit(label).alias("ordering"),
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum("pad").cast("bigint").alias("padded_tokens"),
+            F.sum("slot").cast("bigint").alias("slot_tokens"),
+            F.expr(
+                "cast((sum(pad) * 1000000) div sum(slot) as bigint)"
+            ).alias("pad_ppm"),
+        )
+
+    return _waste(["doc_id"], "arrival").unionByName(_waste(["n", "doc_id"], "bylength"))
