@@ -2838,3 +2838,77 @@ def q_batch_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _waste(["doc_id"], "arrival").unionByName(_waste(["n", "doc_id"], "bylength"))
+
+
+@register(
+    "q_prefix_cache_share",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+tot AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS total_tokens FROM tok),
+tiers AS (SELECT unnest([4, 8, 16]) AS L),
+pref AS (
+  SELECT ti.L, md5(array_to_string(t[1:ti.L], ' ')) AS p
+  FROM tok, tiers ti WHERE len(t) >= ti.L
+),
+grp AS (
+  SELECT L, p, COUNT(*) AS g FROM pref GROUP BY L, p
+)
+SELECT g.L AS prefix_len,
+       CAST(SUM(g.g) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+       CAST(SUM(CASE WHEN g.g > 1 THEN g.g ELSE 0 END) AS BIGINT) AS n_shared_docs,
+       CAST(SUM((g.g - 1) * g.L) AS BIGINT) AS cacheable_tokens,
+       CAST((SUM((g.g - 1) * g.L) * 1000000) // MAX(t.total_tokens) AS BIGINT)
+         AS cache_ppm
+FROM grp g CROSS JOIN tot t
+GROUP BY g.L
+""",
+)
+def q_prefix_cache_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache sharing report — the prefill-dedup number behind
+    radix/prefix KV caching (vLLM's automatic prefix caching): for
+    prefix depths 4/8/16 tokens, how many documents share an exact
+    token prefix with another, and how many prefill token-computations
+    a prefix cache would save ((g-1)*L per group of g sharers), as
+    integer counts and ppm of the corpus' total tokens.  Rising
+    cache_ppm at depth 16 means templated/boilerplate openings —
+    a serving-cost lever AND a curation smell worth both readings.
+
+    Determinism: prefixes compare by md5 of the joined tokens;
+    every output is an integer (ppm is floor division).
+
+    Scale shape: one map-side prefix hash per tier (the tier frame is
+    a 3-row literal), a 16-byte-key groupBy with map-side combine,
+    and a per-tier aggregate — the corpus text never shuffles."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.expr(_Q_TOKENS).alias("t"))
+    tok = persist_tracked(tok)  # read by the totals AND the tier explode
+    tot = tok.agg(F.sum(F.size("t")).cast("bigint").alias("total_tokens"))
+    tiers = spark.range(1).selectExpr("explode(array(4, 8, 16)) AS L")
+    pref = (
+        tok.crossJoin(F.broadcast(tiers))
+        .where(F.size("t") >= F.col("L"))
+        .select("L", F.md5(F.expr("concat_ws(' ', slice(t, 1, L))")).alias("p"))
+    )
+    grp = pref.groupBy("L", "p").agg(F.count(F.lit(1)).alias("g"))
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .groupBy("L")
+        .agg(
+            F.sum("g").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_prefixes"),
+            F.sum(F.when(F.col("g") > 1, F.col("g")).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_docs"),
+            F.sum((F.col("g") - 1) * F.col("L")).cast("bigint").alias(
+                "cacheable_tokens"
+            ),
+            F.expr(
+                "cast((sum((g - 1) * L) * 1000000) div max(total_tokens) as bigint)"
+            ).alias("cache_ppm"),
+        )
+        .withColumnRenamed("L", "prefix_len")
+    )

@@ -197,6 +197,7 @@ _BNLJ_BOUNDED_FRAME_OK = {
     "q_dedup_minhash_recall",    # 1-row x 1-row x 1-row report scalars
     "q_ann_srp_recall",          # 10 fixed query vectors, both arms of the report
     "q_ann_nprobe_curve",        # k-row centroid frame + 3-row probe-width frame
+    "q_prefix_cache_share",      # 3-row tier frame + 1-row totals frame
 }
 
 
