@@ -1299,3 +1299,101 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(case when entropy_e8 < {_ENT_LOW} then 1 else 0 end as bigint)"
         ).alias("low_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle (FIM) transform
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fim_transform",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         (('0x' || substr(md5('fim0|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) AS h0,
+         (('0x' || substr(md5('fim1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) AS h1,
+         (('0x' || substr(md5('fim2|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) AS h2
+  FROM tok WHERE len(t) >= 2
+),
+cut AS (
+  SELECT doc_id, t, n,
+         CASE WHEN h0 % 2 = 0 THEN 1 ELSE 0 END AS is_fim,
+         1 + (h1 % (n - 1)) AS i,
+         1 + (h1 % (n - 1)) + (h2 % (n - (1 + (h1 % (n - 1))) + 1)) AS j
+  FROM sized
+)
+SELECT doc_id,
+       CASE WHEN is_fim = 1 THEN 'fim' ELSE 'plain' END AS mode,
+       n AS n_tokens,
+       CAST(CASE WHEN is_fim = 1 THEN i ELSE 0 END AS BIGINT) AS i_split,
+       CAST(CASE WHEN is_fim = 1 THEN j ELSE 0 END AS BIGINT) AS j_split,
+       CASE WHEN is_fim = 1 THEN
+         '<PRE> ' || array_to_string(t[1:i], ' ') ||
+         ' <SUF> ' || COALESCE(array_to_string(t[j+1:n], ' '), '') ||
+         ' <MID> ' || COALESCE(array_to_string(t[i+1:j], ' '), '')
+       ELSE array_to_string(t, ' ') END AS out_text
+FROM cut
+""",
+)
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022): for a
+    deterministic half of the corpus, split the token stream at two
+    hash-derived points and emit the PSM reordering
+    ``<PRE> prefix <SUF> suffix <MID> middle`` (training on it teaches
+    infilling 'for free'); the other half passes through verbatim —
+    the 50% FIM rate the paper found cost-neutral.  Split points are
+    md5-derived from doc_id, so the transform is reproducible across
+    runs and engines (no RNG state), and the full output text is the
+    oracle-compared value — a off-by-one in either cut breaks the
+    hash.
+
+    Scale shape: pure row-local string/array work after one tokenize —
+    zero shuffles; at 100 TB this is a map stage in front of the pack
+    task (FIM before packing, per the paper's pipeline order)."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.expr(_TOKENS).alias("t")).where(F.size("t") >= 2)
+    h = (
+        "cast(conv(substr(md5(concat('fim{k}|', cast(doc_id as string))), 1, 8), "
+        "16, 10) as bigint)"
+    )
+    sized = tok.select(
+        "doc_id",
+        "t",
+        F.expr("cast(size(t) as bigint)").alias("n"),
+        F.expr(h.format(k=0)).alias("h0"),
+        F.expr(h.format(k=1)).alias("h1"),
+        F.expr(h.format(k=2)).alias("h2"),
+    )
+    cut = sized.select(
+        "doc_id",
+        "t",
+        "n",
+        F.expr("case when h0 % 2 = 0 then 1 else 0 end").alias("is_fim"),
+        F.expr("1 + (h1 % (n - 1))").alias("i"),
+        F.expr("1 + (h1 % (n - 1)) + (h2 % (n - (1 + (h1 % (n - 1))) + 1))").alias(
+            "j"
+        ),
+    )
+    return cut.select(
+        "doc_id",
+        F.expr("case when is_fim = 1 then 'fim' else 'plain' end").alias("mode"),
+        F.col("n").alias("n_tokens"),
+        F.expr("cast(case when is_fim = 1 then i else 0 end as bigint)").alias(
+            "i_split"
+        ),
+        F.expr("cast(case when is_fim = 1 then j else 0 end as bigint)").alias(
+            "j_split"
+        ),
+        F.expr(
+            "case when is_fim = 1 then "
+            "concat('<PRE> ', concat_ws(' ', slice(t, 1, i)), "
+            "' <SUF> ', concat_ws(' ', slice(t, j + 1, n - j)), "
+            "' <MID> ', concat_ws(' ', slice(t, i + 1, j - i))) "
+            "else concat_ws(' ', t) end"
+        ).alias("out_text"),
+    )

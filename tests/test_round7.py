@@ -1345,3 +1345,31 @@ def test_create_table_zorder_by_validation(spark):
         db.create_table("zv_out", e, zorder_by=["user_id"])
     with _pytest.raises(ValueError, match="own physical layout"):
         db.create_table("zv_out", e, zorder_by=["user_id", "event_id"], sort_by=["x"])
+
+
+def test_fim_transform_is_lossless(spark):
+    """PSM reordering must preserve every token: prefix + middle +
+    suffix (re-read from the sentinel layout) reassembles the original
+    token stream, and ~half the eligible corpus is FIM'd."""
+    from sayn_spark.functions.text import q_fim_transform
+
+    rows = q_fim_transform(spark, SF).collect()
+    docs = {
+        r.doc_id: [t for t in r.text.lower().split(" ") if t]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    n_fim = 0
+    for r in rows:
+        orig = docs[r.doc_id]
+        if r.mode == "plain":
+            assert r.out_text.split(" ") == orig
+            continue
+        n_fim += 1
+        assert r.out_text.startswith("<PRE> ")
+        body = r.out_text[len("<PRE> "):]
+        pre, rest = body.split(" <SUF> ", 1)
+        suf, mid = rest.split(" <MID> ", 1)
+        reassembled = [t for t in (pre + " " + mid + " " + suf).split(" ") if t]
+        assert reassembled == orig, r.doc_id
+        assert 1 <= r.i_split <= r.j_split <= r.n_tokens
+    assert 0.35 < n_fim / len(rows) < 0.65
