@@ -2420,3 +2420,153 @@ def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+@register(
+    "q_ann_cascade_topk",
+    oracle=f"""
+WITH {_SQL_EMB}, {_SQL_NORMED},
+comp AS (
+  SELECT vec_id, i, e[i] AS x FROM emb, (SELECT unnest(generate_series(1, 64)) AS i)
+),
+dim_range AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM comp GROUP BY i),
+rngarr AS (
+  SELECT list(lo ORDER BY i) AS lo_a, list(hi ORDER BY i) AS hi_a FROM dim_range
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, 64), j ->
+           CASE WHEN r.hi_a[j] = r.lo_a[j] THEN CAST(0 AS BIGINT)
+                ELSE CAST(ROUND((e[j] - r.lo_a[j]) / (r.hi_a[j] - r.lo_a[j]) * 255)
+                          AS BIGINT) END) AS c
+  FROM emb, rngarr r
+),
+words AS (
+  SELECT vec_id, {_bq_pack_sql("c", 1, 32)} AS w1, {_bq_pack_sql("c", 33, 64)} AS w2
+  FROM codes
+),
+t1 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY bit_count(xor(q.w1, n.w1)) + bit_count(xor(q.w2, n.w2)),
+                      n.vec_id) AS rk1
+    FROM words q JOIN words n ON q.vec_id < 10 AND n.vec_id <> q.vec_id
+  ) WHERE rk1 <= 50
+),
+t2 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT t.query_id, t.neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY t.query_id
+             ORDER BY CAST(list_sum(list_transform(generate_series(1, 64),
+                      j -> (cq.c[j] - cn.c[j]) * (cq.c[j] - cn.c[j]))) AS BIGINT),
+                      t.neighbor_id) AS rk2
+    FROM t1 t
+    JOIN codes cq ON cq.vec_id = t.query_id
+    JOIN codes cn ON cn.vec_id = t.neighbor_id
+  ) WHERE rk2 <= 20
+)
+SELECT query_id, neighbor_id, cos, rk FROM (
+  SELECT t.query_id, t.neighbor_id,
+         ROUND(list_dot_product(q.e, n.e) / (q.nrm * n.nrm), 6) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.query_id
+           ORDER BY ROUND(list_dot_product(q.e, n.e) / (q.nrm * n.nrm), 6) DESC,
+                    t.neighbor_id) AS rk
+  FROM t2 t
+  JOIN normed q ON q.vec_id = t.query_id
+  JOIN normed n ON n.vec_id = t.neighbor_id
+) WHERE rk <= 5
+""",
+)
+def q_ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-tier retrieval cascade — the production ANN shape: a
+    1-bit Hamming scan shortlists 50 (16 bytes/vector touched), the
+    symmetric-SQ8 integer distance re-ranks those to 20 (64 bytes),
+    and exact cosine re-ranks the survivors to the final top-5 (full
+    floats — 20 vectors per query instead of the corpus).  Each tier
+    touches 4x the bytes of the one above on ~2.5-60x fewer rows, so
+    scan cost concentrates where precision is cheap — the
+    q_ann_binary_recall / q_ann_sq8_topk tiers composed end-to-end
+    under one oracle.
+
+    Determinism: tier-1/2 distances are exact integers, tier-3 is the
+    registry's rounded-cosine ranking; every tier breaks ties on
+    neighbor_id.
+
+    Scale shape: the 10-query frame broadcasts through all three
+    tiers (the documented bounded-BNLJ baseline); tier boundaries are
+    WindowGroupLimit top-k per query; the corpus is scanned once at
+    16 bytes/vector and only shortlist rows ever touch wider
+    representations."""
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("cast(embedding as array<double>)").alias("e")
+    )
+    words = binary_codes_frame(emb)
+    qw = words.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
+    )
+    nw = words.select(F.col("vec_id").alias("neighbor_id"), "w1", "w2")
+    w_h = Window.partitionBy("query_id").orderBy("ham", "neighbor_id")
+    t1 = (
+        qw.join(nw, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(_BQ_HAM).alias("ham"))
+        .withColumn("rk1", F.row_number().over(w_h))
+        .where(F.col("rk1") <= 50)
+        .select("query_id", "neighbor_id")
+    )
+    rng = sq8_range_row(emb)
+    codes = persist_tracked(
+        emb.crossJoin(F.broadcast(rng)).select(
+            "vec_id", sq8_codes_col("e", 64).alias("c")
+        )
+    )
+    w_d = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    t2 = (
+        t1.join(
+            codes.select(F.col("vec_id").alias("query_id"), F.col("c").alias("qc")),
+            "query_id",
+        )
+        .join(
+            codes.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("c").alias("cc")
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", F.expr(_SQ8_D2).alias("d2"))
+        .withColumn("rk2", F.row_number().over(w_d))
+        .where(F.col("rk2") <= 20)
+        .select("query_id", "neighbor_id")
+    )
+    nf = persist_tracked(_normed(spark, sf_dir))
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, ne, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qn") * F.col("nn")),
+        6,
+    )
+    w_c = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        t2.join(
+            nf.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("e").alias("qe"),
+                F.col("nrm").alias("qn"),
+            ),
+            "query_id",
+        )
+        .join(
+            nf.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("e").alias("ne"),
+                F.col("nrm").alias("nn"),
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w_c))
+        .where(F.col("rk") <= 5)
+    )

@@ -198,6 +198,7 @@ _BNLJ_BOUNDED_FRAME_OK = {
     "q_ann_srp_recall",          # 10 fixed query vectors, both arms of the report
     "q_ann_nprobe_curve",        # k-row centroid frame + 3-row probe-width frame
     "q_prefix_cache_share",      # 3-row tier frame + 1-row totals frame
+    "q_ann_cascade_topk",        # 10 fixed query vectors + 1-row SQ8 grid
 }
 
 
