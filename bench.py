@@ -68,6 +68,7 @@ HEADLINE = [
     "q_dedup_boilerplate_lines",
     "q_ann_sq8_topk",
     "q_ann_binary_hamming",
+    "q_ann_cascade_topk",
     "q_ann_triplet_mining",
     "q_text_bigram_surprisal",
     "q_dsir_selection",
