@@ -54,19 +54,24 @@ def _entry_green(v: object) -> bool:
     return bool(flags) and all(flags)
 
 
-def _driver_history() -> dict[str, int]:
+def _driver_history(artifact_dir: str | None = None) -> dict[str, int]:
     """query name -> latest round with GREEN external driver-hash
     evidence, read from the CORRECTNESS_r*.json artifacts the harness
     records.  A FAILED artifact entry must NOT advance the stamp: a
     failure means the query needs re-verification soonest, so it keeps
     (or reverts to) the stale end of the queue instead of sinking to
-    the back with the freshest timestamp (VERDICT r6 item 2)."""
+    the back with the freshest timestamp (VERDICT r6 item 2).
+
+    ``artifact_dir`` defaults to this module's directory (where the
+    harness drops the artifacts); tests inject a tmp_path of synthetic
+    fixtures so the assertions stay round-independent (VERDICT r7
+    item 1)."""
     import glob
     import json
     import os
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = artifact_dir or os.path.dirname(os.path.abspath(__file__))
     hist: dict[str, int] = {}
     failed_later: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
@@ -93,11 +98,11 @@ def _driver_history() -> dict[str, int]:
     return hist
 
 
-def _ordered_names() -> list[str]:
+def _ordered_names(artifact_dir: str | None = None) -> list[str]:
     missing = [n for n in _SENTINELS if n not in REGISTRY]
     if missing:
         raise KeyError(f"sentinel names not in REGISTRY: {missing}")
-    hist = _driver_history()
+    hist = _driver_history(artifact_dir)
     rest = [n for n in REGISTRY if n not in set(_SENTINELS)]
     rest.sort(key=lambda n: (hist.get(n, 0), n))
     return _SENTINELS + rest

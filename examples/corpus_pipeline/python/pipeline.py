@@ -135,3 +135,47 @@ def corpus_source_cards(context, spark, sf_dir):
     from sayn_spark.functions.content_filter import q_source_card
 
     context.default_db.replace_table("source_cards", q_source_card(spark, sf_dir))
+
+
+@task(name="make_doc_thumbnails", sources=["documents"], outputs=["doc_thumbnails"])
+def make_doc_thumbnails(context, spark):
+    """Synthesize the image side of the corpus: one 16x18 BMP thumbnail
+    per 3rd document, groups of 5 sharing a base image with sparse
+    pixel noise on non-anchors (the q_multimodal_phash_dedup corpus
+    design) — a stand-in for real crawl thumbnails so the image-dedup
+    stage runs end-to-end on real decodable payloads."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from sayn_spark.functions.multimodal import bmp_encode
+
+    ids = spark.table("documents").where(F.col("doc_id") % 3 == 0).select("doc_id")
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def make(batches):
+        import hashlib
+
+        import pandas as pd
+
+        w, h = 16, 18
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                base = hashlib.md5(f"thumb{doc_id // 5}".encode()).digest()
+                px = bytearray((base[i % 16] * (i // 16 + 1)) % 200 for i in range(w * h))
+                if doc_id % 5 != 0:
+                    for i in range(w * h):
+                        if hashlib.md5(f"{doc_id}#{i}".encode()).digest()[0] % 37 == 0:
+                            px[i] += 24
+                out["doc_id"].append(doc_id)
+                out["payload"].append(bmp_encode(bytes(px), w, h))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    context.default_db.replace_table("doc_thumbnails", ids.mapInPandas(make, schema))

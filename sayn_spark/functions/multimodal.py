@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     LongType,
     StringType,
@@ -1121,6 +1122,16 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(acc, v) -> acc * 2 + v))"
         ).alias("ba"),
     )
+    return phash_pairs(bands)
+
+
+def phash_pairs(bands: DataFrame, max_hamming: int = _PH_HAMMING_MAX) -> DataFrame:
+    """(src, dst, hamming) near-duplicate pairs from a (doc_id, ba)
+    dHash band frame — the LSH stage shared by the registered query and
+    the dedup task's ``method: phash``: 4 (band, 16-bit key) rows per
+    image shuffle for the candidate equi-join (shuffle-hash pinned —
+    both sides are the same exploded stream, never broadcast-sized),
+    exact Hamming verify on the 4 packed ints via bit_count(xor)."""
     rows = bands.select(
         "doc_id", "ba", F.posexplode("ba").alias("band", "key")
     )
@@ -1142,5 +1153,87 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.select("src", "dst", ham.alias("hamming"))
-        .where(F.col("hamming") <= _PH_HAMMING_MAX)
+        .where(F.col("hamming") <= max_hamming)
     )
+
+
+def image_gray_pixels(payload: bytes):
+    """(width, height, gray_bytes) from a real image payload, format
+    sniffed by magic: PNG (8-bit grayscale), BMP (24bpp, blue channel),
+    GIF (grayscale palette indices).  Other magics raise at the
+    documented codec boundary (JPEG needs libjpeg)."""
+    head = bytes(payload[:8])
+    if head[:8] == _PNG_SIG:
+        w, h, _, _, px = png_parse(payload, want_pixels=True)
+        return w, h, px
+    if head[:2] == b"BM":
+        w, h, _, px = bmp_parse(payload, want_pixels=True)
+        return w, h, px
+    if head[:6] in (b"GIF89a", b"GIF87a"):
+        w, h, _, px = gif_parse(payload, want_pixels=True)
+        return w, h, bytes(px)
+    raise NotImplementedError(
+        f"payload magic {head[:4]!r} is not PNG/BMP/GIF — plug the "
+        "production codec (libjpeg/ffmpeg) in here"
+    )
+
+
+def dhash_bands(gray, width: int, height: int) -> list:
+    """4 packed 16-bit band ints of the 8x8 dHash of a grayscale image:
+    mean-pool to an 8x9 thumbnail (block boundaries floor(i*dim/cells),
+    clamped so 1-pixel-tall images still pool), then each bit compares
+    horizontally adjacent thumbnail cells — identical bit/band layout
+    to q_multimodal_phash_dedup's expression pipeline (row-major bits,
+    MSB-first 16-bit packing), so task output and registered-query
+    output are directly comparable."""
+    import numpy as np
+
+    arr = np.frombuffer(bytes(gray), dtype=np.uint8).reshape(height, width)
+    ys = [(i * height) // 8 for i in range(9)]
+    xs = [(i * width) // 9 for i in range(10)]
+    thumb = np.empty((8, 9), dtype=np.float64)
+    for ty in range(8):
+        y0, y1 = ys[ty], max(ys[ty + 1], ys[ty] + 1)
+        for tx in range(9):
+            x0, x1 = xs[tx], max(xs[tx + 1], xs[tx] + 1)
+            thumb[ty, tx] = arr[y0:y1, x0:x1].mean()
+    bits = (thumb[:, 1:] > thumb[:, :-1]).astype(np.int64).reshape(64)
+    return [_pack_bits16(bits[b * 16 : (b + 1) * 16]) for b in range(4)]
+
+
+def _pack_bits16(bits) -> int:
+    acc = 0
+    for v in bits:
+        acc = acc * 2 + int(v)
+    return acc
+
+
+def image_dhash_band_frame(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, ba array<bigint>[4]) dHash band keys decoded from REAL
+    image payloads — the production swap point q_multimodal_phash_dedup
+    documents, now executable for the container formats this module
+    decodes.  Arrow-batched mapInPandas; payloads never leave the
+    executors and are pruned from every downstream stage (only the 4
+    band ints continue to the LSH join)."""
+    slim = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ba", ArrayType(LongType())),
+        ]
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "ba": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, gray = image_gray_pixels(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["ba"].append(dhash_bands(gray, w, h))
+            yield pd.DataFrame(out, columns=["doc_id", "ba"])
+
+    return slim.mapInPandas(_hash, schema)

@@ -48,6 +48,12 @@ Methods:
 - jaccard: exact word-3-gram Jaccard >= threshold over the inverted
            index (the q_dedup_ngram_jaccard shape; use minhash at
            scale).
+- phash:   image near-dedup (q_multimodal_phash_dedup's engine): the
+           BINARY ``payload_column`` is decoded (PNG/BMP/GIF), dHashed
+           to 64 bits, 4x16-banded for LSH candidates, and verified at
+           Hamming <= ``max_hamming`` (default 12); keep min|best|soft
+           apply unchanged.  JPEG payloads raise at the documented
+           codec boundary.
 
 keep: ``min`` keeps the lowest id per cluster; ``best`` keeps the
 highest ``score_column`` (ties -> lowest id) — the keep-best canonical
@@ -69,7 +75,7 @@ from sayn_spark.operators.base import Task, TaskStatus
 # the engine's tokenizer expression (functions/dedup.py:_TOKENS)
 _PASSAGE_TOKENS = "filter(split(lower(text), ' '), x -> x != '')"
 
-_METHODS = ("exact", "minhash", "jaccard", "passages", "lines")
+_METHODS = ("exact", "minhash", "jaccard", "passages", "lines", "phash")
 
 
 class DedupTask(Task):
@@ -130,6 +136,27 @@ class DedupTask(Task):
                 f"dedup task {self.name!r}: min_line_docs must be >= 2"
             )
         self.min_kept_lines = int(c.get("min_kept_lines", 1))
+        # phash: image near-dedup (q_multimodal_phash_dedup's engine) —
+        # payload BINARY column -> dHash -> 4x16 banded candidates ->
+        # Hamming <= max_hamming verify; keep min|best|soft apply as-is
+        self.payload_column = c.get("payload_column", "payload")
+        self.max_hamming = int(c.get("max_hamming", 12))
+        if not (0 <= self.max_hamming <= 64):
+            raise ValueError(
+                f"dedup task {self.name!r}: max_hamming must be in [0, 64]"
+            )
+        if self.method == "phash":
+            if c.get("verify") is not None or c.get("threshold") is not None:
+                raise ValueError(
+                    f"dedup task {self.name!r}: method=phash is verified by "
+                    "Hamming distance (max_hamming), not threshold/verify"
+                )
+            if self.mode == "incremental":
+                raise ValueError(
+                    f"dedup task {self.name!r}: incremental phash is not "
+                    "implemented — use mode: full (the band frame is cheap "
+                    "to rebuild: 4 ints per image)"
+                )
         if self.verify == "exact" and self.method != "minhash":
             raise ValueError(
                 f"dedup task {self.name!r}: verify=exact applies to method=minhash "
@@ -191,7 +218,8 @@ class DedupTask(Task):
 
     def _docs(self) -> DataFrame:
         df = self.context.spark.table(self.src_value)
-        for col in (self.id_column, self.text_column):
+        content = self.payload_column if self.method == "phash" else self.text_column
+        for col in (self.id_column, content):
             if col not in df.columns:
                 raise ValueError(
                     f"dedup task {self.name!r}: column {col!r} not in {self.src_value}"
@@ -217,6 +245,25 @@ class DedupTask(Task):
     def _duplicate_edges(self, docs: DataFrame) -> DataFrame:
         """(src, dst) verified duplicate pairs by the configured method."""
         spark = self.context.spark
+        if self.method == "phash":
+            from sayn_spark.functions.dedup import fan_out_table
+            from sayn_spark.functions.multimodal import (
+                image_dhash_band_frame,
+                phash_pairs,
+            )
+
+            imgs = fan_out_table(
+                docs.select(
+                    F.col(self.id_column).alias("doc_id"),
+                    F.col(self.payload_column).alias("payload"),
+                ).where(F.col("payload").isNotNull()),
+                spark,
+                self.src_value,
+            )
+            bands = image_dhash_band_frame(imgs)
+            return phash_pairs(bands, max_hamming=self.max_hamming).select(
+                "src", "dst"
+            )
         if self.method == "jaccard":
             from sayn_spark.functions.components import _jaccard_edges
 

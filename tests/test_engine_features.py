@@ -627,3 +627,8 @@ def _pipeline_round7c_assertions(spark, n_docs, clean_n):
     any_n = spark.table("documents_decontaminated").count()
     # the per-pair rule keeps at least as much as the any-gram rule
     assert any_n <= frac.count() <= clean_n
+    # r8 stage: image dedup (method: phash) — the grouped thumbnails
+    # must collapse (strict subset) but noise keeps it nonempty
+    thumbs = spark.table("doc_thumbnails").count()
+    ph = spark.table("thumbnails_deduped").count()
+    assert 0 < ph < thumbs
