@@ -78,6 +78,7 @@ HEADLINE = [
     "task_dedup_incremental",
     "task_filter_gopher",
     "task_ann_search_sq8",
+    "task_ann_cascade",
 ]
 
 
@@ -222,10 +223,55 @@ def _bench_ann_search_task(spark, sf_dir: str) -> None:
     task.run()
 
 
+def _bench_ann_cascade_task(spark, sf_dir: str) -> None:
+    """End-to-end cascade ann_search benchmark (VERDICT r7 item 4):
+    one catalog-dispatched run against the method=cascade index built
+    once by _setup_task_bench — Hamming tier over the packed words,
+    SQ8 re-rank, exact top-k, destination tmp-swap write."""
+    import shutil
+
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.ann_search import AnnSearchTask
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS bench_casc_topk")
+    if wh:
+        shutil.rmtree(os.path.join(wh, "bench_casc_topk"), ignore_errors=True)
+    ctx = TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={},
+        connections={},
+        project_dir=".",
+    )
+    task = AnnSearchTask(
+        "bench_ann_cascade",
+        {
+            "index": "bench_casc_ix",
+            "queries": "bench_ann_queries",
+            "destination": "bench_casc_topk",
+            "k": 5,
+            "nprobe": 2,
+            "shortlist": 20,
+            "shortlist_binary": 50,
+        },
+        ctx,
+    )
+    task.config()
+    task.run()
+
+
 TASK_BENCH = {
     "task_dedup_incremental": _bench_dedup_task,
     "task_filter_gopher": _bench_filter_task,
     "task_ann_search_sq8": _bench_ann_search_task,
+    "task_ann_cascade": _bench_ann_cascade_task,
 }
 
 
@@ -254,7 +300,9 @@ def _setup_task_bench(spark, sf_dir: str) -> None:
 
     for t in ("bench_ann_src", "bench_ann_queries", "bench_ann_ix_centroids",
               "bench_ann_ix_vectors", "bench_ann_ix_sq8grid",
-              "bench_ann_ix_sq8codes"):
+              "bench_ann_ix_sq8codes", "bench_casc_ix_centroids",
+              "bench_casc_ix_vectors", "bench_casc_ix_sq8grid",
+              "bench_casc_ix_sq8codes", "bench_casc_ix_binwords"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         if wh:
             shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
@@ -280,6 +328,16 @@ def _setup_task_bench(spark, sf_dir: str) -> None:
     )
     ix.config()
     ix.run()
+    # a second, cascade-method index for task_ann_cascade (built once —
+    # the benched cost is the three-tier SEARCH run)
+    casc = AnnIndexTask(
+        "bench_casc_build",
+        {"source": "bench_ann_src", "index": "bench_casc_ix",
+         "label_column": "label", "method": "cascade"},
+        ctx,
+    )
+    casc.config()
+    casc.run()
 
 
 def main() -> None:

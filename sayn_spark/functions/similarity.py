@@ -1940,6 +1940,103 @@ def q_ann_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_index_search_cascade(
+    spark: SparkSession,
+    index: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    shortlist: int = 20,
+    shortlist_binary: int = 50,
+) -> DataFrame:
+    """Three-tier retrieval cascade against a catalog index built by
+    the ``ann_index`` task with ``method: cascade`` — the registered
+    q_ann_cascade_topk shape (similarity.py:q_ann_cascade_topk) over a
+    FROZEN index's stored tables: route each query to its ``nprobe``
+    nearest cells (broadcast centroids), scan those cells'
+    ``{index}_binwords`` with packed XOR+popcount and keep
+    ``shortlist_binary`` per query (16 bytes/vector touched), re-rank
+    them with the symmetric integer SQ8 distance from
+    ``{index}_sq8codes`` down to ``shortlist`` (64 bytes), then exact
+    cosine from ``{index}_vectors`` for the final top-``k``.
+
+    Scale: the corpus-sized scan is the 16-byte binary tier read in
+    place from the bucketed words table; each wider representation is
+    touched only for the previous tier's survivors (a per-query
+    constant), joined via the broadcast-sized shortlist frame.  Every
+    tier breaks ties on neighbor_id; tier-1/2 distances are exact
+    integers, so the only FP surface is the final rounded cosine —
+    identical determinism contract to the registered query.
+    """
+    cent = spark.table(f"{index}_centroids")
+    q = queries.select(
+        F.col("query_id").alias("vec_id"),
+        F.expr("cast(e as array<double>)").alias("e"),
+    )
+    probes = _assign_cells(q, cent, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    grid = spark.table(f"{index}_sq8grid")
+    qcodes = persist_tracked(
+        q.crossJoin(F.broadcast(grid)).select(
+            F.col("vec_id").alias("query_id"), sq8_codes_col().alias("qc")
+        )
+    )
+    qwords = (
+        qcodes.select(
+            "query_id",
+            F.expr(_bq_pack_expr("qc", *_BQ_WORDS[0])).alias("qw1"),
+            F.expr(_bq_pack_expr("qc", *_BQ_WORDS[1])).alias("qw2"),
+        )
+        .join(probes, "query_id")
+    )
+    words = spark.table(f"{index}_binwords").select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "w1", "w2"
+    )
+    w_h = Window.partitionBy("query_id").orderBy("ham", "neighbor_id")
+    t1 = (
+        words.join(F.broadcast(qwords), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(_BQ_HAM).alias("ham"))
+        .withColumn("rk1", F.row_number().over(w_h))
+        .where(F.col("rk1") <= shortlist_binary)
+        .select("query_id", "neighbor_id")
+    )
+    codes = spark.table(f"{index}_sq8codes").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("c").alias("cc")
+    )
+    w_d = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    t2 = (
+        t1.join(qcodes, "query_id")
+        .join(codes, "neighbor_id")
+        .select("query_id", "neighbor_id", F.expr(_SQ8_D2).alias("d2"))
+        .withColumn("rk2", F.row_number().over(w_d))
+        .where(F.col("rk2") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    vec = spark.table(f"{index}_vectors")
+    qn = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("qnrm"),
+    )
+    cn = vec.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    cos = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qnrm") * F.col("nrm")),
+        6,
+    )
+    scored_exact = (
+        t2.join(qn, "query_id")
+        .join(cn, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w_out = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return scored_exact.withColumn("rk", F.row_number().over(w_out)).where(
+        F.col("rk") <= k
+    )
+
+
 def ann_catalog_search(
     spark: SparkSession,
     db,
@@ -1948,19 +2045,35 @@ def ann_catalog_search(
     k: int = 5,
     nprobe: int = 1,
     shortlist: int = 20,
+    shortlist_binary: int = 50,
 ) -> DataFrame:
     """Catalog-dispatched search over an ``ann_index``-built index —
     the path comes from which code tables EXIST, not from caller
     config (shared by the ann_search task and stream_ann_search):
-    ``{index}_binwords`` -> packed Hamming, ``{index}_sq8codes`` ->
-    symmetric SQ8, ``{index}_codes`` -> ADC (vector/residual via the
-    codebook's enc column), else the exact in-cell scan.  ``queries``
-    is a (query_id, e: array<double>) frame."""
-    if db.table_exists(f"{index}_binwords"):
+    ``{index}_binwords`` + ``{index}_sq8codes`` together -> the
+    three-tier cascade (Hamming shortlist_binary -> SQ8 shortlist ->
+    exact k), ``{index}_binwords`` alone -> packed Hamming,
+    ``{index}_sq8codes`` alone -> symmetric SQ8, ``{index}_codes`` ->
+    ADC (vector/residual via the codebook's enc column), else the
+    exact in-cell scan.  ``queries`` is a (query_id, e: array<double>)
+    frame."""
+    has_bin = db.table_exists(f"{index}_binwords")
+    has_sq8 = db.table_exists(f"{index}_sq8codes")
+    if has_bin and has_sq8:
+        return ann_index_search_cascade(
+            spark,
+            index,
+            queries,
+            k=k,
+            nprobe=nprobe,
+            shortlist=shortlist,
+            shortlist_binary=shortlist_binary,
+        )
+    if has_bin:
         return ann_index_search_binary(
             spark, index, queries, k=k, nprobe=nprobe, shortlist=shortlist
         )
-    if db.table_exists(f"{index}_sq8codes"):
+    if has_sq8:
         return ann_index_search_sq8(
             spark, index, queries, k=k, nprobe=nprobe, shortlist=shortlist
         )

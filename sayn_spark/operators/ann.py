@@ -14,6 +14,9 @@ demonstrate as queries, promoted to a catalog-managed artifact the way
         method: ivfpq             # ivf (default) | ivfpq | ivfsq8
                                   #   | ivfbin (packed sign bits +
                                   #   Hamming scan, 16 bytes/vector)
+                                  #   | cascade (sq8 + binary layers
+                                  #   over one grid — searched as the
+                                  #   Hamming -> SQ8 -> exact cascade)
         codebook: trained         # ivfpq only: seed (default) | trained
         pq_iters: 3               # trained: per-subspace Lloyd steps
         encode: residual          # ivfpq only: vector (default) |
@@ -69,10 +72,10 @@ class AnnIndexTask(Task):
         self.vector_column = c.get("vector_column", "embedding")
         self.label_column = c.get("label_column")
         self.method = c.get("method", "ivf")
-        if self.method not in ("ivf", "ivfpq", "ivfsq8", "ivfbin"):
+        if self.method not in ("ivf", "ivfpq", "ivfsq8", "ivfbin", "cascade"):
             raise ValueError(
                 f"ann_index task {self.name!r}: method must be "
-                "ivf|ivfpq|ivfsq8|ivfbin"
+                "ivf|ivfpq|ivfsq8|ivfbin|cascade"
             )
         self.n_cells = int(c.get("n_cells", 16))
         if self.n_cells < 1:
@@ -136,6 +139,8 @@ class AnnIndexTask(Task):
             suffixes += ("_sq8grid", "_sq8codes")
         elif self.method == "ivfbin":
             suffixes += ("_sq8grid", "_binwords")
+        elif self.method == "cascade":
+            suffixes += ("_sq8grid", "_sq8codes", "_binwords")
         for suffix in suffixes:
             self.outputs.add(
                 self.context.obj_compiler.from_string(f"{self.index}{suffix}")
@@ -229,6 +234,8 @@ class AnnIndexTask(Task):
             self._build_sq8()
         elif self.method == "ivfbin":
             self._build_binary()
+        elif self.method == "cascade":
+            self._build_cascade()
 
     def _run_incremental(self) -> None:
         """Insert new source vectors into the existing index: assign to
@@ -248,11 +255,16 @@ class AnnIndexTask(Task):
         built_pq = db.table_exists(f"{self.index}_codes")
         built_sq8 = db.table_exists(f"{self.index}_sq8codes")
         built_bin = db.table_exists(f"{self.index}_binwords")
-        built = (
-            "ivfpq"
-            if built_pq
-            else ("ivfsq8" if built_sq8 else ("ivfbin" if built_bin else "ivf"))
-        )
+        if built_pq:
+            built = "ivfpq"
+        elif built_sq8 and built_bin:
+            built = "cascade"
+        elif built_sq8:
+            built = "ivfsq8"
+        elif built_bin:
+            built = "ivfbin"
+        else:
+            built = "ivf"
         if self.method != built:
             raise ValueError(
                 f"ann_index task {self.name!r}: {self.index} was built with "
@@ -260,7 +272,7 @@ class AnnIndexTask(Task):
                 "leave the quantizer layers stale; set method to match "
                 "(or rebuild full)"
             )
-        if self.method in ("ivfsq8", "ivfbin") and not db.table_exists(
+        if self.method in ("ivfsq8", "ivfbin", "cascade") and not db.table_exists(
             f"{self.index}_sq8grid"
         ):
             raise ValueError(
@@ -360,6 +372,52 @@ class AnnIndexTask(Task):
             words,
             mode="overwrite",
             bucket_by=(_VEC_BUCKETS, ["cell"]),
+        )
+        db.move_table(staging, f"{self.index}_binwords")
+
+    def _build_cascade(self) -> None:
+        """Both quantized layers over ONE frozen grid: ``{index}_sq8grid``
+        + ``{index}_sq8codes`` + ``{index}_binwords`` — the stored
+        tables the three-tier retrieval cascade
+        (functions/similarity.py:ann_index_search_cascade /
+        q_ann_cascade_topk) searches.  The SQ8 codes are computed once
+        and the binary words are their top bit, so the two layers are
+        consistent by construction (a bit flip between them would break
+        the tier-1 -> tier-2 refinement monotonicity)."""
+        from sayn_spark.core.database import _tmp_name
+        from sayn_spark.functions.similarity import (
+            _BQ_WORDS,
+            _bq_pack_expr,
+            sq8_codes_col,
+            sq8_range_row,
+        )
+
+        db = self.context.db
+        spark = self.context.spark
+        vec = spark.table(f"{self.index}_vectors")
+        grid = sq8_range_row(vec.select("vec_id", "e"))
+        db.replace_table(f"{self.index}_sq8grid", grid)
+        codes = (
+            vec.select("vec_id", "cell", "e")
+            .crossJoin(F.broadcast(spark.table(f"{self.index}_sq8grid")))
+            .select("vec_id", "cell", sq8_codes_col().alias("c"))
+        ).localCheckpoint()  # read by both layer writes
+        staging = _tmp_name(f"{self.index}_sq8codes")
+        db.drop_object(staging)
+        db.create_table(
+            staging, codes, mode="overwrite", bucket_by=(_VEC_BUCKETS, ["cell"])
+        )
+        db.move_table(staging, f"{self.index}_sq8codes")
+        words = codes.select(
+            "vec_id",
+            "cell",
+            F.expr(_bq_pack_expr("c", *_BQ_WORDS[0])).alias("w1"),
+            F.expr(_bq_pack_expr("c", *_BQ_WORDS[1])).alias("w2"),
+        )
+        staging = _tmp_name(f"{self.index}_binwords")
+        db.drop_object(staging)
+        db.create_table(
+            staging, words, mode="overwrite", bucket_by=(_VEC_BUCKETS, ["cell"])
         )
         db.move_table(staging, f"{self.index}_binwords")
 
@@ -584,10 +642,12 @@ def ann_insert_batch(spark, db, index: str, vecs: DataFrame) -> None:
                 mode="append",
                 bucket_by=(_VEC_BUCKETS, ["cell"]),
             )
-    elif db.table_exists(f"{index}_sq8codes"):
+    if db.table_exists(f"{index}_sq8codes"):
         # frozen-grid SQ8 encode for any vector missing codes — like
         # the PQ heal, it runs even when no new rows arrived so a
-        # crash between the two appends repairs on the next call
+        # crash between the two appends repairs on the next call.
+        # Independent `if` (not elif): a cascade index carries BOTH
+        # quantized layers and each must heal
         from sayn_spark.functions.similarity import sq8_codes_col
 
         codes_t = f"{index}_sq8codes"
@@ -603,7 +663,7 @@ def ann_insert_batch(spark, db, index: str, vecs: DataFrame) -> None:
                 mode="append",
                 bucket_by=(_VEC_BUCKETS, ["cell"]),
             )
-    elif db.table_exists(f"{index}_binwords"):
+    if db.table_exists(f"{index}_binwords"):
         # frozen-grid binarisation for any vector missing packed words
         # — same heal contract as the PQ/SQ8 branches
         from sayn_spark.functions.similarity import (

@@ -11,16 +11,22 @@ declaratively — the search half of the similarity pipeline as YAML:
         nprobe: 2
         id_column: vec_id          # queries' id column
         vector_column: embedding
-        shortlist: 20              # ivfpq only: ADC shortlist width
+        shortlist: 20              # quantized tiers: re-rank width
+        shortlist_binary: 50       # cascade only: Hamming-tier width
 
-The path is chosen from the CATALOG, not the config: an index with a
-``{index}_binwords`` table searches via the packed XOR+popcount scan
-+ exact re-rank (functions/similarity.py:ann_index_search_binary);
-one with ``{index}_sq8codes`` via the symmetric integer SQ8 scan
-+ exact re-rank (ann_index_search_sq8); one with ``{index}_codes``
-via ADC + exact re-rank (ann_index_search_pq — residual encodings
-route automatically through the codebook's enc column); otherwise the
-exact in-cell scan (ann_index_search).  Only query rows shuffle; the
+The path is chosen from the CATALOG, not the config: an index with
+BOTH ``{index}_binwords`` and ``{index}_sq8codes`` (method: cascade)
+searches via the three-tier retrieval cascade — packed Hamming to
+``shortlist_binary``, symmetric SQ8 to ``shortlist``, exact cosine to
+``k`` (functions/similarity.py:ann_index_search_cascade, the
+registered q_ann_cascade_topk shape); one with only
+``{index}_binwords`` via the packed XOR+popcount scan + exact re-rank
+(ann_index_search_binary); one with ``{index}_sq8codes`` via the
+symmetric integer SQ8 scan + exact re-rank (ann_index_search_sq8);
+one with ``{index}_codes`` via ADC + exact re-rank
+(ann_index_search_pq — residual encodings route automatically through
+the codebook's enc column); otherwise the exact in-cell scan
+(ann_index_search).  Only query rows shuffle; the
 bucketed inverted file is read in place.  The destination is a full
 rebuild (replace_table), so re-running a search after an incremental
 index insert refreshes results idempotently.
@@ -48,10 +54,16 @@ class AnnSearchTask(Task):
         self.k = int(c.get("k", 5))
         self.nprobe = int(c.get("nprobe", 1))
         self.shortlist = int(c.get("shortlist", 20))
+        self.shortlist_binary = int(c.get("shortlist_binary", 50))
         if self.k < 1 or self.nprobe < 1 or self.shortlist < self.k:
             raise ValueError(
                 f"ann_search task {self.name!r}: need k >= 1, nprobe >= 1, "
                 "shortlist >= k"
+            )
+        if self.shortlist_binary < self.shortlist:
+            raise ValueError(
+                f"ann_search task {self.name!r}: shortlist_binary must be >= "
+                "shortlist (each cascade tier narrows)"
             )
         self.id_column = c.get("id_column", "vec_id")
         self.vector_column = c.get("vector_column", "embedding")
@@ -100,6 +112,7 @@ class AnnSearchTask(Task):
             k=self.k,
             nprobe=self.nprobe,
             shortlist=self.shortlist,
+            shortlist_binary=self.shortlist_binary,
         )
         db.replace_table(self.dst_value, out, **self.destination_writer_opts())
 

@@ -687,3 +687,140 @@ def test_ann_binary_incremental_insert_and_dispatch(ctx, spark, emb_table):
     assert {"query_id", "neighbor_id", "cos", "rk"} <= set(topk.columns)
     assert topk.groupBy("query_id").count().where("count > 3").count() == 0
     assert topk.count() > 0
+
+
+def test_ann_cascade_task_equals_registered_query(ctx, spark, emb_table):
+    """method=cascade builds BOTH quantized layers over one frozen
+    grid, and with every cell probed the ann_search task's cascade
+    path reproduces the registered (driver-verified) q_ann_cascade_topk
+    EXACTLY — same shortlist widths, same tie-breaks, same rounded
+    cosines — because the frozen grid equals the query's corpus grid
+    and full probing makes the tier-1 scan global."""
+    from sayn_spark.operators.ann_search import AnnSearchTask
+
+    _build(
+        ctx,
+        spark,
+        "ann_casc",
+        {
+            "source": "ann_src",
+            "index": "ann_casc",
+            "label_column": "label",
+            "method": "cascade",
+        },
+    )
+    n_vec = spark.table("ann_casc_vectors").count()
+    assert spark.table("ann_casc_sq8grid").count() == 1
+    assert spark.table("ann_casc_sq8codes").count() == n_vec
+    assert spark.table("ann_casc_binwords").count() == n_vec
+    # the binary layer is exactly the top bit of the SQ8 layer
+    joined = spark.sql(
+        """
+        SELECT c.vec_id FROM ann_casc_sq8codes c JOIN ann_casc_binwords w
+        ON c.vec_id = w.vec_id
+        WHERE aggregate(sequence(1, 32), cast(0 as bigint), (acc, j) ->
+                acc + case when element_at(c.c, j) >= 128
+                then shiftleft(cast(1 as bigint), 32 - j) else cast(0 as bigint) end)
+              != w.w1
+        """
+    )
+    assert joined.count() == 0
+
+    n_cells = spark.table("ann_casc_centroids").count()
+    ctx.db.replace_table(
+        "ann_casc_queries", spark.table("ann_src").where(F.col("vec_id") < 10)
+    )
+    st = AnnSearchTask(
+        "ann_casc_search",
+        {
+            "index": "ann_casc",
+            "queries": "ann_casc_queries",
+            "destination": "ann_casc_topk",
+            "k": 5,
+            "nprobe": int(n_cells),
+            "shortlist": 20,
+            "shortlist_binary": 50,
+        },
+        ctx,
+    )
+    st.config()
+    st.run()
+    got = sorted(tuple(r) for r in spark.table("ann_casc_topk").collect())
+    want = sorted(
+        tuple(r) for r in REGISTRY["q_ann_cascade_topk"].fn(spark, SF).collect()
+    )
+    assert got == want and len(got) == 50  # 10 queries x top-5
+
+    # tight tiers still return k ranked rows per query
+    st2 = AnnSearchTask(
+        "ann_casc_tight",
+        {
+            "index": "ann_casc",
+            "queries": "ann_casc_queries",
+            "destination": "ann_casc_tight_topk",
+            "k": 3,
+            "nprobe": 1,
+            "shortlist": 5,
+            "shortlist_binary": 10,
+        },
+        ctx,
+    )
+    st2.config()
+    st2.run()
+    tight = spark.table("ann_casc_tight_topk")
+    assert tight.groupBy("query_id").count().where("count != 3").count() == 0
+
+    # config guard: tiers must narrow
+    bad = AnnSearchTask(
+        "ann_casc_bad",
+        {
+            "index": "ann_casc",
+            "queries": "ann_casc_queries",
+            "destination": "x",
+            "shortlist": 20,
+            "shortlist_binary": 10,
+        },
+        ctx,
+    )
+    with pytest.raises(ValueError, match="narrow"):
+        bad.config()
+
+
+def test_ann_cascade_incremental_heals_both_layers(ctx, spark, emb_table):
+    """Incremental insert into a cascade index appends BOTH quantized
+    layers against the frozen grid (the de-elif'd heal chain), replay
+    is a no-op, and the method-mismatch guard names the built method."""
+    from sayn_spark.operators.ann import AnnIndexTask
+
+    full = spark.table("ann_src")
+    wave1 = full.where(F.col("vec_id") % 3 != 0)
+    ctx.db.replace_table("ann_casci_src", wave1)
+    base = {
+        "source": "ann_casci_src",
+        "index": "ann_casci",
+        "label_column": "label",
+        "method": "cascade",
+    }
+    _build(ctx, spark, "ann_casci_full", base)
+    grid_before = spark.table("ann_casci_sq8grid").collect()
+
+    ctx.db.replace_table("ann_casci_src", full)
+    _build(ctx, spark, "ann_casci_add", {**base, "mode": "incremental"})
+    n = full.count()
+    assert spark.table("ann_casci_sq8grid").collect() == grid_before  # frozen
+    assert spark.table("ann_casci_vectors").count() == n
+    assert spark.table("ann_casci_sq8codes").count() == n
+    assert spark.table("ann_casci_binwords").count() == n
+
+    _build(ctx, spark, "ann_casci_noop", {**base, "mode": "incremental"})
+    assert spark.table("ann_casci_sq8codes").count() == n
+    assert spark.table("ann_casci_binwords").count() == n
+
+    t = AnnIndexTask(
+        "ann_casci_bad",
+        {**base, "mode": "incremental", "method": "ivfbin"},
+        ctx,
+    )
+    t.config()
+    with pytest.raises(ValueError, match="cascade"):
+        t.run()
