@@ -203,3 +203,124 @@ def test_gif_parse_boundaries():
     payload[13 + 768 + 9] |= 0x40
     with _pytest.raises(NotImplementedError):
         gif_parse(bytes(payload), want_pixels=True)
+
+
+# --- baseline JPEG (r8) -------------------------------------------------
+
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """Block-constant images round-trip BIT-EXACTLY through the lossy
+    pipeline with the flat quant table: only the whole-number DC
+    survives the FDCT, so IDCT + clamp returns every pixel — the
+    property the registered oracle relies on."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import jpeg_encode, jpeg_parse
+
+    rng = np.random.default_rng(81)
+    blocks = rng.integers(0, 256, size=(3, 5))
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    w, h, nc, px = jpeg_parse(jpeg_encode(img.tobytes(), 40, 24), want_pixels=True)
+    assert (w, h, nc) == (40, 24, 1)
+    assert np.frombuffer(px, dtype=np.uint8).reshape(24, 40).tolist() == img.tolist()
+
+
+def test_jpeg_random_image_flat_quant_error_bound():
+    """Arbitrary images with the flat table: every coefficient's
+    quantize error is <= 0.5, so decoded pixels sit within a couple of
+    gray levels — the AC encode/decode path (runs, categories, sign
+    extension) exercised on dense coefficients."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import jpeg_encode, jpeg_parse
+
+    rng = np.random.default_rng(82)
+    img = rng.integers(0, 256, size=(24, 32)).astype(np.uint8)
+    _, _, _, px = jpeg_parse(jpeg_encode(img.tobytes(), 32, 24), want_pixels=True)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(24, 32).astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 2
+
+
+def test_jpeg_std_quant_is_lossy_but_close_and_smaller():
+    """The Annex K table: visibly lossy on noise, small error on a
+    smooth gradient, and a smaller payload than the flat table on the
+    same image (the compression actually compresses)."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import (
+        JPEG_STD_QUANT,
+        jpeg_encode,
+        jpeg_parse,
+    )
+
+    g = np.add.outer(np.arange(24) * 3, np.arange(32) * 2).astype(np.uint8)
+    flat = jpeg_encode(g.tobytes(), 32, 24)
+    std = jpeg_encode(g.tobytes(), 32, 24, quant=JPEG_STD_QUANT)
+    assert len(std) < len(flat)
+    _, _, _, px = jpeg_parse(std, want_pixels=True)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(24, 32).astype(int)
+    assert np.abs(got - g.astype(int)).max() <= 6
+
+
+def test_jpeg_zrl_long_zero_runs():
+    """A block whose only AC coefficient sits beyond index 16 forces
+    ZRL (16-zero-run) symbols through both coder and decoder."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import (
+        _JPEG_ZIGZAG,
+        _dct_matrix,
+        jpeg_encode,
+        jpeg_parse,
+    )
+
+    # craft pixels whose DCT has an isolated high-frequency component:
+    # inverse-transform a coefficient plan, quantize-roundtrip safe
+    C = _dct_matrix()
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 8 * 40  # DC: mid-gray 168
+    coef[7, 7] = 100.0  # zigzag index 63: 62 zeros before it
+    block = C.T @ coef @ C + 128.0
+    img = np.clip(np.round(block), 0, 255).astype(np.uint8)
+    payload = jpeg_encode(img.tobytes(), 8, 8)
+    _, _, _, px = jpeg_parse(payload, want_pixels=True)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(8, 8).astype(int)
+    # re-quantization of a clipped block is not exact; bounded error
+    assert np.abs(got - img.astype(int)).max() <= 3
+    assert _JPEG_ZIGZAG[63] == 63
+
+
+def test_jpeg_byte_stuffing_roundtrips():
+    """An image whose entropy stream is KNOWN to contain an 0xFF byte
+    (block values found by search, pinned here) must round-trip — the
+    stuffed 0x00 is consumed by the reader, never decoded as data."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import jpeg_encode, jpeg_parse
+
+    for blocks in ([[180, 217, 226, 10]], [[103, 0, 242, 30]]):
+        img = np.kron(np.array(blocks), np.ones((8, 8), dtype=np.int64)).astype(
+            np.uint8
+        )
+        payload = jpeg_encode(img.tobytes(), 32, 8)
+        scan = payload[payload.index(b"\xff\xda") + 2 :]
+        assert b"\xff\x00" in scan  # stuffing actually present
+        _, _, _, px = jpeg_parse(payload, want_pixels=True)
+        assert np.frombuffer(px, dtype=np.uint8).reshape(8, 32).tolist() == img.tolist()
+
+
+def test_jpeg_rejects_progressive_and_bad_dims():
+    import pytest as _pytest
+
+    from sayn_spark.functions.multimodal import jpeg_encode, jpeg_parse
+
+    img = bytes(64)
+    payload = bytearray(jpeg_encode(img, 8, 8))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with _pytest.raises(NotImplementedError):
+        jpeg_parse(bytes(payload), want_pixels=True)
+    with _pytest.raises(ValueError):
+        jpeg_encode(bytes(60), 10, 6)  # not multiples of 8
+    with _pytest.raises(NotImplementedError):
+        jpeg_parse(b"\x89PNG\r\n\x1a\n")

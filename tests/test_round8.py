@@ -257,8 +257,13 @@ def test_phash_task_config_validation(dedup_ctx):
             t.config()
 
 
-def test_image_gray_pixels_jpeg_raises():
-    from sayn_spark.functions.multimodal import image_gray_pixels
+def test_image_gray_pixels_jpeg_decodes_and_unknown_raises():
+    """The sniffing decoder now covers baseline JPEG (r8 codec); a
+    genuinely unknown magic still raises at the documented boundary."""
+    from sayn_spark.functions.multimodal import image_gray_pixels, jpeg_encode
 
+    img = bytes((i * 7) % 200 for i in range(64)) * 4  # 16x16, blockish
+    w, h, gray = image_gray_pixels(jpeg_encode(img, 16, 16))
+    assert (w, h) == (16, 16) and len(gray) == 256
     with pytest.raises(NotImplementedError):
-        image_gray_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+        image_gray_pixels(b"RIFF" + b"\x00" * 32)
