@@ -505,6 +505,7 @@ def stream_ann_search(
     k: int = 5,
     nprobe: int = 1,
     shortlist: int = 20,
+    shortlist_binary: int = 50,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
 ):
@@ -537,7 +538,14 @@ def stream_ann_search(
             F.expr(f"cast({vector_column} as array<double>)").alias("e"),
         )
         out = ann_catalog_search(
-            spark, db, index, queries, k=k, nprobe=nprobe, shortlist=shortlist
+            spark,
+            db,
+            index,
+            queries,
+            k=k,
+            nprobe=nprobe,
+            shortlist=shortlist,
+            shortlist_binary=shortlist_binary,
         )
         if not db.table_exists(dst_table):
             db.create_table(dst_table, out, mode="overwrite")
