@@ -1378,6 +1378,161 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_semantic_recall",
+    oracle="""
+WITH emb AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, e FROM emb
+  UNION ALL SELECT vec_id + 100000, e FROM emb
+),
+sample AS (SELECT vec_id, e FROM corpus WHERE (vec_id % 100000) % 3 = 0),
+normed AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM sample),
+comp AS (
+  SELECT label, i, e[i] AS x FROM emb, (SELECT unnest(generate_series(1, 64)) AS i)
+),
+cent AS (
+  SELECT label, i,
+         ROUND(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 8) AS c
+  FROM comp GROUP BY label, i
+),
+cent_arr AS (
+  SELECT label AS c_label, list(c ORDER BY i) AS ce FROM cent GROUP BY label
+),
+assigned AS (
+  SELECT vec_id, c_label, ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_aggregate(list_transform(list_zip(n.e, c.ce),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 8), c_label) AS rk
+  FROM normed n, cent_arr c
+),
+cells AS (SELECT vec_id, c_label AS cell FROM assigned WHERE rk = 1),
+truth AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.99
+),
+marked AS (
+  SELECT t.id_a, t.id_b,
+         CASE WHEN ca.cell = cb.cell THEN 1 ELSE 0 END AS same_cell
+  FROM truth t
+  JOIN cells ca ON ca.vec_id = t.id_a
+  JOIN cells cb ON cb.vec_id = t.id_b
+),
+agg AS (SELECT
+  (SELECT COUNT(*) FROM normed) AS n_sample_vecs,
+  (SELECT COUNT(DISTINCT cell) FROM cells) AS n_cells,
+  (SELECT COUNT(*) FROM marked) AS n_true_pairs,
+  (SELECT COALESCE(CAST(SUM(same_cell) AS BIGINT), 0) FROM marked) AS n_same_cell
+)
+SELECT CAST(n_sample_vecs AS BIGINT) AS n_sample_vecs,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_same_cell AS BIGINT) AS n_same_cell,
+       CAST((n_same_cell * 1000000) // greatest(n_true_pairs, 1) AS BIGINT)
+           AS cell_recall_ppm,
+       CAST(n_true_pairs - n_same_cell AS BIGINT) AS n_cross_cell_missed
+FROM agg
+""",
+)
+def q_dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measured recall of SemDeDup's cell partition — the
+    q_dedup_minhash_recall discipline applied to semantic dedup: the
+    operator only examines cos >= 0.99 pairs WITHIN a cell, so its only
+    approximation is pairs the quantizer splits across cells.  On a
+    deterministic 1/3 sample (base-id % 3, planted copy stays with its
+    original), EXACT all-pairs ground truth (the same rounded-cosine
+    verdict as q_dedup_semantic) vs cell co-membership under the same
+    label-centroid quantizer — published as integer ppm plus the raw
+    cross-cell miss count, the number that tells a 100 TB deployment
+    whether its centroid count has started splitting true duplicate
+    neighborhoods.
+
+    Scale shape: the all-pairs arm is the INSTRUMENT's cost on a
+    bounded sample (rate-based here; pin a fixed vector count at
+    100 TB), a broadcast nested-loop over slim (id, e, nrm) rows —
+    exactly q_ann_binary_recall's measurement harness; the production
+    operator keeps its per-cell equi-join shape.
+    """
+    from sayn_spark.functions.similarity import _centroid_arrays
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr("cast(embedding as array<double>)").alias("e")
+    )
+    corpus = emb.select("vec_id", "e").unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "e")
+    )
+    sample = corpus.where((F.col("vec_id") % 100000) % 3 == 0)
+    normed = persist_tracked(
+        sample.select(
+            "vec_id",
+            "e",
+            F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm"),
+        )
+    )
+    cent = _centroid_arrays(emb.select("label", "e"))
+    d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        ),
+        8,
+    )
+    cells = persist_tracked(
+        normed.crossJoin(F.broadcast(cent))
+        .select("vec_id", F.struct(d2.alias("d2"), F.col("c_label").alias("cl")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", F.col("m.cl").alias("cell"))
+    )
+    a = normed.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = normed.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = F.round(
+        F.expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("na") * F.col("nb")),
+        6,
+    )
+    truth = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .where(cos >= 0.99)
+        .select("id_a", "id_b")
+    )
+    marked = persist_tracked(
+        truth.join(cells.select(F.col("vec_id").alias("id_a"), F.col("cell").alias("cell_a")), "id_a")
+        .join(cells.select(F.col("vec_id").alias("id_b"), F.col("cell").alias("cell_b")), "id_b")
+        .select(
+            F.when(F.col("cell_a") == F.col("cell_b"), 1).otherwise(0).alias("same_cell")
+        )
+    )
+    n_vecs = normed.agg(F.count(F.lit(1)).alias("n_sample_vecs"))
+    n_cells = cells.agg(F.countDistinct("cell").alias("n_cells"))
+    stats = marked.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.coalesce(F.sum("same_cell"), F.lit(0)).alias("n_same_cell"),
+    )
+    return (
+        n_vecs.crossJoin(n_cells)
+        .crossJoin(stats)
+        .select(
+            F.col("n_sample_vecs").cast("bigint").alias("n_sample_vecs"),
+            F.col("n_cells").cast("bigint").alias("n_cells"),
+            F.col("n_true_pairs").cast("bigint").alias("n_true_pairs"),
+            F.col("n_same_cell").cast("bigint").alias("n_same_cell"),
+            F.expr(
+                "cast((n_same_cell * 1000000) div greatest(n_true_pairs, 1) as bigint)"
+            ).alias("cell_recall_ppm"),
+            F.expr("cast(n_true_pairs - n_same_cell as bigint)").alias(
+                "n_cross_cell_missed"
+            ),
+        )
+    )
+
+
 _SQL_CONTAINMENT_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents

@@ -122,6 +122,32 @@ def test_real_image_metadata_on_png_payloads(spark):
     assert (rows[2].width, rows[2].height, rows[2].channels) == (2, 4, 1)
 
 
+def test_real_image_metadata_sniffs_all_formats(spark):
+    """decode='real' magic-sniffs PNG / BMP / GIF / baseline-JPEG per
+    row in ONE frame — the r8 consolidation of the codec family."""
+    from sayn_spark.functions.multimodal import (
+        bmp_encode,
+        decode_image_metadata,
+        gif_encode,
+        jpeg_encode,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png_encode(b"\x01" * 6, 3, 2))),
+            (2, bytearray(bmp_encode(b"\x02" * 8, 4, 2))),
+            (3, bytearray(gif_encode(b"\x03" * 10, 5, 2))),
+            (4, bytearray(jpeg_encode(bytes(128), 16, 8))),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_image_metadata(df, decode="real").collect()}
+    assert (rows[1].width, rows[1].height, rows[1].channels) == (3, 2, 1)
+    assert (rows[2].width, rows[2].height, rows[2].channels) == (4, 2, 3)
+    assert (rows[3].width, rows[3].height, rows[3].channels) == (5, 2, 1)
+    assert (rows[4].width, rows[4].height, rows[4].channels) == (16, 8, 1)
+
+
 def test_bmp_roundtrip_all_pad_widths():
     """Row padding hits every case (width*3 % 4 in {0,1,2,3}) and the
     bottom-up flip restores row order exactly."""
