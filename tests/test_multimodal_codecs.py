@@ -350,3 +350,97 @@ def test_jpeg_rejects_progressive_and_bad_dims():
         jpeg_encode(bytes(60), 10, 6)  # not multiples of 8
     with _pytest.raises(NotImplementedError):
         jpeg_parse(b"\x89PNG\r\n\x1a\n")
+
+
+# --- property-based codec hardening (r8) --------------------------------
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    bw=st.integers(min_value=1, max_value=5),
+    bh=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+def test_jpeg_block_constant_roundtrip_property(bw, bh, data):
+    """PROPERTY: any block-constant grayscale image round-trips
+    bit-exactly through the flat-quant baseline JPEG — the exactness
+    the registered oracle relies on, over arbitrary dimensions and
+    values (not just one seeded corpus)."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import jpeg_encode, jpeg_parse
+
+    vals = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=bw * bh,
+            max_size=bw * bh,
+        )
+    )
+    blocks = np.array(vals).reshape(bh, bw)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    w, h, nc, px = jpeg_parse(
+        jpeg_encode(img.tobytes(), bw * 8, bh * 8), want_pixels=True
+    )
+    assert (w, h, nc) == (bw * 8, bh * 8, 1)
+    assert np.frombuffer(px, dtype=np.uint8).reshape(h, w).tolist() == img.tolist()
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(min_value=0, max_value=10**6))
+def test_jpeg_arbitrary_image_flat_quant_error_property(seed):
+    """PROPERTY: flat-quant error bound holds on arbitrary images —
+    every coefficient's quantize error <= 0.5, so decoded pixels stay
+    within a couple of gray levels of the original."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import jpeg_encode, jpeg_parse
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(8, 16)).astype(np.uint8)
+    _, _, _, px = jpeg_parse(jpeg_encode(img.tobytes(), 16, 8), want_pixels=True)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(8, 16).astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 2
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(cut=st.integers(min_value=0, max_value=400), seed=st.integers(0, 1000))
+def test_jpeg_parse_truncated_payload_never_hangs(cut, seed):
+    """PROPERTY: jpeg_parse on a truncated valid payload either raises
+    a clean error or returns — it must never loop forever or crash the
+    interpreter (the robustness a crawl-facing decoder needs)."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import jpeg_encode, jpeg_parse
+
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, size=(1, 2))
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    payload = jpeg_encode(img.tobytes(), 16, 8)
+    trunc = payload[: min(cut, len(payload))]
+    try:
+        jpeg_parse(trunc, want_pixels=True)
+    except Exception:
+        pass  # any clean Python error is fine; hanging/crashing is not
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(cut=st.integers(min_value=0, max_value=300), seed=st.integers(0, 1000))
+def test_gif_parse_truncated_payload_never_hangs(cut, seed):
+    """Same truncation property for the GIF walker + LZW decoder."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import gif_encode, gif_parse
+
+    rng = np.random.default_rng(seed)
+    pixels = bytes(int(v) for v in rng.integers(0, 256, size=24))
+    payload = gif_encode(pixels, 6, 4)
+    trunc = payload[: min(cut, len(payload))]
+    try:
+        gif_parse(trunc, want_pixels=True)
+    except Exception:
+        pass
