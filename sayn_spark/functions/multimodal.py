@@ -1711,14 +1711,27 @@ def _pack_bits16(bits) -> int:
 
 
 def image_dhash_band_frame(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    on_error: str = "fail",
 ) -> DataFrame:
     """(doc_id, ba array<bigint>[4]) dHash band keys decoded from REAL
     image payloads — the production swap point q_multimodal_phash_dedup
     documents, now executable for the container formats this module
     decodes.  Arrow-batched mapInPandas; payloads never leave the
     executors and are pruned from every downstream stage (only the 4
-    band ints continue to the LSH join)."""
+    band ints continue to the LSH join).
+
+    ``on_error`` decides what an undecodable payload does: ``fail``
+    (default) re-raises — right for curated corpora where a bad byte
+    stream is a pipeline bug; ``skip`` drops the row from the band
+    frame — at 100 TB a crawl WILL contain truncated/foreign payloads
+    and one of them must not kill a day-long job (the skipped document
+    simply never becomes a dedup candidate, so it is conservatively
+    kept)."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError("image_dhash_band_frame: on_error must be fail|skip")
     slim = df.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(payload_col).alias("payload")
     )
@@ -1728,15 +1741,25 @@ def image_dhash_band_frame(
             StructField("ba", ArrayType(LongType())),
         ]
     )
+    skip = on_error == "skip"
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "ba": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, gray = image_gray_pixels(bytes(payload))
+                try:
+                    w, h, gray = image_gray_pixels(bytes(payload))
+                    ba = dhash_bands(gray, w, h)
+                except Exception:
+                    if skip:
+                        continue
+                    raise
                 out["doc_id"].append(doc_id)
-                out["ba"].append(dhash_bands(gray, w, h))
-            yield pd.DataFrame(out, columns=["doc_id", "ba"])
+                out["ba"].append(ba)
+            if out["doc_id"]:
+                # an all-skipped batch must yield NOTHING: an empty
+                # object column defeats Arrow's list<int64> inference
+                yield pd.DataFrame(out, columns=["doc_id", "ba"])
 
     return slim.mapInPandas(_hash, schema)
 

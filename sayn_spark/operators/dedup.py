@@ -145,6 +145,20 @@ class DedupTask(Task):
             raise ValueError(
                 f"dedup task {self.name!r}: max_hamming must be in [0, 64]"
             )
+        # on_decode_error: fail (default — a bad payload is a pipeline
+        # bug on curated corpora) | skip (crawl-scale: an undecodable
+        # image never becomes a candidate, so it is conservatively
+        # KEPT rather than killing the job)
+        self.on_decode_error = c.get("on_decode_error", "fail")
+        if self.on_decode_error not in ("fail", "skip"):
+            raise ValueError(
+                f"dedup task {self.name!r}: on_decode_error must be fail|skip"
+            )
+        if c.get("on_decode_error") is not None and self.method != "phash":
+            raise ValueError(
+                f"dedup task {self.name!r}: on_decode_error applies to "
+                "method=phash only"
+            )
         if self.method == "phash":
             if c.get("verify") is not None or c.get("threshold") is not None:
                 raise ValueError(
@@ -260,7 +274,7 @@ class DedupTask(Task):
                 spark,
                 self.src_value,
             )
-            bands = image_dhash_band_frame(imgs)
+            bands = image_dhash_band_frame(imgs, on_error=self.on_decode_error)
             return phash_pairs(bands, max_hamming=self.max_hamming).select(
                 "src", "dst"
             )

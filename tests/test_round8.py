@@ -338,3 +338,54 @@ def test_stream_ann_ingest_heals_cascade_layers(dedup_ctx, spark, tmp_path):
     n = seed.count() + later.count()
     assert spark.table("scasc_s_sq8codes").count() == n
     assert spark.table("scasc_s_binwords").count() == n
+
+
+def test_phash_task_on_decode_error(dedup_ctx, spark):
+    """A corrupt payload in the corpus: on_decode_error=skip keeps the
+    undecodable doc (it never becomes a candidate) and the rest dedupe
+    normally; the default (fail) raises — one bad byte stream must not
+    silently vanish from a curated corpus."""
+    from sayn_spark.functions.multimodal import bmp_encode
+
+    raw = bytes((i * 3) % 200 for i in range(16 * 18))
+    rows = [
+        (1, bytearray(bmp_encode(raw, 16, 18))),
+        (2, bytearray(bmp_encode(raw, 16, 18))),  # exact dup of 1
+        (3, bytearray(b"\xff\xd8\xff")),  # truncated JPEG: undecodable
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    dedup_ctx.db.replace_table("ph_err_src", df)
+    _run_task(
+        dedup_ctx,
+        "ph_err_skip",
+        {
+            "source": "ph_err_src",
+            "destination": "ph_err_out",
+            "method": "phash",
+            "on_decode_error": "skip",
+        },
+    )
+    got = {r.doc_id for r in spark.table("ph_err_out").collect()}
+    assert got == {1, 3}  # dup 2 dropped; corrupt 3 conservatively kept
+
+    with pytest.raises(Exception):
+        _run_task(
+            dedup_ctx,
+            "ph_err_fail",
+            {
+                "source": "ph_err_src",
+                "destination": "ph_err_fail_out",
+                "method": "phash",
+            },
+        )
+    # option is phash-only
+    from sayn_spark.operators.dedup import DedupTask
+
+    t = DedupTask(
+        "bad",
+        {"source": "t", "destination": "o", "method": "exact",
+         "on_decode_error": "skip"},
+        dedup_ctx,
+    )
+    with pytest.raises(ValueError):
+        t.config()
