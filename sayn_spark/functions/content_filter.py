@@ -2245,6 +2245,166 @@ def contaminated_ids_frame(
     )
 
 
+_SEM_DIM = 64
+
+
+def _dense_hash_vectors(
+    frame: DataFrame, id_column: str, text_column: str, dim: int = _SEM_DIM
+) -> DataFrame:
+    """(id, v array<bigint>[dim], l2 bigint) dense feature-hash TF
+    vectors (q_feature_hashing's md5-mod-``dim`` bucketing, densified
+    row-locally) — integer counts, so every downstream cosine verdict
+    can be an exact cross-multiplication."""
+    toks = frame.where(F.col(text_column).isNotNull()).select(
+        F.col(id_column).alias("id"),
+        F.explode(F.expr(_NGRAM_TOKENS.replace("text", text_column))).alias("t"),
+    )
+    vec = (
+        toks.select(
+            "id",
+            (F.expr("cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint)") % dim).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dense = (
+        vec.groupBy("id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "cnt"))).alias("m"))
+        .select(
+            "id",
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), "
+                "b -> coalesce(element_at(m, cast(b as bigint)), cast(0 as bigint)))"
+            ).alias("v"),
+        )
+    )
+    return dense.withColumn(
+        "l2", F.expr("aggregate(v, cast(0 as bigint), (acc, x) -> acc + x * x)")
+    )
+
+
+def semantic_contaminated_ids(
+    docs: DataFrame,
+    ev: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    eval_text_column: str = "text",
+    min_cosine_hundredths: int = 80,
+) -> DataFrame:
+    """Distinct ids of training documents whose feature-hash TF vector
+    has cosine >= h/100 with ANY eval document — SEMANTIC
+    decontamination, the complement of the n-gram rules: a reworded or
+    reordered eval leak shares few exact n-grams but keeps its bag of
+    words.  The verdict is the exact integer cross-multiplication
+    ``10000*dot^2 >= h^2*l2a*l2b`` (dot >= 0 — counts are nonnegative),
+    so no FP boundary exists; the hundredths grid keeps the products
+    inside int64 up to ~30k-token documents.
+
+    Scale shape: the eval side (benchmarks are MBs against a 100 TB
+    corpus) broadcasts as dense {dim}-int vectors; the corpus builds
+    its vectors row-locally (explode -> per-doc map -> dense array) and
+    the screen is a map-side bounded nested loop over the broadcast
+    eval frame — the corpus never shuffles and text never leaves its
+    partitions, exactly like the n-gram rules."""
+    h = int(min_cosine_hundredths)
+    if not 1 <= h <= 100:
+        raise ValueError(
+            "semantic_contaminated_ids: min_cosine_hundredths must be in [1, 100]"
+        )
+    src = _dense_hash_vectors(docs, id_column, text_column)
+    evv = _dense_hash_vectors(
+        ev.select(F.monotonically_increasing_id().alias("_eid"), ev[eval_text_column]),
+        "_eid",
+        eval_text_column,
+    ).select(F.col("v").alias("ev_v"), F.col("l2").alias("ev_l2"))
+    dot = F.expr(
+        "aggregate(zip_with(v, ev_v, (x, y) -> x * y), cast(0 as bigint), "
+        "(acc, p) -> acc + p)"
+    )
+    return (
+        src.crossJoin(F.broadcast(evv))
+        .where(
+            F.lit(10000) * dot * dot
+            >= F.lit(h * h) * F.col("l2") * F.col("ev_l2")
+        )
+        .select(F.col("id").alias(id_column))
+        .distinct()
+    )
+
+
+@register(
+    "q_decontaminate_semantic",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+ev AS (
+  SELECT doc_id AS eval_id, list_reverse(t) AS t
+  FROM toks WHERE doc_id % 9 = 0 AND len(t) >= 8
+),
+src_b AS (
+  SELECT doc_id AS id,
+         (('0x' || substr(md5(tok), 1, 8))::BIGINT) % {_SEM_DIM} AS bucket,
+         COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY id, bucket
+),
+ev_b AS (
+  SELECT eval_id,
+         (('0x' || substr(md5(tok), 1, 8))::BIGINT) % {_SEM_DIM} AS bucket,
+         COUNT(*) AS cnt
+  FROM (SELECT eval_id, unnest(t) AS tok FROM ev)
+  GROUP BY eval_id, bucket
+),
+src_l2 AS (SELECT id, CAST(SUM(cnt * cnt) AS BIGINT) AS l2 FROM src_b GROUP BY id),
+ev_l2 AS (SELECT eval_id, CAST(SUM(cnt * cnt) AS BIGINT) AS l2 FROM ev_b GROUP BY eval_id),
+dots AS (
+  SELECT s.id, e.eval_id, CAST(SUM(s.cnt * e.cnt) AS BIGINT) AS dot
+  FROM src_b s JOIN ev_b e USING (bucket)
+  GROUP BY s.id, e.eval_id
+)
+SELECT DISTINCT d.id AS contaminated_id
+FROM dots d
+JOIN src_l2 a ON a.id = d.id
+JOIN ev_l2 b ON b.eval_id = d.eval_id
+WHERE 10000 * d.dot * d.dot >= 9025 * a.l2 * b.l2
+""",
+)
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) decontamination at threshold 0.95 —
+    the screen the n-gram rules structurally cannot provide: the
+    planted eval set is every 9th document with its TOKENS REVERSED,
+    which shares essentially no 8-gram with its donor (so
+    q_decontaminate_ngrams is blind to it) but has the IDENTICAL bag
+    of words, cosine exactly 1.0.  The realistic shape is an eval set
+    leaking into training data through reformatting, reordering, or
+    templated rewording.
+
+    Engine: semantic_contaminated_ids — feature-hash TF vectors
+    (md5-mod-64 integer counts, the q_feature_hashing recipe), eval
+    side broadcast dense, verdict by exact integer cross-multiplication
+    (100*cos)^2 >= 95^2.  The oracle mirrors it with the sparse
+    bucket-join formulation — both compute the same integer dot/l2
+    values, so parity certifies the densification too.
+
+    Scale shape: map-side screen against a broadcast eval frame (no
+    corpus shuffle, no text movement); at 100 TB pair it with the
+    n-gram rule in one pass — both are broadcast-side predicates.
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.where(F.col("doc_id") % 9 == 0).select(
+        F.expr(
+            "concat_ws(' ', reverse(filter(split(lower(text), ' '), x -> x != '')))"
+        ).alias("text")
+    ).where(F.expr("size(filter(split(lower(text), ' '), x -> x != ''))") >= 8)
+    return semantic_contaminated_ids(d, ev, min_cosine_hundredths=95).select(
+        F.col("doc_id").alias("contaminated_id")
+    )
+
+
 @register(
     "q_decontaminate_overlap_frac",
     oracle="""

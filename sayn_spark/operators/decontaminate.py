@@ -29,6 +29,15 @@ shared with an eval question no longer drops the doc, a near-verbatim
 paraphrase still does.  The decision is the integer comparison
 ``n_matched * 1_000_000 >= n_ev * ppm``, so no FP boundary exists.
 
+``method: semantic`` switches to embedding-cosine screening
+(q_decontaminate_semantic's engine): feature-hash TF vectors, a doc is
+contaminated when its cosine with ANY eval document reaches
+``min_cosine`` (default 0.95, hundredths grid — the verdict is the
+exact integer cross-multiplication ``10000*dot^2 >= h^2*l2a*l2b``).
+This catches the leak shapes exact n-grams cannot: reordered,
+reformatted, or templated rewrites of eval items.  Run both methods at
+scale — they are both map-side screens against a broadcast eval frame.
+
 Scale shape: both sides reduce to 8-byte xxhash64 n-gram keys.  The
 eval side (benchmarks — megabytes against a 100 TB corpus) is
 explicitly broadcast, so the contamination check is a map-side
@@ -60,9 +69,46 @@ class DecontaminateTask(Task):
         self.mode = c.get("mode", "drop")
         if self.mode not in ("drop", "flag"):
             raise ValueError(f"decontaminate task {self.name!r}: mode must be drop|flag")
+        # method: ngram (default — exact-sequence overlap) | semantic
+        # (feature-hash cosine, q_decontaminate_semantic's engine — the
+        # screen for reworded/reordered eval leaks that share no exact
+        # n-gram).  Run BOTH at scale; they catch disjoint leak shapes.
+        self.method = c.get("method", "ngram")
+        if self.method not in ("ngram", "semantic"):
+            raise ValueError(
+                f"decontaminate task {self.name!r}: method must be ngram|semantic"
+            )
         self.ngram = int(c.get("ngram", 13))
         if self.ngram < 1:
             raise ValueError(f"decontaminate task {self.name!r}: ngram must be >= 1")
+        # min_cosine: the semantic threshold, on a hundredths grid so
+        # the verdict stays an exact integer cross-multiplication
+        cos = c.get("min_cosine")
+        if self.method == "semantic":
+            cos = 0.95 if cos is None else float(cos)
+            self.min_cosine_hundredths = round(cos * 100)
+            if not 1 <= self.min_cosine_hundredths <= 100:
+                raise ValueError(
+                    f"decontaminate task {self.name!r}: min_cosine must be in "
+                    "(0, 1]"
+                )
+            if abs(cos * 100 - self.min_cosine_hundredths) > 1e-9:
+                raise ValueError(
+                    f"decontaminate task {self.name!r}: min_cosine must sit on "
+                    "the hundredths grid (integer cross-multiplication)"
+                )
+            if c.get("min_overlap_frac") is not None or c.get("ngram") is not None:
+                raise ValueError(
+                    f"decontaminate task {self.name!r}: ngram/min_overlap_frac "
+                    "do not apply to method=semantic"
+                )
+        else:
+            self.min_cosine_hundredths = None
+            if cos is not None:
+                raise ValueError(
+                    f"decontaminate task {self.name!r}: min_cosine applies to "
+                    "method=semantic only"
+                )
         # min_overlap_frac: per-pair containment threshold (None = the
         # default any-single-gram rule).  Stored as integer ppm so the
         # drop decision is pure integer arithmetic.
@@ -128,15 +174,27 @@ class DecontaminateTask(Task):
                 self.id_column,
                 "left_anti",
             )
-        contaminated = contaminated_ids_frame(
-            df,
-            ev,
-            self.ngram,
-            id_column=self.id_column,
-            text_column=self.text_column,
-            eval_text_column=self.eval_text_column,
-            min_overlap_ppm=self.min_overlap_ppm,
-        )
+        if self.method == "semantic":
+            from sayn_spark.functions.content_filter import semantic_contaminated_ids
+
+            contaminated = semantic_contaminated_ids(
+                df,
+                ev,
+                id_column=self.id_column,
+                text_column=self.text_column,
+                eval_text_column=self.eval_text_column,
+                min_cosine_hundredths=self.min_cosine_hundredths,
+            )
+        else:
+            contaminated = contaminated_ids_frame(
+                df,
+                ev,
+                self.ngram,
+                id_column=self.id_column,
+                text_column=self.text_column,
+                eval_text_column=self.eval_text_column,
+                min_overlap_ppm=self.min_overlap_ppm,
+            )
         if self.mode == "drop":
             out = df.join(contaminated, self.id_column, "left_anti")
         else:

@@ -363,3 +363,105 @@ def test_decontaminate_incremental_with_overlap_frac(ctx, spark):
     assert got == want and first <= got
     for t in ("dcif_ev", "dcif_src", "dcif_out", "dcff_out"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_decontaminate_semantic_vs_duckdb(ctx, spark):
+    """method=semantic: the task's kept set must equal a DuckDB replica
+    of the cosine screen, on an eval set of TOKEN-REVERSED copies —
+    zero shared 8-grams (the ngram method finds nothing), identical
+    bags of words (the semantic method catches every donor)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    ctx.db.replace_table("dsem_src", docs)
+    rev = F.expr(
+        "concat_ws(' ', reverse(filter(split(lower(text), ' '), x -> x != '')))"
+    )
+    ev = docs.where(F.col("doc_id") % 9 == 0).select(rev.alias("text"))
+    ctx.db.replace_table("dsem_eval", ev)
+    _run(
+        ctx,
+        "dsem",
+        {
+            "source": "dsem_src",
+            "eval_table": "dsem_eval",
+            "destination": "dsem_out",
+            "method": "semantic",
+            "min_cosine": 0.95,
+        },
+    )
+    got = {r.doc_id for r in spark.table("dsem_out").collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d AS SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    )
+    kept = {
+        r[0]
+        for r in con.execute(
+            """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM d
+),
+ev AS (SELECT doc_id AS eval_id, list_reverse(t) AS t FROM toks WHERE doc_id % 9 = 0),
+src_b AS (
+  SELECT doc_id AS id, (('0x' || substr(md5(tok), 1, 8))::BIGINT) % 64 AS bucket,
+         COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY id, bucket
+),
+ev_b AS (
+  SELECT eval_id, (('0x' || substr(md5(tok), 1, 8))::BIGINT) % 64 AS bucket,
+         COUNT(*) AS cnt
+  FROM (SELECT eval_id, unnest(t) AS tok FROM ev) GROUP BY eval_id, bucket
+),
+src_l2 AS (SELECT id, CAST(SUM(cnt*cnt) AS BIGINT) AS l2 FROM src_b GROUP BY id),
+ev_l2 AS (SELECT eval_id, CAST(SUM(cnt*cnt) AS BIGINT) AS l2 FROM ev_b GROUP BY eval_id),
+dots AS (
+  SELECT s.id, e.eval_id, CAST(SUM(s.cnt*e.cnt) AS BIGINT) AS dot
+  FROM src_b s JOIN ev_b e USING (bucket) GROUP BY s.id, e.eval_id
+),
+bad AS (
+  SELECT DISTINCT d2.id FROM dots d2
+  JOIN src_l2 a ON a.id = d2.id JOIN ev_l2 b ON b.eval_id = d2.eval_id
+  WHERE 10000 * d2.dot * d2.dot >= 9025 * a.l2 * b.l2
+)
+SELECT doc_id FROM d WHERE doc_id NOT IN (SELECT id FROM bad)
+            """
+        ).fetchall()
+    }
+    assert got == kept
+    # every reversed-copy donor was caught...
+    donors = {r.doc_id for r in docs.where("doc_id % 9 = 0").collect()}
+    assert not (donors & got)
+    # ...while the ngram method is blind to the same eval set
+    _run(
+        ctx,
+        "dsem_ng",
+        {
+            "source": "dsem_src",
+            "eval_table": "dsem_eval",
+            "destination": "dsem_ng_out",
+            "ngram": 8,
+        },
+    )
+    ng_kept = {r.doc_id for r in spark.table("dsem_ng_out").collect()}
+    assert donors <= ng_kept  # reversal destroyed every 8-gram
+
+
+def test_decontaminate_semantic_validation(ctx):
+    bad = [
+        {"source": "t", "eval_table": "e", "destination": "o",
+         "method": "semantic", "min_overlap_frac": 0.5},
+        {"source": "t", "eval_table": "e", "destination": "o",
+         "method": "semantic", "ngram": 8},
+        {"source": "t", "eval_table": "e", "destination": "o",
+         "method": "semantic", "min_cosine": 0.955},  # off-grid
+        {"source": "t", "eval_table": "e", "destination": "o",
+         "method": "semantic", "min_cosine": 0.0},
+        {"source": "t", "eval_table": "e", "destination": "o",
+         "min_cosine": 0.9},  # semantic-only option
+        {"source": "t", "eval_table": "e", "destination": "o",
+         "method": "nope"},
+    ]
+    for cfg in bad:
+        t = DecontaminateTask("bad", cfg, ctx)
+        with pytest.raises(ValueError):
+            t.config()

@@ -198,6 +198,7 @@ _BNLJ_BOUNDED_FRAME_OK = {
     "q_dedup_containment_recall",  # six 1-row report scalars crossJoined
     "q_multimodal_phash_recall",   # exact all-pairs arm on a bounded sample (instrument)
     "q_dedup_semantic_recall",     # exact all-pairs arm on a bounded sample (instrument)
+    "q_decontaminate_semantic",    # broadcast eval frame (benchmarks are MBs), map-side screen
     "q_ann_srp_recall",          # 10 fixed query vectors, both arms of the report
     "q_ann_nprobe_curve",        # k-row centroid frame + 3-row probe-width frame
     "q_prefix_cache_share",      # 3-row tier frame + 1-row totals frame
