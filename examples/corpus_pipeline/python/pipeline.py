@@ -179,3 +179,21 @@ def make_doc_thumbnails(context, spark):
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     context.default_db.replace_table("doc_thumbnails", ids.mapInPandas(make, schema))
+
+
+@task(name="make_eval_reversed", sources=["documents"], outputs=["eval_reversed"])
+def make_eval_reversed(context, spark):
+    """Token-reversed copies of every 9th document — the eval-leak
+    shape exact n-grams cannot see (zero shared 8-grams, cosine 1.0):
+    the planted corpus for the semantic decontamination stage."""
+    ev = (
+        spark.table("documents")
+        .where(F.col("doc_id") % 9 == 0)
+        .select(
+            F.expr(
+                "concat_ws(' ', reverse(filter(split(lower(text), ' '), "
+                "x -> x != '')))"
+            ).alias("text")
+        )
+    )
+    context.default_db.replace_table("eval_reversed", ev)

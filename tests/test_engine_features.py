@@ -632,3 +632,11 @@ def _pipeline_round7c_assertions(spark, n_docs, clean_n):
     thumbs = spark.table("doc_thumbnails").count()
     ph = spark.table("thumbnails_deduped").count()
     assert 0 < ph < thumbs
+    # r8 stage: semantic decontamination drops every reversed-copy
+    # donor from the clean corpus (plus any natural near-identical)
+    sem = spark.table("documents_decon_semantic")
+    clean_ids = {r.doc_id for r in spark.table("documents_clean").select("doc_id").collect()}
+    sem_ids = {r.doc_id for r in sem.select("doc_id").collect()}
+    donors_in_clean = {i for i in clean_ids if i % 9 == 0}
+    assert donors_in_clean and not (donors_in_clean & sem_ids)
+    assert sem_ids < clean_ids
