@@ -2299,8 +2299,9 @@ def semantic_contaminated_ids(
     reordered eval leak shares few exact n-grams but keeps its bag of
     words.  The verdict is the exact integer cross-multiplication
     ``10000*dot^2 >= h^2*l2a*l2b`` (dot >= 0 — counts are nonnegative),
-    so no FP boundary exists; the hundredths grid keeps the products
-    inside int64 up to ~30k-token documents.
+    evaluated in DECIMAL(38,0) so it stays exact for documents of any
+    realistic length (repetitive long docs push the products past
+    int64) — no FP boundary anywhere.
 
     Scale shape: the eval side (benchmarks are MBs against a 100 TB
     corpus) broadcasts as dense {dim}-int vectors; the corpus builds
@@ -2323,12 +2324,19 @@ def semantic_contaminated_ids(
         "aggregate(zip_with(v, ev_v, (x, y) -> x * y), cast(0 as bigint), "
         "(acc, p) -> acc + p)"
     )
+    # the comparison runs in DECIMAL(38,0): with very repetitive long
+    # documents l2 reaches ~1e9 per side, so h^2*l2a*l2b (~1e22) and
+    # 10000*dot^2 overflow BIGINT — Spark's non-ANSI multiply would
+    # WRAP silently and flag/clear documents arbitrarily.  DECIMAL
+    # keeps the verdict exact to 38 digits (the operands cap at ~1e26
+    # for billion-element vectors); DuckDB's oracle side already
+    # computes in HUGEINT (int128), so both engines stay exact.
+    dec = "decimal(38,0)"
+    lhs = F.lit(10000).cast(dec) * dot.cast(dec) * dot.cast(dec)
+    rhs = F.lit(h * h).cast(dec) * F.col("l2").cast(dec) * F.col("ev_l2").cast(dec)
     return (
         src.crossJoin(F.broadcast(evv))
-        .where(
-            F.lit(10000) * dot * dot
-            >= F.lit(h * h) * F.col("l2") * F.col("ev_l2")
-        )
+        .where(lhs >= rhs)
         .select(F.col("id").alias(id_column))
         .distinct()
     )

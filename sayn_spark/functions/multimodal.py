@@ -598,6 +598,12 @@ def jpeg_encode(pixels: bytes, width: int, height: int, quant=None) -> bytes:
     if len(pixels) != width * height:
         raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
     q = list(quant) if quant is not None else [1] * 64
+    if len(q) != 64 or any(
+        not isinstance(v, int) or not 1 <= v <= 255 for v in q
+    ):
+        # validate UP FRONT: a clamped DQT written to the file while
+        # quantizing with the raw table would decode silently wrong
+        raise ValueError("jpeg_encode: quant must be 64 ints in [1, 255]")
     dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     C = _dct_matrix()
@@ -651,7 +657,7 @@ def jpeg_encode(pixels: bytes, width: int, height: int, quant=None) -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
-    zz_q = bytes(min(255, max(1, q[_JPEG_ZIGZAG[i]])) for i in range(64))
+    zz_q = bytes(q[_JPEG_ZIGZAG[i]] for i in range(64))
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, b"\x00" + zz_q)
@@ -816,7 +822,11 @@ def jpeg_parse(payload: bytes, want_pixels: bool = False):
                 coef[_JPEG_ZIGZAG[i]] = zz[i]
             block = C.T @ (coef.reshape(8, 8) * qm) @ C + 128.0
             out_block = np.clip(np.round(block), 0, 255).astype(np.uint8)
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = out_block
+            # spec dims need not be multiples of 8: edge MCUs are
+            # encoded full-size and CROPPED to the frame (T.81 A.2.4)
+            eh = min(8, height - by * 8)
+            ew = min(8, width - bx * 8)
+            img[by * 8 : by * 8 + eh, bx * 8 : bx * 8 + ew] = out_block[:eh, :ew]
     return width, height, ncomp, img.tobytes()
 
 
@@ -836,7 +846,7 @@ def decode_image_metadata(df: DataFrame, decode: str = "deterministic") -> DataF
 
         def _meta(payload: bytes):
             head = bytes(payload[:8])
-            if head == _PNG_SIG[:8] or head[:8] == _PNG_SIG:
+            if head == _PNG_SIG:
                 w, h, _depth, ch = png_parse(payload)
                 return w, h, ch
             if head[:2] == b"BM":

@@ -1977,10 +1977,13 @@ def ann_index_search_cascade(
         F.col("vec_id").alias("query_id"), "cell"
     )
     grid = spark.table(f"{index}_sq8grid")
-    qcodes = persist_tracked(
-        q.crossJoin(F.broadcast(grid)).select(
-            F.col("vec_id").alias("query_id"), sq8_codes_col().alias("qc")
-        )
+    # NOT persisted: the query frame is batch-sized and this function
+    # runs inside stream_ann_search's foreachBatch, where a tracked
+    # persist per trigger would accumulate for the stream's lifetime
+    # (release_persisted only runs at task/app boundaries); recomputing
+    # the row-local quantization for the tier-2 join is cheaper
+    qcodes = q.crossJoin(F.broadcast(grid)).select(
+        F.col("vec_id").alias("query_id"), sq8_codes_col().alias("qc")
     )
     qwords = (
         qcodes.select(

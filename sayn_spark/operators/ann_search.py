@@ -54,17 +54,25 @@ class AnnSearchTask(Task):
         self.k = int(c.get("k", 5))
         self.nprobe = int(c.get("nprobe", 1))
         self.shortlist = int(c.get("shortlist", 20))
-        self.shortlist_binary = int(c.get("shortlist_binary", 50))
         if self.k < 1 or self.nprobe < 1 or self.shortlist < self.k:
             raise ValueError(
                 f"ann_search task {self.name!r}: need k >= 1, nprobe >= 1, "
                 "shortlist >= k"
             )
-        if self.shortlist_binary < self.shortlist:
-            raise ValueError(
-                f"ann_search task {self.name!r}: shortlist_binary must be >= "
-                "shortlist (each cascade tier narrows)"
-            )
+        # shortlist_binary is cascade-only; the dispatch is catalog-
+        # driven at RUN time, so an unset value must not constrain
+        # non-cascade configs (e.g. shortlist: 100 on an ivfsq8 index).
+        # Unset default: at least the SQ8 shortlist, so the cascade
+        # tier ordering holds for any shortlist without extra config.
+        if c.get("shortlist_binary") is None:
+            self.shortlist_binary = max(50, self.shortlist)
+        else:
+            self.shortlist_binary = int(c.get("shortlist_binary"))
+            if self.shortlist_binary < self.shortlist:
+                raise ValueError(
+                    f"ann_search task {self.name!r}: shortlist_binary must be "
+                    ">= shortlist (each cascade tier narrows)"
+                )
         self.id_column = c.get("id_column", "vec_id")
         self.vector_column = c.get("vector_column", "embedding")
 

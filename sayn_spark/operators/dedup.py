@@ -159,6 +159,13 @@ class DedupTask(Task):
                 f"dedup task {self.name!r}: on_decode_error applies to "
                 "method=phash only"
             )
+        if self.method != "phash" and (
+            c.get("max_hamming") is not None or c.get("payload_column") is not None
+        ):
+            raise ValueError(
+                f"dedup task {self.name!r}: max_hamming/payload_column apply "
+                "to method=phash only"
+            )
         if self.method == "phash":
             if c.get("verify") is not None or c.get("threshold") is not None:
                 raise ValueError(
@@ -265,7 +272,19 @@ class DedupTask(Task):
                 image_dhash_band_frame,
                 phash_pairs,
             )
+            from sayn_spark.functions.registry import persist_tracked
 
+            # the band frame casts ids to BIGINT; a non-integral id
+            # column would cast to NULL row by row and the src<dst
+            # candidate predicate would silently drop EVERY pair —
+            # fail loudly instead (pre-hash string ids upstream)
+            id_type = dict(docs.dtypes)[self.id_column]
+            if id_type not in ("tinyint", "smallint", "int", "bigint"):
+                raise ValueError(
+                    f"dedup task {self.name!r}: method=phash needs an integer "
+                    f"id_column ({self.id_column!r} is {id_type}) — pre-hash "
+                    "string ids (e.g. xxhash64(id)) in an upstream task"
+                )
             imgs = fan_out_table(
                 docs.select(
                     F.col(self.id_column).alias("doc_id"),
@@ -274,7 +293,13 @@ class DedupTask(Task):
                 spark,
                 self.src_value,
             )
-            bands = image_dhash_band_frame(imgs, on_error=self.on_decode_error)
+            # persist: phash_pairs self-joins this frame, and without a
+            # persist each side re-runs the Python decode+dHash stage —
+            # the dominant cost at crawl scale (same reason the minhash
+            # path persists its signature frame)
+            bands = persist_tracked(
+                image_dhash_band_frame(imgs, on_error=self.on_decode_error)
+            )
             return phash_pairs(bands, max_hamming=self.max_hamming).select(
                 "src", "dst"
             )

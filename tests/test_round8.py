@@ -389,3 +389,98 @@ def test_phash_task_on_decode_error(dedup_ctx, spark):
     )
     with pytest.raises(ValueError):
         t.config()
+
+
+# --- round-8 code-review fixes ----------------------------------------------
+
+
+def test_jpeg_parse_crops_non_multiple_of_8_frames():
+    """SOF0 dimensions need not be multiples of 8: edge MCUs are
+    encoded full-size and cropped to the frame (T.81 A.2.4).  Encode a
+    16x16, rewrite the SOF dims to 13x11 — the decoder must return the
+    cropped plane, not crash on a broadcast mismatch."""
+    import struct
+
+    from sayn_spark.functions.multimodal import jpeg_encode, jpeg_parse
+
+    img = bytes((x * 7 + y * 13) % 200 for y in range(16) for x in range(16))
+    payload = bytearray(jpeg_encode(img, 16, 16))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 5 : sof + 9] = struct.pack(">HH", 11, 13)  # height, width
+    w, h, nc, px = jpeg_parse(bytes(payload), want_pixels=True)
+    assert (w, h, nc) == (13, 11, 1)
+    assert len(px) == 13 * 11
+    # cropped pixels equal the full decode's top-left corner
+    _, _, _, full = jpeg_parse(jpeg_encode(img, 16, 16), want_pixels=True)
+    want = bytes(full[y * 16 + x] for y in range(11) for x in range(13))
+    assert px == want
+
+
+def test_jpeg_encode_rejects_bad_quant():
+    from sayn_spark.functions.multimodal import jpeg_encode
+
+    img = bytes(64)
+    for bad in ([0] + [1] * 63, [256] + [1] * 63, [1.5] + [1] * 63, [1] * 63):
+        with pytest.raises(ValueError, match="quant"):
+            jpeg_encode(img, 8, 8, quant=bad)
+
+
+def test_semantic_contamination_exact_beyond_int64(spark):
+    """Two highly repetitive ~35k-token documents push h^2*l2a*l2b past
+    int64; the DECIMAL(38,0) verdict must still flag the identical pair
+    (a silent bigint wrap would clear or flag arbitrarily)."""
+    from sayn_spark.functions.content_filter import semantic_contaminated_ids
+
+    text = " ".join(["tok"] * 35000)
+    docs = spark.createDataFrame([(1, text), (2, "completely different words")],
+                                 "doc_id long, text string")
+    ev = spark.createDataFrame([(text,)], "text string")
+    got = {r.doc_id for r in semantic_contaminated_ids(docs, ev).collect()}
+    assert got == {1}
+
+
+def test_ann_search_large_shortlist_without_cascade_config(dedup_ctx):
+    """A non-cascade config with shortlist > 50 must pass config() —
+    shortlist_binary only constrains when explicitly set (the dispatch
+    is catalog-driven at run time)."""
+    from sayn_spark.operators.ann_search import AnnSearchTask
+
+    t = AnnSearchTask(
+        "big_sl",
+        {"index": "ix", "queries": "q", "destination": "d", "shortlist": 100},
+        dedup_ctx,
+    )
+    t.config()
+    assert t.shortlist_binary == 100  # tiers still ordered if cascade
+
+
+def test_phash_task_rejects_string_ids(dedup_ctx, spark):
+    """A string id column would BIGINT-cast to NULL and silently drop
+    every candidate — the task must raise instead."""
+    from sayn_spark.functions.multimodal import bmp_encode
+
+    raw = bytes(16 * 18)
+    df = spark.createDataFrame(
+        [("img-1", bytearray(bmp_encode(raw, 16, 18)))],
+        "doc_id string, payload binary",
+    )
+    dedup_ctx.db.replace_table("ph_sid_src", df)
+    with pytest.raises(ValueError, match="integer id_column"):
+        _run_task(
+            dedup_ctx,
+            "ph_sid",
+            {"source": "ph_sid_src", "destination": "ph_sid_out", "method": "phash"},
+        )
+
+
+def test_dedup_phash_options_rejected_on_other_methods(dedup_ctx):
+    from sayn_spark.operators.dedup import DedupTask
+
+    for extra in ({"max_hamming": 4}, {"payload_column": "img"}):
+        t = DedupTask(
+            "bad",
+            {"source": "t", "destination": "o", "method": "minhash", **extra},
+            dedup_ctx,
+        )
+        with pytest.raises(ValueError, match="phash only"):
+            t.config()
