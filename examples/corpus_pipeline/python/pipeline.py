@@ -185,10 +185,17 @@ def make_doc_thumbnails(context, spark):
 def make_eval_reversed(context, spark):
     """Token-reversed copies of every 9th document — the eval-leak
     shape exact n-grams cannot see (zero shared 8-grams, cosine 1.0):
-    the planted corpus for the semantic decontamination stage."""
+    the planted corpus for the semantic decontamination stage.  Only
+    docs of >= 8 tokens qualify (q_decontaminate_semantic's corpus
+    design): a 1-2 token eval doc hashes into 1-2 buckets and would
+    cosine-match unrelated short or repetitive training docs at 0.95,
+    over-dropping."""
     ev = (
         spark.table("documents")
         .where(F.col("doc_id") % 9 == 0)
+        .where(
+            F.expr("size(filter(split(lower(text), ' '), x -> x != ''))") >= 8
+        )
         .select(
             F.expr(
                 "concat_ws(' ', reverse(filter(split(lower(text), ' '), "

@@ -697,12 +697,22 @@ def jpeg_parse(payload: bytes, want_pixels: bool = False):
     comp_tq = 0
     dc_id = ac_id = 0
     data = bytes(payload)
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}, got 0x{data[pos]:02X}")
+        # spec-legal 0xFF fill bytes may pad before any marker
+        # (T.81 B.1.1.2) — skip them rather than misreading the next
+        # 0xFF as a length byte
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / standalone RSTn between segments carry no length
+            continue
+        if pos + 2 > len(data):
             break
         (seg_len,) = struct.unpack(">H", data[pos : pos + 2])
         body = data[pos + 2 : pos + seg_len]
@@ -1668,8 +1678,10 @@ def phash_pairs(bands: DataFrame, max_hamming: int = _PH_HAMMING_MAX) -> DataFra
 def image_gray_pixels(payload: bytes):
     """(width, height, gray_bytes) from a real image payload, format
     sniffed by magic: PNG (8-bit grayscale), BMP (24bpp, blue channel),
-    GIF (grayscale palette indices).  Other magics raise at the
-    documented codec boundary (JPEG needs libjpeg)."""
+    GIF (grayscale palette indices), baseline JPEG (SOF0 grayscale,
+    decoded by the in-module codec).  Other magics — and JPEG variants
+    past the codec's documented scope (progressive SOF2, arithmetic
+    coding) — raise at the codec boundary."""
     head = bytes(payload[:8])
     if head[:8] == _PNG_SIG:
         w, h, _, _, px = png_parse(payload, want_pixels=True)

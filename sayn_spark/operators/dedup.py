@@ -49,11 +49,13 @@ Methods:
            index (the q_dedup_ngram_jaccard shape; use minhash at
            scale).
 - phash:   image near-dedup (q_multimodal_phash_dedup's engine): the
-           BINARY ``payload_column`` is decoded (PNG/BMP/GIF), dHashed
-           to 64 bits, 4x16-banded for LSH candidates, and verified at
+           BINARY ``payload_column`` is decoded (PNG, BMP, GIF,
+           baseline JPEG via the in-module codecs), dHashed to 64
+           bits, 4x16-banded for LSH candidates, and verified at
            Hamming <= ``max_hamming`` (default 12); keep min|best|soft
-           apply unchanged.  JPEG payloads raise at the documented
-           codec boundary.
+           apply unchanged.  Payloads past the codecs' documented
+           scope (progressive JPEG, arithmetic coding) raise — or are
+           conservatively KEPT under ``on_decode_error: skip``.
 
 keep: ``min`` keeps the lowest id per cluster; ``best`` keeps the
 highest ``score_column`` (ties -> lowest id) — the keep-best canonical

@@ -163,20 +163,24 @@ def _cont_df(spark, docs):
     )
 
 
-def _wide_spread_docs():
-    # part spread 0..5 (gap 5) > default gate's probe reach (gap 3)
+def _wide_spread_docs(plant_pair: bool = True):
+    # part spread 0..6 > default gate's probe reach (gap 3)
     docs = {1: [f"t{i}" for i in range(66)]}  # 64 shingles -> part 6
     docs[2] = ["a", "b", "c"]  # 1 shingle -> part 0
     docs[3] = [f"m{i}" for i in range(12)]
+    if plant_pair:
+        # a QUALIFYING out-of-contract pair: 7 tokens -> 5 shingles
+        # (part 2), fully contained in doc 1, size ratio 64/5 = 12.8
+        docs[4] = docs[1][10:17]
     return docs
 
 
-def test_containment_spread_strict_raises(spark):
+def test_containment_spread_strict_raises_on_measured_pair(spark):
     from sayn_spark.functions.dedup import gated_containment_pairs
     from sayn_spark.functions.registry import release_persisted
 
     try:
-        with pytest.raises(ValueError, match="NOT candidates"):
+        with pytest.raises(ValueError, match="measured 1 qualifying"):
             gated_containment_pairs(
                 _cont_df(spark, _wide_spread_docs()), spread_check="strict"
             ).collect()
@@ -184,7 +188,29 @@ def test_containment_spread_strict_raises(spark):
         release_persisted()
 
 
-def test_containment_spread_skip_runs_no_probe_and_matches_warn(spark):
+def test_containment_spread_measured_zero_runs_silent(spark):
+    """Spread exceeds the probe reach but NO qualifying pair exists at
+    ratio >= 8 — the measured check must neither warn nor raise
+    (VERDICT r8 item 3: the old structural warning asserted a risk the
+    measurement disproves)."""
+    import warnings
+
+    from sayn_spark.functions.dedup import gated_containment_pairs
+    from sayn_spark.functions.registry import release_persisted
+
+    docs = _wide_spread_docs(plant_pair=False)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            gated_containment_pairs(_cont_df(spark, docs)).collect()
+            gated_containment_pairs(
+                _cont_df(spark, docs), spread_check="strict"
+            ).collect()
+    finally:
+        release_persisted()
+
+
+def test_containment_spread_skip_runs_no_probe_and_matches_measure(spark):
     import warnings
 
     from sayn_spark.functions.dedup import gated_containment_pairs
@@ -206,8 +232,52 @@ def test_containment_spread_skip_runs_no_probe_and_matches_warn(spark):
                 tuple(r)
                 for r in gated_containment_pairs(_cont_df(spark, docs)).collect()
             }
-            assert any("NOT candidates" in str(x.message) for x in w)
+            assert any(
+                "NOT candidates" in str(x.message)
+                and "measured 1 qualifying" in str(x.message)
+                for x in w
+            )
         assert skipped == warned
+    finally:
+        release_persisted()
+
+
+def test_containment_spread_warn_mode_is_structural(spark):
+    """Legacy mode "warn" keeps the measurement-free structural check:
+    it fires on spread alone (even when no qualifying pair exists) and
+    says the count is unmeasured."""
+    from sayn_spark.functions.dedup import gated_containment_pairs
+    from sayn_spark.functions.registry import release_persisted
+
+    docs = _wide_spread_docs(plant_pair=False)
+    try:
+        with pytest.warns(UserWarning, match="UNMEASURED"):
+            gated_containment_pairs(
+                _cont_df(spark, docs), spread_check="warn"
+            ).collect()
+    finally:
+        release_persisted()
+
+
+def test_containment_auto_ratio_picks_wide_gate(spark):
+    """max_ratio='auto' on a gap-6 corpus selects the widest gate and
+    therefore RECOVERS the planted ratio-12.8 pair (gap 4 <= the wide
+    gate's probe reach 5) that the default gate structurally misses."""
+    from sayn_spark.functions.dedup import gated_containment_pairs
+    from sayn_spark.functions.registry import release_persisted
+
+    docs = _wide_spread_docs()
+    try:
+        got = {
+            (r.id_a, r.id_b)
+            for r in gated_containment_pairs(
+                _cont_df(spark, docs), max_ratio="auto"
+            ).collect()
+        }
+        assert (1, 4) in got
+        # and on a narrow-spread corpus auto stays on the cheap gate
+        narrow = {1: ["a", "b", "c", "d"], 2: ["a", "b", "c", "e"]}
+        gated_containment_pairs(_cont_df(spark, narrow), max_ratio="auto").collect()
     finally:
         release_persisted()
 
