@@ -512,14 +512,20 @@ def _simhash_signatures(
     explode(tokens x 64 bits) + double-groupBy alternative, which
     pushed 64x|tokens| rows through two exchanges.
     """
-    if 64 % n_bands != 0:
-        raise ValueError(f"n_bands must divide 64, got {n_bands}")
-    w = 64 // n_bands
     # repartition BEFORE the hash projections so the build runs
     # cluster-wide instead of at the parquet file's split count (2 at
     # sf0.1).  One round-robin shuffle of raw text is the price of
     # full-width parallelism for everything downstream.
     corpus = _fan_out(_doc_corpus(spark, sf_dir, mutate=" zz qq"), spark, sf_dir)
+    return simhash_signatures_for(corpus, n_bands)
+
+
+def simhash_signatures_for(corpus: DataFrame, n_bands: int = 8) -> DataFrame:
+    """_simhash_signatures over an arbitrary (doc_id, text) corpus —
+    the signature stage shared by the registered queries and the dedup
+    task's ``method: simhash`` (which fans its own corpus out)."""
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
     # drop zero-token documents (empty/whitespace-only text) BEFORE the
     # vote fold: they'd otherwise carry an all-zero signature, collide
     # with each other in every band, and emit O(n_empty^2) hamming-0
@@ -683,6 +689,24 @@ def simhash_pairs(
     ``n_bands`` bands (width 64/n_bands bits) and probed on band combos
     — see ``_simhash_candidates`` for the exact-recall argument."""
     sig = persist_tracked(_simhash_signatures(spark, sf_dir, n_bands))
+    hamming = F.expr(_simhash_hamming(n_bands))
+    return (
+        _simhash_candidates(sig, n_bands, radius)
+        .where(hamming <= radius)
+        .select("id_a", "id_b", hamming.alias("hamming"))
+    )
+
+
+def simhash_dup_pairs(
+    corpus: DataFrame, n_bands: int = 8, radius: int = 6
+) -> DataFrame:
+    """``simhash_pairs`` over an arbitrary (doc_id, text) corpus — the
+    library entry point behind the dedup task's ``method: simhash``.
+    Same plan as the registered query: signatures persist (the combo
+    probe reads them 28x), candidates come from the Manku/Charikar
+    band-combo equi-join (exact recall by pigeonhole), and the codegen
+    Hamming filter runs on candidates only."""
+    sig = persist_tracked(simhash_signatures_for(corpus, n_bands))
     hamming = F.expr(_simhash_hamming(n_bands))
     return (
         _simhash_candidates(sig, n_bands, radius)
@@ -1240,18 +1264,77 @@ def _check_semantic_cell_cap(cells: DataFrame, cap: int | None = None) -> None:
         )
 
 
-def _semantic_dropped_per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One cell's duplicate targets: vec_ids with a cos >= 0.99
-    neighbor of smaller id.  Full cosine matrix in one BLAS call; the
-    comparison replays the oracle's ROUND(cos, 6) >= 0.99 decision."""
+def _semantic_cos_hits(pdf: pd.DataFrame, thr: float):
+    """(sorted ids, upper-triangle hit matrix) for one cell: full
+    cosine matrix in one BLAS call; the comparison replays the
+    oracle's ROUND(cos, 6) >= thr decision."""
     ids = pdf["vec_id"].to_numpy()
     order = np.argsort(ids)
     ids = ids[order]
     E = np.stack(pdf["e"].to_numpy()[order])
     nrm = np.sqrt((E * E).sum(axis=1))
     cos = np.round((E @ E.T) / np.outer(nrm, nrm), 6)
-    hit = (cos >= 0.99) & np.tri(len(ids), k=-1, dtype=bool).T
+    hit = (cos >= thr) & np.tri(len(ids), k=-1, dtype=bool).T
+    return ids, hit
+
+
+def _semantic_dropped_per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One cell's duplicate targets: vec_ids with a cos >= 0.99
+    neighbor of smaller id (the published SemDeDup per-pair rule)."""
+    ids, hit = _semantic_cos_hits(pdf, 0.99)
     return pd.DataFrame({"vec_id": ids[hit.any(axis=0)]})
+
+
+def _semantic_dropped_fn(thr: float):
+    """_semantic_dropped_per_cell at an arbitrary threshold (the dedup
+    task's ``min_cosine`` knob)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, hit = _semantic_cos_hits(pdf, thr)
+        return pd.DataFrame({"vec_id": ids[hit.any(axis=0)]})
+
+    return fn
+
+
+def _semantic_pairs_fn(thr: float):
+    """Per-cell qualifying PAIRS (id_a < id_b) instead of drop targets
+    — the edge stream the dedup task's keep=best/soft paths feed into
+    connected components (cluster-relative keeps need edges, not the
+    per-pair drop verdicts)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, hit = _semantic_cos_hits(pdf, thr)
+        ai, bi = np.nonzero(hit)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi]})
+
+    return fn
+
+
+def semantic_cells(
+    vectors: DataFrame, cent: DataFrame, cell_cap: int | None = None
+) -> DataFrame:
+    """(vec_id, cell, e) nearest-centroid assignment of a (vec_id, e)
+    frame against a broadcast (c_label, ce) centroid frame — the
+    SemDeDup coarse-quantizer stage shared by q_dedup_semantic and the
+    dedup task's ``method: semantic``.  min(struct(d2, label)) picks
+    the nearest centroid with the (distance, label) tie-break — no
+    per-vector window.  The cell-cap guard fails fast BEFORE any
+    pairwise work when a cell would not fit one executor."""
+    d2 = F.round(
+        F.expr(
+            "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        ),
+        8,
+    )
+    cells = persist_tracked(
+        vectors.crossJoin(F.broadcast(cent))
+        .select("vec_id", F.struct(d2.alias("d2"), F.col("c_label").alias("cl")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", F.col("m.cl").alias("cell"))
+    )
+    _check_semantic_cell_cap(cells, cap=cell_cap)
+    return cells.join(vectors.select("vec_id", "e"), "vec_id")
 
 
 @register(
@@ -1338,23 +1421,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cent = _centroid_arrays(emb.select("label", "e"))
-    d2 = F.round(
-        F.expr(
-            "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
-        ),
-        8,
-    )
-    # min(struct(d2, c_label)) = nearest centroid with the (d2, label)
-    # tie-break — no per-vector window needed
-    cells = persist_tracked(
-        normed.crossJoin(F.broadcast(cent))
-        .select("vec_id", F.struct(d2.alias("d2"), F.col("c_label").alias("cl")).alias("dc"))
-        .groupBy("vec_id")
-        .agg(F.min("dc").alias("m"))
-        .select("vec_id", F.col("m.cl").alias("cell"))
-    )
-    _check_semantic_cell_cap(cells)
-    sided = cells.join(normed.select("vec_id", "e"), "vec_id")
+    sided = semantic_cells(normed.select("vec_id", "e"), cent)
     # the in-cell pairwise cosine runs as ONE numpy Gram matrix per
     # cell (SemDeDup's own per-cluster computation) instead of an
     # 800k-row interpreted-HOF self-join — measured ~15x on this stage
@@ -1368,7 +1435,8 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         _semantic_dropped_per_cell, schema="vec_id long"
     ).withColumn("is_dropped", F.lit(1))
     return (
-        cells.join(dropped, "vec_id", "left")
+        sided.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),

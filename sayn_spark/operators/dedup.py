@@ -48,6 +48,30 @@ Methods:
 - jaccard: exact word-3-gram Jaccard >= threshold over the inverted
            index (the q_dedup_ngram_jaccard shape; use minhash at
            scale).
+- simhash: 64-bit SimHash within Hamming ``max_hamming`` (default 6),
+           Manku/Charikar band-combo probing with EXACT recall by
+           pigeonhole (q_dedup_simhash's engine); ``n_bands`` (default
+           8, must divide 64) is the bucket-selectivity knob.
+- containment: overlap coefficient >= threshold (default 0.9) via the
+           LSH-Ensemble size-partitioned gate
+           (q_dedup_containment_gated's engine) — the quoted-excerpt /
+           doc-inside-doc detector Jaccard methods miss.  ``max_ratio``
+           (default ``auto``) is the size-ratio recall contract: auto
+           measures the corpus' partition spread and picks the
+           narrowest covering gate; ``spread_check`` (default
+           ``measure``) counts any qualifying pairs beyond the probe
+           reach and warns with the number (``strict`` raises,
+           ``skip`` trusts the caller).
+- semantic: SemDeDup (Abbas et al., 2023) over an EMBEDDING column —
+           coarse-quantize on deterministic ``label_column`` centroids
+           (swap trained k-means in production), in-cell BLAS cosine,
+           drop at cos >= ``min_cosine`` (default 0.99,
+           q_dedup_semantic's engine).  keep=min applies the published
+           per-pair rule (drop every vector with a qualifying
+           smaller-id neighbor); keep=best/soft treat qualifying pairs
+           as edges and go through connected components like the text
+           methods.  ``cell_cap`` guards the per-cell executor memory
+           bound.
 - phash:   image near-dedup (q_multimodal_phash_dedup's engine): the
            BINARY ``payload_column`` is decoded (PNG, BMP, GIF,
            baseline JPEG via the in-module codecs), dHashed to 64
@@ -77,7 +101,20 @@ from sayn_spark.operators.base import Task, TaskStatus
 # the engine's tokenizer expression (functions/dedup.py:_TOKENS)
 _PASSAGE_TOKENS = "filter(split(lower(text), ' '), x -> x != '')"
 
-_METHODS = ("exact", "minhash", "jaccard", "passages", "lines", "phash")
+_METHODS = (
+    "exact",
+    "minhash",
+    "jaccard",
+    "simhash",
+    "containment",
+    "semantic",
+    "passages",
+    "lines",
+    "phash",
+)
+
+_LE_RATIOS = (8, 32)  # functions/dedup.py:_LE_GATES contracts
+_SPREAD_CHECKS = ("measure", "warn", "strict", "skip")
 
 
 class DedupTask(Task):
@@ -96,7 +133,12 @@ class DedupTask(Task):
             )
         self.id_column = c.get("id_column", "doc_id")
         self.text_column = c.get("text_column", "text")
-        self.threshold = float(c.get("threshold", 0.8))
+        # containment's band geometry is derived for overlap >= 0.9, so
+        # its default is 0.9 (the engine rejects lower); the Jaccard
+        # methods default to the classic 0.8
+        self.threshold = float(
+            c.get("threshold", 0.9 if self.method == "containment" else 0.8)
+        )
         if not (0.0 < self.threshold <= 1.0):
             raise ValueError(f"dedup task {self.name!r}: threshold must be in (0, 1]")
         self.keep = c.get("keep", "min")
@@ -140,12 +182,102 @@ class DedupTask(Task):
         self.min_kept_lines = int(c.get("min_kept_lines", 1))
         # phash: image near-dedup (q_multimodal_phash_dedup's engine) —
         # payload BINARY column -> dHash -> 4x16 banded candidates ->
-        # Hamming <= max_hamming verify; keep min|best|soft apply as-is
+        # Hamming <= max_hamming verify; keep min|best|soft apply as-is.
+        # simhash shares the max_hamming knob (its verify is also a
+        # Hamming radius) at the Manku/Charikar default of 6/64 bits
         self.payload_column = c.get("payload_column", "payload")
-        self.max_hamming = int(c.get("max_hamming", 12))
+        self.max_hamming = int(
+            c.get("max_hamming", 6 if self.method == "simhash" else 12)
+        )
         if not (0 <= self.max_hamming <= 64):
             raise ValueError(
                 f"dedup task {self.name!r}: max_hamming must be in [0, 64]"
+            )
+        # simhash: banded 64-bit SimHash (q_dedup_simhash's engine) —
+        # n_bands is the Manku/Charikar selectivity knob (must divide
+        # 64; exact recall needs n_bands > max_hamming, engine-checked)
+        self.n_bands = int(c.get("n_bands", 8))
+        if c.get("n_bands") is not None and self.method != "simhash":
+            raise ValueError(
+                f"dedup task {self.name!r}: n_bands applies to method=simhash only"
+            )
+        if self.method == "simhash":
+            if 64 % self.n_bands != 0:
+                raise ValueError(
+                    f"dedup task {self.name!r}: n_bands must divide 64"
+                )
+            if c.get("verify") is not None or c.get("threshold") is not None:
+                raise ValueError(
+                    f"dedup task {self.name!r}: method=simhash is verified by "
+                    "Hamming distance (max_hamming), not threshold/verify"
+                )
+        # containment: the LSH-Ensemble gate (q_dedup_containment_gated's
+        # engine) — max_ratio is the recall contract ('auto' measures
+        # the corpus spread and picks the narrowest covering gate),
+        # spread_check the out-of-contract response
+        self.max_ratio = c.get("max_ratio", "auto")
+        if c.get("max_ratio") is not None and self.method != "containment":
+            raise ValueError(
+                f"dedup task {self.name!r}: max_ratio applies to "
+                "method=containment only"
+            )
+        if self.max_ratio != "auto":
+            self.max_ratio = int(self.max_ratio)
+            if self.max_ratio not in _LE_RATIOS:
+                raise ValueError(
+                    f"dedup task {self.name!r}: max_ratio must be 'auto' or "
+                    f"one of {_LE_RATIOS}"
+                )
+        self.spread_check = c.get("spread_check", "measure")
+        if c.get("spread_check") is not None and self.method != "containment":
+            raise ValueError(
+                f"dedup task {self.name!r}: spread_check applies to "
+                "method=containment only"
+            )
+        if self.spread_check not in _SPREAD_CHECKS:
+            raise ValueError(
+                f"dedup task {self.name!r}: spread_check must be one of "
+                f"{_SPREAD_CHECKS}"
+            )
+        if self.method == "containment" and c.get("verify") is not None:
+            raise ValueError(
+                f"dedup task {self.name!r}: method=containment always "
+                "verifies exactly (overlap coefficient on candidate "
+                "shingle sets) — verify does not apply"
+            )
+        # semantic: SemDeDup (q_dedup_semantic's engine) — embeddings,
+        # not text: coarse-quantize on label centroids, in-cell cosine
+        self.embedding_column = c.get("embedding_column", "embedding")
+        self.label_column = c.get("label_column", "label")
+        self.cell_cap = c.get("cell_cap")
+        if self.cell_cap is not None:
+            self.cell_cap = int(self.cell_cap)
+            if self.cell_cap < 1:
+                raise ValueError(
+                    f"dedup task {self.name!r}: cell_cap must be >= 1"
+                )
+        cos = c.get("min_cosine")
+        self.min_cosine = 0.99 if cos is None else float(cos)
+        if not (0.0 < self.min_cosine <= 1.0):
+            raise ValueError(
+                f"dedup task {self.name!r}: min_cosine must be in (0, 1]"
+            )
+        if self.method != "semantic":
+            for opt in ("embedding_column", "label_column", "min_cosine", "cell_cap"):
+                if c.get(opt) is not None:
+                    raise ValueError(
+                        f"dedup task {self.name!r}: {opt} applies to "
+                        "method=semantic only"
+                    )
+        elif (
+            c.get("verify") is not None
+            or c.get("threshold") is not None
+            or c.get("text_column") is not None
+        ):
+            raise ValueError(
+                f"dedup task {self.name!r}: method=semantic reads "
+                "embedding_column and thresholds on min_cosine — "
+                "threshold/verify/text_column do not apply"
             )
         # on_decode_error: fail (default — a bad payload is a pipeline
         # bug on curated corpora) | skip (crawl-scale: an undecodable
@@ -161,12 +293,15 @@ class DedupTask(Task):
                 f"dedup task {self.name!r}: on_decode_error applies to "
                 "method=phash only"
             )
-        if self.method != "phash" and (
-            c.get("max_hamming") is not None or c.get("payload_column") is not None
-        ):
+        if self.method != "phash" and c.get("payload_column") is not None:
             raise ValueError(
-                f"dedup task {self.name!r}: max_hamming/payload_column apply "
-                "to method=phash only"
+                f"dedup task {self.name!r}: payload_column applies to "
+                "method=phash only"
+            )
+        if self.method not in ("phash", "simhash") and c.get("max_hamming") is not None:
+            raise ValueError(
+                f"dedup task {self.name!r}: max_hamming applies to "
+                "method=phash|simhash only (the Hamming-verified methods)"
             )
         if self.method == "phash":
             if c.get("verify") is not None or c.get("threshold") is not None:
@@ -205,8 +340,9 @@ class DedupTask(Task):
                 raise ValueError(
                     f"dedup task {self.name!r}: incremental mode requires "
                     "method=minhash (signature index) or method=passages "
-                    "(fingerprint index); lines is corpus-relative "
-                    "(frequency threshold) — use mode: full"
+                    "(fingerprint index); lines/containment/semantic are "
+                    "corpus-relative (frequency threshold / size partitions "
+                    "/ quantizer cells) — use mode: full"
                 )
             if self.method == "passages":
                 if not (self.index_table and dest):
@@ -241,8 +377,13 @@ class DedupTask(Task):
 
     def _docs(self) -> DataFrame:
         df = self.context.spark.table(self.src_value)
-        content = self.payload_column if self.method == "phash" else self.text_column
-        for col in (self.id_column, content):
+        if self.method == "phash":
+            need = (self.id_column, self.payload_column)
+        elif self.method == "semantic":
+            need = (self.id_column, self.embedding_column, self.label_column)
+        else:
+            need = (self.id_column, self.text_column)
+        for col in need:
             if col not in df.columns:
                 raise ValueError(
                     f"dedup task {self.name!r}: column {col!r} not in {self.src_value}"
@@ -305,6 +446,32 @@ class DedupTask(Task):
             return phash_pairs(bands, max_hamming=self.max_hamming).select(
                 "src", "dst"
             )
+        if self.method == "simhash":
+            from sayn_spark.functions.dedup import simhash_dup_pairs
+
+            return simhash_dup_pairs(
+                self._standard(docs), n_bands=self.n_bands, radius=self.max_hamming
+            ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        if self.method == "containment":
+            from sayn_spark.functions.dedup import gated_containment_pairs
+
+            return gated_containment_pairs(
+                self._standard(docs),
+                threshold=self.threshold,
+                max_ratio=self.max_ratio,
+                spread_check=self.spread_check,
+            ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        if self.method == "semantic":
+            from sayn_spark.functions.dedup import _semantic_pairs_fn
+
+            return (
+                self._semantic_sided(docs)
+                .groupBy("cell")
+                .applyInPandas(
+                    _semantic_pairs_fn(self.min_cosine), schema="id_a long, id_b long"
+                )
+                .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            )
         if self.method == "jaccard":
             from sayn_spark.functions.components import _jaccard_edges
 
@@ -351,6 +518,35 @@ class DedupTask(Task):
             .select(F.col("batch_id").alias("src"), F.col("corpus_id").alias("dst"))
         )
 
+    def _semantic_sided(self, docs: DataFrame) -> DataFrame:
+        """(vec_id, cell, e) SemDeDup input: embeddings cast to double,
+        coarse-quantized on the deterministic label-centroid quantizer
+        (q_dedup_semantic's — swap trained k-means in production
+        without changing the plan); centroids broadcast, cell-cap
+        guarded."""
+        from sayn_spark.functions.dedup import semantic_cells
+        from sayn_spark.functions.similarity import _centroid_arrays
+
+        # same loud-failure rule as phash: the pair schema is LONG, so
+        # a non-integral id would NULL-cast row by row and silently
+        # produce an empty duplicate set
+        id_type = dict(docs.dtypes)[self.id_column]
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"dedup task {self.name!r}: method=semantic needs an integer "
+                f"id_column ({self.id_column!r} is {id_type}) — pre-hash "
+                "string ids (e.g. xxhash64(id)) in an upstream task"
+            )
+        vectors = docs.select(
+            F.col(self.id_column).alias("vec_id"),
+            F.col(self.label_column).alias("label"),
+            F.expr(f"cast({self.embedding_column} as array<double>)").alias("e"),
+        )
+        cent = _centroid_arrays(vectors.select("label", "e"))
+        return semantic_cells(
+            vectors.select("vec_id", "e"), cent, cell_cap=self.cell_cap
+        )
+
     def _soft_weights(self, docs: DataFrame) -> DataFrame:
         """(id, weight_ppm): 1e6 / near-dup-cluster size — the
         q_dedup_soft_weights rule (SoftDeDup: keep everything, make
@@ -372,6 +568,23 @@ class DedupTask(Task):
 
     def _dropped(self, docs: DataFrame) -> DataFrame:
         """doc ids to drop: cluster members minus each cluster's keeper."""
+        if self.method == "semantic" and self.keep == "min":
+            # keep=min IS the published SemDeDup per-pair rule (drop
+            # every vector with a qualifying smaller-id neighbor) —
+            # exactly q_dedup_semantic's engine, no component stage, so
+            # the in-cell verdicts never leave their cell.  keep=best/
+            # soft are cluster-relative and take the generic edge ->
+            # components path below.
+            from sayn_spark.functions.dedup import _semantic_dropped_fn
+
+            return (
+                self._semantic_sided(docs)
+                .groupBy("cell")
+                .applyInPandas(
+                    _semantic_dropped_fn(self.min_cosine), schema="vec_id long"
+                )
+                .select(F.col("vec_id").alias(self.id_column))
+            )
         if self.method == "exact":
             # hash groups need no component stage: one shuffle, keep the
             # best/min per md5 group.  NULL texts are excluded: md5(NULL)

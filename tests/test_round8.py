@@ -476,11 +476,15 @@ def test_phash_task_rejects_string_ids(dedup_ctx, spark):
 def test_dedup_phash_options_rejected_on_other_methods(dedup_ctx):
     from sayn_spark.operators.dedup import DedupTask
 
-    for extra in ({"max_hamming": 4}, {"payload_column": "img"}):
+    # r9: max_hamming is now shared with simhash (both Hamming-verified)
+    for extra, msg in (
+        ({"max_hamming": 4}, "phash.simhash only"),
+        ({"payload_column": "img"}, "phash only"),
+    ):
         t = DedupTask(
             "bad",
             {"source": "t", "destination": "o", "method": "minhash", **extra},
             dedup_ctx,
         )
-        with pytest.raises(ValueError, match="phash only"):
+        with pytest.raises(ValueError, match=msg):
             t.config()

@@ -48,3 +48,424 @@ def test_jpeg_parse_skips_fill_bytes_and_standalone_markers():
     w2, h2, nc2, px2 = jpeg_parse(spliced, want_pixels=True)
     assert (w2, h2, nc2) == (w, h, nc)
     assert px2 == px
+
+
+# -- dedup task: simhash / containment / semantic promotions -------------
+# (VERDICT r8 item 1 — every driver-green registry dedup engine must be
+# reachable from YAML; lifecycle tests pin task output against an
+# INDEPENDENT pure-python model, the test_round8 phash pattern)
+
+import numpy as np
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture
+def dedup_ctx(spark, tmp_path):
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+
+    return TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={"sf_dir": SF_SMOKE},
+        connections={},
+        project_dir=tmp_path,
+    )
+
+
+def _run_task(ctx, name, cfg):
+    from sayn_spark.operators.dedup import DedupTask
+
+    t = DedupTask(name, cfg, ctx)
+    t.config()
+    t.run()
+    return t
+
+
+def _union_find_clusters(ids, pairs):
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = min(ru, rv), max(ru, rv)
+            parent[hi] = lo
+    clusters = {}
+    for d in ids:
+        clusters.setdefault(find(d), []).append(d)
+    return clusters
+
+
+# -- simhash --------------------------------------------------------------
+
+
+def _model_simhash64(text: str) -> int:
+    votes = [0] * 64
+    for t in set(x for x in text.lower().split(" ") if x):
+        hx = hashlib.md5(t.encode()).hexdigest()
+        hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+        for j in range(32):
+            votes[j] += 1 if (lo >> j) & 1 else -1
+            votes[32 + j] += 1 if (hi >> j) & 1 else -1
+    return sum((1 << j) for j in range(64) if votes[j] > 0)
+
+
+def _simhash_corpus():
+    """3 groups x (base + 3 mutations): at 100 base tokens the planted
+    Hamming distances straddle the radius-6 verify (measured 0-8), so
+    the test exercises accept AND reject, plus ~32-bit cross-group
+    separation."""
+    rows = []
+    did = 0
+    for g in range(3):
+        base = [f"g{g}w{i}" for i in range(100)]
+        rows.append((did, " ".join(base)))
+        did += 1
+        for k in (1, 2, 3):
+            mod = base[:-k] + [f"g{g}m{k}r{i}" for i in range(k)]
+            rows.append((did, " ".join(mod)))
+            did += 1
+    return rows
+
+
+def _model_simhash_kept(rows, radius=6):
+    sigs = {d: _model_simhash64(t) for d, t in rows}
+    ids = sorted(sigs)
+    pairs = [
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= radius
+    ]
+    clusters = _union_find_clusters(ids, pairs)
+    return {min(m) for m in clusters.values()}, clusters
+
+
+def test_simhash_task_lifecycle_matches_model(dedup_ctx, spark):
+    """method=simhash end-to-end: kept set == all-pairs Hamming model
+    (banding has EXACT recall by pigeonhole, so the banded task and the
+    all-pairs model must agree everywhere, not just usually)."""
+    rows = _simhash_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dedup_ctx.db.replace_table("sh_src", df)
+    _run_task(
+        dedup_ctx,
+        "sh_dedup",
+        {"source": "sh_src", "destination": "sh_out", "method": "simhash"},
+    )
+    got = {r.doc_id for r in spark.table("sh_out").collect()}
+    want, clusters = _model_simhash_kept(rows)
+    assert got == want
+    # the corpus must exercise both verify verdicts on intra-group
+    # pairs: a nontrivial accept (1 <= hamming <= 6) and a reject
+    # (hamming > 6; transitivity may still merge the rejected doc)
+    sigs = {d: _model_simhash64(t) for d, t in rows}
+    hams = [
+        bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and a // 4 == b // 4
+    ]
+    assert any(1 <= h <= 6 for h in hams) and any(h > 6 for h in hams)
+
+
+def test_simhash_task_radius_and_bands_config(dedup_ctx, spark):
+    rows = _simhash_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dedup_ctx.db.replace_table("sh_r_src", df)
+    _run_task(
+        dedup_ctx,
+        "sh_r",
+        {
+            "source": "sh_r_src",
+            "destination": "sh_r_out",
+            "method": "simhash",
+            "max_hamming": 3,
+            "n_bands": 4,
+        },
+    )
+    got = {r.doc_id for r in spark.table("sh_r_out").collect()}
+    want, _ = _model_simhash_kept(rows, radius=3)
+    assert got == want
+
+
+# -- containment ----------------------------------------------------------
+
+
+def _model_shingles(text: str):
+    toks = [x for x in text.lower().split(" ") if x]
+    return {
+        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+    } if len(toks) >= 3 else set()
+
+
+def _containment_task_corpus():
+    """Donors of 60 unique tokens + contiguous 8-token snippets
+    (6 shingles inside the donor's 58: containment 1.0 at size ratio
+    ~9.7 — beyond the default ratio-8 gate, so max_ratio='auto' must
+    escalate to the wide gate to find them) + unrelated mid-size
+    docs."""
+    rows = []
+    did = 0
+    snip_of = {}
+    for g in range(4):
+        toks = [f"d{g}t{i}" for i in range(60)]
+        rows.append((did, " ".join(toks)))
+        snip_of[did + 1] = did
+        rows.append((did + 1, " ".join(toks[20:28])))
+        did += 2
+    for j in range(3):
+        rows.append((did, " ".join(f"u{j}x{i}" for i in range(25))))
+        did += 1
+    return rows, snip_of
+
+
+def _model_containment_kept(rows, threshold=0.9):
+    sh = {d: _model_shingles(t) for d, t in rows}
+    ids = sorted(d for d in sh if sh[d])
+    pairs = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter >= threshold * min(len(sh[a]), len(sh[b])):
+                pairs.append((a, b))
+    clusters = _union_find_clusters(ids, pairs)
+    kept = {min(m) for m in clusters.values()} | {d for d in sh if not sh[d]}
+    return kept, pairs
+
+
+def test_containment_task_lifecycle_matches_model(dedup_ctx, spark):
+    """method=containment with max_ratio=auto: the kept set equals the
+    exact all-pairs overlap-coefficient model INCLUDING the planted
+    ratio-9.7 snippet pairs the default gate's contract excludes —
+    i.e. auto escalated the contract from the measured spread."""
+    rows, snip_of = _containment_task_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dedup_ctx.db.replace_table("ct_src", df)
+    _run_task(
+        dedup_ctx,
+        "ct_dedup",
+        {"source": "ct_src", "destination": "ct_out", "method": "containment"},
+    )
+    got = {r.doc_id for r in spark.table("ct_out").collect()}
+    want, pairs = _model_containment_kept(rows)
+    assert got == want
+    # every snippet clustered under its donor (and was dropped)
+    assert all((d, s) in pairs for s, d in snip_of.items())
+    assert all(s not in got for s in snip_of)
+
+
+def test_containment_task_keep_best(dedup_ctx, spark):
+    rows, snip_of = _containment_task_corpus()
+    # score snippets HIGHER than donors: keep=best must invert the
+    # min-id choice inside each (donor, snippet) cluster
+    df = spark.createDataFrame(
+        [(d, t, 100 + d if d in snip_of else d) for d, t in rows],
+        "doc_id long, text string, quality long",
+    )
+    dedup_ctx.db.replace_table("ct_b_src", df)
+    _run_task(
+        dedup_ctx,
+        "ct_b",
+        {
+            "source": "ct_b_src",
+            "destination": "ct_b_out",
+            "method": "containment",
+            "keep": "best",
+            "score_column": "quality",
+        },
+    )
+    got = {r.doc_id for r in spark.table("ct_b_out").collect()}
+    assert all(s in got and d not in got for s, d in snip_of.items())
+
+
+# -- semantic -------------------------------------------------------------
+
+
+def _semantic_task_corpus():
+    """2 well-separated label clusters in 8 dims; within each label:
+    a base vector, an exact scaled copy (cos 1.0 — must drop), a tiny
+    rotation at cos > 0.99 (must drop), and a larger rotation at
+    cos < 0.99 (must survive)."""
+    rng = np.random.RandomState(20260815)
+    rows = []
+    vid = 0
+    for li, label in enumerate(("A", "B")):
+        base = np.zeros(8)
+        base[li * 4] = 10.0  # far-apart cluster axes
+        base = base + rng.uniform(-0.2, 0.2, 8)
+        perp = np.zeros(8)
+        perp[li * 4 + 1] = 1.0
+        variants = [
+            base,
+            base * 1.5,  # cos exactly 1.0
+            base + 0.2 * perp,  # cos ~0.9998
+            base + 3.0 * perp,  # cos ~0.96
+        ]
+        for v in variants:
+            rows.append((vid, label, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+def _model_semantic(rows, min_cosine=0.99):
+    # cells: nearest label-centroid (clusters are axis-separated by
+    # construction, so rounding in the engine cannot flip assignment)
+    by_label = {}
+    for _vid, label, e in rows:
+        by_label.setdefault(label, []).append(e)
+    cents = {l: np.mean(np.array(vs), axis=0) for l, vs in by_label.items()}
+    cell = {
+        vid: min(cents, key=lambda l: float(np.sum((np.array(e) - cents[l]) ** 2)))
+        for vid, _label, e in rows
+    }
+    pairs = []
+    for i, (va, _la, ea) in enumerate(rows):
+        for vb, _lb, eb in rows[i + 1 :]:
+            if cell[va] != cell[vb]:
+                continue
+            a, b = np.array(ea), np.array(eb)
+            cos = np.round(
+                float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)), 6
+            )
+            if cos >= min_cosine:
+                pairs.append((min(va, vb), max(va, vb)))
+    dropped = {b for _a, b in pairs}
+    return dropped, pairs
+
+
+def test_semantic_task_keep_min_matches_semdedup_rule(dedup_ctx, spark):
+    """method=semantic, keep=min: dropped == every vector with a
+    qualifying smaller-id neighbor IN ITS CELL (the published SemDeDup
+    rule, q_dedup_semantic's engine)."""
+    rows = _semantic_task_corpus()
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    dedup_ctx.db.replace_table("se_src", df)
+    _run_task(
+        dedup_ctx,
+        "se_dedup",
+        {
+            "source": "se_src",
+            "destination": "se_out",
+            "method": "semantic",
+            "id_column": "vec_id",
+        },
+    )
+    got = {r.vec_id for r in spark.table("se_out").collect()}
+    dropped, pairs = _model_semantic(rows)
+    assert got == {vid for vid, _l, _e in rows} - dropped
+    # corpus sanity: both verdicts exercised per cluster
+    assert len(dropped) == 4  # scaled copy + tiny rotation, per label
+    assert len(got) == 4  # base + large rotation survive, per label
+
+
+def test_semantic_task_keep_soft_weights(dedup_ctx, spark):
+    rows = _semantic_task_corpus()
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    dedup_ctx.db.replace_table("se_soft_src", df)
+    _run_task(
+        dedup_ctx,
+        "se_soft",
+        {
+            "source": "se_soft_src",
+            "destination": "se_soft_out",
+            "method": "semantic",
+            "id_column": "vec_id",
+            "keep": "soft",
+        },
+    )
+    got = {r.vec_id: r.weight_ppm for r in spark.table("se_soft_out").collect()}
+    _dropped, pairs = _model_semantic(rows)
+    ids = [vid for vid, _l, _e in rows]
+    clusters = _union_find_clusters(ids, pairs)
+    size_of = {}
+    for m in clusters.values():
+        for d in m:
+            size_of[d] = len(m)
+    assert got == {d: 1000000 // size_of[d] for d in ids}
+
+
+def test_semantic_task_min_cosine_threshold(dedup_ctx, spark):
+    """min_cosine=0.95 widens the drop set to the ~0.96 rotation."""
+    rows = _semantic_task_corpus()
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    dedup_ctx.db.replace_table("se_t_src", df)
+    _run_task(
+        dedup_ctx,
+        "se_t",
+        {
+            "source": "se_t_src",
+            "destination": "se_t_out",
+            "method": "semantic",
+            "id_column": "vec_id",
+            "min_cosine": 0.95,
+        },
+    )
+    got = {r.vec_id for r in spark.table("se_t_out").collect()}
+    dropped, _ = _model_semantic(rows, min_cosine=0.95)
+    assert got == {vid for vid, _l, _e in rows} - dropped
+    assert len(got) == 2  # only the two bases survive
+
+
+def test_semantic_task_rejects_string_ids(dedup_ctx, spark):
+    df = spark.createDataFrame(
+        [("a", "A", [1.0, 0.0])], "vec_id string, label string, embedding array<double>"
+    )
+    dedup_ctx.db.replace_table("se_bad_src", df)
+    with pytest.raises(ValueError, match="integer id_column"):
+        _run_task(
+            dedup_ctx,
+            "se_bad",
+            {
+                "source": "se_bad_src",
+                "destination": "se_bad_out",
+                "method": "semantic",
+                "id_column": "vec_id",
+            },
+        )
+
+
+def test_promoted_methods_config_validation(dedup_ctx):
+    from sayn_spark.operators import TaskStatus
+    from sayn_spark.operators.dedup import DedupTask
+
+    bad = [
+        # cross-method option leakage
+        {"source": "t", "destination": "o", "method": "simhash", "threshold": 0.8},
+        {"source": "t", "destination": "o", "method": "simhash", "verify": "exact"},
+        {"source": "t", "destination": "o", "method": "simhash", "n_bands": 7},
+        {"source": "t", "destination": "o", "method": "minhash", "n_bands": 8},
+        {"source": "t", "destination": "o", "method": "minhash", "max_ratio": 8},
+        {"source": "t", "destination": "o", "method": "containment", "max_ratio": 16},
+        {"source": "t", "destination": "o", "method": "containment", "verify": "exact"},
+        {"source": "t", "destination": "o", "method": "containment",
+         "spread_check": "maybe"},
+        {"source": "t", "destination": "o", "method": "minhash",
+         "spread_check": "measure"},
+        {"source": "t", "destination": "o", "method": "semantic", "threshold": 0.9},
+        {"source": "t", "destination": "o", "method": "semantic", "min_cosine": 1.5},
+        {"source": "t", "destination": "o", "method": "semantic", "cell_cap": 0},
+        {"source": "t", "destination": "o", "method": "exact", "min_cosine": 0.99},
+        {"source": "t", "destination": "o", "method": "exact", "label_column": "l"},
+        # incremental rejections
+        {"source": "t", "mode": "incremental", "index_table": "i",
+         "matches_table": "m", "method": "semantic"},
+        {"source": "t", "mode": "incremental", "index_table": "i",
+         "matches_table": "m", "method": "containment"},
+    ]
+    for cfg in bad:
+        t = DedupTask("bad", cfg, dedup_ctx)
+        with pytest.raises(ValueError):
+            t.config()
