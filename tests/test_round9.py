@@ -469,3 +469,193 @@ def test_promoted_methods_config_validation(dedup_ctx):
         t = DedupTask("bad", cfg, dedup_ctx)
         with pytest.raises(ValueError):
             t.config()
+
+
+# -- color baseline JPEG (VERDICT r8 item 4) ------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _color_payload(yb, cbb, crb, ri=0):
+    """Encode block-constant planes from small per-block value grids."""
+    from sayn_spark.functions.multimodal import jpeg_encode_color
+
+    ones = np.ones((8, 8), dtype=np.int64)
+    mh, mw = np.asarray(cbb).shape
+    return jpeg_encode_color(
+        np.kron(np.asarray(yb), ones).astype(np.uint8).tobytes(),
+        np.kron(np.asarray(cbb), ones).astype(np.uint8).tobytes(),
+        np.kron(np.asarray(crb), ones).astype(np.uint8).tobytes(),
+        mw * 16,
+        mh * 16,
+        restart_interval=ri,
+    )
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    mw=st.integers(min_value=1, max_value=3),
+    mh=st.integers(min_value=1, max_value=3),
+    ri=st.integers(min_value=0, max_value=3),
+    data=st.data(),
+)
+def test_jpeg_color_block_constant_roundtrip_property(mw, mh, ri, data):
+    """PROPERTY: any block-constant YCbCr 4:2:0 image round-trips all
+    three planes bit-exactly under flat quant, for ANY restart interval
+    (0 = no DRI; 1-3 exercise RSTn cycling + DC predictor resets) —
+    the exactness the registered color oracle relies on."""
+    from sayn_spark.functions.multimodal import jpeg_parse
+
+    def grid(rows, cols):
+        return np.array(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=255),
+                    min_size=rows * cols,
+                    max_size=rows * cols,
+                )
+            )
+        ).reshape(rows, cols)
+
+    yb = grid(2 * mh, 2 * mw)
+    cbb = grid(mh, mw)
+    crb = grid(mh, mw)
+    payload = _color_payload(yb, cbb, crb, ri=ri)
+    w, h, nc, planes = jpeg_parse(payload, want_planes=True)
+    assert (w, h, nc) == (mw * 16, mh * 16, 3)
+    ones = np.ones((8, 8), dtype=np.int64)
+    for plane, blocks in zip(planes, (yb, cbb, crb)):
+        want = np.kron(blocks, ones).astype(np.uint8)
+        pw, ph, px = plane
+        assert (pw, ph) == (want.shape[1], want.shape[0])
+        assert px == want.tobytes()
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(cut=st.integers(min_value=0, max_value=900), seed=st.integers(0, 1000))
+def test_jpeg_color_truncated_payload_never_hangs(cut, seed):
+    """Truncation property extended to the color decoder (interleaved
+    MCUs + restart markers): clean error or clean return, never a
+    hang."""
+    from sayn_spark.functions.multimodal import jpeg_parse
+
+    rng = np.random.default_rng(seed)
+    payload = _color_payload(
+        rng.integers(0, 256, (4, 4)),
+        rng.integers(0, 256, (2, 2)),
+        rng.integers(0, 256, (2, 2)),
+        ri=1,
+    )
+    try:
+        jpeg_parse(payload[: min(cut, len(payload))], want_pixels=True)
+    except Exception:
+        pass
+
+
+def test_jpeg_color_gray_content_is_neutral_and_feeds_phash():
+    """Gray content (Cb=Cr=128) in a color JPEG decodes to the same
+    luma plane image_gray_pixels returns — so method=phash hashes
+    color crawl JPEGs identically to their grayscale twins."""
+    from sayn_spark.functions.multimodal import (
+        image_gray_pixels,
+        jpeg_encode,
+        jpeg_parse,
+    )
+
+    yb = np.array([[17, 210], [128, 64]])
+    ones = np.ones((8, 8), dtype=np.int64)
+    y = np.kron(yb, ones).astype(np.uint8)
+    color = _color_payload(yb, np.full((1, 1), 128), np.full((1, 1), 128), ri=2)
+    gray = jpeg_encode(y.tobytes(), 16, 16)
+    w, h, px = image_gray_pixels(color)
+    wg, hg, pxg = image_gray_pixels(gray)
+    assert (w, h) == (wg, hg) == (16, 16)
+    assert bytes(px) == bytes(pxg) == y.tobytes()
+    assert jpeg_parse(color)[2] == 3  # metadata sees 3 components
+
+
+def test_jpeg_color_edge_mcu_crop():
+    """SOF dims need not fill the MCU grid: patching a 32x32 file's
+    frame header to 28x22 must crop luma to 28x22 and chroma to 14x11
+    (ceil of half) while decoding the same block stream."""
+    from sayn_spark.functions.multimodal import jpeg_parse
+
+    rng = np.random.default_rng(7)
+    yb, cbb, crb = (
+        rng.integers(0, 256, (4, 4)),
+        rng.integers(0, 256, (2, 2)),
+        rng.integers(0, 256, (2, 2)),
+    )
+    payload = bytearray(_color_payload(yb, cbb, crb))
+    sof = payload.index(b"\xff\xc0")
+    # body: len(2) precision(1) height(2) width(2)
+    payload[sof + 5 : sof + 9] = (22).to_bytes(2, "big") + (28).to_bytes(2, "big")
+    w, h, nc, planes = jpeg_parse(bytes(payload), want_planes=True)
+    assert (w, h, nc) == (28, 22, 3)
+    ones = np.ones((8, 8), dtype=np.int64)
+    wanty = np.kron(yb, ones).astype(np.uint8)[:22, :28]
+    wantcb = np.kron(cbb, ones).astype(np.uint8)[:11, :14]
+    assert planes[0][:2] == (28, 22) and planes[0][2] == wanty.tobytes()
+    assert planes[1][:2] == (14, 11) and planes[1][2] == wantcb.tobytes()
+
+
+def test_jpeg_color_restart_sequence_is_verified():
+    """A restart marker out of cycle (RST0 corrupted to RST4) must
+    raise, not silently desynchronize the DC predictors."""
+    from sayn_spark.functions.multimodal import jpeg_parse
+
+    rng = np.random.default_rng(11)
+    payload = bytearray(
+        _color_payload(
+            rng.integers(0, 256, (4, 4)),
+            rng.integers(0, 256, (2, 2)),
+            rng.integers(0, 256, (2, 2)),
+            ri=1,
+        )
+    )
+    sos = payload.index(b"\xff\xda")
+    first_rst = payload.index(b"\xff\xd0", sos)
+    payload[first_rst + 1] = 0xD4
+    with pytest.raises(ValueError, match="out of sequence"):
+        jpeg_parse(bytes(payload), want_pixels=True)
+
+
+def test_jpeg_color_encoder_validation():
+    from sayn_spark.functions.multimodal import jpeg_encode_color
+
+    y16 = bytes(16 * 16)
+    c8 = bytes(8 * 8)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        jpeg_encode_color(bytes(8 * 8), bytes(16), bytes(16), 8, 8)
+    with pytest.raises(ValueError, match="luma"):
+        jpeg_encode_color(y16[:-1], c8, c8, 16, 16)
+    with pytest.raises(ValueError, match="u16"):
+        jpeg_encode_color(y16, c8, c8, 16, 16, restart_interval=70000)
+    with pytest.raises(ValueError, match="quant_chroma"):
+        jpeg_encode_color(y16, c8, c8, 16, 16, quant_chroma=[0] * 64)
+
+
+def test_phash_task_color_jpeg_payloads(dedup_ctx, spark):
+    """method=phash on COLOR JPEG payloads: a color JPEG and a
+    grayscale JPEG with the same luma plane must dedupe to one kept
+    row (dHash runs on the luma either way)."""
+    from sayn_spark.functions.multimodal import jpeg_encode
+
+    rng = np.random.default_rng(3)
+    yb = rng.integers(0, 256, (2, 2))
+    ones = np.ones((8, 8), dtype=np.int64)
+    y = np.kron(yb, ones).astype(np.uint8)
+    rows = [
+        (1, bytearray(_color_payload(yb, np.full((1, 1), 90), np.full((1, 1), 170), ri=1))),
+        (2, bytearray(jpeg_encode(y.tobytes(), 16, 16))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    dedup_ctx.db.replace_table("ph_c_src", df)
+    _run_task(
+        dedup_ctx,
+        "ph_c",
+        {"source": "ph_c_src", "destination": "ph_c_out", "method": "phash"},
+    )
+    got = {r.doc_id for r in spark.table("ph_c_out").collect()}
+    assert got == {1}
