@@ -284,23 +284,40 @@ def stream_decontaminate(
     ngram: int = 13,
     id_column: str = "doc_id",
     min_overlap_frac: float | None = None,
+    method: str = "ngram",
+    min_cosine_hundredths: int = 95,
 ):
     """Streaming twin of the decontaminate task: each micro-batch of
-    documents is checked against the STATIC eval table's n-grams and
-    only clean rows land in ``dst_table``.
+    documents is checked against the STATIC eval table and only clean
+    rows land in ``dst_table``.
 
     Structured Streaming cannot anti-join a stream against a
-    stream-derived frame, so the batch task's exact predicate
-    (functions/content_filter.py:contaminated_ids_frame — the SAME
-    helper, so stream == batch by construction, including the
-    ``min_overlap_frac`` per-pair containment rule) runs per trigger
-    inside foreachBatch.  The static side re-resolves every
-    batch — an updated eval table applies from the next trigger with no
+    stream-derived frame, so the batch task's exact predicate runs per
+    trigger inside foreachBatch — the SAME helpers, so stream == batch
+    by construction: ``method="ngram"`` uses
+    functions/content_filter.py:contaminated_ids_frame (including the
+    ``min_overlap_frac`` per-pair containment rule);
+    ``method="semantic"`` uses semantic_contaminated_ids
+    (q_decontaminate_semantic's engine) at
+    ``min_cosine_hundredths``/100 — the reworded/reordered-leak screen
+    n-grams are blind to, and a pure broadcast-eval map-side predicate
+    (no persisted state, so nothing leaks across triggers — the r8
+    foreachBatch lesson).  The static side re-resolves every batch —
+    an updated eval table applies from the next trigger with no
     restart.  Writes are idempotent on replay: rows are stamped with
     the trigger id and merged delete-before-append on it.
     """
-    from sayn_spark.functions.content_filter import contaminated_ids_frame
+    from sayn_spark.functions.content_filter import (
+        contaminated_ids_frame,
+        semantic_contaminated_ids,
+    )
 
+    if method not in ("ngram", "semantic"):
+        raise ValueError("stream_decontaminate: method must be ngram|semantic")
+    if method == "semantic" and min_overlap_frac is not None:
+        raise ValueError(
+            "stream_decontaminate: min_overlap_frac applies to method=ngram"
+        )
     outer_session = source.sparkSession
     min_ppm = None if min_overlap_frac is None else round(float(min_overlap_frac) * 1_000_000)
 
@@ -309,13 +326,21 @@ def stream_decontaminate(
         db = SparkDatabase(spark)
         if batch_df.isEmpty():
             return
-        contaminated = contaminated_ids_frame(
-            batch_df,
-            spark.table(eval_table),
-            ngram,
-            id_column=id_column,
-            min_overlap_ppm=min_ppm,
-        )
+        if method == "semantic":
+            contaminated = semantic_contaminated_ids(
+                batch_df.select(id_column, "text"),
+                spark.table(eval_table),
+                id_column=id_column,
+                min_cosine_hundredths=min_cosine_hundredths,
+            )
+        else:
+            contaminated = contaminated_ids_frame(
+                batch_df,
+                spark.table(eval_table),
+                ngram,
+                id_column=id_column,
+                min_overlap_ppm=min_ppm,
+            )
         kept = batch_df.join(contaminated, id_column, "left_anti").withColumn(
             "ingest_id", F.lit(batch_id).cast("long")
         )
