@@ -1203,18 +1203,36 @@ def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     way.  Both engines implement classic Levenshtein, so the distance
     itself is part of the checked contract.
     """
-    corpus = _fan_out(_doc_corpus(spark, sf_dir, mutate=" zz qq"), spark, sf_dir)
+    # bounded Levenshtein inside editdistance_dup_pairs: with the
+    # threshold argument Spark runs the banded O(k*len) algorithm and
+    # bails at k+1 instead of filling the O(len^2) DP table per pair —
+    # returns the exact distance when <= k and -1 otherwise, so the
+    # filter is equivalent (measured ~3x on the blocked candidates)
+    return editdistance_dup_pairs(
+        _fan_out(_doc_corpus(spark, sf_dir, mutate=" zz qq"), spark, sf_dir)
+    )
+
+
+def editdistance_dup_pairs(
+    corpus: DataFrame, max_edit: int = _ED_MAX, block_chars: int = _ED_BLOCK
+) -> DataFrame:
+    """``q_dedup_editdistance`` over an arbitrary (doc_id, text) corpus
+    — the library entry point behind the dedup task's
+    ``method: editdistance``.  Same plan as the registered query:
+    prefix blocking on ``block_chars`` characters (one shuffle of a
+    short key), bounded Levenshtein <= ``max_edit`` on in-block
+    candidates only (Spark's banded O(k*len) algorithm via the
+    threshold argument)."""
+    if max_edit < 1:
+        raise ValueError("editdistance_dup_pairs: max_edit must be >= 1")
+    if block_chars < 1:
+        raise ValueError("editdistance_dup_pairs: block_chars must be >= 1")
     blocked = corpus.select(
-        "doc_id", "text", F.substring("text", 1, _ED_BLOCK).alias("blk")
+        "doc_id", "text", F.substring("text", 1, int(block_chars)).alias("blk")
     )
     a = blocked.alias("a")
     b = blocked.alias("b")
-    # bounded Levenshtein: with the threshold argument Spark runs the
-    # banded O(k*len) algorithm and bails at k+1 instead of filling the
-    # O(len^2) DP table per pair — returns the exact distance when
-    # <= k and -1 otherwise, so the filter is equivalent (measured ~3x
-    # on the blocked candidate stream)
-    dist = F.expr(f"levenshtein(a.text, b.text, {_ED_MAX})")
+    dist = F.expr(f"levenshtein(a.text, b.text, {int(max_edit)})")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .where(dist >= 0)

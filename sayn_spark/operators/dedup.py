@@ -62,6 +62,11 @@ Methods:
            ``measure``) counts any qualifying pairs beyond the probe
            reach and warns with the number (``strict`` raises,
            ``skip`` trusts the caller).
+- editdistance: prefix-blocked bounded Levenshtein <= ``max_edit``
+           (default 8) on candidates sharing their first
+           ``block_chars`` characters (q_dedup_editdistance's engine)
+           — character-level near-dup that survives whitespace /
+           token-boundary changes Jaccard cannot.
 - semantic: SemDeDup (Abbas et al., 2023) over an EMBEDDING column —
            coarse-quantize on deterministic ``label_column`` centroids
            (swap trained k-means in production), in-cell BLAS cosine,
@@ -108,6 +113,7 @@ _METHODS = (
     "simhash",
     "containment",
     "semantic",
+    "editdistance",
     "passages",
     "lines",
     "phash",
@@ -210,6 +216,29 @@ class DedupTask(Task):
                 raise ValueError(
                     f"dedup task {self.name!r}: method=simhash is verified by "
                     "Hamming distance (max_hamming), not threshold/verify"
+                )
+        # editdistance: prefix-blocked bounded Levenshtein
+        # (q_dedup_editdistance's engine) — character-level near-dup
+        # that survives token-boundary changes Jaccard cannot
+        self.max_edit = int(c.get("max_edit", 8))
+        self.block_chars = int(c.get("block_chars", 24))
+        if self.method != "editdistance":
+            for opt in ("max_edit", "block_chars"):
+                if c.get(opt) is not None:
+                    raise ValueError(
+                        f"dedup task {self.name!r}: {opt} applies to "
+                        "method=editdistance only"
+                    )
+        else:
+            if self.max_edit < 1 or self.block_chars < 1:
+                raise ValueError(
+                    f"dedup task {self.name!r}: max_edit/block_chars must be >= 1"
+                )
+            if c.get("verify") is not None or c.get("threshold") is not None:
+                raise ValueError(
+                    f"dedup task {self.name!r}: method=editdistance is "
+                    "verified by Levenshtein distance (max_edit), not "
+                    "threshold/verify"
                 )
         # containment: the LSH-Ensemble gate (q_dedup_containment_gated's
         # engine) — max_ratio is the recall contract ('auto' measures
@@ -446,6 +475,14 @@ class DedupTask(Task):
             return phash_pairs(bands, max_hamming=self.max_hamming).select(
                 "src", "dst"
             )
+        if self.method == "editdistance":
+            from sayn_spark.functions.dedup import editdistance_dup_pairs
+
+            return editdistance_dup_pairs(
+                self._standard(docs),
+                max_edit=self.max_edit,
+                block_chars=self.block_chars,
+            ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         if self.method == "simhash":
             from sayn_spark.functions.dedup import simhash_dup_pairs
 

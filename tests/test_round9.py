@@ -659,3 +659,101 @@ def test_phash_task_color_jpeg_payloads(dedup_ctx, spark):
     )
     got = {r.doc_id for r in spark.table("ph_c_out").collect()}
     assert got == {1}
+
+
+# -- editdistance promotion ------------------------------------------------
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _editdistance_corpus():
+    """Groups sharing a 30-char prefix (the blocking key) with suffix
+    mutations straddling the distance-8 verify, plus a near-identical
+    pair in DIFFERENT blocks (prefix edit) that blocking must miss —
+    pinning the documented blocking trade, not just the happy path."""
+    rows = []
+    did = 0
+    for g in range(3):
+        prefix = f"group{g:02d} " + "x" * 22  # > block_chars=24 shared
+        rows.append((did, prefix + " tail alpha beta gamma"))
+        rows.append((did + 1, prefix + " tail alpha beta gamZZ"))      # dist 2
+        rows.append((did + 2, prefix + " tail QQQQQ WWWWW EEEEE"))     # dist ~15
+        did += 3
+    rows.append((did, "Zfirst char differs " + "y" * 30))
+    rows.append((did + 1, "Qfirst char differs " + "y" * 30))  # dist 1, other block
+    return rows
+
+
+def _model_editdistance_kept(rows, max_edit=8, block_chars=24):
+    ids = sorted(d for d, _ in rows)
+    text = dict(rows)
+    pairs = [
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if text[a][:block_chars] == text[b][:block_chars]
+        and _levenshtein(text[a], text[b]) <= max_edit
+    ]
+    clusters = _union_find_clusters(ids, pairs)
+    return {min(m) for m in clusters.values()}, pairs
+
+
+def test_editdistance_task_lifecycle_matches_model(dedup_ctx, spark):
+    rows = _editdistance_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dedup_ctx.db.replace_table("ed_src", df)
+    _run_task(
+        dedup_ctx,
+        "ed_dedup",
+        {"source": "ed_src", "destination": "ed_out", "method": "editdistance"},
+    )
+    got = {r.doc_id for r in spark.table("ed_out").collect()}
+    want, pairs = _model_editdistance_kept(rows)
+    assert got == want
+    # corpus sanity: each group clustered its distance-2 pair, dropped
+    # nothing else; the cross-block distance-1 pair was (by design) missed
+    assert len(pairs) == 3
+    assert {9, 10} <= got
+
+
+def test_editdistance_task_options(dedup_ctx, spark):
+    rows = _editdistance_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dedup_ctx.db.replace_table("ed_o_src", df)
+    _run_task(
+        dedup_ctx,
+        "ed_o",
+        {
+            "source": "ed_o_src",
+            "destination": "ed_o_out",
+            "method": "editdistance",
+            "max_edit": 1,
+            "block_chars": 10,
+        },
+    )
+    got = {r.doc_id for r in spark.table("ed_o_out").collect()}
+    want, _ = _model_editdistance_kept(rows, max_edit=1, block_chars=10)
+    assert got == want
+    from sayn_spark.operators.dedup import DedupTask
+
+    for bad in (
+        {"source": "t", "destination": "o", "method": "editdistance", "max_edit": 0},
+        {"source": "t", "destination": "o", "method": "editdistance",
+         "threshold": 0.8},
+        {"source": "t", "destination": "o", "method": "minhash", "max_edit": 3},
+        {"source": "t", "mode": "incremental", "index_table": "i",
+         "matches_table": "m", "method": "editdistance"},
+    ):
+        t = DedupTask("bad", bad, dedup_ctx)
+        with pytest.raises(ValueError):
+            t.config()
