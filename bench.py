@@ -79,6 +79,7 @@ HEADLINE = [
     "task_filter_gopher",
     "task_ann_search_sq8",
     "task_ann_cascade",
+    "task_dedup_semantic",
 ]
 
 
@@ -267,11 +268,53 @@ def _bench_ann_cascade_task(spark, sf_dir: str) -> None:
     task.run()
 
 
+def _bench_dedup_semantic_task(spark, sf_dir: str) -> None:
+    """End-to-end SemDeDup task benchmark (r9 — the promoted
+    method=semantic): one cold run over the embeddings table built by
+    _setup_task_bench — label-centroid quantizer, in-cell Gram-matrix
+    cosine, per-pair keep=min drop, destination tmp-swap write."""
+    import shutil
+
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.dedup import DedupTask
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS bench_semdd_out")
+    if wh:
+        shutil.rmtree(os.path.join(wh, "bench_semdd_out"), ignore_errors=True)
+    ctx = TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={},
+        connections={},
+        project_dir=".",
+    )
+    task = DedupTask(
+        "bench_semdd",
+        {
+            "source": "bench_ann_src",
+            "destination": "bench_semdd_out",
+            "method": "semantic",
+            "id_column": "vec_id",
+        },
+        ctx,
+    )
+    task.config()
+    task.run()
+
+
 TASK_BENCH = {
     "task_dedup_incremental": _bench_dedup_task,
     "task_filter_gopher": _bench_filter_task,
     "task_ann_search_sq8": _bench_ann_search_task,
     "task_ann_cascade": _bench_ann_cascade_task,
+    "task_dedup_semantic": _bench_dedup_semantic_task,
 }
 
 
