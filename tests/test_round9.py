@@ -757,3 +757,28 @@ def test_editdistance_task_options(dedup_ctx, spark):
         t = DedupTask("bad", bad, dedup_ctx)
         with pytest.raises(ValueError):
             t.config()
+
+
+def test_editdistance_recall_report_shape(spark):
+    """The blocking-recall instrument (q_dedup_editdistance_recall)
+    must report a consistent integer ledger: blocked + missed = true,
+    recall_ppm the floor-division of the two, and on the registered
+    corpus (suffix mutations preserve the 24-char prefix) zero
+    cross-block misses."""
+    from sayn_spark.functions import REGISTRY
+    from sayn_spark.functions.registry import release_persisted
+
+    try:
+        row = (
+            REGISTRY["q_dedup_editdistance_recall"]
+            .fn(spark, SF_SMOKE)
+            .collect()[0]
+        )
+    finally:
+        release_persisted()
+    assert row.n_true_pairs == row.n_blocked_true + row.n_missed_cross_block
+    assert row.recall_ppm == (row.n_blocked_true * 1_000_000) // max(
+        row.n_true_pairs, 1
+    )
+    assert row.n_true_pairs > 0  # the sampled copies must register
+    assert row.n_missed_cross_block == 0
