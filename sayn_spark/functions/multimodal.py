@@ -756,11 +756,10 @@ def jpeg_encode_color(
     quant_luma=None,
     quant_chroma=None,
     restart_interval: int = 0,
+    sampling: tuple = (2, 2),
 ) -> bytes:
     """A real, spec-valid COLOR baseline JPEG (SOF0): three components
-    in YCbCr with 4:2:0 subsampling — Y at full resolution (sampling
-    2x2), Cb/Cr at half resolution (1x1) — one interleaved scan whose
-    MCU is 4 Y blocks + 1 Cb + 1 Cr, two quantization tables (luma
+    in YCbCr, one interleaved scan, two quantization tables (luma
     tq=0, chroma tq=1; defaults all-1s — lossless for block-constant
     planes; pass JPEG_STD_QUANT / JPEG_STD_QUANT_CHROMA for the Annex
     K lossy pair), four Annex K Huffman tables (luma + chroma DC/AC),
@@ -770,19 +769,28 @@ def jpeg_encode_color(
     resets all three DC predictors (T.81 E.1.4) — the resilience
     feature real crawl JPEGs carry.
 
-    Callers pass pre-subsampled planes (``cb``/``cr`` are
-    (width/2) x (height/2)); gray content is Y=v, Cb=Cr=128 (the JFIF
-    BT.601 transform is exactly neutral on R=G=B).  Dimensions must be
-    multiples of 16 (one full MCU — no edge-extension padding; the
-    DECODER handles arbitrary SOF dimensions by cropping edge MCUs)."""
+    ``sampling`` = (h, v) is the LUMA sampling factor pair, chroma
+    always 1x1 — (2, 2) is 4:2:0 (MCU = 4 Y + Cb + Cr, the web
+    default), (2, 1) 4:2:2, (1, 2) 4:4:0, (1, 1) 4:4:4 — every layout
+    the decoder supports, so each decode path has an in-module
+    round-trip witness.  Callers pass pre-subsampled planes
+    (``cb``/``cr`` are (width/h) x (height/v)); gray content is Y=v,
+    Cb=Cr=128 (the JFIF BT.601 transform is exactly neutral on
+    R=G=B).  Dimensions must be whole MCUs — multiples of 8h x 8v (no
+    edge-extension padding; the DECODER handles arbitrary SOF
+    dimensions by cropping edge MCUs)."""
     import numpy as np
 
-    if width % 16 or height % 16:
+    if tuple(sampling) not in ((1, 1), (1, 2), (2, 1), (2, 2)):
+        raise ValueError("jpeg_encode_color: sampling must be (h, v) with h, v in {1, 2}")
+    sh, sv = int(sampling[0]), int(sampling[1])
+    if width % (8 * sh) or height % (8 * sv):
         raise ValueError(
-            "jpeg_encode_color: dimensions must be multiples of 16 (full "
-            "4:2:0 MCUs; pad upstream — the decoder crops)"
+            f"jpeg_encode_color: dimensions must be multiples of "
+            f"{8 * sh}x{8 * sv} (full {sh}x{sv}-sampled MCUs; pad upstream "
+            "— the decoder crops)"
         )
-    cw, ch = width // 2, height // 2
+    cw, ch = width // sh, height // sv
     if len(y) != width * height or len(cb) != cw * ch or len(cr) != cw * ch:
         raise ValueError(
             f"jpeg_encode_color: need {width * height} luma and "
@@ -814,15 +822,15 @@ def jpeg_encode_color(
     prev = [0, 0, 0]  # per-component DC predictors
     mcu_count = 0
     rst = 0
-    for my in range(height // 16):
-        for mx in range(width // 16):
+    for my in range(height // (8 * sv)):
+        for mx in range(width // (8 * sh)):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 w.restart(rst)
                 rst += 1
                 prev = [0, 0, 0]
-            for v in range(2):  # 4 luma blocks, raster order in the MCU
-                for u in range(2):
-                    by, bx = my * 16 + v * 8, mx * 16 + u * 8
+            for v in range(sv):  # luma blocks, raster order in the MCU
+                for u in range(sh):
+                    by, bx = (my * sv + v) * 8, (mx * sh + u) * 8
                     block = Y[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
                     prev[0] = _jpeg_encode_block(w, block, qym, C, dc_y, ac_y, prev[0])
             for ci, plane in ((1, Cb), (2, Cr)):
@@ -840,11 +848,12 @@ def jpeg_encode_color(
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, b"\x00" + zz_qy + b"\x01" + zz_qc)
-    # SOF0: comp 1 = Y (h=2, v=2, tq 0); comps 2, 3 = Cb, Cr (1, 1, tq 1)
+    # SOF0: comp 1 = Y (h, v, tq 0); comps 2, 3 = Cb, Cr (1, 1, tq 1)
     out += seg(
         0xFFC0,
         struct.pack(">BHHB", 8, height, width, 3)
-        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01",
+        + bytes((0x01, (sh << 4) | sv, 0x00))
+        + b"\x02\x11\x01\x03\x11\x01",
     )
     out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))

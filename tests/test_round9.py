@@ -477,7 +477,7 @@ from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 
-def _color_payload(yb, cbb, crb, ri=0):
+def _color_payload(yb, cbb, crb, ri=0, sampling=(2, 2)):
     """Encode block-constant planes from small per-block value grids."""
     from sayn_spark.functions.multimodal import jpeg_encode_color
 
@@ -487,24 +487,29 @@ def _color_payload(yb, cbb, crb, ri=0):
         np.kron(np.asarray(yb), ones).astype(np.uint8).tobytes(),
         np.kron(np.asarray(cbb), ones).astype(np.uint8).tobytes(),
         np.kron(np.asarray(crb), ones).astype(np.uint8).tobytes(),
-        mw * 16,
-        mh * 16,
+        mw * 8 * sampling[0],
+        mh * 8 * sampling[1],
         restart_interval=ri,
+        sampling=sampling,
     )
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     mw=st.integers(min_value=1, max_value=3),
     mh=st.integers(min_value=1, max_value=3),
     ri=st.integers(min_value=0, max_value=3),
+    sh=st.integers(min_value=1, max_value=2),
+    sv=st.integers(min_value=1, max_value=2),
     data=st.data(),
 )
-def test_jpeg_color_block_constant_roundtrip_property(mw, mh, ri, data):
-    """PROPERTY: any block-constant YCbCr 4:2:0 image round-trips all
-    three planes bit-exactly under flat quant, for ANY restart interval
-    (0 = no DRI; 1-3 exercise RSTn cycling + DC predictor resets) —
-    the exactness the registered color oracle relies on."""
+def test_jpeg_color_block_constant_roundtrip_property(mw, mh, ri, sh, sv, data):
+    """PROPERTY: any block-constant YCbCr image round-trips all three
+    planes bit-exactly under flat quant, for EVERY supported sampling
+    layout (4:2:0 / 4:2:2 / 4:4:0 / 4:4:4 — each decode path gets a
+    round-trip witness, not just the web-default 2x2) and ANY restart
+    interval (0 = no DRI; 1-3 exercise RSTn cycling + DC predictor
+    resets) — the exactness the registered color oracle relies on."""
     from sayn_spark.functions.multimodal import jpeg_parse
 
     def grid(rows, cols):
@@ -518,12 +523,12 @@ def test_jpeg_color_block_constant_roundtrip_property(mw, mh, ri, data):
             )
         ).reshape(rows, cols)
 
-    yb = grid(2 * mh, 2 * mw)
+    yb = grid(sv * mh, sh * mw)
     cbb = grid(mh, mw)
     crb = grid(mh, mw)
-    payload = _color_payload(yb, cbb, crb, ri=ri)
+    payload = _color_payload(yb, cbb, crb, ri=ri, sampling=(sh, sv))
     w, h, nc, planes = jpeg_parse(payload, want_planes=True)
-    assert (w, h, nc) == (mw * 16, mh * 16, 3)
+    assert (w, h, nc) == (mw * 8 * sh, mh * 8 * sv, 3)
     ones = np.ones((8, 8), dtype=np.int64)
     for plane, blocks in zip(planes, (yb, cbb, crb)):
         want = np.kron(blocks, ones).astype(np.uint8)
