@@ -524,8 +524,13 @@ def simhash_signatures_for(corpus: DataFrame, n_bands: int = 8) -> DataFrame:
     """_simhash_signatures over an arbitrary (doc_id, text) corpus —
     the signature stage shared by the registered queries and the dedup
     task's ``method: simhash`` (which fans its own corpus out)."""
-    if 64 % n_bands != 0:
-        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if not 1 <= n_bands <= 16 or 64 % n_bands != 0:
+        # the upper bound is a plan-size guard, not a math one: the
+        # combo probe emits C(n_bands, 3) named_structs per doc, so 32+
+        # bands would build a multi-megabyte explode expression
+        raise ValueError(
+            f"n_bands must divide 64 and be in [1, 16], got {n_bands}"
+        )
     # drop zero-token documents (empty/whitespace-only text) BEFORE the
     # vote fold: they'd otherwise carry an all-zero signature, collide
     # with each other in every band, and emit O(n_empty^2) hamming-0
@@ -688,12 +693,10 @@ def simhash_pairs(
     """SimHash near-dup pairs within Hamming ``radius``, banded with
     ``n_bands`` bands (width 64/n_bands bits) and probed on band combos
     — see ``_simhash_candidates`` for the exact-recall argument."""
-    sig = persist_tracked(_simhash_signatures(spark, sf_dir, n_bands))
-    hamming = F.expr(_simhash_hamming(n_bands))
-    return (
-        _simhash_candidates(sig, n_bands, radius)
-        .where(hamming <= radius)
-        .select("id_a", "id_b", hamming.alias("hamming"))
+    return simhash_dup_pairs(
+        _fan_out(_doc_corpus(spark, sf_dir, mutate=" zz qq"), spark, sf_dir),
+        n_bands,
+        radius,
     )
 
 
@@ -1452,13 +1455,16 @@ def _semantic_pairs_fn(thr: float):
 def semantic_cells(
     vectors: DataFrame, cent: DataFrame, cell_cap: int | None = None
 ) -> DataFrame:
-    """(vec_id, cell, e) nearest-centroid assignment of a (vec_id, e)
-    frame against a broadcast (c_label, ce) centroid frame — the
-    SemDeDup coarse-quantizer stage shared by q_dedup_semantic and the
-    dedup task's ``method: semantic``.  min(struct(d2, label)) picks
-    the nearest centroid with the (distance, label) tie-break — no
-    per-vector window.  The cell-cap guard fails fast BEFORE any
-    pairwise work when a cell would not fit one executor."""
+    """PERSISTED (vec_id, cell) nearest-centroid assignment of a
+    (vec_id, e) frame against a broadcast (c_label, ce) centroid frame
+    — the SemDeDup coarse-quantizer stage shared by q_dedup_semantic
+    and the dedup task's ``method: semantic``.  min(struct(d2, label))
+    picks the nearest centroid with the (distance, label) tie-break —
+    no per-vector window.  The cell-cap guard fails fast BEFORE any
+    pairwise work when a cell would not fit one executor.  Callers
+    needing the vectors alongside the cell join ``e`` back on
+    (the slim persisted frame serves counting/anti-join paths without
+    re-reading embeddings)."""
     d2 = F.round(
         F.expr(
             "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
@@ -1473,7 +1479,7 @@ def semantic_cells(
         .select("vec_id", F.col("m.cl").alias("cell"))
     )
     _check_semantic_cell_cap(cells, cap=cell_cap)
-    return cells.join(vectors.select("vec_id", "e"), "vec_id")
+    return cells
 
 
 @register(
@@ -1560,7 +1566,8 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cent = _centroid_arrays(emb.select("label", "e"))
-    sided = semantic_cells(normed.select("vec_id", "e"), cent)
+    cells = semantic_cells(normed.select("vec_id", "e"), cent)
+    sided = cells.join(normed.select("vec_id", "e"), "vec_id")
     # the in-cell pairwise cosine runs as ONE numpy Gram matrix per
     # cell (SemDeDup's own per-cluster computation) instead of an
     # 800k-row interpreted-HOF self-join — measured ~15x on this stage
@@ -1574,8 +1581,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         _semantic_dropped_per_cell, schema="vec_id long"
     ).withColumn("is_dropped", F.lit(1))
     return (
-        sided.select("vec_id", "cell")
-        .join(dropped, "vec_id", "left")
+        cells.join(dropped, "vec_id", "left")
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -1988,13 +1994,15 @@ def gated_containment_pairs(
     corpus' spread exceeds the chosen gate's probe reach (VERDICT r8
     item 3 — the response is MEASURED, not structural):
     "measure" (default) counts the qualifying pairs the contract
-    actually excludes (exact shingle verify restricted to
-    ratio >= max_ratio pairs, deterministically sampled on big
-    corpora) and warns WITH that count — or stays silent when the
-    measured count is 0, so a corpus whose wide pairs are all
-    non-qualifying runs warning-free; "strict" runs the same
-    measurement but RAISES on a nonzero count so scheduled pipeline
-    runs cannot swallow a real recall breach in logs; "warn" keeps the
+    actually excludes (exact shingle verify restricted to pairs beyond
+    the probe reach, deterministically 1-in-5 sampled above
+    {_OOC_EXACT_MAX_DOCS} docs — a best-effort estimate, so a zero can
+    under-report on a sampled corpus) and warns WITH that count — or
+    stays silent when the measured count is 0, so a corpus whose wide
+    pairs are all non-qualifying runs warning-free; "strict" measures
+    EXACTLY (never sampled — a scheduled run that opted into failing
+    on a breach must not false-negative through sampling) and RAISES
+    on a nonzero count; "warn" keeps the
     structural r6 behavior (spread alone triggers, count reported as
     unmeasured — no measurement job); "skip" omits the probe entirely
     (no extra Spark job) for callers that already know their corpus'
@@ -2010,12 +2018,28 @@ def gated_containment_pairs(
             "threshold >= 0.9 (lower thresholds need more bands — "
             "re-derive _LE_GATES)"
         )
+    spread_row = None
     if max_ratio == "auto":
         shingled = _staged_shingles(corpus, persist=True).where(F.size("sh") > 0)
-        row = shingled.select(
-            F.floor(F.log2(F.size("sh"))).cast("int").alias("part")
-        ).agg(F.min("part").alias("lo"), F.max("part").alias("hi")).collect()[0]
-        spread = 0 if row["lo"] is None else int(row["hi"]) - int(row["lo"])
+        # one scalar agg decides the gate AND feeds the spread check
+        # below (no second min/max job); note auto itself costs this
+        # probe even under spread_check="skip"
+        spread_row = (
+            shingled.select(
+                F.floor(F.log2(F.size("sh"))).cast("int").alias("part")
+            )
+            .agg(
+                F.min("part").alias("lo"),
+                F.max("part").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        spread = (
+            0
+            if spread_row["lo"] is None
+            else int(spread_row["hi"]) - int(spread_row["lo"])
+        )
         max_ratio = next(
             (r for r in sorted(_LE_GATES) if max(_LE_GATES[r]["bands"]) >= spread),
             max(_LE_GATES),
@@ -2033,7 +2057,13 @@ def gated_containment_pairs(
         shingled, sigs = _containment_gate_frames(corpus, n_hashes=gate["n_hashes"])
     if spread_check != "skip":
         _check_spread_contract(
-            shingled, sigs, gate["bands"], max_ratio, float(threshold), spread_check
+            shingled,
+            sigs,
+            gate["bands"],
+            max_ratio,
+            float(threshold),
+            spread_check,
+            spread_row=spread_row,
         )
     screened = _containment_screened(
         shingled, sigs, gate["bands"], gate["n_hashes"], float(threshold)
@@ -2083,6 +2113,7 @@ def _out_of_contract_pairs(
     n_docs: int,
     lo: int,
     hi: int,
+    exact: bool = False,
 ) -> tuple[int, int]:
     """(measured count, sample_mod) of qualifying containment pairs
     the gate structurally misses: containment >= threshold AND
@@ -2098,7 +2129,7 @@ def _out_of_contract_pairs(
     stream the gate itself exists to avoid.  Each such pair has
     exactly one (small, large) orientation, so no normalisation is
     needed before the group count."""
-    mod = 1 if n_docs <= _OOC_EXACT_MAX_DOCS else _OOC_SAMPLE_MOD
+    mod = 1 if (exact or n_docs <= _OOC_EXACT_MAX_DOCS) else _OOC_SAMPLE_MOD
     parted = shingled.select(
         "doc_id", "sh", F.floor(F.log2(F.size("sh"))).cast("int").alias("part")
     )
@@ -2135,6 +2166,7 @@ def _check_spread_contract(
     max_ratio: int,
     threshold: float,
     mode: str,
+    spread_row=None,
 ) -> None:
     """Recall-contract check: probes reach only partition gap
     max(bands), so a qualifying pair at a wider gap — size ratio >=
@@ -2151,11 +2183,13 @@ def _check_spread_contract(
     import warnings
 
     max_gap = max(bands)
-    row = sigs.agg(
-        F.min("part").alias("lo"),
-        F.max("part").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
+    row = spread_row
+    if row is None:
+        row = sigs.agg(
+            F.min("part").alias("lo"),
+            F.max("part").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
     if row["lo"] is None:
         return
     spread = int(row["hi"]) - int(row["lo"])
@@ -2167,6 +2201,11 @@ def _check_spread_contract(
             "only — re-run with spread_check='measure' for the count)"
         )
     else:
+        # "strict" exists so scheduled runs FAIL on a real breach — it
+        # must never false-negative through sampling, so it always
+        # measures exactly (the caller opted into paying for
+        # certainty); "measure" stays best-effort sampled on big
+        # corpora
         count, mod = _out_of_contract_pairs(
             shingled,
             max_gap,
@@ -2174,6 +2213,7 @@ def _check_spread_contract(
             int(row["n"]),
             int(row["lo"]),
             int(row["hi"]),
+            exact=mode == "strict",
         )
         if count == 0:
             return  # contract empirically vacuous on this corpus

@@ -600,9 +600,15 @@ class _BitReader:
 
     def bit(self) -> int:
         if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG scan: entropy data ends early")
             b = self.data[self.pos]
             self.pos += 1
             if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError(
+                        "truncated JPEG scan: entropy data ends mid-marker"
+                    )
                 nxt = self.data[self.pos]
                 if nxt == 0x00:
                     self.pos += 1
@@ -629,9 +635,11 @@ class _BitReader:
         precede the marker — anything else is a malformed stream."""
         self.n = 0
         p = self.pos
+        if p + 1 >= len(self.data):
+            raise ValueError("truncated JPEG scan: ends at a restart boundary")
         for skip in (0, 2 if self.data[p] == 0xFF and self.data[p + 1] == 0x00 else 1):
             q = p + skip
-            if self.data[q] == 0xFF and 0xD0 <= self.data[q + 1] <= 0xD7:
+            if q + 1 < len(self.data) and self.data[q] == 0xFF and 0xD0 <= self.data[q + 1] <= 0xD7:
                 self.pos = q + 2
                 return self.data[q + 1] - 0xD0
         raise ValueError(
@@ -869,6 +877,20 @@ def jpeg_encode_color(
 
 
 def jpeg_parse(payload: bytes, want_pixels: bool = False, want_planes: bool = False):
+    """Crawl-facing error contract around _jpeg_parse_impl (which holds
+    the full decoder docstring): NotImplementedError = a feature this
+    codec documents as out of scope (progressive, arithmetic, sampled
+    chroma); ValueError = a truncated or corrupt payload — low-level
+    IndexError/KeyError/struct.error from malformed bytes never escape
+    raw, so ``on_decode_error: skip`` callers and per-row error
+    handling can rely on exactly two exception types."""
+    try:
+        return _jpeg_parse_impl(payload, want_pixels, want_planes)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt JPEG payload: {e!r}") from e
+
+
+def _jpeg_parse_impl(payload: bytes, want_pixels: bool = False, want_planes: bool = False):
     """Parse a baseline JPEG: (width, height, n_components[, luma]).
 
     Walks the marker stream (APPn/COM skipped by length), reads DQT /
@@ -910,6 +932,8 @@ def jpeg_parse(payload: bytes, want_pixels: bool = False, want_planes: bool = Fa
         # 0xFF as a length byte
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: payload ends in fill bytes")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -918,7 +942,9 @@ def jpeg_parse(payload: bytes, want_pixels: bool = False, want_planes: bool = Fa
             # TEM / standalone RSTn between segments carry no length
             continue
         if pos + 2 > len(data):
-            break
+            raise ValueError(
+                f"truncated JPEG: marker 0xFF{marker:02X} has no length field"
+            )
         (seg_len,) = struct.unpack(">H", data[pos : pos + 2])
         body = data[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT (possibly several tables per segment)

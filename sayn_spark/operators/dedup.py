@@ -119,7 +119,12 @@ _METHODS = (
     "phash",
 )
 
-_LE_RATIOS = (8, 32)  # functions/dedup.py:_LE_GATES contracts
+def _le_ratios() -> tuple:
+    """The containment gate contracts, read from the engine's own
+    table so a new gate is task-reachable without a second edit."""
+    from sayn_spark.functions.dedup import _LE_GATES
+
+    return tuple(sorted(_LE_GATES))
 _SPREAD_CHECKS = ("measure", "warn", "strict", "skip")
 
 
@@ -208,9 +213,11 @@ class DedupTask(Task):
                 f"dedup task {self.name!r}: n_bands applies to method=simhash only"
             )
         if self.method == "simhash":
-            if 64 % self.n_bands != 0:
+            if not 1 <= self.n_bands <= 16 or 64 % self.n_bands != 0:
                 raise ValueError(
-                    f"dedup task {self.name!r}: n_bands must divide 64"
+                    f"dedup task {self.name!r}: n_bands must divide 64 and "
+                    "be in [1, 16] (wider band sets explode the combo probe "
+                    "plan)"
                 )
             if c.get("verify") is not None or c.get("threshold") is not None:
                 raise ValueError(
@@ -252,10 +259,10 @@ class DedupTask(Task):
             )
         if self.max_ratio != "auto":
             self.max_ratio = int(self.max_ratio)
-            if self.max_ratio not in _LE_RATIOS:
+            if self.max_ratio not in _le_ratios():
                 raise ValueError(
                     f"dedup task {self.name!r}: max_ratio must be 'auto' or "
-                    f"one of {_LE_RATIOS}"
+                    f"one of {_le_ratios()}"
                 )
         self.spread_check = c.get("spread_check", "measure")
         if c.get("spread_check") is not None and self.method != "containment":
@@ -580,9 +587,10 @@ class DedupTask(Task):
             F.expr(f"cast({self.embedding_column} as array<double>)").alias("e"),
         )
         cent = _centroid_arrays(vectors.select("label", "e"))
-        return semantic_cells(
+        cells = semantic_cells(
             vectors.select("vec_id", "e"), cent, cell_cap=self.cell_cap
         )
+        return cells.join(vectors.select("vec_id", "e"), "vec_id")
 
     def _soft_weights(self, docs: DataFrame) -> DataFrame:
         """(id, weight_ppm): 1e6 / near-dup-cluster size — the

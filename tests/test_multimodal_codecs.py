@@ -424,8 +424,11 @@ def test_jpeg_parse_truncated_payload_never_hangs(cut, seed):
     trunc = payload[: min(cut, len(payload))]
     try:
         jpeg_parse(trunc, want_pixels=True)
-    except Exception:
-        pass  # any clean Python error is fine; hanging/crashing is not
+    except (ValueError, NotImplementedError):
+        pass  # the decoder's documented error contract (r9): malformed
+        # bytes -> ValueError, out-of-scope features ->
+        # NotImplementedError; anything else (IndexError, struct.error)
+        # is a contract breach and fails this test
 
 
 @settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))

@@ -554,8 +554,8 @@ def test_jpeg_color_truncated_payload_never_hangs(cut, seed):
     )
     try:
         jpeg_parse(payload[: min(cut, len(payload))], want_pixels=True)
-    except Exception:
-        pass
+    except (ValueError, NotImplementedError):
+        pass  # the only two exception types the decoder contract allows
 
 
 def test_jpeg_color_gray_content_is_neutral_and_feeds_phash():
@@ -787,3 +787,64 @@ def test_editdistance_recall_report_shape(spark):
     )
     assert row.n_true_pairs > 0  # the sampled copies must register
     assert row.n_missed_cross_block == 0
+
+
+# -- review fixes: strict never samples; JPEG truncation contract ---------
+
+
+def test_containment_strict_measures_exactly_despite_sampling(spark, monkeypatch):
+    """Review fix: under sampling (big corpora), mode='measure' is a
+    best-effort estimate and may stay silent on an unsampled breach —
+    but mode='strict' must measure EXACTLY and still raise.  Forced
+    here by capping the exact-measure threshold at 1 doc and planting
+    the out-of-contract pair on a small-side doc the 1-in-5 xxhash
+    sample EXCLUDES."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    import sayn_spark.functions.dedup as D
+    from sayn_spark.functions.registry import release_persisted
+
+    probe = (
+        spark.range(2, 60)
+        .select("id", F.pmod(F.xxhash64("id"), F.lit(5)).alias("m"))
+        .collect()
+    )
+    unsampled = next(int(r.id) for r in probe if r.m != 0)
+    base = [f"t{i}" for i in range(66)]  # 64 shingles -> part 6
+    docs = {
+        1: base,
+        unsampled: base[10:17],  # 5 shingles, contained, ratio 12.8
+        70: ["a", "b", "c"],
+        71: [f"m{i}" for i in range(12)],
+    }
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string"
+    )
+    monkeypatch.setattr(D, "_OOC_EXACT_MAX_DOCS", 1)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # sampled measure: silent
+            D.gated_containment_pairs(df).collect()
+        with pytest.raises(ValueError, match="measured 1 qualifying"):
+            D.gated_containment_pairs(df, spread_check="strict").collect()
+    finally:
+        release_persisted()
+
+
+def test_jpeg_truncation_raises_valueerror_not_indexerror():
+    """The decoder's crawl-facing error contract: malformed payloads
+    raise ValueError (never raw IndexError/KeyError/struct.error)."""
+    from sayn_spark.functions.multimodal import jpeg_parse
+
+    payload = _gray_jpeg()
+    cases = [
+        b"\xff\xd8\xff\xff",          # ends in fill bytes
+        b"\xff\xd8\xff\xdb",          # marker with no length field
+        payload[:21],                  # truncated header segment
+        payload[: len(payload) - 40],  # truncated entropy scan
+    ]
+    for c in cases:
+        with pytest.raises((ValueError, NotImplementedError)):
+            jpeg_parse(c, want_pixels=True)
