@@ -427,21 +427,28 @@ def main() -> None:
         spread[name] = round(max(w) - min(w), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(warm.values()), 3),
-                "unit": "sec",
-                "queries": warm,
-                "queries_spread": spread,
-                "queries_cold": cold,
-                "value_cold": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "trials": trials,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "queries": warm,
+        "queries_spread": spread,
+        "queries_cold": cold,
+        "value_cold": round(sum(cold.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "trials": trials,
+    }
+    # stdout carries exactly ONE compact JSON line: the driver keeps only a
+    # 2000-char tail of bench output, so the full per-line detail (cold
+    # medians, spreads, 3-decimal precision) goes to BENCH_DETAIL.json and
+    # stdout stays small enough to survive the capture intact.
+    compact = dict(full)
+    compact["queries"] = {k: round(v, 2) for k, v in warm.items()}
+    del compact["queries_spread"]
+    del compact["queries_cold"]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 
