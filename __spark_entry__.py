@@ -42,6 +42,19 @@ _SENTINELS = [
     "q_events_sessionize",
 ]
 
+# Queries whose SEMANTICS changed in a round (corpus, schema, or result
+# contract) mapped to that round number: green evidence from EARLIER
+# rounds certifies the old semantics, so until an artifact from >= that
+# round greens them they sort as never-verified.  Self-retiring — once
+# the driver re-verifies at or past the listed round, normal staleness
+# ordering resumes.
+_SEMANTICS_CHANGED = {
+    # r10: adversarial corpus (prefix twins) + dual-key blocking +
+    # dual-recall report columns
+    "q_dedup_editdistance": 10,
+    "q_dedup_editdistance_recall": 10,
+}
+
 
 def _entry_green(v: object) -> bool:
     """A fully-green artifact cell: no error and every present match
@@ -103,6 +116,9 @@ def _ordered_names(artifact_dir: str | None = None) -> list[str]:
     if missing:
         raise KeyError(f"sentinel names not in REGISTRY: {missing}")
     hist = _driver_history(artifact_dir)
+    for name, since in _SEMANTICS_CHANGED.items():
+        if hist.get(name, 0) < since:
+            hist.pop(name, None)
     rest = [n for n in REGISTRY if n not in set(_SENTINELS)]
     rest.sort(key=lambda n: (hist.get(n, 0), n))
     return _SENTINELS + rest

@@ -1177,11 +1177,41 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ED_BLOCK = 24  # blocking-key length (chars)
 _ED_MAX = 8     # edit-distance threshold
 
+# editdistance corpus: the suffix twin (+100000) is the pair prefix
+# blocking catches; the prefix twin (+200000, edit distance 3 INSIDE
+# the first block_chars characters) is the pair prefix blocking
+# structurally misses — planted so both the production operator's
+# suffix-key arm and the recall instrument's cross-block counter have
+# something real to measure (VERDICT r9: a corpus whose only mutations
+# preserve the blocking prefix cannot produce a nonzero miss count).
+_SQL_CORPUS_ED = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
+  UNION ALL SELECT doc_id + 200000, 'zq ' || text FROM documents
+)"""
+
+
+def _ed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ suffix-mutated copy (+100000) ∪ prefix-mutated copy
+    (+200000) — the editdistance family's adversarial corpus
+    (_SQL_CORPUS_ED's Spark twin)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" zz qq")).alias("text"),
+    )
+    prefix = d.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("zq "), "text").alias("text"),
+    )
+    return d.unionByName(suffix).unionByName(prefix)
+
 
 @register(
     "q_dedup_editdistance",
     oracle=f"""
-WITH {_SQL_CORPUS_NEAR}
+WITH {_SQL_CORPUS_ED}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        levenshtein(a.text, b.text) AS edit_dist
 FROM corpus a
@@ -1189,37 +1219,50 @@ JOIN corpus b
   ON substr(a.text, 1, {_ED_BLOCK}) = substr(b.text, 1, {_ED_BLOCK})
  AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= {_ED_MAX}
+UNION ALL
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.text, b.text) AS edit_dist
+FROM corpus a
+JOIN corpus b
+  ON right(a.text, {_ED_BLOCK}) = right(b.text, {_ED_BLOCK})
+ AND substr(a.text, 1, {_ED_BLOCK}) <> substr(b.text, 1, {_ED_BLOCK})
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= {_ED_MAX}
 """,
 )
 def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup pairs under prefix blocking: candidates
-    share their first {_ED_BLOCK} characters (one shuffle on a short
-    block key), then Levenshtein <= {_ED_MAX} verifies — the O(len^2)
-    distance runs only inside blocks, never across the full corpus.
-    Catches the suffix-mutated copies (distance 6) that token-set
-    Jaccard also finds, but via a character-level metric that survives
-    whitespace/token boundary changes Jaccard cannot.
+    """Edit-distance near-dup pairs under DUAL-KEY blocking: candidates
+    share their first OR last {_ED_BLOCK} characters (two short block
+    keys exploded into one equi-join), then Levenshtein <= {_ED_MAX}
+    verifies — the O(len^2) distance runs only inside blocks, never
+    across the full corpus.  The suffix key exists because a single
+    prefix key has one documented structural miss: an edit inside the
+    first {_ED_BLOCK} characters moves a document out of its block (the
+    corpus plants exactly such prefix-mutated twins, distance 3, which
+    the suffix arm recovers — q_dedup_editdistance_recall publishes the
+    measured miss count of each key set).  Candidate cost is ~2x the
+    single-key plan; each surviving pair is still verified exactly once
+    (suffix-key matches are kept only when the prefix key would NOT
+    have caught the pair — a map-side filter, no distinct needed).
 
-    At 100 TB blocking keys come from several projections (prefix,
-    suffix, length band) unioned, and oversized blocks are capped or
-    salted — the verify stays proportional to candidate count either
-    way.  Both engines implement classic Levenshtein, so the distance
-    itself is part of the checked contract.
+    At 100 TB further key projections (length band, mid-block) union in
+    the same way, and oversized blocks are capped or salted — the
+    verify stays proportional to candidate count either way.  Both
+    engines implement classic Levenshtein, so the distance itself is
+    part of the checked contract.
     """
     # bounded Levenshtein inside editdistance_dup_pairs: with the
     # threshold argument Spark runs the banded O(k*len) algorithm and
     # bails at k+1 instead of filling the O(len^2) DP table per pair —
     # returns the exact distance when <= k and -1 otherwise, so the
     # filter is equivalent (measured ~3x on the blocked candidates)
-    return editdistance_dup_pairs(
-        _fan_out(_doc_corpus(spark, sf_dir, mutate=" zz qq"), spark, sf_dir)
-    )
+    return editdistance_dup_pairs(_fan_out(_ed_corpus(spark, sf_dir), spark, sf_dir))
 
 
 @register(
     "q_dedup_editdistance_recall",
     oracle=f"""
-WITH {_SQL_CORPUS_NEAR},
+WITH {_SQL_CORPUS_ED},
 sample AS (
   SELECT doc_id, text FROM corpus WHERE (doc_id % 100000) % 5 = 0
 ),
@@ -1230,7 +1273,10 @@ sized AS (
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          (substr(a.text, 1, {_ED_BLOCK}) = substr(b.text, 1, {_ED_BLOCK}))
-           AS same_block
+           AS same_block,
+         (substr(a.text, 1, {_ED_BLOCK}) = substr(b.text, 1, {_ED_BLOCK})
+          OR right(a.text, {_ED_BLOCK}) = right(b.text, {_ED_BLOCK}))
+           AS dual_block
   FROM sized a
   JOIN sized b
     ON a.doc_id < b.doc_id
@@ -1245,25 +1291,35 @@ SELECT CAST((SELECT COUNT(*) FROM sized) AS BIGINT) AS n_docs,
        CAST((SUM(CASE WHEN same_block THEN 1 ELSE 0 END) * 1000000)
             // greatest(COUNT(*), 1) AS BIGINT) AS recall_ppm,
        CAST(SUM(CASE WHEN same_block THEN 0 ELSE 1 END) AS BIGINT)
-         AS n_missed_cross_block
+         AS n_missed_cross_block,
+       CAST(SUM(CASE WHEN dual_block THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dual_true,
+       CAST((SUM(CASE WHEN dual_block THEN 1 ELSE 0 END) * 1000000)
+            // greatest(COUNT(*), 1) AS BIGINT) AS recall_dual_ppm,
+       CAST(SUM(CASE WHEN dual_block THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_missed_dual
 FROM pairs
 """,
 )
 def q_dedup_editdistance_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-measured recall report for editdistance prefix blocking on
-    a deterministic 20% sample of the registered corpus (base-id % 5,
-    so mutated copies stay with their donors): TRUE pairs at
+    """Self-measured recall report for editdistance blocking on a
+    deterministic 20% sample of the ADVERSARIAL corpus (base-id % 5, so
+    mutated copies stay with their donors; the corpus plants BOTH
+    suffix-mutated twins, which prefix blocking catches, and
+    prefix-mutated twins, which it structurally cannot): TRUE pairs at
     Levenshtein <= {_ED_MAX} are found exhaustively within a
     length-window join (|len difference| <= {_ED_MAX} is NECESSARY for
     distance <= {_ED_MAX}, so bucketing lengths by {_ED_MAX} and
-    probing the 3 neighboring buckets loses nothing), then split by
-    whether the pair shares the {_ED_BLOCK}-char blocking prefix —
-    recall_ppm is what q_dedup_editdistance's blocking actually
-    retains, and n_missed_cross_block is the documented trade (a
-    prefix edit moves a doc out of its block) as a measured number,
-    the q_dedup_containment_recall discipline applied to prefix
-    blocking.  All verdicts are integer comparisons on lengths and
-    counts — no FP boundary anywhere.
+    probing the 3 neighboring buckets loses nothing), then split two
+    ways: recall_ppm / n_missed_cross_block measure the SINGLE prefix
+    key (the r9 shape — now structurally capable of a nonzero miss, and
+    nonzero on this corpus), and recall_dual_ppm / n_missed_dual
+    measure the prefix ∪ suffix key set q_dedup_editdistance actually
+    ships, which recovers the planted prefix edits.  The
+    q_dedup_containment_recall discipline applied to blocking: the
+    instrument must be able to see the documented trade, not just
+    certify a friendly corpus.  All verdicts are integer comparisons on
+    lengths and counts — no FP boundary anywhere.
 
     Scale shape: the sample filter is map-side and first; the
     length-window truth join is the all-pairs-grade instrument cost
@@ -1275,9 +1331,7 @@ def q_dedup_editdistance_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     per candidate.
     """
     corpus = _fan_out(
-        _doc_corpus(spark, sf_dir, mutate=" zz qq").where(
-            (F.col("doc_id") % 100000) % 5 == 0
-        ),
+        _ed_corpus(spark, sf_dir).where((F.col("doc_id") % 100000) % 5 == 0),
         spark,
         sf_dir,
     )
@@ -1302,6 +1356,8 @@ def q_dedup_editdistance_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("pb"),
     )
     dist = F.expr(f"levenshtein(ta, tb, {_ED_MAX})")
+    same_prefix = F.substring("ta", 1, _ED_BLOCK) == F.substring("tb", 1, _ED_BLOCK)
+    same_suffix = F.expr(f"right(ta, {_ED_BLOCK}) = right(tb, {_ED_BLOCK})")
     pairs = (
         a.join(bb.hint("shuffle_hash"), "pb")
         .where(
@@ -1312,9 +1368,8 @@ def q_dedup_editdistance_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            (
-                F.substring("ta", 1, _ED_BLOCK) == F.substring("tb", 1, _ED_BLOCK)
-            ).alias("same_block"),
+            same_prefix.alias("same_block"),
+            (same_prefix | same_suffix).alias("dual_block"),
         )
     )
     n_docs = sized.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1322,6 +1377,9 @@ def q_dedup_editdistance_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_true_pairs"),
         F.coalesce(F.sum(F.col("same_block").cast("long")), F.lit(0)).alias(
             "n_blocked_true"
+        ),
+        F.coalesce(F.sum(F.col("dual_block").cast("long")), F.lit(0)).alias(
+            "n_dual_true"
         ),
     )
     return n_docs.crossJoin(stats).select(
@@ -1334,37 +1392,87 @@ def q_dedup_editdistance_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(n_true_pairs - n_blocked_true as bigint)").alias(
             "n_missed_cross_block"
         ),
+        F.col("n_dual_true").cast("bigint").alias("n_dual_true"),
+        F.expr(
+            "cast((n_dual_true * 1000000) div greatest(n_true_pairs, 1) as bigint)"
+        ).alias("recall_dual_ppm"),
+        F.expr("cast(n_true_pairs - n_dual_true as bigint)").alias("n_missed_dual"),
     )
 
 
 def editdistance_dup_pairs(
-    corpus: DataFrame, max_edit: int = _ED_MAX, block_chars: int = _ED_BLOCK
+    corpus: DataFrame,
+    max_edit: int = _ED_MAX,
+    block_chars: int = _ED_BLOCK,
+    block_keys: tuple = ("prefix", "suffix"),
 ) -> DataFrame:
     """``q_dedup_editdistance`` over an arbitrary (doc_id, text) corpus
     — the library entry point behind the dedup task's
     ``method: editdistance``.  Same plan as the registered query:
-    prefix blocking on ``block_chars`` characters (one shuffle of a
-    short key), bounded Levenshtein <= ``max_edit`` on in-block
-    candidates only (Spark's banded O(k*len) algorithm via the
-    threshold argument)."""
+    DUAL-KEY blocking (first and last ``block_chars`` characters,
+    kind-tagged and exploded into ONE equi-join on a short key), then
+    bounded Levenshtein <= ``max_edit`` on in-block candidates only
+    (Spark's banded O(k*len) algorithm via the threshold argument).
+
+    The suffix key recovers the single prefix key's documented
+    structural miss — an edit inside the first ``block_chars``
+    characters moves a document out of its prefix block
+    (q_dedup_editdistance_recall publishes the measured miss count of
+    each key set).  Each pair is verified exactly once: a suffix-key
+    match survives only when the pair's prefixes DIFFER (a map-side
+    filter on columns the join already carries — no distinct, no
+    second shuffle).  ``block_keys=("prefix",)`` restores the
+    single-key plan for corpora known to mutate only past the prefix.
+    """
     if max_edit < 1:
         raise ValueError("editdistance_dup_pairs: max_edit must be >= 1")
     if block_chars < 1:
         raise ValueError("editdistance_dup_pairs: block_chars must be >= 1")
+    keys = tuple(block_keys)
+    if not keys or len(set(keys)) != len(keys) or any(
+        k not in ("prefix", "suffix") for k in keys
+    ):
+        raise ValueError(
+            "editdistance_dup_pairs: block_keys must be a non-repeating "
+            f"subset of ('prefix', 'suffix'), got {block_keys!r}"
+        )
+    bc = int(block_chars)
+    # kind tags keep the two key spaces disjoint ('p:...' can never
+    # equal 's:...'), so one explode + one self-equi-join covers both
+    # arms; fan-out is 2 rows/doc — low enough that the planner's
+    # post-explode size estimate stays sane (the r6 high-fan-out
+    # broadcast lesson does not apply)
+    key_exprs = []
+    if "prefix" in keys:
+        key_exprs.append(f"concat('p:', substring(text, 1, {bc}))")
+    if "suffix" in keys:
+        key_exprs.append(f"concat('s:', right(text, {bc}))")
     blocked = corpus.select(
-        "doc_id", "text", F.substring("text", 1, int(block_chars)).alias("blk")
+        "doc_id",
+        "text",
+        F.explode(F.array(*[F.expr(e) for e in key_exprs])).alias("blk"),
     )
     a = blocked.alias("a")
     b = blocked.alias("b")
     dist = F.expr(f"levenshtein(a.text, b.text, {int(max_edit)})")
-    return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .where(dist >= 0)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            dist.alias("edit_dist"),
+    joined = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if "prefix" in keys and "suffix" in keys:
+        # emit each pair once: the suffix arm only reports pairs the
+        # prefix arm cannot see (kinds agree across the equi-join, so
+        # testing a.blk suffices)
+        joined = joined.where(
+            F.col("a.blk").startswith("p:")
+            | (
+                F.substring(F.col("a.text"), 1, bc)
+                != F.substring(F.col("b.text"), 1, bc)
+            )
         )
+    return joined.where(dist >= 0).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        dist.alias("edit_dist"),
     )
 
 

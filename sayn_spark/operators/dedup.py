@@ -62,11 +62,16 @@ Methods:
            ``measure``) counts any qualifying pairs beyond the probe
            reach and warns with the number (``strict`` raises,
            ``skip`` trusts the caller).
-- editdistance: prefix-blocked bounded Levenshtein <= ``max_edit``
-           (default 8) on candidates sharing their first
+- editdistance: dual-key-blocked bounded Levenshtein <= ``max_edit``
+           (default 8) on candidates sharing their first OR last
            ``block_chars`` characters (q_dedup_editdistance's engine)
            — character-level near-dup that survives whitespace /
-           token-boundary changes Jaccard cannot.
+           token-boundary changes Jaccard cannot.  ``block_keys``
+           (default ``[prefix, suffix]``) selects the key set:
+           ``[prefix]`` halves candidate cost but structurally misses
+           pairs whose edit falls inside the first ``block_chars``
+           characters (q_dedup_editdistance_recall measures the miss
+           count of each key set).
 - semantic: SemDeDup (Abbas et al., 2023) over an EMBEDDING column —
            coarse-quantize on deterministic ``label_column`` centroids
            (swap trained k-means in production), in-cell BLAS cosine,
@@ -91,6 +96,12 @@ highest ``score_column`` (ties -> lowest id) — the keep-best canonical
 selection from functions/components.py.  ``soft`` keeps EVERY row and
 adds ``weight_ppm`` = 1e6/cluster_size instead (q_dedup_soft_weights'
 SoftDeDup rule) — downweight duplicates rather than delete them.
+Exception: for ``method: semantic`` ``keep: min`` is PER-PAIR, not
+per-cluster — it applies the published SemDeDup rule (drop every
+vector with a qualifying smaller-id neighbor; no connected-components
+stage), so it keeps strictly more rows than cluster-min would whenever
+qualifying pairs chain; semantic keep=best/soft are cluster-relative
+like every other method.
 """
 
 from __future__ import annotations
@@ -219,18 +230,31 @@ class DedupTask(Task):
                     "be in [1, 16] (wider band sets explode the combo probe "
                     "plan)"
                 )
+            # the engine's pigeonhole recall argument needs at least one
+            # intact band: radius >= n_bands can never work, so fail at
+            # config time, not deep inside the Spark plan build
+            if self.max_hamming >= self.n_bands:
+                raise ValueError(
+                    f"dedup task {self.name!r}: method=simhash needs "
+                    f"max_hamming < n_bands for exact recall by pigeonhole "
+                    f"(got max_hamming={self.max_hamming}, "
+                    f"n_bands={self.n_bands}) — raise n_bands or lower the "
+                    "radius"
+                )
             if c.get("verify") is not None or c.get("threshold") is not None:
                 raise ValueError(
                     f"dedup task {self.name!r}: method=simhash is verified by "
                     "Hamming distance (max_hamming), not threshold/verify"
                 )
-        # editdistance: prefix-blocked bounded Levenshtein
+        # editdistance: dual-key-blocked bounded Levenshtein
         # (q_dedup_editdistance's engine) — character-level near-dup
         # that survives token-boundary changes Jaccard cannot
         self.max_edit = int(c.get("max_edit", 8))
         self.block_chars = int(c.get("block_chars", 24))
+        bk = c.get("block_keys")
+        self.block_keys = tuple(bk) if bk is not None else ("prefix", "suffix")
         if self.method != "editdistance":
-            for opt in ("max_edit", "block_chars"):
+            for opt in ("max_edit", "block_chars", "block_keys"):
                 if c.get(opt) is not None:
                     raise ValueError(
                         f"dedup task {self.name!r}: {opt} applies to "
@@ -240,6 +264,16 @@ class DedupTask(Task):
             if self.max_edit < 1 or self.block_chars < 1:
                 raise ValueError(
                     f"dedup task {self.name!r}: max_edit/block_chars must be >= 1"
+                )
+            if (
+                not self.block_keys
+                or len(set(self.block_keys)) != len(self.block_keys)
+                or any(k not in ("prefix", "suffix") for k in self.block_keys)
+            ):
+                raise ValueError(
+                    f"dedup task {self.name!r}: block_keys must be a "
+                    "non-repeating subset of [prefix, suffix], got "
+                    f"{list(self.block_keys)!r}"
                 )
             if c.get("verify") is not None or c.get("threshold") is not None:
                 raise ValueError(
@@ -489,6 +523,7 @@ class DedupTask(Task):
                 self._standard(docs),
                 max_edit=self.max_edit,
                 block_chars=self.block_chars,
+                block_keys=self.block_keys,
             ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         if self.method == "simhash":
             from sayn_spark.functions.dedup import simhash_dup_pairs

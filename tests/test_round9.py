@@ -684,8 +684,10 @@ def _levenshtein(a: str, b: str) -> int:
 def _editdistance_corpus():
     """Groups sharing a 30-char prefix (the blocking key) with suffix
     mutations straddling the distance-8 verify, plus a near-identical
-    pair in DIFFERENT blocks (prefix edit) that blocking must miss —
-    pinning the documented blocking trade, not just the happy path."""
+    pair in DIFFERENT prefix blocks (prefix edit) that the single
+    prefix key must miss and the shipped dual prefix∪suffix key set
+    must recover — pinning the documented blocking trade AND its
+    r10 closure, not just the happy path."""
     rows = []
     did = 0
     for g in range(3):
@@ -699,15 +701,25 @@ def _editdistance_corpus():
     return rows
 
 
-def _model_editdistance_kept(rows, max_edit=8, block_chars=24):
+def _model_editdistance_kept(
+    rows, max_edit=8, block_chars=24, block_keys=("prefix", "suffix")
+):
     ids = sorted(d for d, _ in rows)
     text = dict(rows)
+
+    def blocked(a, b):
+        hit = False
+        if "prefix" in block_keys:
+            hit = hit or text[a][:block_chars] == text[b][:block_chars]
+        if "suffix" in block_keys:
+            hit = hit or text[a][-block_chars:] == text[b][-block_chars:]
+        return hit
+
     pairs = [
         (a, b)
         for i, a in enumerate(ids)
         for b in ids[i + 1 :]
-        if text[a][:block_chars] == text[b][:block_chars]
-        and _levenshtein(text[a], text[b]) <= max_edit
+        if blocked(a, b) and _levenshtein(text[a], text[b]) <= max_edit
     ]
     clusters = _union_find_clusters(ids, pairs)
     return {min(m) for m in clusters.values()}, pairs
@@ -725,8 +737,33 @@ def test_editdistance_task_lifecycle_matches_model(dedup_ctx, spark):
     got = {r.doc_id for r in spark.table("ed_out").collect()}
     want, pairs = _model_editdistance_kept(rows)
     assert got == want
-    # corpus sanity: each group clustered its distance-2 pair, dropped
-    # nothing else; the cross-block distance-1 pair was (by design) missed
+    # corpus sanity under the dual default: 3 in-group distance-2 pairs
+    # (prefix key), 9 cross-group same-variant pairs at distance 2 — the
+    # group tag IS a prefix edit, so only the suffix key sees them — and
+    # the planted cross-block distance-1 pair (9, 10), also suffix-only
+    assert len(pairs) == 13
+    assert 9 in got and 10 not in got
+
+
+def test_editdistance_task_single_key_restores_prefix_only(dedup_ctx, spark):
+    """block_keys: [prefix] is the r9 single-key plan: the cross-block
+    distance-1 pair (9, 10) goes back to being structurally missed."""
+    rows = _editdistance_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dedup_ctx.db.replace_table("ed_p_src", df)
+    _run_task(
+        dedup_ctx,
+        "ed_p",
+        {
+            "source": "ed_p_src",
+            "destination": "ed_p_out",
+            "method": "editdistance",
+            "block_keys": ["prefix"],
+        },
+    )
+    got = {r.doc_id for r in spark.table("ed_p_out").collect()}
+    want, pairs = _model_editdistance_kept(rows, block_keys=("prefix",))
+    assert got == want
     assert len(pairs) == 3
     assert {9, 10} <= got
 
@@ -756,8 +793,14 @@ def test_editdistance_task_options(dedup_ctx, spark):
         {"source": "t", "destination": "o", "method": "editdistance",
          "threshold": 0.8},
         {"source": "t", "destination": "o", "method": "minhash", "max_edit": 3},
-        {"source": "t", "mode": "incremental", "index_table": "i",
-         "matches_table": "m", "method": "editdistance"},
+        {"source": "t", "destination": "o", "method": "minhash",
+         "block_keys": ["prefix"]},
+        {"source": "t", "destination": "o", "method": "editdistance",
+         "block_keys": []},
+        {"source": "t", "destination": "o", "method": "editdistance",
+         "block_keys": ["prefix", "prefix"]},
+        {"source": "t", "destination": "o", "method": "editdistance",
+         "block_keys": ["midfix"]},
     ):
         t = DedupTask("bad", bad, dedup_ctx)
         with pytest.raises(ValueError):
@@ -766,10 +809,12 @@ def test_editdistance_task_options(dedup_ctx, spark):
 
 def test_editdistance_recall_report_shape(spark):
     """The blocking-recall instrument (q_dedup_editdistance_recall)
-    must report a consistent integer ledger: blocked + missed = true,
-    recall_ppm the floor-division of the two, and on the registered
-    corpus (suffix mutations preserve the 24-char prefix) zero
-    cross-block misses."""
+    must report a consistent integer ledger: blocked + missed = true
+    for BOTH key sets, recall_ppm the floor-division of the two — and
+    on the adversarial corpus (suffix twins AND prefix twins) the
+    single prefix key must show a NONZERO miss count (the r9
+    instrument's corpus structurally could not) while the shipped
+    prefix∪suffix dual key recovers every planted pair."""
     from sayn_spark.functions import REGISTRY
     from sayn_spark.functions.registry import release_persisted
 
@@ -782,11 +827,23 @@ def test_editdistance_recall_report_shape(spark):
     finally:
         release_persisted()
     assert row.n_true_pairs == row.n_blocked_true + row.n_missed_cross_block
+    assert row.n_true_pairs == row.n_dual_true + row.n_missed_dual
     assert row.recall_ppm == (row.n_blocked_true * 1_000_000) // max(
         row.n_true_pairs, 1
     )
+    assert row.recall_dual_ppm == (row.n_dual_true * 1_000_000) // max(
+        row.n_true_pairs, 1
+    )
     assert row.n_true_pairs > 0  # the sampled copies must register
-    assert row.n_missed_cross_block == 0
+    # the planted prefix edits ARE missed by the single prefix key...
+    assert row.n_missed_cross_block > 0
+    # ...and recovered by the dual key set the production operator
+    # ships.  The residual dual misses are NATURAL near-dups differing
+    # in both ends (6 pairs at sf0.001, 0 at sf0.01) — the honest
+    # remainder the instrument exists to expose, so the bound is
+    # corpus-calibrated, not an absolute zero.
+    assert row.n_missed_dual < row.n_missed_cross_block
+    assert row.recall_dual_ppm >= 950_000 > row.recall_ppm
 
 
 # -- review fixes: strict never samples; JPEG truncation contract ---------
