@@ -620,6 +620,44 @@ def _simhash_allpairs(sig: DataFrame, n_bands: int = 8, radius: int = 6) -> Data
     )
 
 
+def _simhash_probe_keys(sig: DataFrame, n_bands: int, radius: int) -> DataFrame:
+    """(doc_id, ci, k) Manku/Charikar combo probe keys for a signature
+    frame — the key derivation shared by the in-corpus candidate join
+    (_simhash_candidates) and the incremental batch-vs-index probe
+    (incremental_simhash_matches).  Empty signatures (token-less docs
+    recorded as trivially novel in the incremental index) emit no keys:
+    sig[c] is NULL there, the packed key folds to NULL, and a NULL key
+    would be dead join weight."""
+    import itertools
+
+    w = 64 // n_bands
+    m = n_bands - radius
+    if m < 1:
+        raise ValueError(
+            f"radius {radius} needs more than {n_bands} bands for exact recall"
+        )
+    m = min(m, 3)
+    combos = list(itertools.combinations(range(n_bands), m))
+    probe = (
+        "explode(array("
+        + ", ".join(
+            f"named_struct('ci', {ci}, 'k', cast("
+            + " + ".join(
+                f"shiftleft(cast(sig[{c}] as bigint), {w * pos})"
+                for pos, c in enumerate(combo)
+            )
+            + " as bigint))"
+            for ci, combo in enumerate(combos)
+        )
+        + "))"
+    )
+    return (
+        sig.where(F.size("sig") > 0)
+        .select("doc_id", F.expr(probe).alias("p"))
+        .select("doc_id", F.col("p.ci").alias("ci"), F.col("p.k").alias("k"))
+    )
+
+
 def _simhash_candidates(sig: DataFrame, n_bands: int, radius: int) -> DataFrame:
     """Candidate pairs via the Manku/Charikar permute-and-probe index:
     each document is keyed on every size-``m`` COMBINATION of its bands
@@ -646,32 +684,7 @@ def _simhash_candidates(sig: DataFrame, n_bands: int, radius: int) -> DataFrame:
     dedup exchange moves only unique pairs; signatures re-attach to
     the deduped candidates via two narrow joins against ``sig``.
     """
-    import itertools
-
-    w = 64 // n_bands
-    m = n_bands - radius
-    if m < 1:
-        raise ValueError(
-            f"radius {radius} needs more than {n_bands} bands for exact recall"
-        )
-    m = min(m, 3)
-    combos = list(itertools.combinations(range(n_bands), m))
-    probe = (
-        "explode(array("
-        + ", ".join(
-            f"named_struct('ci', {ci}, 'k', cast("
-            + " + ".join(
-                f"shiftleft(cast(sig[{c}] as bigint), {w * pos})"
-                for pos, c in enumerate(combo)
-            )
-            + " as bigint))"
-            for ci, combo in enumerate(combos)
-        )
-        + "))"
-    )
-    keyed = sig.select("doc_id", F.expr(probe).alias("p")).select(
-        "doc_id", F.col("p.ci").alias("ci"), F.col("p.k").alias("k")
-    )
+    keyed = _simhash_probe_keys(sig, n_bands, radius)
     a = keyed.select(F.col("doc_id").alias("id_a"), "ci", "k")
     b = keyed.select(F.col("doc_id").alias("id_b"), "ci", "k")
     pairs = (
@@ -1400,6 +1413,27 @@ def q_dedup_editdistance_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ed_blocked(df: DataFrame, block_chars: int, keys: tuple) -> DataFrame:
+    """(doc_id, text, blk) with one kind-tagged block key row per
+    requested key.  Kind tags keep the two key spaces disjoint
+    ('p:...' can never equal 's:...'), so one explode + one equi-join
+    covers both arms; fan-out is 2 rows/doc — low enough that the
+    planner's post-explode size estimate stays sane (the r6
+    high-fan-out broadcast lesson does not apply).  NULL text folds to
+    NULL keys, which never equi-join — text-less docs are silently
+    non-candidates, matching the full-mode plan."""
+    key_exprs = []
+    if "prefix" in keys:
+        key_exprs.append(f"concat('p:', substring(text, 1, {block_chars}))")
+    if "suffix" in keys:
+        key_exprs.append(f"concat('s:', right(text, {block_chars}))")
+    return df.select(
+        "doc_id",
+        "text",
+        F.explode(F.array(*[F.expr(e) for e in key_exprs])).alias("blk"),
+    )
+
+
 def editdistance_dup_pairs(
     corpus: DataFrame,
     max_edit: int = _ED_MAX,
@@ -1437,21 +1471,7 @@ def editdistance_dup_pairs(
             f"subset of ('prefix', 'suffix'), got {block_keys!r}"
         )
     bc = int(block_chars)
-    # kind tags keep the two key spaces disjoint ('p:...' can never
-    # equal 's:...'), so one explode + one self-equi-join covers both
-    # arms; fan-out is 2 rows/doc — low enough that the planner's
-    # post-explode size estimate stays sane (the r6 high-fan-out
-    # broadcast lesson does not apply)
-    key_exprs = []
-    if "prefix" in keys:
-        key_exprs.append(f"concat('p:', substring(text, 1, {bc}))")
-    if "suffix" in keys:
-        key_exprs.append(f"concat('s:', right(text, {bc}))")
-    blocked = corpus.select(
-        "doc_id",
-        "text",
-        F.explode(F.array(*[F.expr(e) for e in key_exprs])).alias("blk"),
-    )
+    blocked = _ed_blocked(corpus, bc, keys)
     a = blocked.alias("a")
     b = blocked.alias("b")
     dist = F.expr(f"levenshtein(a.text, b.text, {int(max_edit)})")
@@ -2840,6 +2860,114 @@ def incremental_minhash_matches(
         )
         .where(est >= F.lit(float(threshold)))
         .select("batch_id", "corpus_id", est.alias("est_jaccard"))
+    )
+
+
+def incremental_simhash_matches(
+    new_sigs: DataFrame,
+    old_sigs: DataFrame,
+    n_bands: int = 8,
+    radius: int = 6,
+) -> DataFrame:
+    """(batch_id, corpus_id, hamming <= radius) matches of a batch's
+    SimHash signatures against a stored signature index — the simhash
+    twin of incremental_minhash_matches.  SimHash state is NOT
+    corpus-relative (a signature depends only on its own document), so
+    the index is simply (doc_id, sig array<int>) — 8 ints per corpus
+    document — and the probe is the same Manku/Charikar combo equi-join
+    the full-corpus plan uses, applied across the two frames: every
+    qualifying pair shares at least one intact band combo by
+    pigeonhole, so incremental recall equals full-corpus recall
+    (exact).  Candidates dedupe on slim (id, id) rows before signatures
+    attach; the Hamming verify is the codegen bit_count expansion.
+
+    100 TB shape: each ingest explodes combo keys for BOTH sides —
+    C(n_bands - radius <= 3 of n_bands) three-int rows per doc — and
+    shuffles them into the equi-join; the corpus side's keys are
+    derivable but at full scale you'd materialise them once as a
+    packed-key bucketed table exactly like the minhash band table
+    (fold ci into the bigint key so the single-key bucketing rule
+    holds).  Documented here as the scale path; the state contract
+    (signatures only, never text) is what the tests pin.
+    """
+    new_keys = _simhash_probe_keys(new_sigs, n_bands, radius)
+    old_keys = _simhash_probe_keys(old_sigs, n_bands, radius)
+    candidates = (
+        new_keys.select(F.col("doc_id").alias("batch_id"), "ci", "k")
+        .join(old_keys.select(F.col("doc_id").alias("corpus_id"), "ci", "k"), ["ci", "k"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    hamming = F.expr(
+        "cast("
+        + " + ".join(f"bit_count(sig_n[{b}] ^ sig_o[{b}])" for b in range(n_bands))
+        + " as int)"
+    )
+    return (
+        candidates.join(
+            new_sigs.select(F.col("doc_id").alias("batch_id"), F.col("sig").alias("sig_n")),
+            "batch_id",
+        )
+        .join(
+            old_sigs.select(F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_o")),
+            "corpus_id",
+        )
+        .where(hamming <= int(radius))
+        .select("batch_id", "corpus_id", hamming.alias("hamming"))
+    )
+
+
+def incremental_editdistance_matches(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    max_edit: int = _ED_MAX,
+    block_chars: int = _ED_BLOCK,
+    block_keys: tuple = ("prefix", "suffix"),
+) -> DataFrame:
+    """(batch_id, corpus_id, edit_dist <= max_edit) matches of a batch
+    against a stored document index under the dual-key blocking of
+    editdistance_dup_pairs, applied across two frames.  Edit-distance
+    state is NOT corpus-relative either, but unlike every other method
+    the verify needs the FULL TEXT, so the index is (doc_id, text) —
+    the inherent price of a character-level metric (use simhash when
+    constant-size state matters more than character fidelity).  Block
+    keys are kind-tagged and derived map-side on both sides; a
+    suffix-key match survives only when the pair's prefixes differ, so
+    each (batch_id, corpus_id) pair is verified at most once per
+    direction and the caller's ordering filter (self-probe) or frame
+    disjointness (index probe) makes it exactly once.
+    """
+    if max_edit < 1:
+        raise ValueError("incremental_editdistance_matches: max_edit must be >= 1")
+    if block_chars < 1:
+        raise ValueError("incremental_editdistance_matches: block_chars must be >= 1")
+    keys = tuple(block_keys)
+    if not keys or len(set(keys)) != len(keys) or any(
+        k not in ("prefix", "suffix") for k in keys
+    ):
+        raise ValueError(
+            "incremental_editdistance_matches: block_keys must be a "
+            f"non-repeating subset of ('prefix', 'suffix'), got {block_keys!r}"
+        )
+    a = _ed_blocked(new_docs, int(block_chars), keys).select(
+        F.col("doc_id").alias("batch_id"), F.col("text").alias("ta"), "blk"
+    )
+    b = _ed_blocked(old_docs, int(block_chars), keys).select(
+        F.col("doc_id").alias("corpus_id"), F.col("text").alias("tb"), "blk"
+    )
+    joined = a.join(b, "blk")
+    if "prefix" in keys and "suffix" in keys:
+        joined = joined.where(
+            F.col("blk").startswith("p:")
+            | (
+                F.substring("ta", 1, int(block_chars))
+                != F.substring("tb", 1, int(block_chars))
+            )
+        )
+    dist = F.expr(f"levenshtein(ta, tb, {int(max_edit)})")
+    return (
+        joined.where(dist >= 0)
+        .select("batch_id", "corpus_id", dist.alias("edit_dist"))
     )
 
 

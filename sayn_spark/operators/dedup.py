@@ -406,13 +406,17 @@ class DedupTask(Task):
                     "incremental-mode config"
                 )
         else:
-            if self.method not in ("minhash", "passages"):
+            if self.method not in ("minhash", "simhash", "editdistance", "passages"):
                 raise ValueError(
-                    f"dedup task {self.name!r}: incremental mode requires "
-                    "method=minhash (signature index) or method=passages "
-                    "(fingerprint index); lines/containment/semantic are "
-                    "corpus-relative (frequency threshold / size partitions "
-                    "/ quantizer cells) — use mode: full"
+                    f"dedup task {self.name!r}: incremental mode requires a "
+                    "method whose per-document state is self-contained — "
+                    "minhash or simhash (signature index), editdistance "
+                    "(text index), or passages (fingerprint index).  "
+                    "lines/containment/semantic ARE corpus-relative (line "
+                    "document-frequency / size-partition spread / quantizer "
+                    "cells); jaccard's exact inverted index is the at-scale "
+                    "anti-pattern (use minhash); exact is one hash-groupBy "
+                    "per run anyway — use mode: full"
                 )
             if self.method == "passages":
                 if not (self.index_table and dest):
@@ -818,7 +822,19 @@ class DedupTask(Task):
             self.matches_table,
             self._sf_dir(),
             threshold=self.threshold,
-            band_table=f"{self.index_table}_bands",
+            # the pre-bucketed band-key side table is a minhash-only
+            # optimisation; simhash derives combo keys from its 8-int
+            # signatures map-side, editdistance derives block keys from
+            # the indexed text map-side
+            band_table=(
+                f"{self.index_table}_bands" if self.method == "minhash" else None
+            ),
+            method=self.method,
+            n_bands=self.n_bands,
+            max_hamming=self.max_hamming,
+            max_edit=self.max_edit,
+            block_chars=self.block_chars,
+            block_keys=self.block_keys,
         )
         if self.dst_value is not None:
             # SELF-HEALING: the destination is defined as "source docs

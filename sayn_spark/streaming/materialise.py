@@ -104,71 +104,131 @@ def dedup_ingest_batch(
     sf_dir: str,
     threshold: float = 0.5,
     band_table: str | None = None,
+    method: str = "minhash",
+    n_bands: int = 8,
+    max_hamming: int = 6,
+    max_edit: int = 8,
+    block_chars: int = 24,
+    block_keys: tuple = ("prefix", "suffix"),
 ) -> None:
     """One trigger of the near-dup ingest — exposed at module level so
     failure-replay (foreachBatch is at-least-once) can be exercised
     directly in tests by calling it twice with the same ``batch_id``.
 
-    Idempotency contract, stated precisely:
+    ``method`` selects the per-document state and the probe, all three
+    sharing the same index/matches lifecycle (none of these methods is
+    corpus-relative — a document's state depends only on itself, which
+    is exactly what makes incremental ingest sound):
+
+    - ``minhash`` (default): state = 16-int MinHash signature, probe =
+      LSH band join + estimated Jaccard >= ``threshold``
+      (incremental_minhash_matches); matches carry ``est_jaccard``.
+    - ``simhash``: state = ``n_bands``-int SimHash signature, probe =
+      Manku/Charikar combo join + Hamming <= ``max_hamming``
+      (incremental_simhash_matches, recall exact by pigeonhole);
+      matches carry ``hamming``.
+    - ``editdistance``: state = the document TEXT (the inherent price
+      of a character-level metric), probe = dual-key blocked bounded
+      Levenshtein <= ``max_edit`` (incremental_editdistance_matches);
+      matches carry ``edit_dist``.
+
+    Idempotency contract, stated precisely (method-independent):
 
     - The index probe EXCLUDES index rows whose doc_id is in the batch,
-      so a replayed batch whose signatures already landed cannot
-      self-match with est_jaccard=1.0.
+      so a replayed batch whose state already landed cannot self-match.
     - Match rows are stamped with ``ingest_id`` (the micro-batch id)
       and written delete-before-append on that key (merge_tables), so a
       replayed trigger replaces its own rows instead of duplicating
-      them.  Signatures are deterministic, so the replacement is
+      them.  State derivation is deterministic, so the replacement is
       byte-identical.
     - The index append anti-joins the already-indexed doc_ids, so a
-      replayed batch's signatures are not appended twice.
+      replayed batch's state rows are not appended twice.
 
-    Within-batch near-dups are caught by a self-probe (batch signatures
-    vs themselves, keeping ``batch_id > corpus_id`` so each pair is
-    reported once, larger id as the duplicate); only docs that matched
-    neither the index nor an earlier in-batch doc append to the index.
+    Within-batch near-dups are caught by a self-probe (batch state vs
+    itself, keeping ``batch_id > corpus_id`` so each pair is reported
+    once, larger id as the duplicate); only docs that matched neither
+    the index nor an earlier in-batch doc append to the index.
 
-    Docs too short to shingle (< 3 tokens, or NULL text) carry no
-    minhash information: they are indexed as trivially novel with an
-    EMPTY signature (never probed, never banded), so the lifecycle
+    Docs with no usable state (too short to shingle / zero tokens /
+    NULL text, per method) are indexed as trivially novel with an
+    EMPTY signature (or NULL text), never probed, so the lifecycle
     converges for them too — without this they would re-enter every
     batch forever and never reach an index-derived destination.
 
-    ``band_table``, if given, names a band_sig-bucketed catalog table
-    of the corpus band keys (doc_id, band, band_sig) that this function
-    maintains alongside the signature index: the probe reads it instead
-    of re-deriving band keys from every stored signature, so per-ingest
-    work is one pass over the BATCH plus a pre-bucketed join — the
-    corpus side never recomputes or reshuffles.  The batch task layer
-    (operators/dedup.py) passes it; the streaming twin may too.
+    ``band_table`` (minhash only), if given, names a band_sig-bucketed
+    catalog table of the corpus band keys (doc_id, band, band_sig) that
+    this function maintains alongside the signature index: the probe
+    reads it instead of re-deriving band keys from every stored
+    signature, so per-ingest work is one pass over the BATCH plus a
+    pre-bucketed join — the corpus side never recomputes or reshuffles.
+    The batch task layer (operators/dedup.py) passes it; the streaming
+    twin may too.  simhash's packed-combo-key analogue is the
+    documented scale path (incremental_simhash_matches' docstring).
     """
     from sayn_spark.functions.dedup import (
+        _fan_out,
         _mh_band_frame,
         _mh_sig_frame,
+        incremental_editdistance_matches,
         incremental_minhash_matches,
+        incremental_simhash_matches,
+        simhash_signatures_for,
     )
 
+    if method not in ("minhash", "simhash", "editdistance"):
+        raise ValueError(f"dedup_ingest_batch: unknown method {method!r}")
+    if band_table is not None and method != "minhash":
+        raise ValueError(
+            "dedup_ingest_batch: band_table applies to method='minhash' only"
+        )
     spark = batch_df.sparkSession
     db = SparkDatabase(spark)
     if batch_df.isEmpty():
         return
-    sigs = _mh_sig_frame(
-        batch_df.select("doc_id", "text"), spark, sf_dir
-    ).localCheckpoint()
-    # docs too short to shingle (or NULL text) have no minhash
-    # semantics: they are trivially novel, recorded in the index with
-    # an EMPTY signature so reruns converge (the batch anti-join sees
-    # them) instead of re-selecting them forever.  _mh_band_frame
-    # skips empty sigs, so they emit no band rows and never candidate.
+    if method == "minhash":
+        state = _mh_sig_frame(
+            batch_df.select("doc_id", "text"), spark, sf_dir
+        ).localCheckpoint()
+        empty_state = ("sig", "cast(array() as array<bigint>)")
+
+        def probe(new, old, old_bands=None):
+            return incremental_minhash_matches(new, old, threshold, old_bands)
+
+    elif method == "simhash":
+        state = simhash_signatures_for(
+            _fan_out(batch_df.select("doc_id", "text"), spark, sf_dir), n_bands
+        ).localCheckpoint()
+        empty_state = ("sig", "cast(array() as array<int>)")
+
+        def probe(new, old, old_bands=None):
+            return incremental_simhash_matches(new, old, n_bands, max_hamming)
+
+    else:
+        state = (
+            batch_df.select("doc_id", "text")
+            .where(F.col("text").isNotNull())
+            .localCheckpoint()
+        )
+        empty_state = ("text", "cast(null as string)")
+
+        def probe(new, old, old_bands=None):
+            return incremental_editdistance_matches(
+                new, old, max_edit, block_chars, block_keys
+            )
+
+    # docs with no usable state are trivially novel, recorded in the
+    # index with an EMPTY state so reruns converge (the batch anti-join
+    # sees them) instead of re-selecting them forever; empty states emit
+    # no probe keys, so they never candidate.
     sigless = (
         batch_df.select("doc_id")
-        .join(sigs.select("doc_id"), "doc_id", "left_anti")
-        .withColumn("sig", F.expr("cast(array() as array<bigint>)"))
+        .join(state.select("doc_id"), "doc_id", "left_anti")
+        .withColumn(empty_state[0], F.expr(empty_state[1]))
     )
+    sigs = state
     batch_ids = sigs.select("doc_id")
     # self-probe: larger id matches smaller, each pair reported once
-    matches = incremental_minhash_matches(sigs, sigs, threshold).where(
-        F.col("batch_id") > F.col("corpus_id")
-    )
+    matches = probe(sigs, sigs).where(F.col("batch_id") > F.col("corpus_id"))
     index_exists = db.table_exists(index_table)
     if index_exists:
         # replay guard: rows this very batch appended in a failed prior
@@ -182,9 +242,7 @@ def dedup_ingest_batch(
             # probe would mis-declare their near-dups novel
             _heal_band_table(spark, db, index_table, band_table)
             old_bands = spark.table(band_table).join(batch_ids, "doc_id", "left_anti")
-        matches = matches.unionByName(
-            incremental_minhash_matches(sigs, probe_index, threshold, old_bands)
-        )
+        matches = matches.unionByName(probe(sigs, probe_index, old_bands))
     matches = matches.withColumn(
         "ingest_id", F.lit(batch_id).cast("long")
     ).localCheckpoint()
@@ -242,29 +300,37 @@ def stream_dedup_ingest(
     checkpoint: str,
     sf_dir: str,
     band_table: str | None = None,
+    method: str = "minhash",
+    **method_opts,
 ):
     """Continuous near-dup ingest: each micro-batch of (doc_id, text)
-    is probed against the persistent MinHash SIGNATURE index
-    (functions/dedup.py:incremental_minhash_matches), matches land in
-    ``matches_table`` (stamped with the trigger id, replay-idempotent),
-    and only the novel documents' signatures append to ``index_table``
-    — the streaming twin of q_dedup_incremental_minhash.  Per-batch
-    semantics and the full idempotency contract: dedup_ingest_batch.
+    is probed against the persistent state index for ``method``
+    (minhash signatures / simhash signatures / document text — see
+    dedup_ingest_batch), matches land in ``matches_table`` (stamped
+    with the trigger id, replay-idempotent), and only the novel
+    documents' state appends to ``index_table`` — the streaming twin
+    of q_dedup_incremental_minhash and of the dedup task's
+    ``mode: incremental``.  Per-batch semantics and the full
+    idempotency contract: dedup_ingest_batch, which also receives any
+    ``method_opts`` (threshold / n_bands / max_hamming / max_edit /
+    block_chars / block_keys).
 
-    State discipline at 100 TB: the index stores 16 ints per corpus
-    document (never shingles or text), each trigger shuffles only the
-    batch's band rows against it, and growth is an append of the kept
-    batch.  The matches merge rewrites the parquet matches table per
-    trigger — fine for a match stream that is a tiny fraction of the
-    corpus; point matches_table at a Delta destination and the same
-    call becomes a keyed MERGE touching only that trigger's files.
+    State discipline at 100 TB: minhash and simhash store a few ints
+    per corpus document (never shingles or text) and each trigger
+    shuffles only the batch's probe keys against the stored side;
+    editdistance stores the text itself — the inherent price of a
+    character-level verify.  The matches merge rewrites the parquet
+    matches table per trigger — fine for a match stream that is a tiny
+    fraction of the corpus; point matches_table at a Delta destination
+    and the same call becomes a keyed MERGE touching only that
+    trigger's files.
     """
     outer_session = source.sparkSession
 
     def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         dedup_ingest_batch(
             batch_df, batch_id, index_table, matches_table, sf_dir,
-            band_table=band_table,
+            band_table=band_table, method=method, **method_opts,
         )
         outer_session.catalog.refreshTable(index_table)
 

@@ -1,0 +1,370 @@
+"""Round-10 additions: incremental simhash / editdistance dedup task
+modes (VERDICT r9 item 2).  Neither method's per-document state is
+corpus-relative, so both reuse the minhash index/matches/replay
+lifecycle — these tests pin that lifecycle per method: two-wave
+ingest with planted near-dups, replay idempotency, stateless-doc
+convergence, destination self-heal, and the streaming twin dispatch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sayn_spark.core.compiler import Compiler
+from sayn_spark.core.database import SparkDatabase
+from sayn_spark.core.objects import DbObjectCompiler
+from sayn_spark.operators import RunArguments, TaskContext
+from sayn_spark.operators.dedup import DedupTask
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def ctx(spark, tmp_path):
+    return TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={"sf_dir": SF},
+        connections={},
+        project_dir=tmp_path,
+    )
+
+
+def _task(ctx, name, cfg):
+    t = DedupTask(name, cfg, ctx)
+    t.config()
+    t.run()
+    return t
+
+
+def _drop(spark, *tables):
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# -- incremental simhash ----------------------------------------------------
+
+
+def test_simhash_incremental_lifecycle(ctx, spark):
+    """Two-run (plus rerun) lifecycle of the simhash signature index:
+    run 1 seeds the index, run 2 processes only the NEW source rows and
+    reports the planted copies (token-set copies -> Hamming 0) against
+    the STORED index, run 3 with an unchanged source is a no-op.  The
+    index stores (doc_id, sig) only — never text."""
+    tables = ("sh_inc_src", "sh_inc_idx", "sh_inc_mt", "sh_inc_out")
+    _drop(spark, *tables)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    cfg = {
+        "source": "sh_inc_src",
+        "mode": "incremental",
+        "method": "simhash",
+        "index_table": "sh_inc_idx",
+        "matches_table": "sh_inc_mt",
+        "destination": "sh_inc_out",
+    }
+
+    wave1 = docs.where(F.col("doc_id") % 10 < 8)
+    ctx.db.replace_table("sh_inc_src", wave1)
+    _task(ctx, "sh_inc", cfg)
+    idx1 = spark.table("sh_inc_idx").count()
+    out1 = spark.table("sh_inc_out").count()
+    assert spark.table("sh_inc_idx").columns == ["doc_id", "sig"]
+    assert idx1 + spark.table("sh_inc_mt").count() >= wave1.count()
+
+    # wave 2: the remaining 20% plus planted COPIES of INDEXED wave-1
+    # docs (simhash is order/multiplicity-invariant over the distinct
+    # token set, so a copy is Hamming 0 — guaranteed caught at any
+    # radius).  Donors must come from the INDEX, not from wave 1 at
+    # large: this synthetic corpus is so dense under Hamming 6 that
+    # most wave-1 docs were themselves dropped as in-batch near-dups,
+    # and a copy of a dropped doc is legitimately novel to the store.
+    donor_ids = sorted(
+        r.doc_id
+        for r in spark.table("sh_inc_idx").where(F.size("sig") > 0).collect()
+    )[:10]
+    assert donor_ids, "run 1 must have indexed at least one signed doc"
+    planted_src = wave1.where(F.col("doc_id").isin(donor_ids))
+    wave2_new = docs.where(F.col("doc_id") % 10 >= 8).unionByName(
+        planted_src.select((F.col("doc_id") + 300000).alias("doc_id"), "text")
+    )
+    ctx.db.replace_table("sh_inc_src", wave1.unionByName(wave2_new))
+    _task(ctx, "sh_inc", cfg)
+    matches2 = spark.table("sh_inc_mt").where("ingest_id = 1")
+    assert "hamming" in matches2.columns
+    planted = {r.doc_id + 300000 for r in planted_src.collect()}
+    caught = {r.batch_id for r in matches2.collect()}
+    assert planted <= caught
+    # planted copies matched at Hamming 0 specifically
+    zero = {
+        r.batch_id for r in matches2.where(F.col("hamming") == 0).collect()
+    }
+    assert planted <= zero
+    idx2 = spark.table("sh_inc_idx").count()
+    assert idx2 > idx1
+    # matched duplicates never enter the index
+    assert (
+        spark.table("sh_inc_idx")
+        .join(matches2.select(F.col("batch_id").alias("doc_id")), "doc_id")
+        .count()
+        == 0
+    )
+    assert spark.table("sh_inc_out").count() > out1
+
+    # run 3: unchanged source -> no-op
+    _task(ctx, "sh_inc", cfg)
+    assert spark.table("sh_inc_idx").count() == idx2
+    assert spark.table("sh_inc_mt").where("ingest_id >= 2").count() == 0
+    _drop(spark, *tables)
+
+
+# -- incremental editdistance -----------------------------------------------
+
+
+def test_editdistance_incremental_lifecycle(ctx, spark):
+    """Two-run lifecycle of the editdistance TEXT index — including a
+    planted PREFIX-mutated twin ('zq ' + text, distance 3, different
+    prefix block), which only the dual-key probe can catch against the
+    stored index: the incremental path must carry the same blocking
+    contract as full mode."""
+    tables = ("ed_inc_src", "ed_inc_idx", "ed_inc_mt", "ed_inc_out")
+    _drop(spark, *tables)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    cfg = {
+        "source": "ed_inc_src",
+        "mode": "incremental",
+        "method": "editdistance",
+        "index_table": "ed_inc_idx",
+        "matches_table": "ed_inc_mt",
+        "destination": "ed_inc_out",
+    }
+
+    wave1 = docs.where(F.col("doc_id") % 10 < 8)
+    ctx.db.replace_table("ed_inc_src", wave1)
+    _task(ctx, "ed_inc", cfg)
+    idx1 = spark.table("ed_inc_idx").count()
+    assert spark.table("ed_inc_idx").columns == ["doc_id", "text"]
+
+    # wave 2: novel docs plus planted suffix twins AND prefix twins of
+    # INDEXED wave-1 docs (same donor discipline as the simhash test:
+    # a twin of a doc that was itself dropped in run 1 probes against
+    # an index that does not contain its donor)
+    donor_ids = sorted(
+        r.doc_id
+        for r in spark.table("ed_inc_idx")
+        .where(F.col("text").isNotNull())
+        .collect()
+    )
+    assert len(donor_ids) >= 2
+    suffix_src = wave1.where(F.col("doc_id").isin(donor_ids[:8]))
+    prefix_src = wave1.where(F.col("doc_id").isin(donor_ids[8:16] or donor_ids[:8]))
+    wave2_new = (
+        docs.where(F.col("doc_id") % 10 >= 8)
+        .unionByName(
+            suffix_src.select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat("text", F.lit(" zz qq")).alias("text"),
+            )
+        )
+        .unionByName(
+            prefix_src.select(
+                (F.col("doc_id") + 400000).alias("doc_id"),
+                F.concat(F.lit("zq "), "text").alias("text"),
+            )
+        )
+    )
+    ctx.db.replace_table("ed_inc_src", wave1.unionByName(wave2_new))
+    _task(ctx, "ed_inc", cfg)
+    matches2 = spark.table("ed_inc_mt").where("ingest_id = 1")
+    assert "edit_dist" in matches2.columns
+    caught = {(r.batch_id, r.corpus_id) for r in matches2.collect()}
+    for r in suffix_src.collect():
+        assert (r.doc_id + 300000, r.doc_id) in caught  # distance 6, prefix key
+    for r in prefix_src.collect():
+        assert (r.doc_id + 400000, r.doc_id) in caught  # distance 3, SUFFIX key
+    idx2 = spark.table("ed_inc_idx").count()
+    assert idx2 > idx1
+    assert (
+        spark.table("ed_inc_idx")
+        .join(matches2.select(F.col("batch_id").alias("doc_id")), "doc_id")
+        .count()
+        == 0
+    )
+
+    # run 3: unchanged source -> no-op
+    _task(ctx, "ed_inc", cfg)
+    assert spark.table("ed_inc_idx").count() == idx2
+    assert spark.table("ed_inc_mt").where("ingest_id >= 2").count() == 0
+    _drop(spark, *tables)
+
+
+def test_editdistance_incremental_single_key_misses_prefix_twin(ctx, spark):
+    """block_keys: [prefix] flows through the incremental probe too:
+    the planted prefix twin is NOT caught and (being novel to the
+    single-key probe) its text joins the index."""
+    tables = ("ed_pk_src", "ed_pk_idx", "ed_pk_mt", "ed_pk_out")
+    _drop(spark, *tables)
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm fire"
+    )
+    cfg = {
+        "source": "ed_pk_src",
+        "mode": "incremental",
+        "method": "editdistance",
+        "block_keys": ["prefix"],
+        "index_table": "ed_pk_idx",
+        "matches_table": "ed_pk_mt",
+        "destination": "ed_pk_out",
+    }
+    ctx.db.replace_table(
+        "ed_pk_src",
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+    )
+    _task(ctx, "ed_pk", cfg)
+    ctx.db.replace_table(
+        "ed_pk_src",
+        spark.createDataFrame(
+            [(1, base), (101, "zq " + base), (102, base + " zz")],
+            "doc_id long, text string",
+        ),
+    )
+    _task(ctx, "ed_pk", cfg)
+    caught = {(r.batch_id, r.corpus_id) for r in spark.table("ed_pk_mt").collect()}
+    assert (102, 1) in caught  # suffix twin: same prefix block, distance 6
+    assert (101, 1) not in caught  # prefix twin invisible to the single key
+    assert {r.doc_id for r in spark.table("ed_pk_idx").collect()} == {1, 101}
+    _drop(spark, *tables)
+
+
+# -- replay + stateless convergence (batch level) ---------------------------
+
+
+def test_ingest_replay_idempotent_per_method(spark):
+    """Replaying a trigger (foreachBatch is at-least-once) leaves index
+    and matches byte-identical for simhash and editdistance, exactly as
+    pinned for minhash: probe excludes the batch's own ids, matches are
+    delete-before-append on ingest_id, index append anti-joins."""
+    from sayn_spark.streaming.materialise import dedup_ingest_batch
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm fire and the birds sing in the tall trees"
+    )
+    novel = (
+        "completely different content about distributed query engines "
+        "processing enormous datasets with columnar storage vectorized "
+        "execution adaptive optimization and shuffle free joins"
+    )
+    for method, opts in (
+        ("simhash", {"max_hamming": 6}),
+        ("editdistance", {"max_edit": 8}),
+    ):
+        idx, mt = f"rp_{method}_idx", f"rp_{method}_mt"
+        _drop(spark, idx, mt)
+        b0 = spark.createDataFrame(
+            [(1, base), (2, novel)], "doc_id long, text string"
+        )
+        dedup_ingest_batch(b0, 0, idx, mt, SF, method=method, **opts)
+        b1 = spark.createDataFrame(
+            [(11, base + " zz qq"), (12, base + " zz qq")],
+            "doc_id long, text string",
+        )
+        dedup_ingest_batch(b1, 1, idx, mt, SF, method=method, **opts)
+        idx_rows = sorted(r.doc_id for r in spark.table(idx).collect())
+        mt_rows = sorted(
+            (r.batch_id, r.corpus_id, r.ingest_id)
+            for r in spark.table(mt).collect()
+        )
+        # in-batch self-probe: 12 matched 11 (larger id is the dup);
+        # 11 matched the stored doc 1
+        assert (12, 11, 1) in mt_rows and (11, 1, 1) in mt_rows
+        assert 12 not in idx_rows
+        # replay trigger 1: everything byte-identical
+        dedup_ingest_batch(b1, 1, idx, mt, SF, method=method, **opts)
+        assert sorted(r.doc_id for r in spark.table(idx).collect()) == idx_rows
+        assert (
+            sorted(
+                (r.batch_id, r.corpus_id, r.ingest_id)
+                for r in spark.table(mt).collect()
+            )
+            == mt_rows
+        )
+        _drop(spark, idx, mt)
+
+
+def test_ingest_stateless_docs_converge_per_method(spark):
+    """Docs with no usable state (NULL text; zero tokens for simhash)
+    are indexed as trivially novel — an unchanged rerun must see them
+    in the index and produce an empty batch, not re-probe forever."""
+    from sayn_spark.streaming.materialise import dedup_ingest_batch
+
+    for method, empty_ok in (("simhash", True), ("editdistance", False)):
+        idx, mt = f"sl_{method}_idx", f"sl_{method}_mt"
+        _drop(spark, idx, mt)
+        rows = [(1, None), (2, "real content words here")]
+        if empty_ok:
+            rows.append((3, "   "))  # whitespace-only: zero tokens
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        dedup_ingest_batch(b, 0, idx, mt, SF, method=method)
+        got = {r.doc_id for r in spark.table(idx).collect()}
+        assert got == {r[0] for r in rows}
+        _drop(spark, idx, mt)
+
+
+def test_ingest_batch_validation(spark):
+    from sayn_spark.streaming.materialise import dedup_ingest_batch
+
+    b = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unknown method"):
+        dedup_ingest_batch(b, 0, "i", "m", SF, method="jaccard")
+    with pytest.raises(ValueError, match="band_table"):
+        dedup_ingest_batch(b, 0, "i", "m", SF, method="simhash", band_table="bt")
+
+
+# -- streaming twin dispatch ------------------------------------------------
+
+
+def test_stream_dedup_ingest_simhash_dispatch(spark, tmp_path):
+    """The streaming twin dispatches per method: a simhash ingest
+    stream catches a wave-2 copy of a wave-1 doc against the stored
+    signature index and appends only novel signatures."""
+    from sayn_spark.streaming.materialise import stream_dedup_ingest
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    idx, mt = "stream_sh_idx", "stream_sh_mt"
+    _drop(spark, idx, mt)
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm fire and the birds sing in the tall trees"
+    )
+    novel = (
+        "completely different content about distributed query engines "
+        "processing enormous datasets with columnar storage vectorized "
+        "execution adaptive optimization and shuffle free joins"
+    )
+
+    def run_wave(name, rows):
+        spark.createDataFrame(rows, schema="doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = stream_dedup_ingest(
+            stream, idx, mt, ckpt, SF, method="simhash", max_hamming=6
+        )
+        q.awaitTermination(120)
+
+    run_wave("w1", [(1, base)])
+    run_wave("w2", [(101, base), (102, novel)])
+    matches = {(r.batch_id, r.corpus_id) for r in spark.table(mt).collect()}
+    assert matches == {(101, 1)}
+    assert {r.doc_id for r in spark.table(idx).collect()} == {1, 102}
+    assert spark.table(idx).columns == ["doc_id", "sig"]
+    _drop(spark, idx, mt)
