@@ -1190,35 +1190,58 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ED_BLOCK = 24  # blocking-key length (chars)
 _ED_MAX = 8     # edit-distance threshold
 
-# editdistance corpus: the suffix twin (+100000) is the pair prefix
-# blocking catches; the prefix twin (+200000, edit distance 3 INSIDE
+# editdistance corpus: the suffix twin (+offset) is the pair prefix
+# blocking catches; the prefix twin (+2*offset, edit distance 3 INSIDE
 # the first block_chars characters) is the pair prefix blocking
 # structurally misses — planted so both the production operator's
 # suffix-key arm and the recall instrument's cross-block counter have
 # something real to measure (VERDICT r9: a corpus whose only mutations
 # preserve the blocking prefix cannot produce a nonzero miss count).
+# offset = greatest(100000, max(doc_id)+1): collision-free at any
+# scale factor, and exactly 100000 (ids unchanged) below 100k docs.
 _SQL_CORPUS_ED = """
+ed_off AS (
+  SELECT greatest(100000, CAST(max(doc_id) + 1 AS BIGINT)) AS o FROM documents
+),
 corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL SELECT doc_id + 100000, text || ' zz qq' FROM documents
-  UNION ALL SELECT doc_id + 200000, 'zq ' || text FROM documents
+  SELECT doc_id, doc_id AS base_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + o, doc_id, text || ' zz qq' FROM documents, ed_off
+  UNION ALL
+  SELECT doc_id + 2 * o, doc_id, 'zq ' || text FROM documents, ed_off
 )"""
 
 
 def _ed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ suffix-mutated copy (+100000) ∪ prefix-mutated copy
-    (+200000) — the editdistance family's adversarial corpus
-    (_SQL_CORPUS_ED's Spark twin)."""
+    """documents ∪ suffix-mutated copy (+offset) ∪ prefix-mutated copy
+    (+2*offset) — the editdistance family's adversarial corpus
+    (_SQL_CORPUS_ED's Spark twin), with the donor id carried explicitly
+    as ``base_id`` so samplers key on it rather than re-deriving it
+    with modular arithmetic.  The offset is greatest(100000,
+    max(doc_id)+1): collision-free at ANY scale factor (a fixed
+    +100000 would alias mutated ids onto real documents once the base
+    table exceeds 100k rows, silently corrupting the instrument's
+    published miss counts) while staying literally 100000 — and the
+    emitted ids byte-identical — on every corpus below that size.
+    The 1-row offset aggregate broadcasts; nothing reshuffles."""
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
-    suffix = d.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+    off = d.agg(
+        F.greatest(
+            F.lit(100000).cast("long"), (F.max("doc_id") + 1).cast("long")
+        ).alias("o")
+    )
+    base = d.select("doc_id", F.col("doc_id").alias("base_id"), "text")
+    suffix = d.crossJoin(F.broadcast(off)).select(
+        (F.col("doc_id") + F.col("o")).alias("doc_id"),
+        F.col("doc_id").alias("base_id"),
         F.concat("text", F.lit(" zz qq")).alias("text"),
     )
-    prefix = d.select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+    prefix = d.crossJoin(F.broadcast(off)).select(
+        (F.col("doc_id") + 2 * F.col("o")).alias("doc_id"),
+        F.col("doc_id").alias("base_id"),
         F.concat(F.lit("zq "), "text").alias("text"),
     )
-    return d.unionByName(suffix).unionByName(prefix)
+    return base.unionByName(suffix).unionByName(prefix)
 
 
 @register(
@@ -1277,7 +1300,7 @@ def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_SQL_CORPUS_ED},
 sample AS (
-  SELECT doc_id, text FROM corpus WHERE (doc_id % 100000) % 5 = 0
+  SELECT doc_id, text FROM corpus WHERE base_id % 5 = 0
 ),
 sized AS (
   SELECT doc_id, text, length(text) AS n, length(text) // {_ED_MAX} AS b
@@ -1344,7 +1367,9 @@ def q_dedup_editdistance_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     per candidate.
     """
     corpus = _fan_out(
-        _ed_corpus(spark, sf_dir).where((F.col("doc_id") % 100000) % 5 == 0),
+        _ed_corpus(spark, sf_dir)
+        .where(F.col("base_id") % 5 == 0)
+        .drop("base_id"),
         spark,
         sf_dir,
     )

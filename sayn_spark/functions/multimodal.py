@@ -2082,7 +2082,7 @@ def image_gray_pixels(payload: bytes):
     """(width, height, gray_bytes) from a real image payload, format
     sniffed by magic: PNG (8-bit grayscale), BMP (24bpp, blue channel),
     GIF (grayscale palette indices), baseline JPEG (SOF0 — grayscale
-    or YCbCr 4:2:0/4:2:2/4:4:4 color, in which case the LUMA plane is
+    or YCbCr 4:2:0/4:2:2/4:4:0/4:4:4 color, in which case the LUMA plane is
     the gray image; restart intervals handled).  Other magics — and
     JPEG variants past the codec's documented scope (progressive SOF2,
     arithmetic coding, sampled chroma) — raise at the codec

@@ -204,9 +204,14 @@ def dedup_ingest_batch(
             return incremental_simhash_matches(new, old, n_bands, max_hamming)
 
     else:
+        # empty / whitespace-only text routes to the trivially-novel
+        # sigless path (NULL text, never probed), like minhash/simhash
+        # treat zero-token docs: otherwise every such doc shares the
+        # degenerate 'p:'/'s:' block key and the probe verifies
+        # O(n_empty^2) Levenshtein-0 pairs per batch
         state = (
             batch_df.select("doc_id", "text")
-            .where(F.col("text").isNotNull())
+            .where(F.col("text").rlike(r"\S"))  # NULL rlike is NULL: drops too
             .localCheckpoint()
         )
         empty_state = ("text", "cast(null as string)")
@@ -230,6 +235,27 @@ def dedup_ingest_batch(
     # self-probe: larger id matches smaller, each pair reported once
     matches = probe(sigs, sigs).where(F.col("batch_id") > F.col("corpus_id"))
     index_exists = db.table_exists(index_table)
+    if index_exists and method == "simhash":
+        # a signature index written under a different n_bands would
+        # fold every sig_o[b] / packed probe key to NULL: the probe
+        # silently returns zero matches and every duplicate is declared
+        # novel, permanently polluting the index.  One sampled
+        # non-empty row pins the stored width BEFORE any probe or
+        # write (incremental validation must precede writes, or a
+        # raise strands a half-ingested batch behind the anti-join).
+        stored = (
+            spark.table(index_table)
+            .where(F.size("sig") > 0)
+            .select(F.size("sig").alias("w"))
+            .first()
+        )
+        if stored is not None and stored["w"] != n_bands:
+            raise ValueError(
+                f"dedup_ingest_batch: index table {index_table!r} stores "
+                f"{stored['w']}-band simhash signatures but n_bands="
+                f"{n_bands} was configured — probing would silently match "
+                "nothing; rebuild the index or restore the original n_bands"
+            )
     if index_exists:
         # replay guard: rows this very batch appended in a failed prior
         # attempt must not self-match

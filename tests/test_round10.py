@@ -297,17 +297,16 @@ def test_ingest_replay_idempotent_per_method(spark):
 
 
 def test_ingest_stateless_docs_converge_per_method(spark):
-    """Docs with no usable state (NULL text; zero tokens for simhash)
-    are indexed as trivially novel — an unchanged rerun must see them
-    in the index and produce an empty batch, not re-probe forever."""
+    """Docs with no usable state (NULL text; zero tokens for simhash;
+    empty/whitespace-only text for editdistance) are indexed as
+    trivially novel — an unchanged rerun must see them in the index and
+    produce an empty batch, not re-probe forever."""
     from sayn_spark.streaming.materialise import dedup_ingest_batch
 
-    for method, empty_ok in (("simhash", True), ("editdistance", False)):
+    for method in ("simhash", "editdistance"):
         idx, mt = f"sl_{method}_idx", f"sl_{method}_mt"
         _drop(spark, idx, mt)
-        rows = [(1, None), (2, "real content words here")]
-        if empty_ok:
-            rows.append((3, "   "))  # whitespace-only: zero tokens
+        rows = [(1, None), (2, "real content words here"), (3, "   ")]
         b = spark.createDataFrame(rows, "doc_id long, text string")
         dedup_ingest_batch(b, 0, idx, mt, SF, method=method)
         got = {r.doc_id for r in spark.table(idx).collect()}

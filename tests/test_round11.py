@@ -1,0 +1,152 @@
+"""Round-11 additions, part 1 — the three ADVICE-r10 hardenings of the
+incremental dedup ingest and the editdistance instrument corpus:
+
+- a simhash index written under a different n_bands must raise BEFORE
+  any probe or write (a width mismatch folds every probe key to NULL,
+  silently declaring every duplicate novel);
+- empty / whitespace-only text routes to the trivially-novel sigless
+  path for method=editdistance (previously all such docs shared the
+  degenerate 'p:'/'s:' block key and candidated each other
+  quadratically);
+- _ed_corpus derives its mutated-id offset from max(doc_id) (floored
+  at the historical 100000) so instrument ids never collide with real
+  documents at any scale factor, and carries the donor id explicitly
+  as base_id instead of re-deriving it with modular arithmetic.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _drop(spark, *tables):
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_simhash_nbands_mismatch_raises_before_any_write(spark):
+    """Changing n_bands between ingests is a silent-zero-match hazard:
+    the stored sig arrays have the old width, so sig_o[b] and every
+    packed probe key folds to NULL.  The ingest must refuse up front —
+    and must not have touched the matches table or appended any state
+    before raising (validation precedes writes)."""
+    from sayn_spark.streaming.materialise import dedup_ingest_batch
+
+    idx, mt = "nb_idx", "nb_mt"
+    _drop(spark, idx, mt)
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm fire and the birds sing in the tall trees"
+    )
+    b0 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    dedup_ingest_batch(b0, 0, idx, mt, SF, method="simhash", n_bands=8)
+    idx_before = sorted(r.doc_id for r in spark.table(idx).collect())
+
+    b1 = spark.createDataFrame([(2, base)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="8-band.*n_bands=16"):
+        dedup_ingest_batch(b1, 1, idx, mt, SF, method="simhash", n_bands=16)
+    # nothing written: index unchanged, matches table never created
+    assert sorted(r.doc_id for r in spark.table(idx).collect()) == idx_before
+    assert not spark.catalog.tableExists(mt)
+
+    # the original width still ingests fine (and catches the copy)
+    dedup_ingest_batch(b1, 1, idx, mt, SF, method="simhash", n_bands=8)
+    assert {(r.batch_id, r.corpus_id) for r in spark.table(mt).collect()} == {
+        (2, 1)
+    }
+    _drop(spark, idx, mt)
+
+
+def test_simhash_nbands_check_skips_empty_sig_rows(spark):
+    """Stateless docs are indexed with an EMPTY sig array; the width
+    check must sample a NON-empty row (or pass when none exists) rather
+    than mistaking size(array())=0 for a stored width."""
+    from sayn_spark.streaming.materialise import dedup_ingest_batch
+
+    idx, mt = "nbe_idx", "nbe_mt"
+    _drop(spark, idx, mt)
+    # wave 1 is entirely stateless: index holds only empty sigs
+    b0 = spark.createDataFrame(
+        [(1, None), (2, "   ")], "doc_id long, text string"
+    )
+    dedup_ingest_batch(b0, 0, idx, mt, SF, method="simhash", n_bands=8)
+    assert {r.doc_id for r in spark.table(idx).collect()} == {1, 2}
+    # any n_bands is acceptable against an all-empty index
+    b1 = spark.createDataFrame(
+        [(3, "real content words here today")], "doc_id long, text string"
+    )
+    dedup_ingest_batch(b1, 1, idx, mt, SF, method="simhash", n_bands=16)
+    assert {r.doc_id for r in spark.table(idx).collect()} == {1, 2, 3}
+    _drop(spark, idx, mt)
+
+
+def test_editdistance_empty_text_is_trivially_novel(spark):
+    """Empty and whitespace-only texts must not enter the editdistance
+    probe state: they would all share the degenerate block key and
+    candidate each other quadratically.  They index as NULL text
+    (trivially novel), never match, and converge on rerun."""
+    from sayn_spark.streaming.materialise import dedup_ingest_batch
+
+    idx, mt = "edw_idx", "edw_mt"
+    _drop(spark, idx, mt)
+    rows = [(1, ""), (2, "   "), (3, "\t\n"), (4, None),
+            (5, "real content about engines")]
+    b0 = spark.createDataFrame(rows, "doc_id long, text string")
+    dedup_ingest_batch(b0, 0, idx, mt, SF, method="editdistance")
+    got = {r.doc_id: r.text for r in spark.table(idx).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # degenerate docs stored stateless (NULL text), the real doc as-is
+    assert got[1] is None and got[2] is None and got[3] is None and got[4] is None
+    assert got[5] == "real content about engines"
+    # no Levenshtein-0 empty-vs-empty matches were emitted
+    assert not spark.catalog.tableExists(mt) or spark.table(mt).count() == 0
+
+    # rerun with the same source: everything already indexed, no-op
+    b1 = spark.createDataFrame(rows + [(6, "  ")], "doc_id long, text string")
+    dedup_ingest_batch(b1, 1, idx, mt, SF, method="editdistance")
+    assert spark.table(idx).count() == 6
+    assert not spark.catalog.tableExists(mt) or spark.table(mt).count() == 0
+    _drop(spark, idx, mt)
+
+
+def test_ed_corpus_offset_scales_past_100k(spark, tmp_path):
+    """With base doc_ids >= 100000 the historical fixed +100000 offset
+    would alias mutated ids onto real documents; the max-derived offset
+    keeps the three id namespaces disjoint and base_id names the donor
+    exactly."""
+    from sayn_spark.functions.dedup import _ed_corpus
+
+    docs = spark.createDataFrame(
+        [(0, "alpha text", "en"), (150000, "beta text", "en")],
+        "doc_id long, text string, lang string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    corpus = _ed_corpus(spark, str(tmp_path))
+    rows = {(r.doc_id, r.base_id, r.text) for r in corpus.collect()}
+    off = 150001  # max(doc_id) + 1 > 100000 floor
+    assert rows == {
+        (0, 0, "alpha text"),
+        (150000, 150000, "beta text"),
+        (0 + off, 0, "alpha text zz qq"),
+        (150000 + off, 150000, "beta text zz qq"),
+        (0 + 2 * off, 0, "zq alpha text"),
+        (150000 + 2 * off, 150000, "zq beta text"),
+    }
+    # no id collisions across the three namespaces
+    assert corpus.count() == corpus.select("doc_id").distinct().count()
+
+
+def test_ed_corpus_ids_unchanged_below_100k(spark):
+    """On every corpus under 100k docs the offset is literally 100000,
+    so instrument outputs (and their driver hashes) are byte-identical
+    to the historical fixed-offset scheme."""
+    from sayn_spark.functions.dedup import _ed_corpus
+
+    corpus = _ed_corpus(spark, SF)
+    mx = corpus.agg(
+        F.max(F.col("doc_id") - F.col("base_id")).alias("mx")
+    ).collect()[0]["mx"]
+    assert mx == 200000
