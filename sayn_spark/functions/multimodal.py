@@ -2078,6 +2078,56 @@ def phash_pairs(bands: DataFrame, max_hamming: int = _PH_HAMMING_MAX) -> DataFra
     )
 
 
+def incremental_phash_matches(
+    new_bands: DataFrame,
+    old_bands: DataFrame,
+    max_hamming: int = _PH_HAMMING_MAX,
+) -> DataFrame:
+    """(batch_id, corpus_id, hamming <= max_hamming) matches of a
+    batch's dHash band frame against a stored band index — the image
+    twin of incremental_minhash_matches.  A dHash is NOT
+    corpus-relative (64 bits derived from the image alone), so the
+    index is simply (doc_id, ba array<bigint>[4]) — 8 bytes of state
+    per corpus image — and the probe is the same 4x16 band equi-join
+    the full-corpus plan uses (phash_pairs), applied across the two
+    frames: a pair within Hamming radius 3*16 shares at least one
+    intact band by pigeonhole, and the shipped default radius 12 keeps
+    the measured 0.987 band recall of q_multimodal_phash_recall.  Empty ``ba`` arrays (undecodable
+    payloads indexed as trivially novel) explode to zero key rows and
+    never candidate.
+
+    100 TB shape: both sides derive (band, key) map-side from the
+    4-int state; each ingest shuffles 4 short rows per image.  At full
+    scale the corpus side's keys materialise once as a key-bucketed
+    side table exactly like the minhash band table — documented here
+    as the scale path; the state contract (band ints only, payloads
+    never leave the hashing stage) is what the tests pin.
+    """
+    rows_n = new_bands.select(
+        F.col("doc_id").alias("batch_id"),
+        F.col("ba").alias("sa"),
+        F.posexplode("ba").alias("band", "key"),
+    )
+    rows_o = old_bands.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("ba").alias("sb"),
+        F.posexplode("ba").alias("band", "key"),
+    )
+    cand = (
+        rows_n.join(rows_o.hint("shuffle_hash"), ["band", "key"])
+        .select("batch_id", "corpus_id", "sa", "sb")
+        .distinct()
+    )
+    ham = F.expr(
+        "cast(aggregate(zip_with(sa, sb, (x, y) -> bit_count(x ^ y)), "
+        "0, (acc, v) -> acc + v) as bigint)"
+    )
+    return (
+        cand.select("batch_id", "corpus_id", ham.alias("hamming"))
+        .where(F.col("hamming") <= int(max_hamming))
+    )
+
+
 def image_gray_pixels(payload: bytes):
     """(width, height, gray_bytes) from a real image payload, format
     sniffed by magic: PNG (8-bit grayscale), BMP (24bpp, blue channel),

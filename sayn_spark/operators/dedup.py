@@ -28,16 +28,18 @@ components (auto-selecting label-prop/star-contraction) -> one
 canonical doc per cluster -> destination = source minus the dropped
 docs (full rebuild via replace_table, like autosql ``table``).
 
-Incremental mode (method minhash): the recurring-crawl shape.  The
-CURRENT source rows not yet in the signature index form the batch;
-they are probed against the stored index (signatures only — 16 ints
-per corpus doc), matches land in ``matches_table`` stamped with a
-monotonically increasing ingest id, novel signatures append to
-``index_table``, and the band keys append to a band_sig-BUCKETED
-``{index_table}_bands`` catalog table so the corpus side of every
-future probe is pre-bucketed and never recomputed.  Re-running with an
-unchanged source is a no-op (batch empties), which makes scheduled
-reruns safe.  The per-batch engine is shared with the streaming ingest
+Incremental mode (methods minhash / simhash / editdistance / phash /
+passages): the recurring-crawl shape.  The CURRENT source rows not yet
+in the state index form the batch; they are probed against the stored
+index (per-document state only — 16 minhash ints, n_bands simhash
+ints, 4 dHash band ints, or the text for editdistance), matches land
+in ``matches_table`` stamped with a monotonically increasing ingest
+id, novel state appends to ``index_table``, and for minhash the band
+keys append to a band_sig-BUCKETED ``{index_table}_bands`` catalog
+table so the corpus side of every future probe is pre-bucketed and
+never recomputed.  Re-running with an unchanged source is a no-op
+(batch empties), which makes scheduled reruns safe.  The per-batch
+engine is shared with the streaming ingest
 (streaming/materialise.py:dedup_ingest_batch) — one code path for both
 arrival modes.
 
@@ -379,12 +381,6 @@ class DedupTask(Task):
                     f"dedup task {self.name!r}: method=phash is verified by "
                     "Hamming distance (max_hamming), not threshold/verify"
                 )
-            if self.mode == "incremental":
-                raise ValueError(
-                    f"dedup task {self.name!r}: incremental phash is not "
-                    "implemented — use mode: full (the band frame is cheap "
-                    "to rebuild: 4 ints per image)"
-                )
         if self.verify == "exact" and self.method != "minhash":
             raise ValueError(
                 f"dedup task {self.name!r}: verify=exact applies to method=minhash "
@@ -406,17 +402,20 @@ class DedupTask(Task):
                     "incremental-mode config"
                 )
         else:
-            if self.method not in ("minhash", "simhash", "editdistance", "passages"):
+            if self.method not in (
+                "minhash", "simhash", "editdistance", "passages", "phash",
+            ):
                 raise ValueError(
                     f"dedup task {self.name!r}: incremental mode requires a "
                     "method whose per-document state is self-contained — "
                     "minhash or simhash (signature index), editdistance "
-                    "(text index), or passages (fingerprint index).  "
-                    "lines/containment/semantic ARE corpus-relative (line "
-                    "document-frequency / size-partition spread / quantizer "
-                    "cells); jaccard's exact inverted index is the at-scale "
-                    "anti-pattern (use minhash); exact is one hash-groupBy "
-                    "per run anyway — use mode: full"
+                    "(text index), passages (fingerprint index), or phash "
+                    "(dHash band index).  lines/containment/semantic ARE "
+                    "corpus-relative (line document-frequency / "
+                    "size-partition spread / quantizer cells); jaccard's "
+                    "exact inverted index is the at-scale anti-pattern (use "
+                    "minhash); exact is one hash-groupBy per run anyway — "
+                    "use mode: full"
                 )
             if self.method == "passages":
                 if not (self.index_table and dest):
@@ -796,7 +795,32 @@ class DedupTask(Task):
         spark = self.context.spark
         db = self.context.db
         docs = self._docs()
-        batch = self._standard(docs)
+        if self.method == "phash":
+            from sayn_spark.functions.dedup import fan_out_table
+
+            # same loud-fail as full mode: the band frame casts ids to
+            # BIGINT, and a non-integral id column would cast to NULL
+            # row by row, silently emptying every probe
+            id_type = dict(docs.dtypes)[self.id_column]
+            if id_type not in ("tinyint", "smallint", "int", "bigint"):
+                raise ValueError(
+                    f"dedup task {self.name!r}: method=phash needs an integer "
+                    f"id_column ({self.id_column!r} is {id_type}) — pre-hash "
+                    "string ids (e.g. xxhash64(id)) in an upstream task"
+                )
+            # NULL payloads stay in the batch: the ingest indexes them
+            # as trivially novel so they converge instead of
+            # re-entering every run
+            batch = fan_out_table(
+                docs.select(
+                    F.col(self.id_column).alias("doc_id"),
+                    F.col(self.payload_column).alias("payload"),
+                ),
+                spark,
+                self.src_value,
+            )
+        else:
+            batch = self._standard(docs)
         # processed = indexed (kept) UNION previously-matched (dropped):
         # both must leave the batch, or every rerun re-probes the
         # already-reported duplicates forever
@@ -825,7 +849,8 @@ class DedupTask(Task):
             # the pre-bucketed band-key side table is a minhash-only
             # optimisation; simhash derives combo keys from its 8-int
             # signatures map-side, editdistance derives block keys from
-            # the indexed text map-side
+            # the indexed text map-side, phash derives (band, key) rows
+            # from its 4 stored band ints map-side
             band_table=(
                 f"{self.index_table}_bands" if self.method == "minhash" else None
             ),
@@ -835,6 +860,7 @@ class DedupTask(Task):
             max_edit=self.max_edit,
             block_chars=self.block_chars,
             block_keys=self.block_keys,
+            on_decode_error=self.on_decode_error,
         )
         if self.dst_value is not None:
             # SELF-HEALING: the destination is defined as "source docs

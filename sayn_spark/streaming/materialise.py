@@ -110,6 +110,7 @@ def dedup_ingest_batch(
     max_edit: int = 8,
     block_chars: int = 24,
     block_keys: tuple = ("prefix", "suffix"),
+    on_decode_error: str = "fail",
 ) -> None:
     """One trigger of the near-dup ingest — exposed at module level so
     failure-replay (foreachBatch is at-least-once) can be exercised
@@ -131,6 +132,19 @@ def dedup_ingest_batch(
       of a character-level metric), probe = dual-key blocked bounded
       Levenshtein <= ``max_edit`` (incremental_editdistance_matches);
       matches carry ``edit_dist``.
+    - ``phash``: the batch carries (doc_id, payload BINARY) instead of
+      text; state = the 4 packed 16-bit dHash band ints decoded from
+      the image payload (image_dhash_band_frame — 8 bytes/image, the
+      payload never leaves the hashing stage), probe = 4x16 band
+      equi-join + Hamming <= ``max_hamming``
+      (incremental_phash_matches); matches carry ``hamming``.
+      ``on_decode_error`` decides what an undecodable payload does:
+      ``fail`` (default) raises — right for curated corpora; ``skip``
+      indexes the doc as trivially novel (empty band array, never a
+      candidate, conservatively kept) so a crawl's truncated payloads
+      converge instead of re-entering every batch.  Image crawls are
+      the canonical continuous-ingest workload — this is the method
+      that makes ``mode: incremental`` cover them.
 
     Idempotency contract, stated precisely (method-independent):
 
@@ -175,11 +189,15 @@ def dedup_ingest_batch(
         simhash_signatures_for,
     )
 
-    if method not in ("minhash", "simhash", "editdistance"):
+    if method not in ("minhash", "simhash", "editdistance", "phash"):
         raise ValueError(f"dedup_ingest_batch: unknown method {method!r}")
     if band_table is not None and method != "minhash":
         raise ValueError(
             "dedup_ingest_batch: band_table applies to method='minhash' only"
+        )
+    if on_decode_error != "fail" and method != "phash":
+        raise ValueError(
+            "dedup_ingest_batch: on_decode_error applies to method='phash' only"
         )
     spark = batch_df.sparkSession
     db = SparkDatabase(spark)
@@ -202,6 +220,24 @@ def dedup_ingest_batch(
 
         def probe(new, old, old_bands=None):
             return incremental_simhash_matches(new, old, n_bands, max_hamming)
+
+    elif method == "phash":
+        from sayn_spark.functions.multimodal import (
+            image_dhash_band_frame,
+            incremental_phash_matches,
+        )
+
+        # NULL payloads are excluded from the hashing stage up front so
+        # they land on the sigless path below (under on_decode_error:
+        # fail, bytes(None) would raise inside the UDF instead)
+        state = image_dhash_band_frame(
+            batch_df.where(F.col("payload").isNotNull()),
+            on_error=on_decode_error,
+        ).localCheckpoint()
+        empty_state = ("ba", "cast(array() as array<bigint>)")
+
+        def probe(new, old, old_bands=None):
+            return incremental_phash_matches(new, old, max_hamming)
 
     else:
         # empty / whitespace-only text routes to the trivially-novel
@@ -330,22 +366,23 @@ def stream_dedup_ingest(
     **method_opts,
 ):
     """Continuous near-dup ingest: each micro-batch of (doc_id, text)
-    is probed against the persistent state index for ``method``
-    (minhash signatures / simhash signatures / document text — see
-    dedup_ingest_batch), matches land in ``matches_table`` (stamped
-    with the trigger id, replay-idempotent), and only the novel
-    documents' state appends to ``index_table`` — the streaming twin
-    of q_dedup_incremental_minhash and of the dedup task's
-    ``mode: incremental``.  Per-batch semantics and the full
+    — or (doc_id, payload BINARY) for ``method='phash'`` — is probed
+    against the persistent state index for ``method``
+    (minhash signatures / simhash signatures / document text / dHash
+    band ints — see dedup_ingest_batch), matches land in
+    ``matches_table`` (stamped with the trigger id, replay-idempotent),
+    and only the novel documents' state appends to ``index_table`` —
+    the streaming twin of q_dedup_incremental_minhash and of the dedup
+    task's ``mode: incremental``.  Per-batch semantics and the full
     idempotency contract: dedup_ingest_batch, which also receives any
     ``method_opts`` (threshold / n_bands / max_hamming / max_edit /
-    block_chars / block_keys).
+    block_chars / block_keys / on_decode_error).
 
-    State discipline at 100 TB: minhash and simhash store a few ints
-    per corpus document (never shingles or text) and each trigger
-    shuffles only the batch's probe keys against the stored side;
-    editdistance stores the text itself — the inherent price of a
-    character-level verify.  The matches merge rewrites the parquet
+    State discipline at 100 TB: minhash, simhash, and phash store a
+    few ints per corpus document (never shingles, text, or image
+    payloads) and each trigger shuffles only the batch's probe keys
+    against the stored side; editdistance stores the text itself — the
+    inherent price of a character-level verify.  The matches merge rewrites the parquet
     matches table per trigger — fine for a match stream that is a tiny
     fraction of the corpus; point matches_table at a Delta destination
     and the same call becomes a keyed MERGE touching only that

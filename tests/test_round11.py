@@ -150,3 +150,202 @@ def test_ed_corpus_ids_unchanged_below_100k(spark):
         F.max(F.col("doc_id") - F.col("base_id")).alias("mx")
     ).collect()[0]["mx"]
     assert mx == 200000
+
+
+# -- incremental phash (VERDICT r10 item 3) ----------------------------------
+
+
+import numpy as np
+
+from sayn_spark.core.compiler import Compiler
+from sayn_spark.core.database import SparkDatabase
+from sayn_spark.core.objects import DbObjectCompiler
+from sayn_spark.operators import RunArguments, TaskContext
+from sayn_spark.operators.dedup import DedupTask
+
+
+@pytest.fixture
+def ctx(spark, tmp_path):
+    return TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={"sf_dir": SF},
+        connections={},
+        project_dir=tmp_path,
+    )
+
+
+def _task(ctx, name, cfg):
+    t = DedupTask(name, cfg, ctx)
+    t.config()
+    t.run()
+    return t
+
+
+def _images(n, seed=11, w=16, h=18):
+    """n deterministic distinct random images as (doc_id, raw bytes):
+    two independent 64-bit dHashes differ ~32 bits on average, so at
+    radius 12 distinct images never false-match."""
+    rng = np.random.default_rng(seed)
+    return {
+        i: bytes(int(v) for v in rng.integers(0, 256, size=w * h))
+        for i in range(n)
+    }
+
+
+def test_phash_incremental_lifecycle(ctx, spark):
+    """Two-run (plus rerun) lifecycle of the dHash band index: run 1
+    seeds the index from PNG payloads, run 2 reports RE-ENCODED copies
+    (identical pixels, BMP container -> dHash Hamming 0) of INDEXED
+    donors against the stored 4-int state, run 3 is a no-op.  The
+    index stores (doc_id, ba) only — payloads never persist."""
+    from sayn_spark.functions.multimodal import bmp_encode, png_encode
+
+    tables = ("ph_inc_src", "ph_inc_idx", "ph_inc_mt", "ph_inc_out")
+    _drop(spark, *tables)
+    w, h = 16, 18
+    raws = _images(8)
+    cfg = {
+        "source": "ph_inc_src",
+        "mode": "incremental",
+        "method": "phash",
+        "index_table": "ph_inc_idx",
+        "matches_table": "ph_inc_mt",
+        "destination": "ph_inc_out",
+    }
+
+    wave1 = spark.createDataFrame(
+        [(i, bytearray(png_encode(raws[i], w, h))) for i in range(6)],
+        "doc_id long, payload binary",
+    )
+    ctx.db.replace_table("ph_inc_src", wave1)
+    _task(ctx, "ph_inc", cfg)
+    assert spark.table("ph_inc_idx").columns == ["doc_id", "ba"]
+    idx1 = {r.doc_id for r in spark.table("ph_inc_idx").collect()}
+    assert idx1 == set(range(6))  # distinct images: all novel
+    assert {r.doc_id for r in spark.table("ph_inc_out").collect()} == idx1
+
+    # wave 2: two novel images plus BMP re-encodes of indexed donors
+    wave2 = wave1.unionByName(
+        spark.createDataFrame(
+            [(i, bytearray(png_encode(raws[i], w, h))) for i in (6, 7)]
+            + [
+                (100 + i, bytearray(bmp_encode(raws[i], w, h)))
+                for i in (0, 3)
+            ],
+            "doc_id long, payload binary",
+        )
+    )
+    ctx.db.replace_table("ph_inc_src", wave2)
+    _task(ctx, "ph_inc", cfg)
+    matches = spark.table("ph_inc_mt")
+    assert "hamming" in matches.columns
+    got = {(r.batch_id, r.corpus_id, r.hamming) for r in matches.collect()}
+    assert {(100, 0, 0), (103, 3, 0)} <= got
+    idx2 = {r.doc_id for r in spark.table("ph_inc_idx").collect()}
+    assert idx2 == set(range(8))  # twins never enter the index
+    assert {r.doc_id for r in spark.table("ph_inc_out").collect()} == idx2
+
+    # run 3: unchanged source -> no-op
+    _task(ctx, "ph_inc", cfg)
+    assert {r.doc_id for r in spark.table("ph_inc_idx").collect()} == idx2
+    assert spark.table("ph_inc_mt").count() == len(got)
+    _drop(spark, *tables)
+
+
+def test_phash_incremental_decode_error_modes(ctx, spark):
+    """on_decode_error flows through the incremental path: under skip,
+    an undecodable payload (and a NULL payload) is indexed as trivially
+    novel with an EMPTY band array — kept conservatively, converged on
+    rerun, never a candidate; under the default fail it raises."""
+    from sayn_spark.functions.multimodal import png_encode
+
+    tables = ("ph_err_src", "ph_err_idx", "ph_err_mt", "ph_err_out")
+    _drop(spark, *tables)
+    w, h = 16, 18
+    raws = _images(1, seed=23)
+    rows = [
+        (1, bytearray(png_encode(raws[0], w, h))),
+        (2, bytearray(b"garbage-not-an-image")),
+        (3, None),
+    ]
+    ctx.db.replace_table(
+        "ph_err_src",
+        spark.createDataFrame(rows, "doc_id long, payload binary"),
+    )
+    cfg = {
+        "source": "ph_err_src",
+        "mode": "incremental",
+        "method": "phash",
+        "index_table": "ph_err_idx",
+        "matches_table": "ph_err_mt",
+        "destination": "ph_err_out",
+        "on_decode_error": "skip",
+    }
+    _task(ctx, "ph_err", cfg)
+    got = {r.doc_id: r.ba for r in spark.table("ph_err_idx").collect()}
+    assert set(got) == {1, 2, 3}
+    assert len(got[1]) == 4 and got[2] == [] and got[3] == []
+    # rerun converges (no-op), including for the stateless docs
+    _task(ctx, "ph_err", cfg)
+    assert spark.table("ph_err_idx").count() == 3
+    assert (
+        not spark.catalog.tableExists("ph_err_mt")
+        or spark.table("ph_err_mt").count() == 0
+    )
+    _drop(spark, *tables)
+
+    # default fail: the undecodable payload kills the run loudly
+    ctx.db.replace_table(
+        "ph_err_src",
+        spark.createDataFrame(rows[:2], "doc_id long, payload binary"),
+    )
+    with pytest.raises(Exception):
+        _task(ctx, "ph_err_f", {k: v for k, v in cfg.items() if k != "on_decode_error"})
+    _drop(spark, *tables)
+
+
+def test_stream_dedup_ingest_phash_dispatch(spark, tmp_path):
+    """The streaming twin dispatches method=phash: a wave-2 re-encode
+    of a wave-1 image is caught against the stored band index and only
+    novel band state appends."""
+    from sayn_spark.functions.multimodal import bmp_encode, png_encode
+    from sayn_spark.streaming.materialise import stream_dedup_ingest
+
+    src = tmp_path / "imgs_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    idx, mt = "stream_ph_idx", "stream_ph_mt"
+    _drop(spark, idx, mt)
+    w, h = 16, 18
+    raws = _images(2, seed=31)
+
+    def run_wave(name, rows):
+        spark.createDataFrame(rows, schema="doc_id long, payload binary").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+        stream = spark.readStream.schema("doc_id long, payload binary").option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = stream_dedup_ingest(
+            stream, idx, mt, ckpt, SF, method="phash", max_hamming=12
+        )
+        q.awaitTermination(120)
+
+    run_wave("w1", [(1, bytearray(png_encode(raws[0], w, h)))])
+    run_wave(
+        "w2",
+        [
+            (101, bytearray(bmp_encode(raws[0], w, h))),
+            (102, bytearray(png_encode(raws[1], w, h))),
+        ],
+    )
+    assert {
+        (r.batch_id, r.corpus_id, r.hamming) for r in spark.table(mt).collect()
+    } == {(101, 1, 0)}
+    assert {r.doc_id for r in spark.table(idx).collect()} == {1, 102}
+    assert spark.table(idx).columns == ["doc_id", "ba"]
+    _drop(spark, idx, mt)

@@ -243,6 +243,15 @@ def test_phash_task_config_validation(dedup_ctx):
         {"source": "t", "destination": "o", "method": "phash", "verify": "exact"},
         {"source": "t", "destination": "o", "method": "phash", "threshold": 0.9},
         {"source": "t", "destination": "o", "method": "phash", "max_hamming": 65},
+    ]
+    for cfg in bad:
+        t = DedupTask("bad", cfg, dedup_ctx)
+        with pytest.raises(ValueError):
+            t.config()
+    # incremental phash is a supported mode as of r11 (dHash is
+    # self-contained 64-bit state — the continuous image-crawl shape)
+    ok = DedupTask(
+        "ok",
         {
             "source": "t",
             "mode": "incremental",
@@ -250,11 +259,9 @@ def test_phash_task_config_validation(dedup_ctx):
             "matches_table": "m",
             "method": "phash",
         },
-    ]
-    for cfg in bad:
-        t = DedupTask("bad", cfg, dedup_ctx)
-        with pytest.raises(ValueError):
-            t.config()
+        dedup_ctx,
+    )
+    ok.config()
 
 
 def test_image_gray_pixels_jpeg_decodes_and_unknown_raises():
