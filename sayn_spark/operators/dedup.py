@@ -85,13 +85,14 @@ Methods:
            methods.  ``cell_cap`` guards the per-cell executor memory
            bound.
 - phash:   image near-dedup (q_multimodal_phash_dedup's engine): the
-           BINARY ``payload_column`` is decoded (PNG, BMP, GIF,
-           baseline JPEG via the in-module codecs), dHashed to 64
-           bits, 4x16-banded for LSH candidates, and verified at
-           Hamming <= ``max_hamming`` (default 12); keep min|best|soft
-           apply unchanged.  Payloads past the codecs' documented
-           scope (progressive JPEG, arithmetic coding) raise — or are
-           conservatively KEPT under ``on_decode_error: skip``.
+           BINARY ``payload_column`` is decoded (PNG, BMP, GIF, JPEG —
+           baseline SOF0 and progressive SOF2 — via the in-module
+           codecs), dHashed to 64 bits, 4x16-banded for LSH
+           candidates, and verified at Hamming <= ``max_hamming``
+           (default 12); keep min|best|soft apply unchanged.  Payloads
+           past the codecs' documented scope (arithmetic coding,
+           video) raise — or are conservatively KEPT under
+           ``on_decode_error: skip``.
 
 keep: ``min`` keeps the lowest id per cluster; ``best`` keeps the
 highest ``score_column`` (ties -> lowest id) — the keep-best canonical

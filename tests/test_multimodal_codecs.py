@@ -335,7 +335,7 @@ def test_jpeg_byte_stuffing_roundtrips():
         assert np.frombuffer(px, dtype=np.uint8).reshape(8, 32).tolist() == img.tolist()
 
 
-def test_jpeg_rejects_progressive_and_bad_dims():
+def test_jpeg_rejects_out_of_scope_and_bad_dims():
     import pytest as _pytest
 
     from sayn_spark.functions.multimodal import jpeg_encode, jpeg_parse
@@ -343,7 +343,15 @@ def test_jpeg_rejects_progressive_and_bad_dims():
     img = bytes(64)
     payload = bytearray(jpeg_encode(img, 8, 8))
     sof = payload.index(b"\xff\xc0")
-    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    # SOF0 rewritten to SOF2 makes the baseline scan header MALFORMED
+    # under progressive rules (a DC scan must have Se = 0, not 63) —
+    # since r11 progressive itself is in scope, so this is a corrupt
+    # payload (ValueError), not an unimplemented feature
+    payload[sof + 1] = 0xC2
+    with _pytest.raises(ValueError):
+        jpeg_parse(bytes(payload), want_pixels=True)
+    # arithmetic-coded SOF9 stays a documented scope boundary
+    payload[sof + 1] = 0xC9
     with _pytest.raises(NotImplementedError):
         jpeg_parse(bytes(payload), want_pixels=True)
     with _pytest.raises(ValueError):
@@ -429,6 +437,34 @@ def test_jpeg_parse_truncated_payload_never_hangs(cut, seed):
         # bytes -> ValueError, out-of-scope features ->
         # NotImplementedError; anything else (IndexError, struct.error)
         # is a contract breach and fails this test
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(cut=st.integers(min_value=0, max_value=1200), seed=st.integers(0, 1000))
+def test_jpeg_progressive_truncated_payload_never_hangs(cut, seed):
+    """PROPERTY: the progressive decoder holds the same two-exception
+    contract as baseline under truncation — a multi-scan stream cut at
+    any byte (mid-header, mid-scan, between scans, before EOI) raises
+    ValueError/NotImplementedError or returns; never a raw
+    IndexError/KeyError/struct.error, never a hang."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import (
+        JPEG_STD_QUANT,
+        jpeg_encode_progressive,
+        jpeg_parse,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+    payload = jpeg_encode_progressive(
+        img.tobytes(), 16, 16, quant_luma=JPEG_STD_QUANT, restart_interval=2
+    )
+    trunc = payload[: min(cut, len(payload))]
+    try:
+        jpeg_parse(trunc, want_pixels=True)
+    except (ValueError, NotImplementedError):
+        pass
 
 
 @settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))

@@ -349,3 +349,253 @@ def test_stream_dedup_ingest_phash_dispatch(spark, tmp_path):
     assert {r.doc_id for r in spark.table(idx).collect()} == {1, 102}
     assert spark.table(idx).columns == ["doc_id", "ba"]
     _drop(spark, idx, mt)
+
+
+# --- round-11 part 2: progressive JPEG (SOF2) ---------------------------
+#
+# VERDICT r10 item 1 (the r9 rollover): spectral selection + successive
+# approximation decode, luma-only chroma-scan skipping, and an encoder
+# witness with data-derived optimal Huffman tables.  The differential
+# property doing the heavy lifting everywhere: baseline and progressive
+# encoders share ONE batched FDCT/quantize path and both decoders share
+# ONE batched IDCT finale, so progressive-vs-baseline plane equality
+# isolates exactly the progressive scan coding.
+
+
+def test_jpeg_progressive_gray_block_constant_exact():
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import (
+        jpeg_encode_progressive,
+        jpeg_parse,
+    )
+
+    blocks = np.array([[10, 200, 33], [130, 7, 255]])
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    payload = jpeg_encode_progressive(img.tobytes(), 24, 16)
+    assert jpeg_parse(payload) == (24, 16, 1)  # metadata-only fast path
+    w, h, nc, px = jpeg_parse(payload, want_pixels=True)
+    assert (w, h, nc) == (24, 16, 1)
+    assert np.frombuffer(px, np.uint8).reshape(16, 24).tolist() == img.tolist()
+
+
+def test_jpeg_progressive_matches_baseline_all_samplings():
+    """Random lossy color content through the default 10-scan script
+    decodes BIT-IDENTICALLY to the baseline SOF0 encoding of the same
+    pixels, for every supported chroma layout and restart interval —
+    and the luma-only want_pixels path (which byte-skips chroma AC
+    scans) returns exactly planes[0]."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import (
+        JPEG_STD_QUANT,
+        JPEG_STD_QUANT_CHROMA,
+        jpeg_encode_color,
+        jpeg_encode_progressive,
+        jpeg_parse,
+    )
+
+    rng = np.random.default_rng(11)
+    for sampling in ((1, 1), (2, 1), (1, 2), (2, 2)):
+        sh, sv = sampling
+        W, H = 16 * sh, 16 * sv
+        y = rng.integers(0, 256, (H, W)).astype(np.uint8)
+        c1 = rng.integers(0, 256, (H // sv, W // sh)).astype(np.uint8)
+        c2 = rng.integers(0, 256, (H // sv, W // sh)).astype(np.uint8)
+        for ri in (0, 2):
+            kw = dict(
+                quant_luma=JPEG_STD_QUANT,
+                quant_chroma=JPEG_STD_QUANT_CHROMA,
+                sampling=sampling,
+                restart_interval=ri,
+            )
+            base = jpeg_encode_color(
+                y.tobytes(), c1.tobytes(), c2.tobytes(), W, H, **kw
+            )
+            prog = jpeg_encode_progressive(
+                y.tobytes(), W, H, c1.tobytes(), c2.tobytes(), **kw
+            )
+            got_b = jpeg_parse(base, want_planes=True)
+            got_p = jpeg_parse(prog, want_planes=True)
+            assert got_b == got_p, (sampling, ri)
+            luma = jpeg_parse(prog, want_pixels=True)[3]
+            assert luma == got_p[3][0][2], (sampling, ri)
+
+
+def test_jpeg_progressive_eobrun_zrl_and_custom_script():
+    """A mostly-flat image makes the AC scans one long cross-block EOB
+    run (EOBn symbols with run > 0 — only expressible with derived
+    tables); a sparse single-coefficient-per-block image exercises ZRL
+    in first and refinement passes.  A hand-built script with narrow
+    spectral bands and a 3-step successive approximation must decode
+    identically to baseline too."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import (
+        JPEG_STD_QUANT,
+        jpeg_encode,
+        jpeg_encode_progressive,
+        jpeg_parse,
+    )
+
+    flat = np.full((32, 64), 128, np.uint8)
+    flat[0, 0] = 255
+    flat[31, 63] = 0
+    sparse = np.zeros((16, 64), np.uint8)
+    sparse[::8, ::8] = 200  # one hot pixel per block -> long zero runs
+    script = (
+        ((0,), 0, 0, 0, 2),
+        ((0,), 1, 2, 0, 3),
+        ((0,), 3, 9, 0, 3),
+        ((0,), 10, 63, 0, 3),
+        ((0,), 1, 63, 3, 2),
+        ((0,), 1, 63, 2, 1),
+        ((0,), 1, 63, 1, 0),
+        ((0,), 0, 0, 2, 1),
+        ((0,), 0, 0, 1, 0),
+    )
+    for img in (flat, sparse):
+        h, w = img.shape
+        base = jpeg_parse(
+            jpeg_encode(img.tobytes(), w, h, quant=JPEG_STD_QUANT),
+            want_pixels=True,
+        )
+        for scans in (None, script):
+            prog = jpeg_parse(
+                jpeg_encode_progressive(
+                    img.tobytes(), w, h, quant_luma=JPEG_STD_QUANT, scans=scans
+                ),
+                want_pixels=True,
+            )
+            assert prog == base
+
+
+def test_jpeg_progressive_script_validation():
+    import numpy as np
+    import pytest as _pytest
+
+    from sayn_spark.functions.multimodal import jpeg_encode_progressive
+
+    img = np.zeros((8, 8), np.uint8).tobytes()
+    bad_scripts = [
+        (((0,), 0, 63, 0, 0),),              # DC scan with Se > 0
+        (((0,), 1, 63, 0, 0),),              # AC before any DC first pass
+        (((0, 1), 0, 0, 0, 0),),             # unknown component (gray)
+        (((0,), 0, 0, 0, 0), ((0,), 5, 3, 0, 0)),   # Se < Ss
+        (((0,), 0, 0, 0, 15),),              # Al out of range
+        (((0,), 0, 0, 1, 0),),               # refinement before first pass
+    ]
+    for scans in bad_scripts:
+        with _pytest.raises(ValueError):
+            jpeg_encode_progressive(img, 8, 8, scans=scans)
+    # interleaved AC is structurally impossible to ENCODE (validated),
+    # and the DECODER rejects it too (covered by the byte-patch test)
+
+
+def test_jpeg_progressive_decoder_rejects_malformed():
+    """Decoder-side strictness: a DC scan whose Se byte is patched to
+    63 is a corrupt stream (ValueError), and a payload whose EOI is
+    chopped off after the last scan is truncated (ValueError) — never
+    a silent partial decode."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sayn_spark.functions.multimodal import (
+        jpeg_encode_progressive,
+        jpeg_parse,
+    )
+
+    img = np.kron(
+        np.array([[50, 150], [250, 5]]), np.ones((8, 8), dtype=np.int64)
+    ).astype(np.uint8)
+    payload = jpeg_encode_progressive(img.tobytes(), 16, 16)
+
+    patched = bytearray(payload)
+    sos = patched.index(b"\xff\xda")  # first scan: DC first (Ss=0, Se=0)
+    assert patched[sos + 7 : sos + 9] == b"\x00\x00"  # Ss, Se
+    patched[sos + 8] = 63
+    with _pytest.raises(ValueError):
+        jpeg_parse(bytes(patched), want_pixels=True)
+
+    assert payload.endswith(b"\xff\xd9")
+    with _pytest.raises(ValueError, match="EOI"):
+        jpeg_parse(payload[:-2], want_pixels=True)
+    # metadata-only parse of the chopped payload still works (dims are
+    # in the frame header)
+    assert jpeg_parse(payload[:-2]) == (16, 16, 1)
+
+
+def test_image_gray_pixels_and_dhash_accept_progressive():
+    """The phash pipeline's decode hook takes progressive payloads:
+    same pixels encoded baseline and progressive produce the same luma
+    plane and therefore identical dHash bands — a re-encoded
+    progressive twin of an indexed baseline image verifies at
+    Hamming 0."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import (
+        JPEG_STD_QUANT,
+        JPEG_STD_QUANT_CHROMA,
+        dhash_bands,
+        image_gray_pixels,
+        jpeg_encode_color,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(23)
+    y = rng.integers(0, 256, (16, 32)).astype(np.uint8)
+    c1 = rng.integers(0, 256, (8, 16)).astype(np.uint8)
+    c2 = rng.integers(0, 256, (8, 16)).astype(np.uint8)
+    kw = dict(quant_luma=JPEG_STD_QUANT, quant_chroma=JPEG_STD_QUANT_CHROMA)
+    base = jpeg_encode_color(y.tobytes(), c1.tobytes(), c2.tobytes(), 32, 16, **kw)
+    prog = jpeg_encode_progressive(y.tobytes(), 32, 16, c1.tobytes(), c2.tobytes(), **kw)
+    wb, hb, gb = image_gray_pixels(base)
+    wp, hp, gp = image_gray_pixels(prog)
+    assert (wb, hb) == (wp, hp) == (32, 16)
+    assert gb == gp
+    assert dhash_bands(gb, 32, 16) == dhash_bands(gp, 32, 16)
+
+
+def test_incremental_phash_ingest_accepts_progressive_twin(spark):
+    """Two-wave incremental phash: wave 1 indexes a baseline color
+    JPEG; wave 2 brings the PROGRESSIVE re-encode of the same pixels —
+    it must verify against the stored index at Hamming 0 and stay out
+    of the index, exactly like the BMP re-encode in the wave tests
+    above."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import (
+        jpeg_encode_color,
+        jpeg_encode_progressive,
+    )
+    from sayn_spark.streaming.materialise import dedup_ingest_batch
+
+    idx, mt = "pj_idx", "pj_mt"
+    _drop(spark, idx, mt)
+    rng = np.random.default_rng(5)
+    y = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    flat = np.full((8, 8), 128, np.uint8)
+    base = jpeg_encode_color(
+        y.tobytes(), flat.tobytes(), flat.tobytes(), 16, 16
+    )
+    prog = jpeg_encode_progressive(
+        y.tobytes(), 16, 16, flat.tobytes(), flat.tobytes()
+    )
+    b0 = spark.createDataFrame(
+        [(1, bytearray(base))], "doc_id long, payload binary"
+    )
+    dedup_ingest_batch(
+        b0, 0, idx, mt, SF, method="phash", max_hamming=12
+    )
+    b1 = spark.createDataFrame(
+        [(2, bytearray(prog))], "doc_id long, payload binary"
+    )
+    dedup_ingest_batch(
+        b1, 1, idx, mt, SF, method="phash", max_hamming=12
+    )
+    assert {
+        (r.batch_id, r.corpus_id, r.hamming, r.ingest_id)
+        for r in spark.table(mt).collect()
+    } == {(2, 1, 0, 1)}
+    assert {r.doc_id for r in spark.table(idx).collect()} == {1}
+    _drop(spark, idx, mt)
