@@ -15,12 +15,16 @@ intervals, baseline SOF0 AND progressive SOF2 with spectral selection
 ``decode=real`` works end-to-end for them and the round-trip queries
 below are value-checked against DuckDB oracles (JPEG on
 block-constant images, where the lossy pipeline is exactly
-invertible).  The remaining
-genuinely external formats (MP4, MP3, arithmetic-coded JPEG) need
-libjpeg/ffmpeg, which are not in this container, so those payloads
-raise NotImplementedError at the exact point a production deployment
-would plug the codec in; ``decode=deterministic`` remains the
-codec-free stub that derives metadata purely from the bytes.
+invertible).  Animated GIF decodes with full GIF89a compositing
+(sub-rectangle frames, disposal methods, transparency) so
+frame-sampling is real for the one animated format needing no external
+codec, and MP4/ISO-BMFF parses headers-only (duration, tracks, codec
+4CCs, dimensions — mdat never read).  The remaining genuinely external
+work (video/audio FRAME decode, arithmetic-coded JPEG) needs
+libjpeg/ffmpeg, which are not in this container, so those paths raise
+NotImplementedError at the exact point a production deployment would
+plug the codec in; ``decode=deterministic`` remains the codec-free
+stub that derives metadata purely from the bytes.
 
 Scale design: mapInPandas streams Arrow batches through Python with no
 driver collect; payload columns stay opaque until the last stage, so
@@ -436,6 +440,363 @@ def gif_parse(payload: bytes, want_pixels: bool = False):
             return iw, ih, n_colors
         return iw, ih, n_colors, lzw_decompress(bytes(lzw), min_code)
     raise ValueError("GIF contains no image descriptor")
+
+
+def gif_encode_animated(frames, width: int, height: int, loop: int = 0) -> bytes:
+    """A real, spec-valid ANIMATED GIF89a — the format animated crawl
+    images actually arrive in: logical screen descriptor + 256-entry
+    grayscale global color table, NETSCAPE2.0 looping application
+    extension, and per frame a Graphic Control Extension (disposal
+    method, delay, optional transparency) followed by an image
+    descriptor that may cover a SUB-RECTANGLE of the canvas (how real
+    encoders ship inter-frame deltas) and this module's own LZW
+    stream.
+
+    ``frames`` is a list of (pixels, left, top, fw, fh, delay_cs,
+    disposal, transparent) tuples: ``pixels`` = fw*fh palette indices
+    (grayscale identity palette, like gif_encode), ``disposal`` per
+    GIF89a 23.c.iv (0/1 leave, 2 restore-to-background, 3
+    restore-to-previous), ``transparent`` = index painted as
+    see-through or None."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    for pixels, left, top, fw, fh, delay_cs, disposal, transparent in frames:
+        if len(pixels) != fw * fh:
+            raise ValueError(f"frame needs {fw * fh} pixels, got {len(pixels)}")
+        if left < 0 or top < 0 or left + fw > width or top + fh > height:
+            raise ValueError("frame rectangle exceeds the logical screen")
+        if disposal not in (0, 1, 2, 3):
+            raise ValueError(f"disposal method {disposal} not in 0-3")
+        packed = (disposal << 2) | (1 if transparent is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([packed])
+        out += struct.pack("<H", delay_cs)
+        out += bytes([transparent if transparent is not None else 0, 0])
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        lzw = lzw_compress(bytes(pixels), 8)
+        out.append(8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_frames(payload: bytes):
+    """Decode a (possibly animated) GIF into its COMPOSITED visible
+    frames: (width, height, [(delay_cs, gray_bytes), ...]) where each
+    gray_bytes is the full logical-screen canvas as the viewer sees it
+    after that frame renders.  Implements the GIF89a compositing model
+    the single-frame gif_parse skips: Graphic Control Extensions pair
+    with the next image descriptor; sub-rectangle frames paint onto
+    the persisting canvas; transparency (the GCE transparent index)
+    leaves the underlying pixel; disposal 2 restores the frame's rect
+    to the background index and disposal 3 restores the pre-frame
+    canvas before the NEXT frame renders.  Palette indices are emitted
+    as gray directly (identity palette — same contract as gif_parse).
+    This is what makes frame-sampling REAL for the one animated format
+    this module decodes from scratch; video (MP4) frame decode stays
+    at the ffmpeg hook.
+
+    Same two-exception contract as jpeg_parse: NotImplementedError for
+    documented scope boundaries (interlacing, local palettes),
+    ValueError for truncated or corrupt payloads."""
+    try:
+        return _gif_frames_impl(payload)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt GIF payload: {e!r}") from e
+
+
+def _gif_frames_impl(payload: bytes):
+    import numpy as np
+
+    if bytes(payload[:6]) not in (b"GIF89a", b"GIF87a"):
+        raise NotImplementedError(
+            f"payload magic {bytes(payload[:6])!r} is not GIF"
+        )
+    width, height, flags, bg_index, _ = struct.unpack(
+        "<HHBBB", bytes(payload[6:13])
+    )
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 0x07))
+    else:
+        bg_index = 0  # no GCT: background index is meaningless (89a App.)
+    canvas = np.full((height, width), bg_index, dtype=np.uint8)
+    frames = []
+    delay_cs = 0
+    disposal = 0
+    transparent = None
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            return width, height, frames
+        if block == 0x21:  # extension
+            label = payload[pos + 1]
+            if label == 0xF9:  # Graphic Control Extension
+                size = payload[pos + 2]
+                if size != 4:
+                    raise ValueError(f"GCE block size {size} != 4")
+                packed = payload[pos + 3]
+                (delay_cs,) = struct.unpack(
+                    "<H", bytes(payload[pos + 4 : pos + 6])
+                )
+                disposal = (packed >> 2) & 0x07
+                if disposal > 3:
+                    raise ValueError(f"GCE disposal method {disposal} > 3")
+                transparent = payload[pos + 6] if packed & 0x01 else None
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise NotImplementedError(f"unknown GIF block 0x{block:02x}")
+        left, top, fw, fh, iflags = struct.unpack(
+            "<HHHHB", bytes(payload[pos + 1 : pos + 10])
+        )
+        if iflags & 0x80:
+            raise NotImplementedError("local color tables not implemented")
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF rows not implemented")
+        if left + fw > width or top + fh > height:
+            raise ValueError("frame rectangle exceeds the logical screen")
+        pos += 10
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos] != 0:
+            n = payload[pos]
+            chunk = payload[pos + 1 : pos + 1 + n]
+            if len(chunk) < n:
+                raise ValueError("truncated GIF image sub-block")
+            lzw += chunk
+            pos += 1 + n
+        pos += 1
+        idx = lzw_decompress(bytes(lzw), min_code)
+        if len(idx) != fw * fh:
+            raise ValueError(
+                f"frame carries {len(idx)} pixels for a {fw}x{fh} rect"
+            )
+        prev = canvas.copy() if disposal == 3 else None
+        patch = np.frombuffer(idx, dtype=np.uint8).reshape(fh, fw)
+        region = canvas[top : top + fh, left : left + fw]
+        if transparent is None:
+            region[:, :] = patch
+        else:
+            np.copyto(region, patch, where=(patch != transparent))
+        frames.append((delay_cs, canvas.tobytes()))
+        if disposal == 2:  # restore the rect to background
+            canvas[top : top + fh, left : left + fw] = bg_index
+        elif disposal == 3:  # restore the pre-frame canvas
+            canvas = prev
+        delay_cs, disposal, transparent = 0, 0, None
+    raise ValueError("GIF payload ends without a trailer")
+
+
+# --- MP4 / ISO-BMFF (ISO 14496-12) metadata, headers only ---------------
+#
+# Video as an opaque BINARY column with TYPED metadata: the box tree
+# (ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/stbl/stsd) is public ISO
+# 14496-12 structure and parses with zero codec work — duration,
+# per-track handler/codec/dimensions come from headers alone.  FRAME
+# decode is the genuinely external part (H.264/H.265 entropy decoding
+# needs ffmpeg) and stays behind the documented NotImplementedError
+# hook; a 100 TB crawl still gets to filter/route/dedup-by-metadata
+# video without ever touching a codec.
+
+
+def _mp4_box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def mp4_build(
+    width: int,
+    height: int,
+    duration_ms: int,
+    video_codec: bytes = b"avc1",
+    with_audio: bool = False,
+) -> bytes:
+    """A minimal, spec-valid ISO-BMFF file (ISO 14496-12): ftyp + moov
+    (mvhd at timescale 1000; one video trak — tkhd carries 16.16
+    fixed-point presentation dims, hdlr 'vide', stsd with the sample
+    entry's coded dims; optionally one 'soun' trak) + an empty mdat.
+    The witness for mp4_parse — sample tables are present-but-empty
+    (stts/stsc/stsz/stco with zero entries), exactly what a
+    metadata-only pipeline needs and nothing more."""
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("mp4_build: dims must be in 1..65535")
+    if not 0 <= duration_ms <= 0xFFFFFFFF:
+        raise ValueError("mp4_build: duration_ms must be a u32")
+    if len(video_codec) != 4:
+        raise ValueError("mp4_build: video_codec must be a 4CC")
+
+    def full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+        return _mp4_box(tag, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2" + video_codec)
+    mvhd = full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 1000, duration_ms)  # created/modified/timescale/duration
+        + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10  # rate, volume, reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 3),  # predefined, next track id
+    )
+
+    def trak(track_id: int, handler: bytes, codec: bytes, w: int, h: int) -> bytes:
+        tkhd = full(
+            b"tkhd", 0, 3,
+            struct.pack(">IIIII", 0, 0, track_id, 0, duration_ms)
+            + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed dims
+        )
+        mdhd = full(
+            b"mdhd", 0, 0,
+            struct.pack(">IIII", 0, 0, 1000, duration_ms)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und', predefined
+        )
+        hdlr = full(
+            b"hdlr", 0, 0,
+            b"\x00" * 4 + handler + b"\x00" * 12 + b"\x00",
+        )
+        if handler == b"vide":
+            entry = _mp4_box(
+                codec,
+                b"\x00" * 6 + struct.pack(">H", 1)  # reserved, data ref idx
+                + b"\x00" * 16  # predefined/reserved
+                + struct.pack(">HH", w, h)  # coded width/height
+                + struct.pack(">IIIH", 0x480000, 0x480000, 0, 1)  # dpi, frame count
+                + b"\x00" * 32  # compressor name
+                + struct.pack(">Hh", 24, -1),  # depth, predefined
+            )
+        else:
+            entry = _mp4_box(
+                codec,
+                b"\x00" * 6 + struct.pack(">H", 1)
+                + b"\x00" * 8
+                + struct.pack(">HHHHI", 2, 16, 0, 0, 44100 << 16),
+            )
+        stbl = _mp4_box(
+            b"stbl",
+            full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+            + full(b"stts", 0, 0, struct.pack(">I", 0))
+            + full(b"stsc", 0, 0, struct.pack(">I", 0))
+            + full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+            + full(b"stco", 0, 0, struct.pack(">I", 0)),
+        )
+        header = (
+            full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+            if handler == b"vide"
+            else full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+        )
+        dinf = _mp4_box(
+            b"dinf",
+            full(b"dref", 0, 0, struct.pack(">I", 1) + full(b"url ", 0, 1, b"")),
+        )
+        minf = _mp4_box(b"minf", header + dinf + stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        return _mp4_box(b"trak", tkhd + mdia)
+
+    traks = trak(1, b"vide", video_codec, width, height)
+    if with_audio:
+        traks += trak(2, b"soun", b"mp4a", 0, 0)
+    moov = _mp4_box(b"moov", mvhd + traks)
+    mdat = _mp4_box(b"mdat", b"")
+    return ftyp + moov + mdat
+
+
+def mp4_parse(payload: bytes):
+    """Headers-only ISO-BMFF metadata: (duration_ms, n_tracks, tracks)
+    where tracks = [(handler, codec_4cc, width, height), ...] in trak
+    order — handler is 'vide'/'soun'/..., dims come from tkhd's 16.16
+    fixed-point presentation size (0 for non-visual tracks).  Walks
+    the box tree with 32-bit, 64-bit (size==1 largesize) and
+    to-end-of-file (size==0) box lengths, mvhd/tkhd/mdhd version 0 AND
+    1, and recurses only into the containers that matter
+    (moov/trak/mdia/minf/stbl) — mdat is never read, so a 100 TB video
+    corpus costs headers, not content.  Frame/sample decode is out of
+    scope (ffmpeg hook).  Two-exception contract: NotImplementedError
+    for non-BMFF magic, ValueError for truncated or corrupt boxes."""
+    try:
+        return _mp4_parse_impl(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt MP4 payload: {e!r}") from e
+
+
+def _mp4_parse_impl(payload: bytes):
+    data = bytes(payload)
+    if len(data) < 8 or data[4:8] != b"ftyp":
+        raise NotImplementedError(
+            f"payload magic {data[4:8]!r} is not ISO-BMFF (no leading ftyp)"
+        )
+
+    def boxes(lo: int, hi: int):
+        pos = lo
+        while pos < hi:
+            if pos + 8 > hi:
+                raise ValueError("truncated MP4: box header spans the boundary")
+            (size,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > hi:
+                    raise ValueError("truncated MP4: largesize spans the boundary")
+                (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+                body = pos + 16
+            elif size == 0:  # box extends to the end of the enclosure
+                size = hi - pos
+            if size < body - pos or pos + size > hi:
+                raise ValueError(f"MP4 box {tag!r} size {size} overflows enclosure")
+            yield tag, body, pos + size
+            pos += size
+
+    duration_ms = None
+    tracks = []
+    for tag, lo, hi in boxes(0, len(data)):
+        if tag != b"moov":
+            continue
+        for t2, lo2, hi2 in boxes(lo, hi):
+            if t2 == b"mvhd":
+                ver = data[lo2]
+                if ver == 1:
+                    ts, dur = struct.unpack(">IQ", data[lo2 + 20 : lo2 + 32])
+                else:
+                    ts, dur = struct.unpack(">II", data[lo2 + 12 : lo2 + 20])
+                if ts == 0:
+                    raise ValueError("mvhd timescale is zero")
+                duration_ms = dur * 1000 // ts
+            elif t2 == b"trak":
+                handler = codec = None
+                w = h = 0
+                for t3, lo3, hi3 in boxes(lo2, hi2):
+                    if t3 == b"tkhd":
+                        ver = data[lo3]
+                        off = lo3 + (88 if ver == 1 else 76)
+                        fw, fh = struct.unpack(">II", data[off : off + 8])
+                        w, h = fw >> 16, fh >> 16
+                    elif t3 == b"mdia":
+                        for t4, lo4, hi4 in boxes(lo3, hi3):
+                            if t4 == b"hdlr":
+                                handler = data[lo4 + 8 : lo4 + 12].decode(
+                                    "latin-1"
+                                )
+                            elif t4 == b"minf":
+                                for t5, lo5, hi5 in boxes(lo4, hi4):
+                                    if t5 != b"stbl":
+                                        continue
+                                    for t6, lo6, hi6 in boxes(lo5, hi5):
+                                        if t6 == b"stsd" and lo6 + 16 <= hi6:
+                                            codec = data[
+                                                lo6 + 12 : lo6 + 16
+                                            ].decode("latin-1")
+                tracks.append((handler, codec, w, h))
+    if duration_ms is None:
+        raise ValueError("MP4 has no moov/mvhd header")
+    return duration_ms, len(tracks), tracks
 
 
 # --- Baseline JPEG (ITU-T T.81, SOF0, grayscale), from scratch ---------
@@ -2666,6 +3027,207 @@ def q_multimodal_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
                 rows["y_sum"].append(sum(planes[0][2]))
                 rows["cb_sum"].append(sum(planes[1][2]))
                 rows["cr_sum"].append(sum(planes[2][2]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(_encode, enc_schema).mapInPandas(_decode, dec_schema)
+
+
+@register(
+    "q_multimodal_gif_animation",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, ord(substr(text, 1, 1)) AS v0, length(text) AS n
+  FROM documents WHERE doc_id % 17 = 0 AND length(text) > 0
+),
+dims AS (
+  SELECT doc_id, v0, n,
+         (v0 * 7 + 13) % 256 AS v1, (v0 * 31 + 5) % 256 AS v2,
+         8 + (n % 13) AS w, 8 + ((n * 3) % 11) AS h
+  FROM d
+),
+areas AS (
+  SELECT *, (w // 2) * (h // 2) AS a1,
+         (w - w // 2) * (h - h // 2) AS a2
+  FROM dims
+)
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS n_frames,
+       CAST(CASE f WHEN 0 THEN n % 100
+                   WHEN 1 THEN (n * 3) % 100
+                   ELSE (n * 7) % 100 END AS BIGINT) AS delay_cs,
+       CAST(CASE f
+              WHEN 0 THEN v0 * w * h
+              WHEN 1 THEN v0 * (w * h - a1) + v1 * a1
+              ELSE v0 * (w * h - a1 - a2) + v2 * a2
+            END AS BIGINT) AS frame_sum
+FROM areas, (SELECT unnest(generate_series(0, 2)) AS f)
+""",
+)
+def q_multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF frame sampling: each document becomes a
+    3-frame GIF89a animation whose frames are the deltas real encoders
+    ship — frame 0 paints the full canvas, frame 1 paints only the
+    top-left quadrant with DISPOSAL 2 (restore-to-background), frame 2
+    paints the disjoint bottom-right quadrant — then ``gif_frames``
+    re-walks the container (GCE/NETSCAPE extensions, sub-rectangle
+    descriptors, this module's own LZW per frame) and COMPOSITES the
+    visible canvases per the GIF89a model.  Per-frame pixel sums are
+    exact integer arithmetic for the DuckDB oracle, and frame 2's sum
+    is only right if disposal 2 actually cleared frame 1's rect to the
+    background first — the compositing semantics are what the hash
+    gate certifies, not just LZW round-tripping (the single-frame
+    twin already pins that).
+
+    Scale shape: two chained mapInPandas stages, Arrow-batched,
+    payloads never leave the executors; one output row per (doc,
+    frame) — the shape a frame-sampling training pipeline consumes.
+    """
+    d = (
+        T(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 17 == 0) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    enc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("ascii")
+                n = len(raw)
+                v0 = raw[0]
+                v1, v2 = (v0 * 7 + 13) % 256, (v0 * 31 + 5) % 256
+                w, h = 8 + (n % 13), 8 + ((n * 3) % 11)
+                qw, qh = w // 2, h // 2
+                rw, rh = w - qw, h - qh
+                payload = gif_encode_animated(
+                    [
+                        (bytes([v0]) * (w * h), 0, 0, w, h, n % 100, 1, None),
+                        (bytes([v1]) * (qw * qh), 0, 0, qw, qh,
+                         (n * 3) % 100, 2, None),
+                        (bytes([v2]) * (rw * rh), qw, qh, rw, rh,
+                         (n * 7) % 100, 1, None),
+                    ],
+                    w,
+                    h,
+                )
+                rows["doc_id"].append(doc_id)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    dec_schema = (
+        "doc_id long, frame_idx long, width long, height long, "
+        "n_frames long, delay_cs long, frame_sum long"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "frame_idx", "width", "height",
+            "n_frames", "delay_cs", "frame_sum",
+        ]
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = gif_frames(bytes(payload))
+                for i, (delay, px) in enumerate(frames):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_frames"].append(len(frames))
+                    rows["delay_cs"].append(delay)
+                    rows["frame_sum"].append(sum(px))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(_encode, enc_schema).mapInPandas(_decode, dec_schema)
+
+
+@register(
+    "q_multimodal_mp4_meta",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, length(text) AS n FROM documents
+  WHERE doc_id % 19 = 0 AND length(text) > 0
+)
+SELECT doc_id,
+       CAST(16 * ((n % 40) + 8) AS BIGINT) AS width,
+       CAST(16 * (((n * 3) % 30) + 6) AS BIGINT) AS height,
+       CAST(n * 37 + 40 AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN n % 2 = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks,
+       CASE WHEN n % 3 = 0 THEN 'hvc1' ELSE 'avc1' END AS video_codec
+FROM d
+""",
+)
+def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video as an opaque BINARY column with TYPED metadata: each
+    document becomes a spec-valid ISO-BMFF file (ftyp + moov with
+    mvhd/trak/tkhd/mdia/mdhd/hdlr/stbl/stsd + empty mdat; half carry a
+    second 'soun' track, a third use the hvc1 sample entry) and
+    ``mp4_parse`` walks the box tree back out — duration from mvhd
+    (timescale-normalized to ms), track count, the video track's
+    16.16 fixed-point tkhd dimensions, and the stsd codec 4CC.  No
+    frame is ever decoded and mdat is never read: this is the
+    metadata-routing stage a 100 TB video crawl runs BEFORE paying for
+    ffmpeg, and exactly the boundary the module documents (sample
+    decode raises at the codec hook).
+
+    Scale shape: two chained mapInPandas stages, Arrow-batched;
+    payloads never leave the executors and the downstream consumer
+    sees 6 scalar columns per video.
+    """
+    d = (
+        T(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 19 == 0) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    enc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                rows["doc_id"].append(doc_id)
+                rows["payload"].append(
+                    mp4_build(
+                        16 * ((n % 40) + 8),
+                        16 * (((n * 3) % 30) + 6),
+                        n * 37 + 40,
+                        video_codec=b"hvc1" if n % 3 == 0 else b"avc1",
+                        with_audio=n % 2 == 1,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    dec_schema = (
+        "doc_id long, width long, height long, duration_ms long, "
+        "n_tracks long, video_codec string"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "width", "height", "duration_ms", "n_tracks", "video_codec",
+        ]
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                duration_ms, n_tracks, tracks = mp4_parse(bytes(payload))
+                vid = next(t for t in tracks if t[0] == "vide")
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(vid[2])
+                rows["height"].append(vid[3])
+                rows["duration_ms"].append(duration_ms)
+                rows["n_tracks"].append(n_tracks)
+                rows["video_codec"].append(vid[1])
             yield pd.DataFrame(rows, columns=cols)
 
     return d.mapInPandas(_encode, enc_schema).mapInPandas(_decode, dec_schema)

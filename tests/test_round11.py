@@ -599,3 +599,129 @@ def test_incremental_phash_ingest_accepts_progressive_twin(spark):
     } == {(2, 1, 0, 1)}
     assert {r.doc_id for r in spark.table(idx).collect()} == {1}
     _drop(spark, idx, mt)
+
+
+# --- round-11 part 3: animated GIF compositing + MP4 metadata -----------
+
+
+def test_gif_animated_compositing_semantics():
+    """Disposal 0/1 (leave), 2 (restore-to-background), 3
+    (restore-to-previous), sub-rectangle painting, and transparency —
+    the full GIF89a compositing model, pinned frame by frame."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import gif_encode_animated, gif_frames
+
+    W, H = 10, 8
+    payload = gif_encode_animated(
+        [
+            (bytes([50]) * (W * H), 0, 0, W, H, 10, 1, None),
+            (bytes([200]) * 20, 0, 0, 5, 4, 20, 2, None),
+            (bytes([90]) * 20, 5, 4, 5, 4, 30, 3, None),
+            (bytes([7, 255] * 10), 0, 0, 5, 4, 40, 0, 255),
+        ],
+        W,
+        H,
+    )
+    w, h, frames = gif_frames(payload)
+    assert (w, h) == (W, H) and [d for d, _ in frames] == [10, 20, 30, 40]
+    c = [np.frombuffer(px, np.uint8).reshape(H, W) for _, px in frames]
+    assert (c[0] == 50).all()
+    assert (c[1][:4, :5] == 200).all() and (c[1][4:, :] == 50).all()
+    # frame 1's disposal 2 cleared its rect to background index 0
+    assert (c[2][:4, :5] == 0).all() and (c[2][4:, 5:] == 90).all()
+    # frame 2's disposal 3 restored the pre-frame canvas, so frame 3
+    # paints over the post-frame-1 state; transparent 255 shows through
+    assert c[3][0, 0] == 7 and c[3][0, 1] == 0 and (c[3][4:, 5:] == 50).all()
+
+
+def test_gif_animated_single_frame_matches_gif_parse():
+    from sayn_spark.functions.multimodal import (
+        gif_encode,
+        gif_frames,
+        gif_parse,
+    )
+
+    px = bytes(range(80)) * 2
+    payload = gif_encode(px, 16, 10)
+    w, h, nc, flat = gif_parse(payload, want_pixels=True)
+    w2, h2, frames = gif_frames(payload)
+    assert (w, h) == (w2, h2) and len(frames) == 1
+    assert frames[0][1] == flat
+
+
+def test_gif_animated_rejects_bad_frames():
+    import pytest as _pytest
+
+    from sayn_spark.functions.multimodal import gif_encode_animated, gif_frames
+
+    with _pytest.raises(ValueError, match="exceeds the logical screen"):
+        gif_encode_animated([(bytes(20), 8, 8, 5, 4, 0, 1, None)], 10, 10)
+    with _pytest.raises(ValueError, match="disposal"):
+        gif_encode_animated([(bytes(20), 0, 0, 5, 4, 0, 5, None)], 10, 10)
+    ok = gif_encode_animated([(bytes(20), 0, 0, 5, 4, 0, 1, None)], 10, 10)
+    # decoder-side: a frame rect patched past the canvas raises
+    bad = bytearray(ok)
+    # image descriptor sits past header (13) + GCT (768); searching
+    # from 0 would hit a 0x2C palette byte
+    img = bad.index(b"\x2c", 13 + 768)
+    bad[img + 1 : img + 3] = (8).to_bytes(2, "little")  # left 0 -> 8
+    with _pytest.raises(ValueError, match="exceeds the logical screen"):
+        gif_frames(bytes(bad))
+
+
+def test_mp4_metadata_roundtrip_and_contract():
+    import pytest as _pytest
+
+    from sayn_spark.functions.multimodal import mp4_build, mp4_parse
+
+    assert mp4_parse(mp4_build(640, 360, 12345)) == (
+        12345, 1, [("vide", "avc1", 640, 360)]
+    )
+    assert mp4_parse(mp4_build(1920, 1080, 98765, with_audio=True)) == (
+        98765, 2, [("vide", "avc1", 1920, 1080), ("soun", "mp4a", 0, 0)]
+    )
+    assert mp4_parse(mp4_build(8, 8, 0, video_codec=b"hvc1"))[2][0][1] == "hvc1"
+    with _pytest.raises(NotImplementedError):
+        mp4_parse(b"\x89PNG\r\n\x1a\n" + bytes(8))
+    with _pytest.raises(ValueError):
+        mp4_parse(mp4_build(64, 64, 100)[:40])  # truncated mid-moov
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(cut=st.integers(min_value=0, max_value=1400), seed=st.integers(0, 1000))
+def test_gif_frames_truncated_payload_never_hangs(cut, seed):
+    """PROPERTY: gif_frames holds the two-exception contract under
+    truncation at any byte of a multi-frame animation."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import gif_encode_animated, gif_frames
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        (rng.integers(0, 256, 60).astype(np.uint8).tobytes(), 0, 0, 10, 6, 5, 1, None),
+        (rng.integers(0, 256, 12).astype(np.uint8).tobytes(), 2, 2, 4, 3, 5, 2, 255),
+    ]
+    payload = gif_encode_animated(frames, 10, 6)
+    try:
+        gif_frames(payload[: min(cut, len(payload))])
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(cut=st.integers(min_value=0, max_value=900), wa=st.booleans())
+def test_mp4_parse_truncated_payload_never_hangs(cut, wa):
+    """PROPERTY: mp4_parse holds the two-exception contract under
+    truncation at any byte of the box tree."""
+    from sayn_spark.functions.multimodal import mp4_build, mp4_parse
+
+    payload = mp4_build(320, 240, 5000, with_audio=wa)
+    try:
+        mp4_parse(payload[: min(cut, len(payload))])
+    except (ValueError, NotImplementedError):
+        pass
