@@ -3609,7 +3609,10 @@ def incremental_phash_matches(
 def image_gray_pixels(payload: bytes):
     """(width, height, gray_bytes) from a real image payload, format
     sniffed by magic: PNG (8-bit grayscale), BMP (24bpp, blue channel),
-    GIF (grayscale palette indices), JPEG (SOF0 baseline AND SOF2
+    GIF (grayscale palette indices — for ANIMATED GIFs this is the
+    first COMPOSITED canvas, not the first frame's sub-rectangle: a
+    delta-coded first frame hashes as the viewer sees it, at full
+    logical-screen dimensions), JPEG (SOF0 baseline AND SOF2
     progressive — grayscale or YCbCr 4:2:0/4:2:2/4:4:0/4:4:4 color, in
     which case the LUMA plane is the gray image; restart intervals
     handled; on progressive color the chroma AC scans are byte-skipped
@@ -3624,8 +3627,10 @@ def image_gray_pixels(payload: bytes):
         w, h, _, px = bmp_parse(payload, want_pixels=True)
         return w, h, px
     if head[:6] in (b"GIF89a", b"GIF87a"):
-        w, h, _, px = gif_parse(payload, want_pixels=True)
-        return w, h, bytes(px)
+        w, h, frames = gif_frames(payload)
+        if not frames:
+            raise ValueError("GIF contains no image descriptor")
+        return w, h, frames[0][1]
     if head[:2] == b"\xff\xd8":
         w, h, _, px = jpeg_parse(payload, want_pixels=True)
         return w, h, px

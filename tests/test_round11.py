@@ -725,3 +725,29 @@ def test_mp4_parse_truncated_payload_never_hangs(cut, wa):
         mp4_parse(payload[: min(cut, len(payload))])
     except (ValueError, NotImplementedError):
         pass
+
+
+def test_image_gray_pixels_animated_gif_uses_composited_canvas():
+    """phash must hash what a viewer SEES: an animated GIF whose first
+    frame is a delta sub-rectangle yields the full composited canvas
+    (background-filled outside the rect) at logical-screen dims — not
+    the bare rect that gif_parse's single-frame walk returns."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import (
+        gif_encode,
+        gif_encode_animated,
+        image_gray_pixels,
+    )
+
+    anim = gif_encode_animated(
+        [(bytes([200]) * 12, 3, 2, 4, 3, 0, 1, None)], 12, 8
+    )
+    w, h, px = image_gray_pixels(anim)
+    assert (w, h) == (12, 8)
+    c = np.frombuffer(px, np.uint8).reshape(8, 12)
+    assert (c[2:5, 3:7] == 200).all() and c[0, 0] == 0 and c.sum() == 200 * 12
+    # single-frame full-rect GIFs are unchanged
+    flat = bytes(range(96))
+    w2, h2, px2 = image_gray_pixels(gif_encode(flat, 12, 8))
+    assert (w2, h2, px2) == (12, 8, flat)
