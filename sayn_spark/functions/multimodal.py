@@ -799,6 +799,156 @@ def _mp4_parse_impl(payload: bytes):
     return duration_ms, len(tracks), tracks
 
 
+# --- MP3 / MPEG audio (ISO 11172-3) metadata, headers only --------------
+#
+# The audio twin of the MP4 box walk: MPEG Layer III frame headers are
+# self-describing (sync word + version/layer/bitrate/samplerate bits +
+# a closed-form frame length), so duration, bitrate, sample rate, and
+# channel mode come from walking headers — the MDCT/Huffman payload is
+# never touched.  Frame DECODE is the external part (plug ffmpeg).
+
+_MP3_BITRATES_V1L3 = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_BITRATES_V2L3 = (
+    0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def mp3_build(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    id3_bytes: int = 0,
+) -> bytes:
+    """A minimal spec-framed MPEG-1 Layer III stream: an optional
+    ID3v2 tag (syncsafe length, zero payload), then ``n_frames``
+    constant-bitrate frames — each a valid 4-byte header followed by a
+    zeroed payload of exactly the closed-form frame length.  The
+    witness for mp3_parse: header arithmetic is what's under test, so
+    the payload carries no real MDCT data (mp3_parse never reads
+    it)."""
+    if sample_rate not in _MP3_RATES[3]:
+        raise ValueError("mp3_build: sample_rate must be an MPEG-1 rate")
+    if bitrate_kbps not in _MP3_BITRATES_V1L3[1:]:
+        raise ValueError(f"mp3_build: bitrate {bitrate_kbps} not in the V1/L3 table")
+    if channels not in (1, 2):
+        raise ValueError("mp3_build: channels must be 1 or 2")
+    if n_frames < 1:
+        raise ValueError("mp3_build: need at least one frame")
+    out = bytearray()
+    if id3_bytes:
+        if id3_bytes >= 1 << 28:
+            raise ValueError("mp3_build: ID3 tag too large for syncsafe u28")
+        ss = bytes(
+            (id3_bytes >> s) & 0x7F for s in (21, 14, 7, 0)
+        )
+        out += b"ID3\x04\x00\x00" + ss + bytes(id3_bytes)
+    br_idx = _MP3_BITRATES_V1L3.index(bitrate_kbps)
+    sr_idx = _MP3_RATES[3].index(sample_rate)
+    mode = 0b11 if channels == 1 else 0b00  # mono / stereo
+    hdr = bytes(
+        (
+            0xFF,
+            0xE0 | (3 << 3) | (1 << 1) | 1,  # sync, MPEG1, Layer III, no CRC
+            (br_idx << 4) | (sr_idx << 2),  # no padding, no private bit
+            (mode << 6),
+        )
+    )
+    flen = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = hdr + bytes(flen - 4)
+    out += frame * n_frames
+    return bytes(out)
+
+
+def mp3_parse(payload: bytes):
+    """Headers-only MPEG audio metadata: (duration_ms, bitrate_kbps,
+    sample_rate, channels, n_frames).  Skips a leading ID3v2 tag
+    (syncsafe size) and a trailing 128-byte ID3v1 'TAG', then walks
+    Layer III frame headers across MPEG-1/2/2.5 — each header gives
+    the closed-form frame length (144 or 72 * bitrate/samplerate +
+    padding), so the walk costs 4 bytes per frame and never touches
+    the MDCT payload.  ``duration_ms`` sums 1152 (MPEG-1) / 576
+    (MPEG-2/2.5) samples per frame over the per-rate totals, so VBR
+    streams are exact; ``bitrate_kbps`` is the FIRST frame's (the
+    constant rate for CBR — a VBR average would need the whole walk
+    anyway, which n_frames exposes).  Two-exception contract:
+    NotImplementedError for non-MPEG-audio magic and documented scope
+    boundaries (Layers I/II, free-format bitrate), ValueError for
+    truncated or corrupt streams."""
+    try:
+        return _mp3_parse_impl(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt MP3 payload: {e!r}") from e
+
+
+def _mp3_parse_impl(payload: bytes):
+    data = bytes(payload)
+    pos = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10:
+            raise ValueError("truncated ID3v2 header")
+        if any(b & 0x80 for b in data[6:10]):
+            raise ValueError("ID3v2 size bytes must be syncsafe")
+        pos = 10 + (
+            (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+        )
+        if pos > len(data):
+            raise ValueError("ID3v2 tag extends past the payload")
+    if pos + 4 > len(data) or data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+        raise NotImplementedError(
+            f"payload at offset {pos} is not an MPEG audio frame sync"
+        )
+    n_frames = 0
+    first_bitrate = None
+    first_rate = None
+    channels = None
+    samples_by_rate: dict = {}
+    end = len(data)
+    if end - pos >= 128 and data[end - 128 : end - 125] == b"TAG":
+        end -= 128  # trailing ID3v1
+    while pos < end:
+        if pos + 4 > end:
+            raise ValueError("truncated MP3: partial frame header at stream end")
+        b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+        if data[pos] != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        version = (b1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 0x03  # 1=Layer III
+        if version == 1:
+            raise ValueError("reserved MPEG version id")
+        if layer != 1:
+            raise NotImplementedError(
+                "only Layer III framing implemented (Layers I/II are the "
+                "documented boundary)"
+            )
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 0x03
+        padding = (b2 >> 1) & 0x01
+        if br_idx == 0:
+            raise NotImplementedError("free-format bitrate not implemented")
+        if br_idx == 15 or sr_idx == 3:
+            raise ValueError("reserved bitrate/samplerate index")
+        table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+        bitrate = table[br_idx]
+        rate = _MP3_RATES[version][sr_idx]
+        spf, coef = (1152, 144) if version == 3 else (576, 72)
+        flen = coef * bitrate * 1000 // rate + padding
+        if pos + flen > end:
+            raise ValueError("truncated MP3: frame extends past the payload")
+        if first_bitrate is None:
+            first_bitrate = bitrate
+            first_rate = rate
+            channels = 1 if ((b3 >> 6) & 0x03) == 0b11 else 2
+        samples_by_rate[rate] = samples_by_rate.get(rate, 0) + spf
+        n_frames += 1
+        pos += flen
+    duration_ms = sum(s * 1000 // r for r, s in samples_by_rate.items())
+    return duration_ms, first_bitrate, first_rate, channels, n_frames
+
+
 # --- Baseline JPEG (ITU-T T.81, SOF0, grayscale), from scratch ---------
 #
 # The fifth container codec and the third genuinely compressed one:
@@ -3228,6 +3378,89 @@ def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["duration_ms"].append(duration_ms)
                 rows["n_tracks"].append(n_tracks)
                 rows["video_codec"].append(vid[1])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(_encode, enc_schema).mapInPandas(_decode, dec_schema)
+
+
+@register(
+    "q_multimodal_mp3_meta",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, length(text) AS n FROM documents
+  WHERE doc_id % 23 = 0 AND length(text) > 0
+)
+SELECT doc_id,
+       CAST(((n % 50) + 5) * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms,
+       CAST(CASE n % 4 WHEN 0 THEN 64 WHEN 1 THEN 128
+                       WHEN 2 THEN 192 ELSE 320 END AS BIGINT) AS bitrate_kbps,
+       CAST(44100 AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN n % 2 = 1 THEN 1 ELSE 2 END AS BIGINT) AS channels,
+       CAST((n % 50) + 5 AS BIGINT) AS n_frames
+FROM d
+""",
+)
+def q_multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio as an opaque BINARY column with TYPED metadata: each
+    document becomes a spec-framed MPEG-1 Layer III stream (a third
+    carry a leading ID3v2 tag with syncsafe sizing) and ``mp3_parse``
+    walks the 4-byte frame headers back out — exact duration from
+    samples-per-frame totals, bitrate, sample rate, channel mode,
+    frame count.  The walk costs 4 bytes per frame via the
+    closed-form frame length; the MDCT payload is never read — the
+    routing stage an audio crawl runs before paying for a decoder
+    (frame decode stays at the ffmpeg hook).
+
+    Scale shape: two chained mapInPandas stages, Arrow-batched;
+    payloads never leave the executors.
+    """
+    d = (
+        T(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 23 == 0) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    enc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                rows["doc_id"].append(doc_id)
+                rows["payload"].append(
+                    mp3_build(
+                        (n % 50) + 5,
+                        (64, 128, 192, 320)[n % 4],
+                        44100,
+                        1 if n % 2 == 1 else 2,
+                        id3_bytes=120 if n % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    dec_schema = (
+        "doc_id long, duration_ms long, bitrate_kbps long, "
+        "sample_rate long, channels long, n_frames long"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "duration_ms", "bitrate_kbps",
+            "sample_rate", "channels", "n_frames",
+        ]
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dur, br, sr, ch, nf = mp3_parse(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["duration_ms"].append(dur)
+                rows["bitrate_kbps"].append(br)
+                rows["sample_rate"].append(sr)
+                rows["channels"].append(ch)
+                rows["n_frames"].append(nf)
             yield pd.DataFrame(rows, columns=cols)
 
     return d.mapInPandas(_encode, enc_schema).mapInPandas(_decode, dec_schema)

@@ -751,3 +751,42 @@ def test_image_gray_pixels_animated_gif_uses_composited_canvas():
     flat = bytes(range(96))
     w2, h2, px2 = image_gray_pixels(gif_encode(flat, 12, 8))
     assert (w2, h2, px2) == (12, 8, flat)
+
+
+def test_mp3_metadata_roundtrip_and_contract():
+    import pytest as _pytest
+
+    from sayn_spark.functions.multimodal import mp3_build, mp3_parse
+
+    # CBR stereo, ID3v2, trailing ID3v1 all walk correctly
+    p = mp3_build(38, 128, 44100, 2)
+    assert mp3_parse(p) == (38 * 1152 * 1000 // 44100, 128, 44100, 2, 38)
+    p2 = mp3_build(10, 64, 32000, 1, id3_bytes=300)
+    assert mp3_parse(p2) == (360, 64, 32000, 1, 10)
+    assert mp3_parse(p2 + b"TAG" + bytes(125)) == (360, 64, 32000, 1, 10)
+    with _pytest.raises(NotImplementedError):
+        mp3_parse(b"RIFFxxxxWAVE" + bytes(8))
+    # Layer II header is a documented scope boundary
+    bad = bytearray(p)
+    bad[1] = (bad[1] & ~0x06) | (2 << 1)
+    with _pytest.raises(NotImplementedError, match="Layer"):
+        mp3_parse(bytes(bad))
+    # reserved bitrate index is corrupt, not out-of-scope
+    bad = bytearray(p)
+    bad[2] = 0xF0 | (bad[2] & 0x0F)
+    with _pytest.raises(ValueError):
+        mp3_parse(bytes(bad))
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(cut=st.integers(min_value=0, max_value=2000), id3=st.booleans())
+def test_mp3_parse_truncated_payload_never_hangs(cut, id3):
+    """PROPERTY: mp3_parse holds the two-exception contract under
+    truncation at any byte of tag or frame stream."""
+    from sayn_spark.functions.multimodal import mp3_build, mp3_parse
+
+    payload = mp3_build(6, 128, 44100, 2, id3_bytes=90 if id3 else 0)
+    try:
+        mp3_parse(payload[: min(cut, len(payload))])
+    except (ValueError, NotImplementedError):
+        pass
