@@ -196,6 +196,7 @@ _BNLJ_BOUNDED_FRAME_OK = {
     "q_quality_nb_classifier",   # 1-row (n_pos, n_neg, v) + 1-row OOV scalars
     "q_dedup_minhash_recall",    # 1-row x 1-row x 1-row report scalars
     "q_dedup_containment_recall",  # six 1-row report scalars crossJoined
+    "q_dedup_editdistance",  # 1-row id-offset aggregate broadcast (_ed_corpus)
     "q_dedup_editdistance_recall",  # two 1-row report scalars crossJoined
     "q_multimodal_phash_recall",   # exact all-pairs arm on a bounded sample (instrument)
     "q_dedup_semantic_recall",     # exact all-pairs arm on a bounded sample (instrument)
