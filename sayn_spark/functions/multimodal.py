@@ -18,8 +18,10 @@ block-constant images, where the lossy pipeline is exactly
 invertible).  Animated GIF decodes with full GIF89a compositing
 (sub-rectangle frames, disposal methods, transparency) so
 frame-sampling is real for the one animated format needing no external
-codec, and MP4/ISO-BMFF parses headers-only (duration, tracks, codec
-4CCs, dimensions — mdat never read).  The remaining genuinely external
+codec; MP4/ISO-BMFF parses headers-only (duration, tracks, codec
+4CCs, dimensions — mdat never read) and MP3 walks Layer III frame
+headers (exact duration, bitrate, channels — the MDCT payload never
+read).  The remaining genuinely external
 work (video/audio FRAME decode, arithmetic-coded JPEG) needs
 libjpeg/ffmpeg, which are not in this container, so those paths raise
 NotImplementedError at the exact point a production deployment would
