@@ -139,11 +139,17 @@ def corpus_source_cards(context, spark, sf_dir):
 
 @task(name="make_doc_thumbnails", sources=["documents"], outputs=["doc_thumbnails"])
 def make_doc_thumbnails(context, spark):
-    """Synthesize the image side of the corpus: one 16x18 BMP thumbnail
+    """Synthesize the image side of the corpus: one 16x16 thumbnail
     per 3rd document, groups of 5 sharing a base image with sparse
     pixel noise on non-anchors (the q_multimodal_phash_dedup corpus
-    design) — a stand-in for real crawl thumbnails so the image-dedup
-    stage runs end-to-end on real decodable payloads."""
+    design) — in a MIX of container formats, the way crawl thumbnails
+    actually arrive: BMP, grayscale PNG, ANIMATED GIF (a full first
+    frame plus a sub-rectangle delta frame — phash hashes the first
+    composited canvas), baseline SOF0 JPEG and progressive SOF2 JPEG
+    (flat quant: decode error <= 2 gray levels, far under the 24-point
+    planted noise), rotating by document.  The downstream phash dedup
+    task therefore exercises every decode path the module ships,
+    including cross-format near-dup matches inside each group."""
     from pyspark.sql.types import (
         BinaryType,
         LongType,
@@ -151,7 +157,13 @@ def make_doc_thumbnails(context, spark):
         StructType,
     )
 
-    from sayn_spark.functions.multimodal import bmp_encode
+    from sayn_spark.functions.multimodal import (
+        bmp_encode,
+        gif_encode_animated,
+        jpeg_encode,
+        jpeg_encode_progressive,
+        png_encode,
+    )
 
     ids = spark.table("documents").where(F.col("doc_id") % 3 == 0).select("doc_id")
 
@@ -164,7 +176,7 @@ def make_doc_thumbnails(context, spark):
 
         import pandas as pd
 
-        w, h = 16, 18
+        w, h = 16, 16
         for pdf in batches:
             out = {"doc_id": [], "payload": []}
             for doc_id in pdf["doc_id"]:
@@ -174,8 +186,27 @@ def make_doc_thumbnails(context, spark):
                     for i in range(w * h):
                         if hashlib.md5(f"{doc_id}#{i}".encode()).digest()[0] % 37 == 0:
                             px[i] += 24
+                px = bytes(px)
+                fmt = (doc_id // 3) % 5
+                if fmt == 0:
+                    payload = bmp_encode(px, w, h)
+                elif fmt == 1:
+                    payload = png_encode(px, w, h)
+                elif fmt == 2:
+                    payload = gif_encode_animated(
+                        [
+                            (px, 0, 0, w, h, 4, 1, None),
+                            (px[: 4 * 4], 4, 4, 4, 4, 4, 1, None),
+                        ],
+                        w,
+                        h,
+                    )
+                elif fmt == 3:
+                    payload = jpeg_encode(px, w, h)
+                else:
+                    payload = jpeg_encode_progressive(px, w, h)
                 out["doc_id"].append(doc_id)
-                out["payload"].append(bmp_encode(bytes(px), w, h))
+                out["payload"].append(payload)
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     context.default_db.replace_table("doc_thumbnails", ids.mapInPandas(make, schema))
