@@ -1255,6 +1255,7 @@ JOIN corpus b
   ON substr(a.text, 1, {_ED_BLOCK}) = substr(b.text, 1, {_ED_BLOCK})
  AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= {_ED_MAX}
+  AND length(trim(a.text)) > 0 AND length(trim(b.text)) > 0
 UNION ALL
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        levenshtein(a.text, b.text) AS edit_dist
@@ -1264,6 +1265,7 @@ JOIN corpus b
  AND substr(a.text, 1, {_ED_BLOCK}) <> substr(b.text, 1, {_ED_BLOCK})
  AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= {_ED_MAX}
+  AND length(trim(a.text)) > 0 AND length(trim(b.text)) > 0
 """,
 )
 def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1444,14 +1446,23 @@ def _ed_blocked(df: DataFrame, block_chars: int, keys: tuple) -> DataFrame:
     ('p:...' can never equal 's:...'), so one explode + one equi-join
     covers both arms; fan-out is 2 rows/doc — low enough that the
     planner's post-explode size estimate stays sane (the r6
-    high-fan-out broadcast lesson does not apply).  NULL text folds to
-    NULL keys, which never equi-join — text-less docs are silently
-    non-candidates, matching the full-mode plan."""
+    high-fan-out broadcast lesson does not apply).  NULL and
+    empty/whitespace-only texts fold to NULL keys, which never
+    equi-join — degenerate docs are never near-dup candidates, the
+    same policy as minhash/simhash zero-token docs and the incremental
+    ingest.  Without the guard every empty doc would share one
+    degenerate block key and candidate the others quadratically
+    (O(n_empty^2) Levenshtein-0 pairs)."""
     key_exprs = []
+    guard = "case when text is null or trim(text) = '' then null else {} end"
     if "prefix" in keys:
-        key_exprs.append(f"concat('p:', substring(text, 1, {block_chars}))")
+        key_exprs.append(
+            guard.format(f"concat('p:', substring(text, 1, {block_chars}))")
+        )
     if "suffix" in keys:
-        key_exprs.append(f"concat('s:', right(text, {block_chars}))")
+        key_exprs.append(
+            guard.format(f"concat('s:', right(text, {block_chars}))")
+        )
     return df.select(
         "doc_id",
         "text",
@@ -1482,6 +1493,12 @@ def editdistance_dup_pairs(
     filter on columns the join already carries — no distinct, no
     second shuffle).  ``block_keys=("prefix",)`` restores the
     single-key plan for corpora known to mutate only past the prefix.
+
+    NULL and empty/whitespace-only texts are never candidates (NULL
+    block keys — see _ed_blocked): the same degenerate-doc policy as
+    minhash/simhash zero-token docs and the incremental ingest, so
+    full and incremental modes of ``method: editdistance`` agree.
+    Exact-duplicate empty docs belong to ``method: exact``.
     """
     if max_edit < 1:
         raise ValueError("editdistance_dup_pairs: max_edit must be >= 1")

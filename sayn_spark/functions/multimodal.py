@@ -487,7 +487,7 @@ def gif_encode_animated(frames, width: int, height: int, loop: int = 0) -> bytes
     return bytes(out)
 
 
-def gif_frames(payload: bytes):
+def gif_frames(payload: bytes, max_frames: int = 0):
     """Decode a (possibly animated) GIF into its COMPOSITED visible
     frames: (width, height, [(delay_cs, gray_bytes), ...]) where each
     gray_bytes is the full logical-screen canvas as the viewer sees it
@@ -503,16 +503,23 @@ def gif_frames(payload: bytes):
     this module decodes from scratch; video (MP4) frame decode stays
     at the ffmpeg hook.
 
+    ``max_frames`` > 0 stops after that many composited frames WITHOUT
+    requiring the trailer: the phash hot path (max_frames=1) pays one
+    LZW decode per image however long the animation is, and a crawl
+    GIF truncated after its first frame still hashes — the full-walk
+    default stays strict (a stream that ends without 0x3B is
+    truncated).
+
     Same two-exception contract as jpeg_parse: NotImplementedError for
     documented scope boundaries (interlacing, local palettes),
     ValueError for truncated or corrupt payloads."""
     try:
-        return _gif_frames_impl(payload)
+        return _gif_frames_impl(payload, max_frames)
     except (IndexError, KeyError, struct.error) as e:
         raise ValueError(f"truncated or corrupt GIF payload: {e!r}") from e
 
 
-def _gif_frames_impl(payload: bytes):
+def _gif_frames_impl(payload: bytes, max_frames: int = 0):
     import numpy as np
 
     if bytes(payload[:6]) not in (b"GIF89a", b"GIF87a"):
@@ -591,6 +598,8 @@ def _gif_frames_impl(payload: bytes):
         else:
             np.copyto(region, patch, where=(patch != transparent))
         frames.append((delay_cs, canvas.tobytes()))
+        if max_frames and len(frames) >= max_frames:
+            return width, height, frames
         if disposal == 2:  # restore the rect to background
             canvas[top : top + fh, left : left + fw] = bg_index
         elif disposal == 3:  # restore the pre-frame canvas
@@ -3803,9 +3812,11 @@ def incremental_phash_matches(
     index is simply (doc_id, ba array<bigint>[4]) — 8 bytes of state
     per corpus image — and the probe is the same 4x16 band equi-join
     the full-corpus plan uses (phash_pairs), applied across the two
-    frames: a pair within Hamming radius 3*16 shares at least one
-    intact band by pigeonhole, and the shipped default radius 12 keeps
-    the measured 0.987 band recall of q_multimodal_phash_recall.  Empty ``ba`` arrays (undecodable
+    frames: with 4 bands, pigeonhole guarantees a shared intact band
+    only up to Hamming 3 — beyond that (4 flips could land one per
+    band) candidate recall is probabilistic, which is exactly what
+    q_multimodal_phash_recall measures: 0.987 at the shipped default
+    radius 12.  Empty ``ba`` arrays (undecodable
     payloads indexed as trivially novel) explode to zero key rows and
     never candidate.
 
@@ -3862,7 +3873,10 @@ def image_gray_pixels(payload: bytes):
         w, h, _, px = bmp_parse(payload, want_pixels=True)
         return w, h, px
     if head[:6] in (b"GIF89a", b"GIF87a"):
-        w, h, frames = gif_frames(payload)
+        # max_frames=1: one LZW decode per image however long the
+        # animation runs, and no trailer requirement — a crawl GIF
+        # truncated after its first frame still hashes
+        w, h, frames = gif_frames(payload, max_frames=1)
         if not frames:
             raise ValueError("GIF contains no image descriptor")
         return w, h, frames[0][1]

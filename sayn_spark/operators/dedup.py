@@ -480,36 +480,43 @@ class DedupTask(Task):
         # fan-out sizing hint; absent parameter degrades to no repartition
         return str(self.context.parameters.get("sf_dir", ""))
 
+    def _phash_frame(self, docs: DataFrame, drop_null_payloads: bool) -> DataFrame:
+        """(doc_id, payload) fan-out frame for method=phash with the
+        integer-id loud-fail BOTH modes need: the band frame casts ids
+        to BIGINT, and a non-integral id column would cast to NULL row
+        by row — silently dropping every pair (full mode's src<dst
+        predicate) or emptying every probe (incremental).  Pre-hash
+        string ids upstream.  Full mode drops NULL payloads (no pair
+        can involve one); incremental KEEPS them so the ingest indexes
+        them as trivially novel and reruns converge."""
+        from sayn_spark.functions.dedup import fan_out_table
+
+        id_type = dict(docs.dtypes)[self.id_column]
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"dedup task {self.name!r}: method=phash needs an integer "
+                f"id_column ({self.id_column!r} is {id_type}) — pre-hash "
+                "string ids (e.g. xxhash64(id)) in an upstream task"
+            )
+        frame = docs.select(
+            F.col(self.id_column).alias("doc_id"),
+            F.col(self.payload_column).alias("payload"),
+        )
+        if drop_null_payloads:
+            frame = frame.where(F.col("payload").isNotNull())
+        return fan_out_table(frame, self.context.spark, self.src_value)
+
     def _duplicate_edges(self, docs: DataFrame) -> DataFrame:
         """(src, dst) verified duplicate pairs by the configured method."""
         spark = self.context.spark
         if self.method == "phash":
-            from sayn_spark.functions.dedup import fan_out_table
             from sayn_spark.functions.multimodal import (
                 image_dhash_band_frame,
                 phash_pairs,
             )
             from sayn_spark.functions.registry import persist_tracked
 
-            # the band frame casts ids to BIGINT; a non-integral id
-            # column would cast to NULL row by row and the src<dst
-            # candidate predicate would silently drop EVERY pair —
-            # fail loudly instead (pre-hash string ids upstream)
-            id_type = dict(docs.dtypes)[self.id_column]
-            if id_type not in ("tinyint", "smallint", "int", "bigint"):
-                raise ValueError(
-                    f"dedup task {self.name!r}: method=phash needs an integer "
-                    f"id_column ({self.id_column!r} is {id_type}) — pre-hash "
-                    "string ids (e.g. xxhash64(id)) in an upstream task"
-                )
-            imgs = fan_out_table(
-                docs.select(
-                    F.col(self.id_column).alias("doc_id"),
-                    F.col(self.payload_column).alias("payload"),
-                ).where(F.col("payload").isNotNull()),
-                spark,
-                self.src_value,
-            )
+            imgs = self._phash_frame(docs, drop_null_payloads=True)
             # persist: phash_pairs self-joins this frame, and without a
             # persist each side re-runs the Python decode+dHash stage —
             # the dominant cost at crawl scale (same reason the minhash
@@ -797,29 +804,10 @@ class DedupTask(Task):
         db = self.context.db
         docs = self._docs()
         if self.method == "phash":
-            from sayn_spark.functions.dedup import fan_out_table
-
-            # same loud-fail as full mode: the band frame casts ids to
-            # BIGINT, and a non-integral id column would cast to NULL
-            # row by row, silently emptying every probe
-            id_type = dict(docs.dtypes)[self.id_column]
-            if id_type not in ("tinyint", "smallint", "int", "bigint"):
-                raise ValueError(
-                    f"dedup task {self.name!r}: method=phash needs an integer "
-                    f"id_column ({self.id_column!r} is {id_type}) — pre-hash "
-                    "string ids (e.g. xxhash64(id)) in an upstream task"
-                )
             # NULL payloads stay in the batch: the ingest indexes them
             # as trivially novel so they converge instead of
             # re-entering every run
-            batch = fan_out_table(
-                docs.select(
-                    F.col(self.id_column).alias("doc_id"),
-                    F.col(self.payload_column).alias("payload"),
-                ),
-                spark,
-                self.src_value,
-            )
+            batch = self._phash_frame(docs, drop_null_payloads=False)
         else:
             batch = self._standard(docs)
         # processed = indexed (kept) UNION previously-matched (dropped):

@@ -790,3 +790,66 @@ def test_mp3_parse_truncated_payload_never_hangs(cut, id3):
         mp3_parse(payload[: min(cut, len(payload))])
     except (ValueError, NotImplementedError):
         pass
+
+
+# --- round-11 part 4: self-review fixes ----------------------------------
+
+
+def test_image_gray_pixels_tolerates_gif_truncated_after_first_frame():
+    """Crawl robustness: a GIF cut after frame 0's block terminator
+    (no trailer, no later frames) still hashes — the phash hook reads
+    max_frames=1 and never requires the rest of the stream.  The full
+    gif_frames walk stays strict about the missing trailer."""
+    import pytest as _pytest
+
+    from sayn_spark.functions.multimodal import (
+        gif_encode_animated,
+        gif_frames,
+        image_gray_pixels,
+    )
+
+    px = bytes(range(64))
+    payload = gif_encode_animated(
+        [
+            (px, 0, 0, 8, 8, 1, 1, None),
+            (bytes([9] * 16), 0, 0, 4, 4, 1, 1, None),
+        ],
+        8,
+        8,
+    )
+    # cut right after frame 0: find frame 1's GCE (0x21 0xF9) past the
+    # header+GCT+loop-ext+frame-0 GCE
+    cut = payload.index(b"\x21\xf9", 13 + 768 + 19 + 8)
+    trunc = payload[:cut]
+    w, h, gray = image_gray_pixels(trunc)
+    assert (w, h, gray) == (8, 8, px)
+    with _pytest.raises(ValueError, match="trailer"):
+        gif_frames(trunc)  # the full walk is strict
+    # max_frames also bounds the work on intact animations
+    _, _, fr = gif_frames(payload, max_frames=1)
+    assert len(fr) == 1 and fr[0][1] == px
+
+
+def test_editdistance_full_mode_degenerate_texts_never_candidate(spark):
+    """Full mode now holds the same degenerate-doc policy as the
+    incremental ingest (and minhash/simhash zero-token docs): empty /
+    whitespace-only / NULL texts fold to NULL block keys and never
+    pair — previously two empty docs were a Levenshtein-0 'near-dup'
+    and n of them verified O(n^2) pairs."""
+    from sayn_spark.functions.dedup import editdistance_dup_pairs
+
+    corpus = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, ""),
+            (3, "   "),
+            (4, None),
+            (5, "the cat sat on the mat today"),
+            (6, "the cat sat on the mat todaX"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b) for r in editdistance_dup_pairs(corpus).collect()
+    }
+    assert pairs == {(5, 6)}
