@@ -19,9 +19,11 @@ invertible).  Animated GIF decodes with full GIF89a compositing
 (sub-rectangle frames, disposal methods, transparency) so
 frame-sampling is real for the one animated format needing no external
 codec; MP4/ISO-BMFF parses headers-only (duration, tracks, codec
-4CCs, dimensions — mdat never read) and MP3 walks Layer III frame
+4CCs, dimensions — mdat never read), MP3 walks Layer III frame
 headers (exact duration, bitrate, channels — the MDCT payload never
-read).  The remaining genuinely external
+read), and WebP reads dimensions/type/alpha/animation from its RIFF
+chunk headers (the VP8 boolean coder never runs).  The remaining
+genuinely external
 work (video/audio FRAME decode, arithmetic-coded JPEG) needs
 libjpeg/ffmpeg, which are not in this container, so those paths raise
 NotImplementedError at the exact point a production deployment would
@@ -808,6 +810,150 @@ def _mp4_parse_impl(payload: bytes):
     if duration_ms is None:
         raise ValueError("MP4 has no moov/mvhd header")
     return duration_ms, len(tracks), tracks
+
+
+# --- WebP / RIFF (Google's public container + bitstream specs),
+#     metadata headers only ----------------------------------------------
+#
+# The most common modern crawl image format.  Dimensions and type are
+# in the first bytes of the first bitstream chunk — lossy VP8 key
+# frames carry a 9D 01 2A sync + 14-bit dims, lossless VP8L packs
+# width-1/height-1 into its first dword, extended VP8X carries 24-bit
+# canvas dims + feature flags (alpha, animation) — so routing by
+# size/type/animation costs a chunk walk, no entropy decode.  PIXEL
+# decode (VP8 boolean coder) is the external part (plug libwebp).
+
+
+def webp_build(
+    width: int,
+    height: int,
+    mode: str = "lossy",
+    alpha: bool = False,
+    animated: bool = False,
+) -> bytes:
+    """A minimal, spec-framed WebP file: RIFF/WEBP container with a
+    'VP8 ' (lossy: key-frame tag + 9D 01 2A sync + 14-bit dims),
+    'VP8L' (lossless: 0x2F signature + packed width-1/height-1 +
+    alpha bit), or 'VP8X' (extended: feature flags + 24-bit canvas
+    dims, then an ANIM/ANMF pair when ``animated`` else an embedded
+    VP8 chunk) leading bitstream chunk.  The witness for webp_parse —
+    headers are real per the public container/bitstream specs, pixel
+    payloads are zeroed (never read by the parser)."""
+    if not (0 < width <= 0x3FFF and 0 < height <= 0x3FFF):
+        raise ValueError("webp_build: dims must be in 1..16383")
+    if mode not in ("lossy", "lossless", "extended"):
+        raise ValueError("webp_build: mode must be lossy|lossless|extended")
+    if (alpha or animated) and mode != "extended":
+        raise ValueError("webp_build: alpha/animated flags need mode=extended")
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def vp8_chunk(w: int, h: int) -> bytes:
+        # key frame: tag bit 0 = 0; sync 9D 01 2A; u16le dims (14-bit)
+        payload = (
+            b"\x00\x00\x00" + b"\x9d\x01\x2a"
+            + struct.pack("<HH", w, h) + bytes(10)
+        )
+        return chunk(b"VP8 ", payload)
+
+    if mode == "lossy":
+        body = vp8_chunk(width, height)
+    elif mode == "lossless":
+        packed = (width - 1) | ((height - 1) << 14)
+        body = chunk(b"VP8L", b"\x2f" + struct.pack("<I", packed) + bytes(6))
+    else:
+        flags = (0x10 if alpha else 0) | (0x02 if animated else 0)
+        vp8x = bytes([flags, 0, 0, 0])
+        vp8x += (width - 1).to_bytes(3, "little")
+        vp8x += (height - 1).to_bytes(3, "little")
+        body = chunk(b"VP8X", vp8x)
+        if animated:
+            body += chunk(b"ANIM", struct.pack("<IH", 0xFFFFFFFF, 0))
+            anmf = bytes(3) * 2 + (width - 1).to_bytes(3, "little") + (
+                height - 1
+            ).to_bytes(3, "little") + bytes(3) + b"\x00"
+            anmf += vp8_chunk(width, height)
+            body += chunk(b"ANMF", anmf)
+        else:
+            body += vp8_chunk(width, height)
+    riff = b"WEBP" + body
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def webp_parse(payload: bytes):
+    """Headers-only WebP metadata: (width, height, codec, has_alpha,
+    is_animated) with codec in 'vp8' (lossy), 'vp8l' (lossless),
+    'vp8x' (extended).  Walks RIFF chunks (u32le sizes, odd-size pad
+    bytes) and reads only the public header fields: VP8 key-frame sync
+    + 14-bit dims, VP8L packed dword (dims + alpha bit), VP8X feature
+    flags + 24-bit canvas dims.  Pixel decode (the VP8 boolean coder)
+    is out of scope — plug libwebp.  Two-exception contract:
+    NotImplementedError for non-WebP magic and out-of-scope bitstreams
+    (VP8 inter-frame leading chunk), ValueError for truncated or
+    corrupt containers."""
+    try:
+        return _webp_parse_impl(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt WebP payload: {e!r}") from e
+
+
+def _webp_parse_impl(payload: bytes):
+    data = bytes(payload)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise NotImplementedError(
+            f"payload magic {data[:4]!r}/{data[8:12]!r} is not RIFF/WEBP"
+        )
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    end = min(len(data), 8 + riff_len)
+    pos = 12
+    while pos + 8 <= end:
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = pos + 8
+        if body + size > end:
+            raise ValueError(f"WebP chunk {tag!r} overflows the container")
+        if tag == b"VP8 ":
+            if size < 10:
+                raise ValueError("VP8 chunk too short for a frame header")
+            if data[body] & 0x01:
+                raise NotImplementedError(
+                    "leading VP8 inter-frame (no dimensions) — decode "
+                    "boundary, plug libwebp"
+                )
+            if data[body + 3 : body + 6] != b"\x9d\x01\x2a":
+                raise ValueError("VP8 key frame missing its start sync code")
+            w, h = struct.unpack("<HH", data[body + 6 : body + 10])
+            return (w & 0x3FFF, h & 0x3FFF, "vp8", 0, 0)
+        if tag == b"VP8L":
+            if size < 5:
+                raise ValueError("VP8L chunk too short for a header")
+            if data[body] != 0x2F:
+                raise ValueError("VP8L missing its 0x2F signature byte")
+            (packed,) = struct.unpack("<I", data[body + 1 : body + 5])
+            return (
+                (packed & 0x3FFF) + 1,
+                ((packed >> 14) & 0x3FFF) + 1,
+                "vp8l",
+                (packed >> 28) & 1,
+                0,
+            )
+        if tag == b"VP8X":
+            if size < 10:
+                raise ValueError("VP8X chunk too short for a header")
+            flags = data[body]
+            w = int.from_bytes(data[body + 4 : body + 7], "little") + 1
+            h = int.from_bytes(data[body + 7 : body + 10], "little") + 1
+            return (
+                w,
+                h,
+                "vp8x",
+                1 if flags & 0x10 else 0,
+                1 if flags & 0x02 else 0,
+            )
+        pos = body + size + (size % 2)  # odd chunk sizes carry a pad byte
+    raise ValueError("WebP container has no VP8/VP8L/VP8X bitstream chunk")
 
 
 # --- MP3 / MPEG audio (ISO 11172-3) metadata, headers only --------------
@@ -3389,6 +3535,91 @@ def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["duration_ms"].append(duration_ms)
                 rows["n_tracks"].append(n_tracks)
                 rows["video_codec"].append(vid[1])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(_encode, enc_schema).mapInPandas(_decode, dec_schema)
+
+
+@register(
+    "q_multimodal_webp_meta",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, length(text) AS n FROM documents
+  WHERE doc_id % 29 = 0 AND length(text) > 0
+)
+SELECT doc_id,
+       CAST((n % 1200) + 16 AS BIGINT) AS width,
+       CAST(((n * 3) % 900) + 16 AS BIGINT) AS height,
+       CASE n % 3 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l' ELSE 'vp8x' END
+         AS codec,
+       CAST(CASE WHEN n % 3 = 2 AND n % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS has_alpha,
+       CAST(CASE WHEN n % 3 = 2 AND n % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_animated
+FROM d
+""",
+)
+def q_multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP routing metadata — the most common modern crawl image
+    format: each document becomes a spec-framed RIFF/WEBP container
+    (a third lossy VP8 with the key-frame sync + 14-bit dims, a third
+    lossless VP8L with the packed signature dword, a third extended
+    VP8X with feature flags + 24-bit canvas dims, some of those
+    alpha-flagged or carrying a real ANIM/ANMF animation pair) and
+    ``webp_parse`` walks the chunk headers back out — dimensions,
+    bitstream type, alpha, animation.  No pixel is ever decoded (the
+    VP8 boolean coder is the libwebp hook): this is the
+    size/type/animation routing a 100 TB image crawl runs before any
+    decode, and the dedup/caption stages downstream decide per format.
+
+    Scale shape: two chained mapInPandas stages, Arrow-batched;
+    payloads never leave the executors.
+    """
+    d = (
+        T(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 29 == 0) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    enc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                mode = ("lossy", "lossless", "extended")[n % 3]
+                rows["doc_id"].append(doc_id)
+                rows["payload"].append(
+                    webp_build(
+                        (n % 1200) + 16,
+                        ((n * 3) % 900) + 16,
+                        mode=mode,
+                        alpha=mode == "extended" and n % 2 == 0,
+                        animated=mode == "extended" and n % 5 == 0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    dec_schema = (
+        "doc_id long, width long, height long, codec string, "
+        "has_alpha long, is_animated long"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "width", "height", "codec", "has_alpha", "is_animated"]
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, codec, al, an = webp_parse(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["codec"].append(codec)
+                rows["has_alpha"].append(al)
+                rows["is_animated"].append(an)
             yield pd.DataFrame(rows, columns=cols)
 
     return d.mapInPandas(_encode, enc_schema).mapInPandas(_decode, dec_schema)

@@ -853,3 +853,52 @@ def test_editdistance_full_mode_degenerate_texts_never_candidate(spark):
         (r.id_a, r.id_b) for r in editdistance_dup_pairs(corpus).collect()
     }
     assert pairs == {(5, 6)}
+
+
+def test_webp_metadata_roundtrip_and_contract():
+    import pytest as _pytest
+
+    from sayn_spark.functions.multimodal import webp_build, webp_parse
+
+    assert webp_parse(webp_build(640, 480)) == (640, 480, "vp8", 0, 0)
+    assert webp_parse(webp_build(1, 16383, mode="lossless")) == (
+        1, 16383, "vp8l", 0, 0,
+    )
+    assert webp_parse(webp_build(800, 600, mode="extended", alpha=True)) == (
+        800, 600, "vp8x", 1, 0,
+    )
+    assert webp_parse(
+        webp_build(320, 240, mode="extended", animated=True)
+    ) == (320, 240, "vp8x", 0, 1)
+    with _pytest.raises(NotImplementedError):
+        webp_parse(b"RIFF\x04\x00\x00\x00WAVE" + bytes(8))
+    # a leading VP8 INTER-frame has no dimensions: decode boundary
+    p = bytearray(webp_build(64, 64))
+    p[20] |= 0x01  # frame-type bit of the VP8 frame tag
+    with _pytest.raises(NotImplementedError, match="inter-frame"):
+        webp_parse(bytes(p))
+    # corrupt sync code is ValueError, not out-of-scope
+    p = bytearray(webp_build(64, 64))
+    p[23] = 0x00  # 0x9d -> 0x00
+    with _pytest.raises(ValueError, match="sync"):
+        webp_parse(bytes(p))
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    cut=st.integers(min_value=0, max_value=120),
+    mode=st.sampled_from(["lossy", "lossless", "extended"]),
+    anim=st.booleans(),
+)
+def test_webp_parse_truncated_payload_never_hangs(cut, mode, anim):
+    """PROPERTY: webp_parse holds the two-exception contract under
+    truncation at any byte of the chunk walk."""
+    from sayn_spark.functions.multimodal import webp_build, webp_parse
+
+    payload = webp_build(
+        200, 100, mode=mode, animated=anim and mode == "extended"
+    )
+    try:
+        webp_parse(payload[: min(cut, len(payload))])
+    except (ValueError, NotImplementedError):
+        pass
