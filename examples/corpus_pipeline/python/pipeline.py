@@ -235,3 +235,128 @@ def make_eval_reversed(context, spark):
         )
     )
     context.default_db.replace_table("eval_reversed", ev)
+
+
+@task(name="make_media_payloads", sources=["documents"], outputs=["media_payloads"])
+def make_media_payloads(context, spark):
+    """Synthesize the video/audio side of the corpus: every 7th
+    document becomes an opaque BINARY media payload — rotating through
+    spec-framed MP4 (ISO-BMFF box tree), MP3 (Layer III frame stream,
+    a third with ID3v2 tags), and WebP (lossy/lossless/extended RIFF)
+    — the ingest shape of a multimodal crawl where media arrives as
+    bytes and nothing downstream may assume a format."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from sayn_spark.functions.multimodal import mp3_build, mp4_build, webp_build
+
+    docs = (
+        spark.table("documents")
+        .where((F.col("doc_id") % 7 == 0) & (F.length("text") > 0))
+        .select("doc_id", F.length("text").alias("n"))
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                n = int(n)
+                kind = n % 3
+                if kind == 0:
+                    p = mp4_build(
+                        16 * ((n % 40) + 8),
+                        16 * (((n * 3) % 30) + 6),
+                        n * 37 + 40,
+                        with_audio=n % 2 == 1,
+                    )
+                elif kind == 1:
+                    p = mp3_build(
+                        (n % 50) + 5,
+                        (64, 128, 192, 320)[n % 4],
+                        44100,
+                        1 if n % 2 == 1 else 2,
+                        id3_bytes=120 if n % 9 < 3 else 0,
+                    )
+                else:
+                    p = webp_build(
+                        (n % 1200) + 16,
+                        ((n * 3) % 900) + 16,
+                        mode=("lossy", "lossless", "extended")[n % 9 // 3],
+                        animated=n % 9 // 3 == 2 and n % 2 == 0,
+                    )
+                out["doc_id"].append(doc_id)
+                out["payload"].append(p)
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    context.default_db.replace_table("media_payloads", docs.mapInPandas(make, schema))
+
+
+@task(
+    name="route_media_metadata",
+    sources=["media_payloads"],
+    outputs=["media_metadata"],
+)
+def route_media_metadata(context, spark):
+    """The metadata-routing stage a 100 TB media crawl runs BEFORE any
+    decoder: magic-sniff each opaque payload (ftyp -> MP4 box walk,
+    RIFF/WEBP -> chunk walk, MPEG sync / ID3 -> frame-header walk) and
+    emit one typed row per asset — media_type, dimensions, duration,
+    animation — having read only headers.  Undecodable payloads would
+    surface as media_type='unknown' rather than kill the run (the
+    skip-vs-fail decision belongs to the downstream filter, not the
+    router)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from sayn_spark.functions.multimodal import mp3_parse, mp4_parse, webp_parse
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("duration_ms", LongType()),
+            StructField("is_animated", LongType()),
+        ]
+    )
+    cols = ["doc_id", "media_type", "width", "height", "duration_ms", "is_animated"]
+
+    def route(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                try:
+                    if len(p) >= 12 and p[4:8] == b"ftyp":
+                        dur, _, tracks = mp4_parse(p)
+                        vid = next(
+                            (t for t in tracks if t[0] == "vide"), (None, None, 0, 0)
+                        )
+                        row = ("video/mp4", vid[2], vid[3], dur, 0)
+                    elif p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+                        w, h, _, _, anim = webp_parse(p)
+                        row = ("image/webp", w, h, 0, anim)
+                    else:
+                        dur, _, _, _, _ = mp3_parse(p)
+                        row = ("audio/mpeg", 0, 0, dur, 0)
+                except (ValueError, NotImplementedError):
+                    row = ("unknown", 0, 0, 0, 0)
+                out["doc_id"].append(doc_id)
+                for c, v in zip(cols[1:], row):
+                    out[c].append(v)
+            yield pd.DataFrame(out, columns=cols)
+
+    src = spark.table("media_payloads")
+    context.default_db.replace_table("media_metadata", src.mapInPandas(route, schema))

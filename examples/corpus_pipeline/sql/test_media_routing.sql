@@ -1,0 +1,7 @@
+-- empty = pass: no routed row may violate its own admission rule,
+-- and no 'unknown' (undecodable) payload may ever be admitted
+SELECT doc_id
+FROM media_routed
+WHERE media_type = 'unknown'
+   OR (media_type = 'video/mp4' AND width < height)
+   OR (media_type = 'audio/mpeg' AND duration_ms < 2000)

@@ -902,3 +902,66 @@ def test_webp_parse_truncated_payload_never_hangs(cut, mode, anim):
         webp_parse(payload[: min(cut, len(payload))])
     except (ValueError, NotImplementedError):
         pass
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    fmt=st.sampled_from(["jpeg_prog", "gif_anim", "mp4", "mp3", "webp"]),
+    pos_seed=st.integers(min_value=0, max_value=10**9),
+    flip=st.integers(min_value=1, max_value=255),
+)
+def test_new_decoders_byte_flip_never_breaks_the_contract(fmt, pos_seed, flip):
+    """PROPERTY (beyond truncation): flipping ANY single byte of a
+    valid payload either still parses or raises ValueError /
+    NotImplementedError — corrupt crawl bytes can redirect a parse but
+    never leak a raw IndexError/KeyError/struct.error or hang.  One
+    property over all five round-11 decode surfaces."""
+    import numpy as np
+
+    from sayn_spark.functions.multimodal import (
+        JPEG_STD_QUANT,
+        gif_encode_animated,
+        gif_frames,
+        jpeg_encode_progressive,
+        jpeg_parse,
+        mp3_build,
+        mp3_parse,
+        mp4_build,
+        mp4_parse,
+        webp_build,
+        webp_parse,
+    )
+
+    rng = np.random.default_rng(7)
+    if fmt == "jpeg_prog":
+        img = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+        payload = jpeg_encode_progressive(
+            img.tobytes(), 16, 16, quant_luma=JPEG_STD_QUANT, restart_interval=2
+        )
+        parse = lambda p: jpeg_parse(p, want_pixels=True)
+    elif fmt == "gif_anim":
+        payload = gif_encode_animated(
+            [
+                (rng.integers(0, 256, 60).astype(np.uint8).tobytes(), 0, 0, 10, 6, 5, 1, None),
+                (rng.integers(0, 256, 12).astype(np.uint8).tobytes(), 2, 2, 4, 3, 5, 2, 255),
+            ],
+            10,
+            6,
+        )
+        parse = gif_frames
+    elif fmt == "mp4":
+        payload = mp4_build(320, 240, 5000, with_audio=True)
+        parse = mp4_parse
+    elif fmt == "mp3":
+        payload = mp3_build(6, 128, 44100, 2, id3_bytes=90)
+        parse = mp3_parse
+    else:
+        payload = webp_build(200, 100, mode="extended", animated=True)
+        parse = webp_parse
+    pos = pos_seed % len(payload)
+    mutated = bytearray(payload)
+    mutated[pos] ^= flip
+    try:
+        parse(bytes(mutated))
+    except (ValueError, NotImplementedError):
+        pass
