@@ -274,8 +274,12 @@ def make_media_payloads(context, spark):
                         with_audio=n % 2 == 1,
                     )
                 elif kind == 1:
+                    # (n % 150) + 5 frames = 130ms..4s at 26.12ms/frame,
+                    # STRADDLING media_routed's 2s admission threshold —
+                    # a range that never crosses it would make the
+                    # routing rule and its test vacuous
                     p = mp3_build(
-                        (n % 50) + 5,
+                        (n % 150) + 5,
                         (64, 128, 192, 320)[n % 4],
                         44100,
                         1 if n % 2 == 1 else 2,
@@ -337,8 +341,12 @@ def route_media_metadata(context, spark):
         for pdf in batches:
             out = {c: [] for c in cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                p = bytes(payload)
                 try:
+                    # NULL payloads route as unknown too — bytes(None)
+                    # would TypeError outside the contract
+                    if payload is None:
+                        raise ValueError("NULL payload")
+                    p = bytes(payload)
                     if len(p) >= 12 and p[4:8] == b"ftyp":
                         dur, _, tracks = mp4_parse(p)
                         vid = next(

@@ -3,5 +3,6 @@
 SELECT doc_id
 FROM media_routed
 WHERE media_type = 'unknown'
-   OR (media_type = 'video/mp4' AND width < height)
+   OR (media_type = 'video/mp4' AND (width = 0 OR width < height))
+   OR (media_type = 'image/webp' AND is_animated != 0)
    OR (media_type = 'audio/mpeg' AND duration_ms < 2000)

@@ -1255,7 +1255,7 @@ JOIN corpus b
   ON substr(a.text, 1, {_ED_BLOCK}) = substr(b.text, 1, {_ED_BLOCK})
  AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= {_ED_MAX}
-  AND length(trim(a.text)) > 0 AND length(trim(b.text)) > 0
+  AND regexp_matches(a.text, '\\S') AND regexp_matches(b.text, '\\S')
 UNION ALL
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        levenshtein(a.text, b.text) AS edit_dist
@@ -1265,7 +1265,7 @@ JOIN corpus b
  AND substr(a.text, 1, {_ED_BLOCK}) <> substr(b.text, 1, {_ED_BLOCK})
  AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= {_ED_MAX}
-  AND length(trim(a.text)) > 0 AND length(trim(b.text)) > 0
+  AND regexp_matches(a.text, '\\S') AND regexp_matches(b.text, '\\S')
 """,
 )
 def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1454,7 +1454,11 @@ def _ed_blocked(df: DataFrame, block_chars: int, keys: tuple) -> DataFrame:
     degenerate block key and candidate the others quadratically
     (O(n_empty^2) Levenshtein-0 pairs)."""
     key_exprs = []
-    guard = "case when text is null or trim(text) = '' then null else {} end"
+    # rlike '\S' = contains any non-whitespace char — Spark's trim()
+    # strips only ASCII spaces, so a trim-based guard would let tab/
+    # newline-only docs share a degenerate key (same predicate as the
+    # incremental ingest's stateless-routing filter)
+    guard = "case when text is null or not text rlike '\\\\S' then null else {} end"
     if "prefix" in keys:
         key_exprs.append(
             guard.format(f"concat('p:', substring(text, 1, {block_chars}))")

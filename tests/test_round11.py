@@ -846,6 +846,10 @@ def test_editdistance_full_mode_degenerate_texts_never_candidate(spark):
             (4, None),
             (5, "the cat sat on the mat today"),
             (6, "the cat sat on the mat todaX"),
+            # Spark's trim() strips only ASCII spaces — these two would
+            # evade a trim-based guard and pair at distance 0
+            (7, "\t\n"),
+            (8, "\t\n\t"),
         ],
         "doc_id long, text string",
     )
