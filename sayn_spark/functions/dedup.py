@@ -1457,17 +1457,22 @@ def _ed_blocked(df: DataFrame, block_chars: int, keys: tuple) -> DataFrame:
     # rlike '\S' = contains any non-whitespace char — Spark's trim()
     # strips only ASCII spaces, so a trim-based guard would let tab/
     # newline-only docs share a degenerate key (same predicate as the
-    # incremental ingest's stateless-routing filter)
-    guard = "case when text is null or not text rlike '\\\\S' then null else {} end"
+    # incremental ingest's stateless-routing filter).  The guard runs
+    # ONCE per row (a guarded-text projection the key arms consume, not
+    # a per-arm predicate): concat is null-in-null-out in Spark, so a
+    # NULL guarded text folds every key to NULL with no second regex.
+    # CollapseProject keeps the non-cheap rlike un-inlined when it is
+    # referenced by both arms, so the single evaluation survives into
+    # the physical plan (r12 A/B fold of the r11 per-arm guard).
     if "prefix" in keys:
-        key_exprs.append(
-            guard.format(f"concat('p:', substring(text, 1, {block_chars}))")
-        )
+        key_exprs.append(f"concat('p:', substring(_gt, 1, {block_chars}))")
     if "suffix" in keys:
-        key_exprs.append(
-            guard.format(f"concat('s:', right(text, {block_chars}))")
-        )
+        key_exprs.append(f"concat('s:', right(_gt, {block_chars}))")
     return df.select(
+        "doc_id",
+        "text",
+        F.expr("case when text rlike '\\\\S' then text end").alias("_gt"),
+    ).select(
         "doc_id",
         "text",
         F.explode(F.array(*[F.expr(e) for e in key_exprs])).alias("blk"),
