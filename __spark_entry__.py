@@ -53,6 +53,11 @@ _SEMANTICS_CHANGED = {
     # dual-recall report columns
     "q_dedup_editdistance": 10,
     "q_dedup_editdistance_recall": 10,
+    # r12: +n_frames/duration_ms columns (ANMF animated-frame walk)
+    "q_multimodal_webp_meta": 12,
+    # r12: +video_duration_ms/n_samples/fps_milli columns (mdhd+stts
+    # per-track timing), version-1 fullboxes on a third of payloads
+    "q_multimodal_mp4_meta": 12,
 }
 
 

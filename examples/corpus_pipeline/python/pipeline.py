@@ -267,11 +267,18 @@ def make_media_payloads(context, spark):
                 n = int(n)
                 kind = n % 3
                 if kind == 0:
+                    # real stts + edit-trimmed mdhd so the router's fps
+                    # arm has a signal; sample counts are sized so
+                    # fps_milli straddles the 5-120 fps admission band
+                    # in both directions (a one-sided range would make
+                    # the rule and its test vacuous)
                     p = mp4_build(
                         16 * ((n % 40) + 8),
                         16 * (((n * 3) % 30) + 6),
                         n * 37 + 40,
                         with_audio=n % 2 == 1,
+                        video_n_samples=(n % 300) + 2,
+                        video_duration_ms=(n * 37 + 40) * 3 // 4 + 1,
                     )
                 elif kind == 1:
                     # (n % 150) + 5 frames = 130ms..4s at 26.12ms/frame,
@@ -286,11 +293,22 @@ def make_media_payloads(context, spark):
                         id3_bytes=120 if n % 9 < 3 else 0,
                     )
                 else:
+                    # animated totals ((n%4)+2 frames x (n*17%3000)+10
+                    # ms) STRADDLE the router's 2s short-animation
+                    # cutoff even on sub-600-char corpora (a one-sided
+                    # range makes the rule and its test vacuous —
+                    # test_media_router_rules_nonvacuous pins this)
+                    animated = n % 9 // 3 == 2 and n % 2 == 0
                     p = webp_build(
                         (n % 1200) + 16,
                         ((n * 3) % 900) + 16,
                         mode=("lossy", "lossless", "extended")[n % 9 // 3],
-                        animated=n % 9 // 3 == 2 and n % 2 == 0,
+                        animated=animated,
+                        frame_durations=(
+                            ((n * 17) % 3000 + 10,) * ((n % 4) + 2)
+                            if animated
+                            else None
+                        ),
                     )
                 out["doc_id"].append(doc_id)
                 out["payload"].append(p)
@@ -306,65 +324,20 @@ def make_media_payloads(context, spark):
 )
 def route_media_metadata(context, spark):
     """The metadata-routing stage a 100 TB media crawl runs BEFORE any
-    decoder: magic-sniff each opaque payload (ftyp -> MP4 box walk,
-    RIFF/WEBP -> chunk walk, MPEG sync / ID3 -> frame-header walk) and
-    emit one typed row per asset — media_type, dimensions, duration,
-    animation — having read only headers.  Undecodable payloads would
-    surface as media_type='unknown' rather than kill the run (the
-    skip-vs-fail decision belongs to the downstream filter, not the
-    router)."""
-    from pyspark.sql.types import (
-        BinaryType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    from sayn_spark.functions.multimodal import mp3_parse, mp4_parse, webp_parse
-
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("media_type", StringType()),
-            StructField("width", LongType()),
-            StructField("height", LongType()),
-            StructField("duration_ms", LongType()),
-            StructField("is_animated", LongType()),
-        ]
-    )
-    cols = ["doc_id", "media_type", "width", "height", "duration_ms", "is_animated"]
-
-    def route(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            out = {c: [] for c in cols}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                try:
-                    # NULL payloads route as unknown too — bytes(None)
-                    # would TypeError outside the contract
-                    if payload is None:
-                        raise ValueError("NULL payload")
-                    p = bytes(payload)
-                    if len(p) >= 12 and p[4:8] == b"ftyp":
-                        dur, _, tracks = mp4_parse(p)
-                        vid = next(
-                            (t for t in tracks if t[0] == "vide"), (None, None, 0, 0)
-                        )
-                        row = ("video/mp4", vid[2], vid[3], dur, 0)
-                    elif p[:4] == b"RIFF" and p[8:12] == b"WEBP":
-                        w, h, _, _, anim = webp_parse(p)
-                        row = ("image/webp", w, h, 0, anim)
-                    else:
-                        dur, _, _, _, _ = mp3_parse(p)
-                        row = ("audio/mpeg", 0, 0, dur, 0)
-                except (ValueError, NotImplementedError):
-                    row = ("unknown", 0, 0, 0, 0)
-                out["doc_id"].append(doc_id)
-                for c, v in zip(cols[1:], row):
-                    out[c].append(v)
-            yield pd.DataFrame(out, columns=cols)
+    decoder: route_media_frame magic-sniffs each opaque payload (ftyp
+    -> MP4 box walk, RIFF/WEBP -> chunk walk, MPEG sync / ID3 ->
+    frame-header walk) and emits one typed row per asset —
+    media_type, dimensions, duration, animation, frame count, fps —
+    having read only headers.  A video's duration_ms is its VIDEO
+    TRACK's mdhd media duration (what an edit-trimmed track actually
+    plays), not the container's mvhd presentation length, and
+    fps_milli comes from the stts sample count over that duration; an
+    animated WebP reports its ANMF frame count and summed frame
+    durations.  Undecodable payloads surface as media_type='unknown'
+    rather than kill the run (the skip-vs-fail decision belongs to
+    the downstream filter, not the router).  The same frame streams
+    as streaming.materialise.stream_route_media."""
+    from sayn_spark.functions.multimodal import route_media_frame
 
     src = spark.table("media_payloads")
-    context.default_db.replace_table("media_metadata", src.mapInPandas(route, schema))
+    context.default_db.replace_table("media_metadata", route_media_frame(src))

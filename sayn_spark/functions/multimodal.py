@@ -632,44 +632,71 @@ def mp4_build(
     duration_ms: int,
     video_codec: bytes = b"avc1",
     with_audio: bool = False,
+    video_n_samples: int = 0,
+    video_duration_ms: "int | None" = None,
+    version1: bool = False,
 ) -> bytes:
     """A minimal, spec-valid ISO-BMFF file (ISO 14496-12): ftyp + moov
     (mvhd at timescale 1000; one video trak — tkhd carries 16.16
     fixed-point presentation dims, hdlr 'vide', stsd with the sample
     entry's coded dims; optionally one 'soun' trak) + an empty mdat.
-    The witness for mp4_parse — sample tables are present-but-empty
-    (stts/stsc/stsz/stco with zero entries), exactly what a
-    metadata-only pipeline needs and nothing more."""
+    The witness for mp4_parse — sample tables carry only what a
+    metadata-only pipeline needs: ``video_n_samples`` > 0 writes ONE
+    stts run (sample_count + a uniform delta) for the video track, so
+    the parser's per-track sample count and fps have something real to
+    read; ``video_duration_ms`` sets the video track's mdhd duration
+    independently of the container (the edit-trimmed-track witness:
+    mvhd says presentation length, mdhd says media length).
+    ``version1`` emits mvhd/tkhd/mdhd as version-1 fullboxes (64-bit
+    times) so the parser's v1 offsets are witnessed, not just read."""
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
         raise ValueError("mp4_build: dims must be in 1..65535")
     if not 0 <= duration_ms <= 0xFFFFFFFF:
         raise ValueError("mp4_build: duration_ms must be a u32")
     if len(video_codec) != 4:
         raise ValueError("mp4_build: video_codec must be a 4CC")
+    if video_n_samples < 0:
+        raise ValueError("mp4_build: video_n_samples must be >= 0")
+    vdur = duration_ms if video_duration_ms is None else video_duration_ms
+    if not 0 <= vdur <= 0xFFFFFFFF:
+        raise ValueError("mp4_build: video_duration_ms must be a u32")
 
     def full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
         return _mp4_box(tag, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
 
     ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2" + video_codec)
+    if version1:
+        mvhd_times = struct.pack(">QQIQ", 0, 0, 1000, duration_ms)
+    else:
+        mvhd_times = struct.pack(">IIII", 0, 0, 1000, duration_ms)
     mvhd = full(
-        b"mvhd", 0, 0,
-        struct.pack(">IIII", 0, 0, 1000, duration_ms)  # created/modified/timescale/duration
+        b"mvhd", 1 if version1 else 0, 0,
+        mvhd_times  # created/modified/timescale/duration
         + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10  # rate, volume, reserved
         + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + b"\x00" * 24 + struct.pack(">I", 3),  # predefined, next track id
     )
 
-    def trak(track_id: int, handler: bytes, codec: bytes, w: int, h: int) -> bytes:
+    def trak(
+        track_id: int, handler: bytes, codec: bytes, w: int, h: int,
+        tdur: int, nsamples: int,
+    ) -> bytes:
+        if version1:
+            tkhd_times = struct.pack(">QQIIQ", 0, 0, track_id, 0, duration_ms)
+            mdhd_times = struct.pack(">QQIQ", 0, 0, 1000, tdur)
+        else:
+            tkhd_times = struct.pack(">IIIII", 0, 0, track_id, 0, duration_ms)
+            mdhd_times = struct.pack(">IIII", 0, 0, 1000, tdur)
         tkhd = full(
-            b"tkhd", 0, 3,
-            struct.pack(">IIIII", 0, 0, track_id, 0, duration_ms)
+            b"tkhd", 1 if version1 else 0, 3,
+            tkhd_times
             + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
             + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
             + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed dims
         )
         mdhd = full(
-            b"mdhd", 0, 0,
-            struct.pack(">IIII", 0, 0, 1000, duration_ms)
+            b"mdhd", 1 if version1 else 0, 0,
+            mdhd_times
             + struct.pack(">HH", 0x55C4, 0),  # language 'und', predefined
         )
         hdlr = full(
@@ -693,10 +720,18 @@ def mp4_build(
                 + b"\x00" * 8
                 + struct.pack(">HHHHI", 2, 16, 0, 0, 44100 << 16),
             )
+        if nsamples:
+            # one uniform run: sample_count + delta in mdhd timescale
+            # units (1000/s here, so the delta is ms per sample)
+            stts_body = struct.pack(">I", 1) + struct.pack(
+                ">II", nsamples, max(1, tdur // nsamples)
+            )
+        else:
+            stts_body = struct.pack(">I", 0)
         stbl = _mp4_box(
             b"stbl",
             full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
-            + full(b"stts", 0, 0, struct.pack(">I", 0))
+            + full(b"stts", 0, 0, stts_body)
             + full(b"stsc", 0, 0, struct.pack(">I", 0))
             + full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
             + full(b"stco", 0, 0, struct.pack(">I", 0)),
@@ -714,9 +749,9 @@ def mp4_build(
         mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
         return _mp4_box(b"trak", tkhd + mdia)
 
-    traks = trak(1, b"vide", video_codec, width, height)
+    traks = trak(1, b"vide", video_codec, width, height, vdur, video_n_samples)
     if with_audio:
-        traks += trak(2, b"soun", b"mp4a", 0, 0)
+        traks += trak(2, b"soun", b"mp4a", 0, 0, duration_ms, 0)
     moov = _mp4_box(b"moov", mvhd + traks)
     mdat = _mp4_box(b"mdat", b"")
     return ftyp + moov + mdat
@@ -724,16 +759,22 @@ def mp4_build(
 
 def mp4_parse(payload: bytes):
     """Headers-only ISO-BMFF metadata: (duration_ms, n_tracks, tracks)
-    where tracks = [(handler, codec_4cc, width, height), ...] in trak
-    order — handler is 'vide'/'soun'/..., dims come from tkhd's 16.16
-    fixed-point presentation size (0 for non-visual tracks).  Walks
-    the box tree with 32-bit, 64-bit (size==1 largesize) and
-    to-end-of-file (size==0) box lengths, mvhd/tkhd/mdhd version 0 AND
-    1, and recurses only into the containers that matter
-    (moov/trak/mdia/minf/stbl) — mdat is never read, so a 100 TB video
-    corpus costs headers, not content.  Frame/sample decode is out of
-    scope (ffmpeg hook).  Two-exception contract: NotImplementedError
-    for non-BMFF magic, ValueError for truncated or corrupt boxes."""
+    where tracks = [(handler, codec_4cc, width, height,
+    track_duration_ms, n_samples), ...] in trak order — handler is
+    'vide'/'soun'/..., dims come from tkhd's 16.16 fixed-point
+    presentation size (0 for non-visual tracks), track_duration_ms
+    from mdhd's OWN timescale+duration (an edit-trimmed track reports
+    its media length here, not the container's mvhd presentation
+    length), and n_samples from summing stts run counts (0 when the
+    sample table is empty) — n_samples * 1000 / track_duration_ms is
+    the fps signal a video router needs.  Walks the box tree with
+    32-bit, 64-bit (size==1 largesize) and to-end-of-file (size==0)
+    box lengths, mvhd/tkhd/mdhd version 0 AND 1, and recurses only
+    into the containers that matter (moov/trak/mdia/minf/stbl) — mdat
+    is never read, so a 100 TB video corpus costs headers, not
+    content.  Frame/sample decode is out of scope (ffmpeg hook).
+    Two-exception contract: NotImplementedError for non-BMFF magic,
+    ValueError for truncated or corrupt boxes."""
     try:
         return _mp4_parse_impl(payload)
     except (IndexError, struct.error) as e:
@@ -785,6 +826,8 @@ def _mp4_parse_impl(payload: bytes):
             elif t2 == b"trak":
                 handler = codec = None
                 w = h = 0
+                tdur_ms = 0
+                n_samples = 0
                 for t3, lo3, hi3 in boxes(lo2, hi2):
                     if t3 == b"tkhd":
                         ver = data[lo3]
@@ -797,6 +840,23 @@ def _mp4_parse_impl(payload: bytes):
                                 handler = data[lo4 + 8 : lo4 + 12].decode(
                                     "latin-1"
                                 )
+                            elif t4 == b"mdhd":
+                                # the track's OWN clock: media duration
+                                # in its own timescale, NOT the mvhd
+                                # presentation length (edit-trimmed
+                                # tracks differ)
+                                ver = data[lo4]
+                                if ver == 1:
+                                    tts, tdur = struct.unpack(
+                                        ">IQ", data[lo4 + 20 : lo4 + 32]
+                                    )
+                                else:
+                                    tts, tdur = struct.unpack(
+                                        ">II", data[lo4 + 12 : lo4 + 20]
+                                    )
+                                if tts == 0:
+                                    raise ValueError("mdhd timescale is zero")
+                                tdur_ms = tdur * 1000 // tts
                             elif t4 == b"minf":
                                 for t5, lo5, hi5 in boxes(lo4, hi4):
                                     if t5 != b"stbl":
@@ -806,7 +866,28 @@ def _mp4_parse_impl(payload: bytes):
                                             codec = data[
                                                 lo6 + 12 : lo6 + 16
                                             ].decode("latin-1")
-                tracks.append((handler, codec, w, h))
+                                        elif t6 == b"stts":
+                                            # sum of run sample_counts;
+                                            # 8 bytes per run, deltas
+                                            # never read
+                                            (n_runs,) = struct.unpack(
+                                                ">I", data[lo6 + 4 : lo6 + 8]
+                                            )
+                                            if lo6 + 8 + 8 * n_runs > hi6:
+                                                raise ValueError(
+                                                    "stts runs overflow the box"
+                                                )
+                                            n_samples = sum(
+                                                struct.unpack(
+                                                    ">I",
+                                                    data[
+                                                        lo6 + 8 + 8 * i
+                                                        : lo6 + 12 + 8 * i
+                                                    ],
+                                                )[0]
+                                                for i in range(n_runs)
+                                            )
+                tracks.append((handler, codec, w, h, tdur_ms, n_samples))
     if duration_ms is None:
         raise ValueError("MP4 has no moov/mvhd header")
     return duration_ms, len(tracks), tracks
@@ -830,21 +911,33 @@ def webp_build(
     mode: str = "lossy",
     alpha: bool = False,
     animated: bool = False,
+    frame_durations: "tuple | None" = None,
 ) -> bytes:
     """A minimal, spec-framed WebP file: RIFF/WEBP container with a
     'VP8 ' (lossy: key-frame tag + 9D 01 2A sync + 14-bit dims),
     'VP8L' (lossless: 0x2F signature + packed width-1/height-1 +
     alpha bit), or 'VP8X' (extended: feature flags + 24-bit canvas
-    dims, then an ANIM/ANMF pair when ``animated`` else an embedded
-    VP8 chunk) leading bitstream chunk.  The witness for webp_parse —
-    headers are real per the public container/bitstream specs, pixel
-    payloads are zeroed (never read by the parser)."""
+    dims, then an ANIM chunk and one full-canvas ANMF frame per entry
+    of ``frame_durations`` (ms each, default one zero-duration frame)
+    when ``animated`` else an embedded VP8 chunk) leading bitstream
+    chunk.  The witness for webp_parse — headers are real per the
+    public container/bitstream specs, pixel payloads are zeroed
+    (never read by the parser)."""
     if not (0 < width <= 0x3FFF and 0 < height <= 0x3FFF):
         raise ValueError("webp_build: dims must be in 1..16383")
     if mode not in ("lossy", "lossless", "extended"):
         raise ValueError("webp_build: mode must be lossy|lossless|extended")
     if (alpha or animated) and mode != "extended":
         raise ValueError("webp_build: alpha/animated flags need mode=extended")
+    if frame_durations is not None:
+        if not animated:
+            raise ValueError("webp_build: frame_durations needs animated=True")
+        if not frame_durations or any(
+            not 0 <= int(d) <= 0xFFFFFF for d in frame_durations
+        ):
+            raise ValueError(
+                "webp_build: frame_durations must be 1+ u24 millisecond values"
+            )
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
         pad = b"\x00" if len(payload) % 2 else b""
@@ -871,11 +964,14 @@ def webp_build(
         body = chunk(b"VP8X", vp8x)
         if animated:
             body += chunk(b"ANIM", struct.pack("<IH", 0xFFFFFFFF, 0))
-            anmf = bytes(3) * 2 + (width - 1).to_bytes(3, "little") + (
-                height - 1
-            ).to_bytes(3, "little") + bytes(3) + b"\x00"
-            anmf += vp8_chunk(width, height)
-            body += chunk(b"ANMF", anmf)
+            for dur in frame_durations if frame_durations is not None else (0,):
+                # ANMF header: x u24, y u24, width-1 u24, height-1 u24,
+                # duration_ms u24, flags u8 — then the frame bitstream
+                anmf = bytes(3) * 2 + (width - 1).to_bytes(3, "little") + (
+                    height - 1
+                ).to_bytes(3, "little") + int(dur).to_bytes(3, "little") + b"\x00"
+                anmf += vp8_chunk(width, height)
+                body += chunk(b"ANMF", anmf)
         else:
             body += vp8_chunk(width, height)
     riff = b"WEBP" + body
@@ -884,15 +980,23 @@ def webp_build(
 
 def webp_parse(payload: bytes):
     """Headers-only WebP metadata: (width, height, codec, has_alpha,
-    is_animated) with codec in 'vp8' (lossy), 'vp8l' (lossless),
-    'vp8x' (extended).  Walks RIFF chunks (u32le sizes, odd-size pad
-    bytes) and reads only the public header fields: VP8 key-frame sync
-    + 14-bit dims, VP8L packed dword (dims + alpha bit), VP8X feature
-    flags + 24-bit canvas dims.  Pixel decode (the VP8 boolean coder)
-    is out of scope — plug libwebp.  Two-exception contract:
+    is_animated, n_frames, duration_ms) with codec in 'vp8' (lossy),
+    'vp8l' (lossless), 'vp8x' (extended).  Walks RIFF chunks (u32le
+    sizes, odd-size pad bytes) and reads only the public header
+    fields: VP8 key-frame sync + 14-bit dims, VP8L packed dword (dims
+    + alpha bit), VP8X feature flags + 24-bit canvas dims.  For an
+    animation-flagged VP8X the walk continues over the ANMF frame
+    chunks reading each 16-byte frame HEADER only (n_frames = chunk
+    count, duration_ms = sum of the u24 per-frame durations — frame
+    bitstreams are skipped by chunk size, zero entropy decode), so the
+    media router admits/rejects animated WebP on frame count and total
+    duration instead of a boolean; stills report n_frames=1,
+    duration_ms=0.  Pixel decode (the VP8 boolean coder) is out of
+    scope — plug libwebp.  Two-exception contract:
     NotImplementedError for non-WebP magic and out-of-scope bitstreams
     (VP8 inter-frame leading chunk), ValueError for truncated or
-    corrupt containers."""
+    corrupt containers (including an animation-flagged container with
+    no ANMF frames)."""
     try:
         return _webp_parse_impl(payload)
     except (IndexError, struct.error) as e:
@@ -925,7 +1029,7 @@ def _webp_parse_impl(payload: bytes):
             if data[body + 3 : body + 6] != b"\x9d\x01\x2a":
                 raise ValueError("VP8 key frame missing its start sync code")
             w, h = struct.unpack("<HH", data[body + 6 : body + 10])
-            return (w & 0x3FFF, h & 0x3FFF, "vp8", 0, 0)
+            return (w & 0x3FFF, h & 0x3FFF, "vp8", 0, 0, 1, 0)
         if tag == b"VP8L":
             if size < 5:
                 raise ValueError("VP8L chunk too short for a header")
@@ -938,6 +1042,8 @@ def _webp_parse_impl(payload: bytes):
                 "vp8l",
                 (packed >> 28) & 1,
                 0,
+                1,
+                0,
             )
         if tag == b"VP8X":
             if size < 10:
@@ -945,13 +1051,34 @@ def _webp_parse_impl(payload: bytes):
             flags = data[body]
             w = int.from_bytes(data[body + 4 : body + 7], "little") + 1
             h = int.from_bytes(data[body + 7 : body + 10], "little") + 1
-            return (
-                w,
-                h,
-                "vp8x",
-                1 if flags & 0x10 else 0,
-                1 if flags & 0x02 else 0,
-            )
+            has_alpha = 1 if flags & 0x10 else 0
+            if not flags & 0x02:
+                return (w, h, "vp8x", has_alpha, 0, 1, 0)
+            # animated: keep walking for ANMF frame chunks — each costs
+            # 16 header bytes (x/y/dims/duration/flags); the embedded
+            # frame bitstream is skipped by the enclosing chunk size
+            n_frames = 0
+            duration_ms = 0
+            pos = body + size + (size % 2)
+            while pos + 8 <= end:
+                tag2 = data[pos : pos + 4]
+                (size2,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+                body2 = pos + 8
+                if body2 + size2 > end:
+                    raise ValueError(
+                        f"WebP chunk {tag2!r} overflows the container"
+                    )
+                if tag2 == b"ANMF":
+                    if size2 < 16:
+                        raise ValueError("ANMF chunk too short for a frame header")
+                    n_frames += 1
+                    duration_ms += int.from_bytes(
+                        data[body2 + 12 : body2 + 15], "little"
+                    )
+                pos = body2 + size2 + (size2 % 2)
+            if n_frames == 0:
+                raise ValueError("animation-flagged WebP has no ANMF frames")
+            return (w, h, "vp8x", has_alpha, 1, n_frames, duration_ms)
         pos = body + size + (size % 2)  # odd chunk sizes carry a pad byte
     raise ValueError("WebP container has no VP8/VP8L/VP8X bitstream chunk")
 
@@ -1104,6 +1231,81 @@ def _mp3_parse_impl(payload: bytes):
         pos += flen
     duration_ms = sum(s * 1000 // r for r, s in samples_by_rate.items())
     return duration_ms, first_bitrate, first_rate, channels, n_frames
+
+
+def route_media_frame(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    payload_column: str = "payload",
+) -> DataFrame:
+    """The pre-decode media-routing core, as a reusable frame: magic-
+    sniff each opaque BINARY payload (ftyp -> MP4 box walk, RIFF/WEBP
+    -> chunk walk, MPEG sync / ID3 -> frame-header walk) and emit one
+    typed row per asset — media_type, dimensions, duration, animation,
+    frame count, fps — having read only headers.  A video's
+    duration_ms is its VIDEO TRACK's mdhd media duration (what an
+    edit-trimmed track actually plays), not the container's mvhd
+    presentation length, and fps_milli is the stts sample count over
+    that duration; an animated WebP reports its ANMF frame count and
+    summed per-frame durations.  Undecodable (or NULL) payloads route
+    as media_type='unknown' rather than kill the run — the skip-vs-
+    fail decision belongs to the downstream admission filter, not the
+    router.  Shared by the batch pipeline task (examples
+    route_media_metadata) and the streaming twin
+    (streaming.materialise.stream_route_media).
+
+    Scale shape: one Arrow-batched mapInPandas stage, map-side only —
+    payloads never shuffle and never leave the executors."""
+    cols = [
+        id_column, "media_type", "width", "height", "duration_ms",
+        "is_animated", "n_frames", "fps_milli",
+    ]
+    schema = StructType(
+        [StructField(id_column, df.schema[id_column].dataType)]
+        + [StructField("media_type", StringType())]
+        + [StructField(c, LongType()) for c in cols[2:]]
+    )
+
+    def _route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf[id_column], pdf[payload_column]):
+                try:
+                    # NULL payloads route as unknown too — bytes(None)
+                    # would TypeError outside the contract
+                    if payload is None:
+                        raise ValueError("NULL payload")
+                    p = bytes(payload)
+                    if len(p) >= 12 and p[4:8] == b"ftyp":
+                        dur, _, tracks = mp4_parse(p)
+                        vid = next(
+                            (t for t in tracks if t[0] == "vide"),
+                            (None, None, 0, 0, 0, 0),
+                        )
+                        # prefer the track's own clock over the
+                        # container's; an audio-only .m4a keeps the
+                        # mvhd number
+                        tdur = vid[4] if vid[4] > 0 else dur
+                        fps_milli = (
+                            vid[5] * 1_000_000 // vid[4]
+                            if vid[4] > 0 and vid[5] > 0
+                            else 0
+                        )
+                        row = ("video/mp4", vid[2], vid[3], tdur, 0, 0, fps_milli)
+                    elif p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+                        w, h, _, _, anim, nf, dur = webp_parse(p)
+                        row = ("image/webp", w, h, dur, anim, nf, 0)
+                    else:
+                        dur, _, _, _, _ = mp3_parse(p)
+                        row = ("audio/mpeg", 0, 0, dur, 0, 0, 0)
+                except (ValueError, NotImplementedError):
+                    row = ("unknown", 0, 0, 0, 0, 0, 0)
+                out[id_column].append(doc_id)
+                for c, v in zip(cols[1:], row):
+                    out[c].append(v)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(_route, schema)
 
 
 # --- Baseline JPEG (ITU-T T.81, SOF0, grayscale), from scratch ---------
@@ -3467,7 +3669,11 @@ SELECT doc_id,
        CAST(16 * (((n * 3) % 30) + 6) AS BIGINT) AS height,
        CAST(n * 37 + 40 AS BIGINT) AS duration_ms,
        CAST(CASE WHEN n % 2 = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks,
-       CASE WHEN n % 3 = 0 THEN 'hvc1' ELSE 'avc1' END AS video_codec
+       CASE WHEN n % 3 = 0 THEN 'hvc1' ELSE 'avc1' END AS video_codec,
+       CAST((n * 37 + 40) * 3 // 4 + 1 AS BIGINT) AS video_duration_ms,
+       CAST((n % 239) + 12 AS BIGINT) AS n_samples,
+       CAST(((n % 239) + 12) * 1000000 // ((n * 37 + 40) * 3 // 4 + 1)
+         AS BIGINT) AS fps_milli
 FROM d
 """,
 )
@@ -3475,18 +3681,24 @@ def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video as an opaque BINARY column with TYPED metadata: each
     document becomes a spec-valid ISO-BMFF file (ftyp + moov with
     mvhd/trak/tkhd/mdia/mdhd/hdlr/stbl/stsd + empty mdat; half carry a
-    second 'soun' track, a third use the hvc1 sample entry) and
+    second 'soun' track, a third use the hvc1 sample entry, a third
+    version-1 fullboxes with 64-bit times; every video track is
+    edit-trimmed — its mdhd media duration is 3/4 of the mvhd
+    presentation length — and carries a real one-run stts) and
     ``mp4_parse`` walks the box tree back out — duration from mvhd
     (timescale-normalized to ms), track count, the video track's
-    16.16 fixed-point tkhd dimensions, and the stsd codec 4CC.  No
-    frame is ever decoded and mdat is never read: this is the
-    metadata-routing stage a 100 TB video crawl runs BEFORE paying for
-    ffmpeg, and exactly the boundary the module documents (sample
-    decode raises at the codec hook).
+    16.16 fixed-point tkhd dimensions, the stsd codec 4CC, the
+    PER-TRACK mdhd duration (what an edit-trimmed track really plays,
+    not the container number), and the stts sample count, from which
+    fps_milli = n_samples * 1e6 / track_duration_ms — the
+    frame-rate routing signal.  No frame is ever decoded and mdat is
+    never read: this is the metadata-routing stage a 100 TB video
+    crawl runs BEFORE paying for ffmpeg, and exactly the boundary the
+    module documents (sample decode raises at the codec hook).
 
     Scale shape: two chained mapInPandas stages, Arrow-batched;
     payloads never leave the executors and the downstream consumer
-    sees 6 scalar columns per video.
+    sees 9 scalar columns per video.
     """
     d = (
         T(spark, sf_dir, "documents")
@@ -3503,26 +3715,32 @@ def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {"doc_id": [], "payload": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 n = len(text)
+                dur = n * 37 + 40
                 rows["doc_id"].append(doc_id)
                 rows["payload"].append(
                     mp4_build(
                         16 * ((n % 40) + 8),
                         16 * (((n * 3) % 30) + 6),
-                        n * 37 + 40,
+                        dur,
                         video_codec=b"hvc1" if n % 3 == 0 else b"avc1",
                         with_audio=n % 2 == 1,
+                        video_n_samples=(n % 239) + 12,
+                        video_duration_ms=dur * 3 // 4 + 1,
+                        version1=n % 3 == 1,
                     )
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     dec_schema = (
         "doc_id long, width long, height long, duration_ms long, "
-        "n_tracks long, video_codec string"
+        "n_tracks long, video_codec string, video_duration_ms long, "
+        "n_samples long, fps_milli long"
     )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
-            "doc_id", "width", "height", "duration_ms", "n_tracks", "video_codec",
+            "doc_id", "width", "height", "duration_ms", "n_tracks",
+            "video_codec", "video_duration_ms", "n_samples", "fps_milli",
         ]
         for pdf in batches:
             rows = {c: [] for c in cols}
@@ -3535,6 +3753,9 @@ def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["duration_ms"].append(duration_ms)
                 rows["n_tracks"].append(n_tracks)
                 rows["video_codec"].append(vid[1])
+                rows["video_duration_ms"].append(vid[4])
+                rows["n_samples"].append(vid[5])
+                rows["fps_milli"].append(vid[5] * 1_000_000 // vid[4])
             yield pd.DataFrame(rows, columns=cols)
 
     return d.mapInPandas(_encode, enc_schema).mapInPandas(_decode, dec_schema)
@@ -3555,7 +3776,12 @@ SELECT doc_id,
        CAST(CASE WHEN n % 3 = 2 AND n % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
          AS has_alpha,
        CAST(CASE WHEN n % 3 = 2 AND n % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
-         AS is_animated
+         AS is_animated,
+       CAST(CASE WHEN n % 3 = 2 AND n % 5 = 0 THEN (n % 4) + 2 ELSE 1 END
+         AS BIGINT) AS n_frames,
+       CAST(CASE WHEN n % 3 = 2 AND n % 5 = 0
+                 THEN ((n % 4) + 2) * ((n % 1200) + 10) ELSE 0 END
+         AS BIGINT) AS duration_ms
 FROM d
 """,
 )
@@ -3565,12 +3791,16 @@ def q_multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a third lossy VP8 with the key-frame sync + 14-bit dims, a third
     lossless VP8L with the packed signature dword, a third extended
     VP8X with feature flags + 24-bit canvas dims, some of those
-    alpha-flagged or carrying a real ANIM/ANMF animation pair) and
-    ``webp_parse`` walks the chunk headers back out — dimensions,
-    bitstream type, alpha, animation.  No pixel is ever decoded (the
-    VP8 boolean coder is the libwebp hook): this is the
+    alpha-flagged or carrying a real ANIM + multi-ANMF animation with
+    per-frame u24 durations) and ``webp_parse`` walks the chunk
+    headers back out — dimensions, bitstream type, alpha, animation,
+    frame count, total duration (16 header bytes per ANMF frame; the
+    frame bitstreams are skipped by chunk size).  No pixel is ever
+    decoded (the VP8 boolean coder is the libwebp hook): this is the
     size/type/animation routing a 100 TB image crawl runs before any
-    decode, and the dedup/caption stages downstream decide per format.
+    decode — an animated WebP is admitted or rejected on frame count
+    and duration, not a boolean — and the dedup/caption stages
+    downstream decide per format.
 
     Scale shape: two chained mapInPandas stages, Arrow-batched;
     payloads never leave the executors.
@@ -3591,6 +3821,7 @@ def q_multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 n = len(text)
                 mode = ("lossy", "lossless", "extended")[n % 3]
+                animated = mode == "extended" and n % 5 == 0
                 rows["doc_id"].append(doc_id)
                 rows["payload"].append(
                     webp_build(
@@ -3598,28 +3829,38 @@ def q_multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ((n * 3) % 900) + 16,
                         mode=mode,
                         alpha=mode == "extended" and n % 2 == 0,
-                        animated=mode == "extended" and n % 5 == 0,
+                        animated=animated,
+                        frame_durations=(
+                            ((n % 1200) + 10,) * ((n % 4) + 2)
+                            if animated
+                            else None
+                        ),
                     )
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     dec_schema = (
         "doc_id long, width long, height long, codec string, "
-        "has_alpha long, is_animated long"
+        "has_alpha long, is_animated long, n_frames long, duration_ms long"
     )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["doc_id", "width", "height", "codec", "has_alpha", "is_animated"]
+        cols = [
+            "doc_id", "width", "height", "codec", "has_alpha",
+            "is_animated", "n_frames", "duration_ms",
+        ]
         for pdf in batches:
             rows = {c: [] for c in cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, codec, al, an = webp_parse(bytes(payload))
+                w, h, codec, al, an, nf, dur = webp_parse(bytes(payload))
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["codec"].append(codec)
                 rows["has_alpha"].append(al)
                 rows["is_animated"].append(an)
+                rows["n_frames"].append(nf)
+                rows["duration_ms"].append(dur)
             yield pd.DataFrame(rows, columns=cols)
 
     return d.mapInPandas(_encode, enc_schema).mapInPandas(_decode, dec_schema)
@@ -4040,14 +4281,17 @@ def incremental_phash_matches(
     batch's dHash band frame against a stored band index — the image
     twin of incremental_minhash_matches.  A dHash is NOT
     corpus-relative (64 bits derived from the image alone), so the
-    index is simply (doc_id, ba array<bigint>[4]) — 8 bytes of state
-    per corpus image — and the probe is the same 4x16 band equi-join
-    the full-corpus plan uses (phash_pairs), applied across the two
-    frames: with 4 bands, pigeonhole guarantees a shared intact band
-    only up to Hamming 3 — beyond that (4 flips could land one per
-    band) candidate recall is probabilistic, which is exactly what
+    index is simply (doc_id, ba array<bigint>) — 8 bytes of state
+    per corpus image — and the probe is the same band equi-join the
+    full-corpus plan uses (phash_pairs), applied across the two
+    frames; the band count is whatever the index was built with
+    (band-count agnostic: posexplode over ba).  With n bands,
+    pigeonhole guarantees a shared intact band up to Hamming n - 1
+    (the default 4 bands: radius 3; 8 bands: radius 7 — the
+    q_multimodal_phash_recall_8band instrument) — beyond that
+    candidate recall is probabilistic, which is exactly what
     q_multimodal_phash_recall measures: 0.987 at the shipped default
-    radius 12.  Empty ``ba`` arrays (undecodable
+    radius 12 with 4 bands.  Empty ``ba`` arrays (undecodable
     payloads indexed as trivially novel) explode to zero key rows and
     never candidate.
 
@@ -4121,16 +4365,26 @@ def image_gray_pixels(payload: bytes):
     )
 
 
-def dhash_bands(gray, width: int, height: int) -> list:
-    """4 packed 16-bit band ints of the 8x8 dHash of a grayscale image:
-    mean-pool to an 8x9 thumbnail (block boundaries floor(i*dim/cells),
-    clamped so 1-pixel-tall images still pool), then each bit compares
-    horizontally adjacent thumbnail cells — identical bit/band layout
-    to q_multimodal_phash_dedup's expression pipeline (row-major bits,
-    MSB-first 16-bit packing), so task output and registered-query
-    output are directly comparable."""
+def dhash_bands(gray, width: int, height: int, n_bands: int = 4) -> list:
+    """``n_bands`` packed (64/n_bands)-bit band ints of the 8x8 dHash
+    of a grayscale image (default 4x16): mean-pool to an 8x9 thumbnail
+    (block boundaries floor(i*dim/cells), clamped so 1-pixel-tall
+    images still pool), then each bit compares horizontally adjacent
+    thumbnail cells — identical bit/band layout to
+    q_multimodal_phash_dedup's expression pipeline (row-major bits,
+    MSB-first packing), so task output and registered-query output are
+    directly comparable.  ``n_bands`` is the LSH selectivity/guarantee
+    knob (the simhash n_bands analogue): by pigeonhole a pair at
+    Hamming <= n_bands - 1 always shares an intact band, so 8 bands
+    make radius-7 candidate recall EXACT where 4 bands are exact only
+    to radius 3 (beyond that, recall is what
+    q_multimodal_phash_recall measures)."""
     import numpy as np
 
+    if not 2 <= n_bands <= 16 or 64 % n_bands != 0:
+        raise ValueError(
+            f"dhash_bands: n_bands must divide 64 and be in [2, 16], got {n_bands}"
+        )
     arr = np.frombuffer(bytes(gray), dtype=np.uint8).reshape(height, width)
     ys = [(i * height) // 8 for i in range(9)]
     xs = [(i * width) // 9 for i in range(10)]
@@ -4141,10 +4395,11 @@ def dhash_bands(gray, width: int, height: int) -> list:
             x0, x1 = xs[tx], max(xs[tx + 1], xs[tx] + 1)
             thumb[ty, tx] = arr[y0:y1, x0:x1].mean()
     bits = (thumb[:, 1:] > thumb[:, :-1]).astype(np.int64).reshape(64)
-    return [_pack_bits16(bits[b * 16 : (b + 1) * 16]) for b in range(4)]
+    w = 64 // n_bands
+    return [_pack_bits(bits[b * w : (b + 1) * w]) for b in range(n_bands)]
 
 
-def _pack_bits16(bits) -> int:
+def _pack_bits(bits) -> int:
     acc = 0
     for v in bits:
         acc = acc * 2 + int(v)
@@ -4156,13 +4411,16 @@ def image_dhash_band_frame(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     on_error: str = "fail",
+    n_bands: int = 4,
 ) -> DataFrame:
-    """(doc_id, ba array<bigint>[4]) dHash band keys decoded from REAL
-    image payloads — the production swap point q_multimodal_phash_dedup
-    documents, now executable for the container formats this module
-    decodes.  Arrow-batched mapInPandas; payloads never leave the
-    executors and are pruned from every downstream stage (only the 4
-    band ints continue to the LSH join).
+    """(doc_id, ba array<bigint>[n_bands]) dHash band keys decoded from
+    REAL image payloads — the production swap point
+    q_multimodal_phash_dedup documents, now executable for the
+    container formats this module decodes.  Arrow-batched mapInPandas;
+    payloads never leave the executors and are pruned from every
+    downstream stage (only the band ints continue to the LSH join).
+    ``n_bands`` (default 4x16-bit) is the pigeonhole-guarantee knob —
+    see dhash_bands: 8 bands make candidate recall exact to Hamming 7.
 
     ``on_error`` decides what an undecodable payload does: ``fail``
     (default) re-raises — right for curated corpora where a bad byte
@@ -4173,6 +4431,11 @@ def image_dhash_band_frame(
     kept)."""
     if on_error not in ("fail", "skip"):
         raise ValueError("image_dhash_band_frame: on_error must be fail|skip")
+    if not 2 <= n_bands <= 16 or 64 % n_bands != 0:
+        raise ValueError(
+            "image_dhash_band_frame: n_bands must divide 64 and be in "
+            f"[2, 16], got {n_bands}"
+        )
     slim = df.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(payload_col).alias("payload")
     )
@@ -4190,7 +4453,7 @@ def image_dhash_band_frame(
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     w, h, gray = image_gray_pixels(bytes(payload))
-                    ba = dhash_bands(gray, w, h)
+                    ba = dhash_bands(gray, w, h, n_bands)
                 except Exception:
                     if skip:
                         continue
@@ -4360,4 +4623,144 @@ def q_multimodal_phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast((n_cand_true * 1000000) div greatest(n_candidates, 1) as bigint)"
         ).alias("precision_ppm"),
         F.col("n_missed_le8").cast("bigint").alias("n_missed_le8"),
+    )
+
+
+# 7 flip positions at stride 9 from the doc's own offset: distinct mod
+# 64 (9 * j for j in 0..6 never collides), so every planted twin sits
+# at Hamming EXACTLY 7 from its donor — the worst case the 8-band
+# pigeonhole guarantee must still catch.
+_PH_FLIP_SET = "(0, 9, 18, 27, 36, 45, 54)"
+
+
+@register(
+    "q_multimodal_phash_recall_8band",
+    oracle=f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 7), y ->
+           list_transform(generate_series(0, 8), x -> {_PH_SQL_PIXEL})) AS p
+  FROM documents WHERE doc_id % 3 = 0
+),
+sigs AS (
+  SELECT doc_id,
+         flatten(list_transform(p, row ->
+           list_transform(generate_series(1, 8), x ->
+             CASE WHEN row[x + 1] > row[x] THEN 1 ELSE 0 END))) AS bits
+  FROM px
+),
+flipped AS (
+  SELECT doc_id, bits,
+         list_transform(generate_series(0, 63), i ->
+           CASE WHEN ((i - doc_id % 64) % 64 + 64) % 64 IN {_PH_FLIP_SET}
+                THEN 1 - bits[i + 1] ELSE bits[i + 1] END) AS fbits
+  FROM sigs
+),
+banded AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(list_zip(bits, fbits),
+              p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END)) AS BIGINT) AS ham,
+         CASE WHEN list_max(list_transform(generate_series(0, 7), b ->
+                CASE WHEN list_sum(list_transform(generate_series(0, 7), i ->
+                       bits[b * 8 + 1 + i] * (CAST(1 AS BIGINT) << (7 - i))))
+                     = list_sum(list_transform(generate_series(0, 7), i ->
+                       fbits[b * 8 + 1 + i] * (CAST(1 AS BIGINT) << (7 - i))))
+                THEN 1 ELSE 0 END)) = 1 THEN 1 ELSE 0 END AS cand8,
+         CASE WHEN list_max(list_transform(generate_series(0, 3), b ->
+                CASE WHEN list_sum(list_transform(generate_series(0, 15), i ->
+                       bits[b * 16 + 1 + i] * (CAST(1 AS BIGINT) << (15 - i))))
+                     = list_sum(list_transform(generate_series(0, 15), i ->
+                       fbits[b * 16 + 1 + i] * (CAST(1 AS BIGINT) << (15 - i))))
+                THEN 1 ELSE 0 END)) = 1 THEN 1 ELSE 0 END AS cand4
+  FROM flipped
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(SUM(CASE WHEN ham = 7 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ham_exactly7,
+       CAST(SUM(cand8) AS BIGINT) AS n_caught_8band,
+       CAST(COUNT(*) - SUM(cand8) AS BIGINT) AS n_missed_8band,
+       CAST(SUM(cand4) AS BIGINT) AS n_caught_4band,
+       CAST(COUNT(*) - SUM(cand4) AS BIGINT) AS n_missed_4band
+FROM banded
+""",
+)
+def q_multimodal_phash_recall_8band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pigeonhole-guarantee instrument for the dedup task's
+    ``n_bands`` knob (``method: phash``, ``recall: guaranteed``): every
+    sampled document is paired with a PLANTED twin at Hamming exactly 7
+    — seven bit flips at stride 9 from the doc's own offset, the worst
+    case radius-7 dedup must survive — and both band partitions of the
+    same 64-bit dHash judge the pair.  With 8 bands of 8 bits a pair at
+    Hamming 7 always shares an intact band (7 flips cannot touch 8
+    bands), so ``n_missed_8band`` is structurally ZERO — the published
+    number demonstrates the guarantee rather than asserting it — while
+    ``n_missed_4band`` shows what the default 4x16 banding loses at the
+    same radius (7 flips spread over 4 bands usually hit all four):
+    the contrast is exactly what raising n_bands buys.
+
+    Scale shape: entirely map-side — the twin is derived per row (no
+    join, no shuffle, no all-pairs arm); one single-row aggregate.
+    The planted-twin discipline mirrors q_dedup_minhash_recall's
+    measured-recall instruments; candidate rules are bit-identical to
+    phash_pairs' band equi-join semantics (a band match IS the
+    candidate condition).
+    """
+    px = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, 7), y -> "
+                f"transform(sequence(0, 8), x -> {_PH_SPARK_PIXEL}))"
+            ).alias("p"),
+        )
+    )
+    sigs = px.select(
+        "doc_id",
+        F.expr(
+            "flatten(transform(p, row -> transform(sequence(1, 8), x -> "
+            "case when element_at(row, x + 1) > element_at(row, x) "
+            "then 1 else 0 end)))"
+        ).alias("bits"),
+    )
+    flipped = sigs.select(
+        "doc_id",
+        "bits",
+        F.expr(
+            f"transform(sequence(0, 63), i -> "
+            f"case when ((i - doc_id % 64) % 64 + 64) % 64 in {_PH_FLIP_SET} "
+            "then 1 - element_at(bits, i + 1) "
+            "else element_at(bits, i + 1) end)"
+        ).alias("fbits"),
+    )
+
+    def _cand(n_bands: int) -> str:
+        w = 64 // n_bands
+        return (
+            f"case when exists(sequence(0, {n_bands - 1}), b -> "
+            f"aggregate(slice(bits, b * {w} + 1, {w}), cast(0 as bigint), "
+            "(acc, v) -> acc * 2 + v) = "
+            f"aggregate(slice(fbits, b * {w} + 1, {w}), cast(0 as bigint), "
+            "(acc, v) -> acc * 2 + v)) then 1 else 0 end"
+        )
+
+    banded = flipped.select(
+        F.expr(
+            "cast(aggregate(zip_with(bits, fbits, (x, y) -> "
+            "case when x != y then 1 else 0 end), 0, (acc, v) -> acc + v) "
+            "as bigint)"
+        ).alias("ham"),
+        F.expr(_cand(8)).alias("cand8"),
+        F.expr(_cand(4)).alias("cand4"),
+    )
+    return banded.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_planted"),
+        F.sum(F.when(F.col("ham") == 7, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ham_exactly7"),
+        F.sum("cand8").cast("bigint").alias("n_caught_8band"),
+        (F.count(F.lit(1)) - F.sum("cand8")).cast("bigint").alias("n_missed_8band"),
+        F.sum("cand4").cast("bigint").alias("n_caught_4band"),
+        (F.count(F.lit(1)) - F.sum("cand4")).cast("bigint").alias("n_missed_4band"),
     )

@@ -87,11 +87,18 @@ Methods:
 - phash:   image near-dedup (q_multimodal_phash_dedup's engine): the
            BINARY ``payload_column`` is decoded (PNG, BMP, GIF, JPEG —
            baseline SOF0 and progressive SOF2 — via the in-module
-           codecs), dHashed to 64 bits, 4x16-banded for LSH
-           candidates, and verified at Hamming <= ``max_hamming``
-           (default 12); keep min|best|soft apply unchanged.  Payloads
-           past the codecs' documented scope (arithmetic coding,
-           video) raise — or are conservatively KEPT under
+           codecs), dHashed to 64 bits, banded for LSH candidates
+           (``n_bands``, default 4x16-bit), and verified at Hamming <=
+           ``max_hamming`` (default 12); keep min|best|soft apply
+           unchanged.  ``recall: measured`` (default) accepts the LSH
+           trade (candidate recall is pigeonhole-exact only to
+           n_bands - 1; q_multimodal_phash_recall publishes the
+           measured number beyond — 0.987 at radius 12 with 4 bands);
+           ``recall: guaranteed`` enforces max_hamming <= n_bands - 1
+           at config time, so e.g. n_bands=8 makes radius-7 dedup
+           exact (q_multimodal_phash_recall_8band is the instrument).
+           Payloads past the codecs' documented scope (arithmetic
+           coding, video) raise — or are conservatively KEPT under
            ``on_decode_error: skip``.
 
 keep: ``min`` keeps the lowest id per cluster; ``best`` keeps the
@@ -220,11 +227,17 @@ class DedupTask(Task):
             )
         # simhash: banded 64-bit SimHash (q_dedup_simhash's engine) —
         # n_bands is the Manku/Charikar selectivity knob (must divide
-        # 64; exact recall needs n_bands > max_hamming, engine-checked)
-        self.n_bands = int(c.get("n_bands", 8))
-        if c.get("n_bands") is not None and self.method != "simhash":
+        # 64; exact recall needs n_bands > max_hamming, engine-checked).
+        # phash shares the knob over its 64-bit dHash (default 4x16-bit
+        # bands): n_bands=8 makes candidate recall pigeonhole-exact to
+        # Hamming 7 where the default 4 is exact only to 3.
+        self.n_bands = int(c.get("n_bands", 4 if self.method == "phash" else 8))
+        if c.get("n_bands") is not None and self.method not in (
+            "simhash", "phash",
+        ):
             raise ValueError(
-                f"dedup task {self.name!r}: n_bands applies to method=simhash only"
+                f"dedup task {self.name!r}: n_bands applies to "
+                "method=simhash|phash only (the banded 64-bit signatures)"
             )
         if self.method == "simhash":
             if not 1 <= self.n_bands <= 16 or 64 % self.n_bands != 0:
@@ -376,11 +389,43 @@ class DedupTask(Task):
                 f"dedup task {self.name!r}: max_hamming applies to "
                 "method=phash|simhash only (the Hamming-verified methods)"
             )
+        # phash recall contract: 'measured' (default) accepts the LSH
+        # trade at any radius (q_multimodal_phash_recall publishes the
+        # number — 0.987 at radius 12 with 4 bands); 'guaranteed'
+        # demands pigeonhole-exact candidates, which holds iff a pair
+        # inside the radius always shares an intact band: max_hamming
+        # <= n_bands - 1, enforced at config time like simhash.
+        self.recall = c.get("recall", "measured")
+        if c.get("recall") is not None and self.method != "phash":
+            raise ValueError(
+                f"dedup task {self.name!r}: recall applies to method=phash "
+                "only (simhash is always pigeonhole-exact; minhash uses "
+                "threshold/verify)"
+            )
         if self.method == "phash":
             if c.get("verify") is not None or c.get("threshold") is not None:
                 raise ValueError(
                     f"dedup task {self.name!r}: method=phash is verified by "
                     "Hamming distance (max_hamming), not threshold/verify"
+                )
+            if not 2 <= self.n_bands <= 16 or 64 % self.n_bands != 0:
+                raise ValueError(
+                    f"dedup task {self.name!r}: n_bands must divide 64 and "
+                    "be in [2, 16] (64-bit dHash packs into equal bands)"
+                )
+            if self.recall not in ("measured", "guaranteed"):
+                raise ValueError(
+                    f"dedup task {self.name!r}: recall must be "
+                    "measured|guaranteed"
+                )
+            if self.recall == "guaranteed" and self.max_hamming > self.n_bands - 1:
+                raise ValueError(
+                    f"dedup task {self.name!r}: recall=guaranteed needs "
+                    f"max_hamming <= n_bands - 1 (got max_hamming="
+                    f"{self.max_hamming}, n_bands={self.n_bands}) — a pair "
+                    f"at Hamming {self.n_bands} can land one flip in every "
+                    "band and miss; raise n_bands (8 => exact to 7) or "
+                    "lower the radius"
                 )
         if self.verify == "exact" and self.method != "minhash":
             raise ValueError(
@@ -522,7 +567,9 @@ class DedupTask(Task):
             # the dominant cost at crawl scale (same reason the minhash
             # path persists its signature frame)
             bands = persist_tracked(
-                image_dhash_band_frame(imgs, on_error=self.on_decode_error)
+                image_dhash_band_frame(
+                    imgs, on_error=self.on_decode_error, n_bands=self.n_bands
+                )
             )
             return phash_pairs(bands, max_hamming=self.max_hamming).select(
                 "src", "dst"

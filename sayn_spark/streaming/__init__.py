@@ -8,6 +8,7 @@ from sayn_spark.streaming.materialise import (  # noqa: F401
     stream_chunk,
     stream_decontaminate,
     stream_merge_into,
+    stream_route_media,
     stream_surprisal_filter,
 )
 from sayn_spark.streaming.streams import (  # noqa: F401

@@ -105,7 +105,7 @@ def dedup_ingest_batch(
     threshold: float = 0.5,
     band_table: str | None = None,
     method: str = "minhash",
-    n_bands: int = 8,
+    n_bands: "int | None" = None,
     max_hamming: int = 6,
     max_edit: int = 8,
     block_chars: int = 24,
@@ -133,11 +133,15 @@ def dedup_ingest_batch(
       Levenshtein <= ``max_edit`` (incremental_editdistance_matches);
       matches carry ``edit_dist``.
     - ``phash``: the batch carries (doc_id, payload BINARY) instead of
-      text; state = the 4 packed 16-bit dHash band ints decoded from
-      the image payload (image_dhash_band_frame — 8 bytes/image, the
-      payload never leaves the hashing stage), probe = 4x16 band
-      equi-join + Hamming <= ``max_hamming``
+      text; state = the ``n_bands`` (default 4) packed dHash band ints
+      decoded from the image payload (image_dhash_band_frame — 8
+      bytes/image, the payload never leaves the hashing stage), probe
+      = band equi-join + Hamming <= ``max_hamming``
       (incremental_phash_matches); matches carry ``hamming``.
+      ``n_bands`` is the pigeonhole knob (8 bands => candidate recall
+      exact to Hamming 7; the default 4 is exact to 3 and measured
+      0.987 at radius 12) — a stored index pins it, width-guarded
+      like simhash below.
       ``on_decode_error`` decides what an undecodable payload does:
       ``fail`` (default) raises — right for curated corpora; ``skip``
       indexes the doc as trivially novel (empty band array, never a
@@ -191,6 +195,9 @@ def dedup_ingest_batch(
 
     if method not in ("minhash", "simhash", "editdistance", "phash"):
         raise ValueError(f"dedup_ingest_batch: unknown method {method!r}")
+    if n_bands is None:
+        # per-method defaults: simhash ships 8x8-bit, phash 4x16-bit
+        n_bands = 4 if method == "phash" else 8
     if band_table is not None and method != "minhash":
         raise ValueError(
             "dedup_ingest_batch: band_table applies to method='minhash' only"
@@ -233,6 +240,7 @@ def dedup_ingest_batch(
         state = image_dhash_band_frame(
             batch_df.where(F.col("payload").isNotNull()),
             on_error=on_decode_error,
+            n_bands=n_bands,
         ).localCheckpoint()
         empty_state = ("ba", "cast(array() as array<bigint>)")
 
@@ -271,24 +279,27 @@ def dedup_ingest_batch(
     # self-probe: larger id matches smaller, each pair reported once
     matches = probe(sigs, sigs).where(F.col("batch_id") > F.col("corpus_id"))
     index_exists = db.table_exists(index_table)
-    if index_exists and method == "simhash":
+    if index_exists and method in ("simhash", "phash"):
         # a signature index written under a different n_bands would
-        # fold every sig_o[b] / packed probe key to NULL: the probe
-        # silently returns zero matches and every duplicate is declared
+        # break the probe silently: simhash folds every sig_o[b] /
+        # packed probe key to NULL (zero matches), phash equi-joins
+        # band ordinals that no longer mean the same bit ranges (wrong
+        # or zero matches) — either way every duplicate is declared
         # novel, permanently polluting the index.  One sampled
         # non-empty row pins the stored width BEFORE any probe or
         # write (incremental validation must precede writes, or a
         # raise strands a half-ingested batch behind the anti-join).
+        state_col = "sig" if method == "simhash" else "ba"
         stored = (
             spark.table(index_table)
-            .where(F.size("sig") > 0)
-            .select(F.size("sig").alias("w"))
+            .where(F.size(state_col) > 0)
+            .select(F.size(state_col).alias("w"))
             .first()
         )
         if stored is not None and stored["w"] != n_bands:
             raise ValueError(
                 f"dedup_ingest_batch: index table {index_table!r} stores "
-                f"{stored['w']}-band simhash signatures but n_bands="
+                f"{stored['w']}-band {method} signatures but n_bands="
                 f"{n_bands} was configured — probing would silently match "
                 "nothing; rebuild the index or restore the original n_bands"
             )
@@ -540,6 +551,58 @@ def stream_surprisal_filter(
             db.merge_tables(staging, dst_table, "ingest_id")
         else:
             db.create_table(dst_table, kept, mode="overwrite")
+        outer_session.catalog.refreshTable(dst_table)
+
+    return (
+        source.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_route_media(
+    source: DataFrame,
+    dst_table: str,
+    checkpoint: str,
+    id_column: str = "doc_id",
+    payload_column: str = "payload",
+):
+    """Streaming twin of the batch media-routing stage (examples
+    route_media_metadata): each micro-batch of opaque BINARY payloads
+    runs functions.multimodal.route_media_frame — headers-only MP4 box
+    walk / WebP chunk walk / MP3 frame walk into typed rows
+    (media_type, dims, per-track duration, animation, frame count,
+    fps_milli) — and appends to ``dst_table``.  A continuous
+    multimodal crawl routes assets as they land instead of re-scanning
+    the corpus per run; undecodable payloads persist as
+    media_type='unknown' rows (never dropped, never fatal), so a
+    restart or replay re-derives the same admission decisions
+    downstream.
+
+    Writes are replay-idempotent: rows stamp the trigger id and merge
+    delete-before-append on it, the same contract as the other
+    foreachBatch twins.  Payloads never shuffle — routing is map-side
+    — and only the typed metadata rows are written."""
+    from sayn_spark.functions.multimodal import route_media_frame
+
+    outer_session = source.sparkSession
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        db = SparkDatabase(spark)
+        if batch_df.isEmpty():
+            return
+        routed = route_media_frame(
+            batch_df, id_column=id_column, payload_column=payload_column
+        ).withColumn("ingest_id", F.lit(batch_id).cast("long"))
+        if db.table_exists(dst_table):
+            staging = _tmp_name(dst_table, f"_stream_{batch_id}")
+            db.drop_object(staging)
+            db.create_table(staging, routed, mode="overwrite")
+            db.merge_tables(staging, dst_table, "ingest_id")
+        else:
+            db.create_table(dst_table, routed, mode="overwrite")
         outer_session.catalog.refreshTable(dst_table)
 
     return (

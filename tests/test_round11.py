@@ -676,10 +676,15 @@ def test_mp4_metadata_roundtrip_and_contract():
     from sayn_spark.functions.multimodal import mp4_build, mp4_parse
 
     assert mp4_parse(mp4_build(640, 360, 12345)) == (
-        12345, 1, [("vide", "avc1", 640, 360)]
+        12345, 1, [("vide", "avc1", 640, 360, 12345, 0)]
     )
     assert mp4_parse(mp4_build(1920, 1080, 98765, with_audio=True)) == (
-        98765, 2, [("vide", "avc1", 1920, 1080), ("soun", "mp4a", 0, 0)]
+        98765,
+        2,
+        [
+            ("vide", "avc1", 1920, 1080, 98765, 0),
+            ("soun", "mp4a", 0, 0, 98765, 0),
+        ],
     )
     assert mp4_parse(mp4_build(8, 8, 0, video_codec=b"hvc1"))[2][0][1] == "hvc1"
     with _pytest.raises(NotImplementedError):
@@ -864,16 +869,16 @@ def test_webp_metadata_roundtrip_and_contract():
 
     from sayn_spark.functions.multimodal import webp_build, webp_parse
 
-    assert webp_parse(webp_build(640, 480)) == (640, 480, "vp8", 0, 0)
+    assert webp_parse(webp_build(640, 480)) == (640, 480, "vp8", 0, 0, 1, 0)
     assert webp_parse(webp_build(1, 16383, mode="lossless")) == (
-        1, 16383, "vp8l", 0, 0,
+        1, 16383, "vp8l", 0, 0, 1, 0,
     )
     assert webp_parse(webp_build(800, 600, mode="extended", alpha=True)) == (
-        800, 600, "vp8x", 1, 0,
+        800, 600, "vp8x", 1, 0, 1, 0,
     )
     assert webp_parse(
         webp_build(320, 240, mode="extended", animated=True)
-    ) == (320, 240, "vp8x", 0, 1)
+    ) == (320, 240, "vp8x", 0, 1, 1, 0)
     with _pytest.raises(NotImplementedError):
         webp_parse(b"RIFF\x04\x00\x00\x00WAVE" + bytes(8))
     # a leading VP8 INTER-frame has no dimensions: decode boundary
@@ -954,13 +959,22 @@ def test_new_decoders_byte_flip_never_breaks_the_contract(fmt, pos_seed, flip):
         )
         parse = gif_frames
     elif fmt == "mp4":
-        payload = mp4_build(320, 240, 5000, with_audio=True)
+        # r12: per-track timing fields (stts run + trimmed mdhd) are in
+        # the flipped byte range too
+        payload = mp4_build(
+            320, 240, 5000, with_audio=True,
+            video_n_samples=50, video_duration_ms=4000,
+        )
         parse = mp4_parse
     elif fmt == "mp3":
         payload = mp3_build(6, 128, 44100, 2, id3_bytes=90)
         parse = mp3_parse
     else:
-        payload = webp_build(200, 100, mode="extended", animated=True)
+        # r12: multi-ANMF animation so the frame walk is in range
+        payload = webp_build(
+            200, 100, mode="extended", animated=True,
+            frame_durations=(40, 80),
+        )
         parse = webp_parse
     pos = pos_seed % len(payload)
     mutated = bytearray(payload)

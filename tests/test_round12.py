@@ -1,0 +1,454 @@
+"""Round-12 additions — the VERDICT-r11 polish items:
+
+- MP4 per-track timing: mdhd (v0 AND v1) gives each track its OWN
+  duration on its own timescale (edit-trimmed tracks differ from the
+  container's mvhd presentation length) and stts run counts sum to the
+  track's sample count, so fps = n_samples / track_duration becomes a
+  headers-only routing signal;
+- animated-WebP ANMF frame walk: frame count + summed per-frame u24
+  durations from the 16-byte ANMF headers (frame bitstreams skipped by
+  chunk size), so the media router admits animations on frame count
+  and duration instead of a boolean;
+- configurable phash banding: dhash_bands/image_dhash_band_frame/the
+  dedup task take ``n_bands`` (default 4x16-bit) — 8 bands make
+  candidate recall pigeonhole-exact to Hamming 7, ``recall:
+  guaranteed`` enforces max_hamming <= n_bands - 1 at config time, and
+  a stored incremental index pins its width (the simhash guard,
+  extended);
+- stream_route_media: the media-routing stage as a continuous-ingest
+  twin sharing route_media_frame with the batch pipeline task.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sayn_spark.core.compiler import Compiler
+from sayn_spark.core.database import SparkDatabase
+from sayn_spark.core.objects import DbObjectCompiler
+from sayn_spark.operators import RunArguments, TaskContext
+from sayn_spark.operators.dedup import DedupTask
+
+SF = "/root/testdata/sf0.001"
+
+
+def _drop(spark, *tables):
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@pytest.fixture
+def ctx(spark, tmp_path):
+    return TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={"sf_dir": SF},
+        connections={},
+        project_dir=tmp_path,
+    )
+
+
+def _task(ctx, name, cfg):
+    t = DedupTask(name, cfg, ctx)
+    t.config()
+    t.run()
+    return t
+
+
+def _images(n, seed=11, w=16, h=18):
+    rng = np.random.default_rng(seed)
+    return {
+        i: bytes(int(v) for v in rng.integers(0, 256, size=w * h))
+        for i in range(n)
+    }
+
+
+# --- 1. MP4 per-track timing (mdhd + stts) ------------------------------
+
+
+def test_mp4_per_track_timing_and_edit_trim():
+    """mdhd duration is the track's OWN media length: an edit-trimmed
+    video track reports its (shorter) play time while the container's
+    mvhd still reports the presentation length; stts sums to the
+    sample count; the untouched audio track keeps the container
+    duration and zero samples."""
+    from sayn_spark.functions.multimodal import mp4_build, mp4_parse
+
+    dur, n_tracks, tracks = mp4_parse(
+        mp4_build(
+            640, 360, 10000, with_audio=True,
+            video_n_samples=240, video_duration_ms=8000,
+        )
+    )
+    assert (dur, n_tracks) == (10000, 2)
+    assert tracks[0] == ("vide", "avc1", 640, 360, 8000, 240)
+    assert tracks[1] == ("soun", "mp4a", 0, 0, 10000, 0)
+    # fps from headers alone: 240 samples / 8 s = 30 fps
+    assert tracks[0][5] * 1000 // tracks[0][4] == 30
+
+
+def test_mp4_version1_fullboxes_roundtrip():
+    """mvhd/tkhd/mdhd version-1 (64-bit times) parse identically — the
+    v1 offsets are now witnessed by the builder, not just read."""
+    from sayn_spark.functions.multimodal import mp4_build, mp4_parse
+
+    v0 = mp4_parse(mp4_build(320, 240, 5000, video_n_samples=120,
+                             video_duration_ms=4000))
+    v1 = mp4_parse(mp4_build(320, 240, 5000, video_n_samples=120,
+                             video_duration_ms=4000, version1=True))
+    assert v0 == v1 == (5000, 1, [("vide", "avc1", 320, 240, 4000, 120)])
+
+
+def test_mp4_stts_multi_run_sum_and_overflow():
+    """stts with SEVERAL runs sums all run counts (hand-built box tree
+    — an independent witness of the walk, not the builder's single-run
+    shape); a run table overflowing its box raises ValueError."""
+    from sayn_spark.functions.multimodal import mp4_parse
+
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    def full(tag, payload):
+        return box(tag, b"\x00\x00\x00\x00" + payload)
+
+    def tree(stts_payload):
+        mvhd = full(b"mvhd", struct.pack(">IIII", 0, 0, 1000, 6000)
+                    + b"\x00" * 80)
+        mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, 500, 3000)
+                    + struct.pack(">HH", 0x55C4, 0))
+        hdlr = full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 13)
+        stsd = full(b"stsd", struct.pack(">I", 1)
+                    + box(b"avc1", b"\x00" * 24
+                          + struct.pack(">HH", 64, 48) + b"\x00" * 50))
+        stbl = box(b"stbl", stsd + full(b"stts", stts_payload))
+        minf = box(b"minf", stbl)
+        tkhd = full(b"tkhd", struct.pack(">IIIII", 0, 0, 1, 0, 6000)
+                    + b"\x00" * 16 + struct.pack(">9i", *([0x10000, 0, 0,
+                      0, 0x10000, 0, 0, 0, 0x40000000]))
+                    + struct.pack(">II", 64 << 16, 48 << 16))
+        trak = box(b"trak", tkhd + box(b"mdia", mdhd + hdlr + minf))
+        return box(b"ftyp", b"isom" + bytes(4)) + box(b"moov", mvhd + trak)
+
+    # three runs: 10 + 25 + 7 = 42 samples; mdhd timescale 500 ticks/s
+    # and duration 3000 ticks = 6000 ms
+    three_runs = struct.pack(">I", 3) + struct.pack(">II", 10, 100) \
+        + struct.pack(">II", 25, 40) + struct.pack(">II", 7, 10)
+    dur, n, tracks = mp4_parse(tree(three_runs))
+    assert (dur, n) == (6000, 1)
+    assert tracks[0] == ("vide", "avc1", 64, 48, 6000, 42)
+
+    # declared run count larger than the box holds: loud ValueError
+    with pytest.raises(ValueError, match="stts runs overflow"):
+        mp4_parse(tree(struct.pack(">I", 99) + struct.pack(">II", 1, 1)))
+
+
+# --- 2. animated-WebP ANMF frame walk -----------------------------------
+
+
+def test_webp_anmf_frame_walk():
+    """Frame count and total duration from the 16-byte ANMF headers —
+    per-frame bitstreams are skipped by chunk size, never decoded."""
+    from sayn_spark.functions.multimodal import webp_build, webp_parse
+
+    assert webp_parse(
+        webp_build(320, 240, mode="extended", animated=True,
+                   frame_durations=(100, 250, 33))
+    ) == (320, 240, "vp8x", 0, 1, 3, 383)
+    # alpha + animation flags coexist; single explicit frame
+    assert webp_parse(
+        webp_build(64, 32, mode="extended", alpha=True, animated=True,
+                   frame_durations=(1200,))
+    ) == (64, 32, "vp8x", 1, 1, 1, 1200)
+    # stills are unchanged: one frame, zero duration
+    assert webp_parse(webp_build(64, 32))[5:] == (1, 0)
+
+
+def test_webp_anmf_error_paths():
+    """Two-exception contract around the new walk: an animation-flagged
+    container with no ANMF frames and a too-short ANMF header are both
+    ValueError; frame_durations misuse fails at build time."""
+    from sayn_spark.functions.multimodal import webp_build, webp_parse
+
+    p = bytearray(webp_build(64, 32, mode="extended", animated=True,
+                             frame_durations=(50, 60)))
+    # truncate right after the VP8X chunk (12 RIFF header + 8 + 10 VP8X)
+    trunc = bytes(p[:30])
+    trunc = trunc[:4] + struct.pack("<I", len(trunc) - 8) + trunc[8:]
+    with pytest.raises(ValueError, match="no ANMF frames"):
+        webp_parse(trunc)
+    with pytest.raises(ValueError):
+        webp_build(64, 32, mode="extended", animated=True,
+                   frame_durations=())
+    with pytest.raises(ValueError, match="animated=True"):
+        webp_build(64, 32, frame_durations=(50,))
+    # corrupt an ANMF chunk size down to < 16 header bytes
+    i = bytes(p).find(b"ANMF")
+    p[i + 4 : i + 8] = struct.pack("<I", 8)
+    with pytest.raises(ValueError):
+        webp_parse(bytes(p))
+
+
+# --- 3. configurable phash banding --------------------------------------
+
+
+def test_dhash_bands_nbands_packing_consistent():
+    """8x8-bit bands recombine into the 4x16-bit default (MSB-first
+    packing is shared): b16[i] = b8[2i] * 256 + b8[2i+1]; invalid band
+    counts raise."""
+    from sayn_spark.functions.multimodal import dhash_bands
+
+    rng = np.random.default_rng(5)
+    gray = bytes(int(v) for v in rng.integers(0, 256, size=24 * 20))
+    b4 = dhash_bands(gray, 24, 20)
+    b8 = dhash_bands(gray, 24, 20, n_bands=8)
+    b2 = dhash_bands(gray, 24, 20, n_bands=2)
+    assert len(b4) == 4 and len(b8) == 8 and len(b2) == 2
+    assert b4 == [b8[2 * i] * 256 + b8[2 * i + 1] for i in range(4)]
+    assert b2 == [b4[0] * 65536 + b4[1], b4[2] * 65536 + b4[3]]
+    for bad in (0, 3, 5, 32, 64):
+        with pytest.raises(ValueError, match="n_bands"):
+            dhash_bands(gray, 24, 20, n_bands=bad)
+
+
+def test_dedup_phash_nbands_recall_validation(ctx):
+    """Config-time contract: recall applies to phash only; guaranteed
+    recall requires max_hamming <= n_bands - 1; n_bands still rejects
+    non-banded methods and non-divisors."""
+    bad = [
+        {"source": "t", "destination": "o", "method": "simhash",
+         "recall": "guaranteed"},
+        {"source": "t", "destination": "o", "method": "phash",
+         "recall": "sometimes"},
+        {"source": "t", "destination": "o", "method": "phash",
+         "recall": "guaranteed"},  # default max_hamming 12 > 4 - 1
+        {"source": "t", "destination": "o", "method": "phash",
+         "recall": "guaranteed", "n_bands": 8, "max_hamming": 8},
+        {"source": "t", "destination": "o", "method": "phash", "n_bands": 3},
+        {"source": "t", "destination": "o", "method": "minhash", "n_bands": 8},
+    ]
+    for cfg in bad:
+        with pytest.raises(ValueError):
+            DedupTask("bad", cfg, ctx).config()
+    # the guarantee-shaped configs pass validation
+    for cfg in (
+        {"source": "t", "destination": "o", "method": "phash",
+         "recall": "guaranteed", "n_bands": 8, "max_hamming": 7},
+        {"source": "t", "destination": "o", "method": "phash",
+         "n_bands": 16, "max_hamming": 12},
+    ):
+        DedupTask("ok", cfg, ctx).config()
+
+
+def test_phash_full_mode_8band_guaranteed(ctx, spark):
+    """method=phash with n_bands=8, recall=guaranteed, max_hamming=7:
+    a BMP re-encode (Hamming 0) of a PNG donor dedups; distinct images
+    survive — the banded plan is band-count agnostic end to end."""
+    from sayn_spark.functions.multimodal import bmp_encode, png_encode
+
+    _drop(spark, "ph8_src", "ph8_out")
+    w, h = 16, 18
+    raws = _images(3, seed=41)
+    rows = [(i, bytearray(png_encode(raws[i], w, h))) for i in range(3)]
+    rows.append((100, bytearray(bmp_encode(raws[0], w, h))))
+    ctx.db.replace_table(
+        "ph8_src",
+        spark.createDataFrame(rows, "doc_id long, payload binary"),
+    )
+    _task(ctx, "ph8", {
+        "source": "ph8_src", "destination": "ph8_out", "method": "phash",
+        "n_bands": 8, "max_hamming": 7, "recall": "guaranteed",
+    })
+    assert {r.doc_id for r in spark.table("ph8_out").collect()} == {0, 1, 2}
+    _drop(spark, "ph8_src", "ph8_out")
+
+
+def test_phash_incremental_nbands_width_guard(spark):
+    """A phash index written under a different n_bands must raise
+    BEFORE any probe or write — the simhash width guard, extended to
+    the ba column."""
+    from sayn_spark.functions.multimodal import png_encode
+    from sayn_spark.streaming.materialise import dedup_ingest_batch
+
+    idx, mt = "phnb_idx", "phnb_mt"
+    _drop(spark, idx, mt)
+    w, h = 16, 18
+    raws = _images(2, seed=47)
+    b0 = spark.createDataFrame(
+        [(1, bytearray(png_encode(raws[0], w, h)))],
+        "doc_id long, payload binary",
+    )
+    dedup_ingest_batch(b0, 0, idx, mt, SF, method="phash")  # default 4
+    assert all(len(r.ba) == 4 for r in spark.table(idx).collect())
+
+    b1 = spark.createDataFrame(
+        [(2, bytearray(png_encode(raws[1], w, h)))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(ValueError, match="4-band.*n_bands=8"):
+        dedup_ingest_batch(b1, 1, idx, mt, SF, method="phash", n_bands=8)
+    assert {r.doc_id for r in spark.table(idx).collect()} == {1}
+    assert not spark.catalog.tableExists(mt)
+    # the stored width still ingests fine
+    dedup_ingest_batch(b1, 1, idx, mt, SF, method="phash")
+    assert {r.doc_id for r in spark.table(idx).collect()} == {1, 2}
+    _drop(spark, idx, mt)
+
+
+def test_phash_incremental_8band_catches_reencode(spark):
+    """End-to-end 8-band incremental ingest: wave 2's BMP re-encode of
+    an indexed PNG donor matches at Hamming 0 against 8-int state."""
+    from sayn_spark.functions.multimodal import bmp_encode, png_encode
+    from sayn_spark.streaming.materialise import dedup_ingest_batch
+
+    idx, mt = "ph8i_idx", "ph8i_mt"
+    _drop(spark, idx, mt)
+    w, h = 16, 18
+    raws = _images(2, seed=53)
+    b0 = spark.createDataFrame(
+        [(i, bytearray(png_encode(raws[i], w, h))) for i in (0, 1)],
+        "doc_id long, payload binary",
+    )
+    dedup_ingest_batch(b0, 0, idx, mt, SF, method="phash", n_bands=8,
+                       max_hamming=7)
+    assert all(len(r.ba) == 8 for r in spark.table(idx).collect())
+    b1 = spark.createDataFrame(
+        [(100, bytearray(bmp_encode(raws[0], w, h)))],
+        "doc_id long, payload binary",
+    )
+    dedup_ingest_batch(b1, 1, idx, mt, SF, method="phash", n_bands=8,
+                       max_hamming=7)
+    assert {(r.batch_id, r.corpus_id, r.hamming)
+            for r in spark.table(mt).collect()} == {(100, 0, 0)}
+    assert {r.doc_id for r in spark.table(idx).collect()} == {0, 1}
+    _drop(spark, idx, mt)
+
+
+# --- 4. streaming media routing ------------------------------------------
+
+
+def test_stream_route_media_lifecycle(spark, tmp_path):
+    """Two waves through the streaming twin: typed rows accumulate in
+    the destination (per-track duration and fps for MP4, ANMF frame
+    count/duration for WebP), and unknown (garbage / NULL) payloads
+    persist as 'unknown' rows that survive the next wave — never
+    dropped, never fatal."""
+    from sayn_spark.functions.multimodal import mp3_build, mp4_build, webp_build
+    from sayn_spark.streaming.materialise import stream_route_media
+
+    src = tmp_path / "media_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    dst = "stream_media_meta"
+    _drop(spark, dst)
+
+    def run_wave(name, rows):
+        spark.createDataFrame(
+            rows, schema="doc_id long, payload binary"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        stream = spark.readStream.schema("doc_id long, payload binary").option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = stream_route_media(stream, dst, ckpt)
+        q.awaitTermination(120)
+
+    mp4 = mp4_build(640, 360, 10000, video_n_samples=240,
+                    video_duration_ms=8000)
+    webp = webp_build(200, 100, mode="extended", animated=True,
+                      frame_durations=(400, 500, 600))
+    run_wave("w1", [
+        (1, bytearray(mp4)),
+        (2, bytearray(webp)),
+        (3, bytearray(b"not-anything-parseable")),
+    ])
+    got = {r.doc_id: r for r in spark.table(dst).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].media_type, got[1].width, got[1].height,
+            got[1].duration_ms, got[1].fps_milli) == (
+        "video/mp4", 640, 360, 8000, 30000)
+    assert (got[2].media_type, got[2].is_animated, got[2].n_frames,
+            got[2].duration_ms) == ("image/webp", 1, 3, 1500)
+    assert got[3].media_type == "unknown"
+
+    mp3 = mp3_build(80, 128, 44100, 2)  # 80 * 1152 / 44100 s ~ 2089 ms
+    run_wave("w2", [(4, bytearray(mp3)), (5, None)])
+    got = {r.doc_id: r for r in spark.table(dst).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert (got[4].media_type, got[4].duration_ms) == ("audio/mpeg", 2089)
+    assert got[5].media_type == "unknown"
+    # the wave-1 unknown row survived the restart
+    assert got[3].media_type == "unknown"
+    _drop(spark, dst)
+
+
+def test_media_router_rules_nonvacuous():
+    """The example pipeline's admission rules are live on its own
+    generated payloads: every arm (video fps band, WebP still/short-
+    animation, audio duration) both admits and rejects — replicated in
+    pure Python over the real sf0.001 document lengths so a formula
+    drift that makes a rule vacuous fails here, not silently in the
+    pipeline's empty-is-pass test."""
+    import duckdb
+
+    from sayn_spark.functions.multimodal import (
+        mp3_build,
+        mp3_parse,
+        mp4_build,
+        mp4_parse,
+        webp_build,
+        webp_parse,
+    )
+
+    lens = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT length(text) FROM read_parquet('{SF}/documents.parquet') "
+            "WHERE doc_id % 7 = 0 AND length(text) > 0"
+        ).fetchall()
+    ]
+    assert lens
+    admit = {"video": 0, "webp": 0, "audio": 0}
+    reject = {"video": 0, "webp": 0, "audio": 0}
+    for n in lens:
+        kind = n % 3
+        if kind == 0:
+            p = mp4_build(
+                16 * ((n % 40) + 8), 16 * (((n * 3) % 30) + 6), n * 37 + 40,
+                with_audio=n % 2 == 1,
+                video_n_samples=(n % 300) + 2,
+                video_duration_ms=(n * 37 + 40) * 3 // 4 + 1,
+            )
+            _, _, tracks = mp4_parse(p)
+            vid = next(t for t in tracks if t[0] == "vide")
+            fps_milli = vid[5] * 1_000_000 // vid[4]
+            ok = vid[2] > 0 and vid[2] >= vid[3] and 5000 <= fps_milli <= 120000
+            key = "video"
+        elif kind == 1:
+            p = mp3_build((n % 150) + 5, (64, 128, 192, 320)[n % 4], 44100,
+                          1 if n % 2 == 1 else 2,
+                          id3_bytes=120 if n % 9 < 3 else 0)
+            dur = mp3_parse(p)[0]
+            ok = dur >= 2000
+            key = "audio"
+        else:
+            animated = n % 9 // 3 == 2 and n % 2 == 0
+            p = webp_build(
+                (n % 1200) + 16, ((n * 3) % 900) + 16,
+                mode=("lossy", "lossless", "extended")[n % 9 // 3],
+                animated=animated,
+                frame_durations=(((n * 17) % 3000 + 10,) * ((n % 4) + 2)
+                                 if animated else None),
+            )
+            _, _, _, _, anim, nf, dur = webp_parse(p)
+            ok = nf == 1 or (anim == 1 and dur < 2000)
+            key = "webp"
+        (admit if ok else reject)[key] += 1
+    for key in ("video", "webp", "audio"):
+        assert admit[key] > 0, f"{key} arm admits nothing"
+        assert reject[key] > 0, f"{key} arm rejects nothing"
