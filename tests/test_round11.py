@@ -719,13 +719,17 @@ def test_gif_frames_truncated_payload_never_hangs(cut, seed):
 
 
 @settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
-@given(cut=st.integers(min_value=0, max_value=900), wa=st.booleans())
+@given(cut=st.integers(min_value=0, max_value=950), wa=st.booleans())
 def test_mp4_parse_truncated_payload_never_hangs(cut, wa):
     """PROPERTY: mp4_parse holds the two-exception contract under
-    truncation at any byte of the box tree."""
+    truncation at any byte of the box tree — including mid-stts and
+    mid-mdhd (r12: per-track timing fields are in the cut range)."""
     from sayn_spark.functions.multimodal import mp4_build, mp4_parse
 
-    payload = mp4_build(320, 240, 5000, with_audio=wa)
+    payload = mp4_build(
+        320, 240, 5000, with_audio=wa,
+        video_n_samples=50, video_duration_ms=4000,
+    )
     try:
         mp4_parse(payload[: min(cut, len(payload))])
     except (ValueError, NotImplementedError):
@@ -895,17 +899,20 @@ def test_webp_metadata_roundtrip_and_contract():
 
 @settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
-    cut=st.integers(min_value=0, max_value=120),
+    cut=st.integers(min_value=0, max_value=150),
     mode=st.sampled_from(["lossy", "lossless", "extended"]),
     anim=st.booleans(),
 )
 def test_webp_parse_truncated_payload_never_hangs(cut, mode, anim):
     """PROPERTY: webp_parse holds the two-exception contract under
-    truncation at any byte of the chunk walk."""
+    truncation at any byte of the chunk walk — including mid-ANMF of a
+    multi-frame animation (r12: the frame walk is in the cut range)."""
     from sayn_spark.functions.multimodal import webp_build, webp_parse
 
+    animated = anim and mode == "extended"
     payload = webp_build(
-        200, 100, mode=mode, animated=anim and mode == "extended"
+        200, 100, mode=mode, animated=animated,
+        frame_durations=(40, 80) if animated else None,
     )
     try:
         webp_parse(payload[: min(cut, len(payload))])
