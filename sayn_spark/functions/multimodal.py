@@ -868,8 +868,13 @@ def _mp4_parse_impl(payload: bytes):
                                             ].decode("latin-1")
                                         elif t6 == b"stts":
                                             # sum of run sample_counts;
-                                            # 8 bytes per run, deltas
-                                            # never read
+                                            # one batched unpack (real
+                                            # stts tables carry
+                                            # thousands of runs —
+                                            # per-run unpack calls are
+                                            # the Python-loop tax this
+                                            # hot path must not pay),
+                                            # deltas never read
                                             (n_runs,) = struct.unpack(
                                                 ">I", data[lo6 + 4 : lo6 + 8]
                                             )
@@ -877,16 +882,10 @@ def _mp4_parse_impl(payload: bytes):
                                                 raise ValueError(
                                                     "stts runs overflow the box"
                                                 )
-                                            n_samples = sum(
-                                                struct.unpack(
-                                                    ">I",
-                                                    data[
-                                                        lo6 + 8 + 8 * i
-                                                        : lo6 + 12 + 8 * i
-                                                    ],
-                                                )[0]
-                                                for i in range(n_runs)
+                                            vals = struct.unpack_from(
+                                                f">{2 * n_runs}I", data, lo6 + 8
                                             )
+                                            n_samples = sum(vals[0::2])
                 tracks.append((handler, codec, w, h, tdur_ms, n_samples))
     if duration_ms is None:
         raise ValueError("MP4 has no moov/mvhd header")
@@ -1012,13 +1011,20 @@ def _webp_parse_impl(payload: bytes):
     (riff_len,) = struct.unpack("<I", data[4:8])
     end = min(len(data), 8 + riff_len)
     pos = 12
+    # set once an animation-flagged VP8X is seen: (w, h, has_alpha) —
+    # the SAME chunk walk then continues over the ANMF frame chunks
+    # (each costs 16 header bytes; the embedded frame bitstream is
+    # skipped by the enclosing chunk size)
+    anim = None
+    n_frames = 0
+    duration_ms = 0
     while pos + 8 <= end:
         tag = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = pos + 8
         if body + size > end:
             raise ValueError(f"WebP chunk {tag!r} overflows the container")
-        if tag == b"VP8 ":
+        if tag == b"VP8 " and anim is None:
             if size < 10:
                 raise ValueError("VP8 chunk too short for a frame header")
             if data[body] & 0x01:
@@ -1030,7 +1036,7 @@ def _webp_parse_impl(payload: bytes):
                 raise ValueError("VP8 key frame missing its start sync code")
             w, h = struct.unpack("<HH", data[body + 6 : body + 10])
             return (w & 0x3FFF, h & 0x3FFF, "vp8", 0, 0, 1, 0)
-        if tag == b"VP8L":
+        if tag == b"VP8L" and anim is None:
             if size < 5:
                 raise ValueError("VP8L chunk too short for a header")
             if data[body] != 0x2F:
@@ -1054,32 +1060,29 @@ def _webp_parse_impl(payload: bytes):
             has_alpha = 1 if flags & 0x10 else 0
             if not flags & 0x02:
                 return (w, h, "vp8x", has_alpha, 0, 1, 0)
-            # animated: keep walking for ANMF frame chunks — each costs
-            # 16 header bytes (x/y/dims/duration/flags); the embedded
-            # frame bitstream is skipped by the enclosing chunk size
-            n_frames = 0
-            duration_ms = 0
-            pos = body + size + (size % 2)
-            while pos + 8 <= end:
-                tag2 = data[pos : pos + 4]
-                (size2,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-                body2 = pos + 8
-                if body2 + size2 > end:
-                    raise ValueError(
-                        f"WebP chunk {tag2!r} overflows the container"
-                    )
-                if tag2 == b"ANMF":
-                    if size2 < 16:
-                        raise ValueError("ANMF chunk too short for a frame header")
-                    n_frames += 1
-                    duration_ms += int.from_bytes(
-                        data[body2 + 12 : body2 + 15], "little"
-                    )
-                pos = body2 + size2 + (size2 % 2)
-            if n_frames == 0:
-                raise ValueError("animation-flagged WebP has no ANMF frames")
-            return (w, h, "vp8x", has_alpha, 1, n_frames, duration_ms)
+            # a payload shorter than its declared RIFF length would end
+            # the frame walk early and return a PARTIAL frame count /
+            # duration — which silently flips downstream admission
+            # decisions (a 3s animation truncated after frame 1 would
+            # pass a <2s rule).  Stills stay lenient (their one
+            # bitstream chunk is self-contained); animations must be
+            # whole.
+            if 8 + riff_len > len(data):
+                raise ValueError(
+                    "truncated animated WebP: container shorter than its "
+                    "declared RIFF length — frame count would be partial"
+                )
+            anim = (w, h, has_alpha)
+        elif tag == b"ANMF" and anim is not None:
+            if size < 16:
+                raise ValueError("ANMF chunk too short for a frame header")
+            n_frames += 1
+            duration_ms += int.from_bytes(data[body + 12 : body + 15], "little")
         pos = body + size + (size % 2)  # odd chunk sizes carry a pad byte
+    if anim is not None:
+        if n_frames == 0:
+            raise ValueError("animation-flagged WebP has no ANMF frames")
+        return (anim[0], anim[1], "vp8x", anim[2], 1, n_frames, duration_ms)
     raise ValueError("WebP container has no VP8/VP8L/VP8X bitstream chunk")
 
 
@@ -1284,14 +1287,18 @@ def route_media_frame(
                         )
                         # prefer the track's own clock over the
                         # container's; an audio-only .m4a keeps the
-                        # mvhd number
+                        # mvhd number.  n_frames = the stts sample
+                        # count (video samples ARE frames).
                         tdur = vid[4] if vid[4] > 0 else dur
                         fps_milli = (
                             vid[5] * 1_000_000 // vid[4]
                             if vid[4] > 0 and vid[5] > 0
                             else 0
                         )
-                        row = ("video/mp4", vid[2], vid[3], tdur, 0, 0, fps_milli)
+                        row = (
+                            "video/mp4", vid[2], vid[3], tdur, 0, vid[5],
+                            fps_milli,
+                        )
                     elif p[:4] == b"RIFF" and p[8:12] == b"WEBP":
                         w, h, _, _, anim, nf, dur = webp_parse(p)
                         row = ("image/webp", w, h, dur, anim, nf, 0)

@@ -170,6 +170,24 @@ def test_webp_anmf_frame_walk():
     assert webp_parse(webp_build(64, 32))[5:] == (1, 0)
 
 
+def test_webp_truncated_animation_raises_not_partial():
+    """A crawl-truncated animation cut at an ANMF chunk boundary must
+    raise, NOT return a partial frame count: a 3.1s animation truncated
+    after its 100ms first frame would otherwise be ADMITTED by the
+    router's duration < 2s rule (second-pass review finding)."""
+    from sayn_spark.functions.multimodal import webp_build, webp_parse
+
+    p = webp_build(320, 240, mode="extended", animated=True,
+                   frame_durations=(100, 1500, 1500))
+    # find the second ANMF and cut exactly at its chunk boundary: the
+    # declared RIFF length now exceeds the payload
+    second = p.find(b"ANMF", p.find(b"ANMF") + 4)
+    with pytest.raises(ValueError, match="truncated animated WebP"):
+        webp_parse(p[:second - 8])
+    # the whole file still parses to the full 3100 ms
+    assert webp_parse(p)[5:] == (3, 3100)
+
+
 def test_webp_anmf_error_paths():
     """Two-exception contract around the new walk: an animation-flagged
     container with no ANMF frames and a too-short ANMF header are both
@@ -370,8 +388,8 @@ def test_stream_route_media_lifecycle(spark, tmp_path):
     got = {r.doc_id: r for r in spark.table(dst).collect()}
     assert set(got) == {1, 2, 3}
     assert (got[1].media_type, got[1].width, got[1].height,
-            got[1].duration_ms, got[1].fps_milli) == (
-        "video/mp4", 640, 360, 8000, 30000)
+            got[1].duration_ms, got[1].n_frames, got[1].fps_milli) == (
+        "video/mp4", 640, 360, 8000, 240, 30000)
     assert (got[2].media_type, got[2].is_animated, got[2].n_frames,
             got[2].duration_ms) == ("image/webp", 1, 3, 1500)
     assert got[3].media_type == "unknown"
