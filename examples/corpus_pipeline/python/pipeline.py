@@ -329,8 +329,8 @@ def route_media_metadata(context, spark):
     frame-header walk) and emits one typed row per asset —
     media_type, dimensions, duration, animation, frame count, fps —
     having read only headers.  A video's duration_ms is its VIDEO
-    TRACK's mdhd media duration (what an edit-trimmed track actually
-    plays), not the container's mvhd presentation length, and
+    TRACK's mdhd media duration (the samples' own clock — the right
+    fps denominator), not the container's mvhd presentation length, and
     fps_milli comes from the stts sample count over that duration; an
     animated WebP reports its ANMF frame count and summed frame
     durations.  Undecodable payloads surface as media_type='unknown'

@@ -763,11 +763,14 @@ def mp4_parse(payload: bytes):
     track_duration_ms, n_samples), ...] in trak order — handler is
     'vide'/'soun'/..., dims come from tkhd's 16.16 fixed-point
     presentation size (0 for non-visual tracks), track_duration_ms
-    from mdhd's OWN timescale+duration (an edit-trimmed track reports
-    its media length here, not the container's mvhd presentation
-    length), and n_samples from summing stts run counts (0 when the
-    sample table is empty) — n_samples * 1000 / track_duration_ms is
-    the fps signal a video router needs.  Walks the box tree with
+    from mdhd's OWN timescale+duration — the track's MEDIA length
+    (the clock its samples live on, and therefore the right fps
+    denominator), which differs from the container's mvhd presentation
+    length on trimmed files; the exact PLAYED time of an edit-listed
+    track is the elst segment sum, a documented boundary this walk
+    does not cross — and n_samples from summing stts run counts (0
+    when the sample table is empty) — n_samples * 1000 /
+    track_duration_ms is the fps signal a video router needs.  Walks the box tree with
     32-bit, 64-bit (size==1 largesize) and to-end-of-file (size==0)
     box lengths, mvhd/tkhd/mdhd version 0 AND 1, and recurses only
     into the containers that matter (moov/trak/mdia/minf/stbl) — mdat
@@ -1246,10 +1249,11 @@ def route_media_frame(
     -> chunk walk, MPEG sync / ID3 -> frame-header walk) and emit one
     typed row per asset — media_type, dimensions, duration, animation,
     frame count, fps — having read only headers.  A video's
-    duration_ms is its VIDEO TRACK's mdhd media duration (what an
-    edit-trimmed track actually plays), not the container's mvhd
-    presentation length, and fps_milli is the stts sample count over
-    that duration; an animated WebP reports its ANMF frame count and
+    duration_ms is its VIDEO TRACK's mdhd media duration (the clock
+    its samples live on — the right fps denominator; the exact played
+    time of an edit-listed track is the elst sum, out of scope), not
+    the container's mvhd presentation length, and fps_milli is the
+    stts sample count over that duration; an animated WebP reports its ANMF frame count and
     summed per-frame durations.  Undecodable (or NULL) payloads route
     as media_type='unknown' rather than kill the run — the skip-vs-
     fail decision belongs to the downstream admission filter, not the
@@ -3695,8 +3699,9 @@ def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mp4_parse`` walks the box tree back out — duration from mvhd
     (timescale-normalized to ms), track count, the video track's
     16.16 fixed-point tkhd dimensions, the stsd codec 4CC, the
-    PER-TRACK mdhd duration (what an edit-trimmed track really plays,
-    not the container number), and the stts sample count, from which
+    PER-TRACK mdhd media duration (the samples' own clock, which the
+    container number hides on trimmed files), and the stts sample
+    count, from which
     fps_milli = n_samples * 1e6 / track_duration_ms — the
     frame-rate routing signal.  No frame is ever decoded and mdat is
     never read: this is the metadata-routing stage a 100 TB video
