@@ -149,6 +149,40 @@ def test_mp4_stts_multi_run_sum_and_overflow():
         mp4_parse(tree(struct.pack(">I", 99) + struct.pack(">II", 1, 1)))
 
 
+def test_mp4_largesize_and_to_eof_boxes():
+    """The 64-bit (size==1 largesize) and to-end-of-file (size==0) box
+    length encodings parse identically to the plain u32 form —
+    exercised by rewriting the trailing empty mdat's header, which the
+    top-level walk must still skip correctly to have already yielded
+    moov."""
+    from sayn_spark.functions.multimodal import mp4_build, mp4_parse
+
+    p = mp4_build(64, 48, 1000, video_n_samples=24)
+    assert p[-8:-4] == struct.pack(">I", 8) and p[-4:] == b"mdat"
+    want = mp4_parse(p)
+    eof = p[:-8] + struct.pack(">I", 0) + b"mdat"
+    assert mp4_parse(eof) == want
+    large = p[:-8] + struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16)
+    assert mp4_parse(large) == want
+    # a largesize header cut before its u64 is a loud truncation
+    with pytest.raises(ValueError):
+        mp4_parse(p[:-8] + struct.pack(">I", 1) + b"mdat")
+
+
+def test_webp_odd_size_chunk_padding():
+    """RIFF pads odd-size chunks with one byte; a walk that forgets the
+    pad desyncs on every chunk after an odd one.  Insert a 3-byte
+    metadata chunk before the bitstream chunk and parse must still find
+    it."""
+    from sayn_spark.functions.multimodal import webp_build, webp_parse
+
+    p = webp_build(320, 240)
+    odd = b"XMP " + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    patched = p[:12] + odd + p[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert webp_parse(patched) == (320, 240, "vp8", 0, 0, 1, 0)
+
+
 # --- 2. animated-WebP ANMF frame walk -----------------------------------
 
 
