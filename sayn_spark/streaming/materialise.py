@@ -44,8 +44,6 @@ def stream_merge_into(
         if not db.table_exists(dst_table):
             db.create_table(dst_table, batch_df, mode="overwrite")
         else:
-            from sayn_spark.core.database import _tmp_name
-
             staging = _tmp_name(dst_table, f"_stream_{batch_id}")
             db.drop_object(staging)
             db.create_table(staging, batch_df, mode="overwrite")
@@ -406,7 +404,15 @@ def stream_dedup_ingest(
             batch_df, batch_id, index_table, matches_table, sf_dir,
             band_table=band_table, method=method, **method_opts,
         )
-        outer_session.catalog.refreshTable(index_table)
+        # refresh EVERY table the trigger may have rewritten in the
+        # outer session's relation cache — matches_table is
+        # rename-swapped per trigger (a stale file listing there is a
+        # FileNotFoundException on the outer session's next read, not
+        # just stale rows), band_table appends
+        db = SparkDatabase(batch_df.sparkSession)
+        for t in (index_table, matches_table, band_table):
+            if t is not None and db.table_exists(t):
+                outer_session.catalog.refreshTable(t)
 
     return (
         source.writeStream.foreachBatch(_ingest_batch)
@@ -647,8 +653,14 @@ def stream_ann_ingest(
             F.expr(f"cast({vector_column} as array<double>)").alias("e"),
         )
         ann_insert_batch(spark, SparkDatabase(spark), index, vecs)
-        for t in (f"{index}_vectors", f"{index}_codes"):
-            if SparkDatabase(spark).table_exists(t):
+        # every side table an insert appends to, across index kinds:
+        # a stale {index}_sq8codes/{index}_binwords in the outer
+        # session would silently drop the new vectors from the SQ8 /
+        # Hamming shortlist stages of catalog searches
+        db = SparkDatabase(spark)
+        for suffix in ("_vectors", "_codes", "_sq8codes", "_binwords"):
+            t = f"{index}{suffix}"
+            if db.table_exists(t):
                 outer_session.catalog.refreshTable(t)
 
     return (
@@ -767,8 +779,6 @@ def stream_ann_search(
         if not db.table_exists(dst_table):
             db.create_table(dst_table, out, mode="overwrite")
         else:
-            from sayn_spark.core.database import _tmp_name
-
             staging = _tmp_name(dst_table, f"_annq_{batch_id}")
             db.drop_object(staging)
             db.create_table(staging, out, mode="overwrite")

@@ -77,9 +77,21 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 def dedup_stream(events: DataFrame, key: str = "event_id", ttl_minutes: int = 60) -> DataFrame:
     """Streaming exact dedup: drop events whose key was already seen
-    within the watermark window — the streaming twin of q_dedup_exact
-    (built-in dropDuplicates carries the state; TTL bounds it)."""
-    return events.withWatermark("ts", f"{ttl_minutes} minutes").dropDuplicates([key])
+    within the watermark window — the streaming twin of q_dedup_exact.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``) is
+    what makes the TTL real: with a key-only subset, plain
+    dropDuplicates never consults the watermark — state grows with
+    every key EVER seen (unbounded at crawl scale) and a key
+    legitimately reappearing after ``ttl_minutes`` stays suppressed
+    forever.  The WithinWatermark variant evicts a key's state once
+    the watermark passes its event time + delay, so state is bounded
+    by the TTL horizon and a post-TTL reappearance is re-admitted —
+    the contract this function documents
+    (tests/test_round12.py pins eviction + re-admission end-to-end)."""
+    return events.withWatermark(
+        "ts", f"{ttl_minutes} minutes"
+    ).dropDuplicatesWithinWatermark([key])
 
 
 TTL_OUTPUT_SCHEMA = StructType(
@@ -100,7 +112,9 @@ TTL_STATE_SCHEMA = StructType(
 )
 
 
-def ttl_user_totals(events: DataFrame, ttl_minutes: int = 30) -> DataFrame:
+def ttl_user_totals(
+    events: DataFrame, ttl_minutes: int = 30, watermark_delay: str = "0 seconds"
+) -> DataFrame:
     """Per-user running totals with EVENT-TIME TTL EVICTION: a user
     idle past ``ttl_minutes`` (by watermark) emits one final
     ``closed=true`` row and its state is REMOVED — if the user returns
@@ -114,6 +128,16 @@ def ttl_user_totals(events: DataFrame, ttl_minutes: int = 30) -> DataFrame:
     (replaying the same files yields the same closed rows), not wall
     clock.  Eviction is asserted end-to-end (state actually removed,
     counters restart) in tests/test_streaming.py.
+
+    ``watermark_delay`` (default "0 seconds") is the cross-trigger
+    disorder tolerance: under EventTimeTimeout, a row arriving in a
+    LATER trigger with an event time below the current watermark is
+    filtered out before the update function ever sees it and silently
+    vanishes from the totals.  The zero default keeps eviction exactly
+    at the TTL horizon (and the published test semantics); feeds with
+    lagging upstream writers should set the delay to their observed
+    disorder (e.g. "2 hours", the package's usual default) — eviction
+    then fires that much later, the bounded-state property unchanged.
     """
     ttl_ms = ttl_minutes * 60 * 1000
 
@@ -152,7 +176,7 @@ def ttl_user_totals(events: DataFrame, ttl_minutes: int = 30) -> DataFrame:
 
     return (
         events.select("user_id", "value", "ts")
-        .withWatermark("ts", "0 seconds")
+        .withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
             update,

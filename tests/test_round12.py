@@ -439,6 +439,57 @@ def test_stream_route_media_lifecycle(spark, tmp_path):
     _drop(spark, dst)
 
 
+def test_dedup_stream_ttl_evicts_and_readmits(spark, tmp_path):
+    """The streaming exact-dedup TTL is real state eviction, not just a
+    docstring: a key reappearing within the TTL is dropped; once the
+    watermark passes its event time + TTL the state is gone and the
+    key is RE-ADMITTED (and state stays bounded by the TTL horizon —
+    the second-pass review found plain dropDuplicates kept every key
+    forever)."""
+    from sayn_spark.streaming.stateful import dedup_stream
+
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    schema = "event_id long, ts timestamp"
+
+    def run_wave(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            dedup_stream(stream, ttl_minutes=60)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    run_wave("w1", [(1, t0), (2, t0)])
+    # within-TTL duplicate of 2 is dropped; 3 advances the watermark
+    # to t0 + 2h (> t0 + TTL, expiring wave 1's state)
+    run_wave("w2", [(2, t0 + timedelta(minutes=10)),
+                    (3, t0 + timedelta(hours=3))])
+    # key 1 reappears past its TTL: state evicted -> re-admitted
+    run_wave("w3", [(1, t0 + timedelta(hours=3, minutes=30))])
+
+    got = sorted(
+        (r.event_id, r.ts) for r in spark.read.parquet(out).collect()
+    )
+    ids = [i for i, _ in got]
+    assert ids == [1, 1, 2, 3], got  # 2's dup dropped; 1 admitted twice
+
+
 def test_media_router_rules_nonvacuous():
     """The example pipeline's admission rules are live on its own
     generated payloads: every arm (video fps band, WebP still/short-
