@@ -93,9 +93,12 @@ class App:
             start_dt=self.run_arguments.start_dt,
             end_dt=self.run_arguments.end_dt,
         )
-        # prod rules = default profile's stringify (dev profiles layer
-        # their own on top; ref: database/objects.py:69-96)
-        prod_prof = self.settings.profile(None)
+        # prod rules = DEFAULT profile's stringify (dev profiles layer
+        # their own on top; ref: database/objects.py:69-96) — resolved
+        # via prod_profile(), which ignores SAYN_PROFILE: profile(None)
+        # honours the env var, so under SAYN_PROFILE=dev the "prod"
+        # rules would silently become the dev profile's
+        prod_prof = self.settings.prod_profile()
         self.obj_compiler = DbObjectCompiler(
             default_db=self.project.default_db,
             connections=[self.project.default_db, *self.settings.credentials.keys()],

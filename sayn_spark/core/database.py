@@ -38,8 +38,20 @@ def split_statements(script: str) -> list[str]:
         ch = script[i]
         if quote:
             buf.append(ch)
-            if ch == quote and (i == 0 or script[i - 1] != "\\"):
-                quote = None
+            if ch == quote:
+                # the quote closes only under an EVEN run of preceding
+                # backslashes: '\\' (a literal backslash) ends the
+                # string, '\'' (an escaped quote) does not — checking
+                # one character would leave the scanner in-quote after
+                # a literal ending in a backslash and swallow every
+                # later ';'
+                bs = 0
+                j = i - 1
+                while j >= 0 and script[j] == "\\":
+                    bs += 1
+                    j -= 1
+                if bs % 2 == 0:
+                    quote = None
         elif ch in ("'", '"', "`"):
             quote = ch
             buf.append(ch)
@@ -164,6 +176,7 @@ class SparkDatabase:
         sort_by: Optional[Sequence[str]] = None,
         merge_schema: bool = False,
         zorder_by: Optional[Sequence[str]] = None,
+        table_format: Optional[str] = None,
     ) -> None:
         """Materialise a DataFrame as a managed table.  partition/bucket/
         sort map the reference's per-warehouse DDL extensions (BigQuery
@@ -178,6 +191,13 @@ class SparkDatabase:
         interleaved key (q_zorder_layout measures what that buys), so
         per-file min/max stats prune on EITHER column's predicates.
         The key is computed transiently and never stored.
+
+        ``table_format`` pins the writer format explicitly (used by
+        layout-preserving rewrites — see table_layout).  When omitted,
+        an APPEND onto an existing table inherits the table's own
+        provider: on a delta-enabled session a blind format('delta')
+        append onto a pre-existing parquet table is an
+        AnalysisException, not an append (second-pass review r12).
         """
         if zorder_by is not None:
             if bucket_by or sort_by:
@@ -224,8 +244,23 @@ class SparkDatabase:
                     for f in target.fields
                 ]
             )
+        fmt = table_format
+        if mode == "append" and self.table_exists(name):
+            # an append must MATCH the table's existing physical spec —
+            # Spark rejects a mismatched partition/bucket spec outright
+            # and a blind format('delta') onto a parquet table is an
+            # AnalysisException — so unspecified aspects inherit the
+            # table's own layout instead of the session defaults
+            layout = self.table_layout(name)
+            fmt = fmt or layout["table_format"]
+            partition_by = partition_by or layout["partition_by"]
+            if bucket_by is None and layout["bucket_by"] is not None:
+                bucket_by = layout["bucket_by"]
+                sort_by = sort_by or layout["sort_by"]
         writer = df.write.mode(mode)
-        if self.use_delta and not bucket_by:
+        if fmt and not (fmt == "delta" and bucket_by):
+            writer = writer.format(fmt)
+        elif fmt is None and self.use_delta and not bucket_by:
             # Delta doesn't support bucketBy; bucketed tables stay on the
             # session default (parquet) — everything else goes ACID
             writer = writer.format("delta")
@@ -244,9 +279,19 @@ class SparkDatabase:
         refreshTable afterwards: sessions that read dst before the swap
         hold a cached file listing pointing at dropped files (observed
         as FAILED_READ_FILE on the next read without it).
+
+        PARTITIONED tables need one more step: ALTER TABLE RENAME moves
+        the base directory but leaves every PARTITION's catalog location
+        pointing at the OLD path, so the renamed table reads ZERO rows
+        (verified empirically — silent data loss, not an error).  MSCK
+        SYNC PARTITIONS drops the dead-location entries and re-discovers
+        them under the new base; metadata-only, cost = one directory
+        listing.
         """
         self.drop_object(dst)
         self.spark.sql(f"ALTER TABLE {src} RENAME TO {dst}")
+        if any(c.isPartition for c in self.spark.catalog.listColumns(dst)):
+            self.spark.sql(f"MSCK REPAIR TABLE {dst} SYNC PARTITIONS")
         self.spark.catalog.refreshTable(dst)
 
     def replace_table(
@@ -292,6 +337,44 @@ class SparkDatabase:
                 return (r.data_type or "").strip().lower()
         return None
 
+    def table_layout(self, name: str) -> dict:
+        """The physical layout of an existing catalog table, in
+        create_table's own vocabulary: ``{"table_format", "partition_by",
+        "bucket_by", "sort_by"}`` (absent aspects are None).  Any rewrite
+        that replaces a table wholesale (merge_tables' parquet fallback,
+        compact_table) MUST re-apply this — a staging table written with
+        session defaults silently drops the destination's partitioning
+        and can flip its provider, degrading every downstream scan's
+        partition pruning (second-pass review r12)."""
+        layout: dict = {
+            "table_format": self._table_provider(name),
+            "partition_by": None,
+            "bucket_by": None,
+            "sort_by": None,
+        }
+        parts = [c.name for c in self.spark.catalog.listColumns(name) if c.isPartition]
+        if parts:
+            layout["partition_by"] = parts
+
+        def cols_of(v: str) -> list:
+            return [c.strip(" `") for c in v.strip("[]").split(",") if c.strip(" `")]
+
+        try:
+            rows = {
+                r.col_name: (r.data_type or "")
+                for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+            }
+        except Exception:
+            return layout
+        if rows.get("Num Buckets") and rows.get("Bucket Columns"):
+            layout["bucket_by"] = (
+                int(rows["Num Buckets"]), cols_of(rows["Bucket Columns"])
+            )
+            sort_cols = cols_of(rows.get("Sort Columns", ""))
+            if sort_cols:
+                layout["sort_by"] = sort_cols
+        return layout
+
     def merge_tables(self, src_name: str, dst_name: str, delete_key: str | Sequence[str]) -> None:
         """Incremental merge: delete-on-key + insert-all + drop staging
         (ref: database/__init__.py:678-699, merge_tables.sql:1-12).
@@ -327,7 +410,12 @@ class SparkDatabase:
         merged = merge_dataframes(dst, src, delete_key)
         staging = _tmp_name(dst_name, "_sayn_merge")
         self.drop_object(staging)
-        self.create_table(staging, merged, mode="overwrite")
+        # the swap replaces dst wholesale: the staging write must carry
+        # dst's OWN physical layout (partitioning/bucketing/provider) or
+        # every merge silently strips it — partition pruning regresses
+        # for all downstream scans and a parquet dst would flip to the
+        # session default format
+        self.create_table(staging, merged, mode="overwrite", **self.table_layout(dst_name))
         self.move_table(staging, dst_name)
         self.drop_object(src_name)
 

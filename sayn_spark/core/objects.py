@@ -173,7 +173,11 @@ class DbObjectCompiler:
     # -- prod/dev value computation ------------------------------------
 
     def is_from_prod(self, obj: DbObject) -> bool:
-        """ref: database/objects.py:124-139."""
+        """ref: database/objects.py:124-139.  regex.match (PREFIX
+        semantics, '.' unescaped) is deliberate reference parity — the
+        reference matches exactly this way (objects.py:131), so
+        `from_prod: [logs.events]` also catching logs.events_v2 is the
+        sayn contract, not a defect here."""
         if obj.connection_name != self.default_db:
             return False
         for regex in self.from_prod:

@@ -62,6 +62,20 @@ class Settings(BaseModel):
             raise ValueError(f"unknown profile {name!r}")
         return self.profiles[name]
 
+    def prod_profile(self) -> Profile:
+        """The profile that defines PROD naming: the default profile,
+        NEVER the SAYN_PROFILE selection.  profile(None) honours the
+        env var — right for picking the ACTIVE profile, wrong for the
+        prod stringify rules: under SAYN_PROFILE=dev it would make
+        "prod" mean the dev profile, so from_prod/--upstream-prod
+        reads silently resolve to dev names (second-pass review
+        r12)."""
+        if self.default_profile is not None:
+            if self.default_profile not in self.profiles:
+                raise ValueError(f"unknown profile {self.default_profile!r}")
+            return self.profiles[self.default_profile]
+        return next(iter(self.profiles.values())) if self.profiles else Profile()
+
 
 def _yaml_or_str(v: str) -> Any:
     try:

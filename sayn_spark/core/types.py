@@ -99,9 +99,14 @@ def schema_from_ddl_columns(columns: Sequence[dict]) -> T.StructType:
     {"name", "type", "dst_name"?} -> StructType."""
     fields = []
     for c in columns:
-        name = c.get("dst_name", c["name"])
+        # `or`, not a .get default: validate_columns emits dst_name/type
+        # KEYS with value None, which .get's default would pass through
+        # (name=None then crashes parse_ddl_type)
+        name = c.get("dst_name") or c["name"]
         fields.append(
-            T.StructField(name, parse_ddl_type(c.get("type", "string")), nullable=True)
+            T.StructField(
+                name, parse_ddl_type(c.get("type") or "string"), nullable=True
+            )
         )
     return T.StructType(fields)
 

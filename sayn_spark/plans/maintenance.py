@@ -27,8 +27,12 @@ DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
 def table_bytes(spark: SparkSession, name: str) -> int:
-    """Size of a managed table from the catalog statistics (falls back
-    to a scan-free 0 if unknown)."""
+    """Size of a managed table: catalog statistics when present, else
+    the filesystem truth (one getFileStatus per data file, no data
+    read).  The FS fallback matters because stats are routinely ABSENT
+    (no ANALYZE TABLE, non-CBO writes) — a scan-free 0 here used to
+    make compact_table coalesce(1) an arbitrarily large table through
+    one task (second-pass review r12)."""
     try:
         row = spark.sql(f"DESCRIBE EXTENDED {name}").where(
             F.col("col_name") == "Statistics"
@@ -37,7 +41,16 @@ def table_bytes(spark: SparkSession, name: str) -> int:
             return int(row[0]["data_type"].split(" ")[0])
     except Exception:
         pass
-    return 0
+    try:
+        hpath = spark._jvm.org.apache.hadoop.fs.Path
+        hconf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for f in spark.table(name).inputFiles():
+            p = hpath(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+        return total
+    except Exception:
+        return 0
 
 
 def compact_table(
@@ -54,13 +67,23 @@ def compact_table(
     run per-partition (``WHERE`` on the partition column) instead of
     whole-table.
     """
+    from sayn_spark.core.database import SparkDatabase
+
     n_bytes = table_bytes(spark, name)
     n_files = max(1, -(-n_bytes // target_file_bytes)) if n_bytes else 1
+    # the rewrite must keep the table's OWN physical layout — a
+    # session-default staging write strips partitioning (killing
+    # pruning) and converts a Delta table to the default format,
+    # silently losing its history (second-pass review r12)
+    db = SparkDatabase(spark)
+    layout = db.table_layout(name)
     df = spark.table(name).coalesce(n_files)
     staging = f"{name}__compacting"
-    df.write.mode("overwrite").saveAsTable(staging)
-    spark.sql(f"DROP TABLE {name}")
-    spark.sql(f"ALTER TABLE {staging} RENAME TO {name}")
+    db.drop_object(staging)
+    db.create_table(staging, df, mode="overwrite", **layout)
+    # move_table, not a raw RENAME: partitioned tables need the
+    # partition-location repair the raw statement skips
+    db.move_table(staging, name)
     return n_files
 
 

@@ -72,10 +72,13 @@ def standard_tests_plan(df: DataFrame, columns: list[dict]) -> DataFrame | None:
                     probes.append(not_null_violations(df, name))
                 else:
                     raise ValueError(f"unknown standard test {t!r}")
-            elif isinstance(t, dict) and "allowed_values" in t:
-                probes.append(allowed_values_violations(df, name, t["allowed_values"]))
+            # the opt-out must win over the test-kind match: a dict
+            # carrying BOTH allowed_values and execute: False is a
+            # disabled test, not a probe
             elif isinstance(t, dict) and t.get("execute") is False:
                 continue
+            elif isinstance(t, dict) and "allowed_values" in t:
+                probes.append(allowed_values_violations(df, name, t["allowed_values"]))
             else:
                 raise ValueError(f"unknown standard test {t!r}")
     if not probes:

@@ -490,6 +490,160 @@ def test_dedup_stream_ttl_evicts_and_readmits(spark, tmp_path):
     assert ids == [1, 1, 2, 3], got  # 2's dup dropped; 1 admitted twice
 
 
+# --- 5. core/plans second-pass review fixes ------------------------------
+
+
+def test_move_table_repairs_partition_locations(spark):
+    """ALTER TABLE RENAME leaves every partition's catalog location at
+    the OLD base path, so a renamed partitioned table reads ZERO rows —
+    silent data loss, not an error (verified empirically).  move_table
+    must repair the partition metadata after the swap."""
+    from sayn_spark.core.database import SparkDatabase
+
+    db = SparkDatabase(spark)
+    _drop(spark, "mv_src", "mv_dst")
+    spark.range(20).selectExpr("id", "id % 2 as p").write.mode(
+        "overwrite"
+    ).partitionBy("p").saveAsTable("mv_src")
+    db.move_table("mv_src", "mv_dst")
+    assert spark.table("mv_dst").count() == 20
+    assert spark.table("mv_dst").where("p = 1").count() == 10
+    _drop(spark, "mv_dst")
+
+
+def test_merge_tables_preserves_destination_layout(spark):
+    """The parquet-fallback merge swaps a staging table over the
+    destination: the staging write must carry the destination's OWN
+    partitioning and provider or every incremental merge silently
+    strips the declared layout (and the rename then loses the data —
+    see test_move_table_repairs_partition_locations)."""
+    from sayn_spark.core.database import SparkDatabase
+
+    db = SparkDatabase(spark)
+    _drop(spark, "ml_dst", "ml_src")
+    dst = spark.range(100).selectExpr("id", "id % 3 as p", "cast(id as string) v")
+    db.create_table("ml_dst", dst, mode="overwrite", partition_by=["p"])
+    src = spark.range(50, 120).selectExpr(
+        "id", "id % 3 as p", "concat('new', id) v"
+    )
+    db.create_table("ml_src", src, mode="overwrite")
+    db.merge_tables("ml_src", "ml_dst", "id")
+    layout = db.table_layout("ml_dst")
+    assert layout["partition_by"] == ["p"]
+    assert layout["table_format"] == "parquet"
+    assert spark.table("ml_dst").count() == 120
+    assert spark.table("ml_dst").where("v like 'new%'").count() == 70
+    _drop(spark, "ml_dst")
+
+
+def test_create_table_append_inherits_layout(spark):
+    """An append onto an existing table must match its physical spec:
+    Spark rejects a missing partition/bucket spec outright, so
+    unspecified aspects inherit the table's own layout instead of the
+    session defaults."""
+    from sayn_spark.core.database import SparkDatabase
+
+    db = SparkDatabase(spark)
+    _drop(spark, "ap_t")
+    df = spark.range(10).selectExpr("id", "id % 2 as p")
+    db.create_table("ap_t", df, mode="overwrite", partition_by=["p"])
+    db.create_table(
+        "ap_t", spark.range(10, 15).selectExpr("id", "id % 2 as p"), mode="append"
+    )
+    assert spark.table("ap_t").count() == 15
+    assert db.table_layout("ap_t")["partition_by"] == ["p"]
+    _drop(spark, "ap_t")
+
+
+def test_compact_table_preserves_layout_and_fs_size_fallback(spark):
+    """compact_table must rewrite with the table's own layout (a
+    session-default rewrite strips partitioning / flips provider) and
+    size from the FILESYSTEM when catalog statistics are absent —
+    a stats-less table used to read 0 bytes and coalesce(1) the whole
+    table through one task."""
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.plans.maintenance import compact_table, table_bytes
+
+    db = SparkDatabase(spark)
+    _drop(spark, "cp_t")
+    df = spark.range(200).selectExpr("id", "id % 4 as p", "cast(id as string) v")
+    db.create_table("cp_t", df.repartition(8), mode="overwrite", partition_by=["p"])
+    assert table_bytes(spark, "cp_t") > 0  # FS fallback, no ANALYZE ran
+    compact_table(spark, "cp_t")
+    assert spark.table("cp_t").count() == 200
+    assert db.table_layout("cp_t")["partition_by"] == ["p"]
+    _drop(spark, "cp_t")
+
+
+def test_prod_profile_ignores_sayn_profile_env(tmp_path, monkeypatch):
+    """The prod stringify rules come from the DEFAULT profile even when
+    SAYN_PROFILE selects another one — otherwise 'prod' silently means
+    the dev profile and from_prod reads resolve to dev names."""
+    import textwrap
+
+    from sayn_spark.core.settings import load_settings
+
+    (tmp_path / "settings.yaml").write_text(
+        textwrap.dedent(
+            """
+            default_profile: prod
+            profiles:
+              prod:
+                stringify: {}
+              dev:
+                stringify:
+                  table_prefix: dev
+            """
+        )
+    )
+    settings = load_settings(tmp_path)
+    monkeypatch.setenv("SAYN_PROFILE", "dev")
+    active = settings.profile(None)
+    prod = settings.prod_profile()
+    assert active.stringify.get("table_prefix") == "dev"
+    assert prod.stringify.get("table_prefix") != "dev"
+
+
+def test_split_statements_escaped_backslash_literal():
+    """A string literal ending in an ESCAPED backslash closes its quote
+    (even run of backslashes) — the one-character check used to stay
+    in-quote and swallow every later semicolon."""
+    from sayn_spark.core.database import split_statements
+
+    stmts = split_statements("SELECT '\\\\' AS x; SELECT 2")
+    assert len(stmts) == 2 and stmts[1].strip() == "SELECT 2"
+    # an escaped QUOTE still does not close the string
+    stmts = split_statements("SELECT 'a\\';b' AS x; SELECT 2")
+    assert len(stmts) == 2 and stmts[1].strip() == "SELECT 2"
+
+
+def test_standard_tests_execute_false_wins_over_allowed_values(spark):
+    """A test dict carrying both allowed_values and execute: False is a
+    DISABLED test — the opt-out must be checked before the kind."""
+    from sayn_spark.plans.quality import standard_tests_plan
+
+    df = spark.createDataFrame([("x",), ("y",)], "c string")
+    plan = standard_tests_plan(
+        df, [{"name": "c", "tests": [{"allowed_values": ["a"], "execute": False}]}]
+    )
+    assert plan is None  # no probes at all
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    """F.hash rejects MapType outright; the salt scatter must skip such
+    columns (any salt assignment is correct — the small side is
+    replicated to every salt value)."""
+    from sayn_spark.plans.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, {"a": "b"}, 10), (1, {"c": "d"}, 20), (2, {}, 30)],
+        "k long, m map<string,string>, v long",
+    )
+    small = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+    got = salted_join(big, small, "k").groupBy("k").count().collect()
+    assert {(r.k, r["count"]) for r in got} == {(1, 2), (2, 1)}
+
+
 def test_media_router_rules_nonvacuous():
     """The example pipeline's admission rules are live on its own
     generated payloads: every arm (video fps band, WebP still/short-
