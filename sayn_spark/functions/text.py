@@ -129,26 +129,41 @@ _MARKERS = {
 }
 
 
-def langid_columns():
+def langid_columns(prefix: str = ""):
     """Marker-count columns over a ``text`` column (c_en..c_de +
-    has_cjk) — stage these, then apply ``predicted_lang_col``."""
+    has_cjk) — stage these, then apply ``predicted_lang_col``.
+
+    ``prefix`` namespaces the staged columns: task-layer callers that
+    SELECT * alongside these must pass a reserved prefix (the filter
+    task uses ``__sayn_``), or a source column that happens to be named
+    c_en/has_cjk becomes an ambiguous reference — and the staging
+    cleanup would drop the user's own column.  q_text_langid keeps the
+    bare names (they are part of its oracle-pinned output)."""
     counts = [
         F.expr(
             f"size(filter({_TOKENS}, x -> x in ('" + "','".join(words) + "')))"
-        ).alias(f"c_{lang}")
+        ).alias(f"{prefix}c_{lang}")
         for lang, words in _MARKERS.items()
     ]
-    return [F.col("text").rlike("[\\u4e00-\\u9fff]").alias("has_cjk"), *counts]
+    return [
+        F.col("text").rlike("[\\u4e00-\\u9fff]").alias(f"{prefix}has_cjk"),
+        *counts,
+    ]
 
 
-def predicted_lang_col():
+def predicted_lang_col(prefix: str = ""):
     """The q_text_langid decision over staged langid_columns(): CJK
-    wins outright; otherwise deterministic tie-break en > es > fr > de."""
+    wins outright; otherwise deterministic tie-break en > es > fr > de.
+    Pass the same ``prefix`` the staging used."""
+    p = prefix
     return (
-        F.when(F.col("has_cjk"), "zh")
-        .when(F.col("c_en") >= F.greatest("c_es", "c_fr", "c_de"), "en")
-        .when(F.col("c_es") >= F.greatest("c_fr", "c_de"), "es")
-        .when(F.col("c_fr") >= F.col("c_de"), "fr")
+        F.when(F.col(f"{p}has_cjk"), "zh")
+        .when(
+            F.col(f"{p}c_en") >= F.greatest(f"{p}c_es", f"{p}c_fr", f"{p}c_de"),
+            "en",
+        )
+        .when(F.col(f"{p}c_es") >= F.greatest(f"{p}c_fr", f"{p}c_de"), "es")
+        .when(F.col(f"{p}c_fr") >= F.col(f"{p}c_de"), "fr")
         .otherwise("de")
     )
 

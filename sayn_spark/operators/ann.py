@@ -145,6 +145,15 @@ class AnnIndexTask(Task):
             self.outputs.add(
                 self.context.obj_compiler.from_string(f"{self.index}{suffix}")
             )
+        # the PHYSICAL base name all side tables derive from: routed
+        # through the dev/prod stringify like every other destination —
+        # writing the raw name would make a dev run (table_prefix: dev)
+        # rebuild the PRODUCTION index tables from dev data while the
+        # DAG believed the stringified outputs were written
+        # (second-pass review r12).  ann_search derives identically.
+        self.index = self.context.obj_compiler.out_value(
+            self.context.obj_compiler.from_string(self.index)
+        )
         self.status = TaskStatus.READY
 
     def _emb(self) -> DataFrame:
@@ -166,6 +175,20 @@ class AnnIndexTask(Task):
                     f"{self.label_column!r} is {ltype}, but cell keys must "
                     "be integer — pre-hash string labels (e.g. "
                     "xxhash64(label)) in an upstream task"
+                )
+        else:
+            # the hash-seed path pmods the ID into a cell key and has
+            # the same silent-NULL hazard as a non-integer label: a
+            # string id coerces to double NULL, every vector lands in
+            # cell NULL, and every probe returns empty
+            itype = dict(df.dtypes)[self.id_column]
+            if itype not in ("tinyint", "smallint", "int", "bigint"):
+                raise ValueError(
+                    f"ann_index task {self.name!r}: id_column "
+                    f"{self.id_column!r} is {itype}, but the hash-seeded "
+                    "cell key pmods the id — pre-hash string ids (e.g. "
+                    "xxhash64(id)) in an upstream task, or seed via an "
+                    "integer label_column"
                 )
         seed = (
             F.col(self.label_column)

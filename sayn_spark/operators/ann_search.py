@@ -88,7 +88,19 @@ class AnnSearchTask(Task):
         self.destination = self.context.obj_compiler.from_string(dest)
         self.outputs.add(self.destination)
         self.dst_value = self.context.obj_compiler.out_value(self.destination)
+        # PHYSICAL base name, derived exactly like the ann_index writer
+        # (src_value so from_prod/--upstream-prod can redirect reads):
+        # raw-name reads would hit the prod index from a dev run
+        self.index_obj = self.context.obj_compiler.from_string(self.index)
+        self.index = self.context.obj_compiler.src_value(self.index_obj)
         self.status = TaskStatus.READY
+
+    def setup(self) -> None:
+        # secondary source values re-resolve once sources_from_prod is
+        # known (see base.Task.setup)
+        super().setup()
+        self.q_value = self.context.obj_compiler.src_value(self.q_obj)
+        self.index = self.context.obj_compiler.src_value(self.index_obj)
 
     def run(self) -> None:
         from sayn_spark.functions.similarity import ann_catalog_search

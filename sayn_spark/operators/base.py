@@ -121,10 +121,10 @@ class Task:
             task_parameters=self.task_parameters,
         )
 
-    def destination_writer_opts(self) -> dict:
-        """Catalog-layout passthrough shared by the pipeline task types
-        (dedup/embed/filter/decontaminate), using the same
-        ``table_properties`` keys the sql task honours:
+    def destination_writer_opts(self, table_properties: Optional[dict] = None) -> dict:
+        """Catalog-layout passthrough shared by ALL task types — the
+        sql task passes its override-merged ``table_properties`` dict,
+        the pipeline tasks default to the raw config key:
 
             table_properties:
               partition: [lang]        # or a single string
@@ -133,7 +133,11 @@ class Task:
               sort_by: [doc_id]
               zorder_by: [user_id, hour]  # Morton layout (2 int cols)
         """
-        tp = self.config_dict.get("table_properties") or {}
+        tp = (
+            table_properties
+            if table_properties is not None
+            else self.config_dict.get("table_properties") or {}
+        )
         opts: dict[str, Any] = {}
         if tp.get("partition"):
             p = tp["partition"]
@@ -162,7 +166,18 @@ class Task:
         self.status = TaskStatus.READY
 
     def setup(self) -> None:
-        pass
+        """Re-resolve src()-derived physical names: config() runs
+        BEFORE the app computes ``sources_from_prod`` (core/app.py
+        does that per-execution from the selected tasks), so a
+        config-time ``src_value`` freezes the dev name and
+        --upstream-prod would be a silent no-op for every non-SQL task
+        (second-pass review r12; the sql task gets the same effect via
+        its setup-time Jinja recompile).  Subclasses with SECONDARY
+        source values re-resolve them in their own setup() and call
+        super()."""
+        src_obj = getattr(self, "src_obj", None)
+        if src_obj is not None and getattr(self, "src_value", None) is not None:
+            self.src_value = self.context.obj_compiler.src_value(src_obj)
 
     def run(self) -> None:
         pass

@@ -128,6 +128,14 @@ class CopyTask(Task):
         batch = incremental_filter(src_df, self.incremental_key, last_max)
 
         if mode == "append":
+            # REFERENCE PARITY, deliberately kept: the reference's read
+            # query keeps `key IS NULL OR key >= max` for append mode
+            # too (tasks/copy.py:668-675), so NULL-incremental-key rows
+            # re-append every run and an all-NULL destination re-appends
+            # the whole source (its MAX query is NOT NULL-filtered the
+            # same way).  Users who need exactly-once NULL handling use
+            # mode=inc (delete-key merge), where the NULL arm is
+            # idempotent by the merge.
             batch = batch.withColumn(LOAD_TS_COL, F.current_timestamp())
             if db.table_exists(self.dst_value):
                 db.create_table(
@@ -146,10 +154,42 @@ class CopyTask(Task):
             return
         iterations = 0
         n = 0
+        if self.max_merge_rows:
+            # drain the NULL-incremental-key rows FIRST, as their own
+            # chunk sequence anchored on the delete key: the watermark
+            # can never page through NULLs (they don't order against
+            # it), so the old single asc_nulls_first first chunk took
+            # at most max_merge_rows of them and the include_null=False
+            # re-derive then stranded the rest for the run (second-pass
+            # review r12).  The anti-join anchor is deterministic and
+            # converges: every chunk consists of delete_keys not yet in
+            # dst, so each iteration makes progress.
+            keys = (
+                [self.delete_key]
+                if isinstance(self.delete_key, str)
+                else list(self.delete_key)
+            )
+            src_nulls = batch.where(F.col(self.incremental_key).isNull())
+            while iterations < MAX_MERGE_ITERATIONS:
+                remaining = src_nulls.join(
+                    self.context.spark.table(self.dst_value).select(*keys),
+                    keys,
+                    "left_anti",
+                ).limit(self.max_merge_rows)
+                tmp = _tmp_name(self.dst_value)
+                db.drop_object(tmp)
+                db.create_table(tmp, remaining)
+                n = self.context.spark.table(tmp).count()
+                if n == 0:
+                    db.drop_object(tmp)
+                    break
+                db.merge_tables(tmp, self.dst_value, self.delete_key)
+                iterations += 1
+            batch = batch.where(F.col(self.incremental_key).isNotNull())
         while iterations < MAX_MERGE_ITERATIONS:
             chunk = batch
             if self.max_merge_rows:
-                chunk = batch.orderBy(F.col(self.incremental_key).asc_nulls_first()).limit(
+                chunk = batch.orderBy(F.col(self.incremental_key).asc()).limit(
                     self.max_merge_rows
                 )
             tmp = _tmp_name(self.dst_value)

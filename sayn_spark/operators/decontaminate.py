@@ -148,6 +148,12 @@ class DecontaminateTask(Task):
         self.dst_value = self.context.obj_compiler.out_value(self.destination)
         self.status = TaskStatus.READY
 
+    def setup(self) -> None:
+        # eval_table is a secondary source: re-resolve once
+        # sources_from_prod is known (see base.Task.setup)
+        super().setup()
+        self.eval_value = self.context.obj_compiler.src_value(self.eval_obj)
+
     def run(self) -> None:
         spark = self.context.spark
         df = spark.table(self.src_value)

@@ -181,6 +181,21 @@ class DedupTask(Task):
                 f"dedup task {self.name!r}: keep=soft is corpus-relative "
                 "(cluster sizes) — full mode only"
             )
+        if self.mode == "incremental":
+            # incremental keeps FIRST-ARRIVAL docs (index order) and
+            # gates matches by the method's own metric — an explicit
+            # keep/score_column/verify would be silently ignored, so
+            # reject at config time rather than let the user believe
+            # (say) exact-Jaccard verification or keep-best ran
+            for opt in ("keep", "score_column", "verify"):
+                if c.get(opt) is not None:
+                    raise ValueError(
+                        f"dedup task {self.name!r}: {opt} applies to "
+                        "mode: full only — incremental ingest keeps "
+                        "first-arrival documents and its matches are "
+                        "gated by the method's own metric "
+                        "(threshold / max_hamming / max_edit)"
+                    )
         # minhash full mode: what decides a duplicate pair — the
         # signature ESTIMATE (scale default: only signatures move) or
         # the EXACT shingle Jaccard on LSH candidates (shingle arrays
@@ -439,6 +454,19 @@ class DedupTask(Task):
         dest = self.compile_property(c.get("destination"))
         self.index_table = self.compile_property(c.get("index_table"))
         self.matches_table = self.compile_property(c.get("matches_table"))
+        # incremental STATE tables go through the dev/prod stringify and
+        # register as task outputs like any destination — raw names
+        # would make dev and prod runs share one physical signature
+        # index (a dev test run permanently suppressing prod doc_ids),
+        # and a downstream task sourcing matches_table would get no DAG
+        # edge (second-pass review r12).  The minhash band table derives
+        # from the stringified index name, so it inherits the prefix.
+        for attr in ("index_table", "matches_table"):
+            raw = getattr(self, attr)
+            if raw:
+                obj = self.context.obj_compiler.from_string(raw)
+                self.outputs.add(obj)
+                setattr(self, attr, self.context.obj_compiler.out_value(obj))
         if self.mode == "full":
             if not dest:
                 raise ValueError(f"dedup task {self.name!r} needs destination")

@@ -142,6 +142,24 @@ class EmbedTask(Task):
                 ).alias("embedding"),
             )
         )
+        # zero-token docs (empty / whitespace-only text) explode to no
+        # token rows and would VANISH from the output — downstream
+        # ann_index/semantic dedup would silently operate on fewer docs
+        # than the source, and incremental mode would re-encode (and
+        # re-drop) them every run since they never reach the
+        # destination anti-join.  Re-anchor on the doc frame: they get
+        # the zero vector (SRP-projects to zero, normalise keeps it).
+        emb = (
+            docs.select("doc_id")
+            .join(emb, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(
+                    F.col("embedding"),
+                    F.expr(f"array_repeat(0D, {self.dim})"),
+                ).alias("embedding"),
+            )
+        )
         if self.srp_dim is not None:
             # project BEFORE normalising (norms are only meaningful in
             # the space the consumer searches); row-local, no shuffle

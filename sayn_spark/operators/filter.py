@@ -338,6 +338,17 @@ class FilterTask(Task):
         self.dst_value = self.context.obj_compiler.out_value(self.destination)
         self.status = TaskStatus.READY
 
+    def setup(self) -> None:
+        # dsir target / surprisal reference are secondary sources:
+        # re-resolve once sources_from_prod is known (base.Task.setup)
+        super().setup()
+        if getattr(self, "target_obj", None) is not None:
+            self.target_value = self.context.obj_compiler.src_value(self.target_obj)
+        if getattr(self, "reference_obj", None) is not None:
+            self.reference_value = self.context.obj_compiler.src_value(
+                self.reference_obj
+            )
+
     def run(self) -> None:
         from sayn_spark.functions.text import (
             langid_columns,
@@ -387,11 +398,17 @@ class FilterTask(Task):
             if self.with_score:
                 out = out.withColumnRenamed("_score", "quality_score")
         elif self.scorer == "langid":
-            scored = work.select("*", *langid_columns()).withColumn(
-                "_lang", predicted_lang_col()
+            # reserved-prefix staging: a source column named c_en or
+            # has_cjk must neither become ambiguous nor get dropped by
+            # the cleanup below
+            scored = work.select("*", *langid_columns("__sayn_")).withColumn(
+                "_lang", predicted_lang_col("__sayn_")
             )
             kept = scored.where(F.col("_lang").isin(self.languages))
-            out = kept.drop("has_cjk", "c_en", "c_es", "c_fr", "c_de")
+            out = kept.drop(
+                "__sayn_has_cjk", "__sayn_c_en", "__sayn_c_es",
+                "__sayn_c_fr", "__sayn_c_de",
+            )
             if self.with_score:
                 out = out.withColumnRenamed("_lang", "predicted_lang")
             else:

@@ -134,16 +134,9 @@ class SqlTask(Task):
         return f"SELECT {', '.join(parts)} FROM (\n{self.compiled}\n)"
 
     def _writer_opts(self) -> dict:
-        opts: dict[str, Any] = {}
-        tp = self.table_properties
-        if tp.get("partition"):
-            p = tp["partition"]
-            opts["partition_by"] = [p] if isinstance(p, str) else list(p)
-        if tp.get("bucket_by"):
-            opts["bucket_by"] = (int(tp.get("buckets", 8)), list(tp["bucket_by"]))
-            if tp.get("sort_by"):
-                opts["sort_by"] = list(tp["sort_by"])
-        return opts
+        # the shared base parser, fed the OVERRIDE-MERGED properties —
+        # a local re-implementation used to silently drop zorder_by
+        return self.destination_writer_opts(self.table_properties)
 
     def run(self) -> None:
         db = self.context.db

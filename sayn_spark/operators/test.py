@@ -22,8 +22,15 @@ class TestTask(Task):
         sql_path = self.context.project_dir / "sql" / self.file_name
         if not sql_path.exists():
             sql_path = self.context.project_dir / self.file_name
-        self.compiled = self.task_compiler.compile(Path(sql_path).read_text())
+        self._raw_sql = Path(sql_path).read_text()
+        self.compiled = self.task_compiler.compile(self._raw_sql)
         self.status = TaskStatus.READY
+
+    def setup(self) -> None:
+        # recompile like the sql task: src() must resolve against the
+        # sources_from_prod the app computed AFTER config ran, or
+        # --upstream-prod tests would read the dev names
+        self.compiled = self.task_compiler.compile(self._raw_sql)
 
     def run(self) -> None:
         self.test()

@@ -233,10 +233,15 @@ def content_filter_stream(
         quality_score_col() >= float(min_score)
     )
     if languages:
+        # reserved-prefix staging, same as the batch filter task: a
+        # source column named c_en/has_cjk must survive
         out = (
-            out.select("*", *langid_columns())
-            .where(predicted_lang_col().isin(list(languages)))
-            .drop("has_cjk", "c_en", "c_es", "c_fr", "c_de")
+            out.select("*", *langid_columns("__sayn_"))
+            .where(predicted_lang_col("__sayn_").isin(list(languages)))
+            .drop(
+                "__sayn_has_cjk", "__sayn_c_en", "__sayn_c_es",
+                "__sayn_c_fr", "__sayn_c_de",
+            )
         )
     if min_entropy is not None:
         # character-Shannon floor (q_text_char_entropy's row-local

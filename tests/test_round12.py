@@ -490,6 +490,105 @@ def test_dedup_stream_ttl_evicts_and_readmits(spark, tmp_path):
     assert ids == [1, 1, 2, 3], got  # 2's dup dropped; 1 admitted twice
 
 
+def test_state_tables_respect_dev_stringify(spark, tmp_path):
+    """Incremental dedup's index/matches tables and the ann_index side
+    tables go through the dev/prod stringify like every destination —
+    raw names would make a dev run (table_prefix: dev) write into the
+    PRODUCTION state tables (second-pass review r12)."""
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.ann import AnnIndexTask
+    from sayn_spark.operators.dedup import DedupTask
+
+    dev_ctx = TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(
+            default_db="spark", stringify={"table_prefix": "dev"}
+        ),
+        run_arguments=RunArguments(),
+        parameters={"sf_dir": SF},
+        connections={},
+        project_dir=tmp_path,
+    )
+    _drop(spark, "dev_sp_src", "dev_sp_idx", "dev_sp_mt", "dev_sp_out",
+          "sp_idx", "sp_mt")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the barn "
+             "while birds sing in the trees all day long")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").saveAsTable("dev_sp_src")
+    t = DedupTask(
+        "sp", {
+            "source": "sp_src", "mode": "incremental", "method": "simhash",
+            "index_table": "sp_idx", "matches_table": "sp_mt",
+            "destination": "sp_out",
+        }, dev_ctx,
+    )
+    t.config()
+    t.run()
+    # physical state landed under the DEV names, raw names untouched
+    assert spark.catalog.tableExists("dev_sp_idx")
+    assert not spark.catalog.tableExists("sp_idx")
+    # and the state tables are registered outputs (DAG edges exist)
+    out_raws = {o.raw for o in t.outputs}
+    assert {"sp_idx", "sp_mt", "sp_out"} <= out_raws
+
+    _drop(spark, "dev_sp_ann_centroids", "dev_sp_ann_vectors",
+          "sp_ann_centroids", "sp_ann_vectors", "dev_sp_vecs")
+    spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    ).write.mode("overwrite").saveAsTable("dev_sp_vecs")
+    a = AnnIndexTask(
+        "spa", {"source": "sp_vecs", "index": "sp_ann", "n_cells": 2}, dev_ctx
+    )
+    a.config()
+    a.run()
+    assert spark.catalog.tableExists("dev_sp_ann_vectors")
+    assert not spark.catalog.tableExists("sp_ann_vectors")
+    _drop(spark, "dev_sp_src", "dev_sp_idx", "dev_sp_mt", "dev_sp_out",
+          "dev_sp_ann_centroids", "dev_sp_ann_vectors", "dev_sp_vecs")
+
+
+def test_upstream_prod_applies_to_pipeline_tasks(spark, tmp_path):
+    """--upstream-prod must redirect non-SQL tasks too: config() runs
+    before the app computes sources_from_prod, so the config-time
+    src_value freeze made the flag a silent no-op for every pipeline
+    task type (second-pass review r12) — setup() now re-resolves."""
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.dedup import DedupTask
+
+    oc = DbObjectCompiler(default_db="spark", stringify={"table_prefix": "dev"})
+    ctx = TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(parameters={}),
+        obj_compiler=oc,
+        run_arguments=RunArguments(upstream_prod=True),
+        parameters={"sf_dir": SF},
+        connections={},
+        project_dir=tmp_path,
+    )
+    t = DedupTask(
+        "up", {"source": "docs", "destination": "out", "method": "exact"}, ctx
+    )
+    t.config()
+    assert t.src_value == "dev_docs"  # config-time: dev name
+    # the app marks the upstream as prod-sourced AFTER config
+    oc.sources_from_prod = {t.src_obj}
+    t.setup()
+    assert t.src_value == "docs"  # prod name after re-resolve
+    # outputs stay dev-named regardless
+    assert t.dst_value == "dev_out"
+
+
 # --- 5. core/plans second-pass review fixes ------------------------------
 
 
