@@ -46,11 +46,18 @@ def _common(f):
 
 
 def _build_app(command, project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, with_tests=False, jobs=8):
+    try:
+        # a malformed date must be a clean CLI error like every other
+        # config problem, not a raw traceback (review r12)
+        parsed_start = dt.date.fromisoformat(start_dt) if start_dt else None
+        parsed_end = dt.date.fromisoformat(end_dt) if end_dt else None
+    except ValueError as e:
+        raise click.ClickException(f"invalid --start-dt/--end-dt: {e}") from e
     args = RunArguments(
         command=command,
         full_load=full_load,
-        start_dt=dt.date.fromisoformat(start_dt) if start_dt else None,
-        end_dt=dt.date.fromisoformat(end_dt) if end_dt else None,
+        start_dt=parsed_start,
+        end_dt=parsed_end,
         with_tests=with_tests,
         fail_fast=fail_fast,
         upstream_prod=upstream_prod,
@@ -130,11 +137,16 @@ def dag(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_
 
     app = _build_app("compile", project_dir, tasks, exclude, profile, full_load,
                      start_dt, end_dt, fail_fast, upstream_prod)
+    # honour -t/-x like every other command: rendering the full DAG for
+    # a selection query was silently misleading (review r12)
+    selected = set(app.select_tasks())
+    dag = {n: [p for p in ps if p in selected]
+           for n, ps in app.dag.items() if n in selected}
     lines = ["digraph sayn_spark {", '  graph [splines=ortho, nodesep="0.8"];',
              "  node [style=rounded, shape=box];"]
-    for name in app.dag:
+    for name in dag:
         lines.append(f'  "{name}";')
-    for name, parents in app.dag.items():
+    for name, parents in dag.items():
         for p in parents:
             lines.append(f'  "{p}" -> "{name}";')
     lines.append("}")
@@ -147,7 +159,7 @@ def dag(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_
     from sayn_spark.plans.dag_svg import dag_to_svg
 
     svg_path = out_dir / "dag.svg"
-    svg_path.write_text(dag_to_svg(app.dag))
+    svg_path.write_text(dag_to_svg(dag))
     click.echo(f"wrote {svg_path}")
     try:
         import graphviz  # type: ignore
@@ -158,7 +170,7 @@ def dag(project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_
         click.echo(f"wrote {out_dir / 'dag.png'}")
     except ImportError:
         pass  # PNG is optional; the SVG above always renders
-    for i, level in enumerate(ready_sets(app.dag)):
+    for i, level in enumerate(ready_sets(dag)):
         click.echo(f"level {i}: {' '.join(sorted(level))}")
 
 

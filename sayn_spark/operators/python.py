@@ -119,7 +119,9 @@ class DecoratedPythonTask(PythonTask):
 
     def run(self) -> None:
         kwargs: dict[str, Any] = {}
-        for pname in inspect.signature(self.func).parameters:
+        for pname, param in inspect.signature(self.func).parameters.items():
+            if param.kind in (param.VAR_POSITIONAL, param.VAR_KEYWORD):
+                continue  # *args/**kwargs need no injection
             if pname == "context":
                 kwargs[pname] = self
             elif pname == "tracker":
@@ -134,13 +136,25 @@ class DecoratedPythonTask(PythonTask):
                 kwargs[pname] = self.context.db
             elif pname in self.parameters:
                 kwargs[pname] = self.parameters[pname]
+            elif param.default is not param.empty:
+                continue  # the function's own default applies
             else:
                 raise ValueError(
                     f"python task {self.name!r}: cannot inject parameter {pname!r}"
                 )
         result = self.func(**kwargs)
         if result is not None and hasattr(result, "write") and self.outputs:
-            # returning a DataFrame with one declared output materialises it
+            # returning a DataFrame materialises it to THE declared
+            # output — with several outputs the set's iteration order
+            # would pick one arbitrarily (hash-seed dependent), so
+            # demand explicitness instead
+            if len(self.outputs) != 1:
+                raise ValueError(
+                    f"python task {self.name!r}: returning a DataFrame "
+                    f"requires exactly ONE declared output (got "
+                    f"{len(self.outputs)}) — write each table explicitly "
+                    "via context.default_db inside the task"
+                )
             dst = self.context.obj_compiler.out_value(next(iter(self.outputs)))
             self.context.db.replace_table(dst, result)
 
@@ -181,16 +195,27 @@ class ClassPythonTask(Task):
         self.on_fail = self.impl.on_fail
         self.status = TaskStatus.READY
 
+    def _sync_tracker(self) -> None:
+        # the App attaches the run-time tracker to the OUTER task right
+        # before execution; without forwarding it, every self.info/
+        # set_run_steps call inside a class-form PythonTask routed to
+        # the null tracker and vanished (second-pass review r12)
+        self.impl.tracker = self.tracker
+
     def setup(self) -> None:
+        self._sync_tracker()
         self.impl.setup()
 
     def run(self) -> None:
+        self._sync_tracker()
         self.impl.run()
 
     def compile(self) -> None:
+        self._sync_tracker()
         self.impl.compile()
 
     def test(self) -> None:
+        self._sync_tracker()
         self.impl.test()
 
 

@@ -66,15 +66,23 @@ def write_sink(df: DataFrame, conf: dict, mode: str = "overwrite") -> None:
     """
     kind = conf.get("type", "parquet")
     if kind == "table":
-        df.write.mode(mode).saveAsTable(conf["name"])
+        writer = df.write.mode(mode)
+        # partition_by applies to catalog sinks too — dropping it
+        # silently wrote an unpartitioned table (review r12)
+        if conf.get("partition_by"):
+            writer = writer.partitionBy(*conf["partition_by"])
+        writer.saveAsTable(conf["name"])
         return
     if kind == "jdbc":
         writer = df.write.format("jdbc").option("url", conf["url"]).option(
             "dbtable", conf["table"]
         )
-        for key in ("user", "password"):
-            if key in conf:
-                writer = writer.option(key, str(conf[key]))
+        # pass EVERY remaining option through (driver, batchsize,
+        # isolationLevel, ...) — a whitelist silently dropped options
+        # the connection genuinely needs (review r12)
+        for key, v in conf.items():
+            if key not in ("type", "url", "table"):
+                writer = writer.option(key, str(v))
         writer.mode(mode).save()
         return
     writer = df.write.format(kind).mode(mode)
@@ -109,21 +117,31 @@ def read_source(spark: SparkSession, conf: dict) -> DataFrame:
             reader = reader.option("query", conf["query"])
         else:
             reader = reader.option("dbtable", conf["table"])
-        for opt, key in (
-            ("partitionColumn", "partition_column"),
-            ("numPartitions", "num_partitions"),
-            ("lowerBound", "lower_bound"),
-            ("upperBound", "upper_bound"),
-            ("user", "user"),
-            ("password", "password"),
-        ):
-            if key in conf:
-                reader = reader.option(opt, str(conf[key]))
+        renames = {
+            "partition_column": "partitionColumn",
+            "num_partitions": "numPartitions",
+            "lower_bound": "lowerBound",
+            "upper_bound": "upperBound",
+        }
+        # snake_case spark-option aliases map; every OTHER option passes
+        # through verbatim (driver, fetchsize, sessionInitStatement, ...)
+        # — the old whitelist silently dropped them and a read without
+        # its JDBC driver class fails with "No suitable driver"
+        for key, v in conf.items():
+            if key in ("type", "url", "query", "table"):
+                continue
+            reader = reader.option(renames.get(key, key), str(v))
         return reader.load()
     reader = spark.read.format(kind)
     for k, v in conf.items():
         if k not in ("type", "path"):
             reader = reader.option(k, v)
-    if kind == "csv" and "header" not in conf:
-        reader = reader.option("header", "true").option("inferSchema", "true")
+    if kind == "csv":
+        # each default applies independently of the other: an explicit
+        # header must not disable schema inference, and an explicit
+        # inferSchema must never be overridden (review r12)
+        if "header" not in conf:
+            reader = reader.option("header", "true")
+        if "inferSchema" not in conf:
+            reader = reader.option("inferSchema", "true")
     return reader.load(conf["path"])

@@ -743,6 +743,102 @@ def test_salted_join_tolerates_map_columns(spark):
     assert {(r.k, r["count"]) for r in got} == {(1, 2), (2, 1)}
 
 
+def test_csv_read_defaults_apply_independently(spark, tmp_path):
+    """An explicit header option must not disable schema inference and
+    an explicit inferSchema must never be overridden (review r12)."""
+    from sayn_spark.sources.registry import read_source
+
+    p = tmp_path / "c.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    got = read_source(spark, {"type": "csv", "path": str(p), "header": "true"})
+    assert dict(got.dtypes)["a"] == "int"  # inference still on
+    got = read_source(
+        spark, {"type": "csv", "path": str(p), "inferSchema": "false"}
+    )
+    assert dict(got.dtypes)["a"] == "string"  # explicit choice honoured
+
+
+def test_python_task_defaults_and_multi_output_guard(spark, tmp_path):
+    """Function params with defaults (and **kwargs) need no injection;
+    returning a DataFrame with several declared outputs is an explicit
+    error instead of a hash-order-dependent write (review r12)."""
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.python import DecoratedPythonTask, task
+
+    ctx = TaskContext(
+        spark=spark, db=SparkDatabase(spark), compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(), parameters={}, connections={},
+        project_dir=tmp_path,
+    )
+
+    seen = {}
+
+    @task(name="py_defaults")
+    def py_defaults(context, spark, limit=7, **extra):
+        seen["limit"] = limit
+
+    t = DecoratedPythonTask("py_defaults", {}, ctx)
+    t.config()
+    t.run()
+    assert seen["limit"] == 7  # default applied, no injection error
+
+    @task(name="py_two_out", outputs=["out_a", "out_b"])
+    def py_two_out(context, spark):
+        return spark.range(3)
+
+    t2 = DecoratedPythonTask("py_two_out", {}, ctx)
+    t2.config()
+    with pytest.raises(ValueError, match="exactly ONE declared output"):
+        t2.run()
+
+
+def test_class_python_task_forwards_tracker(spark, tmp_path):
+    """The run-time tracker the App attaches to the outer task must
+    reach the inner impl — class-form PythonTasks logged into the null
+    tracker and every self.info/set_run_steps vanished (review r12)."""
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.python import ModulePythonTask, PythonTask
+
+    class Impl(PythonTask):
+        def config(self):
+            from sayn_spark.operators.base import TaskStatus
+
+            self.status = TaskStatus.READY
+
+        def run(self):
+            self.info("hello from impl")
+
+    class Probe:
+        def __init__(self):
+            self.messages = []
+
+        def info(self, message, **details):
+            self.messages.append(message)
+
+        def __getattr__(self, name):  # absorb other tracker calls
+            return lambda *a, **k: None
+
+    ctx = TaskContext(
+        spark=spark, db=SparkDatabase(spark), compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(), parameters={}, connections={},
+        project_dir=tmp_path,
+    )
+    t = ModulePythonTask("cls_probe", {"task_class": Impl}, ctx)
+    t.config()
+    probe = Probe()
+    t.tracker = probe  # what App does right before execution
+    t.run()
+    assert probe.messages == ["hello from impl"]
+
+
 def test_media_router_rules_nonvacuous():
     """The example pipeline's admission rules are live on its own
     generated payloads: every arm (video fps band, WebP still/short-
