@@ -55,9 +55,10 @@ _SEMANTICS_CHANGED = {
     "q_dedup_editdistance_recall": 10,
     # r12: +n_frames/duration_ms columns (ANMF animated-frame walk)
     "q_multimodal_webp_meta": 12,
-    # r12: +video_duration_ms/n_samples/fps_milli columns (mdhd+stts
-    # per-track timing), version-1 fullboxes on a third of payloads
-    "q_multimodal_mp4_meta": 12,
+    # r13: +played_ms column (edts/elst edit-list walk), half the
+    # corpus edit-listed (r12 had added video_duration_ms/n_samples/
+    # fps_milli)
+    "q_multimodal_mp4_meta": 13,
 }
 
 

@@ -635,6 +635,7 @@ def mp4_build(
     video_n_samples: int = 0,
     video_duration_ms: "int | None" = None,
     version1: bool = False,
+    video_edit_list=None,
 ) -> bytes:
     """A minimal, spec-valid ISO-BMFF file (ISO 14496-12): ftyp + moov
     (mvhd at timescale 1000; one video trak — tkhd carries 16.16
@@ -647,8 +648,15 @@ def mp4_build(
     read; ``video_duration_ms`` sets the video track's mdhd duration
     independently of the container (the edit-trimmed-track witness:
     mvhd says presentation length, mdhd says media length).
-    ``version1`` emits mvhd/tkhd/mdhd as version-1 fullboxes (64-bit
-    times) so the parser's v1 offsets are witnessed, not just read."""
+    ``video_edit_list`` — a list of (segment_duration_ms, media_time)
+    entries — emits an edts/elst fullbox in the video trak (movie
+    timescale is 1000 here, so segment durations are milliseconds;
+    media_time -1 writes the spec's empty-edit sentinel), the witness
+    for the parser's PLAYED-time sum; entries share the file's fullbox
+    version so both elst layouts (v0 u32/i32, v1 u64/i64) are
+    witnessed.  ``version1`` emits mvhd/tkhd/mdhd/elst as version-1
+    fullboxes (64-bit times) so the parser's v1 offsets are witnessed,
+    not just read."""
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
         raise ValueError("mp4_build: dims must be in 1..65535")
     if not 0 <= duration_ms <= 0xFFFFFFFF:
@@ -679,7 +687,7 @@ def mp4_build(
 
     def trak(
         track_id: int, handler: bytes, codec: bytes, w: int, h: int,
-        tdur: int, nsamples: int,
+        tdur: int, nsamples: int, edts: bytes = b"",
     ) -> bytes:
         if version1:
             tkhd_times = struct.pack(">QQIIQ", 0, 0, track_id, 0, duration_ms)
@@ -747,9 +755,27 @@ def mp4_build(
         )
         minf = _mp4_box(b"minf", header + dinf + stbl)
         mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
-        return _mp4_box(b"trak", tkhd + mdia)
+        return _mp4_box(b"trak", tkhd + edts + mdia)
 
-    traks = trak(1, b"vide", video_codec, width, height, vdur, video_n_samples)
+    edts = b""
+    if video_edit_list:
+        entries = b""
+        for seg_dur, media_time in video_edit_list:
+            if not 0 <= seg_dur <= 0xFFFFFFFF:
+                raise ValueError("mp4_build: elst segment duration must be a u32")
+            if version1:
+                entries += struct.pack(">QqHH", seg_dur, media_time, 1, 0)
+            else:
+                entries += struct.pack(">IiHH", seg_dur, media_time, 1, 0)
+        elst = full(
+            b"elst", 1 if version1 else 0, 0,
+            struct.pack(">I", len(video_edit_list)) + entries,
+        )
+        edts = _mp4_box(b"edts", elst)
+
+    traks = trak(
+        1, b"vide", video_codec, width, height, vdur, video_n_samples, edts
+    )
     if with_audio:
         traks += trak(2, b"soun", b"mp4a", 0, 0, duration_ms, 0)
     moov = _mp4_box(b"moov", mvhd + traks)
@@ -760,17 +786,21 @@ def mp4_build(
 def mp4_parse(payload: bytes):
     """Headers-only ISO-BMFF metadata: (duration_ms, n_tracks, tracks)
     where tracks = [(handler, codec_4cc, width, height,
-    track_duration_ms, n_samples), ...] in trak order — handler is
-    'vide'/'soun'/..., dims come from tkhd's 16.16 fixed-point
-    presentation size (0 for non-visual tracks), track_duration_ms
-    from mdhd's OWN timescale+duration — the track's MEDIA length
-    (the clock its samples live on, and therefore the right fps
-    denominator), which differs from the container's mvhd presentation
-    length on trimmed files; the exact PLAYED time of an edit-listed
-    track is the elst segment sum, a documented boundary this walk
-    does not cross — and n_samples from summing stts run counts (0
-    when the sample table is empty) — n_samples * 1000 /
-    track_duration_ms is the fps signal a video router needs.  Walks the box tree with
+    track_duration_ms, n_samples, played_ms), ...] in trak order —
+    handler is 'vide'/'soun'/..., dims come from tkhd's 16.16
+    fixed-point presentation size (0 for non-visual tracks),
+    track_duration_ms from mdhd's OWN timescale+duration — the
+    track's MEDIA length (the clock its samples live on, and
+    therefore the right fps denominator), which differs from the
+    container's mvhd presentation length on trimmed files — n_samples
+    from summing stts run counts (0 when the sample table is empty) —
+    n_samples * 1000 / track_duration_ms is the fps signal a video
+    router needs — and played_ms the track's PLAYED time: the
+    edts/elst segment-duration sum (v0 and v1 entry layouts), which
+    lives in the MOVIE timescale (converted after the moov walk since
+    mvhd may legally follow the traks) and is what a trimmed or
+    delayed track actually presents; 0 when the trak has no edit list
+    (played == media length).  Walks the box tree with
     32-bit, 64-bit (size==1 largesize) and to-end-of-file (size==0)
     box lengths, mvhd/tkhd/mdhd version 0 AND 1, and recurses only
     into the containers that matter (moov/trak/mdia/minf/stbl) — mdat
@@ -812,6 +842,7 @@ def _mp4_parse_impl(payload: bytes):
             pos += size
 
     duration_ms = None
+    mvhd_ts = None
     tracks = []
     for tag, lo, hi in boxes(0, len(data)):
         if tag != b"moov":
@@ -826,13 +857,45 @@ def _mp4_parse_impl(payload: bytes):
                 if ts == 0:
                     raise ValueError("mvhd timescale is zero")
                 duration_ms = dur * 1000 // ts
+                mvhd_ts = ts
             elif t2 == b"trak":
                 handler = codec = None
                 w = h = 0
                 tdur_ms = 0
                 n_samples = 0
+                elst_sum = None
                 for t3, lo3, hi3 in boxes(lo2, hi2):
-                    if t3 == b"tkhd":
+                    if t3 == b"edts":
+                        for t4, lo4, hi4 in boxes(lo3, hi3):
+                            if t4 != b"elst":
+                                continue
+                            # PLAYED time: sum of elst segment
+                            # durations, in the MOVIE timescale (the
+                            # mvhd clock, not the track's mdhd one) —
+                            # converted to ms after the moov walk,
+                            # because mvhd may legally follow the trak
+                            ver = data[lo4]
+                            (n_entries,) = struct.unpack(
+                                ">I", data[lo4 + 4 : lo4 + 8]
+                            )
+                            esz = 20 if ver == 1 else 12
+                            if lo4 + 8 + esz * n_entries > hi4:
+                                raise ValueError(
+                                    "elst entries overflow the box"
+                                )
+                            elst_sum = 0
+                            for i in range(n_entries):
+                                off = lo4 + 8 + esz * i
+                                if ver == 1:
+                                    (seg,) = struct.unpack_from(
+                                        ">Q", data, off
+                                    )
+                                else:
+                                    (seg,) = struct.unpack_from(
+                                        ">I", data, off
+                                    )
+                                elst_sum += seg
+                    elif t3 == b"tkhd":
                         ver = data[lo3]
                         off = lo3 + (88 if ver == 1 else 76)
                         fw, fh = struct.unpack(">II", data[off : off + 8])
@@ -889,9 +952,17 @@ def _mp4_parse_impl(payload: bytes):
                                                 f">{2 * n_runs}I", data, lo6 + 8
                                             )
                                             n_samples = sum(vals[0::2])
-                tracks.append((handler, codec, w, h, tdur_ms, n_samples))
+                tracks.append(
+                    (handler, codec, w, h, tdur_ms, n_samples, elst_sum)
+                )
     if duration_ms is None:
         raise ValueError("MP4 has no moov/mvhd header")
+    # elst sums are in the movie timescale — convertible only now
+    # that mvhd has definitely been seen (it may legally follow traks)
+    tracks = [
+        (h_, c, w, h, td, ns, 0 if es is None else es * 1000 // mvhd_ts)
+        for h_, c, w, h, td, ns, es in tracks
+    ]
     return duration_ms, len(tracks), tracks
 
 
@@ -1287,13 +1358,22 @@ def route_media_frame(
                         dur, _, tracks = mp4_parse(p)
                         vid = next(
                             (t for t in tracks if t[0] == "vide"),
-                            (None, None, 0, 0, 0, 0),
+                            (None, None, 0, 0, 0, 0, 0),
                         )
-                        # prefer the track's own clock over the
-                        # container's; an audio-only .m4a keeps the
+                        # duration preference: the track's PLAYED time
+                        # (elst sum — what a trimmed/delayed track
+                        # actually presents) over its media clock over
+                        # the container; an audio-only .m4a keeps the
                         # mvhd number.  n_frames = the stts sample
-                        # count (video samples ARE frames).
-                        tdur = vid[4] if vid[4] > 0 else dur
+                        # count (video samples ARE frames); fps stays
+                        # on the MEDIA clock (the samples' own
+                        # denominator — an edit list changes what
+                        # plays, not how fast samples tick).
+                        tdur = (
+                            vid[6] if vid[6] > 0
+                            else vid[4] if vid[4] > 0
+                            else dur
+                        )
                         fps_milli = (
                             vid[5] * 1_000_000 // vid[4]
                             if vid[4] > 0 and vid[5] > 0
@@ -3684,7 +3764,10 @@ SELECT doc_id,
        CAST((n * 37 + 40) * 3 // 4 + 1 AS BIGINT) AS video_duration_ms,
        CAST((n % 239) + 12 AS BIGINT) AS n_samples,
        CAST(((n % 239) + 12) * 1000000 // ((n * 37 + 40) * 3 // 4 + 1)
-         AS BIGINT) AS fps_milli
+         AS BIGINT) AS fps_milli,
+       CAST(CASE WHEN n % 2 = 0
+                 THEN (n * 37 + 40) // 3 + (n * 37 + 40) // 5 + 1
+                 ELSE 0 END AS BIGINT) AS played_ms
 FROM d
 """,
 )
@@ -3695,15 +3778,17 @@ def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     second 'soun' track, a third use the hvc1 sample entry, a third
     version-1 fullboxes with 64-bit times; every video track is
     edit-trimmed — its mdhd media duration is 3/4 of the mvhd
-    presentation length — and carries a real one-run stts) and
-    ``mp4_parse`` walks the box tree back out — duration from mvhd
-    (timescale-normalized to ms), track count, the video track's
-    16.16 fixed-point tkhd dimensions, the stsd codec 4CC, the
-    PER-TRACK mdhd media duration (the samples' own clock, which the
-    container number hides on trimmed files), and the stts sample
-    count, from which
+    presentation length — carries a real one-run stts, and half carry
+    a two-segment edts/elst edit list) and ``mp4_parse`` walks the box
+    tree back out — duration from mvhd (timescale-normalized to ms),
+    track count, the video track's 16.16 fixed-point tkhd dimensions,
+    the stsd codec 4CC, the PER-TRACK mdhd media duration (the
+    samples' own clock, which the container number hides on trimmed
+    files), the stts sample count, from which
     fps_milli = n_samples * 1e6 / track_duration_ms — the
-    frame-rate routing signal.  No frame is ever decoded and mdat is
+    frame-rate routing signal — and played_ms, the elst
+    segment-duration sum (the PLAYED presentation length of an
+    edit-listed track; 0 when no edit list).  No frame is ever decoded and mdat is
     never read: this is the metadata-routing stage a 100 TB video
     crawl runs BEFORE paying for ffmpeg, and exactly the boundary the
     module documents (sample decode raises at the codec hook).
@@ -3739,6 +3824,15 @@ def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                         video_n_samples=(n % 239) + 12,
                         video_duration_ms=dur * 3 // 4 + 1,
                         version1=n % 3 == 1,
+                        # half the corpus is edit-listed: a two-segment
+                        # elst (second one offset into the media) whose
+                        # sum is the track's PLAYED time — v0 and v1
+                        # layouts both witnessed via version1 above
+                        video_edit_list=(
+                            [(dur // 3, 0), (dur // 5 + 1, 500)]
+                            if n % 2 == 0
+                            else None
+                        ),
                     )
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
@@ -3746,13 +3840,14 @@ def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec_schema = (
         "doc_id long, width long, height long, duration_ms long, "
         "n_tracks long, video_codec string, video_duration_ms long, "
-        "n_samples long, fps_milli long"
+        "n_samples long, fps_milli long, played_ms long"
     )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "doc_id", "width", "height", "duration_ms", "n_tracks",
             "video_codec", "video_duration_ms", "n_samples", "fps_milli",
+            "played_ms",
         ]
         for pdf in batches:
             rows = {c: [] for c in cols}
@@ -3768,6 +3863,7 @@ def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["video_duration_ms"].append(vid[4])
                 rows["n_samples"].append(vid[5])
                 rows["fps_milli"].append(vid[5] * 1_000_000 // vid[4])
+                rows["played_ms"].append(vid[6])
             yield pd.DataFrame(rows, columns=cols)
 
     return d.mapInPandas(_encode, enc_schema).mapInPandas(_decode, dec_schema)

@@ -676,14 +676,14 @@ def test_mp4_metadata_roundtrip_and_contract():
     from sayn_spark.functions.multimodal import mp4_build, mp4_parse
 
     assert mp4_parse(mp4_build(640, 360, 12345)) == (
-        12345, 1, [("vide", "avc1", 640, 360, 12345, 0)]
+        12345, 1, [("vide", "avc1", 640, 360, 12345, 0, 0)]
     )
     assert mp4_parse(mp4_build(1920, 1080, 98765, with_audio=True)) == (
         98765,
         2,
         [
-            ("vide", "avc1", 1920, 1080, 98765, 0),
-            ("soun", "mp4a", 0, 0, 98765, 0),
+            ("vide", "avc1", 1920, 1080, 98765, 0, 0),
+            ("soun", "mp4a", 0, 0, 98765, 0, 0),
         ],
     )
     assert mp4_parse(mp4_build(8, 8, 0, video_codec=b"hvc1"))[2][0][1] == "hvc1"

@@ -88,8 +88,8 @@ def test_mp4_per_track_timing_and_edit_trim():
         )
     )
     assert (dur, n_tracks) == (10000, 2)
-    assert tracks[0] == ("vide", "avc1", 640, 360, 8000, 240)
-    assert tracks[1] == ("soun", "mp4a", 0, 0, 10000, 0)
+    assert tracks[0] == ("vide", "avc1", 640, 360, 8000, 240, 0)
+    assert tracks[1] == ("soun", "mp4a", 0, 0, 10000, 0, 0)
     # fps from headers alone: 240 samples / 8 s = 30 fps
     assert tracks[0][5] * 1000 // tracks[0][4] == 30
 
@@ -103,7 +103,7 @@ def test_mp4_version1_fullboxes_roundtrip():
                              video_duration_ms=4000))
     v1 = mp4_parse(mp4_build(320, 240, 5000, video_n_samples=120,
                              video_duration_ms=4000, version1=True))
-    assert v0 == v1 == (5000, 1, [("vide", "avc1", 320, 240, 4000, 120)])
+    assert v0 == v1 == (5000, 1, [("vide", "avc1", 320, 240, 4000, 120, 0)])
 
 
 def test_mp4_stts_multi_run_sum_and_overflow():
@@ -142,7 +142,7 @@ def test_mp4_stts_multi_run_sum_and_overflow():
         + struct.pack(">II", 25, 40) + struct.pack(">II", 7, 10)
     dur, n, tracks = mp4_parse(tree(three_runs))
     assert (dur, n) == (6000, 1)
-    assert tracks[0] == ("vide", "avc1", 64, 48, 6000, 42)
+    assert tracks[0] == ("vide", "avc1", 64, 48, 6000, 42, 0)
 
     # declared run count larger than the box holds: loud ValueError
     with pytest.raises(ValueError, match="stts runs overflow"):
