@@ -239,15 +239,27 @@ def make_eval_reversed(context, spark):
 
 @task(name="make_media_payloads", sources=["documents"], outputs=["media_payloads"])
 def make_media_payloads(context, spark):
-    """Synthesize the video/audio side of the corpus: every 7th
-    document becomes an opaque BINARY media payload — rotating through
-    spec-framed MP4 (ISO-BMFF box tree), MP3 (Layer III frame stream,
-    a third with ID3v2 tags), and WebP (lossy/lossless/extended RIFF)
-    — the ingest shape of a multimodal crawl where media arrives as
-    bytes and nothing downstream may assume a format."""
+    """Synthesize the media side of the corpus: every 7th document
+    becomes an opaque BINARY payload rotating through ALL EIGHT formats
+    the router types — spec-framed MP4 (ISO-BMFF box tree), MP3 (Layer
+    III frame stream, some with ID3v2 tags), WebP (lossy/lossless/
+    extended RIFF), baseline JPEG, PNG, GIF (still + animated), BMP,
+    and PCM WAV — the ingest shape of a multimodal crawl, which is
+    mostly stills, where media arrives as bytes and nothing downstream
+    may assume a format."""
     from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
-    from sayn_spark.functions.multimodal import mp3_build, mp4_build, webp_build
+    from sayn_spark.functions.multimodal import (
+        bmp_encode,
+        gif_encode,
+        gif_encode_animated,
+        jpeg_encode,
+        mp3_build,
+        mp4_build,
+        png_encode,
+        wav_encode,
+        webp_build,
+    )
 
     docs = (
         spark.table("documents")
@@ -265,7 +277,7 @@ def make_media_payloads(context, spark):
             out = {"doc_id": [], "payload": []}
             for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
                 n = int(n)
-                kind = n % 3
+                kind = n % 8
                 if kind == 0:
                     # real stts + edit-trimmed mdhd so the router's fps
                     # arm has a signal; sample counts are sized so
@@ -292,7 +304,7 @@ def make_media_payloads(context, spark):
                         1 if n % 2 == 1 else 2,
                         id3_bytes=120 if n % 9 < 3 else 0,
                     )
-                else:
+                elif kind == 2:
                     # animated totals ((n%4)+2 frames x (n*17%3000)+10
                     # ms) STRADDLE the router's 2s short-animation
                     # cutoff even on sub-600-char corpora (a one-sided
@@ -309,6 +321,54 @@ def make_media_payloads(context, spark):
                             if animated
                             else None
                         ),
+                    )
+                elif kind == 3:
+                    # still dims 8..72 STRADDLE the 32px stills floor
+                    # on both axes (jpeg dims must be multiples of 8)
+                    w, h = 8 * ((n % 9) + 1), 8 * (((n // 2) % 9) + 1)
+                    p = jpeg_encode(
+                        bytes((x * 7 + y * 13 + n) % 256
+                              for y in range(h) for x in range(w)),
+                        w, h,
+                    )
+                elif kind == 4:
+                    w, h = (n % 48) + 8, ((n * 3) % 90) + 40
+                    p = png_encode(
+                        bytes((x * 5 + y * 11 + n) % 256
+                              for y in range(h) for x in range(w)),
+                        w, h,
+                    )
+                elif kind == 5:
+                    # half animated: (n%3)+2 frames x (n%120+5) cs
+                    # delays -> 100ms..5s totals straddle the 2s
+                    # short-animation cutoff
+                    w, h = (n % 90) + 8, ((n * 7) % 90) + 8
+                    px = bytes((x * 3 + y * 17 + n) % 256
+                               for y in range(h) for x in range(w))
+                    if (n // 8) % 2 == 0:  # n%8==5 is always odd — parity
+                        # must come from a different bit
+                        nf = (n % 3) + 2
+                        p = gif_encode_animated(
+                            [(px, 0, 0, w, h, (n % 120) + 5, 0, None)]
+                            * nf,
+                            w, h,
+                        )
+                    else:
+                        p = gif_encode(px, w, h)
+                elif kind == 6:
+                    w, h = (n % 90) + 8, ((n * 5) % 90) + 8
+                    p = bmp_encode(
+                        bytes((x * 9 + y * 23 + n) % 256
+                              for y in range(h) for x in range(w)),
+                        w, h,
+                    )
+                else:
+                    # ((n%60)+4)/16 s of 16 kHz mono PCM straddles the
+                    # 2s audio admission threshold
+                    p = wav_encode(
+                        [(i * 997 + n) % 4096 - 2048
+                         for i in range(((n % 60) + 4) * 1000)],
+                        16000,
                     )
                 out["doc_id"].append(doc_id)
                 out["payload"].append(p)

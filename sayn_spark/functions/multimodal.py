@@ -184,12 +184,17 @@ def wav_encode(samples, sample_rate: int = 16000) -> bytes:
     )
 
 
-def wav_parse(payload: bytes):
+def wav_parse(payload: bytes, want_samples: bool = True):
     """Parse a WAV: (sample_rate, channels, bits_per_sample, samples) —
     samples as an int64 numpy array (s16le PCM decoded for real).  Walks
-    the RIFF chunk list so extra chunks (LIST/fact) don't break it."""
-    import numpy as np
+    the RIFF chunk list so extra chunks (LIST/fact) don't break it.
 
+    ``want_samples=False`` is the ROUTER mode: returns (sample_rate,
+    channels, bits_per_sample, n_frames) having read only chunk
+    headers — n_frames = data-chunk bytes over the frame stride
+    (channels * bits/8), so duration = n_frames / sample_rate without
+    touching a sample, and the 16-bit-PCM decode restriction does not
+    apply (an 8- or 24-bit file still has countable frames)."""
     if bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
         raise NotImplementedError(
             f"payload magic {bytes(payload[:4])!r} is not RIFF/WAVE — "
@@ -198,6 +203,7 @@ def wav_parse(payload: bytes):
     pos = 12
     sample_rate = channels = bits = None
     frames = b""
+    n_data_bytes = 0
     while pos + 8 <= len(payload):
         tag = bytes(payload[pos : pos + 4])
         (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -205,12 +211,21 @@ def wav_parse(payload: bytes):
         if tag == b"fmt ":
             _, channels, sample_rate, _, _, bits = struct.unpack("<HHIIHH", data[:16])
         elif tag == b"data":
-            frames = bytes(data)
+            n_data_bytes = len(data)
+            if want_samples:
+                frames = bytes(data)
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if sample_rate is None:
         raise ValueError("WAV has no fmt chunk")
+    if not want_samples:
+        stride = channels * (bits // 8)
+        if stride == 0:
+            raise ValueError("WAV fmt declares a zero frame stride")
+        return sample_rate, channels, bits, n_data_bytes // stride
     if bits != 16:
         raise NotImplementedError("PCM decode implemented for 16-bit samples")
+    import numpy as np
+
     samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
     return sample_rate, channels, bits, samples
 
@@ -244,8 +259,12 @@ def bmp_parse(payload: bytes, want_pixels: bool = False):
     unlike PNG's chunk list), honours the pixel-array offset from the
     file header, un-pads and re-flips the bottom-up rows, and returns
     the blue channel as grayscale (this module encodes B=G=R).
-    Compressed (RLE) or non-24bpp payloads raise at the documented
-    boundary."""
+    Metadata mode (the default) reads ANY BMP header — compressed,
+    odd bit depths, top-down (negative-height) rows all report their
+    real dimensions, since the router must type a payload it will
+    never decode; those same payloads raise the documented
+    NotImplementedError only when ``want_pixels`` asks for the
+    decode."""
     if bytes(payload[:2]) != b"BM":
         raise NotImplementedError(
             f"payload magic {bytes(payload[:2])!r} is not BMP — plug other "
@@ -255,12 +274,12 @@ def bmp_parse(payload: bytes, want_pixels: bool = False):
     hdr_size, width, height, _, bpp, compression = struct.unpack(
         "<IiiHHI", bytes(payload[14:34])
     )
+    if not want_pixels:
+        return width, abs(height), bpp
     if compression != 0 or bpp != 24:
         raise NotImplementedError("BMP decode implemented for uncompressed 24bpp")
     if height <= 0:
         raise NotImplementedError("top-down BMP rows not implemented")
-    if not want_pixels:
-        return width, height, bpp
     row_size = (width * 3 + 3) & ~3
     out = bytearray()
     for y in range(height):
@@ -444,6 +463,67 @@ def gif_parse(payload: bytes, want_pixels: bool = False):
             return iw, ih, n_colors
         return iw, ih, n_colors, lzw_decompress(bytes(lzw), min_code)
     raise ValueError("GIF contains no image descriptor")
+
+
+def gif_meta(payload: bytes):
+    """Router-mode GIF metadata: (width, height, n_frames, duration_ms)
+    having decoded nothing — walks EVERY block (gif_parse stops at the
+    first image descriptor, which is right for single-image decode and
+    wrong for typing an animation): counts 0x2C image descriptors,
+    sums Graphic Control Extension delays (centiseconds -> ms), and
+    skips LZW data and local color tables by their declared sizes.
+    Dimensions are the logical SCREEN (the canvas animations composite
+    onto), not any one frame's sub-rectangle.  A still reports
+    n_frames=1, duration_ms=0 (a lone GCE delay on a single-image GIF
+    is a hint renderers ignore).  ValueError on truncated framing,
+    NotImplementedError on non-GIF magic (via the same checks as
+    gif_parse)."""
+    if bytes(payload[:6]) not in (b"GIF89a", b"GIF87a"):
+        raise NotImplementedError(
+            f"payload magic {bytes(payload[:6])!r} is not GIF"
+        )
+    try:
+        width, height, flags, _, _ = struct.unpack("<HHBBB", bytes(payload[6:13]))
+        pos = 13
+        if flags & 0x80:
+            pos += 3 * (2 << (flags & 0x07))
+        n_frames = 0
+        duration_ms = 0
+        while pos < len(payload):
+            block = payload[pos]
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label + sub-blocks
+                label = payload[pos + 1]
+                pos += 2
+                if label == 0xF9 and payload[pos] >= 4:
+                    # GCE: packed byte, u16le delay in centiseconds
+                    (delay_cs,) = struct.unpack(
+                        "<H", bytes(payload[pos + 2 : pos + 4])
+                    )
+                    duration_ms += delay_cs * 10
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"unknown GIF block 0x{block:02x}")
+            iflags = payload[pos + 9]
+            pos += 10
+            if iflags & 0x80:  # local color table precedes the data
+                pos += 3 * (2 << (iflags & 0x07))
+            pos += 1  # LZW min code size
+            while payload[pos] != 0:  # image data sub-blocks
+                pos += 1 + payload[pos]
+            pos += 1
+            n_frames += 1
+        if n_frames == 0:
+            raise ValueError("GIF contains no image descriptor")
+        if n_frames == 1:
+            duration_ms = 0
+        return width, height, n_frames, duration_ms
+    except IndexError as e:
+        raise ValueError(f"truncated GIF payload: {e!r}") from e
 
 
 def gif_encode_animated(frames, width: int, height: int, loop: int = 0) -> bytes:
@@ -1316,21 +1396,27 @@ def route_media_frame(
     payload_column: str = "payload",
 ) -> DataFrame:
     """The pre-decode media-routing core, as a reusable frame: magic-
-    sniff each opaque BINARY payload (ftyp -> MP4 box walk, RIFF/WEBP
-    -> chunk walk, MPEG sync / ID3 -> frame-header walk) and emit one
-    typed row per asset — media_type, dimensions, duration, animation,
-    frame count, fps — having read only headers.  A video's
-    duration_ms is its VIDEO TRACK's mdhd media duration (the clock
-    its samples live on — the right fps denominator; the exact played
-    time of an edit-listed track is the elst sum, out of scope), not
-    the container's mvhd presentation length, and fps_milli is the
-    stts sample count over that duration; an animated WebP reports its ANMF frame count and
-    summed per-frame durations.  Undecodable (or NULL) payloads route
-    as media_type='unknown' rather than kill the run — the skip-vs-
-    fail decision belongs to the downstream admission filter, not the
-    router.  Shared by the batch pipeline task (examples
-    route_media_metadata) and the streaming twin
-    (streaming.materialise.stream_route_media).
+    sniff each opaque BINARY payload across all eight formats this
+    module parses — ftyp -> MP4 box walk, RIFF -> WEBP chunk walk or
+    WAVE header walk, PNG/JPEG/GIF/BMP still signatures, MPEG sync /
+    ID3 fallback -> frame-header walk — and emit one typed row per
+    asset (media_type, dimensions, duration, animation, frame count,
+    fps) having read only headers; a real mixed crawl is mostly JPEG/
+    PNG stills, so the still arms matter more than the video one.  A
+    video's duration_ms prefers its video track's elst PLAYED time
+    (what an edit-listed track actually presents) over the mdhd media
+    duration over the container's mvhd length, while fps_milli stays
+    on the media clock (stts samples over mdhd duration — edits change
+    what plays, not how fast samples tick).  An animated WebP reports
+    its ANMF frame count and summed per-frame durations; an animated
+    GIF its descriptor count and summed GCE delays; stills report
+    n_frames=1.  WAV duration comes from the data-chunk frame count
+    over the fmt sample rate, headers only, any bit depth.
+    Undecodable (or NULL) payloads route as media_type='unknown'
+    rather than kill the run — the skip-vs-fail decision belongs to
+    the downstream admission filter, not the router.  Shared by the
+    batch pipeline task (examples route_media_metadata) and the
+    streaming twin (streaming.materialise.stream_route_media).
 
     Scale shape: one Arrow-batched mapInPandas stage, map-side only —
     payloads never shuffle and never leave the executors."""
@@ -1386,6 +1472,26 @@ def route_media_frame(
                     elif p[:4] == b"RIFF" and p[8:12] == b"WEBP":
                         w, h, _, _, anim, nf, dur = webp_parse(p)
                         row = ("image/webp", w, h, dur, anim, nf, 0)
+                    elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                        rate, _, _, nfr = wav_parse(p, want_samples=False)
+                        row = (
+                            "audio/wav", 0, 0, nfr * 1000 // rate, 0, 0, 0,
+                        )
+                    elif p[:8] == _PNG_SIG:
+                        w, h, _, _ = png_parse(p)
+                        row = ("image/png", w, h, 0, 0, 1, 0)
+                    elif p[:2] == b"\xff\xd8":
+                        w, h, _ = jpeg_parse(p)
+                        row = ("image/jpeg", w, h, 0, 0, 1, 0)
+                    elif p[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h, nf, dur = gif_meta(p)
+                        row = (
+                            "image/gif", w, h, dur,
+                            1 if nf > 1 else 0, nf, 0,
+                        )
+                    elif p[:2] == b"BM":
+                        w, h, _ = bmp_parse(p)
+                        row = ("image/bmp", w, h, 0, 0, 1, 0)
                     else:
                         dur, _, _, _, _ = mp3_parse(p)
                         row = ("audio/mpeg", 0, 0, dur, 0, 0, 0)
@@ -3972,6 +4078,186 @@ def q_multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return d.mapInPandas(_encode, enc_schema).mapInPandas(_decode, dec_schema)
+
+
+@register(
+    "q_multimodal_route_media",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, length(text) AS n FROM documents
+  WHERE doc_id % 31 = 0 AND length(text) > 0
+)
+SELECT doc_id,
+       CASE n % 8
+         WHEN 0 THEN 'video/mp4'    WHEN 1 THEN 'audio/mpeg'
+         WHEN 2 THEN 'image/webp'   WHEN 3 THEN 'image/jpeg'
+         WHEN 4 THEN 'image/png'    WHEN 5 THEN 'image/gif'
+         WHEN 6 THEN 'image/bmp'    ELSE 'audio/wav'
+       END AS media_type,
+       CAST(CASE n % 8
+         WHEN 0 THEN 16 * ((n % 40) + 8)
+         WHEN 1 THEN 0
+         WHEN 2 THEN (n % 1200) + 16
+         WHEN 3 THEN 8 * ((n % 9) + 1)
+         WHEN 4 THEN (n % 48) + 8
+         WHEN 5 THEN (n % 90) + 8
+         WHEN 6 THEN (n % 90) + 8
+         ELSE 0
+       END AS BIGINT) AS width,
+       CAST(CASE n % 8
+         WHEN 0 THEN 16 * (((n * 3) % 30) + 6)
+         WHEN 1 THEN 0
+         WHEN 2 THEN ((n * 3) % 900) + 16
+         WHEN 3 THEN 8 * (((n // 2) % 9) + 1)
+         WHEN 4 THEN ((n * 3) % 90) + 40
+         WHEN 5 THEN ((n * 7) % 90) + 8
+         WHEN 6 THEN ((n * 5) % 90) + 8
+         ELSE 0
+       END AS BIGINT) AS height,
+       CAST(CASE n % 8
+         WHEN 0 THEN CASE WHEN (n // 8) % 2 = 0
+                          THEN (n * 37 + 40) // 3 + (n * 37 + 40) // 5 + 1
+                          ELSE (n * 37 + 40) * 3 // 4 + 1 END
+         WHEN 1 THEN ((n % 97) + 5) * 1152 * 1000 // 44100
+         WHEN 2 THEN CASE WHEN (n // 8) % 2 = 0
+                          THEN ((n % 4) + 2) * ((n % 300) + 10) ELSE 0 END
+         WHEN 5 THEN CASE WHEN (n // 8) % 2 = 0
+                          THEN ((n % 3) + 2) * ((n % 120) + 5) * 10 ELSE 0 END
+         WHEN 7 THEN ((n % 60) + 4) * 500 * 1000 // 16000
+         ELSE 0
+       END AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN n % 8 IN (2, 5) AND (n // 8) % 2 = 0 THEN 1 ELSE 0
+       END AS BIGINT) AS is_animated,
+       CAST(CASE n % 8
+         WHEN 0 THEN (n % 239) + 12
+         WHEN 1 THEN 0
+         WHEN 2 THEN CASE WHEN (n // 8) % 2 = 0 THEN (n % 4) + 2 ELSE 1 END
+         WHEN 5 THEN CASE WHEN (n // 8) % 2 = 0 THEN (n % 3) + 2 ELSE 1 END
+         WHEN 7 THEN 0
+         ELSE 1
+       END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN n % 8 = 0
+                 THEN ((n % 239) + 12) * 1000000
+                      // ((n * 37 + 40) * 3 // 4 + 1)
+                 ELSE 0 END AS BIGINT) AS fps_milli
+FROM d
+""",
+)
+def q_multimodal_route_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media ROUTER as an oracle-backed instrument: every 31st
+    document becomes an opaque BINARY payload rotating through ALL
+    EIGHT formats the module parses — spec-framed MP4 (half
+    edit-listed, so duration_ms is the elst PLAYED time), MP3, WebP
+    (half the extended ones animated), baseline JPEG, PNG, GIF (half
+    animated), BMP, and PCM WAV — and ``route_media_frame`` must type
+    each one back out from magic bytes alone: media_type, dimensions,
+    duration, animation, frame count, fps, all computed from headers
+    (no pixel/sample decode ever runs).  This is the admission-stage
+    contract of a mixed 100 TB crawl, where most assets are stills and
+    a router that only knows video would send every JPEG to the
+    unknown bin.
+
+    Scale shape: two chained Arrow-batched mapInPandas stages
+    (synthesize, route); payloads never shuffle and never leave the
+    executors; the downstream consumer sees 7 scalar columns per
+    asset.
+    """
+    d = (
+        T(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 31 == 0) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    enc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                kind = n % 8
+                if kind == 0:
+                    dur = n * 37 + 40
+                    p = mp4_build(
+                        16 * ((n % 40) + 8),
+                        16 * (((n * 3) % 30) + 6),
+                        dur,
+                        with_audio=n % 2 == 1,
+                        video_n_samples=(n % 239) + 12,
+                        video_duration_ms=dur * 3 // 4 + 1,
+                        video_edit_list=(
+                            [(dur // 3, 0), (dur // 5 + 1, 500)]
+                            if (n // 8) % 2 == 0
+                            else None
+                        ),
+                    )
+                elif kind == 1:
+                    p = mp3_build(
+                        (n % 97) + 5,
+                        (64, 128, 192, 320)[n % 4],
+                        44100,
+                        1 if n % 2 == 1 else 2,
+                        id3_bytes=120 if n % 9 < 3 else 0,
+                    )
+                elif kind == 2:
+                    animated = (n // 8) % 2 == 0
+                    p = webp_build(
+                        (n % 1200) + 16,
+                        ((n * 3) % 900) + 16,
+                        mode="extended" if animated else "lossy",
+                        animated=animated,
+                        frame_durations=(
+                            ((n % 300) + 10,) * ((n % 4) + 2)
+                            if animated
+                            else None
+                        ),
+                    )
+                elif kind == 3:
+                    w, h = 8 * ((n % 9) + 1), 8 * (((n // 2) % 9) + 1)
+                    p = jpeg_encode(
+                        bytes((x * 7 + y * 13 + n) % 256
+                              for y in range(h) for x in range(w)),
+                        w, h,
+                    )
+                elif kind == 4:
+                    w, h = (n % 48) + 8, ((n * 3) % 90) + 40
+                    p = png_encode(
+                        bytes((x * 5 + y * 11 + n) % 256
+                              for y in range(h) for x in range(w)),
+                        w, h,
+                    )
+                elif kind == 5:
+                    w, h = (n % 90) + 8, ((n * 7) % 90) + 8
+                    px = bytes((x * 3 + y * 17 + n) % 256
+                               for y in range(h) for x in range(w))
+                    if (n // 8) % 2 == 0:
+                        p = gif_encode_animated(
+                            [(px, 0, 0, w, h, (n % 120) + 5, 0, None)]
+                            * ((n % 3) + 2),
+                            w, h,
+                        )
+                    else:
+                        p = gif_encode(px, w, h)
+                elif kind == 6:
+                    w, h = (n % 90) + 8, ((n * 5) % 90) + 8
+                    p = bmp_encode(
+                        bytes((x * 9 + y * 23 + n) % 256
+                              for y in range(h) for x in range(w)),
+                        w, h,
+                    )
+                else:
+                    p = wav_encode(
+                        [(i * 997 + n) % 4096 - 2048
+                         for i in range(((n % 60) + 4) * 500)],
+                        16000,
+                    )
+                rows["doc_id"].append(doc_id)
+                rows["payload"].append(p)
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return route_media_frame(d.mapInPandas(_encode, enc_schema))
 
 
 @register(

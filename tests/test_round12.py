@@ -841,21 +841,36 @@ def test_class_python_task_forwards_tracker(spark, tmp_path):
 
 def test_media_router_rules_nonvacuous():
     """The example pipeline's admission rules are live on its own
-    generated payloads: every arm (video fps band, WebP still/short-
-    animation, audio duration) both admits and rejects — replicated in
-    pure Python over the real sf0.001 document lengths so a formula
-    drift that makes a rule vacuous fails here, not silently in the
-    pipeline's empty-is-pass test."""
+    generated payloads: every arm (video fps band, WebP/GIF still or
+    short-animation, JPEG/PNG/BMP stills dims band, MP3/WAV audio
+    duration) both admits and rejects — replicated in pure Python over
+    the real sf0.001 document lengths (kind = n % 8, mirroring
+    make_media_payloads) so a formula drift that makes a rule vacuous
+    fails here, not silently in the pipeline's empty-is-pass test."""
     import duckdb
 
     from sayn_spark.functions.multimodal import (
+        bmp_encode,
+        bmp_parse,
+        gif_encode,
+        gif_encode_animated,
+        gif_meta,
+        jpeg_encode,
+        jpeg_parse,
         mp3_build,
         mp3_parse,
         mp4_build,
         mp4_parse,
+        png_encode,
+        png_parse,
+        wav_encode,
+        wav_parse,
         webp_build,
         webp_parse,
     )
+
+    def stills_ok(w, h):
+        return min(w, h) >= 32 and max(w, h) <= 2048
 
     lens = [
         r[0]
@@ -865,10 +880,11 @@ def test_media_router_rules_nonvacuous():
         ).fetchall()
     ]
     assert lens
-    admit = {"video": 0, "webp": 0, "audio": 0}
-    reject = {"video": 0, "webp": 0, "audio": 0}
+    keys = ("video", "mp3", "webp", "jpeg", "png", "gif", "bmp", "wav")
+    admit = dict.fromkeys(keys, 0)
+    reject = dict.fromkeys(keys, 0)
     for n in lens:
-        kind = n % 3
+        kind = n % 8
         if kind == 0:
             p = mp4_build(
                 16 * ((n % 40) + 8), 16 * (((n * 3) % 30) + 6), n * 37 + 40,
@@ -887,8 +903,8 @@ def test_media_router_rules_nonvacuous():
                           id3_bytes=120 if n % 9 < 3 else 0)
             dur = mp3_parse(p)[0]
             ok = dur >= 2000
-            key = "audio"
-        else:
+            key = "mp3"
+        elif kind == 2:
             animated = n % 9 // 3 == 2 and n % 2 == 0
             p = webp_build(
                 (n % 1200) + 16, ((n * 3) % 900) + 16,
@@ -900,7 +916,47 @@ def test_media_router_rules_nonvacuous():
             _, _, _, _, anim, nf, dur = webp_parse(p)
             ok = nf == 1 or (anim == 1 and dur < 2000)
             key = "webp"
+        elif kind == 3:
+            w, h = 8 * ((n % 9) + 1), 8 * (((n // 2) % 9) + 1)
+            p = jpeg_encode(bytes((x * 7 + y * 13 + n) % 256
+                                  for y in range(h) for x in range(w)), w, h)
+            pw, ph, _ = jpeg_parse(p)
+            ok = stills_ok(pw, ph)
+            key = "jpeg"
+        elif kind == 4:
+            w, h = (n % 48) + 8, ((n * 3) % 90) + 40
+            p = png_encode(bytes((x * 5 + y * 11 + n) % 256
+                                 for y in range(h) for x in range(w)), w, h)
+            pw, ph, _, _ = png_parse(p)
+            ok = stills_ok(pw, ph)
+            key = "png"
+        elif kind == 5:
+            w, h = (n % 90) + 8, ((n * 7) % 90) + 8
+            px = bytes((x * 3 + y * 17 + n) % 256
+                       for y in range(h) for x in range(w))
+            if (n // 8) % 2 == 0:
+                p = gif_encode_animated(
+                    [(px, 0, 0, w, h, (n % 120) + 5, 0, None)]
+                    * ((n % 3) + 2), w, h)
+            else:
+                p = gif_encode(px, w, h)
+            _, _, nf, dur = gif_meta(p)
+            ok = nf == 1 or (nf > 1 and dur < 2000)
+            key = "gif"
+        elif kind == 6:
+            w, h = (n % 90) + 8, ((n * 5) % 90) + 8
+            p = bmp_encode(bytes((x * 9 + y * 23 + n) % 256
+                                 for y in range(h) for x in range(w)), w, h)
+            pw, ph, _ = bmp_parse(p)
+            ok = stills_ok(pw, ph)
+            key = "bmp"
+        else:
+            p = wav_encode([(i * 997 + n) % 4096 - 2048
+                            for i in range(((n % 60) + 4) * 1000)], 16000)
+            rate, _, _, nfr = wav_parse(p, want_samples=False)
+            ok = nfr * 1000 // rate >= 2000
+            key = "wav"
         (admit if ok else reject)[key] += 1
-    for key in ("video", "webp", "audio"):
+    for key in keys:
         assert admit[key] > 0, f"{key} arm admits nothing"
         assert reject[key] > 0, f"{key} arm rejects nothing"

@@ -83,3 +83,68 @@ def test_mp4_elst_movie_timescale_after_trak():
     )
     with pytest.raises(ValueError, match="elst entries overflow"):
         mp4_parse(bad)
+
+
+def test_route_media_frame_all_formats(spark):
+    """The router types every format the module parses — JPEG, PNG,
+    GIF (still + animated), BMP, WAV join MP4/WebP/MP3 — plus the
+    unknown arm for NULL and garbage payloads; one mapInPandas stage,
+    nothing shuffles."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from sayn_spark.functions.multimodal import (
+        bmp_encode,
+        gif_encode,
+        gif_encode_animated,
+        jpeg_encode,
+        mp3_build,
+        mp4_build,
+        png_encode,
+        route_media_frame,
+        wav_encode,
+        webp_build,
+    )
+
+    px64 = bytes(range(64))
+    payloads = [
+        (1, mp4_build(640, 360, 9000, video_duration_ms=8000,
+                      video_n_samples=240,
+                      video_edit_list=[(4000, 0), (1000, 500)])),
+        (2, webp_build(100, 80, mode="lossy")),
+        (3, mp3_build(43, 128, 44100, 2)),  # 43*1152/44100 s
+        (4, jpeg_encode(px64, 8, 8)),
+        (5, png_encode(px64, 8, 8)),
+        (6, gif_encode(px64, 8, 8)),
+        (7, gif_encode_animated(
+            [(px64, 0, 0, 8, 8, 50, 0, None),
+             (bytes(16), 2, 2, 4, 4, 25, 2, 0)], 8, 8)),
+        (8, bmp_encode(px64, 8, 8)),
+        (9, wav_encode([0] * 8000, 16000)),  # 500 ms mono
+        (10, b"\x00nonsense\x00" * 4),
+        (11, None),
+    ]
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+    df = spark.createDataFrame(payloads, schema)
+    got = {
+        r["doc_id"]: (
+            r["media_type"], r["width"], r["height"], r["duration_ms"],
+            r["is_animated"], r["n_frames"], r["fps_milli"],
+        )
+        for r in route_media_frame(df).collect()
+    }
+    assert got[1] == ("video/mp4", 640, 360, 5000, 0, 240, 30000)
+    assert got[2] == ("image/webp", 100, 80, 0, 0, 1, 0)
+    assert got[3] == ("audio/mpeg", 0, 0, 43 * 1152 * 1000 // 44100, 0, 0, 0)
+    assert got[4] == ("image/jpeg", 8, 8, 0, 0, 1, 0)
+    assert got[5] == ("image/png", 8, 8, 0, 0, 1, 0)
+    assert got[6] == ("image/gif", 8, 8, 0, 0, 1, 0)
+    assert got[7] == ("image/gif", 8, 8, 750, 1, 2, 0)
+    assert got[8] == ("image/bmp", 8, 8, 0, 0, 1, 0)
+    assert got[9] == ("audio/wav", 0, 0, 500, 0, 0, 0)
+    assert got[10] == ("unknown", 0, 0, 0, 0, 0, 0)
+    assert got[11] == ("unknown", 0, 0, 0, 0, 0, 0)
