@@ -20,6 +20,12 @@ made round-over-round regressions unattributable:
 Caching is NOT the difference between the two: every run (including
 warm ones) starts with the persisted intermediates released and the
 cache cleared, so each measures the full scan-to-sink pipeline.
+
+``sentinel`` / ``sentinel_cold`` / ``sentinel_spread``: a code-free
+fixed workload (range aggregate + tiny parquet scan) timed per sweep
+with the same trial shape — its round-over-round ratio prices box
+drift so query deltas can be sentinel-normalized.  Excluded from the
+totals.
 """
 
 from __future__ import annotations
@@ -318,6 +324,23 @@ TASK_BENCH = {
 }
 
 
+def _sentinel(spark, sf_dir: str) -> None:
+    """Code-free drift sentinel (VERDICT r12 item 2): a fixed trivial
+    workload — a 48M-row range aggregate (JVM/codegen/scheduler cost)
+    plus one tiny parquet scan (IO-path cost) — that touches NO engine
+    code, timed with the same trial discipline as every bench line.
+    Its round-over-round ratio prices the BOX, not the code: a +20%
+    sweep with a +20% sentinel is drift, not a regression, and
+    close-outs can cite sentinel-normalized deltas instead of re-
+    litigating drift with hand-run isolated A/Bs every round."""
+    spark.range(0, 48_000_000, 1, 32).selectExpr(
+        "sum(id * 2 + 1) AS s"
+    ).write.format("noop").mode("overwrite").save()
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
 def _setup_task_bench(spark, sf_dir: str) -> None:
     import shutil
 
@@ -402,6 +425,17 @@ def main() -> None:
     warm_name = next((n for n in names if n in REGISTRY), "q01_pricing_summary")
     REGISTRY[warm_name].fn(spark, sf_dir).count()
 
+    # the drift sentinel runs first, with the same trial shape as a
+    # query line — it is NOT included in value/value_cold totals
+    s_samples = []
+    for _ in range(trials + 1):
+        t0 = time.perf_counter()
+        _sentinel(spark, sf_dir)
+        s_samples.append(time.perf_counter() - t0)
+    sentinel = round(statistics.median(s_samples[1:]), 3)
+    sentinel_cold = round(statistics.median(s_samples[:trials]), 3)
+    sentinel_spread = round(max(s_samples[1:]) - min(s_samples[1:]), 3)
+
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -437,6 +471,9 @@ def main() -> None:
         "value_cold": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "trials": trials,
+        "sentinel": sentinel,
+        "sentinel_cold": sentinel_cold,
+        "sentinel_spread": sentinel_spread,
     }
     # stdout carries exactly ONE compact JSON line: the driver keeps only a
     # 2000-char tail of bench output, so the full per-line detail (cold
