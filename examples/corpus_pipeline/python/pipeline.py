@@ -384,16 +384,17 @@ def make_media_payloads(context, spark):
 )
 def route_media_metadata(context, spark):
     """The metadata-routing stage a 100 TB media crawl runs BEFORE any
-    decoder: route_media_frame magic-sniffs each opaque payload (ftyp
-    -> MP4 box walk, RIFF/WEBP -> chunk walk, MPEG sync / ID3 ->
-    frame-header walk) and emits one typed row per asset —
-    media_type, dimensions, duration, animation, frame count, fps —
-    having read only headers.  A video's duration_ms is its VIDEO
-    TRACK's mdhd media duration (the samples' own clock — the right
-    fps denominator), not the container's mvhd presentation length, and
-    fps_milli comes from the stts sample count over that duration; an
-    animated WebP reports its ANMF frame count and summed frame
-    durations.  Undecodable payloads surface as media_type='unknown'
+    decoder: route_media_frame magic-sniffs each opaque payload across
+    all eight formats (ftyp -> MP4 box walk, RIFF -> WebP chunk walk
+    or WAV header walk, JPEG/PNG/GIF/BMP still signatures, MPEG sync /
+    ID3 fallback -> frame-header walk) and emits one typed row per
+    asset — media_type, dimensions, duration, animation, frame count,
+    fps — having read only headers.  A video's duration_ms prefers the
+    track's elst PLAYED time over its mdhd media duration (the
+    samples' own clock — the fps denominator) over the container's
+    mvhd length; an animated WebP reports its ANMF frame count and
+    summed frame durations, an animated GIF its descriptor count and
+    summed GCE delays.  Undecodable payloads surface as media_type='unknown'
     rather than kill the run (the skip-vs-fail decision belongs to
     the downstream filter, not the router).  The same frame streams
     as streaming.materialise.stream_route_media."""

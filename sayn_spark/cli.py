@@ -12,7 +12,7 @@ import datetime as dt
 import click
 
 from sayn_spark.core.app import App
-from sayn_spark.operators.base import RunArguments, TaskStatus
+from sayn_spark.operators.base import DEFAULT_JOBS, RunArguments, TaskStatus
 
 
 def _common(f):
@@ -36,7 +36,7 @@ def _common(f):
                 "--jobs",
                 "-j",
                 type=int,
-                default=8,
+                default=DEFAULT_JOBS,
                 help="concurrent tasks per DAG level (1 = reference's sequential loop)",
             ),
         ]
@@ -45,7 +45,7 @@ def _common(f):
     return f
 
 
-def _build_app(command, project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, with_tests=False, jobs=8):
+def _build_app(command, project_dir, tasks, exclude, profile, full_load, start_dt, end_dt, fail_fast, upstream_prod, with_tests=False, jobs=DEFAULT_JOBS):
     try:
         # a malformed date must be a clean CLI error like every other
         # config problem, not a raw traceback (review r12)

@@ -9,7 +9,6 @@ independent branches submit Spark jobs concurrently.
 
 from __future__ import annotations
 
-import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -29,7 +28,7 @@ from sayn_spark.core.settings import (
     load_task_groups,
 )
 from sayn_spark.operators import TASK_TYPES, RunArguments, Task, TaskContext, TaskStatus
-from sayn_spark.operators.python import DECORATED_TASKS
+from sayn_spark.operators.base import DEFAULT_JOBS
 from sayn_spark.plans.dag import ready_sets, topological_sort, validate_dag
 from sayn_spark.plans.task_query import get_query
 from sayn_spark.plans.dag import query_dag
@@ -174,35 +173,22 @@ class App:
 
     def _load_python_module(self) -> dict:
         """Execute python/*.py so @task registrations run, scoped to THIS
-        project (ref: utils/python_loader.py:15-37).
-
-        Registrations are captured and the global registry restored, and
-        modules load under a project-unique name — otherwise a second App
-        in the same process would inherit another project's tasks (or
-        miss its own because sys.modules cached the first project's
-        python/ package).
-        """
+        project — one shared, cached loader with the `class: python.*`
+        task form (operators.python.load_project_python_file), which
+        handles the project-unique module naming, registry
+        capture/restore, and sys.path scoping."""
         pydir = self.project_dir / "python"
         if not pydir.is_dir():
             return {}
-        import importlib.util
+        from sayn_spark.operators.python import load_project_python_file
 
-        prev = dict(DECORATED_TASKS)
-        DECORATED_TASKS.clear()
-        sys.path.insert(0, str(self.project_dir))
-        try:
-            ns = f"_sayn_proj_{abs(hash(str(self.project_dir.resolve())))}"
-            for f in sorted(pydir.glob("*.py")):
-                if f.stem == "__init__":
-                    continue
-                spec = importlib.util.spec_from_file_location(f"{ns}_{f.stem}", f)
-                mod = importlib.util.module_from_spec(spec)
-                spec.loader.exec_module(mod)
-            return dict(DECORATED_TASKS)
-        finally:
-            DECORATED_TASKS.clear()
-            DECORATED_TASKS.update(prev)
-            sys.path.pop(0)
+        out: dict = {}
+        for f in sorted(pydir.glob("*.py")):
+            if f.stem == "__init__":
+                continue
+            _, regs = load_project_python_file(self.project_dir, f)
+            out.update(regs)
+        return out
 
     def _configure_tasks(self) -> None:
         context = TaskContext(
@@ -339,7 +325,7 @@ class App:
                 if self.run_arguments.fail_fast:
                     interrupted = True
 
-        n_jobs = max(1, getattr(self.run_arguments, "jobs", 8))
+        n_jobs = max(1, getattr(self.run_arguments, "jobs", DEFAULT_JOBS))
         if parallel and n_jobs > 1 and len(sub_dag) > 1:
             with ThreadPoolExecutor(max_workers=n_jobs) as pool:
                 for level in levels:

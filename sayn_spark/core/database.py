@@ -199,6 +199,14 @@ class SparkDatabase:
         append onto a pre-existing parquet table is an
         AnalysisException, not an append (second-pass review r12).
         """
+        if table_format == "delta" and bucket_by:
+            # Delta has no bucketBy: silently writing the session
+            # default provider would hand the caller a different table
+            # than the one they pinned (advice r12)
+            raise ValueError(
+                "create_table: Delta does not support bucketBy — drop "
+                "bucket_by or pin table_format='parquet'"
+            )
         if zorder_by is not None:
             if bucket_by or sort_by:
                 raise ValueError(
@@ -286,11 +294,16 @@ class SparkDatabase:
         (verified empirically — silent data loss, not an error).  MSCK
         SYNC PARTITIONS drops the dead-location entries and re-discovers
         them under the new base; metadata-only, cost = one directory
-        listing.
+        listing.  DELTA tables are exempt (advice r12): their
+        partitions live in the delta log, not the metastore, so the
+        rename alone is complete — and MSCK REPAIR on a Delta table is
+        an AnalysisException, not a no-op.
         """
         self.drop_object(dst)
         self.spark.sql(f"ALTER TABLE {src} RENAME TO {dst}")
-        if any(c.isPartition for c in self.spark.catalog.listColumns(dst)):
+        if any(
+            c.isPartition for c in self.spark.catalog.listColumns(dst)
+        ) and self._table_provider(dst) != "delta":
             self.spark.sql(f"MSCK REPAIR TABLE {dst} SYNC PARTITIONS")
         self.spark.catalog.refreshTable(dst)
 

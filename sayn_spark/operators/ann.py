@@ -141,19 +141,27 @@ class AnnIndexTask(Task):
             suffixes += ("_sq8grid", "_binwords")
         elif self.method == "cascade":
             suffixes += ("_sq8grid", "_sq8codes", "_binwords")
-        for suffix in suffixes:
-            self.outputs.add(
-                self.context.obj_compiler.from_string(f"{self.index}{suffix}")
-            )
         # the PHYSICAL base name all side tables derive from: routed
         # through the dev/prod stringify like every other destination —
         # writing the raw name would make a dev run (table_prefix: dev)
         # rebuild the PRODUCTION index tables from dev data while the
         # DAG believed the stringified outputs were written
         # (second-pass review r12).  ann_search derives identically.
-        self.index = self.context.obj_compiler.out_value(
-            self.context.obj_compiler.from_string(self.index)
-        )
+        base_obj = self.context.obj_compiler.from_string(self.index)
+        self.outputs.add(base_obj)
+        self.index = self.context.obj_compiler.out_value(base_obj)
+        # declared side-table outputs derive from the STRINGIFIED base,
+        # exactly like the run-time writes — stringifying the raw
+        # compound name instead coincides under table_prefix but
+        # diverges under table_suffix/table_override (declared
+        # idx_vectors_dev vs written idx_dev_vectors), declaring
+        # outputs that are never written (advice r12).  The base object
+        # above carries the DAG edge and the --upstream-prod redirect,
+        # both invariant to stringify rules.
+        for suffix in suffixes:
+            self.outputs.add(
+                self.context.obj_compiler.from_string(f"{self.index}{suffix}")
+            )
         self.status = TaskStatus.READY
 
     def _emb(self) -> DataFrame:

@@ -79,20 +79,23 @@ class AnnSearchTask(Task):
         self.q_obj = self.context.obj_compiler.from_string(self.queries)
         self.sources.add(self.q_obj)
         self.q_value = self.context.obj_compiler.src_value(self.q_obj)
-        # the index tables are upstream dependencies too, so the DAG
-        # orders this task after the ann_index build
-        self.idx_obj = self.context.obj_compiler.from_string(
-            f"{self.index}_vectors"
-        )
-        self.sources.add(self.idx_obj)
         self.destination = self.context.obj_compiler.from_string(dest)
         self.outputs.add(self.destination)
         self.dst_value = self.context.obj_compiler.out_value(self.destination)
         # PHYSICAL base name, derived exactly like the ann_index writer
         # (src_value so from_prod/--upstream-prod can redirect reads):
-        # raw-name reads would hit the prod index from a dev run
+        # raw-name reads would hit the prod index from a dev run.  The
+        # BASE object is the declared source — it matches ann_index's
+        # declared base output under every stringify rule (carrying the
+        # DAG edge) and is what --upstream-prod flags for redirect; the
+        # stringified _vectors side name is declared too, mirroring
+        # ann_index's physically-named side outputs (advice r12).
         self.index_obj = self.context.obj_compiler.from_string(self.index)
+        self.sources.add(self.index_obj)
         self.index = self.context.obj_compiler.src_value(self.index_obj)
+        self.sources.add(
+            self.context.obj_compiler.from_string(f"{self.index}_vectors")
+        )
         self.status = TaskStatus.READY
 
     def setup(self) -> None:

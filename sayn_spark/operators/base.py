@@ -28,6 +28,11 @@ class TaskStatus(enum.Enum):
     SKIPPED = "skipped"
 
 
+# the ONE home of the concurrent-task default — the CLI option, its
+# wrapper, and the executor fallback all read this (dedup, r13)
+DEFAULT_JOBS = 8
+
+
 @dataclass
 class RunArguments:
     """ref: core/app.py:53-95."""
@@ -45,7 +50,7 @@ class RunArguments:
     exclude: list[str] = field(default_factory=list)
     # concurrent tasks per DAG level (the reference is fixed at 1,
     # core/app.py:619; >1 submits independent Spark jobs in parallel)
-    jobs: int = 8
+    jobs: int = DEFAULT_JOBS
 
 
 @dataclass

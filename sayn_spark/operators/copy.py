@@ -156,34 +156,59 @@ class CopyTask(Task):
         n = 0
         if self.max_merge_rows:
             # drain the NULL-incremental-key rows FIRST, as their own
-            # chunk sequence anchored on the delete key: the watermark
-            # can never page through NULLs (they don't order against
-            # it), so the old single asc_nulls_first first chunk took
-            # at most max_merge_rows of them and the include_null=False
-            # re-derive then stranded the rest for the run (second-pass
-            # review r12).  The anti-join anchor is deterministic and
-            # converges: every chunk consists of delete_keys not yet in
-            # dst, so each iteration makes progress.
+            # chunk sequence: the watermark can never page through
+            # NULLs (they don't order against it), so the old single
+            # asc_nulls_first first chunk took at most max_merge_rows
+            # of them and the include_null=False re-derive then
+            # stranded the rest for the run (second-pass review r12).
+            # Pagination is a row_number over the DISTINCT delete keys
+            # (advice r12): the earlier anti-join anchor skipped any
+            # NULL-key row whose delete_key already existed in dst, so
+            # updates carried on NULL-incremental-key rows were silently
+            # dropped — the unchunked inc path re-merges every NULL row
+            # each run, and chunking must not change that.  Ranking
+            # keys (not rows) also keeps one delete_key inside one
+            # chunk: a key split across merges would have its first
+            # chunk's rows deleted by its second chunk's merge.  A
+            # chunk therefore holds max_merge_rows KEYS and can exceed
+            # that in rows when keys repeat — the same hot-key caveat
+            # the watermark loop documents.  eqNullSafe keeps rows with
+            # NULL delete keys drainable (an equi-join would strand
+            # them in every chunk's complement).
+            from pyspark.sql.window import Window
+
             keys = (
                 [self.delete_key]
                 if isinstance(self.delete_key, str)
                 else list(self.delete_key)
             )
             src_nulls = batch.where(F.col(self.incremental_key).isNull())
-            while iterations < MAX_MERGE_ITERATIONS:
-                remaining = src_nulls.join(
-                    self.context.spark.table(self.dst_value).select(*keys),
-                    keys,
-                    "left_anti",
-                ).limit(self.max_merge_rows)
+            keyrank = (
+                src_nulls.select(*keys)
+                .distinct()
+                .withColumn(
+                    "__sayn_kr__",
+                    F.row_number().over(Window.orderBy(*[F.col(k) for k in keys])),
+                )
+            )
+            total_keys = keyrank.count()
+            offset = 0
+            while offset < total_keys and iterations < MAX_MERGE_ITERATIONS:
+                kchunk = keyrank.where(
+                    (F.col("__sayn_kr__") > offset)
+                    & (F.col("__sayn_kr__") <= offset + self.max_merge_rows)
+                ).drop("__sayn_kr__")
+                cond = None
+                for k in keys:
+                    c = src_nulls[k].eqNullSafe(kchunk[k])
+                    cond = c if cond is None else (cond & c)
+                chunk = src_nulls.join(kchunk, cond, "left_semi")
                 tmp = _tmp_name(self.dst_value)
                 db.drop_object(tmp)
-                db.create_table(tmp, remaining)
+                db.create_table(tmp, chunk)
                 n = self.context.spark.table(tmp).count()
-                if n == 0:
-                    db.drop_object(tmp)
-                    break
                 db.merge_tables(tmp, self.dst_value, self.delete_key)
+                offset += self.max_merge_rows
                 iterations += 1
             batch = batch.where(F.col(self.incremental_key).isNotNull())
         while iterations < MAX_MERGE_ITERATIONS:

@@ -74,6 +74,51 @@ class PythonTask(Task):
 # is imported (ref: utils/python_loader.py:15-37)
 DECORATED_TASKS: dict[str, dict[str, Any]] = {}
 
+# (resolved path, mtime) -> (module, captured @task registrations) —
+# one loader shared by App._load_python_module and the `class:
+# python.*` task form (the duplication deferred from r12), and one
+# exec per file per process: a second App over the same project reuses
+# the module instead of re-executing it
+_PROJECT_MODULE_CACHE: dict[tuple[str, float], tuple[Any, dict]] = {}
+
+
+def load_project_python_file(project_dir, file) -> tuple[Any, dict]:
+    """Execute ONE file from a project's python/ dir under a
+    project-unique module name (two projects with the same module names
+    must never collide in sys.modules — ref: utils/python_loader.py:
+    15-37) and return ``(module, registrations)``, where registrations
+    are the @task entries the exec added.  The global DECORATED_TASKS
+    registry is captured and restored around the exec, the project dir
+    joins sys.path for the duration (so project modules can import
+    siblings), and results are cached by resolved path + mtime."""
+    import importlib.util
+    import sys
+    from pathlib import Path
+
+    file = Path(file)
+    project_dir = Path(project_dir)
+    key = (str(file.resolve()), file.stat().st_mtime)
+    hit = _PROJECT_MODULE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    ns = f"_sayn_proj_{abs(hash(str(project_dir.resolve())))}"
+    rel = file.resolve().relative_to((project_dir / "python").resolve())
+    modname = f"{ns}_{'_'.join(rel.with_suffix('').parts)}"
+    prev = dict(DECORATED_TASKS)
+    DECORATED_TASKS.clear()
+    sys.path.insert(0, str(project_dir))
+    try:
+        spec = importlib.util.spec_from_file_location(modname, file)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        regs = dict(DECORATED_TASKS)
+    finally:
+        DECORATED_TASKS.clear()
+        DECORATED_TASKS.update(prev)
+        sys.path.remove(str(project_dir))
+    _PROJECT_MODULE_CACHE[key] = (mod, regs)
+    return mod, regs
+
 
 def task(
     func: Optional[Callable] = None,
@@ -166,18 +211,16 @@ class ClassPythonTask(Task):
         path = self.config_dict["class"]
         module_name, cls_name = path.rsplit(".", 1)
         if module_name.startswith("python."):
-            # load from THIS project's python/ dir under a unique name so
-            # two projects with the same module names never collide in
-            # sys.modules (ref loads a per-project package:
-            # utils/python_loader.py:15-37)
-            import importlib.util
+            # load from THIS project's python/ dir via the shared cached
+            # loader (project-unique module name, registry capture,
+            # sys.path scoping — see load_project_python_file)
+            from pathlib import Path
 
             rel = module_name.split(".")[1:]
-            file = self.context.project_dir / "python" / ("/".join(rel) + ".py")
-            ns = f"_sayn_proj_{abs(hash(str(self.context.project_dir.resolve())))}"
-            spec = importlib.util.spec_from_file_location(f"{ns}_{'_'.join(rel)}", file)
-            module = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(module)
+            file = (
+                Path(self.context.project_dir) / "python" / ("/".join(rel) + ".py")
+            )
+            module, _ = load_project_python_file(self.context.project_dir, file)
         else:
             module = importlib.import_module(module_name)
         return getattr(module, cls_name)

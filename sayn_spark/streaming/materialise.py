@@ -576,9 +576,11 @@ def stream_route_media(
 ):
     """Streaming twin of the batch media-routing stage (examples
     route_media_metadata): each micro-batch of opaque BINARY payloads
-    runs functions.multimodal.route_media_frame — headers-only MP4 box
-    walk / WebP chunk walk / MP3 frame walk into typed rows
-    (media_type, dims, per-track duration, animation, frame count,
+    runs functions.multimodal.route_media_frame — headers-only
+    dispatch across all eight formats the module parses (MP4 box walk
+    incl. elst played time, WebP chunk walk, JPEG/PNG/GIF/BMP still
+    signatures, WAV header walk, MP3 frame-walk fallback) into typed
+    rows (media_type, dims, duration, animation, frame count,
     fps_milli) — and appends to ``dst_table``.  A continuous
     multimodal crawl routes assets as they land instead of re-scanning
     the corpus per run; undecodable payloads persist as

@@ -148,3 +148,162 @@ def test_route_media_frame_all_formats(spark):
     assert got[9] == ("audio/wav", 0, 0, 500, 0, 0, 0)
     assert got[10] == ("unknown", 0, 0, 0, 0, 0, 0)
     assert got[11] == ("unknown", 0, 0, 0, 0, 0, 0)
+
+
+def test_chunked_null_key_rows_remerge_existing_keys(spark, tmp_path):
+    """max_merge_rows chunking must not change NULL-incremental-key
+    semantics (advice r12): the unchunked inc path re-merges every
+    NULL-key row each run via the delete-key merge, so a NULL-key row
+    whose delete_key ALREADY EXISTS in dst carries an UPDATE — the old
+    anti-join drain silently dropped it.  Rows with NULL delete keys
+    must drain too (exactly once per run), and the watermark rows still
+    merge after the NULL chunks."""
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.copy import CopyTask
+
+    db = SparkDatabase(spark)
+    ctx = TaskContext(
+        spark=spark, db=db, compiler=Compiler(),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(), parameters={}, connections={},
+        project_dir=tmp_path,
+    )
+    # 5 NULL-updated_at rows (forcing 3 key-chunks at max_merge_rows=2),
+    # of which ids 1 and 2 already exist in dst with STALE names; one
+    # NULL-delete-key row; plus 2 ordinary watermark rows
+    src = (
+        [{"id": i, "updated_at": None, "name": f"new{i}"} for i in (1, 2, 3, 4)]
+        + [{"id": None, "updated_at": None, "name": "nokey"}]
+        + [{"id": i, "updated_at": i, "name": f"w{i}"} for i in (10, 11)]
+    )
+    db.load_data("cpn_src", src, schema="id long, updated_at long, name string",
+                 replace=True)
+    db.load_data(
+        "cpn_dst",
+        [{"id": 1, "updated_at": 9, "name": "stale1"},
+         {"id": 2, "updated_at": 9, "name": "stale2"}],
+        schema="id long, updated_at long, name string", replace=True,
+    )
+    t = CopyTask(
+        "cpn",
+        {"source": {"table": "cpn_src"}, "destination": "cpn_dst",
+         "incremental_key": "updated_at", "delete_key": "id",
+         "max_merge_rows": 2},
+        ctx,
+    )
+    t.config()
+    t.run()
+    got = {
+        r.id: r.name
+        for r in spark.table("cpn_dst").where("id IS NOT NULL").collect()
+    }
+    # updates on NULL-incremental-key rows replaced the stale dst rows
+    assert got == {1: "new1", 2: "new2", 3: "new3", 4: "new4",
+                   10: "w10", 11: "w11"}
+    # the NULL-delete-key row drained exactly once this run
+    assert spark.table("cpn_dst").where("id IS NULL").count() == 1
+
+
+def test_create_table_delta_bucket_by_is_loud(spark):
+    """An explicit table_format='delta' with bucket_by must raise, not
+    silently write the session-default provider (advice r12): Delta has
+    no bucketBy, and handing back a different table than the one the
+    caller pinned is the silent-divergence failure mode."""
+    from sayn_spark.core.database import SparkDatabase
+
+    db = SparkDatabase(spark)
+    df = spark.range(3).selectExpr("id", "id AS k")
+    with pytest.raises(ValueError, match="bucketBy"):
+        db.create_table(
+            "dbk_t", df, table_format="delta", bucket_by=(4, ["k"])
+        )
+
+
+def test_move_table_skips_msck_on_delta(spark, monkeypatch):
+    """move_table's partition re-sync is metastore surgery Delta must
+    never see (advice r12): Delta partitions live in the delta log and
+    MSCK REPAIR on a Delta table raises.  With the provider probed as
+    'delta', the rename must issue NO MSCK statement; the parquet path
+    keeps it (pinned by test_round12's partitioned-swap repro)."""
+    from sayn_spark.core.database import SparkDatabase
+
+    db = SparkDatabase(spark)
+    df = spark.range(6).selectExpr("id", "CAST(id % 2 AS INT) AS p")
+    db.drop_object("mvd_src")
+    db.drop_object("mvd_dst")
+    db.create_table("mvd_src", df, partition_by=["p"])
+
+    issued = []
+    real_sql = spark.sql
+
+    def spy(stmt, *a, **kw):
+        issued.append(stmt)
+        return real_sql(stmt, *a, **kw)
+
+    monkeypatch.setattr(spark, "sql", spy)
+    monkeypatch.setattr(db, "_table_provider", lambda name: "delta")
+    db.move_table("mvd_src", "mvd_dst")
+    assert not any("MSCK" in s for s in issued), issued
+    # control: with the real (parquet) provider the MSCK is issued
+    db.drop_object("mvd_dst2")
+    monkeypatch.setattr(db, "_table_provider", lambda name: "parquet")
+    db.move_table("mvd_dst", "mvd_dst2")
+    assert any("MSCK" in s for s in issued), issued
+    assert spark.table("mvd_dst2").count() == 6
+
+
+def test_ann_declared_outputs_match_physical_under_suffix(spark, tmp_path):
+    """Under a table_suffix stringify rule the ann_index task's declared
+    side-table outputs must name exactly the tables its run writes
+    (advice r12): the old registration stringified the raw compound
+    name (idx_vectors -> idx_vectors_dev) while the writer stringified
+    the base and appended (idx_dev + _vectors), declaring outputs that
+    were never written.  ann_search's declared index sources must agree
+    so the DAG edge and --upstream-prod redirect survive every rule."""
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.ann import AnnIndexTask
+    from sayn_spark.operators.ann_search import AnnSearchTask
+
+    oc = DbObjectCompiler(
+        default_db="spark", stringify={"table_suffix": "sfx"}
+    )
+    ctx = TaskContext(
+        spark=spark, db=SparkDatabase(spark), compiler=Compiler(),
+        obj_compiler=oc, run_arguments=RunArguments(), parameters={},
+        connections={}, project_dir=tmp_path,
+    )
+    ix = AnnIndexTask(
+        "aix",
+        {"source": "ann_src", "index": "sfx_idx", "method": "ivf"},
+        ctx,
+    )
+    ix.config()
+    # declared side objects carry the PHYSICAL name as their raw
+    # identity (only the base object is stringify-sensitive; nothing
+    # in the engine calls out_value on side outputs)
+    declared = {o.table for o in ix.outputs}
+    # the physical writes the run performs: base + suffix tables
+    assert ix.index == "sfx_idx_sfx"
+    assert f"{ix.index}_centroids" in declared
+    assert f"{ix.index}_vectors" in declared
+    # no phantom names (old derivation would declare sfx_idx_vectors_sfx)
+    assert "sfx_idx_vectors_sfx" not in declared
+
+    se = AnnSearchTask(
+        "asr",
+        {"index": "sfx_idx", "queries": "ann_q", "destination": "ann_out",
+         "k": 3},
+        ctx,
+    )
+    se.config()
+    # the DAG edge: search declares a source object the index declares
+    # as an output (base object), invariant to the stringify rule
+    assert ix.outputs & se.sources, (ix.outputs, se.sources)
+    # and reads derive from the same physical base the writer used
+    assert se.index == "sfx_idx_sfx"
