@@ -118,7 +118,20 @@ def png_parse(payload: bytes, want_pixels: bool = False):
     None/Sub/Up — cover everything this module emits; Average/Paeth
     raise).  Non-PNG payloads raise NotImplementedError with the
     detected magic so the production JPEG/MP4 hook point is explicit.
-    """
+    Two-exception contract like jpeg_parse: truncated or corrupt
+    payloads (incl. bad zlib streams) surface as ValueError, never raw
+    struct/zlib/KeyError — a crawl's routers and ``on_decode_error:
+    skip`` paths depend on exactly two types (review r13: a truncated
+    PNG killed the media router)."""
+    import zlib as _zlib
+
+    try:
+        return _png_parse_impl(payload, want_pixels)
+    except (IndexError, KeyError, struct.error, _zlib.error) as e:
+        raise ValueError(f"truncated or corrupt PNG payload: {e!r}") from e
+
+
+def _png_parse_impl(payload: bytes, want_pixels: bool = False):
     if payload[:8] != _PNG_SIG:
         raise NotImplementedError(
             f"payload magic {bytes(payload[:4])!r} is not PNG — JPEG "
@@ -194,7 +207,17 @@ def wav_parse(payload: bytes, want_samples: bool = True):
     headers — n_frames = data-chunk bytes over the frame stride
     (channels * bits/8), so duration = n_frames / sample_rate without
     touching a sample, and the 16-bit-PCM decode restriction does not
-    apply (an 8- or 24-bit file still has countable frames)."""
+    apply (an 8- or 24-bit file still has countable frames).
+
+    Two-exception contract like jpeg_parse: truncation is ValueError,
+    never raw struct.error (review r13)."""
+    try:
+        return _wav_parse_impl(payload, want_samples)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt WAV payload: {e!r}") from e
+
+
+def _wav_parse_impl(payload: bytes, want_samples: bool = True):
     if bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
         raise NotImplementedError(
             f"payload magic {bytes(payload[:4])!r} is not RIFF/WAVE — "
@@ -264,7 +287,15 @@ def bmp_parse(payload: bytes, want_pixels: bool = False):
     real dimensions, since the router must type a payload it will
     never decode; those same payloads raise the documented
     NotImplementedError only when ``want_pixels`` asks for the
-    decode."""
+    decode.  Two-exception contract like jpeg_parse: truncation is
+    ValueError, never raw struct.error (review r13)."""
+    try:
+        return _bmp_parse_impl(payload, want_pixels)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt BMP payload: {e!r}") from e
+
+
+def _bmp_parse_impl(payload: bytes, want_pixels: bool = False):
     if bytes(payload[:2]) != b"BM":
         raise NotImplementedError(
             f"payload magic {bytes(payload[:2])!r} is not BMP — plug other "
@@ -423,7 +454,16 @@ def gif_parse(payload: bytes, want_pixels: bool = False):
     blocks (skipped by sub-block walking), the 0x2C image descriptor —
     then stitches the LZW sub-blocks back together and runs the real
     decoder.  Interlaced or locally-paletted images raise at the
-    documented boundary."""
+    documented boundary.  Two-exception contract like jpeg_parse:
+    truncation is ValueError, never raw IndexError/struct.error
+    (review r13)."""
+    try:
+        return _gif_parse_impl(payload, want_pixels)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt GIF payload: {e!r}") from e
+
+
+def _gif_parse_impl(payload: bytes, want_pixels: bool = False):
     if bytes(payload[:6]) not in (b"GIF89a", b"GIF87a"):
         raise NotImplementedError(
             f"payload magic {bytes(payload[:6])!r} is not GIF"
@@ -522,7 +562,7 @@ def gif_meta(payload: bytes):
         if n_frames == 1:
             duration_ms = 0
         return width, height, n_frames, duration_ms
-    except IndexError as e:
+    except (IndexError, struct.error) as e:
         raise ValueError(f"truncated GIF payload: {e!r}") from e
 
 

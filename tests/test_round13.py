@@ -307,3 +307,50 @@ def test_ann_declared_outputs_match_physical_under_suffix(spark, tmp_path):
     assert ix.outputs & se.sources, (ix.outputs, se.sources)
     # and reads derive from the same physical base the writer used
     assert se.index == "sfx_idx_sfx"
+
+
+def test_still_parsers_two_exception_contract():
+    """png/bmp/wav (and gif_meta) hold the module's two-exception
+    contract under every truncation and single-byte flip of a real
+    witness payload — review r13: a truncated BMP/PNG/WAV leaked raw
+    struct.error through the new router arms, which would kill a crawl
+    job instead of routing the payload as 'unknown'."""
+    from sayn_spark.functions.multimodal import (
+        bmp_encode,
+        bmp_parse,
+        gif_encode,
+        gif_meta,
+        png_encode,
+        png_parse,
+        wav_encode,
+        wav_parse,
+    )
+
+    from sayn_spark.functions.multimodal import gif_encode_animated, gif_parse
+
+    anim = gif_encode_animated([(bytes(64), 0, 0, 8, 8, 10, 0, None)] * 2, 8, 8)
+    cases = [
+        (bmp_encode(bytes(64), 8, 8), lambda p: bmp_parse(p)),
+        (bmp_encode(bytes(64), 8, 8), lambda p: bmp_parse(p, want_pixels=True)),
+        (png_encode(bytes(64), 8, 8), lambda p: png_parse(p)),
+        (png_encode(bytes(64), 8, 8), lambda p: png_parse(p, want_pixels=True)),
+        (gif_encode(bytes(64), 8, 8), lambda p: gif_meta(p)),
+        (gif_encode(bytes(64), 8, 8), lambda p: gif_parse(p)),
+        (anim, lambda p: gif_meta(p)),
+        (anim, lambda p: gif_parse(p, want_pixels=True)),
+        (wav_encode([0] * 100), lambda p: wav_parse(p, want_samples=False)),
+        (wav_encode([0] * 100), lambda p: wav_parse(p)),
+    ]
+    for payload, fn in cases:
+        for cut in range(len(payload)):
+            try:
+                fn(payload[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for i in range(len(payload)):
+            q = bytearray(payload)
+            q[i] ^= 0xFF
+            try:
+                fn(bytes(q))
+            except (ValueError, NotImplementedError):
+                pass
