@@ -41,12 +41,18 @@ def _label_prop(sym: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
     # step exactly min(dst) over in-neighbours — so FUSE init with
     # iteration 1: one groupBy replaces the node-distinct, the label
     # init checkpoint, and a full join iteration.
+    # decimal accumulator for the convergence sum: node ids can be
+    # xxhash64-derived (full-range BIGINT), and summing those raw
+    # overflows long — ARITHMETIC_OVERFLOW under ANSI, or a silent
+    # wraparound false-convergence with ANSI off (review r13, same
+    # shape as star_components' _summary)
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
     labels = (
         sym.groupBy(F.col("src").alias("node"))
         .agg(F.min("dst").alias("label"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum = labels.agg(_label_sum).collect()[0][0]
     iterations = 1
     converged = False
     for _ in range(max_iter - 1):
@@ -56,7 +62,7 @@ def _label_prop(sym: DataFrame, max_iter: int) -> tuple[DataFrame, int, bool]:
             .agg(F.min("label").alias("label"))
             .localCheckpoint()  # truncate lineage per iteration
         )
-        new_sum = new.agg(F.sum("label")).collect()[0][0]
+        new_sum = new.agg(_label_sum).collect()[0][0]
         iterations += 1  # count every executed pass, incl. the confirming one
         if new_sum == prev_sum:
             converged = True

@@ -354,3 +354,31 @@ def test_still_parsers_two_exception_contract():
                 fn(bytes(q))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_connected_components_fullrange_ids(spark):
+    """Helper-layer review r13: the label-propagation convergence check
+    summed raw BIGINT labels, which overflows on xxhash64-scale node
+    ids — ARITHMETIC_OVERFLOW under ANSI (job killed), or a silent
+    wraparound false-convergence with ANSI off.  Full-range positive
+    AND negative ids must now produce correct components (decimal
+    accumulator, the same shape star_components always used)."""
+    from sayn_spark.functions.components import (
+        components,
+        connected_components,
+    )
+
+    big = 9223372036854775800
+    edges = spark.createDataFrame(
+        [(big, big - 1), (big - 1, big - 2), (big - 5, big - 6), (-big, 7)],
+        "src long, dst long",
+    )
+    got = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert got == {
+        (big, big - 2), (big - 1, big - 2), (big - 2, big - 2),
+        (big - 5, big - 6), (big - 6, big - 6),
+        (-big, -big), (7, -big),
+    }
+    m: list = []
+    assert {(r.node, r.component) for r in components(edges, _method=m).collect()} == got
+    assert m == ["label_prop"]
