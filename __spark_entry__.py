@@ -59,6 +59,9 @@ _SEMANTICS_CHANGED = {
     # corpus edit-listed (r12 had added video_duration_ms/n_samples/
     # fps_milli)
     "q_multimodal_mp4_meta": 13,
+    # r13: id_sum checksum now mod 1e9+7 (raw BIGINT id sums overflow
+    # on hash-derived ids at corpus scale)
+    "q_epoch_shuffle": 13,
 }
 
 

@@ -122,7 +122,8 @@ WITH h AS (
 )
 SELECT hv % {_N_SHARDS} AS shard, COUNT(*) AS n_docs,
        MIN(hv) AS min_hv, MAX(hv) AS max_hv,
-       CAST(SUM(doc_id) AS BIGINT) AS id_sum, arg_min(doc_id, hv) AS first_doc
+       CAST(SUM(doc_id % 1000000007) AS BIGINT) AS id_sum,
+       arg_min(doc_id, hv) AS first_doc
 FROM h GROUP BY hv % {_N_SHARDS}
 """,
 )
@@ -134,7 +135,10 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     size — how a 100 TB training corpus is re-shuffled per epoch without
     RNG state (write with repartition(shard) + sortWithinPartitions(hv);
     here we return per-shard counts, hash range, id checksum, and the
-    first document in read order to pin the permutation).
+    first document in read order to pin the permutation).  The checksum
+    sums ids mod 1e9+7 (the q_table_checksum shape): raw BIGINT id sums
+    overflow on hash-derived ids at corpus scale (review r13, the
+    label-prop convergence class).
     """
     d = T(spark, sf_dir, "documents")
     hv = F.expr(
@@ -145,7 +149,7 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("hv").alias("min_hv"),
         F.max("hv").alias("max_hv"),
-        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.col("doc_id") % 1000000007).alias("id_sum"),
         F.expr("min_by(doc_id, hv)").alias("first_doc"),
     )
 
