@@ -463,6 +463,10 @@ class FilterTask(Task):
                 scored = scored.crossJoin(F.broadcast(thr))
                 cond = cond & (F.col("avg_nll_i8") <= F.col("_thr"))
             elif self.keep_fraction is not None:
+                # exact permille rank cut — single-partition global
+                # window, fine for per-dump calibration corpora; at
+                # 100 TB use boundaries: approx above (same note as the
+                # surprisal scorer's cut)
                 permille = int(round(float(self.keep_fraction) * 1000))
                 w = Window.orderBy(F.col("avg_nll_i8"), F.col(self.id_column))
                 scored = scored.withColumn("_rn", F.row_number().over(w)).withColumn(

@@ -429,11 +429,23 @@ def test_stream_route_media_lifecycle(spark, tmp_path):
     assert got[3].media_type == "unknown"
 
     mp3 = mp3_build(80, 128, 44100, 2)  # 80 * 1152 / 44100 s ~ 2089 ms
-    run_wave("w2", [(4, bytearray(mp3)), (5, None)])
+    from sayn_spark.functions.multimodal import jpeg_encode, wav_encode
+
+    run_wave("w2", [
+        (4, bytearray(mp3)),
+        (5, None),
+        # r13 arms: a still and a PCM clip route typed through the
+        # SAME streaming twin (no code of its own — shared frame)
+        (6, bytearray(jpeg_encode(bytes(64), 8, 8))),
+        (7, bytearray(wav_encode([0] * 24000, 16000))),  # 1500 ms
+    ])
     got = {r.doc_id: r for r in spark.table(dst).collect()}
-    assert set(got) == {1, 2, 3, 4, 5}
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
     assert (got[4].media_type, got[4].duration_ms) == ("audio/mpeg", 2089)
     assert got[5].media_type == "unknown"
+    assert (got[6].media_type, got[6].width, got[6].height,
+            got[6].n_frames) == ("image/jpeg", 8, 8, 1)
+    assert (got[7].media_type, got[7].duration_ms) == ("audio/wav", 1500)
     # the wave-1 unknown row survived the restart
     assert got[3].media_type == "unknown"
     _drop(spark, dst)
