@@ -416,3 +416,18 @@ def test_top_ngram_signals_are_pure_map_side(spark):
     df = REGISTRY["q_repetition_top_ngram"].fn(spark, SF)
     plan = plan_of(spark, df)
     assert "Exchange" not in plan, plan
+
+
+def test_media_router_is_pure_map_side(spark):
+    """The eight-format routing instrument must plan ZERO exchanges:
+    synthesize and route are two chained Arrow mapInPandas stages over
+    the documents scan, so payloads never shuffle and never leave the
+    executors — the property that makes pre-decode routing linear in
+    crawl bytes at 100 TB.  The scan must also prune to (doc_id, text):
+    routing reads no other column."""
+    df = REGISTRY["q_multimodal_route_media"].fn(spark, SF)
+    plan = plan_of(spark, df)
+    assert "Exchange" not in plan, plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
