@@ -450,9 +450,18 @@ def ann_index_search(
     vec = spark.table(f"{index}_vectors").select(
         F.col("vec_id").alias("neighbor_id"), "cell", "e", "nrm"
     )
+    # try_divide: a zero-norm vector (r12's embed task deliberately
+    # emits one per empty document) or zero-norm query makes the plain
+    # division DIVIDE_BY_ZERO under ANSI — ONE empty doc in the index
+    # killed every search probing its cell (review r13).  NULL cosine =
+    # undefined similarity; such rows are filtered before ranking.
     cos = F.round(
-        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-        / (F.col("qnrm") * F.col("nrm")),
+        F.try_divide(
+            F.expr(
+                "aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+            ),
+            F.col("qnrm") * F.col("nrm"),
+        ),
         6,
     )
     scored = (
@@ -464,7 +473,11 @@ def ann_index_search(
     # no distinct needed: every vector lives in exactly one cell, so a
     # neighbor appears at most once per query even with nprobe > 1
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    return (
+        scored.where(F.col("cos").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
 
 
 def ann_index_search_pq(
@@ -565,9 +578,18 @@ def ann_index_search_pq(
         F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("qnrm"),
     )
     cn = vec.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    # try_divide: a zero-norm vector (r12's embed task deliberately
+    # emits one per empty document) or zero-norm query makes the plain
+    # division DIVIDE_BY_ZERO under ANSI — ONE empty doc in the index
+    # killed every search probing its cell (review r13).  NULL cosine =
+    # undefined similarity; such rows are filtered before ranking.
     cos = F.round(
-        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-        / (F.col("qnrm") * F.col("nrm")),
+        F.try_divide(
+            F.expr(
+                "aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+            ),
+            F.col("qnrm") * F.col("nrm"),
+        ),
         6,
     )
     scored = (
@@ -576,7 +598,11 @@ def ann_index_search_pq(
         .select("query_id", "neighbor_id", cos.alias("cos"))
     )
     w_out = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return scored.withColumn("rk", F.row_number().over(w_out)).where(F.col("rk") <= k)
+    return (
+        scored.where(F.col("cos").isNotNull())
+        .withColumn("rk", F.row_number().over(w_out))
+        .where(F.col("rk") <= k)
+    )
 
 
 @register(
@@ -1451,9 +1477,18 @@ def ann_index_search_sq8(
         F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("qnrm"),
     )
     cn = vec.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    # try_divide: a zero-norm vector (r12's embed task deliberately
+    # emits one per empty document) or zero-norm query makes the plain
+    # division DIVIDE_BY_ZERO under ANSI — ONE empty doc in the index
+    # killed every search probing its cell (review r13).  NULL cosine =
+    # undefined similarity; such rows are filtered before ranking.
     cos = F.round(
-        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-        / (F.col("qnrm") * F.col("nrm")),
+        F.try_divide(
+            F.expr(
+                "aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+            ),
+            F.col("qnrm") * F.col("nrm"),
+        ),
         6,
     )
     scored_exact = (
@@ -1462,8 +1497,10 @@ def ann_index_search_sq8(
         .select("query_id", "neighbor_id", cos.alias("cos"))
     )
     w_out = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return scored_exact.withColumn("rk", F.row_number().over(w_out)).where(
-        F.col("rk") <= k
+    return (
+        scored_exact.where(F.col("cos").isNotNull())
+        .withColumn("rk", F.row_number().over(w_out))
+        .where(F.col("rk") <= k)
     )
 
 
@@ -1804,9 +1841,18 @@ def ann_index_search_binary(
         F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("qnrm"),
     )
     cn = vec.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    # try_divide: a zero-norm vector (r12's embed task deliberately
+    # emits one per empty document) or zero-norm query makes the plain
+    # division DIVIDE_BY_ZERO under ANSI — ONE empty doc in the index
+    # killed every search probing its cell (review r13).  NULL cosine =
+    # undefined similarity; such rows are filtered before ranking.
     cos = F.round(
-        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-        / (F.col("qnrm") * F.col("nrm")),
+        F.try_divide(
+            F.expr(
+                "aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+            ),
+            F.col("qnrm") * F.col("nrm"),
+        ),
         6,
     )
     scored_exact = (
@@ -1815,8 +1861,10 @@ def ann_index_search_binary(
         .select("query_id", "neighbor_id", cos.alias("cos"))
     )
     w_out = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return scored_exact.withColumn("rk", F.row_number().over(w_out)).where(
-        F.col("rk") <= k
+    return (
+        scored_exact.where(F.col("cos").isNotNull())
+        .withColumn("rk", F.row_number().over(w_out))
+        .where(F.col("rk") <= k)
     )
 
 
@@ -2024,9 +2072,18 @@ def ann_index_search_cascade(
         F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("qnrm"),
     )
     cn = vec.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
+    # try_divide: a zero-norm vector (r12's embed task deliberately
+    # emits one per empty document) or zero-norm query makes the plain
+    # division DIVIDE_BY_ZERO under ANSI — ONE empty doc in the index
+    # killed every search probing its cell (review r13).  NULL cosine =
+    # undefined similarity; such rows are filtered before ranking.
     cos = F.round(
-        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-        / (F.col("qnrm") * F.col("nrm")),
+        F.try_divide(
+            F.expr(
+                "aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+            ),
+            F.col("qnrm") * F.col("nrm"),
+        ),
         6,
     )
     scored_exact = (
@@ -2035,8 +2092,10 @@ def ann_index_search_cascade(
         .select("query_id", "neighbor_id", cos.alias("cos"))
     )
     w_out = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return scored_exact.withColumn("rk", F.row_number().over(w_out)).where(
-        F.col("rk") <= k
+    return (
+        scored_exact.where(F.col("cos").isNotNull())
+        .withColumn("rk", F.row_number().over(w_out))
+        .where(F.col("rk") <= k)
     )
 
 
