@@ -1594,6 +1594,10 @@ def _semantic_cos_hits(pdf: pd.DataFrame, thr: float):
     ids = ids[order]
     E = np.stack(pdf["e"].to_numpy()[order])
     nrm = np.sqrt((E * E).sum(axis=1))
+    # a zero-norm vector (the embed task's empty-document contract) has
+    # undefined cosine: inf norm makes its row/column 0 — below every
+    # threshold, no 0/0 NaN warnings in the Arrow worker (review r13)
+    nrm = np.where(nrm == 0.0, np.inf, nrm)
     cos = np.round((E @ E.T) / np.outer(nrm, nrm), 6)
     hit = (cos >= thr) & np.tri(len(ids), k=-1, dtype=bool).T
     return ids, hit
