@@ -65,18 +65,25 @@ def n_tokens_col():
 def quality_score_col():
     """The q_text_quality composite over a ``text`` column:
     0.4*distinct_ratio + 0.3*(1 - stopword_ratio) + 0.3*min(1, n/100),
-    rounded to 6dp."""
+    rounded to 6dp.  A zero-token document scores 0.0 outright: the
+    unguarded ratios were DIVIDE_BY_ZERO under ANSI, so ONE empty or
+    whitespace-only document killed a whole quality-filter run
+    (review r13); no tokens = no quality, and min_score gates drop it
+    like any other low scorer."""
     sw = "('" + "','".join(STOPWORDS) + "')"
     n_tokens = n_tokens_col()
+    n_safe = F.greatest(n_tokens, F.lit(1))
     n_distinct = F.expr(f"size(array_distinct({_TOKENS}))")
     n_stop = F.expr(f"size(filter({_TOKENS}, x -> x in {sw}))")
-    distinct_ratio = n_distinct.cast("double") / n_tokens
-    stop_ratio = n_stop.cast("double") / n_tokens
-    return F.round(
-        0.4 * distinct_ratio
-        + 0.3 * (F.lit(1.0) - stop_ratio)
-        + 0.3 * F.least(F.lit(1.0), n_tokens / F.lit(100.0)),
-        6,
+    distinct_ratio = n_distinct.cast("double") / n_safe
+    stop_ratio = n_stop.cast("double") / n_safe
+    return F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.round(
+            0.4 * distinct_ratio
+            + 0.3 * (F.lit(1.0) - stop_ratio)
+            + 0.3 * F.least(F.lit(1.0), n_tokens / F.lit(100.0)),
+            6,
+        )
     )
 
 
@@ -91,12 +98,13 @@ WITH tok AS (
 )
 SELECT doc_id,
        len(tokens) AS n_tokens,
-       ROUND(CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens), 6) AS distinct_ratio,
-       ROUND(CAST(len(list_filter(tokens, x -> x IN {_SW_SQL})) AS DOUBLE) / len(tokens), 6) AS stopword_ratio,
-       ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       ROUND(CAST(len(list_distinct(tokens)) AS DOUBLE) / GREATEST(len(tokens), 1), 6) AS distinct_ratio,
+       ROUND(CAST(len(list_filter(tokens, x -> x IN {_SW_SQL})) AS DOUBLE) / GREATEST(len(tokens), 1), 6) AS stopword_ratio,
+       ROUND(CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1), 6) AS punct_ratio,
+       CASE WHEN len(tokens) = 0 THEN 0.0 ELSE
        ROUND(0.4 * (CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens))
            + 0.3 * (1.0 - CAST(len(list_filter(tokens, x -> x IN {_SW_SQL})) AS DOUBLE) / len(tokens))
-           + 0.3 * LEAST(1.0, len(tokens) / 100.0), 6) AS quality_score
+           + 0.3 * LEAST(1.0, len(tokens) / 100.0), 6) END AS quality_score
 FROM tok
 """,
 )
@@ -109,14 +117,19 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_distinct = F.expr(f"size(array_distinct({_TOKENS}))")
     n_stop = F.expr(f"size(filter({_TOKENS}, x -> x in {sw}))")
     n_punct = F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", ""))
-    distinct_ratio = n_distinct.cast("double") / n_tokens
-    stop_ratio = n_stop.cast("double") / n_tokens
+    # greatest(n, 1): empty docs report 0.0 ratios instead of killing
+    # the scan with ANSI DIVIDE_BY_ZERO (review r13; oracle mirrors)
+    n_safe = F.greatest(n_tokens, F.lit(1))
+    distinct_ratio = n_distinct.cast("double") / n_safe
+    stop_ratio = n_stop.cast("double") / n_safe
     return d.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(n_punct.cast("double") / F.col("n_chars"), 6).alias("punct_ratio"),
+        F.round(
+            n_punct.cast("double") / F.greatest(F.col("n_chars"), F.lit(1)), 6
+        ).alias("punct_ratio"),
         quality_score_col().alias("quality_score"),
     )
 

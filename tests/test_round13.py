@@ -435,3 +435,23 @@ def test_ann_search_survives_zero_norm_vectors(spark, tmp_path):
     assert all(r.cos is not None for r in out)
     q0 = spark.createDataFrame([(2, [0.0] * 8)], "query_id long, e array<double>")
     assert ann_index_search(spark, "zvt_ix", q0, k=2, nprobe=2).collect() == []
+
+
+def test_quality_score_zero_token_docs(spark):
+    """Edge-value review r13: quality_score_col's unguarded ratios were
+    ANSI DIVIDE_BY_ZERO — one empty or whitespace-only document killed
+    a whole quality-filter run.  Zero-token docs now score 0.0 (no
+    tokens = no quality) and fall below any min_score gate."""
+    from pyspark.sql import functions as F
+
+    from sayn_spark.functions.text import quality_score_col
+
+    df = spark.createDataFrame(
+        [(1, "a good long document with many distinct words here"),
+         (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    s = df.withColumn("_score", quality_score_col())
+    got = {r.doc_id: r._score for r in s.collect()}
+    assert got[2] == 0.0 and got[3] == 0.0 and got[1] > 0.5
+    assert [r.doc_id for r in s.where(F.col("_score") >= 0.1).collect()] == [1]
