@@ -180,20 +180,29 @@ class MixtureTask(Task):
             F.sum("_grp_tokens").alias("_tot"), F.sum("_w").alias("_sumw")
         )
         # a zero-token group's rate divides by _grp_tokens = 0 -> NULL;
-        # such a group costs no budget, so it keeps everything (1000)
+        # such a group costs no budget, so it keeps everything (1000).
+        # a zero-WEIGHT group rates 0 BEFORE the division: weight 0 is
+        # the documented explicit drop, and when EVERY group is zero-
+        # weighted _sumw = 0 made the decimal division DIVIDE_BY_ZERO
+        # under ANSI instead of dropping everything (review r13)
         cap = "" if self.allow_upsample else "least(1000, "
         cap_close = "" if self.allow_upsample else ")"
         rated = stats.join(F.broadcast(tot)).select(
             "_grp",
-            F.coalesce(
-                F.expr(
-                    f"cast({cap}floor("
-                    f"floor(cast(_tot as decimal(38,0)) * {budget_pm} / 1000) "
-                    "* _w * 1000 / (cast(_sumw as decimal(38,0)) * nullif(_grp_tokens, 0))"
-                    f"){cap_close} as bigint)"
-                ),
-                F.lit(1000),
-            ).alias("_rate"),
+            F.when(F.col("_w") == 0, F.lit(0))
+            .otherwise(
+                F.coalesce(
+                    F.expr(
+                        f"cast({cap}floor("
+                        f"floor(cast(_tot as decimal(38,0)) * {budget_pm} / 1000) "
+                        "* _w * 1000 / (cast(_sumw as decimal(38,0)) * nullif(_grp_tokens, 0))"
+                        f"){cap_close} as bigint)"
+                    ),
+                    F.lit(1000),
+                )
+            )
+            .cast("bigint")
+            .alias("_rate"),
         )
         bucket = F.expr(
             "cast(conv(substr(md5(cast(_id as string)), 1, 8), 16, 10) as bigint) % 1000"

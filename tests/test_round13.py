@@ -455,3 +455,49 @@ def test_quality_score_zero_token_docs(spark):
     got = {r.doc_id: r._score for r in s.collect()}
     assert got[2] == 0.0 and got[3] == 0.0 and got[1] > 0.5
     assert [r.doc_id for r in s.where(F.col("_score") >= 0.1).collect()] == [1]
+
+
+def test_mixture_all_zero_weights_drop_everything(spark, tmp_path):
+    """Edge-value review r13: weight 0 is the documented explicit drop,
+    but weighting EVERY group 0 made _sumw = 0 and the decimal rate
+    division died with DIVIDE_BY_ZERO under ANSI.  All-zero weights now
+    produce an empty mixture (each group explicitly dropped); a single
+    zero-weight group still drops only itself."""
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.mixture import MixtureTask
+
+    db = SparkDatabase(spark)
+    db.load_data(
+        "mixz_src",
+        [{"doc_id": i, "text": f"doc {i} " + "w " * 20,
+          "source": "a" if i % 2 else "b"} for i in range(40)],
+        schema="doc_id long, text string, source string",
+        replace=True,
+    )
+    ctx = TaskContext(
+        spark=spark, db=db, compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(), parameters={}, connections={},
+        project_dir=tmp_path,
+    )
+
+    def run(name, weights, dst):
+        t = MixtureTask(
+            name,
+            {"source": "mixz_src", "destination": dst,
+             "group_column": "source", "token_budget_ratio": 1.0,
+             "weights": weights},
+            ctx,
+        )
+        t.config()
+        t.run()
+        return spark.table(dst)
+
+    out = run("mixz_all0", {"a": 0, "b": 0}, "mixz_out0")
+    assert out.count() == 0
+    out = run("mixz_one0", {"a": 0, "b": 5}, "mixz_out1")
+    assert out.where("source = 'a'").count() == 0
+    assert out.where("source = 'b'").count() > 0
