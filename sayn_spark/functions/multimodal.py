@@ -240,6 +240,9 @@ def _wav_parse_impl(payload: bytes, want_samples: bool = True):
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if sample_rate is None:
         raise ValueError("WAV has no fmt chunk")
+    if sample_rate == 0:
+        # duration math divides by the rate downstream (router: nfr*1000//rate)
+        raise ValueError("WAV fmt declares a zero sample rate")
     if not want_samples:
         stride = channels * (bits // 8)
         if stride == 0:
@@ -305,6 +308,10 @@ def _bmp_parse_impl(payload: bytes, want_pixels: bool = False):
     hdr_size, width, height, _, bpp, compression = struct.unpack(
         "<IiiHHI", bytes(payload[14:34])
     )
+    if width <= 0 or height == 0:
+        # signed fields: a corrupt header can declare negative width or a
+        # zero-dimension image — route as undecodable, not typed-with-garbage
+        raise ValueError(f"BMP header declares invalid dimensions {width}x{height}")
     if not want_pixels:
         return width, abs(height), bpp
     if compression != 0 or bpp != 24:

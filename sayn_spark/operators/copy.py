@@ -193,7 +193,13 @@ class CopyTask(Task):
             )
             total_keys = keyrank.count()
             offset = 0
-            while offset < total_keys and iterations < MAX_MERGE_ITERATIONS:
+            # the drain has its OWN iteration budget (advice r13): sharing
+            # the cap with the watermark loop meant a large NULL backlog
+            # could exhaust it and silently skip watermark rows, and the
+            # watermark loop's while-else warning then reported the
+            # NULL-drain's row count as "the last merged chunk".
+            drain_iterations = 0
+            while offset < total_keys and drain_iterations < MAX_MERGE_ITERATIONS:
                 kchunk = keyrank.where(
                     (F.col("__sayn_kr__") > offset)
                     & (F.col("__sayn_kr__") <= offset + self.max_merge_rows)
@@ -209,7 +215,22 @@ class CopyTask(Task):
                 n = self.context.spark.table(tmp).count()
                 db.merge_tables(tmp, self.dst_value, self.delete_key)
                 offset += self.max_merge_rows
-                iterations += 1
+                drain_iterations += 1
+            if offset < total_keys:
+                import logging
+
+                logging.getLogger("sayn_spark").warning(
+                    "copy task %r: NULL-incremental-key drain hit its "
+                    "iteration cap (%d) with %d of %d delete keys still "
+                    "pending — those NULL-key rows were NOT merged this run "
+                    "(they will be retried next run; raise max_merge_rows=%s "
+                    "to drain faster)",
+                    self.name,
+                    MAX_MERGE_ITERATIONS,
+                    total_keys - offset,
+                    total_keys,
+                    self.max_merge_rows,
+                )
             batch = batch.where(F.col(self.incremental_key).isNotNull())
         while iterations < MAX_MERGE_ITERATIONS:
             chunk = batch

@@ -79,7 +79,7 @@ DECORATED_TASKS: dict[str, dict[str, Any]] = {}
 # python.*` task form (the duplication deferred from r12), and one
 # exec per file per process: a second App over the same project reuses
 # the module instead of re-executing it
-_PROJECT_MODULE_CACHE: dict[tuple[str, float], tuple[Any, dict]] = {}
+_PROJECT_MODULE_CACHE: dict[tuple[str, int, int], tuple[Any, dict]] = {}
 
 
 def load_project_python_file(project_dir, file) -> tuple[Any, dict]:
@@ -90,17 +90,26 @@ def load_project_python_file(project_dir, file) -> tuple[Any, dict]:
     are the @task entries the exec added.  The global DECORATED_TASKS
     registry is captured and restored around the exec, the project dir
     joins sys.path for the duration (so project modules can import
-    siblings), and results are cached by resolved path + mtime."""
+    siblings), and results are cached by resolved path + mtime_ns + size."""
     import importlib.util
     import sys
     from pathlib import Path
 
     file = Path(file)
     project_dir = Path(project_dir)
-    key = (str(file.resolve()), file.stat().st_mtime)
+    st = file.stat()
+    path = str(file.resolve())
+    # st_mtime_ns + st_size: coarse-mtime filesystems can tick identical
+    # mtimes for an edit within the same second, which served the stale
+    # module and its stale @task registrations (advice r13)
+    key = (path, st.st_mtime_ns, st.st_size)
     hit = _PROJECT_MODULE_CACHE.get(key)
     if hit is not None:
         return hit
+    # a fresh key for this path supersedes any older entry — evict so the
+    # cache doesn't grow one dead module per edit
+    for stale in [k for k in _PROJECT_MODULE_CACHE if k[0] == path]:
+        del _PROJECT_MODULE_CACHE[stale]
     ns = f"_sayn_proj_{abs(hash(str(project_dir.resolve())))}"
     rel = file.resolve().relative_to((project_dir / "python").resolve())
     modname = f"{ns}_{'_'.join(rel.with_suffix('').parts)}"

@@ -1,0 +1,344 @@
+"""Round-14 regression pins — the four ADVICE r13 findings, each
+reproduced against the pre-fix behavior before the fix landed:
+
+- WAV fmt declaring sample_rate=0 ZeroDivisionError'd the router's
+  duration math (``nfr * 1000 // rate``) and killed the mapInPandas
+  stage instead of routing unknown.
+- A corrupt BMP header (negative width) sailed through the metadata
+  path and the router emitted a typed image/bmp row with negative
+  dimensions.
+- The copy task's NULL-incremental-key drain shared
+  MAX_MERGE_ITERATIONS with the watermark loop, so a large NULL
+  backlog starved the watermark rows entirely — and the while-else
+  warning then misreported the drain's row count.
+- _PROJECT_MODULE_CACHE keyed by (path, st_mtime): same-tick edits on
+  coarse-mtime filesystems served the stale module, and superseded
+  entries were never evicted.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from sayn_spark.core.compiler import Compiler
+from sayn_spark.core.database import SparkDatabase
+from sayn_spark.core.objects import DbObjectCompiler
+from sayn_spark.operators import RunArguments, TaskContext
+
+
+# ---------------------------------------------------------------- WAV
+
+
+def _wav_zero_rate() -> bytes:
+    """A structurally-valid WAV whose fmt chunk declares sample_rate=0
+    (advice r13): wav_encode writes the fmt payload at offset 20, with
+    sample_rate as the <I at bytes 24:28 and byte_rate at 28:32."""
+    from sayn_spark.functions.multimodal import wav_encode
+
+    good = bytearray(wav_encode([0] * 100, 16000))
+    assert struct.unpack_from("<I", good, 24)[0] == 16000
+    struct.pack_into("<II", good, 24, 0, 0)  # sample_rate, byte_rate
+    return bytes(good)
+
+
+def test_wav_zero_sample_rate_raises_value_error():
+    from sayn_spark.functions.multimodal import wav_parse
+
+    bad = _wav_zero_rate()
+    with pytest.raises(ValueError, match="zero sample rate"):
+        wav_parse(bad, want_samples=False)
+    with pytest.raises(ValueError, match="zero sample rate"):
+        wav_parse(bad)
+
+
+# ---------------------------------------------------------------- BMP
+
+
+def _bmp_negative_width() -> bytes:
+    """bmp_encode output with the signed width field (offset 18, <i)
+    patched to -16 — the empirical repro from advice r13."""
+    from sayn_spark.functions.multimodal import bmp_encode
+
+    good = bytearray(bmp_encode(bytes(range(64)), 8, 8))
+    assert struct.unpack_from("<i", good, 18)[0] == 8
+    struct.pack_into("<i", good, 18, -16)
+    return bytes(good)
+
+
+def test_bmp_negative_width_raises_value_error():
+    from sayn_spark.functions.multimodal import bmp_parse
+
+    with pytest.raises(ValueError, match="invalid dimensions"):
+        bmp_parse(_bmp_negative_width())
+
+
+def test_bmp_zero_height_raises_value_error():
+    from sayn_spark.functions.multimodal import bmp_encode, bmp_parse
+
+    good = bytearray(bmp_encode(bytes(range(64)), 8, 8))
+    struct.pack_into("<i", good, 22, 0)  # height field
+    with pytest.raises(ValueError, match="invalid dimensions"):
+        bmp_parse(bytes(good))
+
+
+def test_bmp_topdown_negative_height_still_parses_metadata():
+    """Negative height is LEGAL BMP (top-down rows) — the new guard
+    must not reject it in metadata mode."""
+    from sayn_spark.functions.multimodal import bmp_encode, bmp_parse
+
+    good = bytearray(bmp_encode(bytes(range(64)), 8, 8))
+    struct.pack_into("<i", good, 22, -8)
+    assert bmp_parse(bytes(good)) == (8, 8, 24)
+
+
+# ------------------------------------------------------------- router
+
+
+def test_router_routes_corrupt_wav_and_bmp_as_unknown(spark):
+    """The two-exception contract end-to-end: the zero-rate WAV and the
+    negative-width BMP route as ``unknown`` instead of killing the
+    mapInPandas stage (pre-fix: ZeroDivisionError / typed garbage)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from sayn_spark.functions.multimodal import route_media_frame
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, _wav_zero_rate()), (2, _bmp_negative_width())], schema
+    )
+    got = {
+        r["doc_id"]: r["media_type"] for r in route_media_frame(df).collect()
+    }
+    assert got == {1: "unknown", 2: "unknown"}
+
+
+# ---------------------------------------------------- copy drain budget
+
+
+@pytest.fixture
+def ctx(spark, tmp_path):
+    return TaskContext(
+        spark=spark,
+        db=SparkDatabase(spark),
+        compiler=Compiler(),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={},
+        connections={},
+        project_dir=tmp_path,
+    )
+
+
+def test_null_drain_budget_does_not_starve_watermark_rows(
+    ctx, spark, monkeypatch, caplog
+):
+    """Pre-fix repro: with MAX_MERGE_ITERATIONS=2 shared across both
+    loops, a 6-key NULL backlog at max_merge_rows=2 consumed the whole
+    cap in the drain and the watermark rows were never merged.  With
+    per-phase budgets the watermark rows load, and the capped drain
+    emits its own drain-specific warning (not the watermark loop's
+    misattributed "last merged chunk was full")."""
+    import logging
+
+    import sayn_spark.operators.copy as copy_mod
+    from sayn_spark.operators.copy import CopyTask
+
+    monkeypatch.setattr(copy_mod, "MAX_MERGE_ITERATIONS", 2)
+    db = ctx.db
+    rows = [
+        {"id": i, "updated_at": None, "name": f"null{i}"} for i in range(1, 7)
+    ] + [{"id": 10 + i, "updated_at": 10 + i, "name": f"wm{i}"} for i in range(3)]
+    db.load_data(
+        "cpd_src", rows, schema="id long, updated_at long, name string", replace=True
+    )
+    db.load_data(
+        "cpd_dst",
+        [{"id": 10, "updated_at": 10, "name": "wm0"}],
+        schema="id long, updated_at long, name string",
+        replace=True,
+    )
+    t = CopyTask(
+        "cpd",
+        {
+            "source": {"table": "cpd_src"},
+            "destination": "cpd_dst",
+            "incremental_key": "updated_at",
+            "delete_key": "id",
+            "max_merge_rows": 2,
+        },
+        ctx,
+    )
+    t.config()
+    with caplog.at_level(logging.WARNING, logger="sayn_spark"):
+        t.run()
+    got = {r.id for r in spark.table("cpd_dst").collect()}
+    # watermark rows MUST all land despite the drain hitting its cap
+    assert {10, 11, 12} <= got
+    # drain merged exactly 2 chunks x 2 keys of the 6-key NULL backlog
+    assert len(got & {1, 2, 3, 4, 5, 6}) == 4
+    drain_warnings = [
+        r for r in caplog.records if "NULL-incremental-key drain" in r.getMessage()
+    ]
+    assert len(drain_warnings) == 1
+    assert "2 of 6 delete keys still pending" in drain_warnings[0].getMessage()
+
+
+def test_null_drain_completes_within_budget_no_warning(ctx, spark, caplog):
+    """Sanity twin: when the drain fits the budget, every NULL-key row
+    and watermark row merges and no drain warning fires."""
+    import logging
+
+    from sayn_spark.operators.copy import CopyTask
+
+    db = ctx.db
+    rows = [
+        {"id": 1, "updated_at": None, "name": "n1"},
+        {"id": 2, "updated_at": None, "name": "n2"},
+        {"id": 11, "updated_at": 11, "name": "w1"},
+        {"id": 12, "updated_at": 12, "name": "w2"},
+    ]
+    db.load_data(
+        "cpd2_src", rows, schema="id long, updated_at long, name string", replace=True
+    )
+    db.load_data(
+        "cpd2_dst",
+        [{"id": 11, "updated_at": 11, "name": "w1"}],
+        schema="id long, updated_at long, name string",
+        replace=True,
+    )
+    t = CopyTask(
+        "cpd2",
+        {
+            "source": {"table": "cpd2_src"},
+            "destination": "cpd2_dst",
+            "incremental_key": "updated_at",
+            "delete_key": "id",
+            "max_merge_rows": 2,
+        },
+        ctx,
+    )
+    t.config()
+    with caplog.at_level(logging.WARNING, logger="sayn_spark"):
+        t.run()
+    assert {r.id for r in spark.table("cpd2_dst").collect()} == {1, 2, 11, 12}
+    assert not [
+        r for r in caplog.records if "NULL-incremental-key drain" in r.getMessage()
+    ]
+
+
+# ------------------------------------------------- module cache keying
+
+
+def test_module_cache_same_mtime_edit_serves_fresh_module(tmp_path):
+    """Coarse-mtime repro: rewrite the file with different content but
+    the SAME st_mtime (os.utime) — the size-aware key must miss and
+    re-exec, and the superseded entry must be evicted."""
+    import os
+
+    from sayn_spark.operators.python import (
+        _PROJECT_MODULE_CACHE,
+        load_project_python_file,
+    )
+
+    proj = tmp_path / "proj"
+    (proj / "python").mkdir(parents=True)
+    f = proj / "python" / "mod_r14.py"
+    f.write_text("VALUE = 1\n")
+    st = f.stat()
+    mod1, _ = load_project_python_file(proj, f)
+    assert mod1.VALUE == 1
+
+    f.write_text("VALUE = 22\n")  # different size
+    os.utime(f, (st.st_atime, st.st_mtime))  # force identical mtime
+    mod2, _ = load_project_python_file(proj, f)
+    assert mod2.VALUE == 22
+
+    path = str(f.resolve())
+    entries = [k for k in _PROJECT_MODULE_CACHE if k[0] == path]
+    assert len(entries) == 1  # superseded entry evicted
+
+
+def test_module_cache_hit_on_unchanged_file(tmp_path):
+    from sayn_spark.operators.python import load_project_python_file
+
+    proj = tmp_path / "proj2"
+    (proj / "python").mkdir(parents=True)
+    f = proj / "python" / "mod_r14b.py"
+    f.write_text("VALUE = 7\n")
+    mod1, _ = load_project_python_file(proj, f)
+    mod2, _ = load_project_python_file(proj, f)
+    assert mod1 is mod2
+
+
+# -------------------------------------------- ANN zero-norm guard hoist
+
+
+def test_index_writer_enforces_positive_norm_invariant(spark, tmp_path):
+    """Verdict r13 item 2: the zero-norm guard moved from the per-
+    candidate search path to the index edges.  The writer must drop
+    zero-norm vectors at build, and the incremental insert path must
+    drop them at ingest — ``{index}_vectors`` never holds nrm <= 0, so
+    the five search paths divide plainly."""
+    from pyspark.sql import functions as F
+
+    from sayn_spark.core.compiler import Compiler
+    from sayn_spark.core.database import SparkDatabase
+    from sayn_spark.core.objects import DbObjectCompiler
+    from sayn_spark.operators import RunArguments, TaskContext
+    from sayn_spark.operators.ann import AnnIndexTask, ann_insert_batch
+
+    db = SparkDatabase(spark)
+    for t in ("znv_src", "znv_ix_centroids", "znv_ix_vectors"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    rows = [
+        (i, [float((i * 5 + j) % 7 + 1) for j in range(4)], i % 2)
+        for i in range(12)
+    ]
+    rows.append((77, [0.0] * 4, 0))  # empty-document embedding at build
+    db.replace_table(
+        "znv_src",
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int"),
+    )
+    ctx = TaskContext(
+        spark=spark,
+        db=db,
+        compiler=Compiler(parameters={}),
+        obj_compiler=DbObjectCompiler(default_db="spark"),
+        run_arguments=RunArguments(),
+        parameters={},
+        connections={},
+        project_dir=tmp_path,
+    )
+    ix = AnnIndexTask(
+        "znv",
+        {"source": "znv_src", "index": "znv_ix", "label_column": "label", "method": "ivf"},
+        ctx,
+    )
+    ix.config()
+    ix.run()
+    vec = spark.table("znv_ix_vectors")
+    assert vec.where(F.col("vec_id") == 77).count() == 0
+    assert vec.where(F.col("nrm") <= 0).count() == 0
+
+    # ingest path: one good + one zero-norm new vector
+    batch = spark.createDataFrame(
+        [(200, [1.0, 2.0, 1.0, 2.0]), (201, [0.0] * 4)],
+        "vec_id long, e array<double>",
+    )
+    ann_insert_batch(spark, db, "znv_ix", batch)
+    vec = spark.table("znv_ix_vectors")
+    assert vec.where(F.col("vec_id") == 200).count() == 1
+    assert vec.where(F.col("vec_id") == 201).count() == 0
+    assert vec.where(F.col("nrm") <= 0).count() == 0
