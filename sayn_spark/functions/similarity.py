@@ -442,26 +442,28 @@ def ann_index_search(
     probes = _assign_cells(q, cent, nprobe=nprobe).select(
         F.col("vec_id").alias("query_id"), "cell"
     )
+    # zero-norm guard, hoisted to the per-QUERY side (r14): a zero-norm
+    # query has undefined cosine against everything, so it honestly
+    # returns no neighbors — filtered ONCE here, on the tiny query
+    # frame, instead of try_divide + NULL-filter on every candidate row.
+    # Index-side zero norms cannot occur: ``{index}_vectors`` enforces
+    # nrm > 0 at build and ingest (operators/ann.py, streaming
+    # ann ingest), so the per-candidate division below is plain.
     qn = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("qnrm"),
-    )
+    ).where(F.col("qnrm") > 0)
     vec = spark.table(f"{index}_vectors").select(
         F.col("vec_id").alias("neighbor_id"), "cell", "e", "nrm"
     )
-    # try_divide: a zero-norm vector (r12's embed task deliberately
-    # emits one per empty document) or zero-norm query makes the plain
-    # division DIVIDE_BY_ZERO under ANSI — ONE empty doc in the index
-    # killed every search probing its cell (review r13).  NULL cosine =
-    # undefined similarity; such rows are filtered before ranking.
+    # plain division is ANSI-safe here: qnrm > 0 was filtered above and
+    # nrm > 0 is the ``{index}_vectors`` invariant (enforced at build
+    # and ingest since r14 — one empty doc used to DIVIDE_BY_ZERO-kill
+    # every search probing its cell, review r13)
     cos = F.round(
-        F.try_divide(
-            F.expr(
-                "aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-            ),
-            F.col("qnrm") * F.col("nrm"),
-        ),
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qnrm") * F.col("nrm")),
         6,
     )
     scored = (
@@ -474,8 +476,7 @@ def ann_index_search(
     # neighbor appears at most once per query even with nprobe > 1
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
-        scored.where(F.col("cos").isNotNull())
-        .withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
 
@@ -572,24 +573,26 @@ def ann_index_search_pq(
         .select("query_id", "neighbor_id")
     )
     vec = spark.table(f"{index}_vectors")
+    # zero-norm guard, hoisted to the per-QUERY side (r14): a zero-norm
+    # query has undefined cosine against everything, so it honestly
+    # returns no neighbors — filtered ONCE here, on the tiny query
+    # frame, instead of try_divide + NULL-filter on every candidate row.
+    # Index-side zero norms cannot occur: ``{index}_vectors`` enforces
+    # nrm > 0 at build and ingest (operators/ann.py, streaming
+    # ann ingest), so the per-candidate division below is plain.
     qn = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("qnrm"),
-    )
+    ).where(F.col("qnrm") > 0)
     cn = vec.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
-    # try_divide: a zero-norm vector (r12's embed task deliberately
-    # emits one per empty document) or zero-norm query makes the plain
-    # division DIVIDE_BY_ZERO under ANSI — ONE empty doc in the index
-    # killed every search probing its cell (review r13).  NULL cosine =
-    # undefined similarity; such rows are filtered before ranking.
+    # plain division is ANSI-safe here: qnrm > 0 was filtered above and
+    # nrm > 0 is the ``{index}_vectors`` invariant (enforced at build
+    # and ingest since r14 — one empty doc used to DIVIDE_BY_ZERO-kill
+    # every search probing its cell, review r13)
     cos = F.round(
-        F.try_divide(
-            F.expr(
-                "aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-            ),
-            F.col("qnrm") * F.col("nrm"),
-        ),
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qnrm") * F.col("nrm")),
         6,
     )
     scored = (
@@ -599,8 +602,7 @@ def ann_index_search_pq(
     )
     w_out = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
-        scored.where(F.col("cos").isNotNull())
-        .withColumn("rk", F.row_number().over(w_out))
+        scored.withColumn("rk", F.row_number().over(w_out))
         .where(F.col("rk") <= k)
     )
 
@@ -1471,24 +1473,26 @@ def ann_index_search_sq8(
         .select("query_id", "neighbor_id")
     )
     vec = spark.table(f"{index}_vectors")
+    # zero-norm guard, hoisted to the per-QUERY side (r14): a zero-norm
+    # query has undefined cosine against everything, so it honestly
+    # returns no neighbors — filtered ONCE here, on the tiny query
+    # frame, instead of try_divide + NULL-filter on every candidate row.
+    # Index-side zero norms cannot occur: ``{index}_vectors`` enforces
+    # nrm > 0 at build and ingest (operators/ann.py, streaming
+    # ann ingest), so the per-candidate division below is plain.
     qn = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("qnrm"),
-    )
+    ).where(F.col("qnrm") > 0)
     cn = vec.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
-    # try_divide: a zero-norm vector (r12's embed task deliberately
-    # emits one per empty document) or zero-norm query makes the plain
-    # division DIVIDE_BY_ZERO under ANSI — ONE empty doc in the index
-    # killed every search probing its cell (review r13).  NULL cosine =
-    # undefined similarity; such rows are filtered before ranking.
+    # plain division is ANSI-safe here: qnrm > 0 was filtered above and
+    # nrm > 0 is the ``{index}_vectors`` invariant (enforced at build
+    # and ingest since r14 — one empty doc used to DIVIDE_BY_ZERO-kill
+    # every search probing its cell, review r13)
     cos = F.round(
-        F.try_divide(
-            F.expr(
-                "aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-            ),
-            F.col("qnrm") * F.col("nrm"),
-        ),
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qnrm") * F.col("nrm")),
         6,
     )
     scored_exact = (
@@ -1498,8 +1502,7 @@ def ann_index_search_sq8(
     )
     w_out = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
-        scored_exact.where(F.col("cos").isNotNull())
-        .withColumn("rk", F.row_number().over(w_out))
+        scored_exact.withColumn("rk", F.row_number().over(w_out))
         .where(F.col("rk") <= k)
     )
 
@@ -1835,24 +1838,26 @@ def ann_index_search_binary(
         .select("query_id", "neighbor_id")
     )
     vec = spark.table(f"{index}_vectors")
+    # zero-norm guard, hoisted to the per-QUERY side (r14): a zero-norm
+    # query has undefined cosine against everything, so it honestly
+    # returns no neighbors — filtered ONCE here, on the tiny query
+    # frame, instead of try_divide + NULL-filter on every candidate row.
+    # Index-side zero norms cannot occur: ``{index}_vectors`` enforces
+    # nrm > 0 at build and ingest (operators/ann.py, streaming
+    # ann ingest), so the per-candidate division below is plain.
     qn = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("qnrm"),
-    )
+    ).where(F.col("qnrm") > 0)
     cn = vec.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
-    # try_divide: a zero-norm vector (r12's embed task deliberately
-    # emits one per empty document) or zero-norm query makes the plain
-    # division DIVIDE_BY_ZERO under ANSI — ONE empty doc in the index
-    # killed every search probing its cell (review r13).  NULL cosine =
-    # undefined similarity; such rows are filtered before ranking.
+    # plain division is ANSI-safe here: qnrm > 0 was filtered above and
+    # nrm > 0 is the ``{index}_vectors`` invariant (enforced at build
+    # and ingest since r14 — one empty doc used to DIVIDE_BY_ZERO-kill
+    # every search probing its cell, review r13)
     cos = F.round(
-        F.try_divide(
-            F.expr(
-                "aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-            ),
-            F.col("qnrm") * F.col("nrm"),
-        ),
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qnrm") * F.col("nrm")),
         6,
     )
     scored_exact = (
@@ -1862,8 +1867,7 @@ def ann_index_search_binary(
     )
     w_out = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
-        scored_exact.where(F.col("cos").isNotNull())
-        .withColumn("rk", F.row_number().over(w_out))
+        scored_exact.withColumn("rk", F.row_number().over(w_out))
         .where(F.col("rk") <= k)
     )
 
@@ -2066,24 +2070,26 @@ def ann_index_search_cascade(
         .select("query_id", "neighbor_id")
     )
     vec = spark.table(f"{index}_vectors")
+    # zero-norm guard, hoisted to the per-QUERY side (r14): a zero-norm
+    # query has undefined cosine against everything, so it honestly
+    # returns no neighbors — filtered ONCE here, on the tiny query
+    # frame, instead of try_divide + NULL-filter on every candidate row.
+    # Index-side zero norms cannot occur: ``{index}_vectors`` enforces
+    # nrm > 0 at build and ingest (operators/ann.py, streaming
+    # ann ingest), so the per-candidate division below is plain.
     qn = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("qnrm"),
-    )
+    ).where(F.col("qnrm") > 0)
     cn = vec.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
-    # try_divide: a zero-norm vector (r12's embed task deliberately
-    # emits one per empty document) or zero-norm query makes the plain
-    # division DIVIDE_BY_ZERO under ANSI — ONE empty doc in the index
-    # killed every search probing its cell (review r13).  NULL cosine =
-    # undefined similarity; such rows are filtered before ranking.
+    # plain division is ANSI-safe here: qnrm > 0 was filtered above and
+    # nrm > 0 is the ``{index}_vectors`` invariant (enforced at build
+    # and ingest since r14 — one empty doc used to DIVIDE_BY_ZERO-kill
+    # every search probing its cell, review r13)
     cos = F.round(
-        F.try_divide(
-            F.expr(
-                "aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-            ),
-            F.col("qnrm") * F.col("nrm"),
-        ),
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (F.col("qnrm") * F.col("nrm")),
         6,
     )
     scored_exact = (
@@ -2093,8 +2099,7 @@ def ann_index_search_cascade(
     )
     w_out = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
-        scored_exact.where(F.col("cos").isNotNull())
-        .withColumn("rk", F.row_number().over(w_out))
+        scored_exact.withColumn("rk", F.row_number().over(w_out))
         .where(F.col("rk") <= k)
     )
 

@@ -244,6 +244,13 @@ class AnnIndexTask(Task):
                 "e",
                 F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm"),
             )
+            # INDEX INVARIANT (r14): nrm > 0 for every stored vector.  A
+            # zero-norm vector (the embed task's empty-doc contract) has
+            # undefined cosine against everything, so under the NULL-cos-
+            # never-ranks semantics (r13) it could never match — dropping
+            # it here lets every search path divide plainly instead of
+            # paying try_divide + NULL-filter per candidate row.
+            .where(F.col("nrm") > 0)
         )
         # bucketed inverted file, rebuilt atomically: write to a staging
         # table, then rename over the old one (RENAME carries the bucket
@@ -654,7 +661,7 @@ def ann_insert_batch(spark, db, index: str, vecs: DataFrame) -> None:
             F.col("cell").cast("bigint").alias("cell"),
             "e",
             F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("nrm"),
-        )
+        ).where(F.col("nrm") > 0)  # index invariant (r14): see run()
         db.create_table(
             f"{index}_vectors",
             vectors,

@@ -388,8 +388,11 @@ def test_ann_search_survives_zero_norm_vectors(spark, tmp_path):
     """ANN-layer review r13: a zero-norm vector in the index (exactly
     what the embed task emits for an empty document, by r12 design)
     made every catalog search probing its cell die with DIVIDE_BY_ZERO
-    under ANSI.  Cosine now uses try_divide, NULL-cos rows never rank,
-    and a zero-norm QUERY honestly returns no neighbors."""
+    under ANSI.  Since r14 the guard lives at the edges: the index
+    writer drops zero-norm vectors (they could never rank under the
+    NULL-cos-never-ranks semantics anyway) and the searches filter
+    zero-norm QUERIES once up-front — same observable behavior this
+    test pinned in r13, plain per-candidate division."""
     from sayn_spark.core.compiler import Compiler
     from sayn_spark.core.database import SparkDatabase
     from sayn_spark.core.objects import DbObjectCompiler
