@@ -25,7 +25,10 @@ cache cleared, so each measures the full scan-to-sink pipeline.
 fixed workload (range aggregate + tiny parquet scan) timed per sweep
 with the same trial shape — its round-over-round ratio prices box
 drift so query deltas can be sentinel-normalized.  Excluded from the
-totals.
+totals.  Since r14 the sentinel runs TWICE — ``sentinel_pre`` (alias
+``sentinel``) before the first query family and ``sentinel_post``
+after the last — so mid-sweep drift self-flags in the artifact
+(post/pre ratio) instead of needing manual A/Bs.
 """
 
 from __future__ import annotations
@@ -425,13 +428,19 @@ def main() -> None:
     warm_name = next((n for n in names if n in REGISTRY), "q01_pricing_summary")
     REGISTRY[warm_name].fn(spark, sf_dir).count()
 
-    # the drift sentinel runs first, with the same trial shape as a
-    # query line — it is NOT included in value/value_cold totals
-    s_samples = []
-    for _ in range(trials + 1):
-        t0 = time.perf_counter()
-        _sentinel(spark, sf_dir)
-        s_samples.append(time.perf_counter() - t0)
+    # the drift sentinel runs at sweep START and sweep END (v2, verdict
+    # r13 item 3): a post-sentinel that drifted from the pre-sentinel
+    # self-flags a sweep contaminated mid-run, without manual A/Bs.
+    # Neither is included in value/value_cold totals.
+    def _sentinel_samples() -> list:
+        out = []
+        for _ in range(trials + 1):
+            t0 = time.perf_counter()
+            _sentinel(spark, sf_dir)
+            out.append(time.perf_counter() - t0)
+        return out
+
+    s_samples = _sentinel_samples()
     sentinel = round(statistics.median(s_samples[1:]), 3)
     sentinel_cold = round(statistics.median(s_samples[:trials]), 3)
     sentinel_spread = round(max(s_samples[1:]) - min(s_samples[1:]), 3)
@@ -460,6 +469,11 @@ def main() -> None:
         # this box?  sub-1.5s queries historically swing +/-20-40%
         spread[name] = round(max(w) - min(w), 3)
 
+    # post-sweep sentinel: same shape, run after the last query family
+    p_samples = _sentinel_samples()
+    sentinel_post = round(statistics.median(p_samples[1:]), 3)
+    sentinel_post_spread = round(max(p_samples[1:]) - min(p_samples[1:]), 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     full = {
         "metric": "headline_queries_total",
@@ -474,6 +488,12 @@ def main() -> None:
         "sentinel": sentinel,
         "sentinel_cold": sentinel_cold,
         "sentinel_spread": sentinel_spread,
+        # pre/post twins (sentinel == sentinel_pre, kept for r13 artifact
+        # compatibility): post-vs-pre drift flags a contaminated sweep
+        "sentinel_pre": sentinel,
+        "sentinel_pre_spread": sentinel_spread,
+        "sentinel_post": sentinel_post,
+        "sentinel_post_spread": sentinel_post_spread,
     }
     # stdout carries exactly ONE compact JSON line: the driver keeps only a
     # 2000-char tail of bench output, so the full per-line detail (cold
