@@ -53,6 +53,16 @@ def _build_app(command, project_dir, tasks, exclude, profile, full_load, start_d
         parsed_end = dt.date.fromisoformat(end_dt) if end_dt else None
     except ValueError as e:
         raise click.ClickException(f"invalid --start-dt/--end-dt: {e}") from e
+    # an inverted window compiles BETWEEN start AND end clauses that
+    # match nothing: every incremental task would load ZERO rows and the
+    # run would still report SUCCESS (hazard review r14; the reference
+    # accepts it silently — failing loudly is the deliberate divergence)
+    if parsed_start and parsed_end and parsed_start > parsed_end:
+        raise click.ClickException(
+            f"--start-dt {parsed_start} is after --end-dt {parsed_end}: "
+            "the run window is empty, so every incremental task would "
+            "silently load nothing"
+        )
     args = RunArguments(
         command=command,
         full_load=full_load,

@@ -34,6 +34,7 @@ class EventTracker:
         self.tasks: list[str] = []
         self.current_stage: Optional[str] = None
         self._stage_start: Optional[datetime] = None
+        self._broken_loggers: set[int] = set()  # warn once per faulty logger
 
     def register_logger(self, logger) -> None:
         self.loggers.append(logger)
@@ -87,7 +88,26 @@ class EventTracker:
             ts=datetime.now(timezone.utc),
         )
         for logger in self.loggers:
-            logger.report_event(**event)
+            # exception contract (hazard review r14): one faulty logger —
+            # a user-registered one with a bug, a file handle on a full
+            # disk — must neither kill the TASK whose lifecycle emitted
+            # the event nor starve the loggers after it in the fan-out.
+            # (The reference fans out unguarded: logging/event_tracker.py:
+            # 97-99 — a logger bug there aborts the run.)
+            try:
+                logger.report_event(**event)
+            except Exception as e:
+                if id(logger) not in self._broken_loggers:
+                    self._broken_loggers.add(id(logger))
+                    import logging
+
+                    logging.getLogger("sayn_spark").warning(
+                        "logger %s raised %s reporting an event; its events "
+                        "may be incomplete for this run (first failure: %s)",
+                        type(logger).__name__,
+                        type(e).__name__,
+                        e,
+                    )
 
 
 class TaskEventTracker:

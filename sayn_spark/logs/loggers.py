@@ -109,11 +109,19 @@ class FileLogger(Logger):
             self._stream = open(p, "a", encoding="utf-8")
 
     def report_event(self, **event: Any) -> None:
-        if self._stream is None:
+        # local capture: close() can run from another thread between the
+        # None check and the write (a straggler task finishing after the
+        # app closed the tracker) — a closed stream drops the event like
+        # the None path does, instead of raising into the task thread
+        stream = self._stream
+        if stream is None:
             return  # closed — drop late events rather than raise
         event["ts"] = event["ts"].isoformat() if event.get("ts") else None
-        self._stream.write(json.dumps(event, default=str) + "\n")
-        self._stream.flush()
+        try:
+            stream.write(json.dumps(event, default=str) + "\n")
+            stream.flush()
+        except ValueError:
+            pass  # stream closed mid-write; the event is late, drop it
 
     def close(self) -> None:
         # only close a stream this logger opened; injected streams

@@ -52,6 +52,29 @@ def load_tables(
     return out
 
 
+def _require(conf: dict, kind: str, *keys: str) -> None:
+    """Clean config error instead of a raw KeyError deep in a writer
+    (hazard review r14: a jdbc sink without ``url`` died with
+    ``KeyError: 'url'`` and no hint which connection was broken)."""
+    missing = [k for k in keys if not conf.get(k)]
+    if missing:
+        raise ValueError(
+            f"{kind} source/sink config is missing required key(s) "
+            f"{missing} (got keys {sorted(conf)})"
+        )
+
+
+def _partition_cols(conf: dict) -> list:
+    """``partition_by`` as a bare string must mean ONE column: splatting
+    the string into partitionBy() partitioned by its CHARACTERS
+    (``"date"`` -> cols d, a, t, e — hazard review r14, reproduced as an
+    AnalysisException on column ``d``)."""
+    cols = conf.get("partition_by")
+    if not cols:
+        return []
+    return [cols] if isinstance(cols, str) else list(cols)
+
+
 def write_sink(df: DataFrame, conf: dict, mode: str = "overwrite") -> None:
     """Write a DataFrame to a configured sink:
 
@@ -66,30 +89,37 @@ def write_sink(df: DataFrame, conf: dict, mode: str = "overwrite") -> None:
     """
     kind = conf.get("type", "parquet")
     if kind == "table":
+        _require(conf, "table", "name")
         writer = df.write.mode(mode)
         # partition_by applies to catalog sinks too — dropping it
         # silently wrote an unpartitioned table (review r12)
-        if conf.get("partition_by"):
-            writer = writer.partitionBy(*conf["partition_by"])
+        if _partition_cols(conf):
+            writer = writer.partitionBy(*_partition_cols(conf))
         writer.saveAsTable(conf["name"])
         return
     if kind == "jdbc":
+        _require(conf, "jdbc", "url", "table")
         writer = df.write.format("jdbc").option("url", conf["url"]).option(
             "dbtable", conf["table"]
         )
         # pass EVERY remaining option through (driver, batchsize,
         # isolationLevel, ...) — a whitelist silently dropped options
-        # the connection genuinely needs (review r12)
+        # the connection genuinely needs (review r12).  None values are
+        # "unset" (an empty YAML entry), not the string "None" (r14).
         for key, v in conf.items():
-            if key not in ("type", "url", "table"):
+            if key not in ("type", "url", "table") and v is not None:
                 writer = writer.option(key, str(v))
         writer.mode(mode).save()
         return
+    _require(conf, kind, "path")
     writer = df.write.format(kind).mode(mode)
-    if conf.get("partition_by"):
-        writer = writer.partitionBy(*conf["partition_by"])
+    if _partition_cols(conf):
+        writer = writer.partitionBy(*_partition_cols(conf))
+    # None option values are "unset", not a null into the JVM — an empty
+    # YAML entry (``compression:``) used to kill the write with a Spark
+    # INTERNAL_ERROR (hazard review r14, reproduced)
     for k, v in conf.items():
-        if k not in ("type", "path", "partition_by"):
+        if k not in ("type", "path", "partition_by") and v is not None:
             writer = writer.option(k, v)
     if kind == "csv" and "header" not in conf:
         writer = writer.option("header", "true")
@@ -110,12 +140,15 @@ def read_source(spark: SparkSession, conf: dict) -> DataFrame:
     """
     kind = conf.get("type", "parquet")
     if kind == "table":
+        _require(conf, "table", "name")
         return spark.table(conf["name"])
     if kind == "jdbc":
+        _require(conf, "jdbc", "url")
         reader = spark.read.format("jdbc").option("url", conf["url"])
         if "query" in conf:
             reader = reader.option("query", conf["query"])
         else:
+            _require(conf, "jdbc", "table")
             reader = reader.option("dbtable", conf["table"])
         renames = {
             "partition_column": "partitionColumn",
@@ -126,15 +159,18 @@ def read_source(spark: SparkSession, conf: dict) -> DataFrame:
         # snake_case spark-option aliases map; every OTHER option passes
         # through verbatim (driver, fetchsize, sessionInitStatement, ...)
         # — the old whitelist silently dropped them and a read without
-        # its JDBC driver class fails with "No suitable driver"
+        # its JDBC driver class fails with "No suitable driver".  None
+        # values are "unset" (empty YAML entry), not the string "None"
+        # (hazard review r14).
         for key, v in conf.items():
-            if key in ("type", "url", "query", "table"):
+            if key in ("type", "url", "query", "table") or v is None:
                 continue
             reader = reader.option(renames.get(key, key), str(v))
         return reader.load()
+    _require(conf, kind, "path")
     reader = spark.read.format(kind)
     for k, v in conf.items():
-        if k not in ("type", "path"):
+        if k not in ("type", "path") and v is not None:
             reader = reader.option(k, v)
     if kind == "csv":
         # each default applies independently of the other: an explicit

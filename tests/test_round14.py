@@ -342,3 +342,147 @@ def test_index_writer_enforces_positive_norm_invariant(spark, tmp_path):
     assert vec.where(F.col("vec_id") == 200).count() == 1
     assert vec.where(F.col("vec_id") == 201).count() == 0
     assert vec.where(F.col("nrm") <= 0).count() == 0
+
+
+# --------------------------------------- hazard sweep r14: logs layer
+
+
+def test_event_fanout_survives_broken_logger(caplog):
+    """Hazard review r14 (exception-contract leak): one faulty logger in
+    the fan-out killed the task whose lifecycle emitted the event AND
+    starved every logger after it.  Now: the event reaches the healthy
+    loggers, and the faulty one gets ONE warning, not one per event."""
+    import logging
+
+    from sayn_spark.logs.events import EventTracker
+    from sayn_spark.logs.loggers import CollectingLogger
+
+    class Broken:
+        def report_event(self, **event):
+            raise RuntimeError("logger bug")
+
+    healthy = CollectingLogger()
+    t = EventTracker(loggers=[Broken(), healthy])
+    with caplog.at_level(logging.WARNING, logger="sayn_spark"):
+        t.start_stage("run")
+        t.finish_current_stage()
+        t.report_event(context="task", event="start_task", task="x")
+    assert [e["event"] for e in healthy.events] == [
+        "start_stage",
+        "finish_stage",
+        "start_task",
+    ]
+    warns = [r for r in caplog.records if "logger Broken raised" in r.getMessage()]
+    assert len(warns) == 1  # warn once per faulty logger, not per event
+
+
+def test_file_logger_drops_events_after_close():
+    """Close-then-report (a straggler task thread finishing after the
+    app closed the tracker) must drop the late event, not raise."""
+    import io
+
+    from sayn_spark.logs.loggers import FileLogger
+
+    stream = io.StringIO()
+    fl = FileLogger("unused", stream=stream)
+    fl.report_event(event="start_task", ts=None)
+    fl.close()
+    fl.report_event(event="finish_task", ts=None)  # late — must not raise
+    assert stream.getvalue().count("\n") == 1
+
+    # the mid-write race shape: stream closed but reference still held
+    class Closing(io.StringIO):
+        def write(self, s):
+            raise ValueError("I/O operation on closed file")
+
+    fl2 = FileLogger("unused", stream=Closing())
+    fl2.report_event(event="start_task", ts=None)  # must not raise
+
+
+# ----------------------------------- hazard sweep r14: source registry
+
+
+def test_partition_by_string_means_one_column(spark, tmp_path):
+    """``partition_by: date`` (a bare YAML string) used to splat into
+    partitionBy('d','a','t','e') — reproduced as AnalysisException on
+    column ``d``.  A string now means one column, for file, table and
+    catalog sinks alike."""
+    import os
+
+    from sayn_spark.sources.registry import write_sink
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")],
+        "id long, name string, date string",
+    )
+    out = str(tmp_path / "p1")
+    write_sink(df, {"type": "parquet", "path": out, "partition_by": "date"})
+    assert sorted(x for x in os.listdir(out) if x.startswith("date=")) == [
+        "date=2024-01-01",
+        "date=2024-01-02",
+    ]
+
+
+def test_none_option_values_mean_unset(spark, tmp_path):
+    """An empty YAML entry (``compression:``) arrives as None; passing
+    it into the JVM killed the write with a Spark INTERNAL_ERROR
+    (reproduced).  None now means unset everywhere options pass through."""
+    import os
+
+    from sayn_spark.sources.registry import read_source, write_sink
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    out = str(tmp_path / "p2")
+    write_sink(df, {"type": "parquet", "path": out, "compression": None})
+    got = read_source(spark, {"type": "parquet", "path": out, "mergeSchema": None})
+    assert got.count() == 1
+
+
+def test_missing_required_source_keys_raise_clean_valueerror(spark):
+    """A jdbc config without ``url`` died with a raw KeyError deep in
+    the reader; every source/sink kind now validates its required keys
+    up-front with the offending config's keys in the message."""
+    import pytest as _pytest
+
+    from sayn_spark.sources.registry import read_source, write_sink
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError, match=r"missing required key\(s\) \['url'\]"):
+        read_source(spark, {"type": "jdbc", "table": "t"})
+    with _pytest.raises(ValueError, match=r"missing required key\(s\) \['table'\]"):
+        read_source(spark, {"type": "jdbc", "url": "jdbc:derby:x"})
+    with _pytest.raises(ValueError, match=r"missing required key\(s\) \['url'"):
+        write_sink(df, {"type": "jdbc", "table": "t"})
+    with _pytest.raises(ValueError, match=r"missing required key\(s\) \['path'\]"):
+        write_sink(df, {"type": "parquet"})
+    with _pytest.raises(ValueError, match=r"missing required key\(s\) \['name'\]"):
+        write_sink(df, {"type": "table"})
+
+
+# ------------------------------------------ hazard sweep r14: CLI layer
+
+
+def test_cli_rejects_inverted_run_window(tmp_path):
+    """--start-dt after --end-dt compiles BETWEEN clauses that match
+    nothing: every incremental task loads zero rows and the run reports
+    SUCCESS.  The CLI now refuses the empty window loudly (deliberate
+    divergence: the reference accepts it silently)."""
+    from click.testing import CliRunner
+
+    from sayn_spark.cli import cli
+
+    r = CliRunner().invoke(
+        cli,
+        ["compile", "-p", str(tmp_path), "--start-dt", "2024-02-01",
+         "--end-dt", "2024-01-01"],
+    )
+    assert r.exit_code != 0
+    assert "is after --end-dt" in r.output
+    # equal bounds stay legal (a one-day window) — must get PAST the
+    # window check (it then fails later on the empty project dir)
+    r2 = CliRunner().invoke(
+        cli,
+        ["compile", "-p", str(tmp_path), "--start-dt", "2024-01-01",
+         "--end-dt", "2024-01-01"],
+    )
+    assert "is after --end-dt" not in r2.output
