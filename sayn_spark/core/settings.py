@@ -97,15 +97,34 @@ def apply_env_overrides(profile: Profile) -> Profile:
     return out
 
 
+def _load_yaml_mapping(path: Path) -> dict:
+    """Parse one config file to a mapping with config-grade errors
+    (hazard review r14): a stray tab used to surface as a raw
+    yaml.ScannerError traceback, and a top-level list as an
+    AttributeError — both now ValueError (which the CLI renders as a
+    clean message) naming the file."""
+    try:
+        data = yaml.safe_load(path.read_text())
+    except yaml.YAMLError as e:
+        raise ValueError(f"{path}: invalid YAML — {e}") from e
+    if data is None:
+        return {}
+    if not isinstance(data, dict):
+        raise ValueError(
+            f"{path}: top level must be a mapping, got {type(data).__name__}"
+        )
+    return data
+
+
 def load_project(project_dir: str | Path) -> Project:
     path = Path(project_dir) / "project.yaml"
-    data = yaml.safe_load(path.read_text()) or {} if path.exists() else {}
+    data = _load_yaml_mapping(path) if path.exists() else {}
     return Project(**data)
 
 
 def load_settings(project_dir: str | Path) -> Settings:
     path = Path(project_dir) / "settings.yaml"
-    data = yaml.safe_load(path.read_text()) or {} if path.exists() else {}
+    data = _load_yaml_mapping(path) if path.exists() else {}
     return Settings(**data)
 
 
@@ -117,6 +136,12 @@ def load_task_groups(project_dir: str | Path) -> dict[str, dict[str, dict]]:
     if not tasks_dir.is_dir():
         return out
     for f in sorted(tasks_dir.glob("*.yaml")):
-        data = yaml.safe_load(f.read_text()) or {}
-        out[f.stem] = data.get("tasks", {}) or {}
+        data = _load_yaml_mapping(f)
+        tasks = data.get("tasks", {}) or {}
+        if not isinstance(tasks, dict):
+            raise ValueError(
+                f"{f}: 'tasks' must be a mapping of task name to config, "
+                f"got {type(tasks).__name__}"
+            )
+        out[f.stem] = tasks
     return out

@@ -486,3 +486,44 @@ def test_cli_rejects_inverted_run_window(tmp_path):
          "--end-dt", "2024-01-01"],
     )
     assert "is after --end-dt" not in r2.output
+
+
+# ------------------------------------- hazard sweep r14: settings layer
+
+
+def test_malformed_yaml_raises_config_grade_valueerror(tmp_path):
+    """A stray tab in project.yaml surfaced as a raw yaml.ScannerError
+    traceback; a top-level list in a tasks file as an AttributeError.
+    Both are config errors and must raise ValueError (rendered cleanly
+    by the CLI) naming the file."""
+    import pytest as _pytest
+
+    from sayn_spark.core.settings import (
+        load_project,
+        load_settings,
+        load_task_groups,
+    )
+
+    (tmp_path / "project.yaml").write_text("parameters:\n  x: 1\n\t bad")
+    with _pytest.raises(ValueError, match="invalid YAML"):
+        load_project(tmp_path)
+
+    (tmp_path / "settings.yaml").write_text("- a\n- list\n")
+    with _pytest.raises(ValueError, match="top level must be a mapping"):
+        load_settings(tmp_path)
+
+    tasks = tmp_path / "tasks"
+    tasks.mkdir()
+    (tasks / "core.yaml").write_text("- not\n- a map\n")
+    with _pytest.raises(ValueError, match="top level must be a mapping"):
+        load_task_groups(tmp_path)
+
+    (tasks / "core.yaml").write_text("tasks: [a, b]\n")
+    with _pytest.raises(ValueError, match="'tasks' must be a mapping"):
+        load_task_groups(tmp_path)
+
+    # empty and missing files still load as defaults
+    (tasks / "core.yaml").write_text("")
+    assert load_task_groups(tmp_path) == {"core": {}}
+    (tmp_path / "project.yaml").write_text("")
+    assert load_project(tmp_path).default_db == "spark"
