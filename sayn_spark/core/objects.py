@@ -120,7 +120,39 @@ class DbObjectCompiler:
             )
             for t in ("database", "schema", "table")
         }
-        self.from_prod = [re.compile(p) for p in from_prod]
+        # hazard review r14 — validate the rules at CONFIG time, not
+        # deep inside a task run:
+        # * a template with a typo'd placeholder ({tble}) raised a raw
+        #   KeyError at format time;
+        # * a table template that LOST its {table} placeholder collapses
+        #   every table to one physical name — a dev run would silently
+        #   overwrite the same object once per task (constant overrides
+        #   stay legal for database/schema: routing all dev objects into
+        #   one database is the normal use);
+        # * an invalid from_prod regex was a raw re.error traceback.
+        sentinel = "\x00sayn\x00"
+        for rules_name, rules in (
+            ("stringify", self.stringify),
+            ("prod_stringify", self.prod_stringify),
+        ):
+            for t, tmpl in rules.items():
+                try:
+                    rendered = tmpl.format(**{t: sentinel})
+                except (KeyError, IndexError, ValueError) as e:
+                    raise ValueError(
+                        f"invalid {rules_name} rule for {t}: {tmpl!r} — only "
+                        f"{{{t}}} may appear in it ({e})"
+                    ) from e
+                if t == "table" and sentinel not in rendered:
+                    raise ValueError(
+                        f"invalid {rules_name} rule for table: {tmpl!r} does "
+                        "not contain {table}, so EVERY table would map to "
+                        "the same physical name"
+                    )
+        try:
+            self.from_prod = [re.compile(p) for p in from_prod]
+        except re.error as e:
+            raise ValueError(f"invalid from_prod pattern: {e}") from e
         self.sources_from_prod: set[DbObject] = set()
 
     # -- parsing -------------------------------------------------------

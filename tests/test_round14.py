@@ -527,3 +527,36 @@ def test_malformed_yaml_raises_config_grade_valueerror(tmp_path):
     assert load_task_groups(tmp_path) == {"core": {}}
     (tmp_path / "project.yaml").write_text("")
     assert load_project(tmp_path).default_db == "spark"
+
+
+# -------------------------------------- hazard sweep r14: object rules
+
+
+def test_stringify_rules_validated_at_config_time():
+    """Three stringify/from_prod hazards now fail at CONFIG time with
+    ValueError instead of deep inside a task run: a table template
+    without {table} (every table would collapse to ONE physical name —
+    a dev run silently overwriting the same object per task), a typo'd
+    placeholder (raw KeyError at format time), and an invalid from_prod
+    regex (raw re.error traceback).  Constant overrides stay legal for
+    database/schema — routing all dev objects into one database is the
+    normal use."""
+    import pytest as _pytest
+
+    from sayn_spark.core.objects import DbObjectCompiler
+
+    # legal shapes
+    DbObjectCompiler(default_db="spark")
+    DbObjectCompiler(default_db="spark", stringify={"schema_override": "dev_schema"})
+    DbObjectCompiler(default_db="spark", stringify={"database_override": "devdb"})
+    c = DbObjectCompiler(default_db="spark", stringify={"table_override": "dev_{table}"})
+    assert c.out_value(c.from_string("t1")) == "dev_t1"
+
+    with _pytest.raises(ValueError, match=r"does not contain \{table\}"):
+        DbObjectCompiler(default_db="spark", stringify={"table_override": "analytics"})
+    with _pytest.raises(ValueError, match=r"only \{table\} may appear"):
+        DbObjectCompiler(default_db="spark", stringify={"table_override": "dev_{tble}"})
+    with _pytest.raises(ValueError, match="invalid from_prod pattern"):
+        DbObjectCompiler(default_db="spark", from_prod=["[unclosed"])
+    with _pytest.raises(ValueError, match="rule for table"):
+        DbObjectCompiler(default_db="spark", prod_stringify={"table_override": "x"})
