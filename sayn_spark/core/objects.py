@@ -65,6 +65,13 @@ _REGEX_OBJ = re.compile(
 
 _REFERENCE_LEVEL = {None: 0, "schema": -1, "db": -2}
 
+# The Spark session catalog (Hive metastore) only accepts [A-Za-z0-9_]
+# object names — INVALID_SCHEMA_OR_RELATION_NAME even when backticked
+# (verified empirically on pyspark 4).  Validating here turns a
+# mid-run ParseException (AFTER upstream tasks already executed) into
+# a config-time error naming the object.
+_VALID_COMPONENT = re.compile(r"^[A-Za-z0-9_]+$")
+
 STRINGIFY_KEYS = [
     f"{t}_{k}" for t in ("database", "schema", "table") for k in ("prefix", "suffix", "override")
 ]
@@ -149,6 +156,14 @@ class DbObjectCompiler:
                         "not contain {table}, so EVERY table would map to "
                         "the same physical name"
                     )
+                # the RENDERED name must satisfy the catalog grammar too —
+                # a prefix like "dev-" would break every task mid-run
+                if not _VALID_COMPONENT.match(tmpl.format(**{t: "x"})):
+                    raise ValueError(
+                        f"invalid {rules_name} rule for {t}: {tmpl!r} "
+                        "produces names outside the Spark catalog grammar "
+                        "(letters, digits and _ only)"
+                    )
         try:
             self.from_prod = [re.compile(p) for p in from_prod]
         except re.error as e:
@@ -198,6 +213,18 @@ class DbObjectCompiler:
             {"table": None, "schema": None, "database": None},
             **dict(zip(("table", "schema", "database"), reversed(elements))),
         )
+        # the grammar only binds objects living in the SPARK catalog:
+        # another connection's object names a REMOTE table (JDBC), whose
+        # catalog may legally allow characters the metastore rejects
+        if connection_name == self.default_db:
+            for part, value in components.items():
+                if value is not None and not _VALID_COMPONENT.match(value):
+                    raise ValueError(
+                        f"invalid {part} name {value!r} in object {obj!r}: "
+                        "the Spark catalog only accepts letters, digits and "
+                        "_ in object names (it rejects anything else even "
+                        "when back-quoted)"
+                    )
         return DbObject(
             connection_name, components["database"], components["schema"], components["table"]
         )

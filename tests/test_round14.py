@@ -560,3 +560,27 @@ def test_stringify_rules_validated_at_config_time():
         DbObjectCompiler(default_db="spark", from_prod=["[unclosed"])
     with _pytest.raises(ValueError, match="rule for table"):
         DbObjectCompiler(default_db="spark", prod_stringify={"table_override": "x"})
+
+
+def test_spark_catalog_name_grammar_enforced_at_parse_time():
+    """The Hive metastore rejects names outside [A-Za-z0-9_] even when
+    back-quoted (INVALID_SCHEMA_OR_RELATION_NAME, verified empirically)
+    — so a hyphenated destination used to fail MID-RUN with a
+    ParseException after upstream tasks had already executed.  The
+    object compiler now rejects it at parse (config) time.  Objects on
+    OTHER connections name remote tables and stay unrestricted."""
+    import pytest as _pytest
+
+    from sayn_spark.core.objects import DbObjectCompiler
+
+    c = DbObjectCompiler(default_db="spark", connections=("spark", "jdbc_src"))
+    assert c.from_string("db1.sch.t1").table == "t1"
+    # remote JDBC object: hyphen legal there
+    assert c.from_string("jdbc_src:my-remote-table").table == "my-remote-table"
+    for bad in ("my-table", "sch.my table", "db.s.t;drop"):
+        with _pytest.raises(ValueError, match="Spark catalog only accepts"):
+            c.from_string(bad)
+    # a stringify prefix that would break every rendered name is a
+    # config error too
+    with _pytest.raises(ValueError, match="outside the Spark catalog grammar"):
+        DbObjectCompiler(default_db="spark", stringify={"table_prefix": "dev-"})
