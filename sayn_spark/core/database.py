@@ -451,11 +451,20 @@ class SparkDatabase:
         return len(data)
 
     def get_max_value(self, table: str, column: str):
-        """MAX(inc_key) for incremental loads (ref: tasks/copy.py:634-637)."""
+        """MAX(inc_key) for incremental loads (ref: tasks/copy.py:634-637).
+
+        Float keys skip NaN: Spark's MAX ranks NaN above every number,
+        so ONE NaN row would poison the watermark — ``key >= NaN``
+        matches only NaN, and every later incremental load silently
+        skips all real data forever (hazard review r14, reproduced).
+        A NaN-free max keeps a sane watermark; all-NaN (or empty)
+        yields None = full reload.
+        """
         if not self.table_exists(table):
             return None
-        row = self.spark.table(table).agg(F.max(column).alias("m")).collect()[0]
-        return row["m"]
+        from sayn_spark.plans.materialise import nan_safe_max
+
+        return nan_safe_max(self.spark.table(table), column)
 
 
 def _tmp_name(name: str, suffix: str = "") -> str:

@@ -296,7 +296,10 @@ class CopyTask(Task):
                 if kind == "csv":
                     reader = reader.option("header", "true").option("inferSchema", "true")
                 existing = reader.load(path)
-                last_max = existing.agg(F.max(self.incremental_key)).collect()[0][0]
+                # NaN-safe: same watermark contract as get_max_value
+                from sayn_spark.plans.materialise import nan_safe_max
+
+                last_max = nan_safe_max(existing, self.incremental_key)
             batch = incremental_filter(src_df, self.incremental_key, last_max)
             batch = batch.withColumn(LOAD_TS_COL, F.current_timestamp())
             write_sink(batch, self.sink_cfg, mode="append")

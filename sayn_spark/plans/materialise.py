@@ -45,6 +45,20 @@ def merge_dataframes(
     return kept.unionByName(src.select(*dst.columns))
 
 
+def nan_safe_max(df: DataFrame, column: str):
+    """Watermark MAX that skips NaN on float keys (hazard review r14).
+
+    Spark's MAX ranks NaN above every number, so one NaN row poisons
+    the watermark: ``key >= NaN`` matches only NaN and every later
+    incremental load silently skips all real data forever (reproduced).
+    All-NaN or empty input yields None = full reload.
+    """
+    col = F.col(column)
+    if dict(df.dtypes).get(column) in ("float", "double"):
+        col = F.when(F.isnan(col), F.lit(None)).otherwise(col)
+    return df.agg(F.max(col).alias("m")).collect()[0]["m"]
+
+
 def incremental_filter(
     df: DataFrame, incremental_key: str, last_max, include_null: bool = True
 ) -> DataFrame:

@@ -584,3 +584,51 @@ def test_spark_catalog_name_grammar_enforced_at_parse_time():
     # config error too
     with _pytest.raises(ValueError, match="outside the Spark catalog grammar"):
         DbObjectCompiler(default_db="spark", stringify={"table_prefix": "dev-"})
+
+
+# ------------------------------------ hazard sweep r14: NaN watermark
+
+
+def test_nan_never_poisons_the_incremental_watermark(ctx, spark):
+    """Spark's MAX ranks NaN above every number, so one NaN row in the
+    destination made the watermark NaN — and ``key >= NaN`` matches
+    only NaN, silently skipping ALL real new data on every later
+    incremental load (reproduced: 0 of 2 fresh rows loaded).  The
+    watermark now skips NaN on float keys; all-NaN yields None (full
+    reload)."""
+    import math
+
+    from sayn_spark.plans.materialise import incremental_filter, nan_safe_max
+
+    db = ctx.db
+    db.load_data(
+        "nanw_dst",
+        [{"id": 1, "ts": 1.0}, {"id": 2, "ts": float("nan")}],
+        schema="id long, ts double",
+        replace=True,
+    )
+    m = db.get_max_value("nanw_dst", "ts")
+    assert m == 1.0 and not math.isnan(m)
+    src = spark.createDataFrame([(3, 5.0), (4, 9.9)], "id long, ts double")
+    assert incremental_filter(src, "ts", m).count() == 2
+
+    # all-NaN destination: no usable watermark -> None -> full reload
+    db.load_data(
+        "nanw_dst2",
+        [{"id": 1, "ts": float("nan")}],
+        schema="id long, ts double",
+        replace=True,
+    )
+    assert db.get_max_value("nanw_dst2", "ts") is None
+
+    # non-float keys take the plain MAX path
+    db.load_data(
+        "nanw_dst3",
+        [{"id": 1, "ts": 7}],
+        schema="id long, ts long",
+        replace=True,
+    )
+    assert db.get_max_value("nanw_dst3", "ts") == 7
+
+    # the file-sink incremental path shares the same contract
+    assert nan_safe_max(spark.table("nanw_dst"), "ts") == 1.0
