@@ -115,9 +115,15 @@ def zorder_by(df: DataFrame, col_a: str, col_b: str, n_files: int = 16) -> DataF
     )
 
     def scale16(col, lo, hi):
-        span = F.greatest(F.col(hi) - F.col(lo), F.lit(1)).cast("double")
+        # all scaling arithmetic in double: BIGINT (hi - lo) overflows
+        # under ANSI when the column spans the long range — exactly what
+        # this engine's own xxhash64-derived ids do (hazard review r14,
+        # reproduced).  53-bit mantissa precision is far beyond what a
+        # 16-bit grid assignment needs.
+        lo_d = F.col(lo).cast("double")
+        span = F.greatest(F.col(hi).cast("double") - lo_d, F.lit(1.0))
         return F.least(
-            F.floor((F.col(col) - F.col(lo)) / span * 65536).cast("long"),
+            F.floor((F.col(col).cast("double") - lo_d) / span * 65536).cast("long"),
             F.lit(65535).cast("long"),
         )
 

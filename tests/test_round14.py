@@ -632,3 +632,25 @@ def test_nan_never_poisons_the_incremental_watermark(ctx, spark):
 
     # the file-sink incremental path shares the same contract
     assert nan_safe_max(spark.table("nanw_dst"), "ts") == 1.0
+
+
+# --------------------------------------- hazard sweep r14: z-order scale
+
+
+def test_zorder_survives_hash_scale_columns(spark):
+    """zorder_by's min-max scaling did raw BIGINT subtraction: columns
+    spanning the long range — exactly this engine's own xxhash64-derived
+    ids — killed the job with ARITHMETIC_OVERFLOW under ANSI
+    (reproduced).  Scaling now runs in double; grid assignment keeps
+    working for normal ranges."""
+    from sayn_spark.plans.maintenance import zorder_by
+
+    df = spark.createDataFrame(
+        [(-(2**63), 1), (2**63 - 1, 2), (0, 3)], "a long, b long"
+    )
+    out = zorder_by(df, "a", "b", n_files=2).collect()
+    assert len(out) == 3
+
+    # sanity on a small range: z-order keeps locality (same rows survive)
+    small = spark.createDataFrame([(i, i % 4) for i in range(32)], "a long, b long")
+    assert zorder_by(small, "a", "b", n_files=4).count() == 32
