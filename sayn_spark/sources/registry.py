@@ -87,7 +87,7 @@ def write_sink(df: DataFrame, conf: dict, mode: str = "overwrite") -> None:
     Partitioned parquet directories are the 100 TB-friendly sink: each
     partition value is a prunable directory, writers are fully parallel.
     """
-    kind = conf.get("type", "parquet")
+    kind = conf.get("type") or "parquet"  # None type = unset (empty YAML entry)
     if kind == "table":
         _require(conf, "table", "name")
         writer = df.write.mode(mode)
@@ -138,14 +138,14 @@ def read_source(spark: SparkSession, conf: dict) -> DataFrame:
     table is pulled by N executors in parallel instead of one cursor
     (the reference streams one server-side cursor: `tasks/copy.py:426-541`).
     """
-    kind = conf.get("type", "parquet")
+    kind = conf.get("type") or "parquet"  # None type = unset (empty YAML entry)
     if kind == "table":
         _require(conf, "table", "name")
         return spark.table(conf["name"])
     if kind == "jdbc":
         _require(conf, "jdbc", "url")
         reader = spark.read.format("jdbc").option("url", conf["url"])
-        if "query" in conf:
+        if conf.get("query") is not None:  # None query = unset, same rule
             reader = reader.option("query", conf["query"])
         else:
             _require(conf, "jdbc", "table")
