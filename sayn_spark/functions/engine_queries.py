@@ -424,3 +424,59 @@ def q_scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("k") % 1000000007).alias("key_checksum"),
     )
+
+
+@register(
+    "q_watermark_nan_guard",
+    oracle="""
+WITH dst AS (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN CAST('NaN' AS DOUBLE)
+              ELSE CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE)
+         END AS price
+  FROM orders WHERE o_orderkey % 7 = 0
+), wm AS (
+  SELECT MAX(CASE WHEN isnan(price) THEN NULL ELSE price END) AS watermark,
+         SUM(CASE WHEN isnan(price) THEN 1 ELSE 0 END) AS n_nan_dst
+  FROM dst
+), src AS (
+  SELECT CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS price
+  FROM orders
+)
+SELECT CAST(ROUND(wm.watermark, 2) AS DOUBLE) AS watermark,
+       CAST(wm.n_nan_dst AS BIGINT) AS n_nan_dst,
+       (SELECT COUNT(*) FROM src WHERE src.price >= wm.watermark) AS n_loaded
+FROM wm
+""",
+)
+def q_watermark_nan_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrument for the NaN-safe incremental watermark (hazard review
+    r14, reproduced then fixed): Spark's MAX ranks NaN above every
+    number, so one NaN row in the destination used to poison the
+    watermark — ``key >= NaN`` matches only NaN and every later
+    incremental load silently skipped all real data.  This runs the
+    REAL engine path (plans/materialise.py:nan_safe_max +
+    incremental_filter, the same calls CopyTask mode=inc makes) over a
+    destination with injected NaN prices and pins three facts against
+    the DuckDB oracle: the watermark equals the NaN-free max, the NaN
+    rows are counted (witness the hazard is present in the input), and
+    the incremental filter loads the correct boundary-inclusive row
+    count.  Scale shape: two scalar aggregates + one pushed-down scan
+    filter; nothing shuffles.
+    """
+    from sayn_spark.plans.materialise import nan_safe_max
+
+    o = T(spark, sf_dir, "orders")
+    price = F.round(dec("o_totalprice"), 2).cast("double")
+    dst = o.where(F.col("o_orderkey") % 7 == 0).select(
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(float("nan")))
+        .otherwise(price)
+        .alias("price")
+    )
+    wm = nan_safe_max(dst, "price")  # the engine's own watermark call
+    n_nan = dst.where(F.isnan("price")).count()
+    src = o.select(price.alias("price"))
+    n_loaded = incremental_filter(src, "price", wm).count()
+    return spark.createDataFrame(
+        [(float(round(wm, 2)), int(n_nan), int(n_loaded))],
+        "watermark double, n_nan_dst long, n_loaded long",
+    )
