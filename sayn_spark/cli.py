@@ -56,10 +56,17 @@ def _build_app(command, project_dir, tasks, exclude, profile, full_load, start_d
     # an inverted window compiles BETWEEN start AND end clauses that
     # match nothing: every incremental task would load ZERO rows and the
     # run would still report SUCCESS (hazard review r14; the reference
-    # accepts it silently — failing loudly is the deliberate divergence)
-    if parsed_start and parsed_end and parsed_start > parsed_end:
+    # accepts it silently — failing loudly is the deliberate divergence).
+    # Compare EFFECTIVE values: a missing side defaults to yesterday
+    # (the compiler's rule), so `--start-dt <today>` alone is just as
+    # empty as an explicit inverted pair (second-pass review r14).
+    yesterday = dt.date.today() - dt.timedelta(days=1)
+    eff_start = parsed_start or yesterday
+    eff_end = parsed_end or yesterday
+    if eff_start > eff_end:
         raise click.ClickException(
-            f"--start-dt {parsed_start} is after --end-dt {parsed_end}: "
+            f"--start-dt {eff_start} is after --end-dt {eff_end}"
+            f"{'' if parsed_end else ' (the default, yesterday)'}: "
             "the run window is empty, so every incremental task would "
             "silently load nothing"
         )

@@ -654,3 +654,24 @@ def test_zorder_survives_hash_scale_columns(spark):
     # sanity on a small range: z-order keeps locality (same rows survive)
     small = spark.createDataFrame([(i, i % 4) for i in range(32)], "a long, b long")
     assert zorder_by(small, "a", "b", n_files=4).count() == 32
+
+
+def test_cli_rejects_window_inverted_against_the_default_end(tmp_path):
+    """Second-pass review r14: --start-dt later than YESTERDAY (the
+    default end) with no --end-dt is just as empty a window as an
+    explicit inverted pair — the original guard only fired when both
+    dates were given."""
+    import datetime as dt
+
+    from click.testing import CliRunner
+
+    from sayn_spark.cli import cli
+
+    tomorrow = (dt.date.today() + dt.timedelta(days=1)).isoformat()
+    r = CliRunner().invoke(cli, ["compile", "-p", str(tmp_path), "--start-dt", tomorrow])
+    assert r.exit_code != 0
+    assert "is after --end-dt" in r.output and "default, yesterday" in r.output
+    # start == the default end (yesterday) stays legal
+    yesterday = (dt.date.today() - dt.timedelta(days=1)).isoformat()
+    r2 = CliRunner().invoke(cli, ["compile", "-p", str(tmp_path), "--start-dt", yesterday])
+    assert "is after --end-dt" not in r2.output
