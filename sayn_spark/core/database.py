@@ -403,6 +403,15 @@ class SparkDatabase:
         then swapped in via rename (a table can't be overwritten from a
         plan that reads it).
         """
+        from sayn_spark.plans.materialise import check_merge_columns
+
+        # schema-drift gate for BOTH branches: the Delta INSERT below
+        # lists dst's columns by name, which would silently ignore an
+        # extra src column (and raw-error on a missing one) — same
+        # hazard merge_dataframes had (review r14 second pass)
+        check_merge_columns(
+            self.spark.table(src_name).columns, self.spark.table(dst_name).columns
+        )
         if self.use_delta and self._table_provider(dst_name) == "delta":
             keys = [delete_key] if isinstance(delete_key, str) else list(delete_key)
             on = " AND ".join(f"d.{k} = s.{k}" for k in keys)
@@ -444,8 +453,39 @@ class SparkDatabase:
         """Python rows -> table.  The reference batches INSERTs of
         max_batch_rows=50000 (`database/__init__.py:129`); Spark's
         distributed write makes batching moot — one createDataFrame,
-        one write."""
-        df = self.spark.createDataFrame(data, schema=schema)
+        one write.
+
+        Degenerate inputs (hazard review r14 second pass): zero rows
+        without a schema is a no-op returning 0 — the reference's
+        batched INSERT loop simply never executes (database/
+        __init__.py:513-587), while createDataFrame raised a raw
+        CANNOT_INFER_EMPTY_SCHEMA (an empty incremental extract is
+        routine, not an error).  Zero rows WITH a schema still creates/
+        replaces the (empty) table.  An all-None column without a
+        schema raised a raw CANNOT_DETERMINE_TYPE naming nothing; the
+        error now names the undeterminable columns and the remedy.
+        """
+        data = list(data)
+        if not data and schema is None:
+            return 0
+        try:
+            df = self.spark.createDataFrame(data, schema=schema)
+        except Exception as exc:
+            if "CANNOT_DETERMINE_TYPE" not in str(exc):
+                raise
+            try:
+                rows = [dict(r) if isinstance(r, dict) else r.asDict() for r in data]
+                all_none = sorted(
+                    {k for r in rows for k, v in r.items() if v is None}
+                    - {k for r in rows for k, v in r.items() if v is not None}
+                )
+            except Exception:
+                all_none = []
+            raise ValueError(
+                f"load_data into {table!r}: column(s) {all_none!r} are None in "
+                "every record, so their types cannot be inferred — pass an "
+                "explicit schema"
+            ) from exc
         mode = "overwrite" if replace or not self.table_exists(table) else "append"
         self.create_table(table, df, mode=mode)
         return len(data)

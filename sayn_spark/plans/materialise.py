@@ -39,10 +39,39 @@ def merge_dataframes(
     *actual* post-aggregation size, which beats any static guess we
     could make here.
     """
+    check_merge_columns(src.columns, dst.columns)
     keys = [delete_key] if isinstance(delete_key, str) else list(delete_key)
     src_keys = src.select(*keys).distinct()
     kept = dst.join(src_keys, on=keys, how="left_anti")
     return kept.unionByName(src.select(*dst.columns))
+
+
+def check_merge_columns(src_cols: Sequence[str], dst_cols: Sequence[str]) -> None:
+    """An incremental merge cannot evolve the destination schema.
+
+    Without this check an extra source column was SILENTLY dropped
+    (hazard review r14 second pass, reproduced): a user who adds a
+    column to their incremental SQL sees every run succeed while the
+    new column never materialises.  The reference's positional
+    ``INSERT INTO dst SELECT * FROM src`` errors on any column-count
+    mismatch (merge_tables.sql:1-12) — failing loudly here is parity,
+    and the message names the remedy (a full load rebuilds dst with
+    the new schema).  A missing source column previously surfaced as a
+    raw UNRESOLVED_COLUMN AnalysisException; same clean error now.
+    """
+    extra = [c for c in src_cols if c not in set(dst_cols)]
+    missing = [c for c in dst_cols if c not in set(src_cols)]
+    if extra or missing:
+        parts = []
+        if extra:
+            parts.append(f"source has column(s) {extra!r} not in the destination")
+        if missing:
+            parts.append(f"source is missing destination column(s) {missing!r}")
+        raise ValueError(
+            "incremental merge: " + " and ".join(parts) + "; a merge cannot "
+            "change the destination schema — run the task with full load to "
+            "rebuild the destination with the new schema"
+        )
 
 
 def nan_safe_max(df: DataFrame, column: str):

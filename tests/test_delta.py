@@ -163,6 +163,12 @@ def test_delta_merge_statements_string_verified(spark, monkeypatch):
         "ds_dst", [{"id": 1, "k": "a", "v": "x"}], schema="id long, k string, v string",
         replace=True,
     )
+    # the schema-drift gate (r14 second pass) reads BOTH tables' columns
+    # before branching, so the source must exist even in stub mode
+    SparkDatabase(spark, use_delta=False).load_data(
+        "ds_src", [{"id": 2, "k": "b", "v": "y"}], schema="id long, k string, v string",
+        replace=True,
+    )
     db = SparkDatabase(spark, use_delta=True)
     rec = _RecordingSpark(spark)
     db.spark = rec

@@ -675,3 +675,70 @@ def test_cli_rejects_window_inverted_against_the_default_end(tmp_path):
     yesterday = (dt.date.today() - dt.timedelta(days=1)).isoformat()
     r2 = CliRunner().invoke(cli, ["compile", "-p", str(tmp_path), "--start-dt", yesterday])
     assert "is after --end-dt" not in r2.output
+
+
+def test_merge_refuses_schema_drift(spark):
+    """Second-pass hazard review r14: an extra source column was
+    SILENTLY dropped by the merge (``src.select(*dst.columns)``) — a
+    user who adds a column to their incremental SQL sees every run
+    succeed while the column never materialises.  The reference's
+    positional ``INSERT INTO dst SELECT * FROM src``
+    (merge_tables.sql:1-12) errors on any column-count mismatch, so
+    refusing loudly is parity; the error names the remedy (full load).
+    A missing source column previously raised a raw UNRESOLVED_COLUMN
+    AnalysisException."""
+    from sayn_spark.plans.materialise import merge_dataframes
+
+    dst = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    extra = spark.createDataFrame([(2, "B", 9.0)], "k long, v string, new_col double")
+    with pytest.raises(ValueError, match=r"new_col.*not in the destination"):
+        merge_dataframes(dst, extra, "k")
+    missing = spark.createDataFrame([(2,)], "k long")
+    with pytest.raises(ValueError, match=r"missing destination column\(s\) \['v'\]"):
+        merge_dataframes(dst, missing, "k")
+    # reordered-but-identical column sets stay legal (unionByName)
+    reordered = spark.createDataFrame([("B", 2)], "v string, k long")
+    got = {(r.k, r.v) for r in merge_dataframes(dst, reordered, "k").collect()}
+    assert got == {(1, "a"), (2, "B")}
+
+
+def test_database_merge_tables_refuses_schema_drift(spark, tmp_path):
+    """The Database layer's Delta branch builds its INSERT from dst's
+    column list, which had the same silent-drop hazard — the gate runs
+    before either branch."""
+    db = SparkDatabase(spark, use_delta=False)
+    db.create_table(
+        "msd_dst", spark.createDataFrame([(1, "a")], "k long, v string"), mode="overwrite"
+    )
+    db.create_table(
+        "msd_src",
+        spark.createDataFrame([(1, "A", 1.5)], "k long, v string, extra double"),
+        mode="overwrite",
+    )
+    try:
+        with pytest.raises(ValueError, match="extra.*not in the destination"):
+            db.merge_tables("msd_src", "msd_dst", "k")
+    finally:
+        db.drop_object("msd_src")
+        db.drop_object("msd_dst")
+
+
+def test_load_data_degenerate_inputs(spark):
+    """Second-pass hazard review r14: zero rows without a schema is a
+    routine empty incremental extract, not an error — the reference's
+    batched INSERT loop never executes (database/__init__.py:513-587);
+    createDataFrame raised a raw CANNOT_INFER_EMPTY_SCHEMA.  An
+    all-None column raised a raw CANNOT_DETERMINE_TYPE naming nothing;
+    the clean error now names the columns and the remedy."""
+    db = SparkDatabase(spark, use_delta=False)
+    assert db.load_data("ld_degen_never_created", []) == 0
+    assert not db.table_exists("ld_degen_never_created")
+    with pytest.raises(ValueError, match=r"\['b'\] are None in every record"):
+        db.load_data("ld_degen_allnone", [{"a": 1, "b": None}, {"a": 2, "b": None}])
+    # zero rows WITH a schema still materialises the empty table
+    try:
+        assert db.load_data("ld_degen_empty", [], schema="a long", replace=True) == 0
+        assert db.table_exists("ld_degen_empty")
+        assert spark.table("ld_degen_empty").count() == 0
+    finally:
+        db.drop_object("ld_degen_empty")
