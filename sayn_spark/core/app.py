@@ -315,6 +315,23 @@ class App:
                     task.test()  # ref: tasks/task_wrapper.py:383-394
                 task.status = TaskStatus.SUCCESS
                 tracker.finish_task("success", time.perf_counter() - t0)
+            except SystemExit as e:
+                # a user python task calling sys.exit() raises a
+                # BaseException that `except Exception` let ESCAPE the
+                # wrapper (hazard review r14 second pass, reproduced):
+                # the whole run died with the tracker mid-stage, no run
+                # summary, and — worst — a clean-looking exit code with
+                # zero failure accounting.  Ported scripts call
+                # sys.exit() routinely; it is a task failure, not a
+                # scheduler abort.  (KeyboardInterrupt stays
+                # propagating: a genuine ^C should stop the run.)
+                msg = f"task called sys.exit({e.code})"
+                task.status = TaskStatus.FAILED
+                task.error = msg
+                failed.add(name)
+                tracker.finish_task("failed", time.perf_counter() - t0, error=msg)
+                if self.run_arguments.fail_fast:
+                    interrupted = True
             except Exception as e:  # noqa: BLE001 — task errors are data
                 task.status = TaskStatus.FAILED
                 task.error = str(e)

@@ -742,3 +742,33 @@ def test_load_data_degenerate_inputs(spark):
         assert spark.table("ld_degen_empty").count() == 0
     finally:
         db.drop_object("ld_degen_empty")
+
+
+def test_sys_exit_in_python_task_is_a_task_failure(spark, tmp_path):
+    """Second-pass hazard review r14: a user python task calling
+    sys.exit() raises SystemExit — a BaseException the wrapper's
+    ``except Exception`` let escape, killing the whole run mid-stage
+    with a clean-looking exit code and zero failure accounting
+    (reproduced in both serial and thread-pooled paths).  Ported
+    scripts call sys.exit() routinely; it is a task failure."""
+    from sayn_spark.core.app import App
+    from sayn_spark.operators import RunArguments, TaskStatus
+
+    proj = tmp_path / "exitproj"
+    (proj / "tasks").mkdir(parents=True)
+    (proj / "python").mkdir()
+    (proj / "project.yaml").write_text("default_db: spark\n")
+    (proj / "python" / "t.py").write_text(
+        "import sys\n"
+        "from sayn_spark.operators import task\n"
+        "@task(name='quitter')\n"
+        "def quitter(context):\n"
+        "    sys.exit(3)\n"
+    )
+    (proj / "tasks" / "g.yaml").write_text("tasks:\n  independent: {type: dummy}\n")
+    for parallel in (False, True):
+        app = App(proj, spark=spark, run_arguments=RunArguments(command="run"))
+        statuses = app.run(parallel=parallel)
+        assert statuses["quitter"] == TaskStatus.FAILED
+        assert statuses["independent"] == TaskStatus.SUCCESS
+        assert app.tasks["quitter"].error == "task called sys.exit(3)"
