@@ -211,9 +211,25 @@ class App:
 
         # implicit edges: producer of a src object becomes a parent
         # (ref: core/app.py:419-432, tasks/task_wrapper.py:409-436)
-        producers = {
-            obj: task.name for task in self.tasks.values() for obj in task.outputs
-        }
+        producers: dict = {}
+        for task in self.tasks.values():
+            for obj in task.outputs:
+                other = producers.get(obj)
+                if other is not None and other != task.name:
+                    # the dict silently last-writer-won (hazard review
+                    # r14 second pass, reproduced): two tasks declaring
+                    # one output ran CONCURRENTLY in the thread pool,
+                    # their staging swaps interleaved into a table
+                    # holding rows from BOTH "full rebuilds", and every
+                    # implicit src edge bound to whichever producer
+                    # happened to come later in dict order
+                    raise ValueError(
+                        f"tasks {other!r} and {task.name!r} both declare "
+                        f"output '{obj.key}': concurrent writers to one table "
+                        "are nondeterministic — merge them into one task "
+                        "or give them distinct destinations"
+                    )
+                producers[obj] = task.name
         for t in self.tasks.values():
             for obj in t.sources:
                 producer = producers.get(obj)

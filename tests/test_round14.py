@@ -772,3 +772,30 @@ def test_sys_exit_in_python_task_is_a_task_failure(spark, tmp_path):
         assert statuses["quitter"] == TaskStatus.FAILED
         assert statuses["independent"] == TaskStatus.SUCCESS
         assert app.tasks["quitter"].error == "task called sys.exit(3)"
+
+
+def test_duplicate_task_outputs_rejected_at_config_time(spark, tmp_path):
+    """Second-pass hazard review r14: two tasks declaring the same
+    output silently last-writer-won in the producers dict — the thread
+    pool ran both "full rebuild" writers CONCURRENTLY, their staging
+    swaps interleaved into a table holding rows from BOTH (reproduced:
+    x=1 AND x=2 in a one-row materialisation), and every implicit src
+    edge bound to whichever producer came later in dict order."""
+    from sayn_spark.core.app import App
+    from sayn_spark.operators import RunArguments
+
+    proj = tmp_path / "dupout"
+    (proj / "tasks").mkdir(parents=True)
+    (proj / "sql").mkdir()
+    (proj / "project.yaml").write_text("default_db: spark\n")
+    (proj / "sql" / "one.sql").write_text("SELECT 1 AS x")
+    (proj / "sql" / "two.sql").write_text("SELECT 2 AS x")
+    (proj / "tasks" / "g.yaml").write_text(
+        """
+tasks:
+  writer_a: {type: sql, materialisation: table, file_name: one.sql, destination: dup_t}
+  writer_b: {type: sql, materialisation: table, file_name: two.sql, destination: dup_t}
+"""
+    )
+    with pytest.raises(ValueError, match="both declare output 'spark:dup_t'"):
+        App(proj, spark=spark, run_arguments=RunArguments(command="run"))
