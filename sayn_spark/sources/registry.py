@@ -169,8 +169,14 @@ def read_source(spark: SparkSession, conf: dict) -> DataFrame:
         return reader.load()
     _require(conf, kind, "path")
     reader = spark.read.format(kind)
+    # `schema` is a reader METHOD, not an option: the generic option
+    # passthrough silently discarded it (hazard review r14 second
+    # pass), so a user-declared schema never applied.  A DDL string
+    # ("a long, b string") is what reader.schema accepts directly.
+    if conf.get("schema") is not None:
+        reader = reader.schema(conf["schema"])
     for k, v in conf.items():
-        if k not in ("type", "path") and v is not None:
+        if k not in ("type", "path", "schema") and v is not None:
             reader = reader.option(k, v)
     if kind == "csv":
         # each default applies independently of the other: an explicit
@@ -180,4 +186,17 @@ def read_source(spark: SparkSession, conf: dict) -> DataFrame:
             reader = reader.option("header", "true")
         if "inferSchema" not in conf:
             reader = reader.option("inferSchema", "true")
-    return reader.load(conf["path"])
+    try:
+        return reader.load(conf["path"])
+    except Exception as exc:
+        # an EMPTY landing directory (routine: a copy task scheduled
+        # before the first files arrive) surfaced as a cryptic
+        # UNABLE_TO_INFER_SCHEMA naming neither the path nor the remedy
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+            raise
+        raise ValueError(
+            f"{kind} source at {conf['path']!r} contains no data files to "
+            "infer a schema from (empty landing directory?) — declare an "
+            "explicit `schema` on the source to read it as empty, or wait "
+            "for files to arrive"
+        ) from exc

@@ -799,3 +799,32 @@ tasks:
     )
     with pytest.raises(ValueError, match="both declare output 'spark:dup_t'"):
         App(proj, spark=spark, run_arguments=RunArguments(command="run"))
+
+
+def test_file_source_schema_key_and_empty_landing_dir(spark, tmp_path):
+    """Second-pass hazard review r14: `schema` is a reader METHOD, not
+    an option — the generic option passthrough silently discarded it,
+    so a user-declared schema never applied.  And an EMPTY landing
+    directory (routine: a copy task scheduled before the first files
+    arrive) surfaced as a cryptic UNABLE_TO_INFER_SCHEMA naming
+    neither the path nor the remedy.  With a declared schema, an empty
+    directory reads as an empty frame — the scale-correct behavior."""
+    from sayn_spark.sources.registry import read_source
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with pytest.raises(ValueError, match="contains no data files.*schema"):
+        read_source(spark, {"type": "parquet", "path": str(landing)})
+    df = read_source(
+        spark, {"type": "parquet", "path": str(landing), "schema": "a long, b string"}
+    )
+    assert df.count() == 0 and [f.name for f in df.schema.fields] == ["a", "b"]
+    csv = tmp_path / "d.csv"
+    csv.write_text("1,x\n2,y\n")
+    got = read_source(
+        spark,
+        {"type": "csv", "path": str(csv), "schema": "k long, v string",
+         "header": "false", "inferSchema": "false"},
+    )
+    assert got.schema.simpleString() == "struct<k:bigint,v:string>"
+    assert got.count() == 2
