@@ -59,8 +59,9 @@ def check_merge_columns(src_cols: Sequence[str], dst_cols: Sequence[str]) -> Non
     the new schema).  A missing source column previously surfaced as a
     raw UNRESOLVED_COLUMN AnalysisException; same clean error now.
     """
-    extra = [c for c in src_cols if c not in set(dst_cols)]
-    missing = [c for c in dst_cols if c not in set(src_cols)]
+    src_set, dst_set = set(src_cols), set(dst_cols)
+    extra = [c for c in src_cols if c not in dst_set]
+    missing = [c for c in dst_cols if c not in src_set]
     if extra or missing:
         parts = []
         if extra:
