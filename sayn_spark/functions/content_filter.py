@@ -86,9 +86,19 @@ def immediate_repeats_col(t: str = "t"):
 
 def repetition_ratio_col(t: str = "t"):
     """1 - distinct/total over the array column ``t`` (NULL for empty
-    arrays — no tokens means no signal)."""
+    arrays — no tokens means no signal).
+
+    ``try_divide``, not ``/``: under ANSI (Spark 4 default) a plain
+    division by zero THROWS, so one zero-token document (an empty
+    string is enough) killed the whole filter stage before the
+    caller's coalesce-to-0.0 ever saw a row (hazard review r14 second
+    pass, reproduced through the filter task's repetition scorer —
+    the registered query never hit it because it filters
+    ``size(t) >= 2`` first)."""
     return F.round(
-        F.lit(1.0) - F.expr(f"size(array_distinct({t}))").cast("double") / F.size(t), 6
+        F.lit(1.0)
+        - F.expr(f"try_divide(cast(size(array_distinct({t})) as double), size({t}))"),
+        6,
     )
 
 

@@ -828,3 +828,35 @@ def test_file_source_schema_key_and_empty_landing_dir(spark, tmp_path):
     )
     assert got.schema.simpleString() == "struct<k:bigint,v:string>"
     assert got.count() == 2
+
+
+def test_repetition_scorer_survives_zero_token_documents(spark, ctx):
+    """Second-pass hazard review r14: repetition_ratio_col divided by
+    size(t) with a plain `/` — under ANSI (Spark 4 default) ONE
+    zero-token document (an empty string suffices) threw DIVIDE_BY_ZERO
+    and killed the whole filter stage before the caller's
+    coalesce-to-0.0 saw a row (reproduced through the filter task; the
+    registered query never hit it because it filters size(t) >= 2).
+    try_divide yields NULL -> coalesce -> 0.0, so short docs pass."""
+    from sayn_spark.operators.filter import FilterTask
+
+    rows = [
+        (1, "aa bb aa bb aa bb aa bb"),
+        (2, ""),
+        (3, "   "),
+        (4, "one two three four five six"),
+    ]
+    ctx.db.replace_table(
+        "rep_zero_src", spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    t = FilterTask(
+        "repz",
+        {"source": "rep_zero_src", "destination": "rep_zero_out",
+         "scorer": "repetition", "max_repetition_ratio": 0.6},
+        ctx,
+    )
+    t.config()
+    t.run()
+    kept = sorted(r.doc_id for r in spark.table("rep_zero_out").collect())
+    # doc 1 ratio 1-2/8=0.75 > 0.6 dropped; empty/whitespace docs pass at 0.0
+    assert kept == [2, 3, 4]
