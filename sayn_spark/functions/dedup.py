@@ -1189,6 +1189,17 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ED_BLOCK = 24  # blocking-key length (chars)
 _ED_MAX = 8     # edit-distance threshold
+# Candidacy length cap (hazard review r14 second pass, measured):
+# Spark's threshold levenshtein(a, b, k) abandons fast only when the
+# distance EXCEEDS k — when the pair IS near-identical (the very case
+# a dedup hunts) it runs the full O(len^2) DP: measured 2s at 20 KB,
+# 37s at 100 KB, ~15 min at 500 KB, PER PAIR, pegging one executor
+# thread with no progress signal.  One long-doc cluster would freeze
+# the stage at corpus scale, so docs longer than this are never
+# editdistance candidates (the same never-a-candidate policy as
+# NULL/empty docs).  Character-level edit distance is a short-text
+# metric; route long documents to minhash/simhash/passages instead.
+_ED_MAX_COMPARE = 10_000
 
 # editdistance corpus: the suffix twin (+offset) is the pair prefix
 # blocking catches; the prefix twin (+2*offset, edit distance 3 INSIDE
@@ -1440,7 +1451,12 @@ def q_dedup_editdistance_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ed_blocked(df: DataFrame, block_chars: int, keys: tuple) -> DataFrame:
+def _ed_blocked(
+    df: DataFrame,
+    block_chars: int,
+    keys: tuple,
+    max_compare_chars: int = _ED_MAX_COMPARE,
+) -> DataFrame:
     """(doc_id, text, blk) with one kind-tagged block key row per
     requested key.  Kind tags keep the two key spaces disjoint
     ('p:...' can never equal 's:...'), so one explode + one equi-join
@@ -1468,10 +1484,16 @@ def _ed_blocked(df: DataFrame, block_chars: int, keys: tuple) -> DataFrame:
         key_exprs.append(f"concat('p:', substring(_gt, 1, {block_chars}))")
     if "suffix" in keys:
         key_exprs.append(f"concat('s:', right(_gt, {block_chars}))")
+    # length(text) <= cap joins the \S guard: over-cap docs fold to
+    # NULL keys and are never candidates — see _ED_MAX_COMPARE for the
+    # measured O(len^2) freeze this prevents
     return df.select(
         "doc_id",
         "text",
-        F.expr("case when text rlike '\\\\S' then text end").alias("_gt"),
+        F.expr(
+            "case when text rlike '\\\\S' "
+            f"and length(text) <= {int(max_compare_chars)} then text end"
+        ).alias("_gt"),
     ).select(
         "doc_id",
         "text",
@@ -1484,6 +1506,7 @@ def editdistance_dup_pairs(
     max_edit: int = _ED_MAX,
     block_chars: int = _ED_BLOCK,
     block_keys: tuple = ("prefix", "suffix"),
+    max_compare_chars: int = _ED_MAX_COMPARE,
 ) -> DataFrame:
     """``q_dedup_editdistance`` over an arbitrary (doc_id, text) corpus
     — the library entry point behind the dedup task's
@@ -1507,12 +1530,21 @@ def editdistance_dup_pairs(
     block keys — see _ed_blocked): the same degenerate-doc policy as
     minhash/simhash zero-token docs and the incremental ingest, so
     full and incremental modes of ``method: editdistance`` agree.
-    Exact-duplicate empty docs belong to ``method: exact``.
+    Exact-duplicate empty docs belong to ``method: exact``.  Docs
+    longer than ``max_compare_chars`` are never candidates either:
+    Spark's threshold Levenshtein degenerates to the full O(len^2) DP
+    exactly when the pair IS near-identical (measured: 37s at 100 KB,
+    ~15 min at 500 KB, per pair) — see _ED_MAX_COMPARE.  The join also
+    carries ``abs(length diff) <= max_edit`` as a cheap condition (the
+    distance can never be under the length difference), pruning most
+    non-candidates before the DP runs at all.
     """
     if max_edit < 1:
         raise ValueError("editdistance_dup_pairs: max_edit must be >= 1")
     if block_chars < 1:
         raise ValueError("editdistance_dup_pairs: block_chars must be >= 1")
+    if max_compare_chars < 1:
+        raise ValueError("editdistance_dup_pairs: max_compare_chars must be >= 1")
     keys = tuple(block_keys)
     if not keys or len(set(keys)) != len(keys) or any(
         k not in ("prefix", "suffix") for k in keys
@@ -1522,12 +1554,18 @@ def editdistance_dup_pairs(
             f"subset of ('prefix', 'suffix'), got {block_keys!r}"
         )
     bc = int(block_chars)
-    blocked = _ed_blocked(corpus, bc, keys)
+    blocked = _ed_blocked(corpus, bc, keys, int(max_compare_chars))
     a = blocked.alias("a")
     b = blocked.alias("b")
     dist = F.expr(f"levenshtein(a.text, b.text, {int(max_edit)})")
     joined = a.join(
-        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.abs(F.length(F.col("a.text")) - F.length(F.col("b.text")))
+            <= int(max_edit)
+        ),
     )
     if "prefix" in keys and "suffix" in keys:
         # emit each pair once: the suffix arm only reports pairs the
@@ -2978,6 +3016,7 @@ def incremental_editdistance_matches(
     max_edit: int = _ED_MAX,
     block_chars: int = _ED_BLOCK,
     block_keys: tuple = ("prefix", "suffix"),
+    max_compare_chars: int = _ED_MAX_COMPARE,
 ) -> DataFrame:
     """(batch_id, corpus_id, edit_dist <= max_edit) matches of a batch
     against a stored document index under the dual-key blocking of
@@ -3004,13 +3043,22 @@ def incremental_editdistance_matches(
             "incremental_editdistance_matches: block_keys must be a "
             f"non-repeating subset of ('prefix', 'suffix'), got {block_keys!r}"
         )
-    a = _ed_blocked(new_docs, int(block_chars), keys).select(
+    if max_compare_chars < 1:
+        raise ValueError(
+            "incremental_editdistance_matches: max_compare_chars must be >= 1"
+        )
+    a = _ed_blocked(new_docs, int(block_chars), keys, int(max_compare_chars)).select(
         F.col("doc_id").alias("batch_id"), F.col("text").alias("ta"), "blk"
     )
-    b = _ed_blocked(old_docs, int(block_chars), keys).select(
+    b = _ed_blocked(old_docs, int(block_chars), keys, int(max_compare_chars)).select(
         F.col("doc_id").alias("corpus_id"), F.col("text").alias("tb"), "blk"
     )
-    joined = a.join(b, "blk")
+    # cheap length-window before the DP: distance can never be under
+    # the length difference, and the threshold DP is O(len^2) when the
+    # pair is close — see _ED_MAX_COMPARE
+    joined = a.join(b, "blk").where(
+        F.abs(F.length("ta") - F.length("tb")) <= int(max_edit)
+    )
     if "prefix" in keys and "suffix" in keys:
         joined = joined.where(
             F.col("blk").startswith("p:")

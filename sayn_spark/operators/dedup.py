@@ -282,10 +282,16 @@ class DedupTask(Task):
         # that survives token-boundary changes Jaccard cannot
         self.max_edit = int(c.get("max_edit", 8))
         self.block_chars = int(c.get("block_chars", 24))
+        from sayn_spark.functions.dedup import _ED_MAX_COMPARE
+
+        # docs longer than this are never editdistance candidates —
+        # Spark's threshold Levenshtein is O(len^2) when the pair is
+        # near-identical (see _ED_MAX_COMPARE's measured costs)
+        self.max_compare_chars = int(c.get("max_compare_chars", _ED_MAX_COMPARE))
         bk = c.get("block_keys")
         self.block_keys = tuple(bk) if bk is not None else ("prefix", "suffix")
         if self.method != "editdistance":
-            for opt in ("max_edit", "block_chars", "block_keys"):
+            for opt in ("max_edit", "block_chars", "block_keys", "max_compare_chars"):
                 if c.get(opt) is not None:
                     raise ValueError(
                         f"dedup task {self.name!r}: {opt} applies to "
@@ -295,6 +301,10 @@ class DedupTask(Task):
             if self.max_edit < 1 or self.block_chars < 1:
                 raise ValueError(
                     f"dedup task {self.name!r}: max_edit/block_chars must be >= 1"
+                )
+            if self.max_compare_chars < 1:
+                raise ValueError(
+                    f"dedup task {self.name!r}: max_compare_chars must be >= 1"
                 )
             if (
                 not self.block_keys
@@ -610,6 +620,7 @@ class DedupTask(Task):
                 max_edit=self.max_edit,
                 block_chars=self.block_chars,
                 block_keys=self.block_keys,
+                max_compare_chars=self.max_compare_chars,
             ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         if self.method == "simhash":
             from sayn_spark.functions.dedup import simhash_dup_pairs
@@ -924,6 +935,7 @@ class DedupTask(Task):
             max_edit=self.max_edit,
             block_chars=self.block_chars,
             block_keys=self.block_keys,
+            max_compare_chars=self.max_compare_chars,
             on_decode_error=self.on_decode_error,
         )
         if self.dst_value is not None:

@@ -108,6 +108,7 @@ def dedup_ingest_batch(
     max_edit: int = 8,
     block_chars: int = 24,
     block_keys: tuple = ("prefix", "suffix"),
+    max_compare_chars: "int | None" = None,
     on_decode_error: str = "fail",
 ) -> None:
     """One trigger of the near-dup ingest — exposed at module level so
@@ -251,16 +252,26 @@ def dedup_ingest_batch(
         # treat zero-token docs: otherwise every such doc shares the
         # degenerate 'p:'/'s:' block key and the probe verifies
         # O(n_empty^2) Levenshtein-0 pairs per batch
+        from sayn_spark.functions.dedup import _ED_MAX_COMPARE
+
+        ed_cap = _ED_MAX_COMPARE if max_compare_chars is None else int(max_compare_chars)
+        # over-cap docs route sigless too: the probe could never
+        # candidate them (_ed_blocked folds their keys to NULL — the
+        # O(len^2) threshold-DP freeze, see _ED_MAX_COMPARE), so
+        # storing their full text would only bloat the index
         state = (
             batch_df.select("doc_id", "text")
-            .where(F.col("text").rlike(r"\S"))  # NULL rlike is NULL: drops too
+            .where(
+                F.col("text").rlike(r"\S")  # NULL rlike is NULL: drops too
+                & (F.length("text") <= ed_cap)
+            )
             .localCheckpoint()
         )
         empty_state = ("text", "cast(null as string)")
 
         def probe(new, old, old_bands=None):
             return incremental_editdistance_matches(
-                new, old, max_edit, block_chars, block_keys
+                new, old, max_edit, block_chars, block_keys, ed_cap
             )
 
     # docs with no usable state are trivially novel, recorded in the

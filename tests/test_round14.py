@@ -860,3 +860,49 @@ def test_repetition_scorer_survives_zero_token_documents(spark, ctx):
     kept = sorted(r.doc_id for r in spark.table("rep_zero_out").collect())
     # doc 1 ratio 1-2/8=0.75 > 0.6 dropped; empty/whitespace docs pass at 0.0
     assert kept == [2, 3, 4]
+
+
+def test_editdistance_caps_candidate_length(spark, ctx):
+    """Second-pass hazard review r14 (measured): Spark's threshold
+    levenshtein(a, b, k) abandons fast only when the distance EXCEEDS
+    k — when the pair IS near-identical it runs the full O(len^2) DP
+    (37s at 100 KB, ~15 min at 500 KB, per pair), so one long-doc
+    near-dup cluster froze the dedup stage with a pegged executor and
+    no progress signal (reproduced: method=editdistance hung >10 min
+    on EIGHT rows because one held a 500 KB doc).  Docs longer than
+    max_compare_chars are now never candidates — the same policy as
+    NULL/empty docs — and survive dedup as themselves."""
+    import time
+
+    from sayn_spark.operators.dedup import DedupTask
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs home"),
+        (2, "the quick brown fox jumps over the lazy dog and runs hom"),
+        (6, "x" * 500000),
+        (7, "x" * 499999 + "y"),  # near-identical long pair: the freeze case
+    ]
+    ctx.db.replace_table(
+        "edcap_src", spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    t0 = time.time()
+    t = DedupTask(
+        "edcap",
+        {"source": "edcap_src", "destination": "edcap_out", "method": "editdistance"},
+        ctx,
+    )
+    t.config()
+    t.run()
+    took = time.time() - t0
+    kept = sorted(r.doc_id for r in spark.table("edcap_out").select("doc_id").collect())
+    # 2 deduped against 1; both long docs pass through untouched
+    assert kept == [1, 6, 7]
+    assert took < 120, f"editdistance with long docs took {took:.0f}s — cap not applied"
+    # the knob is editdistance-only
+    with pytest.raises(ValueError, match="method=editdistance only"):
+        DedupTask(
+            "edcap2",
+            {"source": "edcap_src", "destination": "o", "method": "exact",
+             "max_compare_chars": 100},
+            ctx,
+        ).config()
