@@ -16,7 +16,18 @@ from pyspark.sql.window import Window
 
 from sayn_spark.functions.registry import T, persist_tracked, register
 
-_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+# Bounded quantifiers, deliberately (hazard review r14 second pass,
+# measured): the old unbounded `[a-z0-9._]+@` made Java's backtracking
+# engine consume the REST of the document at every start position of a
+# long alnum run and then fail at the '@' — O(len^2), 60s+ of pegged
+# CPU on a single 500 KB digit document (jstack-confirmed in
+# java.util.regex), per regexp call, per row.  RFC 5321 bounds the
+# email local part at 64 chars and the domain at 255, so the bounded
+# pattern matches every real email identically while capping the
+# per-position backtrack at the bound (linear scan overall).  The
+# oracle SQL embeds the same constant (DuckDB's RE2 is linear either
+# way), so both engines stay textually in sync.
+_EMAIL_RE = "[a-z0-9._]{1,64}@[a-z0-9.-]{1,255}\\.[a-z]{2,24}"
 _PHONE_RE = "\\+1-[0-9]{3}-[0-9]{4}"
 
 # planted PII: every 10th doc gets an email + phone appended

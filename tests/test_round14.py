@@ -906,3 +906,40 @@ def test_editdistance_caps_candidate_length(spark, ctx):
              "max_compare_chars": 100},
             ctx,
         ).config()
+
+
+def test_pii_regex_is_linear_on_long_alnum_runs(spark, ctx):
+    """Second-pass hazard review r14 (measured, jstack-confirmed): the
+    unbounded email pattern `[a-z0-9._]+@` made Java's backtracking
+    engine consume the REST of the document at every start position of
+    a long alphanumeric run and then fail at the '@' — O(len^2), 60s+
+    of pegged CPU on one 500 KB digit document per regexp call.  RFC
+    5321 bounds the local part at 64 chars and the domain at 255, so
+    the bounded pattern matches every real email identically while
+    keeping the scan linear."""
+    import time
+
+    from sayn_spark.operators.filter import FilterTask
+
+    rows = [
+        (1, "contact alice@example.com or +1-555-0100 today"),
+        (9, "1" * 500000),
+        (6, "x" * 500000),
+    ]
+    ctx.db.replace_table(
+        "piilin_src", spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    t0 = time.time()
+    t = FilterTask(
+        "piilin",
+        {"source": "piilin_src", "destination": "piilin_out",
+         "scorer": "pii", "pii_action": "redact"},
+        ctx,
+    )
+    t.config()
+    t.run()
+    took = time.time() - t0
+    out = {r.doc_id: r.text for r in spark.table("piilin_out").collect()}
+    assert "[EMAIL]" in out[1] and "[PHONE]" in out[1]
+    assert out[9] == "1" * 500000  # untouched, and in linear time
+    assert took < 60, f"pii redaction took {took:.0f}s on long docs — regex not linear"
