@@ -16,6 +16,16 @@ from pyspark.sql.window import Window
 
 from sayn_spark.functions.registry import T, persist_tracked, register
 
+# Width guard for compute-heavy scans (r14 optimization round): the
+# documents/embeddings parquet at the test scale factors is a single
+# row group, so every per-row fold/explode chained straight onto the
+# scan ran SERIAL on a 32-core box (profiled: the DSIR feature
+# extraction spent 3.5 s in ONE task before its first exchange).
+# _fan_out repartitions to cluster width ONLY when the file is too
+# small to split wide enough — at 100 TB splits >> cores and it is a
+# no-op, so no plan changes at scale.
+from sayn_spark.functions.dedup import _fan_out
+
 # Bounded quantifiers, deliberately (hazard review r14 second pass,
 # measured): the old unbounded `[a-z0-9._]+@` made Java's backtracking
 # engine consume the REST of the document at every start position of a
@@ -1069,7 +1079,9 @@ def q_repetition_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     state), so the pass scales linearly and partitions by document
     like the other text signals.
     """
-    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _fan_out(
+        T(spark, sf_dir, "documents").select("doc_id", "text"), spark, sf_dir
+    )
     return top_ngram_signal_frame(d)
 
 
@@ -1383,10 +1395,29 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) beyond that (the mixture task's documented
     promotion).
     """
-    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    docb = persist_tracked(dsir_feature_frame(d, carry=("lang",)))
-    tb = docb.where(F.col("lang") == "en").groupBy("b").agg(F.sum("c").alias("ct"))
-    rb = docb.where(F.col("lang") != "en").groupBy("b").agg(F.sum("c").alias("cr"))
+    d = _fan_out(
+        T(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        spark,
+        sf_dir,
+    )
+    # eager: the lnr broadcast is built on a separate driver thread and
+    # used to race the weight pass into 3-4 full re-evaluations of the
+    # feature extraction (profiled r14) — materialise the cache once,
+    # then every consumer reads it
+    docb = persist_tracked(dsir_feature_frame(d, carry=("lang",)), eager=True)
+    # both n-gram models in ONE pass over the cached feature frame:
+    # sum(c) conditioned per class — sum() skips the NULLs the when()
+    # leaves, and dsir_lnr_frame's coalesce(·, 0) treats a NULL count
+    # exactly like the absent row the separate where() frames produced
+    models = persist_tracked(
+        docb.groupBy("b").agg(
+            F.sum(F.when(F.col("lang") == "en", F.col("c"))).alias("ct"),
+            F.sum(F.when(F.col("lang") != "en", F.col("c"))).alias("cr"),
+        ),
+        eager=True,  # ≤ _DSIR_B rows; read 4x by dsir_lnr_frame's joins
+    )
+    tb = models.select("b", "ct")
+    rb = models.select("b", "cr")
     lnr = dsir_lnr_frame(spark, tb, rb)
     w = Window.orderBy(F.desc("w_micro8"), "doc_id")
     return (
@@ -1776,7 +1807,9 @@ def q_quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming mirror.
     """
     d = (
-        T(spark, sf_dir, "documents")
+        _fan_out(
+            T(spark, sf_dir, "documents").select("doc_id", "text"), spark, sf_dir
+        )
         .select("doc_id", F.expr(_Q_TOKENS).alias("t"))
         .where(F.expr("size(t) >= 1"))
         .withColumn("lines", F.expr(_C4_LINES_SPARK))
@@ -2060,7 +2093,9 @@ def q_repetition_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF, integer ppm by floor division (never round(k/n)).
     """
     pages = (
-        T(spark, sf_dir, "documents")
+        _fan_out(
+            T(spark, sf_dir, "documents").select("doc_id", "text"), spark, sf_dir
+        )
         .select("doc_id", F.expr(_Q_TOKENS).alias("t"))
         .where(F.expr("size(t) >= 1"))
         .withColumn(

@@ -27,12 +27,24 @@ REGISTRY: dict[str, Query] = {}
 _PERSISTED: list[DataFrame] = []
 
 
-def persist_tracked(df: DataFrame, level=None) -> DataFrame:
-    """persist(MEMORY_AND_DISK) + bookkeeping for release_persisted()."""
+def persist_tracked(df: DataFrame, level=None, eager: bool = False) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + bookkeeping for release_persisted().
+
+    ``eager=True`` materialises the cache NOW (one count job) before
+    returning.  Use it when the frame is expensive AND its first
+    consumers run concurrently: Spark builds broadcast relations on
+    separate driver threads, and two jobs racing an unpopulated cache
+    each recompute the full lineage (block-level put wins once, the
+    work happens twice) — profiled at 3-4 full evaluations of the DSIR
+    feature frame before this barrier existed.  For frames consumed
+    once, or consumed strictly sequentially, keep the default lazy
+    persist: the extra pass would only add a job."""
     from pyspark.storagelevel import StorageLevel
 
     df = df.persist(level or StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(df)
+    if eager:
+        df.count()
     return df
 
 

@@ -109,6 +109,11 @@ _SQL_NORMED = "normed AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) 
 
 
 def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 optimization note: a width-guard fan-out was tried here (the
+    # norm fold runs on the single-row-group test scan) and REVERTED —
+    # every ANN query branches _normed many ways (cells/codes/LUT/
+    # re-rank arms), and the extra exchange ahead of each branch
+    # measured +37-68% on the ivfpq lines (A/B in OPTIMIZATION_r14.md)
     return T(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -2314,8 +2319,15 @@ def q_embedding_srp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join is a slim (id, 16+64 doubles) shuffle on vec_id — at
     100 TB you audit a sampled partition, not the corpus, and the
     projection itself stays shuffle-free."""
-    emb = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("cast(embedding as array<double>)").alias("e")
+    from sayn_spark.functions.dedup import _fan_out
+
+    emb = _fan_out(
+        T(spark, sf_dir, "embeddings").select(
+            "vec_id", F.expr("cast(embedding as array<double>)").alias("e")
+        ),
+        spark,
+        sf_dir,
+        table="embeddings",
     )
     proj = emb.select(
         "vec_id",

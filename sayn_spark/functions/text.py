@@ -19,6 +19,12 @@ from pyspark.sql.window import Window
 
 from sayn_spark.functions.registry import T, persist_tracked, register
 
+# r14 optimization: the documents parquet at test scale factors is one
+# row group, so per-row scoring folds chained onto the scan ran serial
+# (single task) on a 32-core box; _fan_out widens ONLY when the file is
+# too small to split — a no-op at production scale.
+from sayn_spark.functions.dedup import _fan_out
+
 # tokens = non-empty whitespace-split lowercase words (same in DuckDB oracle)
 _TOKENS = "filter(split(lower(text), ' '), x -> x != '')"
 
@@ -111,7 +117,7 @@ FROM tok
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: lexical diversity, stopword & punctuation
     ratios combined into one deterministic score."""
-    d = T(spark, sf_dir, "documents")
+    d = _fan_out(T(spark, sf_dir, "documents"), spark, sf_dir)
     sw = "('" + "','".join(STOPWORDS) + "')"
     n_tokens = n_tokens_col()
     n_distinct = F.expr(f"size(array_distinct({_TOKENS}))")
@@ -674,6 +680,9 @@ def score_against_vocab(docs: DataFrame, vocab: DataFrame) -> DataFrame:
 
 
 def _doc_avg_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan-out tried and reverted (r14): the nll pipeline branches this
+    # frame (vocabulary + totals + doc scoring), and the extra exchange
+    # per branch cost more than the serial scan it removed
     return doc_avg_nll_frame(
         T(spark, sf_dir, "documents").select("doc_id", "text")
     )
