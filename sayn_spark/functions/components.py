@@ -89,10 +89,22 @@ def _symmetrise(edges: DataFrame, checkpointed: bool = False) -> DataFrame:
     second localCheckpoint would copy the partitions and add a job
     barrier for nothing."""
     fwd = edges if checkpointed else edges.select("src", "dst").localCheckpoint()
+    # the 4-arm union inherits 4x fwd's partition count, and EVERY
+    # propagation iteration re-scans the checkpointed sym at that
+    # width — profiled at 128 near-empty tasks per iteration on a
+    # 32-core box (task overhead, not work).  Coalesce back to the
+    # larger of fwd's own width and the cluster width before
+    # checkpointing: map-side merge (no shuffle), and at scale fwd's
+    # width dominates so per-partition volume stays bounded.
+    width = max(
+        fwd.rdd.getNumPartitions(),
+        fwd.sparkSession.sparkContext.defaultParallelism,
+    )
     return (
         fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .unionByName(fwd.select("src", F.col("src").alias("dst")))
         .unionByName(fwd.select(F.col("dst").alias("src"), F.col("dst").alias("dst")))
+        .coalesce(width)
         .localCheckpoint()
     )
 

@@ -2117,9 +2117,16 @@ def _containment_candidates(sigs: DataFrame, bands: dict[int, int]) -> DataFrame
     (VERDICT r5 item 7 — the old triple explode re-read the Arrow
     signature pass per arm).
     """
+    # (part, band, v) packs into ONE bigint join key: v < 2^31 (minhash
+    # values are mod p = 2^31-1), band < 1024 (10 bits at 31..40), part
+    # <= ~36 even after probe arms (41+).  The packing is a bijection,
+    # so the equi-join is unchanged — but each banded row shuffles one
+    # 8-byte key instead of int+int+long, and the join hashes/compares
+    # a single column (guide: shuffle fewer bytes, narrower types).
+    _bk = "shiftleft(cast(part as bigint), 41) + shiftleft(cast(band as bigint), 31) + v"
     index = sigs.select(
         F.col("doc_id").alias("id_x"), "part", F.posexplode("sig").alias("band", "v")
-    )
+    ).select("id_x", F.expr(_bk).alias("bk"))
     gaps = sorted(bands)
     assert gaps == list(range(len(gaps))), "gap arms must be contiguous from 0"
     b_arr = "array(" + ", ".join(str(bands[g]) for g in gaps) + ")"
@@ -2142,17 +2149,18 @@ def _containment_candidates(sigs: DataFrame, bands: dict[int, int]) -> DataFrame
         .select(
             "id_p", (F.col("own_part") + F.col("g")).alias("part"), "band", "v"
         )
+        .select("id_p", F.expr(_bk).alias("bk"))
     )
     # shuffle-hash, pinned: both sides are exploded band streams (the
     # probe side reaches ~1.5k rows/doc under the wide gate), but the
     # optimizer cost-estimates them from the slim persisted signature
     # frame and happily BROADCASTS the probe arm — measured 1.7 GiB of
     # hashed relation at sf0.1, a guaranteed OOM at corpus scale.  A
-    # shuffle-hash join on the 3-int key is the plan that survives
-    # 100x data: both sides partition on (part, band, v), no sort, no
+    # shuffle-hash join on the packed band key is the plan that
+    # survives 100x data: both sides partition on bk, no sort, no
     # driver-side relation.
     return (
-        probe.join(index.hint("shuffle_hash"), ["part", "band", "v"])
+        probe.join(index.hint("shuffle_hash"), ["bk"])
         .where(F.col("id_p") != F.col("id_x"))
         .select(
             F.least("id_p", "id_x").alias("id_a"),
@@ -2357,20 +2365,26 @@ def _out_of_contract_pairs(
     small = parted.where(F.col("part") <= hi - max_gap - 1)
     if mod > 1:
         small = small.where(F.pmod(F.xxhash64(F.col("doc_id")), F.lit(mod)) == 0)
+    # postings join on xxhash64(shingle), not the ~30-byte string —
+    # the _jaccard_edges precedent: both shuffle sides move 8-byte
+    # keys; a collision could only inflate ``common`` for a pair
+    # co-holding two colliding shingles (P ~ n^2 / 2^64), the same
+    # accepted-risk class as the md5 fingerprints elsewhere, on a
+    # count that feeds a warning message
     sm = small.select(
         F.col("doc_id").alias("id_s"),
         F.size("sh").alias("ns"),
         F.col("part").alias("part_s"),
         F.explode("sh").alias("s"),
-    )
+    ).select("id_s", "ns", "part_s", F.xxhash64("s").alias("h"))
     lg = parted.where(F.col("part") >= lo + max_gap + 1).select(
         F.col("doc_id").alias("id_l"),
         F.col("part").alias("part_l"),
         F.explode("sh").alias("s"),
-    )
+    ).select("id_l", "part_l", F.xxhash64("s").alias("h"))
     matched = sm.join(
         lg.hint("shuffle_hash"),
-        (sm["s"] == lg["s"]) & (lg["part_l"] > sm["part_s"] + max_gap),
+        (sm["h"] == lg["h"]) & (lg["part_l"] > sm["part_s"] + max_gap),
     )
     qualifying = (
         matched.groupBy("id_s", "id_l", "ns")

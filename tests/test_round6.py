@@ -616,7 +616,7 @@ def test_containment_band_join_is_shuffle_hash_not_broadcast(spark):
         cand = _containment_candidates(sigs, _LE_GATES[8]["bands"])
         plan = cand._jdf.queryExecution().executedPlan().toString()
         band_join_lines = [
-            l for l in plan.splitlines() if "Join [part" in l or "Join [band" in l
+            l for l in plan.splitlines() if "Join [bk" in l
         ]
         assert band_join_lines, "band join not found in plan"
         assert all("ShuffledHashJoin" in l for l in band_join_lines), band_join_lines
