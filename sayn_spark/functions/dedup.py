@@ -684,20 +684,44 @@ def _simhash_candidates(sig: DataFrame, n_bands: int, radius: int) -> DataFrame:
     dedup exchange moves only unique pairs; signatures re-attach to
     the deduped candidates via two narrow joins against ``sig``.
     """
-    keyed = _simhash_probe_keys(sig, n_bands, radius)
-    a = keyed.select(F.col("doc_id").alias("id_a"), "ci", "k")
-    b = keyed.select(F.col("doc_id").alias("id_b"), "ci", "k")
-    pairs = (
-        a.join(b, ["ci", "k"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = _simhash_candidate_ids(sig, n_bands, radius)
     return pairs.join(
         sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
     ).join(
         sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
     )
+
+
+def _simhash_candidate_ids(sig: DataFrame, n_bands: int, radius: int) -> DataFrame:
+    """The deduplicated (id_a < id_b) candidate-pair id frame behind
+    _simhash_candidates, without the signature attach — so callers can
+    attach whichever signature representation their verifier wants
+    (the full band array, or the packed 64-bit word)."""
+    keyed = _simhash_probe_keys(sig, n_bands, radius)
+    a = keyed.select(F.col("doc_id").alias("id_a"), "ci", "k")
+    b = keyed.select(F.col("doc_id").alias("id_b"), "ci", "k")
+    return (
+        a.join(b, ["ci", "k"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _simhash_packed(sig: DataFrame, n_bands: int) -> DataFrame:
+    """(doc_id, p): the band array folded back into the single 64-bit
+    SimHash word (band k holds bits [k*w, (k+1)*w)).  Bands partition
+    the 64 bits, so Hamming over the bands equals one
+    bit_count(p_a ^ p_b) on the packed words."""
+    w = 64 // n_bands
+    pack = (
+        "cast("
+        + " + ".join(
+            f"shiftleft(cast(sig[{k}] as bigint), {w * k})" for k in range(n_bands)
+        )
+        + " as bigint)"
+    )
+    return sig.where(F.size("sig") > 0).select("doc_id", F.expr(pack).alias("p"))
 
 
 def simhash_pairs(
@@ -723,9 +747,16 @@ def simhash_dup_pairs(
     band-combo equi-join (exact recall by pigeonhole), and the codegen
     Hamming filter runs on candidates only."""
     sig = persist_tracked(simhash_signatures_for(corpus, n_bands))
-    hamming = F.expr(_simhash_hamming(n_bands))
+    # verify on the PACKED 64-bit word: bands partition the 64 bits, so
+    # bit_count(p_a ^ p_b) equals the per-band bit_count sum — one xor
+    # + one popcount per candidate instead of 8 array probes, and the
+    # two attach joins move an 8-byte long instead of the band array
+    packed = _simhash_packed(sig, n_bands)
+    hamming = F.expr("cast(bit_count(p_a ^ p_b) as int)")
     return (
-        _simhash_candidates(sig, n_bands, radius)
+        _simhash_candidate_ids(sig, n_bands, radius)
+        .join(packed.select(F.col("doc_id").alias("id_a"), F.col("p").alias("p_a")), "id_a")
+        .join(packed.select(F.col("doc_id").alias("id_b"), F.col("p").alias("p_b")), "id_b")
         .where(hamming <= radius)
         .select("id_a", "id_b", hamming.alias("hamming"))
     )
@@ -3005,18 +3036,20 @@ def incremental_simhash_matches(
         .select("batch_id", "corpus_id")
         .distinct()
     )
-    hamming = F.expr(
-        "cast("
-        + " + ".join(f"bit_count(sig_n[{b}] ^ sig_o[{b}])" for b in range(n_bands))
-        + " as int)"
-    )
+    # packed-word verify (r14): bands partition the 64 bits, so one
+    # bit_count(xor) on the folded words equals the per-band sum —
+    # same codegen argument as simhash_dup_pairs, and the attach joins
+    # move an 8-byte long instead of the band array
+    new_p = _simhash_packed(new_sigs, n_bands)
+    old_p = _simhash_packed(old_sigs, n_bands)
+    hamming = F.expr("cast(bit_count(p_n ^ p_o) as int)")
     return (
         candidates.join(
-            new_sigs.select(F.col("doc_id").alias("batch_id"), F.col("sig").alias("sig_n")),
+            new_p.select(F.col("doc_id").alias("batch_id"), F.col("p").alias("p_n")),
             "batch_id",
         )
         .join(
-            old_sigs.select(F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_o")),
+            old_p.select(F.col("doc_id").alias("corpus_id"), F.col("p").alias("p_o")),
             "corpus_id",
         )
         .where(hamming <= int(radius))

@@ -87,6 +87,16 @@ def get_spark(
             "spark.sql.catalog.spark_catalog",
             "org.apache.spark.sql.delta.catalog.DeltaCatalog",
         )
+    # SAYN_SPARK_EXTRA_CONF="k=v;k=v" — environment-level conf override
+    # (below extra_conf), so deployments and perf A/Bs can re-tune
+    # scale-dependent settings without editing code; the local defaults
+    # above stay the bench contract.
+    env_conf = os.environ.get("SAYN_SPARK_EXTRA_CONF", "")
+    for item in env_conf.split(";"):
+        if "=" in item:
+            k, _, v = item.partition("=")
+            if k.strip():
+                conf[k.strip()] = v.strip()
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
