@@ -974,11 +974,16 @@ def cosine_gated_pairs(normed: DataFrame, n_planes: int = 10) -> DataFrame:
     (vec_id, e, nrm) frame — q_dedup_embedding_cosine's engine, exposed
     so tests can drive it over adversarial corpora (perturbed near-dups
     that are NOT bit-identical: tests/test_dedup_banding.py)."""
-    from sayn_spark.functions.similarity import bucket_expr
+    from sayn_spark.functions.similarity import bucket_int_expr
 
+    # integer buckets (r14): the gate only JOINS on the bucket, so the
+    # packed-int twin of the sign-bit bucket replaces the 10-char
+    # string — int join keys, and the multiprobe flip explode becomes
+    # 11 xors instead of 11 substring rebuilds; bijective, so the
+    # candidate set (and the verified output) is unchanged
     normed = persist_tracked(
-        normed.withColumn("b0", F.expr(bucket_expr(0, n_planes))).withColumn(
-            "b1", F.expr(bucket_expr(n_planes, n_planes))
+        normed.withColumn("b0", F.expr(bucket_int_expr(0, n_planes))).withColumn(
+            "b1", F.expr(bucket_int_expr(n_planes, n_planes))
         )
     )
     ids = normed.select("vec_id", "b0", "b1")
@@ -988,11 +993,7 @@ def cosine_gated_pairs(normed: DataFrame, n_planes: int = 10) -> DataFrame:
         # sits in its home bucket only — (a, b) collides iff
         # hamming(home_a, home_b) <= 1, symmetric even though only one
         # side probes
-        flips = (
-            f"transform(sequence(0, {n_planes - 1}), i -> concat(substring({col}, 1, i), "
-            f"if(substring({col}, i + 1, 1) = '1', '0', '1'), "
-            f"substring({col}, i + 2, {n_planes - 1})))"
-        )
+        flips = f"transform(sequence(0, {n_planes - 1}), i -> {col} ^ shiftleft(1, i))"
         a = ids.select(
             F.col("vec_id").alias("id_a"),
             F.explode(F.expr(f"array_prepend({flips}, {col})")).alias("bk"),
@@ -2337,6 +2338,10 @@ def gated_containment_pairs(
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     cont = common.cast("double") / F.least(F.col("na"), F.col("nb"))
     return (
+        # NOTE (r14): a shuffle_hash hint on both attaches was tried
+        # and REVERTED — building the hash relation over the wide
+        # shingle-array side measured slower than the sorts it saved
+        # (wide line 4.6 -> 6.6-7.7s); sort-merge stays
         screened.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .where(cont >= float(threshold))

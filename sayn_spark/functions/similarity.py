@@ -56,6 +56,23 @@ del _pl
 _PLANE_SPARK = f"transform(element_at({_PLANES_SPARK_LIT}, j + 1), c -> c / 1000.0D)"
 _PLANE_SQL = f"list_transform(({_PLANES_SQL_LIT})[j + 1], c -> c / 1000.0)"
 
+def bucket_int_expr(first_plane: int = 0, n_planes: int = _N_PLANES) -> str:
+    """Integer twin of ``bucket_expr``: the same sign-bit bucket packed
+    into an INT (bit i = plane first_plane + i), for gates that only
+    JOIN on the bucket — an int key joins and explodes (multiprobe bit
+    flips become ``b ^ (1 << i)``) far cheaper than the 10-char
+    '0'/'1' string, and the packing is a bijection so candidate sets
+    are identical.  Keep ``bucket_expr`` for surfaces whose OUTPUT is
+    the bucket string (the registered LSH queries' oracle contract)."""
+    _check_plane_range(first_plane, n_planes)
+    last = first_plane + n_planes - 1
+    return (
+        f"aggregate(sequence({first_plane}, {last}), 0, (acc, j) -> acc + "
+        f"if(aggregate(zip_with(e, {_PLANE_SPARK}, (x, y) -> x * y), 0D, "
+        f"(a2, v) -> a2 + v) > 0, shiftleft(1, j - {first_plane}), 0))"
+    )
+
+
 def _check_plane_range(first_plane: int, n_planes: int) -> None:
     if n_planes < 1 or first_plane < 0 or first_plane + n_planes > _PLANE_TABLE_SIZE:
         raise ValueError(
