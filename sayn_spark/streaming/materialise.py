@@ -349,7 +349,11 @@ def dedup_ingest_batch(
         ).localCheckpoint()
         db.create_table(index_table, kept, mode="append")
     else:
-        kept = kept.localCheckpoint()
+        # no checkpoint: the first-creation write does not read the
+        # index table it writes (unlike the append path above), and
+        # kept's whole lineage is already checkpointed frames — the
+        # extra materialisation pass was one full job for nothing
+        # (r14; the write is kept's only consumer)
         db.create_table(index_table, kept, mode="overwrite")
     if band_table is not None:
         if db.table_exists(band_table):
