@@ -213,27 +213,34 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard >= 0.8.
 
     The shingle inverted-index join is the quadratic verifier — at
-    100 TB you gate it behind MinHash-LSH candidates (next query); the
-    join itself shuffles on the shingle string (skew-prone: stopword
-    shingles → salting or frequency cap in production).
+    100 TB you gate it behind MinHash-LSH candidates (next query).
+    The posting join carries the _jaccard_edges shuffle cuts (r14):
+    keys are xxhash64(shingle) — 8 bytes instead of the ~30-byte
+    string, collision class P ~ n_shingles^2 / 2^64, the family's
+    accepted md5-fingerprint risk class — and per-doc set sizes ride
+    the postings, so no post-aggregation joins back to a sizes table.
+    Skew note unchanged: stopword shingles → salting or frequency cap
+    in production.
     """
     corpus = _fan_out(_doc_corpus(spark, sf_dir, mutate=" zz qq"), spark, sf_dir)
     shingled = _staged_shingles(corpus, persist=True)
-    sizes = shingled.select("doc_id", F.size("sh").alias("n"))
-    exploded = shingled.select("doc_id", F.explode("sh").alias("s"))
+    exploded = shingled.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    ).select("doc_id", "n", F.xxhash64("s").alias("h"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("a.n").alias("na"),
+            F.first("b.n").alias("nb"),
+        )
     )
-    jacc = F.col("common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
-    return (
-        pairs.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
-        .where(jacc >= 0.8)
-        .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
+    jacc = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return pairs.where(jacc >= 0.8).select(
+        "id_a", "id_b", F.round(jacc, 6).alias("jaccard")
     )
 
 
@@ -411,11 +418,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    common = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
-    jacc = common.cast("double") / (F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - common)
+    # exact verify on xxhash64-hashed shingle arrays (r14): the two
+    # attach joins move ~4x narrower arrays and the intersect compares
+    # longs, not ~30-byte strings — the _jaccard_edges collision class
+    verify = shingled.select(
+        "doc_id",
+        F.expr("transform(sh, x -> xxhash64(x))").alias("hs"),
+        F.size("sh").alias("n"),
+    )
+    common = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
+    jacc = common.cast("double") / (F.col("sa.n") + F.col("sb.n") - common)
     return (
-        candidates.join(shingled.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
-        .join(shingled.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        candidates.join(verify.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(verify.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
         .where(jacc >= 0.5)
         .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
     )
@@ -2329,11 +2344,17 @@ def gated_containment_pairs(
     screened = _containment_screened(
         shingled, sigs, gate["bands"], gate["n_hashes"], float(threshold)
     )
+    # verify on xxhash64-hashed shingle arrays, not the raw strings
+    # (r14): the attach joins sort/shuffle ~4x narrower rows and the
+    # exact intersect compares 8-byte longs instead of ~30-byte
+    # strings; collision class P ~ n_shingles^2 / 2^64, the same
+    # accepted class as _jaccard_edges and the OOC measure above
+    hashed = F.expr("transform(sh, x -> xxhash64(x))")
     sh_a = shingled.select(
-        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.size("sh").alias("na")
+        F.col("doc_id").alias("id_a"), hashed.alias("sh_a"), F.size("sh").alias("na")
     )
     sh_b = shingled.select(
-        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.size("sh").alias("nb")
+        F.col("doc_id").alias("id_b"), hashed.alias("sh_b"), F.size("sh").alias("nb")
     )
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     cont = common.cast("double") / F.least(F.col("na"), F.col("nb"))
@@ -3273,11 +3294,14 @@ def passage_rewrite(corpus: DataFrame, window: int = _PASSAGE_W) -> DataFrame:
     q_dedup_passage_rewrite and the dedup task's method: passages."""
     toks = corpus.select("doc_id", F.expr(_TOKENS).alias("toks"))
     wins = passage_windows(toks, window)
-    owner = wins.groupBy("h").agg(F.min("doc_id").alias("fd"))
+    # first-owner test as a window MIN over the hash partition instead
+    # of the old groupBy(h)+join-back: the md5 window stream (the
+    # expensive HOF transform) is computed ONCE and crosses ONE
+    # exchange, where the join form evaluated it twice (owner build +
+    # join probe — profiled as the query's two heaviest stages) and
+    # shuffled it twice (r14)
     removed = (
-        # owner is one row per distinct window hash — corpus-sized at
-        # scale, underestimated below the explode: force shuffle
-        wins.join(owner.hint("shuffle_hash"), "h")
+        wins.withColumn("fd", F.min("doc_id").over(Window.partitionBy("h")))
         .where(F.col("doc_id") > F.col("fd"))
         .groupBy("doc_id")
         .agg(F.collect_list("s").alias("starts"))
@@ -3631,11 +3655,19 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    common = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    # verify on hashed shingle arrays — q_dedup_minhash_lsh's r14
+    # narrowing (longs intersect, ~4x slimmer attach joins; the
+    # _jaccard_edges collision class)
+    verify = shingled.select(
+        "doc_id",
+        F.expr("transform(sh, x -> xxhash64(x))").alias("hs"),
+        F.size("sh").alias("n"),
+    )
+    common = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
     verified = (
-        cand.join(shingled.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
-        .join(shingled.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
-        .where(3 * common >= F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")))
+        cand.join(verify.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(verify.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .where(3 * common >= F.col("sa.n") + F.col("sb.n"))
         .select("id_a", "id_b")
     )
     srcs = d.select("doc_id", "source")

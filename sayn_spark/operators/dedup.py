@@ -676,11 +676,21 @@ class DedupTask(Task):
             sh = _staged_shingles(self._standard(docs), persist=True).where(
                 F.size("sh") > 0
             )
-            sh_a = sh.select(F.col("doc_id").alias("src"), F.col("sh").alias("sh_a"))
-            sh_b = sh.select(F.col("doc_id").alias("dst"), F.col("sh").alias("sh_b"))
+            # exact verify on hashed shingle arrays (r14, the
+            # _jaccard_edges collision class): longs intersect, ~4x
+            # slimmer attach joins
+            hashed = F.expr("transform(sh, x -> xxhash64(x))")
+            sh_a = sh.select(
+                F.col("doc_id").alias("src"), hashed.alias("sh_a"),
+                F.size("sh").alias("na"),
+            )
+            sh_b = sh.select(
+                F.col("doc_id").alias("dst"), hashed.alias("sh_b"),
+                F.size("sh").alias("nb"),
+            )
             common = F.size(F.array_intersect("sh_a", "sh_b"))
             jacc = common.cast("double") / (
-                F.size("sh_a") + F.size("sh_b") - common
+                F.col("na") + F.col("nb") - common
             )
             return (
                 cand.join(sh_a, "src")
