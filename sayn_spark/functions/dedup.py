@@ -727,14 +727,24 @@ def _simhash_packed(sig: DataFrame, n_bands: int) -> DataFrame:
     """(doc_id, p): the band array folded back into the single 64-bit
     SimHash word (band k holds bits [k*w, (k+1)*w)).  Bands partition
     the 64 bits, so Hamming over the bands equals one
-    bit_count(p_a ^ p_b) on the packed words."""
+    bit_count(p_a ^ p_b) on the packed words.
+
+    Each band is masked to its w low bits BEFORE the shift: the
+    signature stores bands as int32, so a w=32 band (n_bands=2) with
+    bit 31 set reads back negative and a bare ``cast(... as bigint)``
+    sign-extends bits 32..63 over the neighbouring band's field.  With
+    the mask the fields are provably disjoint, so they combine with
+    ``|`` (no carries possible, unlike ``+`` on sign-extended values).
+    For the stored shapes w <= 32, so the mask always fits a bigint."""
     w = 64 // n_bands
+    mask = (1 << w) - 1 if w < 64 else -1
     pack = (
-        "cast("
-        + " + ".join(
-            f"shiftleft(cast(sig[{k}] as bigint), {w * k})" for k in range(n_bands)
+        "("
+        + " | ".join(
+            f"shiftleft(cast(sig[{k}] as bigint) & {mask}, {w * k})"
+            for k in range(n_bands)
         )
-        + " as bigint)"
+        + ")"
     )
     return sig.where(F.size("sig") > 0).select("doc_id", F.expr(pack).alias("p"))
 
@@ -2166,10 +2176,21 @@ def _containment_candidates(sigs: DataFrame, bands: dict[int, int]) -> DataFrame
     """
     # (part, band, v) packs into ONE bigint join key: v < 2^31 (minhash
     # values are mod p = 2^31-1), band < 1024 (10 bits at 31..40), part
-    # <= ~36 even after probe arms (41+).  The packing is a bijection,
+    # <= ~36 even after probe arms (41+; bounded by log_ratio(max doc
+    # shingles) + |gaps|, far under 2^22).  The packing is a bijection,
     # so the equi-join is unchanged — but each banded row shuffles one
     # 8-byte key instead of int+int+long, and the join hashes/compares
     # a single column (guide: shuffle fewer bytes, narrower types).
+    # Guard the band field: a future _LE_GATES entry one doubling past
+    # wide mode (>= 2048 bands => band index >= 1024) would silently
+    # alias band bits into part bits and join wrong candidate keys.
+    # The index arm explodes the full signature, so the sig width (==
+    # max band budget in every gate) is the bound that matters.
+    assert max(bands.values()) <= 1024, (
+        f"_containment_candidates: band budget {max(bands.values())} "
+        "overflows the 10-bit band field of the packed join key — "
+        "re-derive the packing before widening the gate"
+    )
     _bk = "shiftleft(cast(part as bigint), 41) + shiftleft(cast(band as bigint), 31) + v"
     index = sigs.select(
         F.col("doc_id").alias("id_x"), "part", F.posexplode("sig").alias("band", "v")

@@ -92,11 +92,24 @@ def get_spark(
     # scale-dependent settings without editing code; the local defaults
     # above stay the bench contract.
     env_conf = os.environ.get("SAYN_SPARK_EXTRA_CONF", "")
+    env_applied: dict[str, str] = {}
     for item in env_conf.split(";"):
         if "=" in item:
             k, _, v = item.partition("=")
             if k.strip():
                 conf[k.strip()] = v.strip()
+                env_applied[k.strip()] = v.strip()
+    if env_applied:
+        # bench/parity artifacts must record the environment delta: a
+        # silent env override could skew recorded A/B numbers with no
+        # trace.  stderr, never stdout (bench stdout is one JSON line).
+        import sys
+
+        print(
+            "sayn_spark.session: SAYN_SPARK_EXTRA_CONF overrides "
+            + ", ".join(f"{k}={v}" for k, v in sorted(env_applied.items())),
+            file=sys.stderr,
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

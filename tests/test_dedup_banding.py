@@ -363,3 +363,44 @@ def test_minhash_estimator_is_unbiased_on_structured_pairs(spark):
     # or ~16/16, never the middle
     agree = sum(a == b for a, b in zip(via_expr[1], via_expr[2]))
     assert 3 <= agree <= 12, f"est {agree}/16 off true ~0.44"
+
+
+def test_packed_simhash_verify_survives_w32_bands(spark):
+    """n_bands=2 stores 32-bit bands in int32, so band values with bit
+    31 set read back NEGATIVE.  The packed-word verify must mask each
+    band before shifting: a bare sign-extending cast smears bits 32..63
+    over the neighbouring band's field and mis-counts Hamming (ADVICE
+    r14).  Checked two ways: adversarial literal signatures where the
+    old '+'-of-sign-extended fold read Hamming 33 for a 1-bit flip, and
+    the n_bands=2 banded plan against the per-band all-pairs truth."""
+    from sayn_spark.functions.dedup import _simhash_packed, simhash_dup_pairs
+
+    # band0 = 0x80000000 (int32 MIN — negative), band1 = 0: exactly one
+    # bit differs from the all-zero signature
+    sig = spark.createDataFrame(
+        [(1, [-2147483648, 0]), (2, [0, 0]), (3, [-1, 2147483647])],
+        schema="doc_id long, sig array<int>",
+    )
+    p = {r["doc_id"]: r["p"] for r in _simhash_packed(sig, 2).collect()}
+    assert bin(p[1] ^ p[2]).count("1") == 1  # not 33
+    assert p[1] == 1 << 31
+    # doc 3: band0 = -1 (32 ones), band1 = 0x7FFFFFFF (31 ones)
+    assert bin(p[3] ^ p[2]).count("1") == 63
+
+    docs = spark.range(0, 40).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(0, 11), "
+        "i -> concat('tok', pmod(id * 7 + i * 3, 19)))) AS text",
+    )
+    near = docs.where("doc_id < 6").selectExpr(
+        "doc_id + 1000 AS doc_id", "concat(text, ' zz') AS text"
+    )
+    corpus = docs.unionByName(near)
+    got = _rows(simhash_dup_pairs(corpus, n_bands=2, radius=1), ["id_a", "id_b", "hamming"])
+    from sayn_spark.functions.dedup import simhash_signatures_for
+
+    truth = _rows(
+        _simhash_allpairs(simhash_signatures_for(corpus, 2), n_bands=2, radius=1),
+        ["id_a", "id_b", "hamming"],
+    )
+    assert got == truth
