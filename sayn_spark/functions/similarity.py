@@ -125,6 +125,61 @@ _SQL_EMB = "emb AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUB
 _SQL_NORMED = "normed AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)"
 
 
+def _as_local(df: DataFrame) -> DataFrame:
+    """Collect a PROVABLY TINY frame (centroids, codebooks, query heads
+    — all O(k x d) regardless of corpus size) and rebuild it as a
+    LocalRelation with the identical schema and values.
+
+    Why (r15, guide §5 / VERDICT r14 item 1): the IVF-PQ queries spent
+    their wall on 24-37 SEQUENTIAL driver jobs — every F.broadcast of a
+    centroid/codebook/LUT subtree planned its own cluster job, and
+    broadcast-build threads racing an unmaterialised persisted corpus
+    frame re-evaluated its full lineage (profiled: a 14s duplicated
+    cell-assignment stage inside the residual LUT build).  Broadcast
+    sides derived from a LocalRelation need no cluster scan (projections
+    and filters over a LocalRelation constant-fold; LocalTableScan
+    collects driver-side), so the chain collapses to: one collect per
+    tiny frame + the actual corpus-wide stages.
+
+    The rebuild goes through an inline ``VALUES`` table, NOT
+    createDataFrame: PySpark's createDataFrame(list) parallelizes the
+    rows as a pickled Python RDD (``Scan ExistingRDD`` over
+    defaultParallelism partitions), so every broadcast build over it
+    spun up Python workers on 32 near-empty tasks — measured 7-9s of
+    executor per build.  A VALUES list resolves to a Catalyst
+    LocalRelation (ResolveInlineTables folds the casts), which is
+    driver-local and JVM-only.  Values are exact: doubles round-trip
+    through repr + CAST(string AS DOUBLE) (both sides are correctly-
+    rounded shortest-repr conversions), longs/strings are lossless."""
+    spark = df.sparkSession
+
+    def lit(v, dt) -> str:
+        from pyspark.sql.types import ArrayType, DoubleType
+
+        if v is None:
+            return f"CAST(NULL AS {dt.simpleString()})"
+        if isinstance(dt, ArrayType):
+            return "array(" + ", ".join(lit(x, dt.elementType) for x in v) + ")"
+        if isinstance(dt, DoubleType):
+            return f"CAST('{v!r}' AS DOUBLE)"
+        if isinstance(v, str):
+            escaped = v.replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{escaped}'"
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise TypeError(f"_as_local: unsupported literal type {dt} for {v!r}")
+        return f"CAST({v} AS {dt.simpleString()})"
+
+    rows = df.collect()
+    if not rows:  # VALUES needs >= 1 tuple; an empty local frame is fine
+        return spark.createDataFrame([], schema=df.schema)
+    cols = ", ".join(f.name for f in df.schema.fields)
+    values = ", ".join(
+        "(" + ", ".join(lit(r[f.name], f.dataType) for f in df.schema.fields) + ")"
+        for r in rows
+    )
+    return spark.sql(f"SELECT * FROM VALUES {values} AS t({cols})")
+
+
 def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14 optimization note: a width-guard fan-out was tried here (the
     # norm fold runs on the single-row-group test scan) and REVERTED —
@@ -718,16 +773,26 @@ lut AS (
 )"""
 
 
-def _pq_frames(n: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _pq_frames(n: DataFrame, head: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
     """(codes, lut) for the shared PQ design over normed vectors ``n``
-    — the DataFrame twin of ``_SQL_PQ``."""
-    subs = n.select(
-        "vec_id",
-        F.posexplode(
-            F.expr("transform(sequence(0, 7), s -> slice(e, s * 8 + 1, 8))")
-        ).alias("s", "sub"),
-    )
-    cb = subs.where(F.col("vec_id") < 16).select(
+    — the DataFrame twin of ``_SQL_PQ``.
+
+    ``head``, when given, is a LocalRelation holding the vec_id < 16
+    rows of ``n`` (same columns) — the codebook and per-query LUT then
+    derive from local lineage, so their broadcast builds stop
+    re-scanning (and racing the cache of) the corpus frame.  The rows
+    are by construction the same, so codes/lut values are unchanged."""
+    def subs_of(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "vec_id",
+            F.posexplode(
+                F.expr("transform(sequence(0, 7), s -> slice(e, s * 8 + 1, 8))")
+            ).alias("s", "sub"),
+        )
+
+    subs = subs_of(n)
+    hsubs = subs_of(head) if head is not None else subs
+    cb = hsubs.where(F.col("vec_id") < 16).select(
         "s", F.col("vec_id").alias("c"), F.col("sub").alias("cw")
     )
     sub_d2 = F.round(
@@ -744,7 +809,7 @@ def _pq_frames(n: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select("vec_id", "s", F.col("m.c").alias("c"))
     )
     lut = (
-        subs.where(F.col("vec_id") < 10)
+        hsubs.where(F.col("vec_id") < 10)
         .join(F.broadcast(cb), "s")
         .select(
             F.col("vec_id").alias("query_id"),
@@ -808,7 +873,8 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic IVF-PQ index: probe a cell, ADC-scan its codes, re-rank.
     """
     n = persist_tracked(_normed(spark, sf_dir))
-    codes, lut = _pq_frames(n)
+    head = _as_local(n.where(F.col("vec_id") < 16).select("vec_id", "e", "nrm"))
+    codes, lut = _pq_frames(n, head=head)
     adc = (
         codes.join(F.broadcast(lut), ["s", "c"])
         .where(F.col("vec_id") != F.col("query_id"))
@@ -821,7 +887,7 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 20)
         .select("query_id", "neighbor_id")
     )
-    qn = n.select(
+    qn = head.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
     cn = n.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
@@ -892,9 +958,20 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-code rows move — centroids, codebook, and per-query LUTs all
     broadcast, so the single wide operation is the per-(query,
     neighbor) ADC aggregate over the probed cell.
+
+    Job-chain shape (r15): the centroid table and the 16-head rows
+    (codebook ⊇ the 10 queries) are O(k x d) at ANY corpus size, so
+    they collect ONCE each and every broadcast side (codebook, query
+    LUT, query cells, the exact re-rank's query vectors) derives from
+    LocalRelations — no broadcast build plans a cluster scan or races
+    the corpus cache.  The head collect doubles as the eager
+    materialisation of ``n``'s cache, so the corpus-wide arms
+    (cell assignment, code encoding, the re-rank's neighbor side) read
+    the cache instead of re-running the norm fold.
     """
     n = persist_tracked(_normed(spark, sf_dir))
-    cent = _centroid_arrays(n.select("label", "e"))
+    head = _as_local(n.where(F.col("vec_id") < 16).select("vec_id", "e", "nrm"))
+    cent = _as_local(_centroid_arrays(n.select("label", "e")))
     d2 = F.round(
         F.expr(
             "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
@@ -902,20 +979,28 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         8,
     )
     w_assign = Window.partitionBy("vec_id").orderBy("d2", "c_label")
-    cells = (
-        n.crossJoin(F.broadcast(cent))
-        .select("vec_id", "c_label", d2.alias("d2"))
-        .withColumn("rk", F.row_number().over(w_assign))
-        .where(F.col("rk") == 1)
-        .select("vec_id", F.col("c_label").alias("cell"))
+
+    def assign(frame: DataFrame) -> DataFrame:
+        return (
+            frame.crossJoin(F.broadcast(cent))
+            .select("vec_id", "c_label", d2.alias("d2"))
+            .withColumn("rk", F.row_number().over(w_assign))
+            .where(F.col("rk") == 1)
+            .select("vec_id", F.col("c_label").alias("cell"))
+        )
+
+    cells = assign(n)  # corpus arm: consumed once by the ADC join
+    codes, lut = _pq_frames(n, head=head)
+    # query cells from the SAME argmin over the local head rows —
+    # per-vector assignment is independent, so filtering before the
+    # window equals filtering after it
+    qcells = assign(head.where(F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
     )
-    cells = persist_tracked(cells)
-    codes, lut = _pq_frames(n)
-    qcells = cells.select(F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell"))
     # rename the LUT's join keys so the three-way condition stays
     # unambiguous against the codes side
     lut_in_cell = (
-        lut.join(F.broadcast(qcells.where(F.col("query_id") < 10)), "query_id")
+        lut.join(F.broadcast(qcells), "query_id")
         .select(
             "query_id",
             F.col("s").alias("ls"),
@@ -942,7 +1027,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 20)
         .select("query_id", "neighbor_id")
     )
-    qn = n.select(
+    qn = head.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
     cn = n.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
@@ -1239,9 +1324,20 @@ def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide stage; the residual subtraction is map-side against the
     broadcast centroid table and never materialises a second copy of
     the vectors.
+
+    Job-chain shape (r15, as q_ann_ivfpq_topk): centroids and the
+    16-head rows collect once (O(k x d) at any scale) and the residual
+    codebook + query LUT derive from a LOCAL twin of the residual
+    pipeline (same expressions over the same rows — cell assignment is
+    per-vector, so the head's local argmin equals the corpus argmin
+    filtered).  Before this, the rcb/LUT broadcast builds raced the
+    unmaterialised cells cache and re-evaluated the full cell
+    -assignment window — profiled as a 14s duplicated stage inside a
+    3.5s-wall query.
     """
     n = persist_tracked(_normed(spark, sf_dir))
-    cent = _centroid_arrays(n.select("label", "e"))
+    head = _as_local(n.where(F.col("vec_id") < 16).select("vec_id", "e", "nrm"))
+    cent = _as_local(_centroid_arrays(n.select("label", "e")))
     d2 = F.round(
         F.expr(
             "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
@@ -1249,31 +1345,37 @@ def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         8,
     )
     w_assign = Window.partitionBy("vec_id").orderBy("d2", "c_label")
-    cells = (
-        n.crossJoin(F.broadcast(cent))
-        .select("vec_id", "c_label", d2.alias("d2"))
-        .withColumn("rk", F.row_number().over(w_assign))
-        .where(F.col("rk") == 1)
-        .select("vec_id", F.col("c_label").alias("cell"))
-    )
-    cells = persist_tracked(cells)
-    res = (
-        n.join(cells, "vec_id")
-        .join(F.broadcast(cent), F.col("cell") == F.col("c_label"))
-        .select(
+
+    def assign(frame: DataFrame) -> DataFrame:
+        return (
+            frame.crossJoin(F.broadcast(cent))
+            .select("vec_id", "c_label", d2.alias("d2"))
+            .withColumn("rk", F.row_number().over(w_assign))
+            .where(F.col("rk") == 1)
+            .select("vec_id", F.col("c_label").alias("cell"))
+        )
+
+    def residual_subs(frame: DataFrame, cells_of: DataFrame) -> DataFrame:
+        res = (
+            frame.join(cells_of, "vec_id")
+            .join(F.broadcast(cent), F.col("cell") == F.col("c_label"))
+            .select(
+                "vec_id",
+                "cell",
+                F.expr("zip_with(e, ce, (x, y) -> x - y)").alias("re"),
+            )
+        )
+        return res.select(
             "vec_id",
             "cell",
-            F.expr("zip_with(e, ce, (x, y) -> x - y)").alias("re"),
+            F.posexplode(
+                F.expr("transform(sequence(0, 7), s -> slice(re, s * 8 + 1, 8))")
+            ).alias("s", "sub"),
         )
-    )
-    rsubs = res.select(
-        "vec_id",
-        "cell",
-        F.posexplode(
-            F.expr("transform(sequence(0, 7), s -> slice(re, s * 8 + 1, 8))")
-        ).alias("s", "sub"),
-    )
-    rcb = rsubs.where(F.col("vec_id") < 16).select(
+
+    rsubs = residual_subs(n, assign(n))  # corpus arm
+    hsubs = residual_subs(head, assign(head))  # local twin, 16 rows
+    rcb = hsubs.where(F.col("vec_id") < 16).select(
         "s", F.col("vec_id").alias("c"), F.col("sub").alias("cw")
     )
     sub_d2 = F.round(
@@ -1291,7 +1393,7 @@ def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell", "s", F.col("m.c").alias("c"))
     )
     lut_in_cell = (
-        rsubs.where(F.col("vec_id") < 10)
+        hsubs.where(F.col("vec_id") < 10)
         .join(F.broadcast(rcb), "s")
         .select(
             F.col("vec_id").alias("query_id"),
@@ -1318,7 +1420,7 @@ def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 20)
         .select("query_id", "neighbor_id")
     )
-    qn = n.select(
+    qn = head.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
     cn = n.select(F.col("vec_id").alias("neighbor_id"), "e", "nrm")
