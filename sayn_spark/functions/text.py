@@ -609,9 +609,16 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _nll_from_toks(toks: DataFrame) -> DataFrame:
     """(t, nll: decimal(20,8)) unigram negative-log-prob table from an
-    exploded (doc_id, t) token stream."""
+    exploded (doc_id, t) token stream.
+
+    The corpus-total scalar sums the VOCABULARY counts instead of
+    re-counting the token stream (r15): sum of group counts == total
+    count exactly (both LongType), but the old form was a third full
+    evaluation of the tokenize+explode — at corpus scale a complete
+    extra pass, and locally one more consumer racing the token cache.
+    The two freq subtrees share one exchange (same groupBy key)."""
     freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    total = freq.agg(F.sum("c").alias("total"))
     return freq.crossJoin(F.broadcast(total)).select(
         "t",
         F.round(-F.log(F.col("c").cast("double") / F.col("total")), 8)
