@@ -327,6 +327,21 @@ TASK_BENCH = {
 }
 
 
+def drift_flag(pre: float, post: float, threshold: float = 0.25):
+    """(ratio, contaminated) for the pre/post sentinel pair — VERDICT
+    r14 item 9: a sweep whose post-sentinel drifted more than
+    ``threshold`` from its pre-sentinel ran through a box-state change
+    and its per-query walls must not be cited as round-over-round
+    evidence.  The flag lands in the bench JSON (additions-only; the
+    exit status stays 0 so the driver's rc-based bench gate is
+    unaffected — contamination is a measurement annotation, not a
+    bench failure)."""
+    if not pre or pre <= 0:
+        return None, False
+    ratio = round(post / pre, 3)
+    return ratio, bool(abs(ratio - 1.0) > threshold)
+
+
 def _sentinel(spark, sf_dir: str) -> None:
     """Code-free drift sentinel (VERDICT r12 item 2): a fixed trivial
     workload — a 48M-row range aggregate (JVM/codegen/scheduler cost)
@@ -495,6 +510,11 @@ def main() -> None:
         "sentinel_post": sentinel_post,
         "sentinel_post_spread": sentinel_post_spread,
     }
+    # mid-sweep drift self-flag (VERDICT r14 item 9): post/pre ratio
+    # plus a boolean no close-out can silently ignore
+    ratio, contaminated = drift_flag(sentinel, sentinel_post)
+    full["sentinel_drift"] = ratio
+    full["sentinel_contaminated"] = contaminated
     # stdout carries exactly ONE compact JSON line: the driver keeps only a
     # 2000-char tail of bench output, so the full per-line detail (cold
     # medians, spreads, 3-decimal precision) goes to BENCH_DETAIL.json and
