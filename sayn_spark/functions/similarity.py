@@ -2811,17 +2811,42 @@ def q_ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers (the documented bounded-BNLJ baseline); tier boundaries are
     WindowGroupLimit top-k per query; the corpus is scanned once at
     16 bytes/vector and only shortlist rows ever touch wider
-    representations."""
+    representations.
+
+    Job-chain shape (r15, the ivfpq precedent): the 10 query vectors
+    and the 1-row SQ8 grid collect once as LocalRelations, so every
+    per-tier query-side attach (binary words, SQ8 codes, exact norms)
+    derives from local lineage instead of planning its own
+    corpus-scanning broadcast job; the corpus code frame then has one
+    consumer and drops its persist."""
     emb = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("cast(embedding as array<double>)").alias("e")
     )
-    words = binary_codes_frame(emb)
-    qw = words.where(F.col("vec_id") < 10).select(
+    head = _as_local(emb.where(F.col("vec_id") < 10))
+    # the SQ8 grid (and the binary words derived from it) is trained on
+    # the CORPUS — collect it once and apply it to corpus and queries
+    # alike; training it on the head would change every tier
+    rng = _as_local(sq8_range_row(emb))
+    code_col = sq8_codes_col("e", 64)
+
+    def words_of(frame: DataFrame) -> DataFrame:
+        codes_f = frame.crossJoin(F.broadcast(rng)).select(
+            "vec_id", sq8_codes_col().alias("c")
+        )
+        return codes_f.select(
+            "vec_id",
+            *[
+                F.expr(_bq_pack_expr("c", lo, hi)).alias(f"w{i + 1}")
+                for i, (lo, hi) in enumerate(_BQ_WORDS)
+            ],
+        )
+
+    qw = words_of(head).select(
         F.col("vec_id").alias("query_id"),
         F.col("w1").alias("qw1"),
         F.col("w2").alias("qw2"),
     )
-    nw = words.select(F.col("vec_id").alias("neighbor_id"), "w1", "w2")
+    nw = words_of(emb).select(F.col("vec_id").alias("neighbor_id"), "w1", "w2")
     w_h = Window.partitionBy("query_id").orderBy("ham", "neighbor_id")
     t1 = (
         qw.join(nw, F.col("neighbor_id") != F.col("query_id"))
@@ -2830,18 +2855,13 @@ def q_ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk1") <= 50)
         .select("query_id", "neighbor_id")
     )
-    rng = sq8_range_row(emb)
-    codes = persist_tracked(
-        emb.crossJoin(F.broadcast(rng)).select(
-            "vec_id", sq8_codes_col("e", 64).alias("c")
-        )
+    codes = emb.crossJoin(F.broadcast(rng)).select("vec_id", code_col.alias("c"))
+    qcodes = head.crossJoin(F.broadcast(rng)).select(
+        F.col("vec_id").alias("query_id"), code_col.alias("qc")
     )
     w_d = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
     t2 = (
-        t1.join(
-            codes.select(F.col("vec_id").alias("query_id"), F.col("c").alias("qc")),
-            "query_id",
-        )
+        t1.join(qcodes, "query_id")
         .join(
             codes.select(
                 F.col("vec_id").alias("neighbor_id"), F.col("c").alias("cc")
@@ -2853,7 +2873,12 @@ def q_ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk2") <= 20)
         .select("query_id", "neighbor_id")
     )
-    nf = persist_tracked(_normed(spark, sf_dir))
+    nf = _normed(spark, sf_dir)
+    qf = head.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.sqrt(F.expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")).alias("qn"),
+    )
     cos = F.round(
         F.expr("aggregate(zip_with(qe, ne, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
         / (F.col("qn") * F.col("nn")),
@@ -2861,14 +2886,7 @@ def q_ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_c = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
-        t2.join(
-            nf.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("e").alias("qe"),
-                F.col("nrm").alias("qn"),
-            ),
-            "query_id",
-        )
+        t2.join(qf, "query_id")
         .join(
             nf.select(
                 F.col("vec_id").alias("neighbor_id"),
