@@ -1655,13 +1655,18 @@ def _bq_pack_sql(code_col: str, lo: int, hi: int) -> str:
     )
 
 
-def binary_codes_frame(emb: DataFrame) -> DataFrame:
+def binary_codes_frame(emb: DataFrame, rng: DataFrame | None = None) -> DataFrame:
     """(vec_id, w1, w2): 64 sign bits against the SQ8 grid midpoint,
     packed into two BIGINT words — 16 bytes per vector, a 16x
     compression under float32.  Bits derive from the integer SQ8 codes
     (code >= 128), so the binarisation carries no FP surface of its
-    own beyond the shared grid assignment."""
-    rng = sq8_range_row(emb)
+    own beyond the shared grid assignment.
+
+    ``rng``, when given, is a pre-trained 1-row grid (sq8_range_row of
+    the TRAINING corpus) — callers that binarise a query slice against
+    the corpus grid must pass it, or the slice would train its own."""
+    if rng is None:
+        rng = sq8_range_row(emb)
     codes = emb.crossJoin(F.broadcast(rng)).select(
         "vec_id", sq8_codes_col().alias("c")
     )
@@ -1753,6 +1758,10 @@ def q_ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("cast(embedding as array<double>)").alias("e")
     )
+    # r15 note: the cascade's _as_local head/grid treatment was tried
+    # here and measured as a LOSS (9 -> 12 jobs): this query has no
+    # duplicated broadcast evaluation to remove — the query words share
+    # the corpus `words` frame — so the two collect jobs bought nothing
     words = binary_codes_frame(emb)
     q = words.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -2830,16 +2839,7 @@ def q_ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     code_col = sq8_codes_col("e", 64)
 
     def words_of(frame: DataFrame) -> DataFrame:
-        codes_f = frame.crossJoin(F.broadcast(rng)).select(
-            "vec_id", sq8_codes_col().alias("c")
-        )
-        return codes_f.select(
-            "vec_id",
-            *[
-                F.expr(_bq_pack_expr("c", lo, hi)).alias(f"w{i + 1}")
-                for i, (lo, hi) in enumerate(_BQ_WORDS)
-            ],
-        )
+        return binary_codes_frame(frame, rng=rng)
 
     qw = words_of(head).select(
         F.col("vec_id").alias("query_id"),
