@@ -161,6 +161,13 @@ def _as_local(df: DataFrame) -> DataFrame:
         if isinstance(dt, ArrayType):
             return "array(" + ", ".join(lit(x, dt.elementType) for x in v) + ")"
         if isinstance(dt, DoubleType):
+            import math
+
+            if math.isnan(v):
+                return "CAST('NaN' AS DOUBLE)"
+            if math.isinf(v):
+                sign = "-" if v < 0 else ""
+                return f"CAST('{sign}Infinity' AS DOUBLE)"
             return f"CAST('{v!r}' AS DOUBLE)"
         if isinstance(v, str):
             escaped = v.replace("\\", "\\\\").replace("'", "\\'")
